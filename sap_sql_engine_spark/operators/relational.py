@@ -1,0 +1,863 @@
+"""Relational operator suite — SURVEY.md §2 re-expressed over the testdata.
+
+Each function here is one operator family from the reference's query surface
+(58 validated NL->SQL templates in the reference's
+``sap_semantic_model.json:7209-7878`` + the 29 SQL guidelines), re-expressed
+as an idiomatic Spark DataFrame plan over the driver's TPC-H-ish tables.
+The docstring of each query cites the reference construct it mirrors.
+
+Determinism conventions (so results hash-match a DuckDB oracle exactly):
+
+- Money math is done in DECIMAL (exact, order-independent across partitions)
+  and only converted to DOUBLE at the output boundary via
+  ``round(cast(dec as double), n)``. A double->decimal(…,2) cast can never
+  hit a .005 tie (not representable in binary), so both engines round
+  identically.
+- Top-K queries always carry a unique tiebreaker key in the ORDER BY.
+- Counts are BIGINT; dates are cast to DateType.
+
+Scale posture (100 TB): every query is a declarative plan — filters and
+projections push down to the Parquet scan, dimension joins broadcast
+(region/nation/customer-at-sf are far below the 64 MB threshold), fact-fact
+joins shuffle on their keys, and aggregates run partial+final. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.loader import table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC = "decimal(18,2)"  # money at rest (reference CURR(13,2), SURVEY §1.2)
+DEC4 = "decimal(18,4)"  # rates/discounts
+
+
+def money(c) -> F.Column:
+    """Exact money representation — the engine's answer to the reference's
+    lossy REAL/TEXT storage of CURR columns (reference
+    ``build_sap_test_db.py:187-202``)."""
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def out2(c) -> F.Column:
+    """Output boundary: exact decimal -> double rounded to cents."""
+    return F.round(c.cast("double"), 2)
+
+
+def out4(c) -> F.Column:
+    return F.round(c.cast("double"), 4)
+
+
+# ---------------------------------------------------------------------------
+# A1/A5: multi-aggregate hash aggregation (TPC-H Q1 shape).
+# Mirrors the reference's GROUP BY SUM/AVG/COUNT templates (22 GROUP BYs,
+# e.g. trial balance at sap_semantic_model.json:7211) — partial+final hash
+# agg, 2 grouping cols, 8 aggregates, one pass over the fact table.
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    taxp = F.lit(1).cast(DEC4) + F.col("l_tax").cast(DEC4)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            out2(F.sum(money("l_quantity"))).alias("sum_qty"),
+            out2(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+            out2(F.sum(money("l_extendedprice") * disc)).alias("sum_disc_price"),
+            out2(F.sum(money("l_extendedprice") * disc * taxp)).alias("sum_charge"),
+            out4(F.sum(money("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            out4(F.sum(money("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            out4(F.sum(F.col("l_discount").cast(DEC4)) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 + A1 + O1 + O3: dim⋈fact join, group, order, top-K — the flagship.
+# Mirrors the reference's "top vendors by spend" template
+# (sap_semantic_model.json:7525): LFA1 ⋈ (BSIK ∪ BSAK), SUM, ORDER BY DESC,
+# LIMIT 10. customer≈LFA1 (broadcast side), orders≈BSIK (fact side).
+
+
+def q_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            out2(F.sum(money("o_totalprice"))).alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: signed conditional aggregation — the SHKZG debit/credit rule
+# (guideline sap_semantic_model.json:7906: CASE WHEN SHKZG='S' THEN DMBTR
+# ELSE -DMBTR). l_returnflag='R' plays the credit role.
+
+
+def q_signed_amount_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    signed = F.when(F.col("l_returnflag") == "R", -money("l_extendedprice")).otherwise(
+        money("l_extendedprice")
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            out2(F.sum(signed)).alias("net_amount"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+ORACLE_SIGNED_AMOUNT = """
+SELECT l_linestatus,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+                           ELSE  CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS net_amount,
+       count(*) AS line_count
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1 + A4: aggregation over UNION ALL of open∪cleared — BSIK ∪ BSAK
+# (sap_semantic_model.json:7525, guideline :7894). Open orders ('O') vs
+# fulfilled ('F'), tagged then aggregated; unionByName keeps schemas aligned.
+
+
+def q_union_open_cleared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    open_items = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "item_state", F.lit("open")
+    )
+    cleared = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "item_state", F.lit("cleared")
+    )
+    return (
+        open_items.unionByName(cleared)
+        .groupBy("item_state")
+        .agg(
+            out2(F.sum(money("o_totalprice"))).alias("total_amount"),
+            F.count(F.lit(1)).alias("item_count"),
+        )
+    )
+
+
+ORACLE_UNION_OPEN_CLEARED = """
+SELECT item_state,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_amount,
+       count(*) AS item_count
+FROM (
+  SELECT o_totalprice, 'open' AS item_state FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_totalprice, 'cleared' AS item_state FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY item_state
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 + O2: bucketed aging aggregation with CASE-expression ordering —
+# the AP/AR aging template (sap_semantic_model.json:7624,:7635): CASE
+# buckets on day deltas, GROUP BY bucket, ORDER BY a CASE sort key.
+
+_AGING_REF_DATE = "2002-01-01"
+
+
+def q_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    age = F.datediff(F.lit(_AGING_REF_DATE).cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 365, "0-1y")
+        .when(age <= 1095, "1-3y")
+        .when(age <= 1825, "3-5y")
+        .otherwise("5y+")
+    )
+    sort_key = (
+        F.when(bucket == "0-1y", 1)
+        .when(bucket == "1-3y", 2)
+        .when(bucket == "3-5y", 3)
+        .otherwise(4)
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .withColumn("age_bucket", bucket)
+        .groupBy("age_bucket")
+        .agg(
+            out2(F.sum(money("o_totalprice"))).alias("open_amount"),
+            F.count(F.lit(1)).alias("open_count"),
+        )
+        .withColumn(
+            "bucket_order",
+            F.when(F.col("age_bucket") == "0-1y", 1)
+            .when(F.col("age_bucket") == "1-3y", 2)
+            .when(F.col("age_bucket") == "3-5y", 3)
+            .otherwise(4),
+        )
+        .orderBy("bucket_order")
+    )
+
+
+ORACLE_AGING_BUCKETS = """
+SELECT age_bucket,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS open_amount,
+       count(*) AS open_count,
+       CASE age_bucket WHEN '0-1y' THEN 1 WHEN '1-3y' THEN 2 WHEN '3-5y' THEN 3 ELSE 4 END AS bucket_order
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') <= 365 THEN '0-1y'
+              WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') <= 1095 THEN '1-3y'
+              WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') <= 1825 THEN '3-5y'
+              ELSE '5y+' END AS age_bucket
+  FROM orders WHERE o_orderstatus = 'O'
+)
+GROUP BY age_bucket
+ORDER BY bucket_order
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2: COUNT(DISTINCT) — reference uses COUNT(DISTINCT b.BELNR)
+# (sap_semantic_model.json:7635,:7841). Spark plans this as a two-phase
+# distinct aggregate; at 100 TB the approx_count_distinct variant in
+# functions.approx is the scale path.
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_suppliers,
+       count(*) AS line_count
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8: HAVING — post-aggregation filter, reference "purchase orders over
+# threshold" (sap_semantic_model.json:7522, guideline :8029).
+
+
+def q_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(money("o_totalprice")).alias("_total"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .filter(F.col("_total") > 1_500_000)
+        .select(
+            "o_custkey",
+            out2(F.col("_total")).alias("total_value"),
+            "order_count",
+        )
+    )
+
+
+ORACLE_HAVING = """
+SELECT o_custkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       count(*) AS order_count
+FROM orders
+GROUP BY o_custkey
+HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7/J6: anti-join — "open requisitions" LEFT JOIN … IS NULL
+# (sap_semantic_model.json:7814) and NOT IN pipelines (:7774). Expressed as
+# LEFT ANTI (the NULL-safe rewrite SURVEY §4.4 requires — Spark's NOT IN
+# with a nullable subquery silently returns zero rows).
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    big_urgent = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000)
+    )
+    return (
+        cust.join(big_urgent, cust.c_custkey == big_urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 200000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: semi-join via EXISTS — reference billing-linkage EXISTS subquery
+# (sap_semantic_model.json:7787). LEFT SEMI is Catalyst's decorrelated form.
+
+
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# J8: multi-hop chain join — the document-flow chains (O2C
+# VBAK→LIKP→VBRK→BSID, sap_semantic_model.json:7760; PM chain :7725).
+# region→nation→customer→orders→lineitem is the same 5-hop shape; the two
+# dim hops broadcast, the fact hop shuffles on the join key.
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            out2(F.sum(money("l_extendedprice") * disc)).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+ORACLE_REVENUE_BY_REGION = """
+SELECT r_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY revenue DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: left outer join + COALESCE — reference LEFT JOIN SKAT text lookups
+# with COALESCE defaults (sap_semantic_model.json:7211; 27 LEFT JOINs).
+# Nations with zero customers must appear with 0.
+
+
+def q_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(money("c_acctbal")).alias("_bal"),
+    )
+    return (
+        nation.join(per_nation, nation.n_nationkey == per_nation.c_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("customer_count"),
+            out2(F.coalesce(F.col("_bal"), F.lit(0).cast(DEC))).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_NATION_CUSTOMER_COUNTS = """
+SELECT n_nationkey, n_name,
+       coalesce(cnt, 0) AS customer_count,
+       round(CAST(coalesce(bal, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+FROM nation
+LEFT JOIN (
+  SELECT c_nationkey, count(*) AS cnt, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer GROUP BY c_nationkey
+) ON n_nationkey = c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: correlated scalar subquery — GL total inside the select list
+# (sap_semantic_model.json:7868). Catalyst decorrelates this into an
+# aggregate + join; expressed in SQL because that's the reference's form.
+
+
+def q_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sap_rel_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM sap_rel_customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                           FROM sap_rel_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+ORACLE_ABOVE_NATION_AVG = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1: window functions — absent from the reference (zero OVER( in all 58
+# templates; ranking done via ORDER BY+LIMIT), provided as the idiomatic
+# Spark upgrade: top-K *per group* needs a window, not a global LIMIT.
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank_in_segment",
+            "o_orderkey",
+            out2(money("o_totalprice")).alias("order_value"),
+        )
+    )
+
+
+ORACLE_TOP_PER_SEGMENT = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey, order_value
+FROM (
+  SELECT c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_segment,
+         o_orderkey,
+         round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS order_value
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank_in_segment <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar/date function surface: EXTRACT, ADD_DAYS/ADD_MONTHS, DATEDIFF,
+# TRUNC — the dialect-translation layer's function inventory
+# (reference sap_sql_engine.py:1093-1157,:1182-1195), evaluated natively.
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731 — ISO strings
+    # compare engine-neutrally (reference stores dates as ISO strings anyway,
+    # FIXTURES.md "Dates" convention)
+    return (
+        orders.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            iso(d).alias("order_date"),
+            F.year(d).alias("order_year"),
+            F.month(d).alias("order_month"),
+            F.quarter(d).alias("order_quarter"),
+            iso(F.date_add(d, 30)).alias("due_date"),
+            iso(F.add_months(d, 3)).alias("quarter_later"),
+            iso(F.trunc(d, "MM")).alias("month_start"),
+            F.datediff(F.lit(_AGING_REF_DATE).cast("date"), d).alias("age_days"),
+        )
+    )
+
+
+ORACLE_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS quarter_later,
+       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2 + §2.6 strings: UPPER/LIKE/SUBSTR/CONCAT/LPAD — fuzzy-match guideline
+# UPPER(NAME1) LIKE '%X%' (sap_semantic_model.json:8008) and the NUMC
+# zero-padding convention (LPAD, reference build_sap_test_db.py:50-68).
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(F.upper(F.col("p_name")).like("%BOLT%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_name")).alias("name_upper"),
+            F.substring(F.col("p_name"), 1, 10).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("numc_key"),
+            F.length(F.col("p_name")).alias("name_len"),
+        )
+    )
+
+
+ORACLE_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 10) AS name_prefix,
+       p_brand || '/' || p_type AS brand_type,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS numc_key,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
+WHERE upper(p_name) LIKE '%BOLT%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 manual pivot: SUM(CASE WHEN …) per category — actual-vs-plan pivot
+# (sap_semantic_model.json:7537: WRTTP '04' actual vs '01' plan).
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+
+    def status_sum(s: str) -> F.Column:
+        return out2(
+            F.sum(F.when(F.col("o_orderstatus") == s, money("o_totalprice")).otherwise(F.lit(0).cast(DEC)))
+        )
+
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            status_sum("O").alias("open_value"),
+            status_sum("F").alias("fulfilled_value"),
+            status_sum("P").alias("partial_value"),
+        )
+    )
+
+
+ORACLE_STATUS_PIVOT = """
+SELECT n_name,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS open_value,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS fulfilled_value,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9: STDDEV/VARIANCE — the reference *strips* these because SQLite lacks
+# them (sap_sql_engine.py:1160-1162); Spark has them natively. Computed from
+# exact integer sums so the result is bit-deterministic vs any oracle.
+
+
+def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum(q * q).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("line_count"),
+        F.round(var, 4).alias("qty_variance"),
+        F.round(F.sqrt(var), 4).alias("qty_stddev"),
+    )
+
+
+ORACLE_DISPERSION = """
+SELECT l_returnflag,
+       n AS line_count,
+       round((ss - s * s / n) / (n - 1.0), 4) AS qty_variance,
+       round(sqrt((ss - s * s / n) / (n - 1.0)), 4) AS qty_stddev
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS ss
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J9: three-way match with mismatch predicate — EKPO⋈EKBE⋈RSEG quantity
+# match (sap_semantic_model.json:7304, guideline :7984): chained equi-joins
+# + a value-comparison filter surfacing discrepancies.
+
+
+def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(money("l_extendedprice") > money("p_retailprice") * F.lit(45).cast(DEC))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("mismatch_count"),
+            out2(F.sum(money("l_extendedprice"))).alias("mismatch_value"),
+        )
+        .orderBy(F.col("p_brand").asc())
+    )
+
+
+ORACLE_THREE_WAY_MATCH = """
+SELECT p_brand,
+       count(*) AS mismatch_count,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mismatch_value
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE CAST(l_extendedprice AS DECIMAL(18,2)) > CAST(p_retailprice AS DECIMAL(18,2)) * CAST(45 AS DECIMAL(18,2))
+GROUP BY p_brand
+ORDER BY p_brand ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 + §4.4: NOT IN with a filtered subquery, rewritten NULL-safe as
+# LEFT ANTI (reference pipeline stages at sap_semantic_model.json:7774 use
+# NOT IN; Spark returns empty on NULL-bearing subqueries, so the engine
+# always rewrites — SURVEY §4 item 4).
+
+
+def q_orders_outside_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return (
+        orders.join(auto, orders.o_custkey == auto.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_NOT_IN_REWRITE = """
+SELECT o_orderstatus, count(*) AS order_count
+FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey = o_custkey
+)
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1: DISTINCT projection (30 uses in reference templates, e.g. inside
+# pipeline-stage subqueries sap_semantic_model.json:7774).
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct()
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# U2-upgrade: ROLLUP — absent in the reference (SQLite lacks it; SURVEY
+# §2.4 "free in Spark"); subtotal rows carry NULL group keys in both engines.
+
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            out2(F.sum(money("c_acctbal"))).alias("total_balance"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name,
+       count(*) AS customer_count,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: join with constant predicate in the ON clause — HRP1000 triple join
+# ON pos.OTYPE='S' AND … AND pos.LANGU='E' (sap_semantic_model.json:7374).
+
+
+def q_join_constant_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = (
+        (orders.o_custkey == cust.c_custkey)
+        & (cust.c_mktsegment == F.lit("BUILDING"))
+    )
+    return (
+        orders.join(F.broadcast(cust), cond, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.count(F.col("c_custkey")).alias("building_matches"),
+        )
+    )
+
+
+ORACLE_JOIN_CONSTANT = """
+SELECT o_orderstatus,
+       count(*) AS order_count,
+       count(c_custkey) AS building_matches
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers_by_spend": q_top_customers_by_spend,
+    "signed_amount_sum": q_signed_amount_sum,
+    "union_open_cleared": q_union_open_cleared,
+    "aging_buckets": q_aging_buckets,
+    "count_distinct": q_count_distinct,
+    "having_threshold": q_having_threshold,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "revenue_by_region": q_revenue_by_region,
+    "nation_customer_counts": q_nation_customer_counts,
+    "above_nation_average": q_above_nation_average,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "date_functions": q_date_functions,
+    "string_functions": q_string_functions,
+    "status_pivot": q_status_pivot,
+    "quantity_dispersion": q_quantity_dispersion,
+    "three_way_match": q_three_way_match,
+    "orders_outside_segment": q_orders_outside_segment,
+    "distinct_segments": q_distinct_segments,
+    "rollup_region_nation": q_rollup_region_nation,
+    "join_constant_predicate": q_join_constant_predicate,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_customers_by_spend": ORACLE_TOP_CUSTOMERS,
+    "signed_amount_sum": ORACLE_SIGNED_AMOUNT,
+    "union_open_cleared": ORACLE_UNION_OPEN_CLEARED,
+    "aging_buckets": ORACLE_AGING_BUCKETS,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "having_threshold": ORACLE_HAVING,
+    "customers_without_orders": ORACLE_ANTI_JOIN,
+    "customers_with_urgent_orders": ORACLE_SEMI_JOIN,
+    "revenue_by_region": ORACLE_REVENUE_BY_REGION,
+    "nation_customer_counts": ORACLE_NATION_CUSTOMER_COUNTS,
+    "above_nation_average": ORACLE_ABOVE_NATION_AVG,
+    "top_orders_per_segment": ORACLE_TOP_PER_SEGMENT,
+    "date_functions": ORACLE_DATE_FUNCTIONS,
+    "string_functions": ORACLE_STRING_FUNCTIONS,
+    "status_pivot": ORACLE_STATUS_PIVOT,
+    "quantity_dispersion": ORACLE_DISPERSION,
+    "three_way_match": ORACLE_THREE_WAY_MATCH,
+    "orders_outside_segment": ORACLE_NOT_IN_REWRITE,
+    "distinct_segments": ORACLE_DISTINCT,
+    "rollup_region_nation": ORACLE_ROLLUP,
+    "join_constant_predicate": ORACLE_JOIN_CONSTANT,
+}
