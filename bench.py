@@ -1,0 +1,68 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32). Each query is timed to
+completion of its action (count of the materialized result — the driver's
+``collect`` shape without driver-side row transfer dominating the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_customers_by_spend",
+    "revenue_by_region",
+    "count_distinct",
+    "top_orders_per_segment",
+    "three_way_match",
+    "above_nation_average",
+    "rollup_region_nation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer cache so per-query times measure the
+    # engine, not first-touch startup.
+    relational.q_top_customers_by_spend(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = relational.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
