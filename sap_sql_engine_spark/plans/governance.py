@@ -1,0 +1,126 @@
+"""PII governance gate — plan-level enforcement.
+
+Reproduces the block/allow matrix of the reference's hard-coded gate
+(reference ``sap_sql_engine.py:1202-1259``):
+
+1. queries touching HR/Payroll/Benefits tables must aggregate (GROUP BY),
+2. must use at least one aggregate function (COUNT/SUM/AVG/MIN/MAX),
+3. must not expose PII identifier columns outside aggregate functions.
+
+Unlike the reference (substring scan over SQL text — a table name inside a
+string literal or a view indirection defeats it), this gate walks the
+*analyzed logical plan*: relations are found as SubqueryAlias/relation nodes
+after view resolution, the GROUP BY requirement is "every PII relation sits
+under an Aggregate with non-empty grouping", and identifier exposure is
+checked against the plan's output attributes. SURVEY §2.8 G1-G5.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+PII_TABLES = frozenset(
+    {
+        "PA0001", "PA0002", "PA0006", "PA0008", "PA0014",
+        "PA0167", "PA0168", "PA0169",
+        "HRPY_RGDIR", "T511", "T512T",
+    }
+)
+
+PII_COLUMNS = frozenset({"PERNR", "ENAME", "NACHN", "VORNA", "GBDAT", "PERID"})
+
+_AGG_FN_PAT = re.compile(r"\b(count|sum|avg|min|max)\(", re.IGNORECASE)
+
+
+@dataclass
+class GovernanceBlock:
+    """Typed block result — the server surfaces this as
+    ``{governance_block: true, type, message}`` (reference
+    ``sap_sql_engine.py:1592-1604``)."""
+
+    type: str
+    message: str
+
+
+def _walk(node, under_grouped_agg: bool, state: dict) -> None:
+    name = node.nodeName()
+    if name == "Aggregate":
+        try:
+            grouped = node.groupingExpressions().size() > 0
+        except Exception:
+            grouped = False
+        if grouped:
+            under_grouped_agg = True
+        if _AGG_FN_PAT.search(node.toString().split("\n")[0]):
+            state["has_agg_function"] = True
+    if name == "SubqueryAlias":
+        try:
+            alias = node.alias().upper()
+        except Exception:
+            alias = ""
+        if alias in PII_TABLES:
+            state["touched"].add(alias)
+            if not under_grouped_agg:
+                state["unaggregated"].add(alias)
+    children = node.children()
+    for i in range(children.size()):
+        _walk(children.apply(i), under_grouped_agg, state)
+    # subquery expressions (scalar subqueries, EXISTS) hang off expressions,
+    # not children; innerChildren covers them in Catalyst's tree API
+    inner = node.innerChildren()
+    for i in range(inner.size()):
+        _walk(inner.apply(i), under_grouped_agg, state)
+
+
+def check(df: DataFrame) -> GovernanceBlock | None:
+    """Gate a DataFrame before execution. Returns None when safe."""
+    plan = df._jdf.queryExecution().analyzed()
+    state: dict = {"touched": set(), "unaggregated": set(), "has_agg_function": False}
+    _walk(plan, False, state)
+
+    touched = sorted(state["touched"])
+    if not touched:
+        return None
+
+    if state["unaggregated"]:
+        return GovernanceBlock(
+            type="missing_group_by",
+            message=(
+                "PII Protection: queries against HR / Payroll / Benefits tables "
+                f"({', '.join(touched)}) must aggregate results with GROUP BY. "
+                "Individual employee data cannot be returned. Try an aggregate "
+                "query such as headcount by org unit or average salary by "
+                "department."
+            ),
+        )
+
+    if not state["has_agg_function"]:
+        return GovernanceBlock(
+            type="missing_aggregate_function",
+            message=(
+                "PII Protection: queries against HR / Payroll / Benefits tables "
+                f"({', '.join(touched)}) must use aggregate functions "
+                "(COUNT, SUM, AVG, MIN, MAX) in the SELECT clause. "
+                "Individual employee data cannot be returned."
+            ),
+        )
+
+    exposed = sorted(
+        c for c in df.schema.names if c.upper() in PII_COLUMNS
+    )
+    if exposed:
+        return GovernanceBlock(
+            type="pii_column_exposed",
+            message=(
+                "PII Protection: the SELECT clause includes personally "
+                f"identifiable columns ({', '.join(exposed)}). Queries against "
+                "HR / Payroll / Benefits tables must not return individual "
+                "employee identifiers. Use GROUP BY on organizational "
+                "attributes and aggregate functions instead."
+            ),
+        )
+
+    return None
