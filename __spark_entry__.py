@@ -15,9 +15,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textanalysis,
+)
+from sap_sql_engine_spark.streaming import events as streaming_events
 
 SF0001_DIR = "/root/testdata/sf0.001"
+
+_MODULES = (relational, textanalysis, dedup, similarity, streaming_events, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,12 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per queries() key (same column aliases)."""
     out: dict[str, str] = {}
-    out.update(relational.ORACLES)
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
     return out

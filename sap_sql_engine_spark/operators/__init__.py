@@ -1,3 +1,3 @@
-from . import relational
+from . import dedup, multimodal, relational, similarity, textanalysis
 
-__all__ = ["relational"]
+__all__ = ["dedup", "multimodal", "relational", "similarity", "textanalysis"]

@@ -1,0 +1,315 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH, and SimHash — the dedup ladder a
+training-data pipeline runs at 100 TB (BASELINE.json north star; the
+reference has no dedup surface at all). Everything here is built-in Spark
+expressions — the hash family is md5-hex->int so the identical computation
+is expressible in the DuckDB oracle (verified: ``conv(substr(md5(x),1,8),
+16,10)`` == DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+
+Scale posture:
+- exact dedup is a hash-groupBy on a fingerprint — one shuffle, AQE-coalesced;
+- shingle explode -> equi-join on shingle is the scalable near-dup shape
+  (shuffle keyed on shingle, heavy-hitter shingles are the skew risk — at
+  real scale drop the top-k most frequent shingles, a standard trick);
+- MinHash/LSH bounds candidate pairs: band signatures bucket the join so the
+  pair count is ~(dups + collisions), never O(n^2);
+- SimHash gives O(n·bits) signatures; the pair scan here is brute-force for
+  the oracle's benefit — at scale you'd bucket by signature prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import table
+from .textanalysis import fingerprint_col
+
+N_MINHASH = 16  # permutations
+N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.5 with high prob.
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+# tight threshold: the synthetic corpus has a tiny vocabulary, so unrelated
+# docs share token-frequency profiles; hamming<=1 isolates the planted dups
+HAMMING_THRESHOLD = 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy on normalized-text fingerprint)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint_col())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.countDistinct("fp").alias("distinct_count"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("duplicate_count"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT source,
+       count(*) AS doc_count,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS distinct_count,
+       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS duplicate_count
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared shingle relation: distinct (doc_id, word-3-gram)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(split(trim(text), '\\\\s+'), i), "
+        "element_at(split(trim(text), '\\\\s+'), i + 1), "
+        "element_at(split(trim(text), '\\\\s+'), i + 2)))"
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+_ORACLE_SHINGLES = r"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    p1 = per_doc.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    p2 = per_doc.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        inter.join(p1, "doc1")
+        .join(p2, "doc2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "shared", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = rf"""
+WITH sh AS ({_ORACLE_SHINGLES}),
+per_doc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, shared,
+       round(shared * 1.0 / (p1.n + p2.n - shared), 4) AS jaccard
+FROM inter
+JOIN per_doc p1 ON p1.doc_id = doc1
+JOIN per_doc p2 ON p2.doc_id = doc2
+WHERE round(shared * 1.0 / (p1.n + p2.n - shared), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm_i, minhash) — md5-family hash, min per permutation."""
+    sh = _shingles(spark, sf_dir)
+    perms = F.explode(F.sequence(F.lit(1), F.lit(N_MINHASH))).alias("perm")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .withColumn("h", h)
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+_ORACLE_MINHASH_SIGS = rf"""
+  SELECT doc_id, perm, min(CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT)) AS minhash
+  FROM ({_ORACLE_SHINGLES}) sh, (SELECT unnest(range(1, {N_MINHASH + 1})) AS perm)
+  GROUP BY doc_id, perm
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 band signature, scored by the
+    fraction of agreeing minhash components (unbiased Jaccard estimate)."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = sigs.withColumn(
+        "band", ((F.col("perm") - 1) / rows_per_band).cast("int")
+    )
+    band_sig = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("sig")
+    )
+    b1 = band_sig.alias("b1")
+    b2 = band_sig.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.sig") == F.col("b2.sig"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), "perm", F.col("minhash").alias("m1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), "perm", F.col("minhash").alias("m2"))
+    est = (
+        candidates.join(s1, "doc1")
+        .join(s2, ["doc2", "perm"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("m1") == F.col("m2"), 1).otherwise(0)) / F.lit(N_MINHASH), 4
+            ).alias("est_jaccard")
+        )
+    )
+    return est.select("doc1", "doc2", "est_jaccard")
+
+
+ORACLE_MINHASH_LSH = rf"""
+WITH sigs AS ({_ORACLE_MINHASH_SIGS}),
+band_sig AS (
+  SELECT doc_id, CAST((perm - 1) // {N_MINHASH // N_BANDS} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM sigs GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM band_sig b1 JOIN band_sig b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+)
+SELECT doc1, doc2,
+       round(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END) * 1.0 / {N_MINHASH}, 4) AS est_jaccard
+FROM candidates
+JOIN sigs s1 ON s1.doc_id = doc1
+JOIN sigs s2 ON s2.doc_id = doc2 AND s2.perm = s1.perm
+GROUP BY doc1, doc2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted SimHash over whitespace tokens, md5-hash family,
+    SIMHASH_BITS-bit signatures."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    bits = tok.withColumn("h", h).select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    contrib = F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+    return (
+        bits.withColumn("c", contrib)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+_ORACLE_SIMHASH = rf"""
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  FROM (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+    ), (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+    GROUP BY doc_id, bit
+  )
+  GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= HAMMING_THRESHOLD."""
+    sig = _simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"))
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, F.col("doc1") < F.col("doc2"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+ORACLE_SIMHASH = rf"""
+WITH sig AS ({_ORACLE_SIMHASH})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+}

@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table (``array<float>`` 64-d).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed variant
+is the 100 TB scale path (signatures bucket the candidate set so the
+pairwise work is bounded — same shape as ``BucketedRandomProjectionLSH`` but
+expressed with deterministic md5-derived hyperplanes so the DuckDB oracle
+can replicate it bit-for-bit).
+
+All vector math happens JVM-side via ``aggregate``/``zip_with`` higher-order
+functions on the array column — no Python UDF, no serialization wall. The
+accumulation is left-to-right in array order in both Spark and the oracle's
+``list_sum(list_transform(...))``, so IEEE results are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import table
+
+DIM = 64
+TOPK = 10
+QUERY_VEC_ID = 0  # the fixed query vector: embedding of vec_id 0
+NEARDUP_COS = 0.40  # synthetic corpus max pair cosine ~0.51; 0.40 keeps ~20 pairs
+# 6 planes -> 64 buckets: sized so a 500-vector corpus keeps ~8 vectors per
+# bucket (at real scale you'd raise planes with corpus size and multi-probe)
+N_PLANES = 6
+
+
+def _dots(a: str, b: str) -> F.Column:
+    """<a,b> with double accumulation in array order."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    return _dots(a, b) / (F.sqrt(_dots(a, a)) * F.sqrt(_dots(b, b)))
+
+
+# DuckDB mirror of the same accumulation order
+def _o_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _o_cos(a: str, b: str) -> str:
+    return f"({_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against a fixed query vector
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({_o_cos("embedding", "qe")}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (brute force; scale path below)
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(_cosine("e1", "e2"), 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("v1", "v2", "cosine")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round({_o_cos("a.embedding", "b.embedding")}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_o_cos("a.embedding", "b.embedding")}, 6) >= {NEARDUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+# signatures; query probes only its own bucket.
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature = N_PLANES sign bits of <v, plane_p>; candidates = vectors
+    in the query's bucket; exact cosine re-rank inside the bucket.
+
+    At 100 TB: signatures are one narrow shuffle; each query touches one
+    bucket (multi-probe would flip low-margin bits). Brute-force re-rank
+    only within the bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    # plane component p,i = (hexint(md5(p || ':' || i)) / 2^24) - 0.5
+    plane_expr = (
+        "transform(sequence(1, {np}), p -> "
+        "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+        "transform(sequence(1, {dim}), i -> "
+        "CAST(conv(substr(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0 - 0.5), "
+        "(x, w) -> x * w), 0D, (acc, v) -> acc + v))"
+    ).format(np=N_PLANES, dim=DIM)
+    sig_expr = (
+        f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    with_sig = emb.withColumn("bucket", F.expr(sig_expr))
+    qrow = with_sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        with_sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+
+
+def _oracle_lsh() -> str:
+    plane = (
+        "list_transform(range(1, {np} + 1), p -> "
+        "list_sum(list_transform(range(1, {dim} + 1), i -> "
+        "CAST(embedding[i] AS DOUBLE) * "
+        "(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 - 0.5)"
+        ")))"
+    ).format(np=N_PLANES, dim=DIM)
+    sig = (
+        f"array_to_string(list_transform({plane}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, bucket,
+       round({_o_cos("embedding", "qe")}, 6) AS cosine
+FROM sigs, q
+WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
+ORDER BY cosine DESC, vec_id ASC
+"""
+
+
+ORACLE_ANN_LSH = _oracle_lsh()
+
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
+    "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+}

@@ -1,0 +1,209 @@
+"""Text-analysis operators over the ``documents`` table.
+
+These are the training-data-pipeline operators the rebuild adds beyond the
+reference surface (BASELINE.json north star; no counterpart in the reference
+repo — its only text processing is UPPER/LIKE matching,
+``sap_semantic_model.json:8008``). All computation is built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd) — no Python UDFs
+in any hot path, so a 100 TB corpus streams through scan->project->agg
+without serialization walls.
+
+Determinism: every operator is expressible in ANSI SQL and hash-matches a
+DuckDB oracle (regex semantics kept to the common Java/RE2 subset; doubles
+rounded at the output boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import table
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Chosen to be regex-safe in both Java regex and RE2.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def _norm_text() -> F.Column:
+    """lower + collapse whitespace — the shared normalization."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (runs of letters OR digits OR single punctuation — the classic
+    pre-tokenizer regex)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("token_count"),
+        F.length(F.trim(F.col("text"))).alias("char_count"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "subword_count"
+        ),
+        F.round(
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS token_count,
+       CAST(length(trim(text)) AS INT) AS char_count,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS subword_count,
+       round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, alpha ratio, punctuation density, stopword
+    ratio — the standard cheap quality signals for corpus filtering."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    words = F.size(F.split(t, r"\s+"))
+    stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it)\b")
+    )
+    quality = F.round(
+        (alpha / n_chars) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop.cast("double") / words * F.lit(10)) * F.lit(0.3)
+        + F.least(F.lit(1.0), words.cast("double") / F.lit(100)) * F.lit(0.2),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
+        punct.alias("punct_count"),
+        F.round(stop.cast("double") / words, 4).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY_SCORE = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(text) AS t,
+         CAST(length(trim(text)) AS INT) AS n_chars_obs,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS INT) AS alpha,
+         CAST(len(regexp_extract_all(trim(text), '[.,;:!?]')) AS INT) AS punct_count,
+         len(regexp_split_to_array(trim(text), '\s+')) AS words,
+         CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|a|in|is|it)\b')) AS INT) AS stop
+  FROM documents
+)
+SELECT doc_id,
+       n_chars_obs,
+       round(CAST(alpha AS DOUBLE) / n_chars_obs, 4) AS alpha_ratio,
+       punct_count,
+       round(CAST(stop AS DOUBLE) / words, 4) AS stopword_ratio,
+       round((CAST(alpha AS DOUBLE) / n_chars_obs) * 0.5
+             + least(1.0, CAST(stop AS DOUBLE) / words * 10) * 0.3
+             + least(1.0, CAST(words AS DOUBLE) / 100) * 0.2, 4) AS quality_score
+FROM base
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score = marker-word hits per language,
+    predict argmax (deterministic tie-break: en > de > fr > es > unknown).
+    """
+    docs = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scores = {
+        lang: F.regexp_count(low, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_MARKERS.items()
+    }
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    best = F.greatest(en, de, fr, es)
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def _marker_re(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+ORACLE_LANGUAGE_ID = rf"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '{_marker_re("en")}')) AS INT) AS score_en,
+         CAST(len(regexp_extract_all(lower(text), '{_marker_re("de")}')) AS INT) AS score_de,
+         CAST(len(regexp_extract_all(lower(text), '{_marker_re("fr")}')) AS INT) AS score_fr,
+         CAST(len(regexp_extract_all(lower(text), '{_marker_re("es")}')) AS INT) AS score_es
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM s
+"""
+
+
+def fingerprint_col() -> F.Column:
+    """Document fingerprint: md5 over normalized text. Used by exact dedup;
+    at 100 TB this is the shuffle key for duplicate clustering."""
+    return F.md5(_norm_text())
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_col().alias("fingerprint"),
+        F.substring(fingerprint_col(), 1, 8).alias("fingerprint_prefix"),
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fingerprint_prefix
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_score": q_quality_score,
+    "text_language_id": q_language_id,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality_score": ORACLE_QUALITY_SCORE,
+    "text_language_id": ORACLE_LANGUAGE_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,222 @@
+"""Event-stream operators over the ``events`` table.
+
+The reference is batch-only (SURVEY §2.7: zero streaming operators); this
+module adds the streaming surface a 100 TB pipeline needs. Each operator
+exists twice:
+
+- a *batch* form (runs on the parquet table, oracle-checkable), and
+- for the windowed rollup, a *streaming* form (``readStream`` + watermark +
+  window + memory sink) with identical semantics — tested in
+  ``tests/test_streaming.py`` by asserting batch == streaming output.
+
+Tumbling windows are epoch-aligned (`F.window(ts, '1 hour')` start ==
+`date_trunc('hour', ts)`), which is what makes the batch/stream/oracle
+triangle close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.loader import table
+
+SESSION_GAP_SECONDS = 1800  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a proper TimestampType ``ts``.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS) which Spark 4
+    refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as long
+    (runtime conf, set here so any caller-provided session works) and
+    convert to microseconds — the same truncation DuckDB applies
+    internally, so both engines see identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = table(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window rollup (batch form)
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "value_sum"
+            ),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+            "active_users",
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS event_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum,
+       count(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
+    """Streaming twin of q_events_hourly_rollup: parquet source ->
+    watermark -> tumbling window -> memory sink. Returns the started query;
+    caller drives it with processAllAvailable()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = table(spark, sf_dir, "events").schema
+    # file-stream sources require a directory; stage one containing only
+    # events.parquet (testdata dirs mix all tables in one directory)
+    import os
+    import shutil
+
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".stream_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "value_sum"
+            ),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+            "approx_users",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_hourly_stream")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (lag-gap method)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+    )
+    with_sid = with_new.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_session = with_sid.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_seq").alias("session_count"),
+        F.sum("events_in_session").alias("total_events"),
+        F.max("events_in_session").alias("max_session_events"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SECONDS}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq, count(*) AS events_in_session
+  FROM sid GROUP BY 1, 2
+)
+SELECT user_id,
+       max(session_seq) AS session_count,
+       sum(events_in_session) AS total_events,
+       max(events_in_session) AS max_session_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi-structured props (JSON column)
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       count(*) AS event_count,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_json_props": q_events_json_props,
+}
+
+ORACLES = {
+    "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_json_props": ORACLE_EVENTS_JSON,
+}

@@ -1,0 +1,127 @@
+"""Pipeline-operator tests: dedup/similarity/text invariants at sf0.001,
+streaming twin equivalence, multimodal mapInPandas plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark.operators import dedup, multimodal, similarity, textanalysis
+from sap_sql_engine_spark.streaming import events as ev
+
+
+def test_fingerprint_stable_under_whitespace(spark, sf_dir):
+    # normalization means fingerprints are insensitive to case/whitespace
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", textanalysis.fingerprint_col().alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_jaccard_pairs_ordered_and_bounded(spark, sf_dir):
+    rows = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert rows, "expected planted near-duplicates at sf0.001"
+    for r in rows:
+        assert r.doc1 < r.doc2
+        assert dedup.JACCARD_THRESHOLD <= r.jaccard <= 1.0
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    true_pairs = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    est_pairs = {
+        (r.doc1, r.doc2): r.est_jaccard
+        for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    # every true near-dup pair (jaccard ~0.98) must be found by LSH
+    found = set(true_pairs) & set(est_pairs)
+    assert len(found) >= len(true_pairs) * 0.9
+    for pair in found:
+        assert est_pairs[pair] >= 0.5
+
+
+def test_simhash_finds_neardups(spark, sf_dir):
+    true_pairs = {
+        (r.doc1, r.doc2) for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    sim_pairs = {
+        (r.doc1, r.doc2) for r in dedup.q_dedup_simhash(spark, sf_dir).collect()
+    }
+    assert true_pairs & sim_pairs, "simhash should overlap true near-dups"
+
+
+def test_ann_topk_is_sorted_and_complete(spark, sf_dir):
+    rows = similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    assert len(rows) == similarity.TOPK
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_bucket_recall_within_bucket(spark, sf_dir):
+    # every LSH candidate's exact cosine must match the brute-force value
+    brute = {
+        r.vec_id: r.cosine
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.q_ann_lsh_bucketed(spark, sf_dir).collect():
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    batch = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in ev.q_events_hourly_rollup(spark, sf_dir).collect()
+    }
+    q = ev.streaming_hourly_rollup(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream = {
+            (r.window_start, r.event_type): (r.event_count, r.value_sum)
+            for r in spark.sql("SELECT * FROM events_hourly_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert stream == batch
+
+
+def test_multimodal_fake_decode_shape(spark, sf_dir):
+    media = multimodal.documents_as_media(spark, sf_dir).limit(20)
+    feats = multimodal.decode_features(media, deterministic_fake=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+        assert r.byte_len > 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    media = multimodal.documents_as_media(spark, sf_dir).limit(1)
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_features(media, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_chunks(spark, sf_dir):
+    media = multimodal.documents_as_media(spark, sf_dir).limit(5)
+    frames = multimodal.frame_sample(media, n_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media) == 5
+    for rows in by_media.values():
+        assert [r.frame_no for r in sorted(rows, key=lambda x: x.frame_no)] == list(
+            range(len(rows))
+        )
+        assert all(len(bytes(r.chunk)) > 0 for r in rows)
+
+
+def test_dedup_exact_consistency(spark, sf_dir):
+    rows = dedup.q_dedup_exact(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_count == r.distinct_count + r.duplicate_count
