@@ -18,10 +18,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.operators import dedup, relational, similarity, textanalysis
 from sap_sql_engine_spark.session import get_spark
+from sap_sql_engine_spark.streaming import events
+
+_REGISTRY: dict = {}
+for mod in (relational, textanalysis, dedup, similarity, events):
+    _REGISTRY.update(mod.QUERIES)
 
 HEADLINE = [
+    # relational core
     "pricing_summary",
     "top_customers_by_spend",
     "revenue_by_region",
@@ -30,6 +36,12 @@ HEADLINE = [
     "three_way_match",
     "above_nation_average",
     "rollup_region_nation",
+    # pipeline operators
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_bruteforce_topk",
+    "events_sessionize",
 ]
 
 
@@ -45,7 +57,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = relational.QUERIES[name]
+        fn = _REGISTRY[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)

@@ -67,18 +67,17 @@ GROUP BY source
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-3-gram). Tokens are materialized once per row
+    (single split), then shingled with a higher-order transform — keeps the
+    whole computation in one codegen stage before the distinct shuffle."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 0)), "
-        "i -> concat_ws(' ', element_at(split(trim(text), '\\\\s+'), i), "
-        "element_at(split(trim(text), '\\\\s+'), i + 1), "
-        "element_at(split(trim(text), '\\\\s+'), i + 2)))"
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 _ORACLE_SHINGLES = r"""
@@ -96,7 +95,10 @@ _ORACLE_SHINGLES = r"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    # the shingle relation feeds three join branches (a, b, per_doc) —
+    # cache it so it's computed once, the 100 TB pattern being "materialize
+    # the shingle table, then join against it"
+    sh = _shingles(spark, sf_dir).cache()
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,20 +140,28 @@ WHERE round(shared * 1.0 / (p1.n + p2.n - shared), 4) >= {JACCARD_THRESHOLD}
 # MinHash + LSH
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm_i, minhash) — md5-family hash, min per permutation."""
-    sh = _shingles(spark, sf_dir)
-    perms = F.explode(F.sequence(F.lit(1), F.lit(N_MINHASH))).alias("perm")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle"))), 1, 8),
-        16,
-        10,
+def _hash_expr(perm: int) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{perm}:"), F.col("shingle"))), 1, 8), 16, 10
     ).cast("bigint")
-    return (
-        sh.select("doc_id", "shingle", perms)
-        .withColumn("h", h)
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m1..mN) — all N permutation minima in ONE aggregation pass:
+    no row multiplication (the naive shape explodes shingles xN), a single
+    shuffle on doc_id. This is the form that survives a 100x scale-up."""
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_hash_expr(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash) long form, derived from the wide aggregate."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack = ", ".join(f"{p}, m{p}" for p in range(1, N_MINHASH + 1))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_MINHASH}, {stack}) AS (perm, minhash)")
     )
 
 
