@@ -810,6 +810,44 @@ GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (SURVEY §4 item 5). The reference's guideline catalog
+# advertises WITH RECURSIVE for cost-center hierarchies
+# (sap_semantic_model.json:7948) but ships no template using it. Spark 4
+# supports recursive CTEs natively; expressed here as a line-chain walk
+# (l_linenumber n -> n+1 within each order, running quantity total) so the
+# recursion joins on the fact table each step. Depth is bounded by the max
+# line number (7), so at 100 TB this is 7 self-joins on (orderkey, line) —
+# each one a co-partitioned shuffle join, no driver iteration.
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT l_orderkey AS okey, l_linenumber AS depth,
+         CAST(l_quantity AS DECIMAL(18,2)) AS cum_qty
+  FROM lineitem WHERE l_linenumber = 1
+  UNION ALL
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(c.cum_qty + CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))
+  FROM lineitem l
+  JOIN chain c ON l.l_orderkey = c.okey AND l.l_linenumber = c.depth + 1
+)
+SELECT depth,
+       COUNT(*) AS n_orders,
+       round(CAST(SUM(cum_qty) AS DOUBLE), 2) AS sum_cum_qty
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def q_recursive_line_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+ORACLE_RECURSIVE = _RECURSIVE_SQL  # DuckDB runs the identical statement
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -835,6 +873,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "rollup_region_nation": q_rollup_region_nation,
     "join_constant_predicate": q_join_constant_predicate,
+    "recursive_line_chain": q_recursive_line_chain,
 }
 
 ORACLES = {
@@ -860,4 +899,5 @@ ORACLES = {
     "distinct_segments": ORACLE_DISTINCT,
     "rollup_region_nation": ORACLE_ROLLUP,
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
+    "recursive_line_chain": ORACLE_RECURSIVE,
 }

@@ -1,0 +1,231 @@
+"""HTTP API — endpoint-for-endpoint parity with the reference server
+(reference ``sap_sql_engine.py:1344-1752``), backed by Spark.
+
+Differences that are upgrades, not divergences:
+
+- ``ThreadingHTTPServer`` instead of the reference's single-threaded
+  ``HTTPServer.serve_forever`` (``:1724,1748``) — Spark's driver is
+  thread-safe for concurrent ``spark.sql`` calls, so concurrency is free.
+- ``/api/execute`` runs dialect → governance-on-analyzed-plan → capped
+  collect (the reference string-matches SQL text for governance and
+  fetches from SQLite).
+- ``/api/generate`` is LLM-optional: with no callable configured it
+  answers from the validated-template catalog (deterministic), mirroring
+  the reference's template-memoization recommendation (design doc §8.5).
+- ``/api/export`` serves CSV/TSV/Excel-HTML server-side (the reference
+  builds these in the browser, ``sap_sql_ui.html:2590-2663``).
+
+Start with ``serve(spark, model, port=8080)`` or embed via
+``create_server`` (port 0 → ephemeral, used by the tests).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from . import nl, results
+from .kg import KnowledgeGraph
+from .plans import executor
+from .sources.registry import SemanticModel
+
+
+class EngineContext:
+    """Shared state handed to every request handler."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        model: SemanticModel,
+        llm: Callable[[str, str], str] | None = None,
+    ):
+        self.spark = spark
+        self.model = model
+        self.llm = llm
+        self.kg = KnowledgeGraph(model)
+        self.catalog = nl.extract_catalog(model)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    ctx: EngineContext  # set on the subclass by create_server
+
+    # -- plumbing -----------------------------------------------------------
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _json(self, payload: dict, status: int = 200) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _text(self, body: str, content_type: str, filename: str) -> None:
+        raw = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Disposition", f'attachment; filename="{filename}"')
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError:
+            return {}
+
+    # -- GET ----------------------------------------------------------------
+
+    def do_GET(self):  # noqa: N802 (http.server contract)
+        ctx = self.ctx
+        if self.path == "/api/status":
+            self._json(
+                {
+                    "status": "ok",
+                    "engine": "spark",
+                    "spark_version": ctx.spark.version,
+                    "tables": len(ctx.model.tables),
+                    "modules": ctx.model.modules(),
+                }
+            )
+        elif self.path == "/api/kg/stats":
+            self._json(ctx.kg.stats())
+        elif self.path == "/api/kg/graph":
+            self._json(ctx.kg.to_d3())
+        elif self.path.startswith("/api/kg/concept/"):
+            name = self.path.rsplit("/", 1)[1]
+            obj = ctx.model.objects.get(name)
+            self._json(obj or {"error": f"unknown concept {name}"}, 200 if obj else 404)
+        elif self.path.startswith("/api/kg/table/"):
+            name = self.path.rsplit("/", 1)[1].upper()
+            t = ctx.model.tables.get(name)
+            if t is None:
+                self._json({"error": f"unknown table {name}"}, 404)
+            else:
+                self._json(
+                    {
+                        "table": t.name,
+                        "module": t.module,
+                        "object": t.business_object,
+                        "description": t.description,
+                        "primary_key": t.primary_key,
+                        "columns": t.columns,
+                    }
+                )
+        elif self.path.startswith("/api/kg/module/"):
+            mod = self.path.rsplit("/", 1)[1].upper()
+            tables = ctx.model.tables_in_module(mod)
+            if not tables:
+                self._json({"error": f"unknown module {mod}"}, 404)
+            else:
+                self._json({"module": mod, "tables": tables})
+        else:
+            self._json({"error": "not found"}, 404)
+
+    # -- POST ---------------------------------------------------------------
+
+    def do_POST(self):  # noqa: N802
+        ctx = self.ctx
+        body = self._body()
+        if self.path == "/api/classify":
+            cls = nl.classify(
+                body.get("question", ""),
+                ctx.model,
+                history=body.get("history"),
+                llm=ctx.llm,
+            )
+            self._json({"classification": cls})
+        elif self.path == "/api/generate":
+            out = nl.answer(
+                ctx.spark, body.get("question", ""), ctx.model, llm=ctx.llm
+            )
+            self._json(out)
+        elif self.path == "/api/execute":
+            res = executor.execute(
+                ctx.spark,
+                body.get("sql", ""),
+                max_rows=int(body.get("max_rows") or executor.DEFAULT_MAX_ROWS),
+            )
+            status = 200
+            if res.get("governance_block"):
+                status = 403
+            elif "error" in res:
+                status = 400
+            self._json(res, status)
+        elif self.path == "/api/catalog":
+            self._json(ctx.catalog)
+        elif self.path == "/api/kg/resolve":
+            term = body.get("term", "")
+            self._json(
+                {
+                    "term": term,
+                    "resolutions": [r.__dict__ for r in ctx.kg.resolve_term(term)],
+                }
+            )
+        elif self.path == "/api/kg/resolve_question":
+            self._json(ctx.kg.resolve_question(body.get("question", "")))
+        elif self.path == "/api/kg/join_path":
+            t1, t2 = body.get("table1", ""), body.get("table2", "")
+            self._json(
+                {
+                    "shortest": ctx.kg.find_join_path(t1, t2),
+                    "all_paths": ctx.kg.all_join_paths(t1, t2),
+                }
+            )
+        elif self.path == "/api/export":
+            res = executor.execute(ctx.spark, body.get("sql", ""))
+            if "rows" not in res:
+                self._json(res, 403 if res.get("governance_block") else 400)
+                return
+            fmt = (body.get("format") or "csv").lower()
+            if fmt == "tsv":
+                self._text(results.to_tsv(res), "text/tab-separated-values", "results.tsv")
+            elif fmt in ("xls", "excel"):
+                self._text(
+                    results.to_excel_html(res), "application/vnd.ms-excel", "results.xls"
+                )
+            else:
+                self._text(results.to_csv(res), "text/csv", "results.csv")
+        elif self.path == "/api/chart":
+            res = executor.execute(ctx.spark, body.get("sql", ""))
+            if "rows" not in res:
+                self._json(res, 403 if res.get("governance_block") else 400)
+                return
+            self._json({"chart": results.infer_chart(res), "result": res})
+        else:
+            self._json({"error": "not found"}, 404)
+
+
+def create_server(
+    spark: SparkSession,
+    model: SemanticModel,
+    port: int = 0,
+    llm: Callable[[str, str], str] | None = None,
+) -> ThreadingHTTPServer:
+    ctx = EngineContext(spark, model, llm)
+    handler = type("BoundHandler", (_Handler,), {"ctx": ctx})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def serve(spark: SparkSession, model: SemanticModel, port: int = 8080) -> None:
+    srv = create_server(spark, model, port)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.shutdown()
+
+
+def start_background(srv: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return t
