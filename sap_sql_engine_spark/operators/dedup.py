@@ -66,10 +66,10 @@ GROUP BY source
 # shared shingle relation: distinct (doc_id, word-3-gram)
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-3-gram). Tokens are materialized once per row
-    (single split), then shingled with a higher-order transform — keeps the
-    whole computation in one codegen stage before the distinct shuffle."""
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word-3-gram), duplicates included. Tokens are materialized
+    once per row (single split), then shingled with a higher-order
+    transform — one codegen stage, no shuffle."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     grams = F.expr(
@@ -77,7 +77,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
         "element_at(toks, i + 2)))"
     )
-    return toks.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return toks.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) — the set-semantics relation Jaccard
+    needs; the distinct is one shuffle."""
+    return _shingles_raw(spark, sf_dir).distinct()
 
 
 _ORACLE_SHINGLES = r"""
@@ -149,15 +155,18 @@ def _hash_expr(perm: int) -> F.Column:
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m1..mN) — all N permutation minima in ONE aggregation pass:
     no row multiplication (the naive shape explodes shingles xN), a single
-    shuffle on doc_id. This is the form that survives a 100x scale-up."""
-    sh = _shingles(spark, sf_dir)
+    shuffle on doc_id. min() is duplicate-insensitive, so the raw shingle
+    stream feeds it directly — no distinct shuffle. This is the form that
+    survives a 100x scale-up."""
+    sh = _shingles_raw(spark, sf_dir)
     return sh.groupBy("doc_id").agg(
         *[F.min(_hash_expr(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
     )
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm, minhash) long form, derived from the wide aggregate."""
+    """(doc_id, perm, minhash) long form, derived from the wide aggregate
+    (kept for callers that want signatures relationally, e.g. tests)."""
     wide = _minhash_wide(spark, sf_dir)
     stack = ", ".join(f"{p}, m{p}" for p in range(1, N_MINHASH + 1))
     return wide.select(
@@ -174,26 +183,33 @@ _ORACLE_MINHASH_SIGS = rf"""
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 band signature, scored by the
-    fraction of agreeing minhash components (unbiased Jaccard estimate)."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    rows_per_band = N_MINHASH // N_BANDS
-    banded = sigs.withColumn(
-        "band", ((F.col("perm") - 1) / rows_per_band).cast("int")
-    )
-    band_sig = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("sig")
-    )
-    b1 = band_sig.alias("b1")
-    b2 = band_sig.alias("b2")
+    fraction of agreeing minhash components (unbiased Jaccard estimate).
+
+    Shape chosen for scale: the expensive shingle -> 16x md5 -> min pipeline
+    runs ONCE into a (doc_id, m1..mN) table of one row per document, which
+    is cached (at 100 TB: a few GB — checkpoint/write it instead). Band
+    signatures are string-concats over that row (no extra shuffle), the
+    band self-join is keyed on (band, sig) so the pair count is ~dups +
+    collisions, and the Jaccard estimate is a row-level expression over the
+    two cached signature rows — no long-form component join at all."""
+    wide = _minhash_wide(spark, sf_dir).cache()
+    rpb = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{b * rpb + i}").cast("string") for i in range(1, rpb + 1)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     candidates = (
-        b1.join(
-            b2,
+        banded.alias("b1")
+        .join(
+            banded.alias("b2"),
             (F.col("b1.band") == F.col("b2.band"))
             & (F.col("b1.sig") == F.col("b2.sig"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
@@ -201,19 +217,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
         .distinct()
     )
-    s1 = sigs.select(F.col("doc_id").alias("doc1"), "perm", F.col("minhash").alias("m1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc2"), "perm", F.col("minhash").alias("m2"))
-    est = (
-        candidates.join(s1, "doc1")
-        .join(s2, ["doc2", "perm"])
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("m1") == F.col("m2"), 1).otherwise(0)) / F.lit(N_MINHASH), 4
-            ).alias("est_jaccard")
+    w1 = wide.select(
+        F.col("doc_id").alias("doc1"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(1, N_MINHASH + 1)]
+    )
+    w2 = wide.select(
+        F.col("doc_id").alias("doc2"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(1, N_MINHASH + 1)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(1, N_MINHASH + 1)
+    )
+    return (
+        candidates.join(w1, "doc1")
+        .join(w2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(agree / F.lit(N_MINHASH), 4).alias("est_jaccard"),
         )
     )
-    return est.select("doc1", "doc2", "est_jaccard")
 
 
 ORACLE_MINHASH_LSH = rf"""
