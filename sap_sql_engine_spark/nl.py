@@ -418,19 +418,40 @@ DEFAULT_PARAMS = {
 }
 
 
+def _has_real_sql(p: dict) -> bool:
+    sql = (p.get("example_sql_structure") or "").strip().upper()
+    return sql.startswith(("SELECT", "WITH")) and "FROM" in sql
+
+
 def _best_template(question: str, model: SemanticModel) -> str | None:
+    """Highest token-Jaccard validated pattern. The match text includes the
+    pattern's ``business_context`` (its example NL prompt) — 9 of the
+    reference's 58 patterns carry pseudo-SQL sketches rather than runnable
+    SQL; those are skipped (TemplateCatalog.validate classifies them the
+    same way)."""
     q_tok = _tokens(question)
-    best: tuple[float, str] | None = None
+    if not q_tok:
+        return None
+    best: tuple[float, int, str] | None = None
     for name, p in model.patterns.items():
-        cand = f"{name.replace('_', ' ')} {p.get('description') or ''}"
+        if not _has_real_sql(p):
+            continue
+        cand = (
+            f"{name.replace('_', ' ')} {p.get('description') or ''} "
+            f"{p.get('business_context') or ''}"
+        )
         c_tok = _tokens(cand)
         if not c_tok:
             continue
-        j = len(q_tok & c_tok) / len(q_tok | c_tok)
-        if best is None or j > best[0]:
-            best = (j, name)
-    if best and best[0] >= 0.4:
-        return best[1]
+        common = len(q_tok & c_tok)
+        # containment (|q∩c| / |q|), not Jaccard: a short question fully
+        # covered by a pattern's text is a match even when the pattern text
+        # is longer; ties broken toward more overlapping tokens
+        score = common / len(q_tok)
+        if best is None or (score, common) > (best[0], best[1]):
+            best = (score, common, name)
+    if best and best[0] >= 0.6 and best[1] >= 2:
+        return best[2]
     return None
 
 
@@ -471,5 +492,14 @@ def answer(
         return out
 
     out["sql"] = sql
-    out["result"] = executor.execute(spark, sql, max_rows=max_rows)
+    res = executor.execute(spark, sql, max_rows=max_rows)
+    if "error" in res and "template" in out:
+        # template didn't analyze against the mounted catalog (e.g. pattern
+        # references unmounted tables) — degrade to suggestions, keep the
+        # error for diagnostics
+        out["clarification_needed"] = True
+        out["suggestions"] = cls["suggestions"]
+        out["template_error"] = res["error"]
+        return out
+    out["result"] = res
     return out

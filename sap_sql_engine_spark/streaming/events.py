@@ -78,17 +78,16 @@ GROUP BY 1, 2
 """
 
 
-def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
-    """Streaming twin of q_events_hourly_rollup: parquet source ->
-    watermark -> tumbling window -> memory sink. Returns the started query;
-    caller drives it with processAllAvailable()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = table(spark, sf_dir, "events").schema
-    # file-stream sources require a directory; stage one containing only
-    # events.parquet (testdata dirs mix all tables in one directory)
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same ts normalization as
+    the batch reader. File-stream sources require a directory, so a staging
+    dir containing only events.parquet is materialized once (testdata dirs
+    mix all tables in one directory)."""
     import os
     import shutil
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = table(spark, sf_dir, "events").schema
     stage = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".stream_stage",
@@ -101,6 +100,14 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
     stream = spark.readStream.schema(schema).parquet(stage)
     if dict(stream.dtypes)["ts"] in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
+    """Streaming twin of q_events_hourly_rollup: parquet source ->
+    watermark -> tumbling window -> memory sink. Returns the started query;
+    caller drives it with processAllAvailable()."""
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
@@ -178,6 +185,70 @@ SELECT user_id,
 FROM per_session
 GROUP BY user_id
 """
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str):
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` — the streaming twin of
+    ``q_events_sessionize``. State per user = (last event time, session
+    count, events in the open session, totals); each micro-batch folds its
+    rows into that state in event-time order and emits the user's updated
+    session summary.
+
+    Scale posture: state is one tiny tuple per user key, partitioned by
+    user_id across executors by the state store; the pandas fold is
+    Arrow-batched. At 100 TB of events this is the standard shape — the
+    only growth axis is distinct users, and a state TTL (GroupStateTimeout)
+    would bound that; the test corpus replays a finite file so NoTimeout
+    keeps it deterministic."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, session_count int, total_events long, max_session_events long"
+    )
+    state_schema = (
+        "last_ts double, session_count int, cur_events long, total_events long, "
+        "max_events long"
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sessions, cur, total, mx = state.get
+        else:
+            last_ts, n_sessions, cur, total, mx = None, 0, 0, 0, 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for t in rows["ts"]:
+            ts = t.timestamp()
+            if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
+                mx = max(mx, cur)
+                n_sessions += 1
+                cur = 1
+            else:
+                cur += 1
+            total += 1
+            last_ts = ts
+        state.update((last_ts, n_sessions, cur, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_count": [n_sessions],
+                "total_events": [total],
+                "max_session_events": [max(mx, cur)],
+            }
+        )
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("events_sessionize_stream")
+        .start()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,24 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    batch = {
+        r.user_id: (r.session_count, r.total_events, r.max_session_events)
+        for r in ev.q_events_sessionize(spark, sf_dir).collect()
+    }
+    q = ev.streaming_sessionize(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        # update-mode memory sink appends one row per key per micro-batch;
+        # the last row per user is the final state
+        stream = {}
+        for r in spark.sql("SELECT * FROM events_sessionize_stream").collect():
+            stream[r.user_id] = (r.session_count, r.total_events, r.max_session_events)
+    finally:
+        q.stop()
+    assert stream == batch
+
+
 def test_multimodal_fake_decode_shape(spark, sf_dir):
     media = multimodal.documents_as_media(spark, sf_dir).limit(20)
     feats = multimodal.decode_features(media, deterministic_fake=True).collect()
