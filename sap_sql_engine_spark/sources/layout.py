@@ -1,0 +1,74 @@
+"""Physical layout writers — partitioning and bucketing for the 100 TB tier.
+
+The reference stores everything in one SQLite file; at Spark scale the
+layout IS the optimization:
+
+- ``write_partitioned``: hive-style directory partitioning (the SAP-shaped
+  choice: BUKRS/GJAHR — company code + fiscal year; the TPC-H-shaped
+  choice: a date-derived column). Partition pruning turns
+  ``WHERE gjahr = '2026'`` into "don't even list the other directories".
+- ``write_bucketed``: pre-shuffled, co-located storage on the join key.
+  Two tables bucketed the same way join with ZERO exchange — the shuffle
+  was paid once at write time instead of per-query.
+
+Both are write-side mirrors of what the reading plans in ``operators/``
+assume. Tests assert the plan effects (PartitionFilters pruning; no
+Exchange under a bucketed join), not just the files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write partitioned by ``partition_cols``; optional
+    sort-within-partitions gives min/max rowgroup stats their bite."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table (bucketing requires the catalog —
+    plain parquet paths carry no bucket metadata)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def partition_filters_of(df: DataFrame) -> str:
+    """The PartitionFilters line of the scan — test/debug helper to prove
+    pruning happened."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the executed plan — 0 for a
+    co-located bucketed join."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange hashpartitioning", plan))
+
+
+def mounted_tables(spark: SparkSession) -> list[str]:
+    return [t.name for t in spark.catalog.listTables()]
