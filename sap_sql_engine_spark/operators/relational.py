@@ -810,6 +810,81 @@ GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# W1: window functions. The reference has zero OVER() clauses (SURVEY §2.5 —
+# ranking is done via ORDER BY + LIMIT), but running balances and
+# period-over-period deltas are the first things a GL analyst asks for, so
+# the rebuild carries them as first-class operators. Running total mirrors
+# the "cumulative account balance" shape over BKPF/BSEG; the lag query is
+# month-over-month revenue delta.
+
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total — cumulative window with a unique
+    tiebreaker (o_orderkey) so the frame is deterministic. One shuffle on
+    the partition key; the window never leaves the partition."""
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return od.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        "o_orderkey",
+        out2(F.sum(money("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_BALANCE = """
+SELECT o_custkey,
+       CAST(o_orderdate AS VARCHAR) AS order_date,
+       o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+"""
+
+
+def q_revenue_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: aggregate to one row per month, then
+    lag over the (tiny) series — the window input is post-aggregation, so
+    the sort cost is negligible at any scale."""
+    od = table(spark, sf_dir, "orders")
+    monthly = (
+        od.filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        out2(F.col("rev")).alias("revenue"),
+        out2(F.col("rev") - F.lag("rev").over(w)).alias("mom_delta"),
+    ).orderBy("month")
+
+
+ORACLE_REVENUE_MOM = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+  GROUP BY 1
+)
+SELECT month,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE), 2) AS mom_delta
+FROM monthly
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
 # Recursive CTE (SURVEY §4 item 5). The reference's guideline catalog
 # advertises WITH RECURSIVE for cost-center hierarchies
 # (sap_semantic_model.json:7948) but ships no template using it. Spark 4
@@ -874,6 +949,8 @@ QUERIES = {
     "rollup_region_nation": q_rollup_region_nation,
     "join_constant_predicate": q_join_constant_predicate,
     "recursive_line_chain": q_recursive_line_chain,
+    "running_balance": q_running_balance,
+    "revenue_mom_delta": q_revenue_mom_delta,
 }
 
 ORACLES = {
@@ -900,4 +977,6 @@ ORACLES = {
     "rollup_region_nation": ORACLE_ROLLUP,
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
     "recursive_line_chain": ORACLE_RECURSIVE,
+    "running_balance": ORACLE_RUNNING_BALANCE,
+    "revenue_mom_delta": ORACLE_REVENUE_MOM,
 }

@@ -176,14 +176,75 @@ ORDER BY cosine DESC, vec_id ASC
 ORACLE_ANN_LSH = _oracle_lsh()
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: KMeans coarse quantizer + probed re-rank.
+# Iterative training -> genuinely non-SQL-expressible, so this entry has no
+# DuckDB oracle (driver records the weaker rows-only check); exactness is
+# asserted in tests instead: probing ALL lists must equal brute force.
+
+N_LISTS = 16
+N_PROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF top-k: partition vectors into N_LISTS Voronoi cells (KMeans,
+    seeded), probe the n_probe cells whose centroids are nearest the query,
+    exact cosine re-rank inside the probed cells.
+
+    At 100 TB: training samples a fraction (KMeans fit over a ``sample``),
+    assignment is one model.transform pass, and each query touches
+    n_probe/N_LISTS of the corpus — the standard IVF trade. Centroid
+    selection happens driver-side on N_LISTS rows (metadata scale)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=N_LISTS, seed=42, featuresCol="vec", predictionCol="list_id"
+    ).fit(emb)
+    assigned = model.transform(emb)
+
+    qvec = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    centers = model.clusterCenters()
+    by_dist = sorted(
+        range(len(centers)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centers[i], qvec)),
+    )
+    probe = by_dist[:n_probe]
+
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+    )
+    return (
+        assigned.filter(F.col("list_id").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "list_id",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    # ann_ivf: no oracle — iterative KMeans training is not SQL-expressible
 }

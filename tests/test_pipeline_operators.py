@@ -71,6 +71,36 @@ def test_lsh_bucket_recall_within_bucket(spark, sf_dir):
             assert abs(r.cosine - brute[r.vec_id]) < 1e-9
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    # probing every list degenerates IVF to exact search — results must
+    # match brute force row-for-row
+    brute = [
+        (r.vec_id, r.cosine)
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    ]
+    ivf = [
+        (r.vec_id, r.cosine)
+        for r in similarity.q_ann_ivf(spark, sf_dir, n_probe=similarity.N_LISTS).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ivf_default_probe_shape(spark, sf_dir):
+    rows = similarity.q_ann_ivf(spark, sf_dir).collect()
+    assert len(rows) == similarity.TOPK
+    # probed-list ids are a strict subset of the lists
+    assert {r.list_id for r in rows} <= set(range(similarity.N_LISTS))
+    # cosines are exact: every returned value matches brute force when the
+    # same vec_id appears there
+    brute = {
+        r.vec_id: r.cosine
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+
+
 def test_streaming_hourly_matches_batch(spark, sf_dir):
     batch = {
         (r.window_start, r.event_type): (r.event_count, r.value_sum)
