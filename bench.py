@@ -36,12 +36,17 @@ HEADLINE = [
     "three_way_match",
     "above_nation_average",
     "rollup_region_nation",
+    "running_balance",
+    "recursive_line_chain",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_score",
     "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
     "events_sessionize",
+    "events_hourly_rollup",
 ]
 
 

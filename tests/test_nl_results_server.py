@@ -269,3 +269,23 @@ def test_api_chart(api):
         {"sql": "SELECT NAME1 AS vendor, COUNT(*) AS cnt FROM LFA1 GROUP BY NAME1"},
     )
     assert status == 200 and out["chart"]["value_cols"] == ["cnt"]
+
+
+# ---------------------------------------------------------------------------
+# config.py
+
+
+def test_config_roundtrip(tmp_path):
+    from sap_sql_engine_spark import config
+
+    p = str(tmp_path / "config.json")
+    cfg = config.load_config(p)  # missing -> defaults
+    assert cfg["max_rows"] == 200
+    cfg["max_rows"] = 50
+    cfg["unknown_key"] = "dropped"
+    config.save_config(cfg, p)
+    back = config.load_config(p)
+    assert back["max_rows"] == 50
+    assert "unknown_key" not in back
+    (tmp_path / "config.json").write_text("{corrupt")
+    assert config.load_config(p)["max_rows"] == 200
