@@ -146,21 +146,32 @@ WHERE round(shared * 1.0 / (p1.n + p2.n - shared), 4) >= {JACCARD_THRESHOLD}
 # MinHash + LSH
 
 
-def _hash_expr(perm: int) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{perm}:"), F.col("shingle"))), 1, 8), 16, 10
-    ).cast("bigint")
+# Universal-hash permutation family: ONE md5 per shingle (h in [0, 2^32)),
+# then h_p = (a_p * h + b_p) mod P per permutation — 16 multiply-adds instead
+# of 16 md5s. a_p < 2^31 and h < 2^32 keep a_p*h below 2^63 (no int64
+# overflow), so Spark and DuckDB compute bit-identical values.
+_MERSENNE = 2147483647  # 2^31 - 1, prime
+_PERM_A = [1 + 2 * p for p in range(1, 65)]  # odd multipliers, deterministic
+_PERM_B = [7919 * p % _MERSENNE for p in range(1, 65)]
+
+def _perm_hash(perm: int) -> F.Column:
+    a, b = _PERM_A[perm - 1], _PERM_B[perm - 1]
+    return F.expr(f"({a}L * h + {b}L) % {_MERSENNE}L")
 
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m1..mN) — all N permutation minima in ONE aggregation pass:
     no row multiplication (the naive shape explodes shingles xN), a single
     shuffle on doc_id. min() is duplicate-insensitive, so the raw shingle
-    stream feeds it directly — no distinct shuffle. This is the form that
-    survives a 100x scale-up."""
-    sh = _shingles_raw(spark, sf_dir)
+    stream feeds it directly — no distinct shuffle. The base md5 is
+    projected ONCE per shingle; permutations are multiply-adds. This is
+    the form that survives a 100x scale-up."""
+    sh = _shingles_raw(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    )
     return sh.groupBy("doc_id").agg(
-        *[F.min(_hash_expr(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
+        *[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
     )
 
 
@@ -174,9 +185,16 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERM_VALUES = ", ".join(
+    f"({p}, {_PERM_A[p - 1]}, {_PERM_B[p - 1]})" for p in range(1, N_MINHASH + 1)
+)
+
+# NOTE: the non-distinct shingle stream is fine here too (min() is
+# duplicate-insensitive), but DISTINCT keeps the oracle's row volume small
 _ORACLE_MINHASH_SIGS = rf"""
-  SELECT doc_id, perm, min(CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT)) AS minhash
-  FROM ({_ORACLE_SHINGLES}) sh, (SELECT unnest(range(1, {N_MINHASH + 1})) AS perm)
+  SELECT doc_id, perm,
+         min((a * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + b) % {_MERSENNE}) AS minhash
+  FROM ({_ORACLE_SHINGLES}) sh, (VALUES {_PERM_VALUES}) AS perms(perm, a, b)
   GROUP BY doc_id, perm
 """
 
