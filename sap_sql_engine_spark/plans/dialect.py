@@ -391,6 +391,88 @@ def _rewrite_not_in_subquery(sql: str) -> str:
         sql = f"{sql[:m.start()]}NOT EXISTS ({new_sub}){sql[end:]}"
 
 
+_EXISTS_JOIN = re.compile(
+    r"(?i)\b(LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+"
+    r"([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s+ON\s+"
+    r"(?:([^()]*?)\s+OR\s+)?EXISTS\s*\("
+)
+_EXISTS_BODY = re.compile(
+    r"(?is)^\s*SELECT\s+1\s+FROM\s+([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s+WHERE\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+AND\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+
+
+def _rewrite_exists_join(sql: str) -> str:
+    """``JOIN T b ON [pre OR] EXISTS (SELECT 1 FROM L f WHERE f.c1 = x.cX
+    AND f.c2 = b.cB)`` — SQLite executes correlated EXISTS in a join
+    predicate referencing both join inputs; Spark rejects it
+    (UNSUPPORTED_CORRELATED_EXPRESSION_IN_JOIN_CONDITION). The reference's
+    document-flow templates (sap_semantic_model.json:7787) use exactly this
+    idiom via the VBFA link table. Relational rewrite: pre-join the link
+    table into the right side and equi-join on the surfaced link column::
+
+        JOIN (SELECT DISTINCT __t.*, f.c1 AS __lnkN FROM T __t
+              JOIN L f ON f.c2 = __t.cB) b
+          ON [pre OR] b.__lnkN = x.cX
+
+    DISTINCT keeps multiplicity identical to EXISTS (one joined row per
+    (b-row, link-value) pair)."""
+    n = 0
+    pos = 0
+    while True:
+        m = _EXISTS_JOIN.search(sql, pos)
+        if m is None:
+            return sql
+        join_kw, tbl, alias, pre = m.group(1), m.group(2), m.group(3), m.group(4)
+        # the optional pre-condition must stay inside the ON clause — if the
+        # lazy match swallowed a clause keyword, this is WHERE-level EXISTS
+        if pre and re.search(r"(?i)\b(WHERE|GROUP|ORDER|HAVING|UNION|JOIN)\b", pre):
+            # false match (pre spilled over a clause boundary) — retry from
+            # just past this JOIN keyword so a later-starting true match on
+            # the same EXISTS is still found
+            pos = m.start() + 1
+            continue
+        open_idx = sql.rindex("(", 0, m.end())
+        end = _scan_balanced(sql, open_idx)
+        body = sql[open_idx + 1 : end - 1]
+        bm = _EXISTS_BODY.match(body)
+        if bm is None:
+            return sql  # exotic shape — let Spark report it
+        link_tbl, f = bm.group(1), bm.group(2)
+        eqs = [
+            (bm.group(3), bm.group(4), bm.group(5), bm.group(6)),
+            (bm.group(7), bm.group(8), bm.group(9), bm.group(10)),
+        ]
+        # each equality is f.<fc> = <other>.<oc> in either order
+        def norm(eq):
+            a, ac, b, bc = eq
+            if a == f:
+                return ac, b, bc
+            if b == f:
+                return bc, a, ac
+            return None
+        sides = [norm(e) for e in eqs]
+        if None in sides:
+            return sql
+        alias_side = next((s for s in sides if s[1] == alias), None)
+        outer_side = next((s for s in sides if s[1] != alias), None)
+        if alias_side is None or outer_side is None:
+            return sql
+        fc_alias, _, alias_col = alias_side
+        fc_outer, outer_tbl, outer_col = outer_side
+        lnk = f"__lnk{n}"
+        n += 1
+        sub = (
+            f"(SELECT DISTINCT __t.*, {f}.{fc_outer} AS {lnk} "
+            f"FROM {tbl} __t JOIN {link_tbl} {f} ON {f}.{fc_alias} = __t.{alias_col})"
+        )
+        cond = f"{alias}.{lnk} = {outer_tbl}.{outer_col}"
+        if pre:
+            cond = f"{pre} OR {cond}"
+        sql = f"{sql[:m.start()]}{join_kw} {sub} {alias} ON {cond}{sql[end:]}"
+
+
 # Columns where the reference's data uses '' and NULL interchangeably as the
 # "open item" sentinel (SURVEY §1.3; reference expand_sap_test_db.py:162,:764).
 EMPTY_AS_NULL_COLUMNS = ("AUGDT", "AUGBL")
@@ -428,6 +510,7 @@ def transpile(sql: str, empty_as_null: Sequence[str] = EMPTY_AS_NULL_COLUMNS) ->
     out = _rewrite_fetch_first(out)
     out = _rewrite_rownum(out)
     out = _rewrite_julianday(out)
+    out = _rewrite_exists_join(out)
     out = _rewrite_not_in_subquery(out)
     out = _rewrite_open_item_sentinels(out, empty_as_null)
 

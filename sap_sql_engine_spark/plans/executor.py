@@ -76,7 +76,13 @@ def execute(
             "spark_sql": spark_sql,
         }
 
-    rows = df.limit(max_rows + 1).collect()
+    try:
+        rows = df.limit(max_rows + 1).collect()
+    except Exception as e:  # late analysis/runtime failure — same contract
+        return {
+            "error": str(e).split("\n")[0],
+            "spark_sql": spark_sql,
+        }
     has_more = len(rows) > max_rows
     rows = rows[:max_rows]
     return {

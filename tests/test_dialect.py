@@ -245,3 +245,39 @@ def test_exec_not_in_null_safety(spark, exec_views):
     got = sorted(r.LIFNR for r in spark.sql(sql).collect())
     assert got == ["0001000002"]
     spark.catalog.dropTempView("cleared_vendors")
+
+
+def test_exists_join_rewrite():
+    from sap_sql_engine_spark.plans.dialect import _rewrite_exists_join
+
+    sql = (
+        "SELECT 1 FROM A x "
+        "LEFT JOIN B b ON EXISTS (SELECT 1 FROM L f WHERE f.c1 = x.k AND f.c2 = b.k)"
+    )
+    out = _rewrite_exists_join(sql)
+    assert "EXISTS" not in out
+    assert "SELECT DISTINCT __t.*, f.c1 AS __lnk0 FROM B __t JOIN L f ON f.c2 = __t.k" in out
+    assert "ON b.__lnk0 = x.k" in out
+
+
+def test_exists_join_rewrite_with_or_precondition():
+    from sap_sql_engine_spark.plans.dialect import _rewrite_exists_join
+
+    sql = (
+        "SELECT 1 FROM A v "
+        "LEFT JOIN B l ON v.k = l.k OR EXISTS "
+        "(SELECT 1 FROM L f WHERE f.c1 = v.k AND f.c2 = l.k)"
+    )
+    out = _rewrite_exists_join(sql)
+    assert "EXISTS" not in out
+    assert "ON v.k = l.k OR l.__lnk0 = v.k" in out
+
+
+def test_where_level_exists_untouched():
+    from sap_sql_engine_spark.plans.dialect import _rewrite_exists_join
+
+    sql = (
+        "SELECT 1 FROM A x JOIN B b ON x.k = b.k "
+        "WHERE EXISTS (SELECT 1 FROM L f WHERE f.c1 = x.k AND f.c2 = b.k)"
+    )
+    assert _rewrite_exists_join(sql) == sql

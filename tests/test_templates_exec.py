@@ -1,0 +1,131 @@
+"""Execute the validated-template surface on SAP-shaped synthetic data.
+
+The reference's correctness story is an end-to-end suite over example
+questions asserting SQL runs, returns rows, and key business invariants
+hold (SURVEY §5: 32/34 pass + 17 row-count verification queries). This is
+the rebuild's equivalent: every template that analyzes cleanly must also
+EXECUTE cleanly on coherent data, and the reference's data invariants are
+asserted directly."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark.plans import executor
+from sap_sql_engine_spark.sources.registry import REFERENCE_MODEL_PATH, SemanticModel
+from sap_sql_engine_spark.sources.synth import generate_sap_fixtures
+from sap_sql_engine_spark.templates import TemplateCatalog
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_MODEL_PATH),
+    reason="reference semantic model not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def sap(spark):
+    model = SemanticModel.load()
+    model.register_empty_views(spark)  # tables synth doesn't cover stay empty
+    dfs = generate_sap_fixtures(spark, model)
+    cat = TemplateCatalog(model)
+    return model, cat, dfs
+
+
+def _params_for(cat, name, dfs):
+    fill = {}
+    for p in cat.get(name).params():
+        if p == "equipment_number":
+            fill[p] = dfs["EQKT"].first()["EQUNR"]
+        else:
+            fill[p] = "1000"
+    return fill
+
+
+def test_every_valid_template_executes(spark, sap):
+    model, cat, dfs = sap
+    valid = cat.validate(spark)["valid"]
+    assert len(valid) >= 21
+    failures = {}
+    for name in valid:
+        sql = cat.get(name).render(**_params_for(cat, name, dfs))
+        res = executor.execute(spark, sql)
+        if "error" in res:
+            failures[name] = res["error"]
+    assert not failures, failures
+
+
+def test_key_templates_return_rows(spark, sap):
+    model, cat, dfs = sap
+    expectations = {
+        "top_vendors_by_spend": 8,           # all 8 vendors, LIMIT 10
+        "trial_balance": 12,                  # 6 accounts x S/H
+        "value_chain_o2c_pipeline_summary": 4,  # all four stages present
+    }
+    for name, n in expectations.items():
+        res = executor.execute(spark, cat.get(name).render(**_params_for(cat, name, dfs)))
+        assert res.get("row_count") == n, (name, res)
+    # the reference ships employee_headcount as a row-level select over
+    # PA0001/PA0002 — its own governance gate blocks it at /api/execute
+    # (sap_sql_engine.py:1223-1230); ours must block it identically
+    res = executor.execute(spark, cat.get("employee_headcount").render())
+    assert res.get("governance_block") is True and res["type"] == "missing_group_by"
+    nonempty = (
+        "Purchase orders over threshold value",
+        "tcode_fbl5n_customer_aging_bucket",
+        "cancelled_operations_iw49n",
+        "cost_center_actual_vs_plan",
+        "journal_entry_detail",
+        "sales_orders_by_period",
+        "open_maintenance_orders",
+        "value_chain_order_to_cash_trace",
+    )
+    for name in nonempty:
+        res = executor.execute(spark, cat.get(name).render(**_params_for(cat, name, dfs)))
+        assert res.get("row_count", 0) > 0, (name, res)
+
+
+def test_reference_data_invariants(spark, sap):
+    """The reference's post-expansion verification checks
+    (expand_sap_test_db.py:756-804), asserted on our synthetic data."""
+    model, cat, dfs = sap
+    # open AP items exist and have no clearing date
+    assert dfs["BSIK"].filter(F.col("AUGDT").isNull()).count() == dfs["BSIK"].count()
+    # cleared items all carry a clearing date
+    assert dfs["BSAK"].filter(F.col("AUGDT").isNull()).count() == 0
+    # ~30% of PM operations cancelled
+    afvc = dfs["AFVC"]
+    frac = afvc.filter(F.col("LOEKZ") == "X").count() / afvc.count()
+    assert 0.2 <= frac <= 0.4
+    # every BKPF document balances: sum of debits == sum of credits
+    unbalanced = (
+        dfs["BSEG"]
+        .groupBy("BELNR")
+        .agg(
+            F.sum(F.when(F.col("SHKZG") == "S", F.col("DMBTR")).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("SHKZG") == "H", F.col("DMBTR")).otherwise(0)).alias("c"),
+        )
+        .filter(F.col("d") != F.col("c"))
+        .count()
+    )
+    assert unbalanced == 0
+    # aging buckets are populated across the spectrum (ZFBDT spread)
+    res = executor.execute(
+        spark, cat.get("tcode_fbl5n_customer_aging_bucket").render()
+    )
+    assert res["row_count"] >= 3
+
+
+def test_pii_gate_on_sap_fixtures(spark, sap):
+    """Reference block/allow matrix (sap_sql_engine.py:610-615) on real
+    fixture data: row-level employee select blocked, aggregate headcount
+    by org unit allowed."""
+    blocked = executor.execute(spark, "SELECT PERNR, NACHN FROM PA0002")
+    assert blocked.get("governance_block") is True
+    allowed = executor.execute(
+        spark,
+        "SELECT ORGEH, COUNT(*) AS headcount FROM PA0001 "
+        "WHERE ENDDA = '9999-12-31' GROUP BY ORGEH",
+    )
+    assert allowed.get("row_count", 0) > 0
