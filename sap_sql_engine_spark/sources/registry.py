@@ -47,6 +47,53 @@ AUX_TABLES: dict[str, dict] = {
             ("LANGU", "CHAR(1)"), ("STEXT", "CHAR(40)"),
         ],
     },
+    # GL open/cleared line items for FBL3N (reference sap_test.db has both,
+    # 15/3 rows; absent from the JSON model's business_columns)
+    "BSIS": {
+        "module": "FI_GL",
+        "object": "GL_Line_Items",
+        "pk": ["BUKRS", "BELNR", "GJAHR", "BUZEI"],
+        "columns": [
+            ("HKONT", "CHAR(10)"), ("BUKRS", "CHAR(4)"), ("BELNR", "CHAR(10)"),
+            ("GJAHR", "NUMC(4)"), ("BUZEI", "NUMC(3)"), ("BUDAT", "DATE"),
+            ("BLDAT", "DATE"), ("BLART", "CHAR(2)"), ("BSCHL", "CHAR(2)"),
+            ("DMBTR", "CURR(13,2)"), ("SHKZG", "CHAR(1)"), ("WAERS", "CUKY"),
+            ("SGTXT", "CHAR(50)"), ("AUGDT", "DATE"), ("AUGBL", "CHAR(10)"),
+            ("MONAT", "NUMC(2)"), ("KOSTL", "CHAR(10)"),
+        ],
+    },
+    "BSAS": {
+        "module": "FI_GL",
+        "object": "GL_Line_Items",
+        "pk": ["BUKRS", "BELNR", "GJAHR", "BUZEI"],
+        "columns": [
+            ("HKONT", "CHAR(10)"), ("BUKRS", "CHAR(4)"), ("BELNR", "CHAR(10)"),
+            ("GJAHR", "NUMC(4)"), ("BUZEI", "NUMC(3)"), ("BUDAT", "DATE"),
+            ("BLDAT", "DATE"), ("BLART", "CHAR(2)"), ("BSCHL", "CHAR(2)"),
+            ("DMBTR", "CURR(13,2)"), ("SHKZG", "CHAR(1)"), ("WAERS", "CUKY"),
+            ("SGTXT", "CHAR(50)"), ("AUGDT", "DATE"), ("AUGBL", "CHAR(10)"),
+            ("MONAT", "NUMC(2)"), ("KOSTL", "CHAR(10)"),
+        ],
+    },
+    # company codes / plants (FBL1N company name, ME23N plant name)
+    "T001": {
+        "module": "FI_GL",
+        "object": "Company_Code",
+        "pk": ["BUKRS"],
+        "columns": [
+            ("BUKRS", "CHAR(4)"), ("BUTXT", "CHAR(25)"), ("KTOPL", "CHAR(4)"),
+            ("LAND1", "CHAR(3)"), ("WAERS", "CUKY"),
+        ],
+    },
+    "T001W": {
+        "module": "MM",
+        "object": "Plant",
+        "pk": ["WERKS"],
+        "columns": [
+            ("WERKS", "CHAR(4)"), ("NAME1", "CHAR(30)"), ("BWKEY", "CHAR(4)"),
+            ("BUKRS", "CHAR(4)"),
+        ],
+    },
     # cost elements (referenced by KSB1-style patterns)
     "CSKB": {
         "module": "CO",

@@ -123,6 +123,18 @@ def generate_sap_fixtures(
             else:
                 t["BSIK"].append(row)
 
+    # -- org master: company code + plants ---------------------------------
+    t["T001"] = [
+        {"BUKRS": "1000", "BUTXT": "SAP Demo Company", "KTOPL": "INT",
+         "LAND1": "US", "WAERS": "USD"}
+    ]
+    t["T001W"] = [
+        {"WERKS": "1000", "NAME1": "Springfield Plant", "BWKEY": "1000",
+         "BUKRS": "1000"},
+        {"WERKS": "2000", "NAME1": "Shelbyville Plant", "BWKEY": "2000",
+         "BUKRS": "1000"},
+    ]
+
     # -- customers + AR (BSID aging spread; BELNR ties to VBRK billing) ----
     t["KNA1"] = [
         {"KUNNR": _pad(2, i + 1), "NAME1": f"Customer {chr(65 + i)} Corp",
@@ -131,7 +143,13 @@ def generate_sap_fixtures(
     ]
 
     # -- O2C chains: VBAK -> LIKP -> VBRK -> BSID with VBFA links ----------
-    t["VBAK"], t["LIKP"], t["VBRK"], t["VBFA"], t["BSID"] = [], [], [], [], []
+    # open AR stays in BSID (AUGDT NULL), cleared moves to BSAD — the
+    # reference's open/cleared table split (expand_sap_test_db.py:162-164)
+    t["VBAK"], t["LIKP"], t["VBRK"], t["VBFA"], t["BSID"], t["BSAD"] = (
+        [], [], [], [], [], []
+    )
+    t["VBAP"], t["VBRP"] = [], []
+    materials = [_pad(5, j + 1, 18) for j in range(3)]
     for i in range(N_ORDERS):
         so = _pad(3, i + 1)
         kunnr = _pad(2, (i % N_CUSTOMERS) + 1)
@@ -145,6 +163,14 @@ def generate_sap_fixtures(
             {"VBELN": so, "ERDAT": erdat, "AUART": "TA", "VBTYP": "C",
              "KUNNR": kunnr, "NETWR": netwr, "WAERK": "USD", "LOEKZ": ""}
         )
+        # two items per order splitting the net value (VA03 display)
+        for j, posnr in enumerate(("000010", "000020")):
+            t["VBAP"].append(
+                {"VBELN": so, "POSNR": posnr, "MATNR": materials[(i + j) % 3],
+                 "ARKTX": f"Item {posnr} of {so}", "KWMENG": 5 * (j + 1),
+                 "VRKME": "EA", "NETWR": round(netwr / 2, 2), "WAERK": "USD",
+                 "WERKS": "1000" if j == 0 else "2000", "LOEKZ": ""}
+            )
         if i % 4 == 3:
             continue  # open order: no delivery (pipeline stage 1)
         dl = _pad(8, i + 1)
@@ -161,15 +187,29 @@ def generate_sap_fixtures(
              "KUNAG": kunnr, "NETWR": netwr, "WAERK": "USD"}
         )
         t["VBFA"].append({"VBELV": dl, "VBELN": bill, "VBTYP_N": "M"})
-        # AR invoice for billed chains; half stay open
-        t["BSID"].append(
-            {"BUKRS": "1000", "KUNNR": kunnr, "BELNR": bill, "GJAHR": year,
-             "BUZEI": "001", "BUDAT": days_ago(min(10 + 10 * i, 300)),
-             "BLDAT": days_ago(min(10 + 10 * i, 300)),
-             "ZFBDT": days_ago(rng.choice([-5, 10, 40, 70, 100])),
-             "SHKZG": "S", "DMBTR": netwr, "WAERS": "USD",
-             "AUGDT": None if i % 2 == 0 else days_ago(2)}
-        )
+        # billing items mirror the order items (VF03 display)
+        for j, posnr in enumerate(("000010", "000020")):
+            t["VBRP"].append(
+                {"VBELN": bill, "POSNR": posnr, "FKIMG": 5 * (j + 1),
+                 "VRKME": "EA", "NETWR": round(netwr / 2, 2),
+                 "MATNR": materials[(i + j) % 3],
+                 "ARKTX": f"Item {posnr} of {so}", "WERKS": "1000",
+                 "AUBEL": so, "AUPOS": posnr}
+            )
+        # AR invoice for billed chains; half stay open (BSID), half
+        # cleared (BSAD).  ZFBDT cycles a fixed spread so every aging
+        # bucket is deterministically populated.
+        ar_row = {
+            "BUKRS": "1000", "KUNNR": kunnr, "BELNR": bill, "GJAHR": year,
+            "BUZEI": "001", "BUDAT": days_ago(min(10 + 10 * i, 300)),
+            "BLDAT": days_ago(min(10 + 10 * i, 300)),
+            "ZFBDT": days_ago([-5, 10, 40, 70, 100, 130][i % 6]),
+            "SHKZG": "S", "DMBTR": netwr, "WAERS": "USD", "AUGDT": None,
+        }
+        if i % 2 == 0:
+            t["BSID"].append(ar_row)
+        else:
+            t["BSAD"].append({**ar_row, "AUGDT": days_ago(2), "AUGBL": bill})
 
     # -- GL: accounts + balances + journal docs ----------------------------
     saknr = [str(400000 + 100 * i).zfill(10) for i in range(N_ACCOUNTS)]
@@ -214,6 +254,20 @@ def generate_sap_fixtures(
                  "DMBTR": amount, "HKONT": hkont, "SGTXT": f"Line {buzei}",
                  "KOSTL": str(1000 + i).zfill(10)}
             )
+            # GL line-item twin: open in BSIS, cleared docs (last 2) in BSAS
+            gl_row = {
+                "HKONT": hkont, "BUKRS": "1000", "BELNR": doc, "GJAHR": year,
+                "BUZEI": buzei, "BUDAT": budat, "BLDAT": budat, "BLART": "SA",
+                "BSCHL": "40" if shkzg == "S" else "50", "DMBTR": amount,
+                "SHKZG": shkzg, "WAERS": "USD", "SGTXT": f"Line {buzei}",
+                "MONAT": str(budat.month).zfill(2), "AUGDT": None,
+            }
+            if i >= 4:
+                t.setdefault("BSAS", []).append(
+                    {**gl_row, "AUGDT": days_ago(1), "AUGBL": doc}
+                )
+            else:
+                t.setdefault("BSIS", []).append(gl_row)
 
     # -- CO: cost-center actual vs plan + CO documents ---------------------
     t["COSP"] = []
@@ -232,7 +286,7 @@ def generate_sap_fixtures(
     ]
 
     # -- MM: purchase orders over threshold --------------------------------
-    t["EKKO"], t["EKPO"] = [], []
+    t["EKKO"], t["EKPO"], t["EKBE"] = [], [], []
     for i in range(N_POS):
         po = _pad(4, i + 1)
         t["EKKO"].append(
@@ -243,11 +297,25 @@ def generate_sap_fixtures(
         # first half of POs exceed the 50k HAVING threshold
         line_value = 30000 if i < N_POS // 2 else 4000
         for j in range(3):
+            ebelp = str((j + 1) * 10).zfill(5)
             t["EKPO"].append(
-                {"EBELN": po, "EBELP": str((j + 1) * 10).zfill(5),
-                 "MATNR": _pad(5, j + 1, 18), "NETWR": line_value,
-                 "MENGE": 10, "LOEKZ": ""}
+                {"EBELN": po, "EBELP": ebelp, "MATNR": materials[j],
+                 "NETWR": line_value, "MENGE": 10, "WERKS": "1000",
+                 "LOEKZ": ""}
             )
+            if j < 2:  # first two lines partially received (ME23N/ME2M)
+                t["EKBE"].append(
+                    {"EBELN": po, "EBELP": ebelp, "VGABE": "1", "GJAHR": year,
+                     "BELNR": str(5000000000 + i * 10 + j), "BUZEI": "001",
+                     "BEWTP": "E", "BWART": "101",
+                     "BUDAT": days_ago(20 + 5 * i), "MENGE": 6,
+                     "DMBTR": round(line_value * 0.6, 2), "WAERS": "USD",
+                     "SHKZG": "S", "MATNR": materials[j], "WERKS": "1000"}
+                )
+    t["MAKT"] = [
+        {"MATNR": mat, "SPRAS": "E", "MAKTX": f"Widget model {j + 1}"}
+        for j, mat in enumerate(materials)
+    ]
 
     # -- HR: employees + org texts -----------------------------------------
     first = ["Ava", "Ben", "Cora", "Dev", "Eli", "Fay", "Gus", "Hana", "Ivo", "Jun"]

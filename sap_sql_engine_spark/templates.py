@@ -25,6 +25,144 @@ from .sources.registry import SemanticModel
 
 _PARAM = re.compile(r"(?<!:):([a-z_][a-z0-9_]*)", re.IGNORECASE)
 
+# The reference ships 8 of its 58 patterns with an EMPTY
+# ``example_sql_structure`` (the tcode "display document" family,
+# sap_semantic_model.json:7209ff — description + table list only). The
+# rebuild authors their SQL from those descriptions so the whole 58-pattern
+# surface is executable; written in the same SQLite/HANA-ish template
+# dialect so they flow through the dialect front-end like the other 50.
+SUPPLEMENT_SQL: dict[str, str] = {
+    # FB03: "joins BKPF, BSEG, SKAT for document header and line items"
+    "tcode_fb03": """
+SELECT b.BUKRS, b.BELNR, b.GJAHR, b.BLART, b.BUDAT, b.WAERS, b.BKTXT,
+       s.BUZEI, s.BSCHL, s.SHKZG, s.HKONT, t.TXT50 AS account_name,
+       CASE WHEN s.SHKZG = 'S' THEN s.DMBTR ELSE -s.DMBTR END AS signed_amount,
+       s.SGTXT
+FROM BKPF b
+JOIN BSEG s ON s.BUKRS = b.BUKRS AND s.BELNR = b.BELNR AND s.GJAHR = b.GJAHR
+LEFT JOIN SKAT t ON t.SAKNR = s.HKONT AND t.SPRAS = 'E'
+WHERE b.BUKRS = :company_code
+ORDER BY b.BELNR, s.BUZEI
+LIMIT 200""",
+    # FBL1N: "UNION of BSAK (cleared) and BSIK (open) joined with LFA1 and T001"
+    "tcode_fbl1n": """
+SELECT l.NAME1 AS vendor_name, i.LIFNR, i.BELNR, i.GJAHR, i.BUZEI, i.BUDAT,
+       CASE WHEN i.SHKZG = 'S' THEN i.DMBTR ELSE -i.DMBTR END AS signed_amount,
+       i.WAERS, 'OPEN' AS item_status, c.BUTXT AS company_name
+FROM BSIK i
+JOIN LFA1 l ON l.LIFNR = i.LIFNR
+LEFT JOIN T001 c ON c.BUKRS = i.BUKRS
+WHERE i.BUKRS = :company_code
+UNION ALL
+SELECT l.NAME1 AS vendor_name, a.LIFNR, a.BELNR, a.GJAHR, a.BUZEI, a.BUDAT,
+       CASE WHEN a.SHKZG = 'S' THEN a.DMBTR ELSE -a.DMBTR END AS signed_amount,
+       a.WAERS, 'CLEARED' AS item_status, c.BUTXT AS company_name
+FROM BSAK a
+JOIN LFA1 l ON l.LIFNR = a.LIFNR
+LEFT JOIN T001 c ON c.BUKRS = a.BUKRS
+WHERE a.BUKRS = :company_code
+ORDER BY BELNR, BUZEI
+LIMIT 200""",
+    # FBL3N: "UNION of BSIS (open) and BSAS (cleared) GL line items"
+    "tcode_fbl3n": """
+SELECT i.HKONT, t.TXT50 AS account_name, i.BELNR, i.GJAHR, i.BUZEI, i.BUDAT,
+       CASE WHEN i.SHKZG = 'S' THEN i.DMBTR ELSE -i.DMBTR END AS signed_amount,
+       i.WAERS, 'OPEN' AS item_status
+FROM BSIS i
+LEFT JOIN SKAT t ON t.SAKNR = i.HKONT AND t.SPRAS = 'E'
+WHERE i.BUKRS = :company_code
+UNION ALL
+SELECT a.HKONT, t.TXT50 AS account_name, a.BELNR, a.GJAHR, a.BUZEI, a.BUDAT,
+       CASE WHEN a.SHKZG = 'S' THEN a.DMBTR ELSE -a.DMBTR END AS signed_amount,
+       a.WAERS, 'CLEARED' AS item_status
+FROM BSAS a
+LEFT JOIN SKAT t ON t.SAKNR = a.HKONT AND t.SPRAS = 'E'
+WHERE a.BUKRS = :company_code
+ORDER BY HKONT, BELNR, BUZEI
+LIMIT 200""",
+    # FBL5N: "UNION of BSID (open) and BSAD (cleared) joined with KNA1"
+    "tcode_fbl5n": """
+SELECT k.NAME1 AS customer_name, i.KUNNR, i.BELNR, i.GJAHR, i.BUZEI, i.BUDAT,
+       CASE WHEN i.SHKZG = 'S' THEN i.DMBTR ELSE -i.DMBTR END AS signed_amount,
+       i.WAERS, 'OPEN' AS item_status
+FROM BSID i
+JOIN KNA1 k ON k.KUNNR = i.KUNNR
+WHERE i.BUKRS = :company_code
+UNION ALL
+SELECT k.NAME1 AS customer_name, a.KUNNR, a.BELNR, a.GJAHR, a.BUZEI, a.BUDAT,
+       CASE WHEN a.SHKZG = 'S' THEN a.DMBTR ELSE -a.DMBTR END AS signed_amount,
+       a.WAERS, 'CLEARED' AS item_status
+FROM BSAD a
+JOIN KNA1 k ON k.KUNNR = a.KUNNR
+WHERE a.BUKRS = :company_code
+ORDER BY BELNR, BUZEI
+LIMIT 200""",
+    # ME23N: "joins EKKO, EKPO, LFA1, MAKT, T001W, ... EKBE" (EKET/T001L in
+    # the reference DB carry no usable join keys — PRAGMA shows EKET lacks
+    # EBELN — so receipt history comes from EKBE alone)
+    "tcode_me23n": """
+SELECT h.EBELN, h.BEDAT, h.BSART, h.WAERS, l.NAME1 AS vendor_name,
+       p.EBELP, p.MATNR, m.MAKTX AS material_name, p.TXZ01,
+       p.MENGE AS ordered_qty, p.NETWR AS line_value,
+       w.NAME1 AS plant_name,
+       COALESCE(g.received_qty, 0) AS received_qty
+FROM EKKO h
+JOIN EKPO p ON p.EBELN = h.EBELN
+LEFT JOIN LFA1 l ON l.LIFNR = h.LIFNR
+LEFT JOIN MAKT m ON m.MATNR = p.MATNR AND m.SPRAS = 'E'
+LEFT JOIN T001W w ON w.WERKS = p.WERKS
+LEFT JOIN (
+    SELECT EBELN, EBELP, SUM(MENGE) AS received_qty
+    FROM EKBE WHERE VGABE = '1'
+    GROUP BY EBELN, EBELP
+) g ON g.EBELN = p.EBELN AND g.EBELP = p.EBELP
+WHERE h.LOEKZ = '' AND p.LOEKZ = ''
+ORDER BY h.EBELN, p.EBELP
+LIMIT 200""",
+    # ME2M: "PO by Material - joins EKKO, EKPO, MAKT, EKBE, LFA1"
+    "tcode_me2m": """
+SELECT p.MATNR, m.MAKTX AS material_name,
+       COUNT(DISTINCT p.EBELN) AS po_count,
+       SUM(p.MENGE) AS ordered_qty,
+       SUM(p.NETWR) AS total_value,
+       COALESCE(SUM(g.received_qty), 0) AS received_qty
+FROM EKPO p
+JOIN EKKO h ON h.EBELN = p.EBELN
+LEFT JOIN MAKT m ON m.MATNR = p.MATNR AND m.SPRAS = 'E'
+LEFT JOIN (
+    SELECT EBELN, EBELP, SUM(MENGE) AS received_qty
+    FROM EKBE WHERE VGABE = '1'
+    GROUP BY EBELN, EBELP
+) g ON g.EBELN = p.EBELN AND g.EBELP = p.EBELP
+WHERE h.LOEKZ = '' AND p.LOEKZ = ''
+GROUP BY p.MATNR, m.MAKTX
+ORDER BY total_value DESC
+LIMIT 200""",
+    # VA03: "joins VBAK, VBAP, VBPA, KNA1, MAKT" (VBPA exists in neither the
+    # model nor the reference's physical DB — partner roles omitted)
+    "tcode_va03": """
+SELECT h.VBELN, h.ERDAT, h.AUART, k.NAME1 AS customer_name,
+       i.POSNR, i.MATNR, m.MAKTX AS material_name, i.ARKTX,
+       i.KWMENG AS order_qty, i.NETWR AS item_value, h.WAERK
+FROM VBAK h
+JOIN VBAP i ON i.VBELN = h.VBELN
+LEFT JOIN KNA1 k ON k.KUNNR = h.KUNNR
+LEFT JOIN MAKT m ON m.MATNR = i.MATNR AND m.SPRAS = 'E'
+WHERE h.LOEKZ = ''
+ORDER BY h.VBELN, i.POSNR
+LIMIT 200""",
+    # VF03: "Display Billing Document - joins VBRK, VBRP"
+    "tcode_vf03": """
+SELECT h.VBELN, h.FKDAT, h.FKART, h.KUNAG, h.WAERK,
+       h.NETWR AS header_value,
+       i.POSNR, i.MATNR, i.ARKTX, i.FKIMG AS billed_qty,
+       i.NETWR AS item_value
+FROM VBRK h
+JOIN VBRP i ON i.VBELN = h.VBELN
+ORDER BY h.VBELN, i.POSNR
+LIMIT 200""",
+}
+
 
 @dataclass
 class Template:
@@ -61,10 +199,10 @@ class TemplateCatalog:
                 module=p.get("primary_module", ""),
                 tables=p.get("tables", []),
                 context=p.get("business_context", ""),
-                sql=p.get("example_sql_structure", ""),
+                sql=p.get("example_sql_structure") or SUPPLEMENT_SQL.get(name, ""),
             )
             for name, p in model.patterns.items()
-            if p.get("example_sql_structure")
+            if p.get("example_sql_structure") or name in SUPPLEMENT_SQL
         }
 
     def names(self) -> list[str]:

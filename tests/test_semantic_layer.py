@@ -179,7 +179,8 @@ class TestReferenceModelIntegration:
         return SemanticModel.load()
 
     def test_inventory_counts(self, ref_model):
-        assert len(ref_model.tables) == 60  # 58 modeled + HRP1000 + CSKB aux
+        # 58 modeled + aux supplement (HRP1000, CSKB, BSIS, BSAS, T001, T001W)
+        assert len(ref_model.tables) == 64
         assert len(ref_model.relationships) == 145
         assert len(ref_model.patterns) == 58
         assert len(ref_model.guidelines) == 29

@@ -46,7 +46,12 @@ def _params_for(cat, name, dfs):
 def test_every_valid_template_executes(spark, sap):
     model, cat, dfs = sap
     valid = cat.validate(spark)["valid"]
-    assert len(valid) >= 21
+    assert len(valid) >= 29
+    # the 8 reference patterns shipped without SQL (tcode display family)
+    # are supplemented by the rebuild and must all analyze cleanly
+    for name in ("tcode_fb03", "tcode_fbl1n", "tcode_fbl3n", "tcode_fbl5n",
+                 "tcode_me23n", "tcode_me2m", "tcode_va03", "tcode_vf03"):
+        assert name in valid, name
     failures = {}
     for name in valid:
         sql = cat.get(name).render(**_params_for(cat, name, dfs))
@@ -80,6 +85,14 @@ def test_key_templates_return_rows(spark, sap):
         "sales_orders_by_period",
         "open_maintenance_orders",
         "value_chain_order_to_cash_trace",
+        "tcode_fb03",
+        "tcode_fbl1n",
+        "tcode_fbl3n",
+        "tcode_fbl5n",
+        "tcode_me23n",
+        "tcode_me2m",
+        "tcode_va03",
+        "tcode_vf03",
     )
     for name in nonempty:
         res = executor.execute(spark, cat.get(name).render(**_params_for(cat, name, dfs)))
