@@ -888,11 +888,22 @@ ORDER BY month
 # Recursive CTE (SURVEY §4 item 5). The reference's guideline catalog
 # advertises WITH RECURSIVE for cost-center hierarchies
 # (sap_semantic_model.json:7948) but ships no template using it. Spark 4
-# supports recursive CTEs natively; expressed here as a line-chain walk
-# (l_linenumber n -> n+1 within each order, running quantity total) so the
-# recursion joins on the fact table each step. Depth is bounded by the max
-# line number (7), so at 100 TB this is 7 self-joins on (orderkey, line) —
-# each one a co-partitioned shuffle join, no driver iteration.
+# supports recursive CTEs natively (``_RECURSIVE_SQL`` runs verbatim via
+# ``spark.sql`` — covered by tests), but executing a *linear* recursion
+# literally costs one self-join per level: 7 sequential shuffle joins over
+# the full fact table here, and at 100 TB each one rescans/reshuffles
+# petabyte-scale intermediates.
+#
+# A linear chain recursion whose step joins on a monotone counter
+# (depth -> depth+1) folds instead: per (order, line) aggregate the row
+# count c and quantity sum s, keep the contiguous line prefix 1..k, then
+# the recurrence  P_n = P_{n-1}*c_n  (paths),  T_n = T_{n-1}*c_n + s_n*P_{n-1}
+# (sum of path-cumulative quantities) reproduces the recursion EXACTLY —
+# including the path fan-out on duplicate (order, line) pairs — in a single
+# aggregation pass + a per-order fold over <= 7 elements. Two narrow
+# shuffles total, no iteration, exact decimal math. The DuckDB oracle
+# still runs the literal WITH RECURSIVE, so the equivalence is
+# hash-verified on every run.
 
 _RECURSIVE_SQL = """
 WITH RECURSIVE chain AS (
@@ -913,16 +924,44 @@ GROUP BY depth
 ORDER BY depth
 """
 
+_RECURSIVE_FOLD_SQL = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber AS line, COUNT(*) AS c,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+  FROM {src} GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, array_sort(collect_list(struct(line, c, s))) AS ls
+  FROM per_line GROUP BY l_orderkey
+),
+folded AS (
+  SELECT aggregate(
+    -- for sorted distinct positive ints, (x.line = i + 1) keeps exactly
+    -- the contiguous prefix 1..k the recursion can reach
+    filter(ls, (x, i) -> x.line = i + 1),
+    struct(CAST(1 AS BIGINT) AS P, CAST(0 AS DECIMAL(38,2)) AS T,
+           CAST(array() AS ARRAY<STRUCT<depth INT, P BIGINT, T DECIMAL(38,2)>>) AS rows),
+    (acc, x) -> struct(
+      acc.P * x.c AS P,
+      CAST(acc.T * x.c + x.s * acc.P AS DECIMAL(38,2)) AS T,
+      acc.rows || array(struct(CAST(x.line AS INT) AS depth,
+                               acc.P * x.c AS P,
+                               CAST(acc.T * x.c + x.s * acc.P AS DECIMAL(38,2)) AS T)) AS rows),
+    acc -> acc.rows) AS rows
+  FROM per_order
+)
+SELECT r.depth,
+       SUM(r.P) AS n_orders,
+       round(CAST(SUM(r.T) AS DOUBLE), 2) AS sum_cum_qty
+FROM folded LATERAL VIEW explode(rows) AS r
+GROUP BY r.depth
+ORDER BY r.depth
+"""
+
 
 def q_recursive_line_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # each recursion level re-reads the step relation; cache the 3-column
-    # projection once so 7 levels cost 7 in-memory probes, not 7 parquet
-    # scans (at 100 TB: checkpoint the projected step table instead)
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-    li.cache().createOrReplaceTempView("lineitem_chain_src")
-    return spark.sql(_RECURSIVE_SQL.format(src="lineitem_chain_src"))
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_chain_src")
+    return spark.sql(_RECURSIVE_FOLD_SQL.format(src="lineitem_chain_src"))
 
 
 ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement

@@ -173,3 +173,15 @@ def test_dedup_exact_consistency(spark, sf_dir):
     rows = dedup.q_dedup_exact(spark, sf_dir).collect()
     for r in rows:
         assert r.doc_count == r.distinct_count + r.duplicate_count
+
+
+def test_recursive_fold_matches_native_recursion(spark, sf_dir):
+    """The fold rewrite of the linear recursive CTE must agree with Spark's
+    native WITH RECURSIVE execution of the literal statement (the rewrite's
+    correctness proof, run at sf0.001; the DuckDB oracle re-checks it at
+    sf0.01 on every correctness run)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    fold = rel.q_recursive_line_chain(spark, sf_dir)  # registers the src view
+    native = spark.sql(rel._RECURSIVE_SQL.format(src="lineitem_chain_src"))
+    assert [tuple(r) for r in native.collect()] == [tuple(r) for r in fold.collect()]
