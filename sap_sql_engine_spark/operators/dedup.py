@@ -14,8 +14,9 @@ Scale posture:
   real scale drop the top-k most frequent shingles, a standard trick);
 - MinHash/LSH bounds candidate pairs: band signatures bucket the join so the
   pair count is ~(dups + collisions), never O(n^2);
-- SimHash gives O(n·bits) signatures; the pair scan here is brute-force for
-  the oracle's benefit — at scale you'd bucket by signature prefix.
+- SimHash signatures are a pure per-row map (zero shuffles); the pair scan
+  is pigeonhole-banded (hamming <= t => one of t+1 bands matches exactly),
+  so it is an equi-join, distance-exact, and never O(n^2).
 """
 
 from __future__ import annotations
@@ -105,6 +106,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache it so it's computed once, the 100 TB pattern being "materialize
     # the shingle table, then join against it"
     sh = _shingles(spark, sf_dir).cache()
+    sh.count()  # eager: three consumers below must hit the cache, not rebuild it
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -211,6 +213,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, and the Jaccard estimate is a row-level expression over the
     two cached signature rows — no long-form component join at all."""
     wide = _minhash_wide(spark, sf_dir).cache()
+    # materialize the cache NOW: the plan below references `wide` four times
+    # (banded x2, w1, w2), and a lazy cache lets those stages race to rebuild
+    # the whole shingle->md5->min pipeline before any of them populates it
+    # (measured 4x wall-clock at sf0.1). One eager job = one computation.
+    wide.count()
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -283,7 +290,15 @@ GROUP BY doc1, doc2
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted SimHash over whitespace tokens, md5-hash family,
-    SIMHASH_BITS-bit signatures."""
+    SIMHASH_BITS-bit signatures.
+
+    Explode + two-level hash aggregation, all whole-stage codegen. The
+    token x bit explosion looks large but map-side partial aggregation
+    collapses it to (doc, bit) pairs before the exchange, so the shuffle
+    ships ~docs x SIMHASH_BITS rows regardless of token volume. (A
+    shuffle-free per-row rewrite with higher-order filter/aggregate lambdas
+    was measured 10x SLOWER — interpreted lambdas allocate per element,
+    codegen wins.)"""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
@@ -328,16 +343,53 @@ _ORACLE_SIMHASH = rf"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= HAMMING_THRESHOLD."""
-    sig = _simhash(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"))
-    b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"))
+    """Near-dup pairs by SimHash hamming distance <= HAMMING_THRESHOLD.
+
+    Pigeonhole banding instead of an O(n^2) pair scan: split the signature
+    into HAMMING_THRESHOLD + 1 bands; a pair within the threshold differs
+    in <= HAMMING_THRESHOLD bits, so at least one band matches EXACTLY.
+    The equi-join on (band, band_bits) therefore finds every qualifying
+    pair — the exact hamming filter then discards band collisions, so the
+    result is distance-exact, not approximate. Shuffle is keyed on the
+    band value; pair volume is ~dups + collisions, never n^2."""
+    n_bands = HAMMING_THRESHOLD + 1
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    # the self-join references the signature relation twice; materialize it
+    # once (at 100 TB: write the signature table, then band-join against it)
+    sig = _simhash(spark, sf_dir).cache()
+    sig.count()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
-        a.join(b, F.col("doc1") < F.col("doc2"))
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.col("x.simhash").alias("s1"),
+            F.col("y.simhash").alias("s2"),
+        )
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc1", "doc2", "hamming")
+        .distinct()  # a hamming-0 pair matches in every band
     )
 
 

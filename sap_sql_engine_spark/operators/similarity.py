@@ -14,6 +14,8 @@ accumulation is left-to-right in array order in both Spark and the oracle's
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,22 +116,39 @@ WHERE round({_o_cos("a.embedding", "b.embedding")}, 6) >= {NEARDUP_COS}
 # signatures; query probes only its own bucket.
 
 
+def _plane_literals() -> str:
+    """N_PLANES x DIM hyperplane matrix as a Spark array-of-array literal
+    (constant-folded by Catalyst into a single Literal node)."""
+    rows = []
+    for p in range(1, N_PLANES + 1):
+        ws = [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:6], 16) / 16777216.0 - 0.5
+            for i in range(1, DIM + 1)
+        ]
+        rows.append("array(" + ", ".join(f"{w!r}D" for w in ws) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature = N_PLANES sign bits of <v, plane_p>; candidates = vectors
     in the query's bucket; exact cosine re-rank inside the bucket.
 
     At 100 TB: signatures are one narrow shuffle; each query touches one
     bucket (multi-probe would flip low-margin bits). Brute-force re-rank
-    only within the bucket."""
+    only within the bucket.
+
+    The hyperplane matrix (plane component p,i = hexint(md5('p:i')[:6]) /
+    2^24 - 0.5) is precomputed driver-side and embedded as a foldable array
+    literal: per-row work is N_PLANES dot products instead of N_PLANES*DIM
+    interpreted md5 calls. k/2^24 - 0.5 is exact in binary and repr()
+    round-trips doubles, so the values are bit-identical to the SQL-computed
+    ones the DuckDB oracle still derives from scratch."""
     emb = table(spark, sf_dir, "embeddings")
-    # plane component p,i = (hexint(md5(p || ':' || i)) / 2^24) - 0.5
     plane_expr = (
-        "transform(sequence(1, {np}), p -> "
-        "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
-        "transform(sequence(1, {dim}), i -> "
-        "CAST(conv(substr(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0 - 0.5), "
-        "(x, w) -> x * w), 0D, (acc, v) -> acc + v))"
-    ).format(np=N_PLANES, dim=DIM)
+        f"transform({_plane_literals()}, w -> "
+        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
+        "0D, (acc, v) -> acc + v))"
+    )
     sig_expr = (
         f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
     )
