@@ -746,6 +746,33 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """
 
 
+# U2: INTERSECT / EXCEPT (SURVEY §2.5 — SQLite supports them; the reference
+# never emits them but its dialect surface admits them). Distinct set
+# semantics on both engines; the brand filters reach the parquet scan, and
+# each set op is one hash-partitioned shuffle on the compared column.
+def q_brand_size_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_brand") == "Brand#12").select("p_size")
+    b = part.filter(F.col("p_brand") == "Brand#34").select("p_size")
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    only = a.subtract(b).withColumn("tag", F.lit("brand12_only"))
+    return both.unionByName(only).select("tag", "p_size").orderBy("tag", "p_size")
+
+
+ORACLE_SETOPS = """
+SELECT 'both' AS tag, p_size
+FROM (SELECT p_size FROM part WHERE p_brand = 'Brand#12'
+      INTERSECT
+      SELECT p_size FROM part WHERE p_brand = 'Brand#34')
+UNION ALL
+SELECT 'brand12_only' AS tag, p_size
+FROM (SELECT p_size FROM part WHERE p_brand = 'Brand#12'
+      EXCEPT
+      SELECT p_size FROM part WHERE p_brand = 'Brand#34')
+ORDER BY tag, p_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # U2-upgrade: ROLLUP — absent in the reference (SQLite lacks it; SURVEY
 # §2.4 "free in Spark"); subtotal rows carry NULL group keys in both engines.
@@ -926,9 +953,14 @@ ORDER BY depth
 
 _RECURSIVE_FOLD_SQL = """
 WITH per_line AS (
+  -- clustering the scan on l_orderkey alone satisfies the
+  -- ClusteredDistribution of BOTH this (orderkey, line) aggregate and the
+  -- per-order collect_list below (subset rule): ONE full-volume exchange
+  -- feeds the whole fold instead of two
   SELECT l_orderkey, l_linenumber AS line, COUNT(*) AS c,
          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
-  FROM {src} GROUP BY 1, 2
+  FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_linenumber, l_quantity FROM {src})
+  GROUP BY 1, 2
 ),
 per_order AS (
   SELECT l_orderkey, array_sort(collect_list(struct(line, c, s))) AS ls
@@ -991,6 +1023,7 @@ QUERIES = {
     "three_way_match": q_three_way_match,
     "orders_outside_segment": q_orders_outside_segment,
     "distinct_segments": q_distinct_segments,
+    "brand_size_setops": q_brand_size_setops,
     "rollup_region_nation": q_rollup_region_nation,
     "join_constant_predicate": q_join_constant_predicate,
     "recursive_line_chain": q_recursive_line_chain,
@@ -1019,6 +1052,7 @@ ORACLES = {
     "three_way_match": ORACLE_THREE_WAY_MATCH,
     "orders_outside_segment": ORACLE_NOT_IN_REWRITE,
     "distinct_segments": ORACLE_DISTINCT,
+    "brand_size_setops": ORACLE_SETOPS,
     "rollup_region_nation": ORACLE_ROLLUP,
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
     "recursive_line_chain": ORACLE_RECURSIVE,
