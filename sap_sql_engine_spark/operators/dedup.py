@@ -83,8 +83,11 @@ def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) — the set-semantics relation Jaccard
-    needs; the distinct is one shuffle."""
-    return _shingles_raw(spark, sf_dir).distinct()
+    needs. Clustered on doc_id alone (subset rule): the same exchange then
+    satisfies both this distinct and any downstream per-doc aggregate
+    (e.g. ngram-jaccard's shingle counts) with no further full-volume
+    shuffle."""
+    return _shingles_raw(spark, sf_dir).repartition("doc_id").distinct()
 
 
 _ORACLE_SHINGLES = r"""

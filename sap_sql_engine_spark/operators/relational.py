@@ -667,6 +667,42 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# A9-adjacent: exact linear-interpolation percentiles (percentile_cont
+# semantics — identical interpolation a + (b-a)*frac at rank (n-1)*q in
+# Spark's `percentile` and DuckDB's `quantile_cont`). The reference strips
+# percentile requests down to MIN/MAX/AVG (SQLite has no percentile);
+# kept native here as an upgrade. Exact percentile is a sort-based
+# aggregate — at 100 TB swap in `approx_percentile` (t-digest, mergeable,
+# one pass) and accept the documented error bound.
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(CAST(o_totalprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
+        ).alias("p")
+    )
+    return g.select(
+        "o_orderpriority",
+        F.round(F.element_at(F.col("p"), 1), 2).alias("p25"),
+        F.round(F.element_at(F.col("p"), 2), 2).alias("p50"),
+        F.round(F.element_at(F.col("p"), 3), 2).alias("p75"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 2) AS p25,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 2) AS p50,
+       round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 2) AS p75
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # J9: three-way match with mismatch predicate — EKPO⋈EKBE⋈RSEG quantity
 # match (sap_semantic_model.json:7304, guideline :7984): chained equi-joins
 # + a value-comparison filter surfacing discrepancies.
@@ -1020,6 +1056,7 @@ QUERIES = {
     "string_functions": q_string_functions,
     "status_pivot": q_status_pivot,
     "quantity_dispersion": q_quantity_dispersion,
+    "order_value_percentiles": q_order_value_percentiles,
     "three_way_match": q_three_way_match,
     "orders_outside_segment": q_orders_outside_segment,
     "distinct_segments": q_distinct_segments,
@@ -1049,6 +1086,7 @@ ORACLES = {
     "string_functions": ORACLE_STRING_FUNCTIONS,
     "status_pivot": ORACLE_STATUS_PIVOT,
     "quantity_dispersion": ORACLE_DISPERSION,
+    "order_value_percentiles": ORACLE_PERCENTILES,
     "three_way_match": ORACLE_THREE_WAY_MATCH,
     "orders_outside_segment": ORACLE_NOT_IN_REWRITE,
     "distinct_segments": ORACLE_DISTINCT,
