@@ -840,6 +840,34 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+# GROUPING SETS with grouping() disambiguation markers — generalizes the
+# ROLLUP above (SQLite lacks all of these; kept native as an upgrade, same
+# single-pass Expand+partial/final-aggregate plan shape as ROLLUP/CUBE).
+# grouping(col) distinguishes a NULL group key from a subtotal row.
+
+_GROUPING_SETS_SQL = """
+SELECT r_name, c_mktsegment,
+       CAST(grouping(r_name) AS INT) AS g_region,
+       CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+       count(*) AS customer_count,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance
+FROM {c} JOIN {n} ON c_nationkey = n_nationkey
+         JOIN {r} ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment), ())
+"""
+
+
+def q_grouping_sets_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        _GROUPING_SETS_SQL.format(c="gs_customer", n="gs_nation", r="gs_region")
+    )
+
+
+ORACLE_GROUPING_SETS = _GROUPING_SETS_SQL.format(c="customer", n="nation", r="region")
+
+
 # ---------------------------------------------------------------------------
 # J4: join with constant predicate in the ON clause — HRP1000 triple join
 # ON pos.OTYPE='S' AND … AND pos.LANGU='E' (sap_semantic_model.json:7374).
@@ -1062,6 +1090,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "brand_size_setops": q_brand_size_setops,
     "rollup_region_nation": q_rollup_region_nation,
+    "grouping_sets_balance": q_grouping_sets_balance,
     "join_constant_predicate": q_join_constant_predicate,
     "recursive_line_chain": q_recursive_line_chain,
     "running_balance": q_running_balance,
@@ -1092,6 +1121,7 @@ ORACLES = {
     "distinct_segments": ORACLE_DISTINCT,
     "brand_size_setops": ORACLE_SETOPS,
     "rollup_region_nation": ORACLE_ROLLUP,
+    "grouping_sets_balance": ORACLE_GROUPING_SETS,
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
     "recursive_line_chain": ORACLE_RECURSIVE,
     "running_balance": ORACLE_RUNNING_BALANCE,
