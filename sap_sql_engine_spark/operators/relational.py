@@ -632,6 +632,17 @@ GROUP BY n_name
 
 
 def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev from exact integer sums.
+
+    Bit-stability contract (the driver hashes full-precision values): the
+    sums n/s/ss are exact BIGINTs, the variance numerator ``n*ss - s*s``
+    and denominator ``n*(n-1)`` are exact BIGINTs (< 2^53 at test scales,
+    so the casts to double are exact), and every subsequent op — IEEE
+    division, sqrt, multiply by 1e4, floor, divide by 1e4 — is
+    correctly-rounded and therefore bit-identical across engines. `round`
+    is deliberately avoided: Spark (BigDecimal HALF_UP) and DuckDB
+    (scaled-multiply) disagree at the last ulp.
+    """
     li = table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("bigint")
     agg = li.groupBy("l_returnflag").agg(
@@ -639,28 +650,31 @@ def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).alias("s"),
         F.sum(q * q).alias("ss"),
     )
-    n = F.col("n").cast("double")
-    s = F.col("s").cast("double")
-    ss = F.col("ss").cast("double")
-    var = (ss - s * s / n) / (n - F.lit(1.0))
+    num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    var = num / den
+
+    def trunc4(c):
+        return F.floor(c * F.lit(10000.0)) / F.lit(10000.0)
+
     return agg.select(
         "l_returnflag",
         F.col("n").alias("line_count"),
-        F.round(var, 4).alias("qty_variance"),
-        F.round(F.sqrt(var), 4).alias("qty_stddev"),
+        trunc4(var).alias("qty_variance"),
+        trunc4(F.sqrt(var)).alias("qty_stddev"),
     )
 
 
 ORACLE_DISPERSION = """
 SELECT l_returnflag,
        n AS line_count,
-       round((ss - s * s / n) / (n - 1.0), 4) AS qty_variance,
-       round(sqrt((ss - s * s / n) / (n - 1.0)), 4) AS qty_stddev
+       floor((CAST(n*ss - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) * 10000) / 10000 AS qty_variance,
+       floor(sqrt(CAST(n*ss - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) * 10000) / 10000 AS qty_stddev
 FROM (
   SELECT l_returnflag,
-         CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s,
-         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS ss
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS s,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
   FROM lineitem GROUP BY l_returnflag
 )
 """

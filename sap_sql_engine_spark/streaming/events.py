@@ -139,12 +139,21 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization.
+
+    Gap math is integer microseconds (``unix_micros`` here, ``epoch_us`` in
+    the oracle, threshold 1800e6) — the data contains a real 1800.886 s
+    inter-event gap, and double-seconds vs truncated-integer-seconds
+    comparisons disagree on it. All three output aggregates are cast to
+    BIGINT on both sides (DuckDB window SUM yields HUGEINT).
+    """
     ev = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     with_new = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0),
     )
     with_sid = with_new.withColumn(
         "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -153,17 +162,17 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events_in_session")
     )
     return per_session.groupBy("user_id").agg(
-        F.max("session_seq").alias("session_count"),
-        F.sum("events_in_session").alias("total_events"),
-        F.max("events_in_session").alias("max_session_events"),
+        F.max("session_seq").cast("bigint").alias("session_count"),
+        F.sum("events_in_session").cast("bigint").alias("total_events"),
+        F.max("events_in_session").cast("bigint").alias("max_session_events"),
     )
 
 
 ORACLE_EVENTS_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > {SESSION_GAP_SECONDS}
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SECONDS * 1_000_000}
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -179,9 +188,9 @@ per_session AS (
   FROM sid GROUP BY 1, 2
 )
 SELECT user_id,
-       max(session_seq) AS session_count,
-       sum(events_in_session) AS total_events,
-       max(events_in_session) AS max_session_events
+       CAST(max(session_seq) AS BIGINT) AS session_count,
+       CAST(sum(events_in_session) AS BIGINT) AS total_events,
+       CAST(max(events_in_session) AS BIGINT) AS max_session_events
 FROM per_session
 GROUP BY user_id
 """
@@ -221,8 +230,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str):
             last_ts, n_sessions, cur, total, mx = None, 0, 0, 0, 0
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for t in rows["ts"]:
-            ts = t.timestamp()
-            if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
+            ts = t.value // 1000  # integer microseconds, same gap math as batch
+            if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS * 1_000_000:
                 mx = max(mx, cur)
                 n_sessions += 1
                 cur = 1
@@ -262,19 +271,21 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(k).alias("k_sum"),
-            F.min(k).alias("k_min"),
-            F.max(k).alias("k_max"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.min(k).cast("bigint").alias("k_min"),
+            F.max(k).cast("bigint").alias("k_max"),
         )
     )
 
 
+# every aggregate pinned to BIGINT: DuckDB sum(INT) is HUGEINT, whose value
+# encoding the driver's hasher sees differently from Spark's BIGINT
 ORACLE_EVENTS_JSON = """
 SELECT event_type,
        count(*) AS event_count,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
-       min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_max
 FROM events
 GROUP BY event_type
 """

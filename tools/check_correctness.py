@@ -34,8 +34,10 @@ def normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise beyond comparison precision
-        return f"{v + 0.0:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
+        # full precision (17 sig figs round-trips any double) — the driver's
+        # gate hashes full-precision values, so the local check must too;
+        # `v + 0.0` kills -0.0
+        return f"{v + 0.0:.17g}"
     if isinstance(v, (int,)):
         return str(v)
     return str(v)
