@@ -196,54 +196,61 @@ ORACLE_ANN_LSH = _oracle_lsh()
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN: KMeans coarse quantizer + probed re-rank.
-# Iterative training -> genuinely non-SQL-expressible, so this entry has no
-# DuckDB oracle (driver records the weaker rows-only check); exactness is
-# asserted in tests instead: probing ALL lists must equal brute force.
+# IVF (inverted-file) ANN: frozen coarse-quantizer codebook + probed re-rank.
+#
+# The codebook is trained OFFLINE on a sample (tools/freeze_ivf_centroids.py,
+# seeded k-means++ + Lloyd in numpy) and frozen into ivf_centroids.py — the
+# standard IVF deployment shape: assignment at query time is a pure argmin
+# over N_LISTS literal centroids, so the whole query (assign + probe +
+# re-rank) is declarative SQL that the DuckDB oracle replicates exactly.
 
-N_LISTS = 16
+from .ivf_centroids import CENTROIDS, N_LISTS  # noqa: E402
+
 N_PROBE = 4
 
 
+def _centroid_literals() -> str:
+    """N_LISTS x DIM codebook as a constant-folded array-of-array literal."""
+    rows = ("array(" + ", ".join(f"{w!r}D" for w in row) + ")" for row in CENTROIDS)
+    return "array(" + ", ".join(rows) + ")"
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
-    """IVF top-k: partition vectors into N_LISTS Voronoi cells (KMeans,
-    seeded), probe the n_probe cells whose centroids are nearest the query,
-    exact cosine re-rank inside the probed cells.
+    """IVF top-k: assign each vector to its nearest frozen centroid (squared
+    L2 argmin), probe the n_probe cells nearest the query vector, exact
+    cosine re-rank inside the probed cells.
 
-    At 100 TB: training samples a fraction (KMeans fit over a ``sample``),
-    assignment is one model.transform pass, and each query touches
-    n_probe/N_LISTS of the corpus — the standard IVF trade. Centroid
-    selection happens driver-side on N_LISTS rows (metadata scale)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    At 100 TB: the codebook is trained offline on a sample and shipped as a
+    literal (here) or a broadcast (bigger codebooks); assignment is one
+    narrow map pass with zero shuffles, and each query touches
+    n_probe/N_LISTS of the corpus — the standard IVF trade. The probe-set
+    computation runs on the single query row (broadcast), not the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    dists = (
+        f"transform({_centroid_literals()}, c -> "
+        "aggregate(zip_with(embedding, c, (x, ci) -> "
+        "(CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        "0D, (acc, v) -> acc + v))"
     )
-    model = KMeans(
-        k=N_LISTS, seed=42, featuresCol="vec", predictionCol="list_id"
-    ).fit(emb)
-    assigned = model.transform(emb)
-
-    qvec = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()["embedding"]
+    assigned = emb.withColumn("d", F.expr(dists)).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
     )
-    centers = model.clusterCenters()
-    by_dist = sorted(
-        range(len(centers)),
-        key=lambda i: sum((a - b) ** 2 for a, b in zip(centers[i], qvec)),
+    # single query row: its embedding + the probe set (cell ids sorted by
+    # centroid distance, ties by id, first n_probe)
+    probe_expr = (
+        f"transform(slice(array_sort(sequence(1, {N_LISTS}), (l, r) -> "
+        "CASE WHEN element_at(d, l) < element_at(d, r) THEN -1 "
+        "WHEN element_at(d, l) > element_at(d, r) THEN 1 "
+        "WHEN l < r THEN -1 ELSE 1 END), "
+        f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
     )
-    probe = by_dist[:n_probe]
-
     q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qe"))
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"), F.expr(probe_expr).alias("probe_ids"))
     )
     return (
-        assigned.filter(F.col("list_id").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
-        .crossJoin(F.broadcast(q))
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.expr("array_contains(probe_ids, list_id)"))
         .select(
             "vec_id",
             "list_id",
@@ -252,6 +259,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataF
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOPK)
     )
+
+
+def _oracle_ivf() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+assigned AS (
+  SELECT vec_id, embedding,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+  FROM embeddings, cent
+),
+labeled AS (
+  SELECT vec_id, embedding, d,
+         CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
+  FROM assigned
+),
+q AS (SELECT embedding AS qe, d AS qd FROM labeled WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT CAST(j AS BIGINT) AS pid
+  FROM q, range(1, {N_LISTS + 1}) t(j)
+  ORDER BY qd[j], j
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, a.list_id,
+       round({_o_cos("a.embedding", "qe")}, 6) AS cosine
+FROM labeled a, q
+WHERE a.vec_id != {QUERY_VEC_ID} AND a.list_id IN (SELECT pid FROM probe)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_ANN_IVF = _oracle_ivf()
 
 
 QUERIES = {
@@ -265,5 +308,5 @@ ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
-    # ann_ivf: no oracle — iterative KMeans training is not SQL-expressible
+    "ann_ivf": ORACLE_ANN_IVF,
 }
