@@ -71,6 +71,15 @@ def test_lsh_bucket_recall_within_bucket(spark, sf_dir):
             assert abs(r.cosine - brute[r.vec_id]) < 1e-9
 
 
+def test_neardup_banded_no_nested_loop_join(spark, sf_dir):
+    # the scale contract: candidates come from a shuffled band-key equi-join,
+    # never an all-pairs BroadcastNestedLoopJoin / CartesianProduct
+    df = similarity.q_embedding_neardup_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     # probing every list degenerates IVF to exact search — results must
     # match brute force row-for-row
@@ -88,8 +97,8 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
 def test_ivf_default_probe_shape(spark, sf_dir):
     rows = similarity.q_ann_ivf(spark, sf_dir).collect()
     assert len(rows) == similarity.TOPK
-    # probed-list ids are a strict subset of the lists
-    assert {r.list_id for r in rows} <= set(range(similarity.N_LISTS))
+    # probed-list ids are a strict subset of the lists (1-based cell ids)
+    assert {r.list_id for r in rows} <= set(range(1, similarity.N_LISTS + 1))
     # cosines are exact: every returned value matches brute force when the
     # same vec_id appears there
     brute = {
