@@ -67,11 +67,10 @@ GROUP BY source
 # shared shingle relation: distinct (doc_id, word-3-gram)
 
 
-def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_raw_from(docs: DataFrame) -> DataFrame:
     """(doc_id, word-3-gram), duplicates included. Tokens are materialized
     once per row (single split), then shingled with a higher-order
     transform — one codegen stage, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     grams = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 0)), "
@@ -81,13 +80,21 @@ def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles_raw_from(table(spark, sf_dir, "documents"))
+
+
+def _shingles_from(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) — the set-semantics relation Jaccard
     needs. Clustered on doc_id alone (subset rule): the same exchange then
     satisfies both this distinct and any downstream per-doc aggregate
     (e.g. ngram-jaccard's shingle counts) with no further full-volume
     shuffle."""
-    return _shingles_raw(spark, sf_dir).repartition("doc_id").distinct()
+    return _shingles_raw_from(docs).repartition("doc_id").distinct()
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles_from(table(spark, sf_dir, "documents"))
 
 
 _ORACLE_SHINGLES = r"""
@@ -104,12 +111,39 @@ _ORACLE_SHINGLES = r"""
 # n-gram Jaccard near-dup pairs
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle relation feeds three join branches (a, b, per_doc) —
-    # cache it so it's computed once, the 100 TB pattern being "materialize
-    # the shingle table, then join against it"
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()  # eager: three consumers below must hit the cache, not rebuild it
+# Heavy-hitter shingle cap: a shingle present in more than
+# max(DF_CAP_MIN, DF_CAP_FRACTION * n_docs) documents is dropped from the
+# shingle universe (both intersection AND per-doc sizes, mirrored in the
+# oracle). On a skewed real corpus a boilerplate shingle shared by millions
+# of docs concentrates the shingle-keyed shuffle on a few reducers and blows
+# the candidate-pair count up quadratically; such a shingle also carries no
+# near-dup signal. Inert on the synthetic gate corpus (max df is 7/500 at
+# sf0.01, 25/5000 at sf0.1 — far under 5%), so results are unchanged there;
+# the mechanism is exercised by the planted-hot-shingle unit test.
+DF_CAP_MIN = 20
+DF_CAP_FRACTION = 0.05
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard over any (doc_id, text) relation."""
+    # the shingle relation feeds the df computation and three join branches
+    # (a, b, per_doc) — cache it so it's computed once, the 100 TB pattern
+    # being "materialize the shingle table, then join against it"
+    sh_all = _shingles_from(docs).cache()
+    sh_all.count()  # eager: consumers below must hit the cache, not rebuild it
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # hot set is small by construction (only true heavy hitters) -> broadcast
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            > F.greatest(F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * F.lit(DF_CAP_FRACTION)))
+        )
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -130,8 +164,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
 ORACLE_NGRAM_JACCARD = rf"""
-WITH sh AS ({_ORACLE_SHINGLES}),
+WITH sh_all AS ({_ORACLE_SHINGLES}),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+hot AS (
+  SELECT shingle FROM sh_all, tot
+  GROUP BY shingle, n_docs
+  HAVING count(*) > greatest({DF_CAP_MIN}, ceil(n_docs * {DF_CAP_FRACTION}))
+),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
 per_doc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared

@@ -27,6 +27,27 @@ def test_jaccard_pairs_ordered_and_bounded(spark, sf_dir):
         assert dedup.JACCARD_THRESHOLD <= r.jaccard <= 1.0
 
 
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark, sf_dir):
+    # 50 docs: each pair of docs shares ONLY one boilerplate 3-gram that
+    # appears in every doc (df=50 > max(20, ceil(50*0.05))). Without the
+    # df-cap the shingle-keyed join would emit C(50,2)=1225 candidate pairs
+    # off that single hot key; with the cap the boilerplate carries no
+    # signal and only the two planted true dups pair up.
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(48)]
+    rows += [(100, f"{boiler} same body here again today"),
+             (101, f"{boiler} same body here again today")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.jaccard_pairs(docs).collect()
+    assert {(r.doc1, r.doc2) for r in pairs} == {(100, 101)}
+    # and the cap is inert when nothing is hot: distinct docs -> no pairs
+    cold = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    assert dedup.jaccard_pairs(cold).collect() == []
+
+
 def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
     true_pairs = {
         (r.doc1, r.doc2): r.jaccard
