@@ -23,7 +23,7 @@ import sys
 from . import nl, results
 from .plans import executor
 from .sources.loader import load_tables
-from .sources.registry import REFERENCE_MODEL_PATH, SemanticModel
+from .sources.registry import SemanticModel
 
 EXAMPLES = [
     "Who are our top vendors by total spend?",
@@ -70,14 +70,11 @@ def _build(sf_dir: str):
 
     spark = get_spark("cli")
     load_tables(spark, sf_dir)
-    try:
-        model = SemanticModel.load(REFERENCE_MODEL_PATH)
-        # schema-true empty views for every model table: validated templates
-        # execute (returning empty) wherever no physical data is mounted;
-        # SAP names are uppercase so they never clash with testdata views
-        model.register_empty_views(spark)
-    except OSError:
-        model = SemanticModel.from_dict({})
+    model = SemanticModel.load()  # vendored in-package model assembly
+    # schema-true empty views for every model table: validated templates
+    # execute (returning empty) wherever no physical data is mounted;
+    # SAP names are uppercase so they never clash with testdata views
+    model.register_empty_views(spark)
     return spark, model
 
 

@@ -16,7 +16,7 @@ DEFAULT_CONFIG = {
     "max_rows": 200,
     "server_port": 8080,
     "shuffle_partitions": None,  # None -> session default (cores)
-    "model_path": None,  # None -> REFERENCE_MODEL_PATH if present
+    "model_path": None,  # None -> vendored in-package model assembly
 }
 
 CONFIG_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "config.json")

@@ -13,8 +13,11 @@ relationships; NL query patterns; SQL guidelines — structure per reference
   and used for join-path inference by ``kg.py``),
 - the pattern catalog + guidelines for ``templates.py``.
 
-The reference's actual model JSON is read at runtime when available; tests
-use an inline mini-model so the engine is self-contained.
+The model ships WITH the engine: the per-module JSONs are vendored under
+``sap_sql_engine_spark/model/modules`` and assembled in-process at load
+time (``model.assembly``), so the engine boots with no reference checkout
+present. ``SemanticModel.load(path)`` still accepts an explicit combined
+model JSON for users who maintain their own.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
-REFERENCE_MODEL_PATH = "/root/reference/sap_semantic_model.json"
+from ..model import assembly as model_assembly
 
 # Schema supplement: columns the template corpus references that the model's
 # business_columns omit but that exist in the reference's physical DB
@@ -178,7 +181,11 @@ class SemanticModel:
     # -- loading ------------------------------------------------------------
 
     @classmethod
-    def load(cls, path: str = REFERENCE_MODEL_PATH) -> "SemanticModel":
+    def load(cls, path: str | None = None) -> "SemanticModel":
+        """Load the semantic model. With no path, assemble the vendored
+        module JSONs in-process; with a path, read that combined model."""
+        if path is None:
+            return cls.from_dict(model_assembly.assemble())
         with open(path) as f:
             return cls.from_dict(json.load(f))
 

@@ -1,17 +1,15 @@
 """Semantic-model registry + knowledge graph + template catalog tests.
 
-Hermetic tests use an inline mini-model; integration tests load the real
-reference model when its path exists."""
-
-import os
+Hermetic tests use an inline mini-model; integration tests load the
+vendored in-package model (no reference checkout needed)."""
 
 import pytest
 
 from pyspark.sql import types as T
 
 from sap_sql_engine_spark.kg import KnowledgeGraph
+from sap_sql_engine_spark.model import assembly as model_assembly
 from sap_sql_engine_spark.sources.registry import (
-    REFERENCE_MODEL_PATH,
     SemanticModel,
     spark_type_for,
 )
@@ -170,13 +168,21 @@ def test_template_executes_on_spark(spark, mini):
     assert "AUGDT IS NULL OR" in cat.to_spark_sql("vendor_balance", company_code="1000")
 
 
-@pytest.mark.skipif(
-    not os.path.exists(REFERENCE_MODEL_PATH), reason="reference model not present"
-)
-class TestReferenceModelIntegration:
+class TestVendoredModelIntegration:
     @pytest.fixture(scope="class")
     def ref_model(self):
         return SemanticModel.load()
+
+    def test_assembly_counts(self):
+        # assembled from the 10 vendored module files + shared metadata,
+        # with no reference checkout involved
+        model = model_assembly.assemble()
+        s = model_assembly.summarize(model)
+        assert s["modules"] == 10
+        assert s["tables"] == 59  # raw definitions; registry dedupes shared tables to 58
+        assert s["relationships"] == 145
+        assert s["patterns"] == 58
+        assert model["model_metadata"]["modules_covered"] == list(model["modules"].keys())
 
     def test_inventory_counts(self, ref_model):
         # 58 modeled + aux supplement (HRP1000, CSKB, BSIS, BSAS, T001, T001W)

@@ -14,14 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark.plans import executor
-from sap_sql_engine_spark.sources.registry import REFERENCE_MODEL_PATH, SemanticModel
+from sap_sql_engine_spark.sources.registry import SemanticModel
 from sap_sql_engine_spark.sources.synth import generate_sap_fixtures
 from sap_sql_engine_spark.templates import TemplateCatalog
-
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REFERENCE_MODEL_PATH),
-    reason="reference semantic model not mounted",
-)
 
 
 @pytest.fixture(scope="module")
