@@ -21,7 +21,9 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import table
@@ -125,30 +127,60 @@ DF_CAP_FRACTION = 0.05
 
 
 def jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard over any (doc_id, text) relation."""
-    # the shingle relation feeds the df computation and three join branches
-    # (a, b, per_doc) — cache it so it's computed once, the 100 TB pattern
-    # being "materialize the shingle table, then join against it"
-    sh_all = _shingles_from(docs).cache()
-    sh_all.count()  # eager: consumers below must hit the cache, not rebuild it
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # hot set is small by construction (only true heavy hitters) -> broadcast
-    hot = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(
-            F.col("df")
-            > F.greatest(F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * F.lit(DF_CAP_FRACTION)))
+    """Near-dup pairs by word-3-gram Jaccard over any (doc_id, text) relation.
+
+    Shape (round-3 rework of the df-cap):
+    - shingles are hashed to a 60-bit int (``conv(substr(md5(g),1,15),16,
+      10)`` — same md5 bridge the MinHash path uses, so the DuckDB oracle
+      computes bit-identical keys). Every downstream exchange/sort/join
+      then moves 8-byte ints instead of 3-gram strings: at 100 TB the
+      shingle shuffle is the dominant byte volume, and this cuts it ~3-4x.
+      Collisions (~2^-60 per pair) are mirrored by the oracle.
+    - ONE full-volume exchange: clustering on ``sh`` satisfies the
+      distinct (grouping keys ⊇ partition key), the per-shingle df as a
+      window count (local int sort, no exchange — replaces round-2's
+      separate groupBy(shingle) aggregation job + broadcast anti-join),
+      and the pair self-join (both sides read the same cache, already
+      hash-partitioned on the join key).
+    - the df cap is a literal: n_docs comes from a driver-side count(*)
+      (parquet metadata-only — a scalar probe, not a data collect), so the
+      filter is a pushable literal predicate instead of a BNLJ against a
+      1-row aggregate.
+    The df window over a heavy-hitter shingle is linear in its df (one
+    task, map-side) — the quadratic risk was only ever the pair join,
+    which the cap filter guards before any pair is emitted."""
+    n_docs = docs.count()  # scalar probe; parquet answers from row-group metadata
+    cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
+    sh = (
+        _shingles_raw_from(docs)
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").alias("sh"),
         )
-        .select("shingle")
+        .repartition("sh")
+        .distinct()
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= F.lit(int(cap)))
+        .select("doc_id", "sh")
+        .cache()
     )
-    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per_doc is one (doc_id, n) row per document. Below ~10M docs that is a
+    # few hundred MB — broadcast it and the candidate-pair relation never
+    # re-shuffles (measured: halves the tail at sf0.1). Past that, fall back
+    # to the shuffled join — the same stats-driven strategy choice AQE makes,
+    # made explicit here because we know n_docs exactly.
+    if n_docs <= 10_000_000:
+        # broadcast builds run sequentially before the main job, so the FIRST
+        # build materializes the cache and every later consumer hits it — no
+        # eager count() pass needed to prevent the rebuild race
+        per_doc = F.broadcast(per_doc)
+    else:
+        sh.count()  # eager: the 4 consumers below must hit the cache, not race to rebuild it
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -169,18 +201,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD = rf"""
-WITH sh_all AS ({_ORACLE_SHINGLES}),
-tot AS (SELECT count(*) AS n_docs FROM documents),
-hot AS (
-  SELECT shingle FROM sh_all, tot
-  GROUP BY shingle, n_docs
-  HAVING count(*) > greatest({DF_CAP_MIN}, ceil(n_docs * {DF_CAP_FRACTION}))
+WITH sh_all AS (
+  -- 60-bit md5 shingle key, DISTINCT taken AFTER hashing so any hash
+  -- collision collapses identically to the Spark side
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({_ORACLE_SHINGLES}) g
 ),
-sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dfs AS (SELECT sh, count(*) AS df FROM sh_all GROUP BY sh),
+sh AS (
+  SELECT s.doc_id, s.sh
+  FROM sh_all s JOIN dfs USING (sh), tot
+  WHERE df <= greatest({DF_CAP_MIN}, ceil(n_docs * {DF_CAP_FRACTION}))
+),
 per_doc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, shared,
