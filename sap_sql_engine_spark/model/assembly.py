@@ -15,8 +15,10 @@ import os
 
 MODULES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "modules")
 
-# assembly order matches the reference's combined model (FI_* first, then
-# logistics, then HCM); each entry is a vendored file in MODULES_DIR
+# assembly (file-merge) order: FI_* first, then logistics, then HCM; each
+# entry is a vendored file in MODULES_DIR. Note the metadata-level
+# modules_covered list is emitted ALPHABETICALLY to match the reference's
+# combined artifact exactly — file-merge order and that list differ.
 _MODULE_FILES = [
     "sap_model_fi_ap.json",
     "sap_model_fi_ar.json",
@@ -67,7 +69,9 @@ def assemble(base_dir: str = MODULES_DIR) -> dict:
             "application_short_name": pick("application_short_name"),
             "business_objects": pick("business_objects"),
         }
-    model["model_metadata"]["modules_covered"] = list(model["modules"].keys())
+    # sorted: the reference's combined artifact lists modules_covered
+    # alphabetically (BEN, CO, ...), independent of assembly order
+    model["model_metadata"]["modules_covered"] = sorted(model["modules"].keys())
     return model
 
 

@@ -25,6 +25,8 @@ collects to the driver.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -36,6 +38,15 @@ from ..sources.loader import table
 
 DEC = "decimal(18,2)"  # money at rest (reference CURR(13,2), SURVEY §1.2)
 DEC4 = "decimal(18,4)"  # rates/discounts
+
+
+def _tmp_view(df: DataFrame, base: str) -> str:
+    """Register ``df`` under a per-call unique temp-view name. Fixed names
+    collide when two sessions (or two concurrent queries in one session)
+    run the same operator; a uuid suffix makes each plan self-contained."""
+    name = f"{base}_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(name)
+    return name
 
 
 def money(c) -> F.Column:
@@ -451,13 +462,13 @@ LEFT JOIN (
 
 
 def q_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "customer").createOrReplaceTempView("sap_rel_customer")
+    v = _tmp_view(table(spark, sf_dir, "customer"), "sap_rel_customer")
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, c_name, c_nationkey
-        FROM sap_rel_customer c
+        FROM {v} c
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
-                           FROM sap_rel_customer c2
+                           FROM {v} c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
@@ -642,6 +653,13 @@ def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded and therefore bit-identical across engines. `round`
     is deliberately avoided: Spark (BigDecimal HALF_UP) and DuckDB
     (scaled-multiply) disagree at the last ulp.
+
+    Scale bound: with l_quantity <= 50, n*ss grows as ~2500*n^2; the
+    products stay under 2^53 (exact doubles) to ~sf1 and under 2^63 to
+    ~sf1000. Past 2^63 non-ANSI Spark wraps the BIGINT multiply while
+    DuckDB promotes to HUGEINT — for headroom at that scale, compute the
+    numerator in DECIMAL(38,0) on both engines (cheap; not done here
+    because the driver gates at sf0.01).
     """
     li = table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("bigint")
@@ -872,11 +890,11 @@ GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment), ())
 
 
 def q_grouping_sets_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("customer", "nation", "region"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
-    return spark.sql(
-        _GROUPING_SETS_SQL.format(c="gs_customer", n="gs_nation", r="gs_region")
-    )
+    views = {
+        t[0]: _tmp_view(table(spark, sf_dir, t), f"gs_{t}")
+        for t in ("customer", "nation", "region")
+    }
+    return spark.sql(_GROUPING_SETS_SQL.format(c=views["c"], n=views["n"], r=views["r"]))
 
 
 ORACLE_GROUPING_SETS = _GROUPING_SETS_SQL.format(c="customer", n="nation", r="region")
@@ -1070,8 +1088,8 @@ ORDER BY r.depth
 
 
 def q_recursive_line_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_chain_src")
-    return spark.sql(_RECURSIVE_FOLD_SQL.format(src="lineitem_chain_src"))
+    v = _tmp_view(table(spark, sf_dir, "lineitem"), "lineitem_chain_src")
+    return spark.sql(_RECURSIVE_FOLD_SQL.format(src=v))
 
 
 ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement

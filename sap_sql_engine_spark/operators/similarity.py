@@ -98,6 +98,13 @@ LIMIT {TOPK}
 # needs r=3 x b=24 (verified: 0 missed pairs at sf0.01 AND sf0.1); at a
 # production near-dup threshold of 0.85+ (p~0.82) r=8 x b=24 gives 99.7%
 # recall with 256-bucket bands — the same operator, genuinely sub-quadratic.
+#
+# RE-VALIDATION CONTRACT: recall is probabilistic (1-(1-p^r)^b, ~0.1% miss
+# per borderline pair at cos~=0.40), and the oracle is exact brute force —
+# so a missed pair FAILS the gate rather than silently degrading. Whenever
+# NEARDUP_COS or the corpus changes, re-check these constants against the
+# brute-force oracle (one run of the correctness checker does it) and
+# retune r (band width) first: lower thresholds need smaller r.
 NEARDUP_BAND_BITS = 3
 NEARDUP_BANDS = 24
 

@@ -78,6 +78,22 @@ GROUP BY 1, 2
 """
 
 
+_STAGE_ROOT: str | None = None
+
+
+def _stage_root() -> str:
+    """Per-process staging root under the system tmpdir (NOT the repo tree —
+    a working-tree dir risks being swept up by repo-wide globs and pollutes
+    ``git status``). mkdtemp gives each process its own dir, so concurrent
+    sessions never race on a half-copied parquet file."""
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None:
+        import tempfile
+
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="sap_spark_stream_stage_")
+    return _STAGE_ROOT
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the same ts normalization as
     the batch reader. File-stream sources require a directory, so a staging
@@ -89,9 +105,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = table(spark, sf_dir, "events").schema
     stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".stream_stage",
-        os.path.basename(os.path.normpath(sf_dir)),
+        _stage_root(), os.path.basename(os.path.normpath(sf_dir))
     )
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")

@@ -211,7 +211,23 @@ def test_recursive_fold_matches_native_recursion(spark, sf_dir):
     correctness proof, run at sf0.001; the DuckDB oracle re-checks it at
     sf0.01 on every correctness run)."""
     from sap_sql_engine_spark.operators import relational as rel
+    from sap_sql_engine_spark.sources.loader import table
 
-    fold = rel.q_recursive_line_chain(spark, sf_dir)  # registers the src view
-    native = spark.sql(rel._RECURSIVE_SQL.format(src="lineitem_chain_src"))
+    fold = rel.q_recursive_line_chain(spark, sf_dir)
+    v = rel._tmp_view(table(spark, sf_dir, "lineitem"), "lineitem_chain_native")
+    native = spark.sql(rel._RECURSIVE_SQL.format(src=v))
     assert [tuple(r) for r in native.collect()] == [tuple(r) for r in fold.collect()]
+
+
+def test_temp_view_queries_isolated_across_calls(spark):
+    """Per-call unique temp-view names: a lazily-evaluated DataFrame from an
+    earlier call must NOT see data from a later call against a different
+    scale factor (fixed view names made the second call clobber the first's
+    source relation)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    small = rel.q_above_nation_average(spark, "/root/testdata/sf0.001")
+    large = rel.q_above_nation_average(spark, "/root/testdata/sf0.01")
+    n_small, n_large = small.count(), large.count()
+    assert n_small < n_large  # evaluated AFTER both registrations
+    assert n_small == rel.q_above_nation_average(spark, "/root/testdata/sf0.001").count()

@@ -182,7 +182,8 @@ class TestVendoredModelIntegration:
         assert s["tables"] == 59  # raw definitions; registry dedupes shared tables to 58
         assert s["relationships"] == 145
         assert s["patterns"] == 58
-        assert model["model_metadata"]["modules_covered"] == list(model["modules"].keys())
+        # alphabetical, matching the reference combined artifact (not merge order)
+        assert model["model_metadata"]["modules_covered"] == sorted(model["modules"].keys())
 
     def test_inventory_counts(self, ref_model):
         # 58 modeled + aux supplement (HRP1000, CSKB, BSIS, BSAS, T001, T001W)

@@ -7,8 +7,6 @@ the rebuild's equivalent: every template that analyzes cleanly must also
 EXECUTE cleanly on coherent data, and the reference's data invariants are
 asserted directly."""
 
-import os
-
 import pytest
 
 from pyspark.sql import functions as F
