@@ -17,7 +17,6 @@ checked against the plan's output attributes. SURVEY §2.8 G1-G5.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -32,7 +31,26 @@ PII_TABLES = frozenset(
 
 PII_COLUMNS = frozenset({"PERNR", "ENAME", "NACHN", "VORNA", "GBDAT", "PERID"})
 
-_AGG_FN_PAT = re.compile(r"\b(count|sum|avg|min|max)\(", re.IGNORECASE)
+# the reference's allowed aggregate vocabulary (sap_sql_engine.py:1202-1259);
+# anything else (collect_list, first, ...) can reconstruct row-level data and
+# therefore does NOT satisfy the "must aggregate" requirement
+_ALLOWED_AGG_FNS = frozenset({"count", "sum", "avg", "min", "max"})
+
+
+def _has_allowed_agg(expr) -> bool:
+    """Walk a Catalyst *expression* tree (py4j TreeNode) looking for an
+    ``AggregateExpression`` whose function is one of the allowed five.
+    Structural — no plan-printer ``toString()`` parsing, so Spark changing
+    its plan text format can't silently disable the gate."""
+    if expr.getClass().getSimpleName() == "AggregateExpression":
+        try:
+            return expr.aggregateFunction().prettyName().lower() in _ALLOWED_AGG_FNS
+        except Exception:
+            # unknown shape: it IS an aggregate — err on the permissive side
+            # for this sub-check (column exposure is checked separately)
+            return True
+    kids = expr.children()
+    return any(_has_allowed_agg(kids.apply(i)) for i in range(kids.size()))
 
 
 @dataclass
@@ -54,8 +72,10 @@ def _walk(node, under_grouped_agg: bool, state: dict) -> None:
             grouped = False
         if grouped:
             under_grouped_agg = True
-        if _AGG_FN_PAT.search(node.toString().split("\n")[0]):
-            state["has_agg_function"] = True
+        if not state["has_agg_function"]:
+            aggs = node.aggregateExpressions()
+            if any(_has_allowed_agg(aggs.apply(i)) for i in range(aggs.size())):
+                state["has_agg_function"] = True
     if name == "SubqueryAlias":
         try:
             alias = node.alias().upper()
