@@ -17,6 +17,9 @@ DEFAULT_CONFIG = {
     "server_port": 8080,
     "shuffle_partitions": None,  # None -> session default (cores)
     "model_path": None,  # None -> vendored in-package model assembly
+    # LLM settings (reference config keys, sap_sql_engine.py:41-67)
+    "anthropic_api_key": "",
+    "model": "claude-sonnet-4-5-20250929",
 }
 
 CONFIG_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "config.json")

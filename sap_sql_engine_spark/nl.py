@@ -245,7 +245,14 @@ def classify(
             raw = raw.split("\n", 1)[1] if "\n" in raw else raw[3:]
             raw = raw.removesuffix("```")
         try:
-            return json.loads(raw)
+            parsed = json.loads(raw)
+            # C6 token accounting: an LLMClient-style callable exposes the
+            # last call's usage (reference attaches _usage the same way,
+            # sap_sql_engine.py:414-422)
+            usage = getattr(llm, "last_usage", None)
+            if isinstance(parsed, dict) and isinstance(usage, dict) and usage:
+                parsed.setdefault("_usage", usage)
+            return parsed
         except json.JSONDecodeError:
             pass  # fall through to the deterministic path
 
@@ -485,6 +492,9 @@ def answer(
     if sql is None and llm is not None:
         md = llm(build_system_prompt(model, cls["modules"]), question)
         out["answer_markdown"] = md
+        usage = getattr(llm, "last_usage", None)
+        if isinstance(usage, dict) and usage:
+            out["usage"] = usage
         sql = extract_main_sql(md)
     if sql is None:
         out["clarification_needed"] = True

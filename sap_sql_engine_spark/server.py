@@ -28,7 +28,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 
-from . import nl, results
+from . import config as config_mod
+from . import llmclient, nl, results, webui
+from .cli import EXAMPLES
 from .kg import KnowledgeGraph
 from .plans import executor
 from .sources.registry import SemanticModel
@@ -42,12 +44,28 @@ class EngineContext:
         spark: SparkSession,
         model: SemanticModel,
         llm: Callable[[str, str], str] | None = None,
+        config: dict | None = None,
+        config_path: str | None = None,
+        transport_factory: Callable[[str], Callable[[dict], dict]] | None = None,
     ):
         self.spark = spark
         self.model = model
+        self.config_path = config_path or config_mod.CONFIG_PATH
+        self.config = config if config is not None else config_mod.load_config(self.config_path)
+        # tests inject a fake transport factory; production uses urllib
+        self.transport_factory = transport_factory or llmclient.http_transport
+        if llm is None and self.config.get("anthropic_api_key"):
+            llm = self.make_client(self.config["anthropic_api_key"])
         self.llm = llm
         self.kg = KnowledgeGraph(model)
         self.catalog = nl.extract_catalog(model)
+
+    def make_client(self, key: str) -> llmclient.LLMClient:
+        return llmclient.LLMClient(
+            api_key=key,
+            model=self.config.get("model") or llmclient.DEFAULT_MODEL,
+            transport=self.transport_factory(key),
+        )
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -88,7 +106,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 (http.server contract)
         ctx = self.ctx
-        if self.path == "/api/status":
+        if self.path in ("/", "/index.html"):
+            body = webui.PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/api/status":
+            usage = getattr(ctx.llm, "session_usage", None)
             self._json(
                 {
                     "status": "ok",
@@ -96,8 +122,23 @@ class _Handler(BaseHTTPRequestHandler):
                     "spark_version": ctx.spark.version,
                     "tables": len(ctx.model.tables),
                     "modules": ctx.model.modules(),
+                    "has_api_key": bool(ctx.config.get("anthropic_api_key")),
+                    "model": ctx.config.get("model") or llmclient.DEFAULT_MODEL,
+                    "key_preview": (
+                        llmclient.key_preview(ctx.config["anthropic_api_key"])
+                        if ctx.config.get("anthropic_api_key")
+                        else ""
+                    ),
+                    "session_usage": usage,
+                    "session_cost_usd": (
+                        ctx.llm.session_cost_usd()
+                        if isinstance(ctx.llm, llmclient.LLMClient)
+                        else 0.0
+                    ),
                 }
             )
+        elif self.path == "/api/examples":
+            self._json({"examples": EXAMPLES})
         elif self.path == "/api/kg/stats":
             self._json(ctx.kg.stats())
         elif self.path == "/api/kg/graph":
@@ -149,6 +190,10 @@ class _Handler(BaseHTTPRequestHandler):
             out = nl.answer(
                 ctx.spark, body.get("question", ""), ctx.model, llm=ctx.llm
             )
+            if "result" in out and "rows" in out["result"]:
+                # chart spec computed here (pure, on the capped result) so the
+                # UI never re-executes the query just to chart it
+                out["chart"] = results.infer_chart(out["result"])
             self._json(out)
         elif self.path == "/api/execute":
             res = executor.execute(
@@ -161,6 +206,8 @@ class _Handler(BaseHTTPRequestHandler):
                 status = 403
             elif "error" in res:
                 status = 400
+            elif "rows" in res:
+                res["chart"] = results.infer_chart(res)
             self._json(res, status)
         elif self.path == "/api/catalog":
             self._json(ctx.catalog)
@@ -196,6 +243,57 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 self._text(results.to_csv(res), "text/csv", "results.csv")
+        elif self.path == "/api/save-key":
+            # format gate -> live probe -> persist; mirrors the reference's
+            # endpoint (sap_sql_engine.py:1529-1563): clearly-bad keys are
+            # rejected, transient probe failures (network down) still save.
+            key = (body.get("key") or "").strip()
+            if not llmclient.valid_key_format(key):
+                self._json(
+                    {"status": "error", "error": "Invalid key format. Should start with sk-ant-"}
+                )
+                return
+            client = ctx.make_client(key)
+            try:
+                client.probe()
+            except llmclient.LLMError as e:
+                err = str(e).lower()
+                if "authentication" in err or "invalid" in err or "api key" in err:
+                    self._json(
+                        {
+                            "status": "error",
+                            "error": "API key validation failed. Check that the key "
+                            "is correct and has credits.",
+                        }
+                    )
+                    return
+                if "credit" in err or "balance" in err:
+                    self._json(
+                        {
+                            "status": "error",
+                            "error": "API key has insufficient credits.",
+                        }
+                    )
+                    return
+            ctx.llm = client
+            ctx.config["anthropic_api_key"] = key
+            config_mod.save_config(ctx.config, ctx.config_path)
+            self._json({"status": "ok", "key_preview": llmclient.key_preview(key)})
+        elif self.path == "/api/remove-key":
+            ctx.config["anthropic_api_key"] = ""
+            ctx.llm = None
+            config_mod.save_config(ctx.config, ctx.config_path)
+            self._json({"status": "ok"})
+        elif self.path == "/api/save-model":
+            model_name = (body.get("model") or "").strip()
+            if model_name not in llmclient.ALLOWED_MODELS:
+                self._json({"status": "error", "error": f"Unknown model: {model_name}"})
+                return
+            ctx.config["model"] = model_name
+            if isinstance(ctx.llm, llmclient.LLMClient):
+                ctx.llm.model = model_name
+            config_mod.save_config(ctx.config, ctx.config_path)
+            self._json({"status": "ok", "model": model_name})
         elif self.path == "/api/chart":
             res = executor.execute(ctx.spark, body.get("sql", ""))
             if "rows" not in res:
@@ -211,8 +309,9 @@ def create_server(
     model: SemanticModel,
     port: int = 0,
     llm: Callable[[str, str], str] | None = None,
+    **ctx_kwargs,
 ) -> ThreadingHTTPServer:
-    ctx = EngineContext(spark, model, llm)
+    ctx = EngineContext(spark, model, llm, **ctx_kwargs)
     handler = type("BoundHandler", (_Handler,), {"ctx": ctx})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
