@@ -6,6 +6,12 @@ web-UI-only, reference ``sap_sql_engine.py:1757-1833``); this CLI adds
 for. Without an LLM configured, NL questions are answered through the
 deterministic validated-template path in ``nl.answer``.
 
+REPL commands match the reference's interactive loop (``:1757-1833``):
+``examples`` (numbered; a bare number re-asks that example), ``key <k>``
+(persist an API key and switch to LLM generation), ``export`` (write the
+system prompt to a file), ``web`` (hand off to the HTTP server + UI),
+``sql <query>``, ``quit``.
+
 Usage::
 
     python -m sap_sql_engine_spark --sql "SELECT ..." [--sf-dir DIR]
@@ -18,9 +24,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-from . import nl, results
+from . import config as config_mod
+from . import llmclient, nl, results
 from .plans import executor
 from .sources.loader import load_tables
 from .sources.registry import SemanticModel
@@ -114,26 +122,77 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # REPL
-    print("sap-sql-engine-spark — 'examples', 'sql <query>', 'quit'")
+    return repl(spark, model)
+
+
+def repl(spark, model, input_fn=input, config_path: str | None = None) -> int:
+    """Interactive loop; ``input_fn`` injectable for tests."""
+    cfg_path = config_path or config_mod.CONFIG_PATH
+    cfg = config_mod.load_config(cfg_path)
+    llm = None
+    if cfg.get("anthropic_api_key"):
+        llm = llmclient.LLMClient(
+            cfg["anthropic_api_key"], cfg.get("model") or llmclient.DEFAULT_MODEL
+        )
+    mode = f"API ({llm.model})" if llm else "deterministic templates (no API key)"
+    print(f"sap-sql-engine-spark — mode: {mode}")
+    print("commands: 'examples', 'key <api-key>', 'export', 'web', 'sql <query>', 'quit'")
     while True:
         try:
-            line = input("> ").strip()
+            line = input_fn("> ").strip()
         except (EOFError, KeyboardInterrupt):
             break
         if not line:
             continue
-        if line in ("quit", "exit"):
+        if line.lower() in ("quit", "exit"):
             break
-        if line == "examples":
+        if line.lower() == "examples":
             for i, ex in enumerate(EXAMPLES, 1):
                 print(f"  {i}. {ex}")
             continue
+        if line.lower().startswith("key "):
+            new_key = line[4:].strip()
+            if not llmclient.valid_key_format(new_key):
+                print("  Invalid key format. Should start with sk-ant-")
+                continue
+            cfg["anthropic_api_key"] = new_key
+            config_mod.save_config(cfg, cfg_path)
+            llm = llmclient.LLMClient(
+                new_key, cfg.get("model") or llmclient.DEFAULT_MODEL
+            )
+            print(f"  API key saved ({llmclient.key_preview(new_key)})")
+            continue
+        if line.lower() == "export":
+            out_path = os.path.join(
+                os.path.dirname(cfg_path), "sap_system_prompt.txt"
+            )
+            with open(out_path, "w") as f:
+                f.write(nl.build_system_prompt(model))
+            print(f"  Exported to: {out_path}")
+            continue
+        if line.lower() == "web":
+            from . import server
+
+            port = int(cfg.get("server_port") or 8080)
+            print(f"  serving on http://127.0.0.1:{port}")
+            server.serve(spark, model, port)
+            break
         if line.startswith("sql "):
             print(format_result(executor.execute(spark, line[4:])))
             continue
-        out = nl.answer(spark, line, model)
+        if line.isdigit() and 1 <= int(line) <= len(EXAMPLES):
+            line = EXAMPLES[int(line) - 1]
+            print(f"  -> {line}")
+        out = nl.answer(spark, line, model, llm=llm)
         if "result" in out:
+            if out.get("template"):
+                print(f"[template: {out['template']}]")
             print(format_result(out["result"]))
+            if out.get("usage"):
+                u = out["usage"]
+                print(
+                    f"  Tokens: {u['input_tokens']} input, {u['output_tokens']} output"
+                )
         else:
             print("Need clarification. Try one of:")
             for s in out.get("suggestions", [])[:5]:
