@@ -5,11 +5,16 @@ rows are ``(media_id, content: binary, meta: struct)``; cheap metadata ops
 (length, hash, magic-byte sniffing) stay JVM-side as built-ins; decode /
 feature-extraction / frame-sampling run as Arrow-batched ``mapInPandas``
 operators whose *plumbing* (schema, batch iteration, partition preservation)
-is real and tested, while the codec itself is stubbed: the container ships
-no image/audio libraries, so ``decode_features`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, which substitutes
-a seeded byte-histogram "embedding" so the pipeline shape is exercisable
-end-to-end.
+is real and tested. Codecs are tiered by availability:
+
+- **WAV audio — real decode, stdlib only** (``wave`` + ``struct``): PCM
+  amplitude histogram features, exercisable in this container.
+- **PNG/JPEG images — real decode behind an import-try on Pillow**
+  (luminance histogram); the test *skips* (never fakes) when Pillow is
+  genuinely absent.
+- **anything else**: ``NotImplementedError`` unless
+  ``deterministic_fake=True``, which substitutes a seeded byte-histogram
+  "embedding" so the pipeline shape stays exercisable end-to-end.
 
 At 100 TB: binary payloads ride the same parquet scans as everything else;
 ``spark.sql.files.maxPartitionBytes`` keeps per-task batches bounded, and
@@ -18,9 +23,20 @@ mapInPandas streams Arrow batches so a partition never fully materializes.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
+
+try:  # optional image codec — decode runs when present, test skips when not
+    from PIL import Image
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    Image = None
+    HAS_PIL = False
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,40 +117,88 @@ FROM documents
 # decode / feature-extract — Arrow-batched mapInPandas; codec stubbed
 
 
+def _norm_hist(hist: list[float]) -> list[float]:
+    total = sum(hist) or 1.0
+    return [round(h / total, 6) for h in hist]
+
+
+def _wav_features(buf: bytes) -> list[float]:
+    """Real audio decode, stdlib-only: PCM samples -> normalized amplitude
+    histogram over FEATURE_DIM bins."""
+    with wave.open(io.BytesIO(buf)) as w:
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+    if fmt is None:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    samples = struct.unpack(f"<{len(raw) // width}{fmt}", raw)
+    hist = [0.0] * FEATURE_DIM
+    maxv = float(2 ** (8 * width - 1))
+    for s in samples:
+        hist[min(int((s / maxv + 1.0) / 2.0 * FEATURE_DIM), FEATURE_DIM - 1)] += 1.0
+    return _norm_hist(hist)
+
+
+def _image_features(buf: bytes) -> list[float]:
+    """Real image decode behind the Pillow import-try: grayscale luminance
+    histogram over FEATURE_DIM bins."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed; "
+            "pass deterministic_fake=True for the pipeline-shape fake"
+        )
+    img = Image.open(io.BytesIO(buf)).convert("L")
+    hist = [0.0] * FEATURE_DIM
+    for px in img.getdata():
+        hist[min(px * FEATURE_DIM // 256, FEATURE_DIM - 1)] += 1.0
+    return _norm_hist(hist)
+
+
+def _fake_features(buf: bytes) -> list[float]:
+    hist = [0.0] * FEATURE_DIM
+    for b in buf:
+        hist[b % FEATURE_DIM] += 1.0
+    return _norm_hist(hist)
+
+
+def _is_wav(buf: bytes) -> bool:
+    return buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+
+
+def _is_image(buf: bytes) -> bool:
+    return buf[:4] == b"\x89PNG" or buf[:2] == b"\xff\xd8"
+
+
 def decode_features(
     media: DataFrame, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Per-payload feature extraction.
+    """Per-payload feature extraction, dispatched on magic bytes.
 
-    Real decode requires codec libraries not present in this container —
-    that path raises ``NotImplementedError`` (STUB, by design). With
-    ``deterministic_fake=True`` a seeded byte-histogram stands in, keeping
-    schema/batching/partitioning identical to the real operator.
-    """
+    WAV payloads decode for real with the stdlib; PNG/JPEG decode for real
+    when Pillow is importable (``NotImplementedError`` otherwise — declared
+    stub, never silently faked); any other payload requires
+    ``deterministic_fake=True``, which substitutes a seeded byte-histogram
+    with identical schema/batching/partitioning."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not deterministic_fake:
-                # STUB: swap in PIL/torchaudio/ffmpeg decode here when the
-                # runtime ships codecs.
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this container; pass deterministic_fake=True for the "
-                    "pipeline-shape fake"
-                )
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 buf = bytes(content) if content is not None else b""
-                hist = [0.0] * FEATURE_DIM
-                for b in buf:
-                    hist[b % FEATURE_DIM] += 1.0
-                total = sum(hist) or 1.0
+                if deterministic_fake:
+                    feats = _fake_features(buf)
+                elif _is_wav(buf):
+                    feats = _wav_features(buf)
+                elif _is_image(buf):
+                    feats = _image_features(buf)
+                else:
+                    raise NotImplementedError(
+                        "no codec for this payload (WAV decodes via stdlib, "
+                        "PNG/JPEG require Pillow); pass "
+                        "deterministic_fake=True for the pipeline-shape fake"
+                    )
                 out.append(
-                    {
-                        "media_id": mid,
-                        "byte_len": len(buf),
-                        "features": [round(h / total, 6) for h in hist],
-                    }
+                    {"media_id": mid, "byte_len": len(buf), "features": feats}
                 )
             yield pd.DataFrame(out, columns=["media_id", "byte_len", "features"])
 

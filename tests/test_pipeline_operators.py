@@ -176,13 +176,70 @@ def test_multimodal_fake_decode_shape(spark, sf_dir):
         assert r.byte_len > 0
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+def test_multimodal_unknown_codec_is_stubbed(spark, sf_dir):
+    # text payloads match no codec magic -> declared stub, never silently faked
     media = multimodal.documents_as_media(spark, sf_dir).limit(1)
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_features(media, deterministic_fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def _wav_bytes(samples, sampwidth=2, framerate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _media_df(spark, payloads):
+    rows = [
+        (i, bytearray(p), ("audio/wav", None, None, None))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_wav_decode_is_real(spark):
+    """WAV decodes with the stdlib — no fake: alternating +/-8192 16-bit PCM
+    lands in exactly two known amplitude-histogram bins, 50/50."""
+    wav = _wav_bytes([8192, -8192] * 200)
+    out = multimodal.decode_features(_media_df(spark, [wav])).collect()
+    assert len(out) == 1
+    feats = out[0].features
+    assert out[0].byte_len == len(wav)
+    # (8192/32768+1)/2*16 = bin 10; (-8192/32768+1)/2*16 = bin 6
+    assert feats[10] == pytest.approx(0.5)
+    assert feats[6] == pytest.approx(0.5)
+    assert sum(feats) == pytest.approx(1.0)
+
+
+def test_image_decode_honest_without_pil(spark):
+    """PNG magic routes to the image codec: real decode when Pillow is
+    importable, NotImplementedError (not a silent fake) when it isn't."""
+    if multimodal.HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        img = Image.new("L", (8, 8), color=255)  # all-white -> top bin
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        out = multimodal.decode_features(_media_df(spark, [buf.getvalue()])).collect()
+        assert out[0].features[multimodal.FEATURE_DIM - 1] == pytest.approx(1.0)
+    else:
+        png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+        with pytest.raises(Exception) as exc_info:
+            multimodal.decode_features(_media_df(spark, [png])).collect()
+        assert "Pillow" in str(exc_info.value)
 
 
 def test_frame_sample_chunks(spark, sf_dir):
