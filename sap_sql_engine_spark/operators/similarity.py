@@ -15,6 +15,7 @@ accumulation is left-to-right in array order in both Spark and the oracle's
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,45 @@ LIMIT {TOPK}
 # retune r (band width) first: lower thresholds need smaller r.
 NEARDUP_BAND_BITS = 3
 NEARDUP_BANDS = 24
+NEARDUP_TARGET_RECALL = 0.999  # the bound (r, b) must satisfy AT the threshold
+
+
+def banding_recall(cos_threshold: float, r: int, b: int) -> float:
+    """Lower bound on P(candidate) for a pair exactly AT the cosine
+    threshold: ``1-(1-p^r)^b`` with ``p = 1 - arccos(cos)/pi`` (random
+    hyperplane sign-agreement probability). Pairs above the threshold have
+    strictly higher collision probability, so this bounds recall for every
+    reported pair."""
+    p = 1.0 - math.acos(cos_threshold) / math.pi
+    return 1.0 - (1.0 - p**r) ** b
+
+
+def derive_band_params(
+    cos_threshold: float,
+    target_recall: float = NEARDUP_TARGET_RECALL,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Derive (r, b) from the threshold: the LARGEST band width r (candidate
+    volume shrinks ~2^-r per band, so bigger r = more selective) whose
+    required band count ``b = ceil(log(1-target)/log(1-p^r))`` still fits
+    ``max_bands``. Makes the ADVICE re-validation mechanical: changing
+    NEARDUP_COS, re-derive instead of hand-tuning."""
+    p = 1.0 - math.acos(cos_threshold) / math.pi
+    for r in range(16, 0, -1):
+        pr = p**r
+        if pr >= 1.0:
+            return r, 1
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b <= max_bands:
+            return r, b
+    return 1, max_bands
+
+
+# executable form of the re-validation contract: the configured constants
+# must meet the recall bound at the configured threshold (unit-tested; a
+# threshold/constant edit that breaks the bound fails fast, before the
+# exact-oracle gate even runs)
+assert banding_recall(NEARDUP_COS, NEARDUP_BAND_BITS, NEARDUP_BANDS) >= NEARDUP_TARGET_RECALL
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,3 +288,21 @@ def test_temp_view_queries_isolated_across_calls(spark):
     n_small, n_large = small.count(), large.count()
     assert n_small < n_large  # evaluated AFTER both registrations
     assert n_small == rel.q_above_nation_average(spark, "/root/testdata/sf0.001").count()
+
+
+def test_banding_recall_bound_and_derivation():
+    """ADVICE (r2): (r,b) must carry an explicit recall bound at the
+    configured threshold, and be derivable rather than hand-tuned."""
+    rec = similarity.banding_recall(
+        similarity.NEARDUP_COS, similarity.NEARDUP_BAND_BITS, similarity.NEARDUP_BANDS
+    )
+    assert rec >= similarity.NEARDUP_TARGET_RECALL
+    # derivation returns params meeting the bound, with the most selective
+    # band width that fits — and monotonicity: tighter thresholds allow
+    # wider (more selective) bands
+    r_low, b_low = similarity.derive_band_params(0.40)
+    r_hi, b_hi = similarity.derive_band_params(0.85)
+    assert similarity.banding_recall(0.40, r_low, b_low) >= 0.999
+    assert similarity.banding_recall(0.85, r_hi, b_hi) >= 0.999
+    assert r_hi > r_low
+    assert b_low <= 64 and b_hi <= 64
