@@ -488,11 +488,116 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the pair graph
+#
+# Pair generation (above) finds edges; an actual dedup pipeline must then
+# GROUP the edges into components and keep one representative per component
+# ("cluster-and-keep-one"). This is the canonical iterative-algorithm
+# operator: min-label propagation (HashToMin) as a driver-side loop of
+# DataFrame joins.
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation: every node's label converges to the smallest
+    doc_id in its component.
+
+    Scale shape: each round is two shuffles (neighbor-min join + label
+    update), both keyed on node id; the driver loop runs O(diameter) rounds
+    with one scalar action per round for the convergence check. Near-dup
+    components are near-cliques (diameter ~2), so rounds stay in single
+    digits even at 100 TB; for adversarial chain-shaped graphs swap the
+    body for large-star/small-star contraction (same join skeleton,
+    O(log n) rounds). ``localCheckpoint`` truncates the per-round lineage —
+    on a cluster use a checkpoint dir instead."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition("a")
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    cur_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(nmin, labels["node"] == nmin["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so the label sum is a strictly
+        # decreasing convergence metric — one scalar probe per round
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    sym.unpersist()
+    return labels
+
+
+def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_representative) for every doc
+    in at least one n-gram-Jaccard near-dup pair. cluster_id = min doc_id
+    of the component; keep rows where is_representative=1 and drop the rest
+    — the keep-one-per-cluster step of a dedup pipeline."""
+    pairs = jaccard_pairs(table(spark, sf_dir, "documents")).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .withColumn(
+            "is_representative",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+
+
+# the oracle computes the same components with a literal recursive CTE over
+# the same pair SQL (min reachable label per node)
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_representative
+FROM comp
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_neardup_clusters": q_dedup_neardup_clusters,
 }
 
 ORACLES = {
@@ -500,4 +605,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
 }

@@ -194,11 +194,121 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+#
+# Training pipelines downsample majority strata (e.g. English web text) and
+# keep more of minority strata. Sampling must be DETERMINISTIC (reruns and
+# retries pick the same rows — no rand()) and cheap (a pushable filter on a
+# hash of the key, no shuffle). Rates here: keep 20% of 'en', 60% of
+# everything else.
+
+SAMPLE_RATE_EN = 20
+SAMPLE_RATE_OTHER = 60
+
+# 32-bit md5 prefix of the doc_id -> uniform bucket in [0, 100)
+_BUCKET_SPARK = (
+    "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 100)"
+)
+_BUCKET_DUCK = "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sample: one narrow filter, zero
+    shuffles, fully pushable — the 100 TB shape (rand()-based sampling is
+    neither deterministic nor retry-stable)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_EN)).otherwise(
+        F.lit(SAMPLE_RATE_OTHER)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        rate.alias("sample_rate"),
+    ).filter(F.col("bucket") < F.col("sample_rate"))
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source,
+       CAST({_BUCKET_DUCK} AS INT) AS bucket,
+       CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_RATE_OTHER} END AS sample_rate
+FROM documents
+WHERE {_BUCKET_DUCK} < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_RATE_OTHER} END
+"""
+
+
+# ---------------------------------------------------------------------------
+# clean-corpus funnel: quality filter + language filter + exact dedup,
+# composed into ONE single-shuffle aggregation — the end-to-end counts a
+# pipeline run reports per source.
+
+QUALITY_KEEP = 0.5
+
+
+def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel: total docs -> docs passing quality+language
+    filters -> distinct surviving fingerprints (what exact dedup would
+    keep). One groupBy(source) = one shuffle; every signal is a built-in
+    expression computed in the same scan pass."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    words = F.size(F.split(t, r"\s+"))
+    stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it)\b"))
+    quality = F.round(
+        (alpha / n_chars) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop.cast("double") / words * F.lit(10)) * F.lit(0.3)
+        + F.least(F.lit(1.0), words.cast("double") / F.lit(100)) * F.lit(0.2),
+        4,
+    )
+    keep = (quality >= QUALITY_KEEP) & (F.col("lang") != "unknown")
+    return (
+        docs.select(
+            "source",
+            keep.alias("keep"),
+            F.when(keep, fingerprint_col()).alias("kept_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("filtered_docs"),
+            F.countDistinct("kept_fp").alias("kept_docs"),
+        )
+    )
+
+
+ORACLE_CORPUS_CLEAN = rf"""
+WITH scored AS (
+  SELECT source, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         round((CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(trim(text))) * 0.5
+               + least(1.0, CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|a|in|is|it)\b')) AS DOUBLE)
+                            / len(regexp_split_to_array(trim(text), '\s+')) * 10) * 0.3
+               + least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100) * 0.2,
+               4) AS quality
+  FROM documents
+)
+SELECT source,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN quality >= {QUALITY_KEEP} AND lang <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS filtered_docs,
+       count(DISTINCT CASE WHEN quality >= {QUALITY_KEEP} AND lang <> 'unknown' THEN fp END) AS kept_docs
+FROM scored
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
     "text_language_id": q_language_id,
     "text_fingerprint": q_fingerprint,
+    "docs_stratified_sample": q_stratified_sample,
+    "corpus_clean_stats": q_corpus_clean_stats,
 }
 
 ORACLES = {
@@ -206,4 +316,6 @@ ORACLES = {
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "docs_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_clean_stats": ORACLE_CORPUS_CLEAN,
 }

@@ -306,3 +306,52 @@ def test_banding_recall_bound_and_derivation():
     assert similarity.banding_recall(0.85, r_hi, b_hi) >= 0.999
     assert r_hi > r_low
     assert b_low <= 64 and b_hi <= 64
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+ 11-12 redundant edge), isolated
+    pair 20-21: labels must converge to the component minimum."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc1", "doc2"],
+    )
+    comp = {r.node: r.label for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_neardup_clusters_keep_one(spark, sf_dir):
+    rows = dedup.q_dedup_neardup_clusters(spark, sf_dir).collect()
+    assert rows, "expected planted near-dup clusters at sf0.001"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        # cluster id is the min member; exactly one representative per cluster
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_representative for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_stratified_sample_deterministic_and_unshuffled(spark, sf_dir):
+    df = textanalysis.q_stratified_sample(spark, sf_dir)
+    a = sorted(r.doc_id for r in df.collect())
+    b = sorted(r.doc_id for r in textanalysis.q_stratified_sample(spark, sf_dir).collect())
+    assert a == b  # deterministic across runs (no rand())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter+project: zero shuffles
+    for r in df.collect():
+        assert r.bucket < r.sample_rate
+        assert r.sample_rate == (
+            textanalysis.SAMPLE_RATE_EN if r.lang == "en" else textanalysis.SAMPLE_RATE_OTHER
+        )
+
+
+def test_corpus_clean_funnel_monotone(spark, sf_dir):
+    rows = textanalysis.q_corpus_clean_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.total_docs >= r.filtered_docs >= r.kept_docs
+    df = textanalysis.q_corpus_clean_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one aggregation shuffle (count-distinct expands it, but no joins)
+    assert "Join" not in plan
