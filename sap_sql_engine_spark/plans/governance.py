@@ -63,8 +63,22 @@ class GovernanceBlock:
     message: str
 
 
-def _walk(node, under_grouped_agg: bool, state: dict) -> None:
+def _pii_attrs_in(expr) -> set[str]:
+    """PII identifier columns referenced anywhere in an expression tree."""
+    found: set[str] = set()
+    if expr.getClass().getSimpleName() == "AttributeReference":
+        if expr.name().upper() in PII_COLUMNS:
+            found.add(expr.name().upper())
+    kids = expr.children()
+    for i in range(kids.size()):
+        found |= _pii_attrs_in(kids.apply(i))
+    return found
+
+
+def _walk(node, under_grouped_agg: bool, state: dict) -> bool:
+    """Returns True when the subtree contains a PII relation."""
     name = node.nodeName()
+    grouped = False
     if name == "Aggregate":
         try:
             grouped = node.groupingExpressions().size() > 0
@@ -85,20 +99,36 @@ def _walk(node, under_grouped_agg: bool, state: dict) -> None:
             state["touched"].add(alias)
             if not under_grouped_agg:
                 state["unaggregated"].add(alias)
+            return True  # leaf-ish: relation subtree below carries no more info
+    has_pii = False
     children = node.children()
     for i in range(children.size()):
-        _walk(children.apply(i), under_grouped_agg, state)
+        has_pii |= _walk(children.apply(i), under_grouped_agg, state)
     # subquery expressions (scalar subqueries, EXISTS) hang off expressions,
     # not children; innerChildren covers them in Catalyst's tree API
     inner = node.innerChildren()
     for i in range(inner.size()):
-        _walk(inner.apply(i), under_grouped_agg, state)
+        has_pii |= _walk(inner.apply(i), under_grouped_agg, state)
+    if name == "Aggregate" and grouped and has_pii:
+        # grouping BY an identifier makes every group one individual — that
+        # defeats aggregation even when the output is aliased (`PERNR AS
+        # eid`), which the output-name check below can't see. Structural:
+        # walk the grouping expression trees for PII attribute references.
+        ges = node.groupingExpressions()
+        for i in range(ges.size()):
+            state["pii_grouped"] |= _pii_attrs_in(ges.apply(i))
+    return has_pii
 
 
 def check(df: DataFrame) -> GovernanceBlock | None:
     """Gate a DataFrame before execution. Returns None when safe."""
     plan = df._jdf.queryExecution().analyzed()
-    state: dict = {"touched": set(), "unaggregated": set(), "has_agg_function": False}
+    state: dict = {
+        "touched": set(),
+        "unaggregated": set(),
+        "has_agg_function": False,
+        "pii_grouped": set(),
+    }
     _walk(plan, False, state)
 
     touched = sorted(state["touched"])
@@ -129,7 +159,8 @@ def check(df: DataFrame) -> GovernanceBlock | None:
         )
 
     exposed = sorted(
-        c for c in df.schema.names if c.upper() in PII_COLUMNS
+        set(c.upper() for c in df.schema.names if c.upper() in PII_COLUMNS)
+        | state["pii_grouped"]
     )
     if exposed:
         return GovernanceBlock(

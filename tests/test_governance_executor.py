@@ -132,3 +132,33 @@ def test_execute_dialect_integration(spark):
 def test_execute_error_contract(spark):
     res = executor.execute(spark, "SELECT nonexistent_col FROM NONPII")
     assert "error" in res
+
+
+def test_aliased_pii_grouping_blocked(spark):
+    # aliasing hides PERNR from the output-name check; the structural
+    # grouping-expression walk still catches it
+    b = gov(
+        spark,
+        "SELECT ORGEH, PERNR AS eid, COUNT(*) AS n FROM PA0001 GROUP BY ORGEH, PERNR",
+    )
+    assert b is not None and b.type == "pii_column_exposed"
+    assert "PERNR" in b.message
+
+
+def test_derived_pii_grouping_blocked(spark):
+    # expressions OVER an identifier still group per-individual
+    b = gov(
+        spark,
+        "SELECT substr(PERNR, 1, 8) AS k, COUNT(*) AS n FROM PA0001 GROUP BY substr(PERNR, 1, 8)",
+    )
+    assert b is not None and b.type == "pii_column_exposed"
+
+
+def test_non_pii_grouping_with_agg_still_allowed(spark):
+    assert (
+        gov(
+            spark,
+            "SELECT p.ORGEH, COUNT(*) AS n FROM PA0001 p JOIN NONPII v ON v.LIFNR = p.BUKRS GROUP BY p.ORGEH",
+        )
+        is None
+    )
