@@ -136,12 +136,13 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
       then moves 8-byte ints instead of 3-gram strings: at 100 TB the
       shingle shuffle is the dominant byte volume, and this cuts it ~3-4x.
       Collisions (~2^-60 per pair) are mirrored by the oracle.
-    - ONE full-volume exchange: clustering on ``sh`` satisfies the
-      distinct (grouping keys ⊇ partition key), the per-shingle df as a
+    - ONE full-volume exchange: per-doc distinct happens map-side
+      (``array_distinct`` over the hashed-gram array before explode, so no
+      distinct aggregate exists in the plan), the per-shingle df is a
       window count (local int sort, no exchange — replaces round-2's
       separate groupBy(shingle) aggregation job + broadcast anti-join),
-      and the pair self-join (both sides read the same cache, already
-      hash-partitioned on the join key).
+      and the pair self-join reads the same cache, already
+      hash-partitioned on the join key.
     - the df cap is a literal: n_docs comes from a driver-side count(*)
       (parquet metadata-only — a scalar probe, not a data collect), so the
       filter is a pushable literal predicate instead of a BNLJ against a
@@ -151,14 +152,21 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     which the cap filter guards before any pair is emitted."""
     n_docs = docs.count()  # scalar probe; parquet answers from row-group metadata
     cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
+    # Per-doc distinct map-side: hash each 3-gram to the 60-bit key INSIDE the
+    # shingle array (one codegen stage), array_distinct the longs, then
+    # explode. The (doc_id, sh) stream is born distinct — no hash-aggregate
+    # distinct operator at all — and the full-volume exchange moves 8-byte
+    # ints that were never strings. (distinct-after-hash == hash-of-distinct
+    # up to md5 collisions, which the oracle mirrors bit-identically.)
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    hashed_grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+        "i -> CAST(conv(substr(md5(concat_ws(' ', element_at(toks, i), "
+        "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))"
+    )
     sh = (
-        _shingles_raw_from(docs)
-        .select(
-            "doc_id",
-            F.expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").alias("sh"),
-        )
+        toks.select("doc_id", F.explode(hashed_grams).alias("sh"))
         .repartition("sh")
-        .distinct()
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .filter(F.col("df") <= F.lit(int(cap)))
         .select("doc_id", "sh")
