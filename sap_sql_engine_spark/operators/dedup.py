@@ -99,6 +99,27 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingles_from(table(spark, sf_dir, "documents"))
 
 
+def _hashed_shingles_from(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, [extra_cols...], sh) — per-doc DISTINCT 60-bit hashed
+    word-3-grams, produced entirely map-side: each 3-gram is hashed to
+    ``conv(substr(md5(g),1,15),16,10)`` INSIDE the shingle array (one
+    codegen stage), ``array_distinct`` collapses the longs, then explode.
+    The stream is born distinct — no hash-aggregate distinct operator in
+    the plan — and every downstream exchange moves 8-byte ints that were
+    never materialized as strings. distinct-after-hash == hash-of-distinct
+    up to md5 collisions (~2^-60/pair), which the oracle mirrors
+    bit-identically."""
+    toks = docs.select(
+        *extra_cols, "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    hashed_grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+        "i -> CAST(conv(substr(md5(concat_ws(' ', element_at(toks, i), "
+        "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    return toks.select(*extra_cols, "doc_id", F.explode(hashed_grams).alias("sh"))
+
+
 _ORACLE_SHINGLES = r"""
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
@@ -152,20 +173,8 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     which the cap filter guards before any pair is emitted."""
     n_docs = docs.count()  # scalar probe; parquet answers from row-group metadata
     cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
-    # Per-doc distinct map-side: hash each 3-gram to the 60-bit key INSIDE the
-    # shingle array (one codegen stage), array_distinct the longs, then
-    # explode. The (doc_id, sh) stream is born distinct — no hash-aggregate
-    # distinct operator at all — and the full-volume exchange moves 8-byte
-    # ints that were never strings. (distinct-after-hash == hash-of-distinct
-    # up to md5 collisions, which the oracle mirrors bit-identically.)
-    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    hashed_grams = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
-        "i -> CAST(conv(substr(md5(concat_ws(' ', element_at(toks, i), "
-        "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))"
-    )
     sh = (
-        toks.select("doc_id", F.explode(hashed_grams).alias("sh"))
+        _hashed_shingles_from(docs)
         .repartition("sh")
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .filter(F.col("df") <= F.lit(int(cap)))
@@ -600,12 +609,78 @@ FROM comp
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (train/eval decontamination)
+#
+# The standard pre-training hygiene step: for every corpus document, the
+# fraction of its distinct 3-gram shingles that also appear anywhere in a
+# held-out benchmark/eval set. Here the benchmark is the `src0` slice of the
+# documents table (20 sources x equal share — a realistic eval-set size).
+#
+# Scale shape: the benchmark shingle universe is tiny relative to the corpus
+# (eval sets are thousands of docs, the corpus is billions), so it is
+# DISTINCT-ed and BROADCAST; the corpus side then never shuffles for the
+# membership probe — its only exchange is the final groupBy(doc_id), and
+# map-side partial aggregation collapses that to one row per (partition,
+# doc), which the doc_id-clustered explode already makes one row per doc.
+
+CONTAM_BENCH_SOURCE = "src0"
+CONTAM_FLAG = 0.5
+
+
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = _hashed_shingles_from(docs, "source")
+    bench = (
+        sh.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+    agg = (
+        corpus.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap"),
+        )
+    )
+    frac = F.round(F.col("overlap") / F.col("n_shingles"), 4)
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "overlap",
+        frac.alias("contam_frac"),
+        (frac >= CONTAM_FLAG).alias("contaminated"),
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh_all AS (
+  SELECT DISTINCT g.doc_id, d.source,
+         CAST(('0x' || substr(md5(g.shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({_ORACLE_SHINGLES}) g JOIN documents d ON g.doc_id = d.doc_id
+),
+bench AS (SELECT DISTINCT sh FROM sh_all WHERE source = '{CONTAM_BENCH_SOURCE}'),
+corpus AS (SELECT doc_id, sh FROM sh_all WHERE source <> '{CONTAM_BENCH_SOURCE}')
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       round(CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS contam_frac,
+       round(CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) >= {CONTAM_FLAG} AS contaminated
+FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
+    "corpus_contamination": q_corpus_contamination,
 }
 
 ORACLES = {
@@ -614,4 +689,5 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "corpus_contamination": ORACLE_CONTAMINATION,
 }

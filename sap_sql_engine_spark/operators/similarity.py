@@ -413,11 +413,79 @@ LIMIT {TOPK}
 ORACLE_ANN_IVF = _oracle_ivf()
 
 
+# ---------------------------------------------------------------------------
+# embedding outlier score: L2 distance to the label centroid
+#
+# The standard embedding-space QA pass (mislabeled/corrupted vectors sit far
+# from their class centroid). Cross-row float averages are order-dependent in
+# IEEE, so the centroid is computed EXACTLY: each component is quantized
+# per-row to an integer (floor(v * 1e6) — floor, not round, so there is no
+# tie-break semantics to match) and summed as BIGINT, which is associative —
+# the same double centroid falls out of any execution order on both engines.
+# The per-row distance fold is then left-to-right in array order (the same
+# aggregate/zip_with ≡ list_sum/list_transform bridge the ANN queries use).
+#
+# Scale shape: centroids are labels x dim rows (tiny) -> two small-output
+# aggregations; the scoring pass is a BROADCAST join + per-row map, so the
+# full corpus never shuffles.
+
+OUTLIER_Q = 1_000_000  # quantization: 1e-6 resolution, |sum| < 2^53 up to ~10^9 rows/label
+
+
+def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum(F.expr(f"CAST(floor(CAST(val AS DOUBLE) * {OUTLIER_Q}) AS BIGINT)")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, sq, cnt))), "
+            f"s -> CAST(s.sq AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * {OUTLIER_Q}))"
+        ).alias("centroid")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, centroid, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return emb.join(F.broadcast(cent_arr), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dist), 6).alias("dist_to_centroid"),
+    )
+
+
+ORACLE_EMBEDDING_OUTLIER = f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {OUTLIER_Q}) AS BIGINT) AS q
+  FROM embeddings, range(1, {DIM + 1}) t(i)
+),
+cent AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+  FROM ex GROUP BY label, pos
+),
+cent_arr AS (
+  SELECT label,
+         list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * {OUTLIER_Q}) ORDER BY pos) AS centroid
+  FROM cent GROUP BY label
+)
+SELECT vec_id, e.label,
+       round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+             i -> (CAST(embedding[i] AS DOUBLE) - centroid[i])
+                * (CAST(embedding[i] AS DOUBLE) - centroid[i])))), 6) AS dist_to_centroid
+FROM embeddings e JOIN cent_arr c ON e.label = c.label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "embedding_outlier": q_embedding_outlier,
 }
 
 ORACLES = {
@@ -425,4 +493,5 @@ ORACLES = {
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
 }

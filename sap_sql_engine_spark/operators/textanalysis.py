@@ -302,6 +302,116 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition scoring (Gopher-style repetition filters)
+#
+# Two standard signals for machine-generated / boilerplate text: the
+# duplicate-2-gram fraction (1 - distinct 2-grams / total 2-grams) and the
+# top-token fraction (occurrences of the most frequent token / all tokens).
+# Both are computed ENTIRELY map-side with array higher-order functions —
+# per-row codegen, zero shuffles, embarrassingly parallel at 100 TB. The
+# top-token mode scan is O(distinct x total) per row, fine for web-scale
+# documents (<~100k tokens); for pathological single-doc books switch to the
+# explode + groupBy(doc_id, token) shape.
+
+REPETITION_DUP2_FLAG = 0.5  # Gopher uses ~0.2 for real text; the synthetic
+# corpus is a tiny-vocabulary word soup, so the flag threshold is looser
+
+
+def repetition_score_from(docs: DataFrame) -> DataFrame:
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    grams2 = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1), 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))"
+    )
+    dup2 = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams2)) / F.size(grams2), 4
+    )
+    return d.select(
+        "doc_id",
+        n.alias("token_count"),
+        dup2.alias("dup_2gram_frac"),
+        F.round(top_cnt / n, 4).alias("top_token_frac"),
+        (dup2 >= REPETITION_DUP2_FLAG).alias("repetitive"),
+    )
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score_from(table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION_SCORE = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> concat_ws(' ', toks[i], toks[i + 1])) AS grams2
+  FROM base
+)
+SELECT doc_id,
+       len(toks) AS token_count,
+       round(1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / len(grams2), 4) AS dup_2gram_frac,
+       round(CAST(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 4) AS top_token_frac,
+       round(1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / len(grams2), 4) >= {REPETITION_DUP2_FLAG} AS repetitive
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction
+#
+# Regex surface is kept to the Java-regex ∩ RE2 subset so Spark and the
+# DuckDB oracle match: no lookarounds, no backrefs. Pure per-row projection
+# — zero shuffles. The synthetic corpus contains no PII (all counts 0 on the
+# gate), so the detection path is additionally pinned by a planted-PII unit
+# test that runs BOTH engines over the same literal rows.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def pii_scan_from(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    phones = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        emails.alias("email_count"),
+        phones.alias("phone_count"),
+        (emails + phones).alias("pii_count"),
+        ((emails + phones) > 0).alias("has_pii"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan_from(table(spark, sf_dir, "documents"))
+
+
+ORACLE_PII_SCAN = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS email_count,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS phone_count,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) + len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS pii_count,
+       (len(regexp_extract_all(text, '{PII_EMAIL_RE}')) + len(regexp_extract_all(text, '{PII_PHONE_RE}'))) > 0 AS has_pii,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'), '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -309,6 +419,8 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "docs_stratified_sample": q_stratified_sample,
     "corpus_clean_stats": q_corpus_clean_stats,
+    "text_repetition_score": q_repetition_score,
+    "text_pii_scan": q_pii_scan,
 }
 
 ORACLES = {
@@ -318,4 +430,6 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "docs_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "corpus_clean_stats": ORACLE_CORPUS_CLEAN,
+    "text_repetition_score": ORACLE_REPETITION_SCORE,
+    "text_pii_scan": ORACLE_PII_SCAN,
 }

@@ -355,3 +355,89 @@ def test_corpus_clean_funnel_monotone(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one aggregation shuffle (count-distinct expands it, but no joins)
     assert "Join" not in plan
+
+
+def test_repetition_score_map_side_and_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "w x y z q r s t")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in textanalysis.repetition_score_from(docs).collect()}
+    # "a a a a a": 4 2-grams all "a a" -> dup frac 0.75; top token 5/5
+    assert rows[1].dup_2gram_frac == 0.75
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].repetitive
+    # all-distinct text: no duplicate 2-grams, every token unique
+    assert rows[2].dup_2gram_frac == 0.0
+    assert rows[2].top_token_frac == 0.125
+    assert not rows[2].repetitive
+    # per-row projection only: zero shuffles at any scale
+    df = textanalysis.q_repetition_score(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_scan_planted_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        (1, "contact me at alice.smith+work@example.co.uk or 555-123-4567 now"),
+        (2, "no pii here just words"),
+        (3, "two mails a@b.io c@d.org and phone 123.456.7890"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textanalysis.pii_scan_from(docs).collect()}
+    assert got[1].email_count == 1 and got[1].phone_count == 1 and got[1].has_pii
+    assert "[EMAIL]" in got[1].redacted_text and "[PHONE]" in got[1].redacted_text
+    assert got[2].pii_count == 0 and not got[2].has_pii
+    assert got[3].email_count == 2 and got[3].phone_count == 1
+
+    # the same rows through the oracle SQL must agree cell-for-cell
+    documents = pd.DataFrame(texts, columns=["doc_id", "text"])  # noqa: F841
+    con = duckdb.connect()
+    con.register("documents", documents)
+    oracle = {
+        r[0]: r
+        for r in con.execute(textanalysis.ORACLE_PII_SCAN).fetchall()
+    }
+    for did, row in got.items():
+        assert oracle[did][1] == row.email_count
+        assert oracle[did][2] == row.phone_count
+        assert oracle[did][5] == row.redacted_text
+
+
+def test_contamination_broadcast_and_bounds(spark, sf_dir):
+    df = dedup.q_corpus_contamination(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # benchmark membership probe must be a broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_shingles
+        assert 0 <= r.overlap <= r.n_shingles
+        assert 0.0 <= r.contam_frac <= 1.0
+        assert r.contaminated == (r.contam_frac >= dedup.CONTAM_FLAG)
+    # benchmark docs themselves are excluded from the scored corpus
+    bench_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"source = '{dedup.CONTAM_BENCH_SOURCE}'")
+        .select("doc_id")
+        .collect()
+    }
+    assert bench_ids.isdisjoint({r.doc_id for r in rows})
+
+
+def test_embedding_outlier_broadcast_and_positive(spark, sf_dir):
+    df = similarity.q_embedding_outlier(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # centroids broadcast; corpus unshuffled
+    rows = df.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert all(r.dist_to_centroid >= 0 for r in rows)
+    # distances are exact+deterministic: a second run is bit-identical
+    again = {r.vec_id: r.dist_to_centroid for r in similarity.q_embedding_outlier(spark, sf_dir).collect()}
+    assert all(again[r.vec_id] == r.dist_to_centroid for r in rows)
