@@ -305,14 +305,244 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming dedup: at-least-once delivery -> exactly-once counts
+#
+# The classic streaming-ingest problem: an upstream source redelivers
+# events, and the pipeline must count each event once. Batch form is a
+# COUNT(DISTINCT event_id); the streaming twin is dropDuplicates on the id
+# before aggregating. The test stages the events file TWICE (simulated
+# redelivery: the stream sees 2x rows) and asserts the deduped streaming
+# counts equal the single-copy batch counts exactly.
+#
+# Scale note: plain dropDuplicates keeps one state entry per id forever; a
+# production deployment bounds state with dropDuplicatesWithinWatermark
+# (ids can only be redelivered within the watermark horizon). The unbounded
+# form is used here because the replayed file's event times span the whole
+# range — a watermark would classify the second delivery as late data and
+# make the test nondeterministic across micro-batch boundaries.
+
+
+def q_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_EVENTS_DEDUP = """
+SELECT event_type,
+       count(DISTINCT event_id) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str, copies: int = 2):
+    """Streaming twin of the n_events side of q_events_dedup_counts, fed
+    ``copies`` deliveries of every event. Returns the started query; caller
+    drives it with processAllAvailable() and reads the memory sink
+    ``events_dedup_stream``."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = table(spark, sf_dir, "events").schema
+    stage = os.path.join(
+        _stage_root(), "dup_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(stage, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(stage, f"events_copy{i}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_dedup_stream")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase matched to the user's most recent PRIOR click
+#
+# Spark has no native as-of join; the naive expression is an inequality join
+# (events x events ON a.user=b.user AND b.ts <= a.ts), which plans as a
+# per-user nested loop and dies at scale. The scalable re-expression: UNION
+# the two event streams (they are already one table here), sort once within
+# user partitions, and carry the last click forward with last(..., ignore
+# nulls) — ONE shuffle on user_id, no join operator in the plan at all.
+# Ordering is (ts, event_id) so ties are deterministic; a click at the same
+# timestamp as the purchase counts as prior iff its event_id is smaller.
+# Timestamps/gaps are integer microseconds (the sessionize convention).
+
+ASOF_LEFT = "purchase"
+ASOF_RIGHT = "click"
+
+
+def q_events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin(ASOF_LEFT, ASOF_RIGHT)
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    is_click = F.col("event_type") == ASOF_RIGHT
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("prior_click_id"),
+        F.last(F.when(is_click, us), ignorenulls=True)
+        .over(w)
+        .alias("prior_click_ts_us"),
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == ASOF_LEFT) & F.col("prior_click_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "prior_click_id",
+            (F.col("ts_us") - F.col("prior_click_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+ORACLE_EVENTS_ASOF = f"""
+WITH t AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, ts
+  FROM events WHERE event_type IN ('{ASOF_LEFT}', '{ASOF_RIGHT}')
+),
+w AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = '{ASOF_RIGHT}' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id,
+         last_value(CASE WHEN event_type = '{ASOF_RIGHT}' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_ts_us
+  FROM t
+)
+SELECT event_id, user_id, ts_us, prior_click_id,
+       ts_us - prior_click_ts_us AS gap_us
+FROM w
+WHERE event_type = '{ASOF_LEFT}' AND prior_click_id IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel: signup -> later click -> later purchase, per user
+#
+# Three chained windows over the SAME (user_id) partitioning — Spark plans
+# one exchange and reuses the sort for all three — then a tiny global
+# aggregate of per-user flags. No joins, no self-unions: at 100 TB the
+# funnel costs one shuffle of the filtered event stream.
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    pw = W.partitionBy("user_id")
+    step = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.min(F.when(F.col("event_type") == "signup", us)).over(pw).alias("s_ts"),
+    )
+    step = step.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts_us") > F.col("s_ts")), F.col("ts_us"))
+        ).over(pw),
+    )
+    step = step.withColumn(
+        "p_ts",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("c_ts")), F.col("ts_us"))
+        ).over(pw),
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.max(F.col("s_ts").isNotNull().cast("int")).alias("did_signup"),
+        F.max(F.col("c_ts").isNotNull().cast("int")).alias("did_click_after"),
+        F.max(F.col("p_ts").isNotNull().cast("int")).alias("did_purchase_after"),
+    )
+    return per_user.agg(
+        F.sum("did_signup").cast("bigint").alias("n_signup"),
+        F.sum("did_click_after").cast("bigint").alias("n_click_after_signup"),
+        F.sum("did_purchase_after").cast("bigint").alias("n_purchase_after_click"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+),
+s AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS s_ts
+  FROM t
+),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s_ts THEN ts_us END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s
+),
+p AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > c_ts THEN ts_us END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM c
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_signup,
+         max(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_click_after,
+         max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_purchase_after
+  FROM p GROUP BY user_id
+)
+SELECT CAST(sum(did_signup) AS BIGINT) AS n_signup,
+       CAST(sum(did_click_after) AS BIGINT) AS n_click_after_signup,
+       CAST(sum(did_purchase_after) AS BIGINT) AS n_purchase_after_click
+FROM per_user
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
+    "events_asof_prior_click": q_events_asof_prior_click,
+    "events_funnel": q_events_funnel,
+    "events_dedup_counts": q_events_dedup_counts,
 }
 
 ORACLES = {
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_json_props": ORACLE_EVENTS_JSON,
+    "events_asof_prior_click": ORACLE_EVENTS_ASOF,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_dedup_counts": ORACLE_EVENTS_DEDUP,
 }

@@ -441,3 +441,63 @@ def test_embedding_outlier_broadcast_and_positive(spark, sf_dir):
     # distances are exact+deterministic: a second run is bit-identical
     again = {r.vec_id: r.dist_to_centroid for r in similarity.q_embedding_outlier(spark, sf_dir).collect()}
     assert all(again[r.vec_id] == r.dist_to_centroid for r in rows)
+
+
+def test_asof_join_no_join_operator(spark, sf_dir):
+    df = ev.q_events_asof_prior_click(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the as-of is re-expressed as a windowed carry-forward: ONE shuffle on
+    # user_id and NO join operator anywhere in the plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.gap_us >= 0  # prior means prior
+    # semantics spot-check against a hand fold on one user
+    uid = rows[0].user_id
+    evs = sorted(
+        ev._events(spark, sf_dir)
+        .filter(f"user_id = {uid} AND event_type IN ('click','purchase')")
+        .select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect(),
+        key=lambda r: (r.us, r.event_id),
+    )
+    expect = {}
+    last_click = None
+    for r in evs:
+        if r.event_type == "click":
+            last_click = r
+        elif last_click is not None:
+            expect[r.event_id] = (last_click.event_id, r.us - last_click.us)
+    got = {r.event_id: (r.prior_click_id, r.gap_us) for r in rows if r.user_id == uid}
+    assert got == expect
+
+
+def test_funnel_monotone_and_single_user_shuffle(spark, sf_dir):
+    df = ev.q_events_funnel(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one data shuffle on user_id; the only other exchange is the 1-row final
+    assert plan.count("Exchange hashpartitioning") == 1
+    row = df.collect()[0]
+    assert row.n_signup >= row.n_click_after_signup >= row.n_purchase_after_click
+    assert row.n_purchase_after_click > 0  # synthetic corpus has full funnels
+
+
+def test_streaming_dedup_collapses_redelivery(spark, sf_dir):
+    batch = {
+        r.event_type: r.n_events
+        for r in ev.q_events_dedup_counts(spark, sf_dir).collect()
+    }
+    q = ev.streaming_dedup_counts(spark, sf_dir, copies=2)
+    try:
+        q.processAllAvailable()
+        stream = {
+            r.event_type: r.n_events
+            for r in spark.sql("SELECT * FROM events_dedup_stream").collect()
+        }
+    finally:
+        q.stop()
+    # the stream saw 2x deliveries but counts each event exactly once
+    assert stream == batch
