@@ -610,6 +610,56 @@ FROM comp
 
 
 # ---------------------------------------------------------------------------
+# cross-modal dedup verification: MinHash candidates x embedding cosine
+#
+# The production near-dup pipeline composes modalities: a cheap text-level
+# candidate generator (MinHash/LSH) proposes pairs, and an embedding-space
+# check confirms or rejects them (catching paraphrases the text hash agrees
+# on and template collisions it wrongly proposes). Scale shape: candidate
+# pairs are ~(dups + collisions) — vastly smaller than the corpus — so the
+# two embedding lookups are ordinary equi-joins keyed on the id; the corpus
+# embedding table never self-joins.
+
+SEMANTIC_COS = 0.2  # synthetic embeddings are label-clustered; 0.2 splits planted pairs
+
+
+def q_dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _cosine
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    e1 = emb.select(F.col("vec_id").alias("doc1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("vec_id").alias("doc2"), F.col("embedding").alias("emb2"))
+    cos = F.round(_cosine("emb1", "emb2"), 6)
+    return (
+        pairs.join(e1, "doc1")
+        .join(e2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "est_jaccard",
+            cos.alias("cosine"),
+            (cos >= SEMANTIC_COS).alias("embedding_confirmed"),
+        )
+    )
+
+
+def _oracle_semantic_verify() -> str:
+    from .similarity import _o_cos
+
+    cos = f"round({_o_cos('e1.embedding', 'e2.embedding')}, 6)"
+    return f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH})
+SELECT p.doc1, p.doc2, p.est_jaccard,
+       {cos} AS cosine,
+       {cos} >= {SEMANTIC_COS} AS embedding_confirmed
+FROM pairs p
+JOIN embeddings e1 ON e1.vec_id = p.doc1
+JOIN embeddings e2 ON e2.vec_id = p.doc2
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check (train/eval decontamination)
 #
 # The standard pre-training hygiene step: for every corpus document, the
@@ -681,6 +731,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
+    "dedup_semantic_verify": q_dedup_semantic_verify,
 }
 
 ORACLES = {
@@ -690,4 +741,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
+    "dedup_semantic_verify": _oracle_semantic_verify(),
 }

@@ -15,7 +15,7 @@ rounded at the output boundary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.loader import table
@@ -412,6 +412,45 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus composition report: share of docs and chars per (lang, source)
+#
+# The mix report that drives sampling-weight decisions. Shares need a global
+# total — computed as a window over the AGGREGATED relation (|lang x source|
+# rows, a few hundred at any corpus size), never over the raw docs, so the
+# single-partition window is a no-op cost. One shuffle for the groupBy.
+
+
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("n_chars"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wall), 6).alias("doc_share"),
+        F.round(F.col("n_chars") / F.sum("n_chars").over(wall), 6).alias("char_share"),
+    )
+
+
+ORACLE_CORPUS_MIX = """
+WITH agg AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_chars,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+       round(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (), 6) AS char_share
+FROM agg
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -421,6 +460,7 @@ QUERIES = {
     "corpus_clean_stats": q_corpus_clean_stats,
     "text_repetition_score": q_repetition_score,
     "text_pii_scan": q_pii_scan,
+    "corpus_mix_report": q_corpus_mix_report,
 }
 
 ORACLES = {
@@ -432,4 +472,5 @@ ORACLES = {
     "corpus_clean_stats": ORACLE_CORPUS_CLEAN,
     "text_repetition_score": ORACLE_REPETITION_SCORE,
     "text_pii_scan": ORACLE_PII_SCAN,
+    "corpus_mix_report": ORACLE_CORPUS_MIX,
 }

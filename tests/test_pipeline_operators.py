@@ -501,3 +501,18 @@ def test_streaming_dedup_collapses_redelivery(spark, sf_dir):
         q.stop()
     # the stream saw 2x deliveries but counts each event exactly once
     assert stream == batch
+
+
+def test_semantic_verify_composes_minhash_and_cosine(spark, sf_dir):
+    rows = dedup.q_dedup_semantic_verify(spark, sf_dir).collect()
+    assert rows, "minhash candidates exist at sf0.001"
+    base = {
+        (r.doc1, r.doc2): r.est_jaccard
+        for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    for r in rows:
+        # exactly the minhash candidate set, enriched — no pairs invented/lost
+        assert base.pop((r.doc1, r.doc2)) == r.est_jaccard
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.embedding_confirmed == (r.cosine >= dedup.SEMANTIC_COS)
+    assert not base
