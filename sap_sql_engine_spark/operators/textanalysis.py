@@ -451,6 +451,120 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing: concatenate-and-chunk into fixed context windows
+#
+# Training pipelines pack variable-length documents into fixed-size context
+# windows. The distributed form: route each doc to a deterministic bucket
+# (hash of doc_id — NOT round-robin, so retries are stable), order within
+# the bucket by doc_id, take a running token cumsum, and derive the pack id
+# and offset from the starting position — the standard concat-then-split
+# packing where long docs straddle pack boundaries. One shuffle (bucket
+# partitioning); packs are resolved by pure window arithmetic, no loop.
+# Buckets keep windows small and independent: at 100 TB you raise
+# PACK_BUCKETS to executor-count scale and each bucket packs in isolation.
+
+CONTEXT_TOKENS = 256
+PACK_BUCKETS = 8
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.expr(
+        f"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), {PACK_BUCKETS})"
+    )
+    base = docs.select(
+        "doc_id", tok.alias("token_count"), bucket.cast("int").alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("token_count").over(w) - F.col("token_count")
+    return base.select(
+        "doc_id",
+        "bucket",
+        "token_count",
+        start.alias("pack_start"),
+    ).select(
+        "doc_id",
+        "bucket",
+        "token_count",
+        F.expr(f"pack_start DIV {CONTEXT_TOKENS}").cast("bigint").alias("pack_id"),
+        F.expr(f"pack_start % {CONTEXT_TOKENS}").cast("bigint").alias("pack_offset"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS token_count,
+         CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {PACK_BUCKETS}) AS INT) AS bucket
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, bucket, token_count,
+         CAST(sum(token_count) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - token_count AS BIGINT) AS pack_start
+  FROM base
+)
+SELECT doc_id, bucket, CAST(token_count AS INT) AS token_count,
+       pack_start // {CONTEXT_TOKENS} AS pack_id,
+       pack_start % {CONTEXT_TOKENS} AS pack_offset
+FROM pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# target-mix resampling: rebalance the corpus toward target language shares
+#
+# Data-mixing: given a target of EQUAL shares per language, languages over
+# their target get hash-downsampled (deterministic, retry-stable — same
+# md5-bucket mechanism as the stratified sample), languages under it are
+# kept whole. Per-language totals come from one tiny aggregation that is
+# broadcast back onto the corpus: the corpus itself never shuffles — the
+# mix filter is a map-side predicate.
+
+
+def q_docs_target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    wall = Window.partitionBy()
+    rates = counts.select(
+        "lang",
+        F.least(
+            F.lit(100),
+            F.floor(
+                F.lit(100.0)
+                * (F.sum("lang_docs").over(wall) / F.count(F.lit(1)).over(wall))
+                / F.col("lang_docs")
+            ).cast("int"),
+        ).alias("keep_pct"),
+    )
+    bucket = F.expr(_BUCKET_SPARK)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_pct"))
+        .select("doc_id", "lang", "source", "keep_pct")
+    )
+
+
+ORACLE_TARGET_MIX = f"""
+WITH counts AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang,
+         least(100, CAST(floor(100.0 * (sum(lang_docs) OVER () * 1.0 / count(*) OVER ())
+                               / lang_docs) AS INT)) AS keep_pct
+  FROM counts
+)
+SELECT doc_id, d.lang, source, keep_pct
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_BUCKET_DUCK} < keep_pct
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -461,6 +575,8 @@ QUERIES = {
     "text_repetition_score": q_repetition_score,
     "text_pii_scan": q_pii_scan,
     "corpus_mix_report": q_corpus_mix_report,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_target_mix_sample": q_docs_target_mix_sample,
 }
 
 ORACLES = {
@@ -473,4 +589,6 @@ ORACLES = {
     "text_repetition_score": ORACLE_REPETITION_SCORE,
     "text_pii_scan": ORACLE_PII_SCAN,
     "corpus_mix_report": ORACLE_CORPUS_MIX,
+    "docs_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "docs_target_mix_sample": ORACLE_TARGET_MIX,
 }

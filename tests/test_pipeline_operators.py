@@ -516,3 +516,40 @@ def test_semantic_verify_composes_minhash_and_cosine(spark, sf_dir):
         assert -1.0 <= r.cosine <= 1.0
         assert r.embedding_confirmed == (r.cosine >= dedup.SEMANTIC_COS)
     assert not base
+
+
+def test_pack_sequences_contiguous_within_bucket(spark, sf_dir):
+    rows = textanalysis.q_docs_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < textanalysis.CONTEXT_TOKENS
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r.doc_id)
+        # packs are a contiguous concat-then-split: each doc starts exactly
+        # where the previous one ended
+        pos = 0
+        for r in bucket_rows:
+            assert r.pack_id * textanalysis.CONTEXT_TOKENS + r.pack_offset == pos
+            pos += r.token_count
+
+
+def test_target_mix_downsamples_majority_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orig = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    target = sum(orig.values()) / len(orig)
+    kept = textanalysis.q_docs_target_mix_sample(spark, sf_dir).collect()
+    got = {}
+    for r in kept:
+        got[r.lang] = got.get(r.lang, 0) + 1
+        assert 0 < r.keep_pct <= 100
+    for lang, n in orig.items():
+        if n <= target:
+            # under-target languages are kept whole
+            assert got.get(lang, 0) == n
+        else:
+            assert got.get(lang, 0) < n
+    # deterministic: rerun yields the identical doc set
+    again = sorted(r.doc_id for r in textanalysis.q_docs_target_mix_sample(spark, sf_dir).collect())
+    assert again == sorted(r.doc_id for r in kept)
