@@ -161,7 +161,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons disagree on it. All three output aggregates are cast to
     BIGINT on both sides (DuckDB window SUM yields HUGEINT).
     """
-    ev = _events(spark, sf_dir)
+    return sessionize_from(_events(spark, sf_dir))
+
+
+def sessionize_from(ev: DataFrame) -> DataFrame:
+    """Sessionize any (user_id, event_id, ts) relation — q_events_sessionize
+    body, factored for property tests over generated event sets."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)

@@ -1,0 +1,196 @@
+"""Property-based tests (hypothesis): the distributed operators against
+independent in-process oracles on randomly generated inputs.
+
+Each property runs a handful of examples (every example is a full Spark
+job), with deterministic derandomized search so CI never flakes. These
+complement the DuckDB gate: the gate pins one corpus, these pin the
+ALGORITHM over arbitrary inputs — skew, ties, empties, singletons.
+"""
+
+from __future__ import annotations
+
+import math
+
+import networkx as nx
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.plans import dialect
+from sap_sql_engine_spark.streaming import events as ev
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard vs a pure-Python brute force
+
+
+def _py_jaccard_pairs(texts: dict[int, str]) -> dict[tuple[int, int], float]:
+    n_docs = len(texts)
+    cap = max(dedup.DF_CAP_MIN, math.ceil(n_docs * dedup.DF_CAP_FRACTION))
+    shingles = {}
+    for did, text in texts.items():
+        toks = text.split()
+        shingles[did] = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+    df: dict[str, int] = {}
+    for s in shingles.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    shingles = {d: {g for g in s if df[g] <= cap} for d, s in shingles.items()}
+    out = {}
+    ids = sorted(texts)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(shingles[d1] & shingles[d2])
+            union = len(shingles[d1] | shingles[d2])
+            if union == 0 or inter == 0:
+                continue
+            j = round(inter / union, 4)
+            if j >= dedup.JACCARD_THRESHOLD:
+                out[(d1, d2)] = j
+    return out
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    texts = {}
+    for did in range(n):
+        words = draw(
+            st.lists(st.sampled_from(VOCAB), min_size=3, max_size=20)
+        )
+        texts[did] = " ".join(words)
+    return texts
+
+
+@given(_corpus())
+@settings(**SETTINGS)
+def test_jaccard_matches_bruteforce(spark, texts):
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in dedup.jaccard_pairs(docs).collect()
+    }
+    assert got == _py_jaccard_pairs(texts)
+
+
+# ---------------------------------------------------------------------------
+# connected components vs networkx
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_networkx(spark, edge_list):
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edge_list], ["doc1", "doc2"]
+    )
+    got = {
+        r.node: r.label for r in dedup.connected_components(edges).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from(edge_list)
+    for comp in nx.connected_components(g):
+        label = min(comp)
+        for node in comp:
+            assert got[node] == label
+
+
+# ---------------------------------------------------------------------------
+# sessionization vs a pure-Python fold
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user_id
+            st.integers(min_value=0, max_value=10**7),  # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_fold(spark, raw):
+    rows = [
+        (uid, eid, sec) for eid, (uid, sec) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "sec"]).select(
+        "user_id", "event_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    got = {
+        r.user_id: (r.session_count, r.total_events, r.max_session_events)
+        for r in ev.sessionize_from(df).collect()
+    }
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for uid, eid, sec in rows:
+        by_user.setdefault(uid, []).append((sec, eid))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for sec, _ in evs:
+            if sessions and sec - sessions[-1][-1] <= ev.SESSION_GAP_SECONDS:
+                sessions[-1].append(sec)
+            else:
+                sessions.append([sec])
+        expect[uid] = (
+            len(sessions),
+            len(evs),
+            max(len(s) for s in sessions),
+        )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# dialect transpiler: idempotence and statement-guard invariants
+
+
+_DIALECT_SNIPPETS = [
+    "SELECT TO_CHAR(d, 'YYYY-MM-DD') FROM t",
+    "SELECT ADD_DAYS(SYSDATE, 7) FROM t",
+    "SELECT TOP 5 a FROM t",
+    "SELECT IFNULL(a, 0), NVL(b, '') FROM t",
+    "SELECT julianday(a) - julianday(b) FROM t",
+    "SELECT strftime('%Y-%m', d) FROM t",
+    "SELECT a FROM t WHERE x NOT IN (SELECT y FROM u)",
+    "SELECT DAYS_BETWEEN(a, b) FROM t",
+    "SELECT TO_DATE('2024-01-01') FROM t",
+    "SELECT printf('%s-%d', a, b) FROM t",
+]
+
+
+@given(
+    st.sampled_from(_DIALECT_SNIPPETS),
+    st.sampled_from(["", " ", "\n", "\t"]),
+    st.sampled_from(["", ";", " ; "]),
+)
+@settings(**SETTINGS)
+def test_transpile_idempotent(snippet, pad, tail):
+    sql = pad + snippet + pad + tail
+    once = dialect.transpile(sql)
+    assert dialect.transpile(once) == once
+    # the guard keeps exactly one statement
+    assert ";" not in once.rstrip().rstrip(";")
