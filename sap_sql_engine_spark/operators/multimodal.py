@@ -205,6 +205,94 @@ def decode_features(
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def _png_dims(buf: bytes) -> tuple[int, int] | None:
+    """PNG dimensions from the IHDR chunk — stdlib struct, no decoder."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR" and len(buf) >= 24:
+        w, h = struct.unpack(">II", buf[16:24])
+        return w, h
+    return None
+
+
+# SOF markers carry dimensions; C4/C8/CC are huffman/arithmetic/JPEG-ext, not SOF
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(buf: bytes) -> tuple[int, int] | None:
+    """JPEG dimensions by walking marker segments to the first SOF —
+    stdlib-only header parse, no decoder."""
+    if buf[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 <= len(buf):
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+            return w, h
+        seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return None
+
+
+def _wav_duration_ms(buf: bytes) -> int:
+    with wave.open(io.BytesIO(buf)) as w:
+        return int(w.getnframes() * 1000 // w.getframerate())
+
+
+def probe_media_meta(media: DataFrame) -> DataFrame:
+    """REAL metadata probe over opaque payloads — Arrow-batched mapInPandas,
+    stdlib only (works in this container, unlike full image decode): sniffs
+    the container format from magic bytes and parses dimensions (PNG IHDR,
+    JPEG SOF walk) / duration (WAV header) without decoding any pixels or
+    samples. Unknown payloads get format='unknown' and NULL metadata —
+    probing is total, never raises."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content) if content is not None else b""
+                fmt, width, height, dur = "unknown", None, None, None
+                try:
+                    if _is_wav(buf):
+                        fmt, dur = "audio/wav", _wav_duration_ms(buf)
+                    elif (dims := _png_dims(buf)) is not None:
+                        fmt, (width, height) = "image/png", dims
+                    elif (dims := _jpeg_dims(buf)) is not None:
+                        fmt, (width, height) = "image/jpeg", dims
+                except Exception:
+                    fmt = "corrupt"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "format": fmt,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": dur,
+                        "byte_len": len(buf),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "duration_ms", "byte_len",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("byte_len", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic frame/chunk sampling: split each payload into
     ``n_frames`` equal byte ranges and emit one row per chunk — the shape a

@@ -553,3 +553,40 @@ def test_target_mix_downsamples_majority_only(spark, sf_dir):
     # deterministic: rerun yields the identical doc set
     again = sorted(r.doc_id for r in textanalysis.q_docs_target_mix_sample(spark, sf_dir).collect())
     assert again == sorted(r.doc_id for r in kept)
+
+
+def _png_bytes(w, h):
+    import struct as _s
+    import zlib
+    ihdr = _s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", len(ihdr)) + chunk + _s.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _jpeg_bytes(w, h):
+    import struct as _s
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_probe_media_meta_real_headers(spark):
+    payloads = [
+        _wav_bytes([0, 1000, -1000, 500] * 2000),   # 8000 frames @ 8kHz = 1000ms
+        _png_bytes(640, 480),
+        _jpeg_bytes(1920, 1080),
+        b"not a media file at all",
+        b"RIFF....WAVEgarbage",                      # corrupt wav container
+    ]
+    media = _media_df(spark, payloads)
+    got = {r.media_id: r for r in multimodal.probe_media_meta(media).collect()}
+    assert got[0].format == "audio/wav" and got[0].duration_ms == 1000
+    assert got[1].format == "image/png" and (got[1].width, got[1].height) == (640, 480)
+    assert got[2].format == "image/jpeg" and (got[2].width, got[2].height) == (1920, 1080)
+    assert got[3].format == "unknown" and got[3].width is None
+    assert got[4].format == "corrupt"
+    for mid, buf in enumerate(payloads):
+        assert got[mid].byte_len == len(buf)
