@@ -36,9 +36,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = table(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev
+    return _normalize_ts(ev)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``ts`` to TimestampType (LTZ) regardless of how the driver's
+    parquet encodes it: TIMESTAMP(NANOS) read as long (nanosAsLong), or
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ. The
+    session timezone is UTC, so the NTZ→LTZ cast is instant-preserving;
+    streaming watermarks require LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    dt = dict(df.dtypes)["ts"]
+    if dt in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -112,9 +124,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst):
         shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str):
@@ -363,9 +373,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str, copies: int = 2):
         dst = os.path.join(stage, f"events_copy{i}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
-    stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(stage))
     agg = (
         stream.dropDuplicates(["event_id"])
         .groupBy("event_type")
