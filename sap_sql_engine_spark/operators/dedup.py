@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loader import table
+from ..sources.loader import spread, table
 from .textanalysis import fingerprint_col
 
 N_MINHASH = 16  # permutations
@@ -73,7 +73,9 @@ def _shingles_raw_from(docs: DataFrame) -> DataFrame:
     """(doc_id, word-3-gram), duplicates included. Tokens are materialized
     once per row (single split), then shingled with a higher-order
     transform — one codegen stage, no shuffle."""
-    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
     grams = F.expr(
         "transform(sequence(1, greatest(size(toks) - 2, 0)), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
@@ -109,7 +111,7 @@ def _hashed_shingles_from(docs: DataFrame, *extra_cols: str) -> DataFrame:
     never materialized as strings. distinct-after-hash == hash-of-distinct
     up to md5 collisions (~2^-60/pair), which the oracle mirrors
     bit-identically."""
-    toks = docs.select(
+    toks = spread(docs).select(
         *extra_cols, "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     hashed_grams = F.expr(
@@ -395,37 +397,39 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted SimHash over whitespace tokens, md5-hash family,
     SIMHASH_BITS-bit signatures.
 
-    Explode + two-level hash aggregation, all whole-stage codegen. The
-    token x bit explosion looks large but map-side partial aggregation
-    collapses it to (doc, bit) pairs before the exchange, so the shuffle
-    ships ~docs x SIMHASH_BITS rows regardless of token volume. (A
-    shuffle-free per-row rewrite with higher-order filter/aggregate lambdas
-    was measured 10x SLOWER — interpreted lambdas allocate per element,
-    codegen wins.)"""
+    ONE wide aggregation: each token row carries its 32-bit hash, and the
+    per-bit counters are SIMHASH_BITS conditional-sum aggregate columns
+    over groupBy(doc_id) — the same wide-aggregate shape as
+    ``_minhash_wide``. No token x bit row explosion exists in the plan
+    (the earlier explode(sequence(0,31)) form multiplied the token stream
+    32x before partial aggregation could collapse it, and paid a second
+    (doc,bit)-keyed shuffle); the single exchange ships one 32-column row
+    per (map-partition, doc). The signature assembly is a row-level
+    expression over the aggregated counters. (A shuffle-free per-row
+    rewrite with higher-order filter/aggregate lambdas was measured 10x
+    SLOWER — interpreted lambdas allocate per element, codegen wins.)"""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    bits = tok.withColumn("h", h).select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = tok.withColumn("h", h).groupBy("doc_id").agg(*bit_sums)
+    sig = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("bigint"),
     )
-    contrib = F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
-    return (
-        bits.withColumn("c", contrib)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
-        )
-    )
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 _ORACLE_SIMHASH = rf"""

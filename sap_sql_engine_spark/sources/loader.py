@@ -37,6 +37,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure ``df`` has at least defaultParallelism partitions before
+    CPU-heavy per-row work (md5 shingling, token hashing, vector math).
+
+    A small table stored as one parquet file scans as ONE input split, so
+    every downstream map stage — however wide the cluster — runs in a
+    single task (measured: the whole simhash/minhash token+md5 pipeline
+    single-threaded at sf0.1). Gated on the actual scan partition count:
+    at 100 TB the table is thousands of splits and this is a no-op; the
+    repartition only fires when the scan itself can't feed the cores, and
+    then it moves only the small table it round-robins."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
