@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import table
+from ..sources.loader import spread, table
 
 DIM = 64
 TOPK = 10
@@ -60,7 +60,7 @@ def _o_cos(a: str, b: str) -> str:
 
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
@@ -160,7 +160,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the embeddings back. The brute-force SQL stays as the oracle, so
     the gate also asserts 100% recall of the banding on the test corpus.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     r, b = NEARDUP_BAND_BITS, NEARDUP_BANDS
     bits_expr = (
         f"array_join(transform(transform({_plane_literals(r * b)}, w -> "
@@ -259,7 +259,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted md5 calls. k/2^24 - 0.5 is exact in binary and repr()
     round-trips doubles, so the values are bit-identical to the SQL-computed
     ones the DuckDB oracle still derives from scratch."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     plane_expr = (
         f"transform({_plane_literals()}, w -> "
         "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
@@ -341,7 +341,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataF
     narrow map pass with zero shuffles, and each query touches
     n_probe/N_LISTS of the corpus — the standard IVF trade. The probe-set
     computation runs on the single query row (broadcast), not the corpus."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     dists = (
         f"transform({_centroid_literals()}, c -> "
         "aggregate(zip_with(embedding, c, (x, ci) -> "
@@ -433,7 +433,7 @@ OUTLIER_Q = 1_000_000  # quantization: 1e-6 resolution, |sum| < 2^53 up to ~10^9
 
 
 def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     cent = ex.groupBy("label", "pos").agg(
         F.sum(F.expr(f"CAST(floor(CAST(val AS DOUBLE) * {OUTLIER_Q}) AS BIGINT)")).alias("sq"),
