@@ -19,6 +19,7 @@ from sap_sql_engine_spark.operators import (
     dedup,
     multimodal,
     relational,
+    search,
     similarity,
     textanalysis,
 )
@@ -26,7 +27,15 @@ from sap_sql_engine_spark.streaming import events as streaming_events
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
-_MODULES = (relational, textanalysis, dedup, similarity, streaming_events, multimodal)
+_MODULES = (
+    relational,
+    textanalysis,
+    search,
+    dedup,
+    similarity,
+    streaming_events,
+    multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

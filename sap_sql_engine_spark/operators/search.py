@@ -1,0 +1,337 @@
+"""Text-retrieval operators over the ``documents`` table: TF-IDF terms,
+BM25 search, fixed-window chunking, and inverted posting lists.
+
+The reference has no retrieval surface (its text path is NL→SQL, reference
+``sap_sql_engine.py:365-455``); these are the search-side operators a
+training-data pipeline runs next to dedup — score corpora against probe
+queries (contamination triage, quality mining), chunk documents for
+embedding/packing, and build the inverted index that serves both.
+
+Everything is built-in Spark SQL expressions over the same whitespace
+tokenization the dedup/textanalysis ladder uses, so the DuckDB oracles
+replicate results bit-for-bit:
+
+- integer statistics (tf, df, dl, n_docs) are exact on both engines;
+- doubles derive from those integers through identical expression trees;
+- the one cross-row float sum (BM25's per-term total) is quantized to
+  BIGINT first (floor(score*1e6)) so the sum is associative and the
+  result independent of execution order — the same trick
+  ``embedding_outlier`` uses for centroids.
+
+Scale shapes are noted per operator; the common theme: the only full-corpus
+shuffle any of them needs is the (token- or doc-)keyed aggregation that
+defines the statistic, and BM25 filters the token stream to the query's
+terms BEFORE anything shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loader import spread, table
+
+TFIDF_TOP_K = 3
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")  # probe query over the corpus
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+POSTINGS_TOP_DOCS = 10
+# BM25 quantization: term scores are O(10); floor(s*1e6) keeps the exact
+# BIGINT sum under 2^63 to ~10^11 matched terms per doc
+BM25_Q = 1_000_000
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) stream — same whitespace tokenization as the dedup
+    ladder, spread across cores before the explode (single-file scans
+    otherwise run the whole map stage in one task)."""
+    return spread(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+
+
+_O_TOKENS = r"""
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` terms per doc by ``tf * (ln((1+N)/(1+df)) + 1)``
+    (the smoothed-idf variant that never zeroes out corpus-wide terms).
+
+    Scale shape: two aggregations — (doc,token) tf and (token) df — the
+    second derived from the first (already token-clustered, so the df
+    aggregate is a narrow regroup of one-row-per-doc-token partials, never
+    the raw stream). df joins back BROADCAST (a vocabulary is millions of
+    rows — megabytes — even at 100 TB corpus scale); the top-k is a
+    row_number window over the doc-keyed side. N is a driver-side metadata
+    count, embedded as a literal so the idf is a pushable constant
+    expression, not a 1-row-aggregate join."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet row-group metadata probe
+    tf = _tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (
+        F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double")))
+        + F.lit(1.0)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("token").asc()
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("score", F.round(score, 4))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", F.col("rn").alias("rank"))
+    )
+
+
+def _oracle_tfidf(n_docs_sql: str = "(SELECT count(*) FROM documents)") -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM ({_O_TOKENS}) t GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         round(tf.tf * (ln((1.0 + {n_docs_sql}) / (1.0 + CAST(df.df AS DOUBLE))) + 1.0), 4) AS score
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+ORACLE_TFIDF = _oracle_tfidf()
+
+
+# ---------------------------------------------------------------------------
+# BM25 search: score every matching document against a fixed probe query
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of ``BM25_QUERY`` over the corpus.
+
+    Scale shape: the token stream is filtered to the query's terms BEFORE
+    any shuffle — the surviving stream is |query| postings lists, a tiny
+    fraction of the corpus — so both aggregations (per-term df, per
+    (doc,term) tf) run on that residue. Document length dl is a map-side
+    ``size(split(...))`` (no explode), and the global (N, avgdl) pair is a
+    driver scalar probe folded into the scoring expression as literals.
+    Per-term scores quantize to BIGINT before the per-doc sum so the
+    cross-row float add is associative (hash-stable on any plan)."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")).alias("sdl"),
+    ).first()
+    n_docs, sum_dl = int(stats["n"]), int(stats["sdl"])
+    avgdl = sum_dl / n_docs  # exact-int division == SQL CAST/CAST division
+    terms = list(BM25_QUERY)
+    toks = _tokens(docs).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df from the tf relation (one row per doc,term): a narrow regroup of
+    # the already-aggregated residue, not a second pass over the stream
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = spread(docs).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfpart = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    term_q = F.floor(idf * tfpart * BM25_Q).cast("bigint")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .withColumn("q", term_q)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.round(F.sum("q") / F.lit(float(BM25_Q)), 6).alias("bm25"),
+        )
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM documents),
+toks AS (SELECT doc_id, token FROM ({_O_TOKENS}) t WHERE token IN ({terms})),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+       FROM documents)
+SELECT tf.doc_id,
+       count(*) AS matched_terms,
+       round(CAST(sum(CAST(floor(
+           ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * ({BM25_K1} + 1)) /
+              (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / g.avgdl)))
+           * {BM25_Q}) AS BIGINT)) AS BIGINT) / CAST({BM25_Q} AS DOUBLE), 6) AS bm25
+FROM tf
+JOIN df USING (token)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN g
+GROUP BY tf.doc_id
+"""
+
+
+ORACLE_BM25 = _oracle_bm25()
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking (the pre-embedding / pre-packing step)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per document
+    (``CHUNK_SIZE``/``CHUNK_OVERLAP``), emitted as (doc_id, chunk_id,
+    start_token, n_tokens, md5 fingerprint of the chunk text).
+
+    Scale shape: pure map — sequence + slice + explode inside one codegen
+    stage, ZERO shuffles; writes would stream straight to the sink
+    partitioned however the scan was. The fingerprint stands in for the
+    chunk payload so the result stays narrow here; a real pipeline would
+    carry the text column to its embedding/packing stage."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(toks) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE})"
+    )
+    chunk = F.expr(f"slice(toks, start, {CHUNK_SIZE})")
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start_token"),
+            chunk.alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_token",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_fp"),
+        )
+    )
+
+
+ORACLE_DOC_CHUNKS = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, CAST(start AS BIGINT) AS start
+  FROM t, unnest(range(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1) + 1, {CHUNK_STRIDE})) u(start)
+)
+SELECT doc_id,
+       (start - 1) // {CHUNK_STRIDE} AS chunk_id,
+       start AS start_token,
+       CAST(len(list_slice(toks, start, start + {CHUNK_SIZE} - 1)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' ')) AS chunk_fp
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted posting lists (the index-build sink)
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token posting statistics: document frequency, total term
+    frequency, and the top-``POSTINGS_TOP_DOCS`` documents by (tf desc,
+    doc_id asc) as a comma-joined list — the build step of an inverted
+    index, capped so hot tokens emit bounded rows.
+
+    Scale shape: ONE full-volume shuffle — the (doc,token) tf aggregation —
+    then everything stays token-clustered: the df/total_tf regroup and the
+    top-docs window both reuse the same token hash partitioning (no second
+    exchange of the raw stream). A boilerplate token's window sort is
+    linear in its df and bounded output (the cap); at real scale the same
+    df-cap the jaccard path applies would drop stop-tokens entirely."""
+    docs = table(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    )
+    top = (
+        tf.withColumn("rn", rn)
+        .filter(F.col("rn") <= POSTINGS_TOP_DOCS)
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(-tf AS ntf, doc_id))), "
+                "s -> CAST(s.doc_id AS STRING)), ',')"
+            ).alias("top_docs")
+        )
+    )
+    return stats.join(top, "token").select("token", "df", "total_tf", "top_docs")
+
+
+ORACLE_POSTING_LISTS = f"""
+WITH tf AS (
+  SELECT token, doc_id, count(*) AS tf
+  FROM ({_O_TOKENS}) t GROUP BY 1, 2
+),
+stats AS (
+  SELECT token, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+),
+ranked AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+),
+top AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tf DESC, doc_id ASC) AS top_docs
+  FROM ranked WHERE rn <= {POSTINGS_TOP_DOCS} GROUP BY token
+)
+SELECT token, df, CAST(total_tf AS BIGINT) AS total_tf, top_docs
+FROM stats JOIN top USING (token)
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
+    "doc_chunks": q_doc_chunks,
+    "posting_lists": q_posting_lists,
+}
+
+ORACLES = {
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "bm25_search": ORACLE_BM25,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "posting_lists": ORACLE_POSTING_LISTS,
+}
