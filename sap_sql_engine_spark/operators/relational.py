@@ -1096,6 +1096,70 @@ ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement
 
 
 # ---------------------------------------------------------------------------
+# bucketed range join: shipments into promotion windows
+#
+# Spark has no native range-join optimization, so a raw interval predicate
+# between two large relations plans as a BroadcastNestedLoopJoin (or worse,
+# a cartesian) — the classic scale-killer. The standard fix is BUCKETING:
+# assign both sides a coarse bucket such that every window lies within one
+# bucket (here: windows are 10 days inside a calendar month, bucket =
+# month), equi-join on the bucket, and apply the interval predicate as a
+# cheap residual filter. The join is then an ordinary shuffled/broadcast
+# hash join that AQE can size. Windows spanning buckets generalize by
+# exploding the window into one row per covered bucket.
+
+
+def q_ship_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped inside each 1995 promo window (first 10 days of each
+    order month). Windows derive from `orders` (distinct months, a few dozen
+    rows — broadcast); lineitem joins on the month bucket with the BETWEEN
+    as residual, so the plan is a broadcast hash join, not a BNLJ."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("w_start"))
+        .distinct()
+        .withColumn("w_end", F.expr("w_start + INTERVAL 9 DAYS"))
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    bucketed = li.withColumn("bucket", F.date_trunc("month", F.col("l_shipdate")))
+    return (
+        bucketed.join(
+            F.broadcast(w),
+            (F.col("bucket") == F.col("w_start"))
+            & F.col("l_shipdate").between(F.col("w_start"), F.col("w_end")),
+        )
+        .groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            out2(F.sum(money("l_extendedprice") * disc)).alias("revenue"),
+        )
+        .select(
+            F.date_format("w_start", "yyyy-MM-dd").alias("window_start"),
+            "n_lines",
+            "revenue",
+        )
+    )
+
+
+ORACLE_SHIP_PROMO = """
+WITH w AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS w_start,
+         date_trunc('month', o_orderdate) + INTERVAL 9 DAY AS w_end
+  FROM orders WHERE year(o_orderdate) = 1995
+)
+SELECT strftime(w_start, '%Y-%m-%d') AS window_start,
+       count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN w ON date_trunc('month', l_shipdate) = w.w_start
+      AND l_shipdate BETWEEN w.w_start AND w.w_end
+GROUP BY w.w_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1125,6 +1189,7 @@ QUERIES = {
     "grouping_sets_balance": q_grouping_sets_balance,
     "join_constant_predicate": q_join_constant_predicate,
     "recursive_line_chain": q_recursive_line_chain,
+    "ship_promo_windows": q_ship_promo_windows,
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
 }
@@ -1156,6 +1221,7 @@ ORACLES = {
     "grouping_sets_balance": ORACLE_GROUPING_SETS,
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
     "recursive_line_chain": ORACLE_RECURSIVE,
+    "ship_promo_windows": ORACLE_SHIP_PROMO,
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
 }

@@ -480,11 +480,138 @@ FROM embeddings e JOIN cent_arr c ON e.label = c.label
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization: encode + asymmetric-distance (ADC) top-k.
+#
+# PQ is the memory arm of IVF-PQ: each vector compresses to PQ_M 4-bit codes
+# (8 bytes vs 256 — 32x), and query-time distance is a table lookup, not a
+# float dot product. Codebooks train OFFLINE (tools/freeze_pq_codebooks.py)
+# and freeze as literals, same deployment shape as the IVF coarse quantizer.
+
+from .pq_codebooks import CODEBOOKS, PQ_K, PQ_M, PQ_SUBDIM  # noqa: E402
+
+
+def _pq_book_literals() -> str:
+    """PQ_M x PQ_K x PQ_SUBDIM codebook tensor as a folded array literal."""
+    books = []
+    for book in CODEBOOKS:
+        rows = ("array(" + ", ".join(f"{w!r}D" for w in row) + ")" for row in book)
+        books.append("array(" + ", ".join(rows) + ")")
+    return "array(" + ", ".join(books) + ")"
+
+
+# squared L2 between a SUBDIM slice of `vec` (0-based subspace m) and a
+# centroid array c, folded left-to-right in array order
+_PQ_SUB_D2 = (
+    "aggregate(zip_with(slice({vec}, {m} * " + str(PQ_SUBDIM) + " + 1, "
+    + str(PQ_SUBDIM) + "), {c}, (x, ci) -> (CAST(x AS DOUBLE) - ci) * "
+    "(CAST(x AS DOUBLE) - ci)), 0D, (acc, v) -> acc + v)"
+)
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k: encode every corpus vector to PQ_M subspace codes (argmin
+    squared-L2 against the frozen per-subspace codebook), build the query's
+    ADC lookup table (PQ_M x PQ_K exact subspace distances) on the single
+    broadcast query row, and rank by the summed table lookups.
+
+    At 100 TB this is why PQ exists: the corpus is stored/scanned as 8-byte
+    code rows (32x less IO than raw vectors), encode is a zero-shuffle map
+    pass done once at ingest, and per-query work per row is PQ_M array
+    lookups. The lookup-table build (PQ_M*PQ_K subspace distances) happens
+    once on the query row, not per corpus row — the asymmetric trade that
+    keeps recall (query side stays exact)."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    sub_d2 = _PQ_SUB_D2.format(vec="embedding", m="m", c="c")
+    codes_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"array_position(x_d2(m), array_min(x_d2(m))))"
+    ).replace(
+        "x_d2(m)",
+        f"transform(element_at({_pq_book_literals()}, m + 1), c -> {sub_d2})",
+    )
+    coded = emb.select("vec_id", "label", F.expr(codes_expr).alias("codes"))
+    q_sub_d2 = _PQ_SUB_D2.format(vec="qe", m="m", c="c")
+    lut_expr = (
+        f"transform({_pq_book_literals()}, (book, m) -> "
+        f"transform(book, c -> {q_sub_d2}))"
+    )
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+        .select(F.expr(lut_expr).alias("lut"))
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (cd, lm) -> element_at(lm, CAST(cd AS INT))), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.expr("array_join(transform(codes, c -> CAST(c - 1 AS STRING)), ',')").alias(
+                "pq_code"
+            ),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _oracle_pq() -> str:
+    books = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in book
+        ) + "]"
+        for book in CODEBOOKS
+    ) + "]"
+    sub_d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i -> "
+        f"(CAST({{vec}}[({{m}}) * {PQ_SUBDIM} + i] AS DOUBLE) - {{c}}[i]) * "
+        f"(CAST({{vec}}[({{m}}) * {PQ_SUBDIM} + i] AS DOUBLE) - {{c}}[i])))"
+    )
+    x_d2 = (
+        "list_transform(cb[m + 1], c -> "
+        + sub_d2.format(vec="embedding", m="m", c="c")
+        + ")"
+    )
+    q_d2 = sub_d2.format(vec="embedding", m="m - 1", c="cb[m][k]")
+    return f"""
+WITH books AS (SELECT {books} AS cb),
+coded AS (
+  SELECT vec_id, label,
+         list_transform(range(0, {PQ_M}), m ->
+           list_position({x_d2}, list_min({x_d2}))) AS codes
+  FROM embeddings, books
+),
+q AS (
+  SELECT list_transform(range(1, {PQ_M + 1}), m ->
+           list_transform(range(1, {PQ_K + 1}), k -> {q_d2})) AS lut
+  FROM embeddings, books WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, label,
+       array_to_string(list_transform(codes, c -> CAST(c - 1 AS VARCHAR)), ',') AS pq_code,
+       round(list_sum(list_transform(range(1, {PQ_M + 1}), m ->
+             lut[m][codes[m]])), 6) AS adc_dist
+FROM coded, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_ANN_PQ = _oracle_pq()
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
 }
 
@@ -493,5 +620,6 @@ ORACLES = {
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
 }

@@ -542,8 +542,59 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-resolution rollup: daily aggregates REUSING hourly partials
+#
+# The hypertable / continuous-aggregate pattern: coarser resolutions fold
+# the finer resolution's partial aggregates instead of re-scanning raw
+# events. Here the daily rollup consumes the hourly (hour, type) partials —
+# sums are associative (counts BIGINT, money DECIMAL), so re-aggregating
+# partials is EXACTLY equal to a direct daily pass, which is what the
+# DuckDB oracle computes from raw events. countDistinct deliberately stays
+# out of this query: distincts don't merge across partials (that needs a
+# sketch — HLL/theta — with its own error contract).
+#
+# At 100 TB the hourly relation is the materialized continuous aggregate
+# (one row per hour x type); the daily view reads ~24 rows per output row
+# instead of millions of raw events — that reuse is the entire point.
+
+
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), F.col("event_type"))
+        .agg(
+            F.sum("cnt").alias("event_count"),
+            F.round(F.sum("vsum").cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       event_type,
+       count(*) AS event_count,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
+    "events_daily_rollup": q_events_daily_rollup,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
     "events_asof_prior_click": q_events_asof_prior_click,
@@ -553,6 +604,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "events_daily_rollup": ORACLE_EVENTS_DAILY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_json_props": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
