@@ -77,7 +77,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, not a 1-row-aggregate join."""
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet row-group metadata probe
-    tf = _tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the scored rows and the df regroup; materialize it once
+    # (eager, so the two consumers share one computation instead of each
+    # re-running the tokenize+aggregate subtree — at 100 TB, write the tf
+    # relation and build df from the written table)
+    tf = (
+        _tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ).cache()
+    tf.count()
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     score = F.col("tf") * (
         F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double")))
@@ -277,7 +284,11 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in its df and bounded output (the cap); at real scale the same
     df-cap the jaccard path applies would drop stop-tokens entirely."""
     docs = table(spark, sf_dir, "documents")
-    tf = _tokens(docs).groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # shared by the stats regroup and the top-docs window (see tfidf note)
+    tf = (
+        _tokens(docs).groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    ).cache()
+    tf.count()
     stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
