@@ -21,6 +21,7 @@ from sap_sql_engine_spark.operators import (
     relational,
     search,
     similarity,
+    skew,
     textanalysis,
 )
 from sap_sql_engine_spark.streaming import events as streaming_events
@@ -35,6 +36,7 @@ _MODULES = (
     similarity,
     streaming_events,
     multimodal,
+    skew,
 )
 
 

@@ -510,6 +510,93 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (SNM — Hernandez & Stolfo's merge/purge method)
+#
+# The hash-free member of the dedup ladder: sort the corpus by a blocking
+# key (here: a prefix of the normalized text), compare each record only to
+# its W-1 sorted neighbors, score candidates with EXACT token-set Jaccard.
+# Complements LSH: no probabilistic recall bound — any near-dup pair whose
+# blocking keys sort adjacently is found deterministically, and the
+# candidate count is exactly n*(W-1) regardless of skew.
+
+SNM_WINDOW = 5
+SNM_KEY_LEN = 40
+SNM_THRESHOLD = 0.5
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM near-dup pairs at token-set Jaccard >= SNM_THRESHOLD.
+
+    Scale shape: the global sort is a range-partitioned exchange (Spark
+    sorts 100 TB routinely); neighbor pairing needs NO range join — each
+    row explodes into its W-1 forward offsets and pairs by an EQUI-join on
+    the neighbor rank, so the candidate relation is n*(W-1) rows keyed on
+    an integer. The Jaccard scoring is per-pair array math over the two
+    token sets. In production, multi-pass SNM re-runs with a second
+    blocking key (e.g. reversed prefix) to catch prefix-divergent dups —
+    the same plan with a different key expression."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.substring(norm, 1, SNM_KEY_LEN).alias("bkey"),
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokset"),
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("bkey"), F.col("doc_id")))
+    ranked = base.withColumn("rn", rn).cache()
+    ranked.count()
+    left = ranked.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("tokset").alias("t1"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + (SNM_WINDOW - 1))
+        ).alias("nrn"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc2"), F.col("tokset").alias("t2"), F.col("rn").alias("nrn")
+    )
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    unio = F.size("t1") + F.size("t2") - inter
+    jac = F.round(inter.cast("double") / unio.cast("double"), 4)
+    return (
+        left.join(right, "nrn")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= SNM_THRESHOLD)
+        .select(
+            F.least("doc1", "doc2").alias("doc1"),
+            F.greatest("doc1", "doc2").alias("doc2"),
+            "jaccard",
+        )
+    )
+
+
+ORACLE_SNM = rf"""
+WITH base AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, {SNM_KEY_LEN}) AS bkey,
+         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tokset
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY bkey, doc_id) AS rn FROM base
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.tokset AS t1, b.tokset AS t2
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+),
+scored AS (
+  SELECT d1, d2,
+         round(CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+               / CAST(len(t1) + len(t2) - len(list_intersect(t1, t2)) AS DOUBLE), 4) AS jaccard
+  FROM pairs
+)
+SELECT least(d1, d2) AS doc1, greatest(d1, d2) AS doc2, jaccard
+FROM scored WHERE jaccard >= {SNM_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters: connected components over the pair graph
 #
 # Pair generation (above) finds edges; an actual dedup pipeline must then
@@ -733,6 +820,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -743,6 +831,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_sorted_neighborhood": ORACLE_SNM,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

@@ -17,7 +17,7 @@ broadcastable right side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -59,3 +59,47 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .orderBy(F.col("row_count").desc(), F.col(key))
         .limit(n)
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated salted-join query: proves the rewrite is result-identical
+# to the plain join it replaces (the salt changes only the shuffle keys).
+
+
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through ``salted_join`` — the DuckDB
+    oracle runs the PLAIN join, so the gate asserts the salting rewrite is
+    a pure physical transformation. Broadcast is hinted OFF for the salted
+    pair so the (key, salt) shuffle actually happens: with broadcast the
+    salt would be inert (no shuffle to spread) and the test would prove
+    nothing about the rewrite's distribution path."""
+    from ..sources.loader import table
+    from .relational import DEC, out2
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders.hint("shuffle_hash"), cust.hint("shuffle_hash"), ["o_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        out2(F.sum(F.col("o_totalprice").cast(DEC))).alias("total_revenue"),
+    )
+
+
+ORACLE_SALTED_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       count(*) AS order_count,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "salted_segment_revenue": q_salted_segment_revenue,
+}
+
+ORACLES = {
+    "salted_segment_revenue": ORACLE_SALTED_SEGMENT_REVENUE,
+}

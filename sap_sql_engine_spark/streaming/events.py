@@ -592,6 +592,41 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# range-frame rolling feature: per-event trailing-hour activity count
+#
+# RANGE BETWEEN (value-based frames) is the window variant the rest of the
+# suite doesn't cover: the frame is defined by the ORDER BY value (event
+# time), not row offsets, so bursts and gaps size the frame correctly.
+# Integer-microsecond ordering keys both engines agree on (the same
+# unix_micros/epoch_us bridge the sessionizer uses). One shuffle keyed on
+# user_id; the frame scan is a per-partition sliding aggregate.
+
+
+def q_events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+    )
+
+
+ORACLE_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_hour
+FROM events
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_daily_rollup": q_events_daily_rollup,
@@ -600,6 +635,7 @@ QUERIES = {
     "events_asof_prior_click": q_events_asof_prior_click,
     "events_funnel": q_events_funnel,
     "events_dedup_counts": q_events_dedup_counts,
+    "events_user_rolling": q_events_user_rolling,
 }
 
 ORACLES = {
@@ -610,4 +646,5 @@ ORACLES = {
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_dedup_counts": ORACLE_EVENTS_DEDUP,
+    "events_user_rolling": ORACLE_EVENTS_ROLLING,
 }

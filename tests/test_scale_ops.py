@@ -59,3 +59,40 @@ def test_daily_rollup_equals_direct_daily(spark, sf_dir):
         .collect()
     }
     assert via_partials == direct
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from sap_sql_engine_spark.operators import skew
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = skew.salted_join(orders, cust, ["o_custkey"])
+    plain = orders.join(cust, "o_custkey")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.groupBy("c_mktsegment").count().collect()}
+    b = {tuple(r) for r in plain.groupBy("c_mktsegment").count().collect()}
+    assert a == b
+
+
+def test_events_user_rolling_counts_self_and_window(spark, sf_dir):
+    rows = ev.q_events_user_rolling(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_trailing_hour >= 1  # RANGE frame includes the current row
+
+
+def test_sorted_neighborhood_pairs_contract(spark, sf_dir):
+    from sap_sql_engine_spark.operators import dedup
+
+    rows = dedup.q_dedup_sorted_neighborhood(spark, sf_dir).collect()
+    assert rows, "planted dups share normalized prefixes at sf0.001"
+    for r in rows:
+        assert r.doc1 < r.doc2
+        assert dedup.SNM_THRESHOLD <= r.jaccard <= 1.0
+    # SNM finds planted exact-ish dups that LSH also finds: the two methods
+    # must agree on pairs whose blocking keys sort adjacently
+    lsh = {(r.doc1, r.doc2) for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()}
+    snm = {(r.doc1, r.doc2) for r in rows}
+    assert snm & lsh, "no overlap between SNM and shingle-Jaccard pairs"
