@@ -510,6 +510,111 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus via the band index
+#
+# Production dedup is INCREMENTAL: the corpus signature/band table is a
+# persisted artifact, and each ingest batch joins its (tiny) band relation
+# against it — nobody re-pairs the whole corpus per batch. Modeled here
+# with the last source slice ('src19') as the incoming batch and the rest
+# as the standing corpus.
+
+INCR_BATCH_SOURCE = "src19"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-band matches of the incoming batch against the corpus.
+
+    Scale shape: signatures compute once over the full table (at 100 TB the
+    corpus side is a PERSISTED band table — only the batch side is new
+    work), the batch band relation is tiny and BROADCAST, so the corpus
+    never shuffles for the probe; the estimate re-rank joins the two wide
+    signature rows exactly like the batch LSH path."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles_raw_from(docs).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    )
+    wide = (
+        sh.groupBy("doc_id")
+        .agg(*[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)])
+        .join(docs.select("doc_id", "source"), "doc_id")
+    ).cache()
+    wide.count()
+    rpb = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{b * rpb + i}").cast("string") for i in range(1, rpb + 1)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = wide.select(
+        "doc_id", "source", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "source", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    batch = banded.filter(F.col("source") == INCR_BATCH_SOURCE).drop("source")
+    corpus = banded.filter(F.col("source") != INCR_BATCH_SOURCE).drop("source")
+    candidates = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(batch.alias("b")),
+            (F.col("c.band") == F.col("b.band")) & (F.col("c.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_doc"), F.col("c.doc_id").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    w1 = wide.select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(1, N_MINHASH + 1)],
+    )
+    w2 = wide.select(
+        F.col("doc_id").alias("corpus_doc"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(1, N_MINHASH + 1)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(1, N_MINHASH + 1)
+    )
+    return (
+        candidates.join(w1, "new_doc")
+        .join(w2, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(agree / F.lit(N_MINHASH), 4).alias("est_jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = rf"""
+WITH sigs AS ({_ORACLE_MINHASH_SIGS}),
+src AS (SELECT doc_id, source FROM documents),
+band_sig AS (
+  SELECT s.doc_id, src.source,
+         CAST((perm - 1) // {N_MINHASH // N_BANDS} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM sigs s JOIN src ON src.doc_id = s.doc_id
+  GROUP BY 1, 2, 3
+),
+candidates AS (
+  SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM band_sig b JOIN band_sig c
+    ON b.band = c.band AND b.sig = c.sig
+  WHERE b.source = '{INCR_BATCH_SOURCE}' AND c.source <> '{INCR_BATCH_SOURCE}'
+)
+SELECT new_doc, corpus_doc,
+       round(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END) * 1.0 / {N_MINHASH}, 4) AS est_jaccard
+FROM candidates
+JOIN sigs s1 ON s1.doc_id = new_doc
+JOIN sigs s2 ON s2.doc_id = corpus_doc AND s2.perm = s1.perm
+GROUP BY new_doc, corpus_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # sorted-neighborhood dedup (SNM — Hernandez & Stolfo's merge/purge method)
 #
 # The hash-free member of the dedup ladder: sort the corpus by a blocking
@@ -821,6 +926,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -832,6 +938,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_sorted_neighborhood": ORACLE_SNM,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

@@ -96,3 +96,20 @@ def test_sorted_neighborhood_pairs_contract(spark, sf_dir):
     lsh = {(r.doc1, r.doc2) for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()}
     snm = {(r.doc1, r.doc2) for r in rows}
     assert snm & lsh, "no overlap between SNM and shingle-Jaccard pairs"
+
+
+def test_incremental_dedup_batch_side_only(spark, sf_dir):
+    from sap_sql_engine_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    batch_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("source") == dedup.INCR_BATCH_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    rows = dedup.q_dedup_incremental(spark, sf_dir).collect()
+    for r in rows:
+        assert r.new_doc in batch_ids
+        assert r.corpus_doc not in batch_ids
+        assert 0.0 <= r.est_jaccard <= 1.0
