@@ -1096,6 +1096,91 @@ ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement
 
 
 # ---------------------------------------------------------------------------
+# CUBE (all 2^n grouping combinations), native pivot, and unpivot/stack —
+# the reshape trio rounding out the GROUP BY family (ROLLUP and GROUPING
+# SETS above). Same physical shape as any grouped aggregate: Spark expands
+# the grouping sets map-side, one exchange on the grouping columns.
+
+
+def q_cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            out2(F.sum(money("l_quantity"))).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS line_count,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``pivot()`` (vs the manual CASE pivot in q_status_pivot):
+    explicit value list so the plan needs no distinct-values pre-pass —
+    the form to use at scale, where an implicit pivot first scans the
+    column for its domain."""
+    orders = table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long via ``stack()`` — zero extra shuffles: the unpivot is a
+    per-row Generate over the already-aggregated wide relation."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        out2(F.sum(money("l_quantity"))).alias("sum_qty"),
+        out2(F.sum(money("l_extendedprice"))).alias("sum_price"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (measure, value)"
+        ),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
 # bucketed range join: shipments into promotion windows
 #
 # Spark has no native range-join optimization, so a raw interval predicate
@@ -1190,6 +1275,9 @@ QUERIES = {
     "join_constant_predicate": q_join_constant_predicate,
     "recursive_line_chain": q_recursive_line_chain,
     "ship_promo_windows": q_ship_promo_windows,
+    "cube_lineitem_status": q_cube_lineitem_status,
+    "pivot_priority_status": q_pivot_priority_status,
+    "unpivot_pricing": q_unpivot_pricing,
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
 }
@@ -1222,6 +1310,9 @@ ORACLES = {
     "join_constant_predicate": ORACLE_JOIN_CONSTANT,
     "recursive_line_chain": ORACLE_RECURSIVE,
     "ship_promo_windows": ORACLE_SHIP_PROMO,
+    "cube_lineitem_status": ORACLE_CUBE,
+    "pivot_priority_status": ORACLE_PIVOT,
+    "unpivot_pricing": ORACLE_UNPIVOT,
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
 }
