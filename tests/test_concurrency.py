@@ -1,0 +1,32 @@
+"""Concurrent-session safety: the temp-view-based operators register
+per-call unique names (round-2 verdict item: fixed names collide across
+concurrent queries). Run every view-registering query from several threads
+at once and assert each result is complete and correct."""
+
+from concurrent.futures import ThreadPoolExecutor
+
+from sap_sql_engine_spark.operators import relational
+
+
+def test_view_registering_queries_run_concurrently(spark, sf_dir):
+    # the three operators that register temp views (uuid-suffixed)
+    targets = [
+        (relational.q_above_nation_average, None),
+        (relational.q_grouping_sets_balance, None),
+        (relational.q_recursive_line_chain, None),
+    ]
+    # sequential baseline counts
+    expected = [fn(spark, sf_dir).count() for fn, _ in targets]
+
+    def run(i):
+        fn, _ = targets[i % len(targets)]
+        return i % len(targets), fn(spark, sf_dir).count()
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, range(12)))
+
+    for idx, count in results:
+        assert count == expected[idx], (
+            f"concurrent run of {targets[idx][0].__name__} returned {count}, "
+            f"expected {expected[idx]}"
+        )
