@@ -51,6 +51,40 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into files sized at
+    ``target_file_mb``. Streaming sinks and incremental ingests litter a
+    table with thousands of KB-scale files; every scan then pays one task
+    + one footer-read per file, and the NameNode/listing cost grows
+    unbounded. Compaction is the standard maintenance op (Delta/Iceberg
+    OPTIMIZE's core): the file count comes from the ACTUAL byte size, not
+    a row-count guess, and the rewrite is a single coalesce — a narrow
+    dependency (no shuffle; a round-robin repartition would shuffle the
+    full table for marginally better balance).
+
+    Returns the number of files written."""
+    import os
+
+    size_b = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    ) if os.path.isdir(src_path) else os.path.getsize(src_path)
+    n_files = max(1, -(-size_b // (target_file_mb * 1024 * 1024)))  # ceil
+    spark.read.parquet(src_path).coalesce(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    import glob
+
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))
+
+
 def partition_filters_of(df: DataFrame) -> str:
     """The PartitionFilters line of the scan — test/debug helper to prove
     pruning happened."""

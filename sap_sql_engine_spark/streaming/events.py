@@ -592,6 +592,39 @@ GROUP BY 1, 2
 """
 
 
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str):
+    """Streaming twin of q_events_daily_rollup: day tumbling window with a
+    1-day watermark. In production this would be the SECOND tier of a
+    cascaded continuous aggregate (hourly stream feeding a daily fold);
+    Structured Streaming can't chain two streaming aggregations in one
+    query, so the daily tier re-windows the source — semantically equal
+    because tumbling day windows partition events exactly like folding
+    their hour partials."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_daily_stream")
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # range-frame rolling feature: per-event trailing-hour activity count
 #

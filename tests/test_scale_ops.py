@@ -113,3 +113,35 @@ def test_incremental_dedup_batch_side_only(spark, sf_dir):
         assert r.new_doc in batch_ids
         assert r.corpus_doc not in batch_ids
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_streaming_daily_matches_batch(spark, sf_dir):
+    q = ev.streaming_daily_rollup(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream = {
+            (r.window_start, r.event_type): (r.event_count, r.value_sum)
+            for r in spark.sql("SELECT * FROM events_daily_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in ev.q_events_daily_rollup(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_compact_sizes_by_bytes(spark, tmp_path):
+    from sap_sql_engine_spark.sources import layout
+
+    # write a deliberately fragmented table (32 shuffle files)
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 200_000).repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) > 8
+    n = layout.compact(spark, src, dst, target_file_mb=256)
+    assert n == 1  # well under one 256MB target -> single file
+    assert spark.read.parquet(dst).count() == 200_000
