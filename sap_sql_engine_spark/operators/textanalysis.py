@@ -565,9 +565,60 @@ WHERE {_BUCKET_DUCK} < keep_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# ranked quality: percent_rank + quartile within each source
+#
+# The corpus-filtering decision is usually RELATIVE ("drop the worst decile
+# per source"), not an absolute threshold — per-source ranking normalizes
+# away source-level quality offsets. percent_rank and ntile are the two
+# window functions the suite did not yet cover; the (score, doc_id) order
+# is total (unique tiebreaker), so both are deterministic and the exact
+# (rank-1)/(n-1) arithmetic is identical across engines.
+#
+# Scale shape: one shuffle keyed on source; a skewed giant source makes the
+# window sort that partition's cost — at real scale pre-bucket by (source,
+# hash(doc_id) range) and rank with a two-pass merge, same as any global
+# sort decomposition.
+
+
+def q_quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+ORACLE_QUALITY_PERCENT_RANK = rf"""
+WITH scored AS ({ORACLE_QUALITY_SCORE}),
+j AS (
+  SELECT s.doc_id, d.source, s.quality_score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, quality_score,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality_score ASC, doc_id ASC), 6) AS pct_rank,
+       ntile(4) OVER (PARTITION BY source
+                      ORDER BY quality_score ASC, doc_id ASC) AS quartile
+FROM j
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
+    "text_quality_percent_rank": q_quality_percent_rank,
     "text_language_id": q_language_id,
     "text_fingerprint": q_fingerprint,
     "docs_stratified_sample": q_stratified_sample,
@@ -582,6 +633,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
+    "text_quality_percent_rank": ORACLE_QUALITY_PERCENT_RANK,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "docs_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
