@@ -145,3 +145,50 @@ def test_compact_sizes_by_bytes(spark, tmp_path):
     n = layout.compact(spark, src, dst, target_file_mb=256)
     assert n == 1  # well under one 256MB target -> single file
     assert spark.read.parquet(dst).count() == 200_000
+
+
+def test_generic_asof_join_matches_naive(spark):
+    from sap_sql_engine_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (1, 5, "t0"), (2, 15, "t3"), (3, 9, "t4")],
+        ["acct", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 101.0), (1, 19, 102.0), (2, 15, 200.0), (2, 16, 201.0)],
+        ["acct", "ts", "price"],
+    )
+    out = {
+        r.trade_id: r.price
+        for r in asof_join(trades, quotes, by="acct", ts="ts", right_cols=["price"]).collect()
+    }
+    # t0 (ts=5): no prior quote; t1 (ts=10): equal-ts quote counts -> 101;
+    # t2 (ts=20): latest prior is 102; t3 (ts=15): equal-ts -> 200;
+    # t4: account 3 has no quotes at all
+    assert out == {"t0": None, "t1": 101.0, "t2": 102.0, "t3": 200.0, "t4": None}
+
+
+def test_generic_asof_matches_event_query_shape(spark, sf_dir):
+    # the generic operator reproduces the specialized events as-of query
+    from sap_sql_engine_spark.operators.asof import asof_join
+
+    evd = ev._events(spark, sf_dir).withColumn("ts_us", F.expr("unix_micros(ts)"))
+    purchases = evd.filter(F.col("event_type") == ev.ASOF_LEFT).select(
+        "user_id", F.col("ts_us").alias("tsu"), F.col("event_id")
+    )
+    clicks = evd.filter(F.col("event_type") == ev.ASOF_RIGHT).select(
+        "user_id", F.col("ts_us").alias("tsu"), F.col("event_id").alias("click_id")
+    )
+    generic = {
+        (r.event_id): r.click_id
+        for r in asof_join(
+            purchases, clicks, by="user_id", ts="tsu",
+            right_cols=["click_id"], tiebreak="event_id",
+        ).collect()
+        if r.click_id is not None
+    }
+    specialized = {
+        r.event_id: r.prior_click_id
+        for r in ev.q_events_asof_prior_click(spark, sf_dir).collect()
+    }
+    assert generic == specialized
