@@ -323,10 +323,75 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# oracle-gated mapInPandas: byte-histogram features with INTEGER counts
+#
+# The one verification class the gate lacked: a query whose hot path is the
+# Python/Arrow lane (mapInPandas), value-checked against the DuckDB oracle —
+# proving batch iteration, schema mapping, and per-row feature math
+# end-to-end, not just plan shape. Counts are integers (no float
+# normalization), so equality is exact by construction; the corpus is pure
+# ASCII (verified), so DuckDB's per-character codepoints equal the UTF-8
+# bytes the Python side histograms.
+
+BYTE_BINS = 16
+
+_BYTE_FEATURES_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False),
+     T.StructField("byte_len", T.LongType(), False)]
+    + [T.StructField(f"c{j}", T.LongType(), False) for j in range(BYTE_BINS)]
+)
+
+
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir).select("media_id", "content")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "byte_len"] + [f"c{j}" for j in range(BYTE_BINS)]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content) if content is not None else b""
+                counts = [0] * BYTE_BINS
+                for b in buf:
+                    counts[b % BYTE_BINS] += 1
+                rows.append(
+                    dict(zip(cols, [mid, len(buf), *counts]))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=_BYTE_FEATURES_SCHEMA)
+
+
+def _oracle_byte_features() -> str:
+    bins = ",\n       ".join(
+        f"CAST(sum(CASE WHEN code % {BYTE_BINS} = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(BYTE_BINS)
+    )
+    return f"""
+WITH codes AS (
+  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)))) AS code
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       {bins}
+FROM codes
+GROUP BY doc_id, byte_len
+"""
+
+
+ORACLE_MULTIMODAL_BYTE_FEATURES = _oracle_byte_features()
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_byte_features": q_multimodal_byte_features,
 }
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
+    "multimodal_byte_features": ORACLE_MULTIMODAL_BYTE_FEATURES,
 }
