@@ -386,12 +386,69 @@ GROUP BY doc_id, byte_len
 ORACLE_MULTIMODAL_BYTE_FEATURES = _oracle_byte_features()
 
 
+# ---------------------------------------------------------------------------
+# oracle-gated applyInPandas: per-source min-max permille normalization
+#
+# The GROUPED Python lane (applyInPandas — one pandas frame per group),
+# value-checked the same way: per-source doc-length normalization to
+# integer permille, floor((x - min) * 1000 / (max - min)). All-integer
+# math, so pandas and the DuckDB window oracle agree exactly. This is the
+# normalize-within-group shape feature pipelines use for per-domain score
+# calibration.
+
+
+_PERMILLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("permille", T.LongType(), False),
+    ]
+)
+
+
+def q_source_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length(F.trim(F.col("text"))).cast("long").alias("n_chars")
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["n_chars"].min()), int(pdf["n_chars"].max())
+        span = hi - lo
+        out = pdf.copy()
+        if span == 0:
+            out["permille"] = 0
+        else:
+            out["permille"] = [
+                (int(x) - lo) * 1000 // span for x in pdf["n_chars"]
+            ]
+        return out[["doc_id", "source", "n_chars", "permille"]]
+
+    return docs.groupBy("source").applyInPandas(per_group, schema=_PERMILLE_SCHEMA)
+
+
+ORACLE_SOURCE_PERMILLE = """
+WITH base AS (
+  SELECT doc_id, source, CAST(length(trim(text)) AS BIGINT) AS n_chars,
+         min(CAST(length(trim(text)) AS BIGINT)) OVER (PARTITION BY source) AS lo,
+         max(CAST(length(trim(text)) AS BIGINT)) OVER (PARTITION BY source) AS hi
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CASE WHEN hi = lo THEN 0
+            ELSE (n_chars - lo) * 1000 // (hi - lo) END AS permille
+FROM base
+"""
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_byte_features": q_multimodal_byte_features,
+    "source_permille_norm": q_source_permille,
 }
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
     "multimodal_byte_features": ORACLE_MULTIMODAL_BYTE_FEATURES,
+    "source_permille_norm": ORACLE_SOURCE_PERMILLE,
 }
