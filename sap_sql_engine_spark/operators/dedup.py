@@ -509,6 +509,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# the actionable form of exact dedup: RETURN the deduplicated corpus
+# (one representative per fingerprint — smallest doc_id), not just counts.
+# One shuffle keyed on the fingerprint; the min/count come from the same
+# window partitioning, no second exchange.
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn("fp", fingerprint_col())
+    w = Window.partitionBy("fp")
+    return (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "fp", "n_copies")
+    )
+
+
+ORACLE_DEDUP_KEEP_FIRST = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, fp,
+         min(doc_id) OVER (PARTITION BY fp) AS keeper,
+         count(*) OVER (PARTITION BY fp) AS n_copies
+  FROM fp
+)
+SELECT doc_id, source, fp, n_copies FROM w WHERE doc_id = keeper
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs existing corpus via the band index
 #
@@ -922,6 +955,7 @@ GROUP BY c.doc_id
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -934,6 +968,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,

@@ -120,6 +120,32 @@ def _walk(node, under_grouped_agg: bool, state: dict) -> bool:
     return has_pii
 
 
+def masked(df: DataFrame, salt: str = "") -> DataFrame:
+    """The ALLOW-path complement to :func:`check`: a view of ``df`` with
+    every PII identifier column replaced by a salted SHA-256 pseudonym
+    (joinable — the same person maps to the same token across tables under
+    one salt — but not reversible without it). Row-level analytics that
+    :func:`check` would block become possible on the masked view: the gate
+    blocks raw access, this grants de-identified access, the standard
+    two-tier governance posture.
+
+    Columns are matched case-insensitively against ``PII_COLUMNS``; non-PII
+    columns pass through untouched. Masking is a pure projection — zero
+    shuffles, pushdown-transparent for every non-masked column."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c in df.schema.names:
+        if c.upper() in PII_COLUMNS:
+            cols.append(
+                F.sha2(F.concat_ws("|", F.lit(salt), F.col(c).cast("string")), 256)
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def check(df: DataFrame) -> GovernanceBlock | None:
     """Gate a DataFrame before execution. Returns None when safe."""
     plan = df._jdf.queryExecution().analyzed()
