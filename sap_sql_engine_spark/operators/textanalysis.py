@@ -615,10 +615,91 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# Python-lane verification pair: vectorized pandas_udf and Python UDTF
+#
+# The engine's rule is "built-ins first" — but when Python IS needed, it
+# must be just as correct. These two queries put the remaining Python
+# execution surfaces under the DuckDB value gate (mapInPandas and
+# applyInPandas are covered in operators/multimodal.py):
+#
+# - ``@pandas_udf``: Arrow-vectorized scalar UDF — one Series in, one
+#   Series out, no per-row Python dispatch;
+# - ``@udtf``: Python table function — one input row, many output rows,
+#   lateral-joined.
+#
+# Both compute integer/string-exact results a SQL oracle replicates.
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+def _vowel_count_fn(texts: pd.Series) -> pd.Series:
+    return texts.str.count(r"[aeiouAEIOU]").astype("int64")
+
+
+def q_text_vowel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wrapped at call time: the decorator parses its DDL return type through
+    # the active session, so decorating at import would demand a
+    # SparkContext before any caller created one
+    vowel_count = pandas_udf(_vowel_count_fn, "long")
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        vowel_count(F.col("text")).alias("n_vowels"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_obs"),
+    )
+
+
+ORACLE_VOWEL_STATS = r"""
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS BIGINT) AS n_vowels,
+       CAST(length(trim(text)) AS BIGINT) AS n_chars_obs
+FROM documents
+"""
+
+HEAD_TOKENS = 5
+
+
+class _HeadTokens:
+    """Yield (1-based position, token) for the first HEAD_TOKENS whitespace
+    tokens of the input text."""
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract
+        if text is None:
+            return
+        for i, tok in enumerate(text.strip().split()):
+            if i >= HEAD_TOKENS:
+                break
+            yield i + 1, tok
+
+
+def q_text_head_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    head_tokens = udtf(_HeadTokens, returnType="pos int, token string")
+    docs = table(spark, sf_dir, "documents")
+    return docs.lateralJoin(
+        head_tokens(F.col("text").outer())
+    ).select("doc_id", "pos", "token")
+
+
+ORACLE_HEAD_TOKENS = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(1, least({HEAD_TOKENS}, len(arr)) + 1)) AS INT) AS pos,
+       unnest(list_slice(arr, 1, least({HEAD_TOKENS}, len(arr)))) AS token
+FROM base
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
     "text_quality_percent_rank": q_quality_percent_rank,
+    "text_vowel_stats": q_text_vowel_stats,
+    "text_head_tokens": q_text_head_tokens,
     "text_language_id": q_language_id,
     "text_fingerprint": q_fingerprint,
     "docs_stratified_sample": q_stratified_sample,
@@ -634,6 +715,8 @@ ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_quality_percent_rank": ORACLE_QUALITY_PERCENT_RANK,
+    "text_vowel_stats": ORACLE_VOWEL_STATS,
+    "text_head_tokens": ORACLE_HEAD_TOKENS,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "docs_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
