@@ -441,14 +441,59 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# oracle-gated mapInArrow: zero-copy batch lane
+#
+# The lowest-level Python lane — raw pyarrow RecordBatches, no pandas
+# conversion at all. Per-payload byte length computed with pyarrow compute
+# kernels (vectorized C++, not per-row Python), value-checked against the
+# SQL octet_length oracle.
+
+
+def q_arrow_byte_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    media = documents_as_media(spark, sf_dir).select("media_id", "content")
+
+    def batches(it):
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(batch.column(1)), pa.int64()),
+                ],
+                names=["media_id", "byte_len"],
+            )
+
+    return media.mapInArrow(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("byte_len", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+ORACLE_ARROW_BYTE_LENGTHS = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_byte_features": q_multimodal_byte_features,
     "source_permille_norm": q_source_permille,
+    "arrow_byte_lengths": q_arrow_byte_lengths,
 }
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
     "multimodal_byte_features": ORACLE_MULTIMODAL_BYTE_FEATURES,
     "source_permille_norm": ORACLE_SOURCE_PERMILLE,
+    "arrow_byte_lengths": ORACLE_ARROW_BYTE_LENGTHS,
 }

@@ -694,12 +694,36 @@ FROM base
 """
 
 
+def q_source_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf lane: per-source total characters via a
+    pandas Series aggregation (one Series per group in, one scalar out).
+    Integer sum — exact on any partitioning — checked against the SQL
+    sum oracle."""
+
+    def total_chars_fn(n: pd.Series) -> int:
+        return int(n.sum())
+
+    total_chars = pandas_udf(total_chars_fn, "long")
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.length(F.trim(F.col("text"))).cast("long").alias("n_chars")
+    )
+    return docs.groupBy("source").agg(total_chars(F.col("n_chars")).alias("total_chars"))
+
+
+ORACLE_SOURCE_CHAR_BUDGET = """
+SELECT source, CAST(sum(length(trim(text))) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
     "text_quality_percent_rank": q_quality_percent_rank,
     "text_vowel_stats": q_text_vowel_stats,
     "text_head_tokens": q_text_head_tokens,
+    "source_char_budget": q_source_char_budget,
     "text_language_id": q_language_id,
     "text_fingerprint": q_fingerprint,
     "docs_stratified_sample": q_stratified_sample,
@@ -717,6 +741,7 @@ ORACLES = {
     "text_quality_percent_rank": ORACLE_QUALITY_PERCENT_RANK,
     "text_vowel_stats": ORACLE_VOWEL_STATS,
     "text_head_tokens": ORACLE_HEAD_TOKENS,
+    "source_char_budget": ORACLE_SOURCE_CHAR_BUDGET,
     "text_language_id": ORACLE_LANGUAGE_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "docs_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
