@@ -625,6 +625,52 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_rollup_to_table(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Streaming hourly rollup written to a PARQUET TABLE via foreachBatch —
+    the production sink shape (the memory sink above is test-only).
+
+    Idempotence: each micro-batch's rows REPLACE their hour partitions
+    (dynamic partition overwrite) instead of appending, so a replayed batch
+    (failure/restart) converges to the same table — the standard
+    exactly-once-effect recipe for file sinks when the aggregation is in
+    complete mode. Partitioning by the window hour keeps each overwrite
+    surgical: only the partitions present in the batch rewrite."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias("hour_part"),
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_part")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # range-frame rolling feature: per-event trailing-hour activity count
 #

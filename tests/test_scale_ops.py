@@ -192,3 +192,37 @@ def test_generic_asof_matches_event_query_shape(spark, sf_dir):
         for r in ev.q_events_asof_prior_click(spark, sf_dir).collect()
     }
     assert generic == specialized
+
+
+def test_streaming_foreachbatch_table_matches_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "hourly_table")
+    q = ev.streaming_rollup_to_table(spark, sf_dir, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in spark.read.parquet(out)
+        .select("window_start", "event_type", "event_count", "value_sum")
+        .collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in ev.q_events_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert written == batch
+    # idempotence: re-running the stream over the same data converges to the
+    # same table (partition overwrite, not append)
+    q2 = ev.streaming_rollup_to_table(spark, sf_dir, out)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in spark.read.parquet(out)
+        .select("window_start", "event_type", "event_count", "value_sum")
+        .collect()
+    }
+    assert again == written
