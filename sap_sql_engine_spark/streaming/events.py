@@ -289,6 +289,81 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_sessionize_tws(spark: SparkSession, sf_dir: str):
+    """Sessionize twin on the MODERN stateful API (Spark 4
+    ``transformWithStateInPandas``): same fold as the
+    ``applyInPandasWithState`` twin above, expressed as a
+    ``StatefulProcessor`` with a typed ValueState. Requires the RocksDB
+    state store (the API's contract — state lives off-heap and scales past
+    executor memory, which is exactly why the new API exists)."""
+    import pandas as pd  # noqa: F811 - worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "sess",
+                "last_ts long, session_count int, cur_events long, "
+                "total_events long, max_events long",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                last_ts, n_sessions, cur, total, mx = self._state.get()
+            else:
+                last_ts, n_sessions, cur, total, mx = None, 0, 0, 0, 0
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                ts = t.value // 1000  # integer microseconds, batch-identical
+                if last_ts is None or ts - last_ts > gap_us:
+                    mx = max(mx, cur)
+                    n_sessions += 1
+                    cur = 1
+                else:
+                    cur += 1
+                total += 1
+                last_ts = ts
+            self._state.update((last_ts, n_sessions, cur, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_count": [n_sessions],
+                    "total_events": [total],
+                    "max_session_events": [max(mx, cur)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _event_stream(spark, sf_dir)
+    updated = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=(
+            "user_id long, session_count int, total_events long, "
+            "max_session_events long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("events_sessionize_tws")
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi-structured props (JSON column)
 

@@ -226,3 +226,31 @@ def test_streaming_foreachbatch_table_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert again == written
+
+
+def test_streaming_sessionize_tws_matches_batch(spark, sf_dir):
+    # the modern stateful API (transformWithStateInPandas + RocksDB state
+    # store) produces the same sessionization as the batch window fold.
+    # The TWS state-server protocol needs google.protobuf, which this
+    # container lacks — SKIP (never fake) when it is genuinely absent,
+    # same policy as the Pillow-gated image decode.
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs google.protobuf (absent here)")
+    q = ev.streaming_sessionize_tws(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream = {
+            r.user_id: (r.session_count, r.total_events, r.max_session_events)
+            for r in spark.sql("SELECT * FROM events_sessionize_tws").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.user_id: (r.session_count, r.total_events, r.max_session_events)
+        for r in ev.q_events_sessionize(spark, sf_dir).collect()
+    }
+    assert stream == batch
