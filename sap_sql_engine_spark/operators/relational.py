@@ -1096,6 +1096,95 @@ ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement
 
 
 # ---------------------------------------------------------------------------
+# multiset set operations — EXCEPT ALL / INTERSECT ALL keep duplicates
+# (U2's set-semantics forms are in q_brand_size_setops above); same
+# hash-partition-both-sides shape, bag semantics via per-row counting.
+
+
+def q_size_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_size") < 25).select("p_brand")
+    b = part.filter(F.col("p_type").contains("BRASS")).select("p_brand")
+    return a.exceptAll(b).withColumn("tag", F.lit("except_all")).unionByName(
+        a.intersectAll(b).withColumn("tag", F.lit("intersect_all"))
+    )
+
+
+ORACLE_MULTISET_OPS = """
+SELECT p_brand, 'except_all' AS tag FROM (
+  SELECT p_brand FROM part WHERE p_size < 25
+  EXCEPT ALL
+  SELECT p_brand FROM part WHERE p_type LIKE '%BRASS%'
+)
+UNION ALL
+SELECT p_brand, 'intersect_all' AS tag FROM (
+  SELECT p_brand FROM part WHERE p_size < 25
+  INTERSECT ALL
+  SELECT p_brand FROM part WHERE p_type LIKE '%BRASS%'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact Pearson correlation — the bit-stable recipe from
+# q_quantity_dispersion extended with DECIMAL(38,0) headroom (the ADVICE
+# scale-bound fix): all five sufficient statistics are EXACT integer/decimal
+# sums (order-independent on any partitioning), and the final r is one
+# double expression over them, identical on both engines. The built-in
+# corr() is deliberately avoided: its streaming accumulation is
+# float-order-dependent and can differ across engines/partitionings.
+
+
+def q_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    # cents EXACTLY: multiply in decimal first (scale stays 2, value x.00),
+    # then the decimal(38,0) cast drops a zero fraction — no rounding ever
+    yc = (F.col("l_extendedprice").cast(DEC) * 100).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(yc * x).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        F.round(num / den, 6).alias("qty_price_corr"),
+    )
+
+
+ORACLE_QTY_PRICE_CORR = """
+WITH stats AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS syy,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+             * CAST(l_quantity AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_lines,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS qty_price_corr
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # CUBE (all 2^n grouping combinations), native pivot, and unpivot/stack —
 # the reshape trio rounding out the GROUP BY family (ROLLUP and GROUPING
 # SETS above). Same physical shape as any grouped aggregate: Spark expands
@@ -1278,6 +1367,8 @@ QUERIES = {
     "cube_lineitem_status": q_cube_lineitem_status,
     "pivot_priority_status": q_pivot_priority_status,
     "unpivot_pricing": q_unpivot_pricing,
+    "size_multiset_ops": q_size_multiset_ops,
+    "quantity_price_corr": q_quantity_price_corr,
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
 }
@@ -1313,6 +1404,8 @@ ORACLES = {
     "cube_lineitem_status": ORACLE_CUBE,
     "pivot_priority_status": ORACLE_PIVOT,
     "unpivot_pricing": ORACLE_UNPIVOT,
+    "size_multiset_ops": ORACLE_MULTISET_OPS,
+    "quantity_price_corr": ORACLE_QTY_PRICE_CORR,
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
 }
