@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sap_sql_engine_spark import cachereg
 from sap_sql_engine_spark.operators import dedup, relational, similarity, textanalysis
 from sap_sql_engine_spark.session import get_spark
 from sap_sql_engine_spark.streaming import events
@@ -64,24 +65,27 @@ def main() -> None:
     # result — only code/metadata warmth carries over.
     for name in HEADLINE:
         _REGISTRY[name](spark, sf_dir).count()
+    cachereg.release()  # drain the builder-cache registry alongside clearCache
     spark.catalog.clearCache()
 
     # Two timed passes, per-query MIN: the host shows transient CPU steal
     # (shared-tenancy bursts measured inflating identical plans 2-4x run to
     # run), and min-of-2 recovers the steady-state number a quiet machine
     # would give. Caches are cleared between passes so each timing still
-    # builds its own caches from the parquet scans.
-    times: dict[str, float] = {}
+    # builds its own caches from the parquet scans. Both raw passes are
+    # recorded under "passes" so cross-round comparisons can account for the
+    # methodology (r01/r02 were single-pass; min-of-2 started in r03).
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(2):
         for name in HEADLINE:
             fn = _REGISTRY[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
-            elapsed = round(time.time() - t0, 3)
-            if name not in times or elapsed < times[name]:
-                times[name] = elapsed
+            passes[name].append(round(time.time() - t0, 3))
+        cachereg.release()
         spark.catalog.clearCache()
 
+    times = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -90,6 +94,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": passes,
+                "methodology": "per-query min of 2 timed passes (single-pass in r01/r02)",
                 "sf": sf,
             }
         )

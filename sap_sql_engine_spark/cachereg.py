@@ -1,0 +1,58 @@
+"""Cache-lifetime registry for query builders.
+
+Several builders materialize a shared intermediate with ``.cache()`` (the
+tf relation feeding both tfidf sides, the minhash signature table read by
+four plan branches, the range-ranked SNM relation whose derived ranks must
+not be recomputed under a different partition layout). The builder cannot
+``unpersist()`` what its caller has not yet consumed — the DataFrame it
+returns is lazy — so ownership of the cache lifetime is inverted: builders
+register what they cache via :func:`track` / :func:`cache_eager`, and the
+surfaces that own the consuming action (the executor, ``bench.py``,
+``tools/check_correctness.py``, the test session) call :func:`release`
+once results are collected. Without this, repeated invocations (82-query
+sweeps, concurrent sessions, bench passes) accumulate cached relations in
+executor storage memory until LRU eviction.
+
+``release()`` is idempotent and never raises: a DataFrame whose session
+has already stopped is skipped.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-cached DataFrame for a later :func:`release`."""
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def cache_eager(df: DataFrame) -> DataFrame:
+    """Cache *df*, materialize it NOW (one eager job so downstream plan
+    branches hit the cache instead of racing to rebuild the subtree), and
+    register it for :func:`release`."""
+    cached = df.cache()
+    cached.count()
+    return track(cached)
+
+
+def release() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released."""
+    with _LOCK:
+        dfs = list(_TRACKED)
+        _TRACKED.clear()
+    released = 0
+    for df in dfs:
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped / relation already evicted
+    return released

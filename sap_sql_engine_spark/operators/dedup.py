@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachereg import cache_eager, track
 from ..sources.loader import spread, table
 from .textanalysis import fingerprint_col
 
@@ -183,6 +184,7 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_id", "sh")
         .cache()
     )
+    track(sh)
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # per_doc is one (doc_id, n) row per document. Below ~10M docs that is a
     # few hundred MB — broadcast it and the candidate-pair relation never
@@ -317,12 +319,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band self-join is keyed on (band, sig) so the pair count is ~dups +
     collisions, and the Jaccard estimate is a row-level expression over the
     two cached signature rows — no long-form component join at all."""
-    wide = _minhash_wide(spark, sf_dir).cache()
     # materialize the cache NOW: the plan below references `wide` four times
     # (banded x2, w1, w2), and a lazy cache lets those stages race to rebuild
     # the whole shingle->md5->min pipeline before any of them populates it
     # (measured 4x wall-clock at sf0.1). One eager job = one computation.
-    wide.count()
+    wide = cache_eager(_minhash_wide(spark, sf_dir))
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -464,8 +465,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << width) - 1
     # the self-join references the signature relation twice; materialize it
     # once (at 100 TB: write the signature table, then band-join against it)
-    sig = _simhash(spark, sf_dir).cache()
-    sig.count()
+    sig = cache_eager(_simhash(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(
@@ -567,12 +567,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
     )
-    wide = (
+    wide = cache_eager(
         sh.groupBy("doc_id")
         .agg(*[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)])
         .join(docs.select("doc_id", "source"), "doc_id")
-    ).cache()
-    wide.count()
+    )
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -666,13 +665,23 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNM near-dup pairs at token-set Jaccard >= SNM_THRESHOLD.
 
     Scale shape: the global sort is a range-partitioned exchange (Spark
-    sorts 100 TB routinely); neighbor pairing needs NO range join — each
-    row explodes into its W-1 forward offsets and pairs by an EQUI-join on
-    the neighbor rank, so the candidate relation is n*(W-1) rows keyed on
-    an integer. The Jaccard scoring is per-pair array math over the two
-    token sets. In production, multi-pass SNM re-runs with a second
-    blocking key (e.g. reversed prefix) to catch prefix-divergent dups —
-    the same plan with a different key expression."""
+    sorts 100 TB routinely) and STAYS one — global ranks are assembled
+    without any global window: after ``repartitionByRange`` +
+    ``sortWithinPartitions``, each row's within-partition position falls
+    out of ``monotonically_increasing_id`` (partition-local counter in its
+    low 33 bits — a pure map, no exchange), and a metadata-sized
+    per-partition row-count collect (one row per partition, the same
+    bookkeeping ``zipWithIndex`` does) turns local positions into global
+    ranks via a literal offset map. Range partition i holds keys strictly
+    below partition i+1's, so offset[pid] + local position IS the global
+    (bkey, doc_id) rank — no single task ever sees more than its range
+    slice. Neighbor pairing then needs NO range join — each row explodes
+    into its W-1 forward offsets and pairs by an EQUI-join on the neighbor
+    rank, so the candidate relation is n*(W-1) rows keyed on an integer.
+    The Jaccard scoring is per-pair array math over the two token sets. In
+    production, multi-pass SNM re-runs with a second blocking key (e.g.
+    reversed prefix) to catch prefix-divergent dups — the same plan with a
+    different key expression."""
     docs = spread(table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     base = docs.select(
@@ -680,9 +689,36 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, SNM_KEY_LEN).alias("bkey"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokset"),
     )
-    rn = F.row_number().over(Window.orderBy(F.col("bkey"), F.col("doc_id")))
-    ranked = base.withColumn("rn", rn).cache()
-    ranked.count()
+    # cache the partitioned relation BEFORE deriving ranks: RangePartitioner
+    # samples bounds per materialization, so an uncached plan could hand the
+    # self-join's two branches different pid/mid assignments
+    part = cache_eager(
+        base.repartitionByRange(F.col("bkey"), F.col("doc_id"))
+        .sortWithinPartitions("bkey", "doc_id")
+        .select(
+            "*",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+    )
+    counts = {
+        row["pid"]: row["cnt"]
+        for row in part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }  # one row per partition — metadata, not data
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    # mid = pid * 2^33 + within-partition counter (consecutive from 0 in
+    # sorted iterator order); strip the partition component, add the offset
+    local = F.col("mid") - F.shiftleft(F.col("pid").cast("bigint"), 33)
+    ranked = part.withColumn(
+        "rn", (offset_map[F.col("pid")] + local + F.lit(1)).cast("bigint")
+    )
     left = ranked.select(
         F.col("doc_id").alias("doc1"),
         F.col("tokset").alias("t1"),

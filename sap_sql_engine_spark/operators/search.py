@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachereg import cache_eager
 from ..sources.loader import spread, table
 
 TFIDF_TOP_K = 3
@@ -81,10 +82,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (eager, so the two consumers share one computation instead of each
     # re-running the tokenize+aggregate subtree — at 100 TB, write the tf
     # relation and build df from the written table)
-    tf = (
+    tf = cache_eager(
         _tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    ).cache()
-    tf.count()
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     score = F.col("tf") * (
         F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double")))
@@ -285,10 +285,9 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap the jaccard path applies would drop stop-tokens entirely."""
     docs = table(spark, sf_dir, "documents")
     # shared by the stats regroup and the top-docs window (see tfidf note)
-    tf = (
+    tf = cache_eager(
         _tokens(docs).groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    ).cache()
-    tf.count()
+    )
     stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),

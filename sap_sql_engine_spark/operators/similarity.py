@@ -20,6 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachereg import cache_eager
 from ..sources.loader import spread, table
 
 DIM = 64
@@ -173,13 +174,14 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB: persist/checkpoint the signature table). Precomputing the norm
     # here means the per-candidate re-rank only evaluates the cross dot —
     # a third of the interpreted higher-order-function work.
-    feat = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(bits_expr).alias("bits"),
-        F.sqrt(_dots("embedding", "embedding")).alias("nrm"),
-    ).cache()
-    feat.count()
+    feat = cache_eager(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(bits_expr).alias("bits"),
+            F.sqrt(_dots("embedding", "embedding")).alias("nrm"),
+        )
+    )
     bands = feat.select(
         "vec_id",
         F.posexplode(

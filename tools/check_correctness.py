@@ -63,6 +63,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from sap_sql_engine_spark import cachereg
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
@@ -76,6 +78,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            cachereg.release()  # builder-owned caches; consumed above
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only check)")
             n_weak += 1
