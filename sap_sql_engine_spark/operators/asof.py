@@ -43,6 +43,12 @@ def asof_join(
 
     ``tiebreak`` orders rows within equal (ts, side) deterministically;
     defaults to the ts column itself (adequate when ts is unique per side).
+
+    Right-row presence is tracked independently of payload nullability:
+    the carry-forward moves ONE struct per right row (non-null whenever a
+    right row exists, even if every payload value in it is NULL), so a
+    genuinely-NULL payload on the most recent right row surfaces as NULL
+    instead of an older non-null value leaking forward.
     """
     tb = tiebreak or ts
     lcols = left.columns
@@ -62,14 +68,19 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(_TAG).asc(), F.col(tb).asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # one struct per RIGHT row (never null for a right row, even when all
+    # its payload fields are null) — last(ignorenulls) then tracks "was
+    # there a prior right row" separately from each payload's nullability
+    payload = F.when(
+        F.col(_TAG) == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
+    )
     carried = unioned.select(
         *lcols,
         _TAG,
-        *[
-            F.last(F.when(F.col(_TAG) == 0, F.col(f"__r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in right_cols
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("__asof_payload"),
     )
-    return carried.filter(F.col(_TAG) == 1).drop(_TAG)
+    return carried.filter(F.col(_TAG) == 1).select(
+        *lcols,
+        *[F.col(f"__asof_payload.{c}").alias(c) for c in right_cols],
+    )

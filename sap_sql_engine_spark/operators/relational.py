@@ -654,12 +654,14 @@ def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deliberately avoided: Spark (BigDecimal HALF_UP) and DuckDB
     (scaled-multiply) disagree at the last ulp.
 
-    Scale bound: with l_quantity <= 50, n*ss grows as ~2500*n^2; the
-    products stay under 2^53 (exact doubles) to ~sf1 and under 2^63 to
-    ~sf1000. Past 2^63 non-ANSI Spark wraps the BIGINT multiply while
-    DuckDB promotes to HUGEINT — for headroom at that scale, compute the
-    numerator in DECIMAL(38,0) on both engines (cheap; not done here
-    because the driver gates at sf0.01).
+    Scale headroom: the per-group sums s/ss are BIGINT-safe essentially
+    forever, but the PRODUCTS n*ss and s*s grow as ~2500*n^2 and wrap
+    BIGINT past ~sf1000 (non-ANSI Spark wraps silently; DuckDB promotes to
+    HUGEINT — a silent cross-engine divergence). Both products therefore
+    compute in DECIMAL — operands cast to DECIMAL(19,0) so the product is
+    an exact DECIMAL(38,0) on BOTH engines (DuckDB's decimal multiply
+    requires operand widths to sum <= 38) — same recipe as
+    ``q_quantity_price_corr``. Good to ~10^16 rows per group.
     """
     li = table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("bigint")
@@ -668,8 +670,10 @@ def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).alias("s"),
         F.sum(q * q).alias("ss"),
     )
-    num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    d19 = "decimal(19,0)"
+    n19, s19, ss19 = (F.col(c).cast(d19) for c in ("n", "s", "ss"))
+    num = (n19 * ss19 - s19 * s19).cast("double")
+    den = (n19 * (n19 - F.lit(1))).cast("double")
     var = num / den
 
     def trunc4(c):
@@ -686,14 +690,21 @@ def q_quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DISPERSION = """
 SELECT l_returnflag,
        n AS line_count,
-       floor((CAST(n*ss - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) * 10000) / 10000 AS qty_variance,
-       floor(sqrt(CAST(n*ss - s*s AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) * 10000) / 10000 AS qty_stddev
+       floor((CAST(n19*ss19 - s19*s19 AS DOUBLE) / CAST(n19*(n19-1) AS DOUBLE)) * 10000) / 10000 AS qty_variance,
+       floor(sqrt(CAST(n19*ss19 - s19*s19 AS DOUBLE) / CAST(n19*(n19-1) AS DOUBLE)) * 10000) / 10000 AS qty_stddev
 FROM (
   SELECT l_returnflag,
-         count(*) AS n,
-         sum(CAST(l_quantity AS BIGINT)) AS s,
-         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
-  FROM lineitem GROUP BY l_returnflag
+         n,
+         CAST(n AS DECIMAL(19,0)) AS n19,
+         CAST(s AS DECIMAL(19,0)) AS s19,
+         CAST(ss AS DECIMAL(19,0)) AS ss19
+  FROM (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS s,
+           sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
+    FROM lineitem GROUP BY l_returnflag
+  )
 )
 """
 

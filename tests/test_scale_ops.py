@@ -168,6 +168,22 @@ def test_generic_asof_join_matches_naive(spark):
     assert out == {"t0": None, "t1": 101.0, "t2": 102.0, "t3": 200.0, "t4": None}
 
 
+def test_generic_asof_join_null_payload_not_skipped(spark):
+    # a genuinely-NULL payload on the most recent right row must surface as
+    # NULL — not silently fall back to an older non-null value (the struct
+    # presence-carry fix; a bare last(ignorenulls) on the payload column
+    # cannot tell "no prior right row" from "prior right row, NULL value")
+    from sap_sql_engine_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame([(1, 20, "t1")], ["acct", "ts", "trade_id"])
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, None)],
+        "acct INT, ts INT, price DOUBLE",
+    )
+    [row] = asof_join(trades, quotes, by="acct", ts="ts", right_cols=["price"]).collect()
+    assert row.price is None
+
+
 def test_generic_asof_matches_event_query_shape(spark, sf_dir):
     # the generic operator reproduces the specialized events as-of query
     from sap_sql_engine_spark.operators.asof import asof_join
