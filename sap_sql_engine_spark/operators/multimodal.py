@@ -368,18 +368,29 @@ def _oracle_byte_features() -> str:
         f"CAST(sum(CASE WHEN code % {BYTE_BINS} = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
         for j in range(BYTE_BINS)
     )
+    coalesced = ",\n       ".join(
+        f"COALESCE(c{j}, CAST(0 AS BIGINT)) AS c{j}" for j in range(BYTE_BINS)
+    )
+    # LEFT JOIN from documents so an empty-text doc (no unnested codes)
+    # still yields a zeros row — matching the Python side, which emits
+    # byte_len=0 with all-zero bins for empty content (ADVICE r3)
     return f"""
 WITH codes AS (
-  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+  SELECT doc_id,
          unnest(list_transform(range(1, length(text) + 1),
                 i -> ord(substr(text, CAST(i AS INT), 1)))) AS code
   FROM documents
-)
-SELECT doc_id AS media_id,
-       CAST(byte_len AS BIGINT) AS byte_len,
+),
+binned AS (
+  SELECT doc_id,
        {bins}
-FROM codes
-GROUP BY doc_id, byte_len
+  FROM codes
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+       {coalesced}
+FROM documents d LEFT JOIN binned USING (doc_id)
 """
 
 

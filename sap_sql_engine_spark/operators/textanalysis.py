@@ -686,6 +686,10 @@ ORACLE_HEAD_TOKENS = rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
   FROM documents
+  -- empty/whitespace-only text yields NO rows on both engines: Python's
+  -- str.split() returns [] there, while an unguarded regexp_split_to_array
+  -- would emit a single '' token (latent gate mismatch; ADVICE r3)
+  WHERE trim(text) <> ''
 )
 SELECT doc_id,
        CAST(unnest(range(1, least({HEAD_TOKENS}, len(arr)) + 1)) AS INT) AS pos,

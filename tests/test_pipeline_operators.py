@@ -590,3 +590,52 @@ def test_probe_media_meta_real_headers(spark):
     assert got[4].format == "corrupt"
     for mid, buf in enumerate(payloads):
         assert got[mid].byte_len == len(buf)
+
+
+def test_empty_text_docs_agree_with_oracle(spark, tmp_path):
+    # ADVICE r3: the gate corpus has no empty docs, so the head-tokens and
+    # byte-features oracles could diverge from the Python lanes on
+    # empty/whitespace-only text unnoticed. Plant exactly those docs in a
+    # tiny corpus and run BOTH engines.
+    import duckdb
+    import pandas as pd
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta gamma delta epsilon zeta", "", "   ", "solo"],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [35, 0, 3, 4],
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    # head tokens: empty-trim docs yield NO rows on either engine
+    got = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in textanalysis.q_text_head_tokens(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (int(d), int(p), t)
+        for d, p, t in con.execute(textanalysis.ORACLE_HEAD_TOKENS).fetchall()
+    )
+    assert got == want
+    assert {d for d, _, _ in got} == {1, 4}, "empty/ws-only docs must emit nothing"
+
+    # byte features: empty docs yield a ZEROS row on both engines
+    got_bf = sorted(
+        tuple(r) for r in multimodal.q_multimodal_byte_features(spark, sf_dir).collect()
+    )
+    want_bf = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(multimodal.ORACLE_MULTIMODAL_BYTE_FEATURES).fetchall()
+    )
+    assert got_bf == want_bf
+    by_id = {row[0]: row for row in got_bf}
+    assert by_id[2][1] == 0 and set(by_id[2][2:]) == {0}, "empty doc -> zeros row"
