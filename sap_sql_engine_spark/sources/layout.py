@@ -85,23 +85,46 @@ def compact(
     return len(glob.glob(os.path.join(dst_path, "*.parquet")))
 
 
-def partition_filters_of(df: DataFrame) -> str:
-    """The PartitionFilters line of the scan — test/debug helper to prove
-    pruning happened."""
-    import re
+def _exec_nodes(df: DataFrame):
+    """Iterate the physical plan's nodes structurally via py4j — the
+    executed-plan twin of ``plans/governance.py``'s analyzed-plan walk.
+    Descends through the AQE wrapper (``AdaptiveSparkPlanExec`` is a leaf
+    whose real tree hangs off ``executedPlan()``); no plan-printer
+    ``toString()`` parsing, so Spark changing its text format can't
+    silently break these assertions."""
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    return m.group(1) if m else ""
+    def walk(node):
+        yield node
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            yield from walk(node.executedPlan())
+        kids = node.children()
+        for i in range(kids.size()):
+            yield from walk(kids.apply(i))
+
+    yield from walk(df._jdf.queryExecution().executedPlan())
+
+
+def partition_filters_of(df: DataFrame) -> str:
+    """The scan's partition filters (rendered per-expression via the
+    structural ``sql()`` on each Catalyst expression) — test/debug helper
+    to prove pruning happened."""
+    parts: list[str] = []
+    for node in _exec_nodes(df):
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            flt = node.partitionFilters()
+            parts.extend(flt.apply(i).sql() for i in range(flt.size()))
+    return ", ".join(parts)
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange nodes in the executed plan — 0 for a
-    co-located bucketed join."""
-    import re
-
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(r"\bExchange hashpartitioning", plan))
+    """Number of hash-partitioning shuffle Exchange nodes in the executed
+    plan — 0 for a co-located bucketed join."""
+    return sum(
+        1
+        for node in _exec_nodes(df)
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec"
+        and node.outputPartitioning().getClass().getSimpleName() == "HashPartitioning"
+    )
 
 
 def mounted_tables(spark: SparkSession) -> list[str]:
