@@ -26,6 +26,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -139,17 +140,107 @@ def _wav_features(buf: bytes) -> list[float]:
     return _norm_hist(hist)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (3 = palette: one index byte/pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode_gray(buf: bytes) -> list[int] | None:
+    """Stdlib PNG decode → per-pixel luminance, for non-interlaced 8-bit
+    images (the overwhelmingly common case; Pillow, when present, covers
+    the rest): zlib-inflate the IDAT stream, reverse the per-scanline
+    filter (None/Sub/Up/Average/Paeth — RFC 2083 §6), then reduce each
+    pixel with Pillow's exact ITU-R 601 integer luma
+    ``(19595*R + 38470*G + 7471*B) >> 16`` so the two decode paths agree
+    bit-for-bit. Returns ``None`` for PNG variants that need a richer
+    decoder (16-bit, sub-byte depths, interlaced); raises on corrupt data.
+    """
+    if buf[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # 4 length + 4 type + payload + 4 crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
+        return None  # needs Pillow
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("corrupt PNG: pixel data length mismatch")
+    prev = bytearray(stride)
+    lum: list[int] = []
+    for y in range(h):
+        start = y * (stride + 1)
+        ftype = raw[start]
+        line = bytearray(raw[start + 1 : start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"corrupt PNG: unknown filter {ftype}")
+        prev = line
+        for x in range(0, stride, ch):
+            if color in (0, 4):  # gray / gray+alpha
+                lum.append(line[x])
+            elif color == 3:  # palette
+                pi = line[x] * 3
+                r, g, b = plte[pi], plte[pi + 1], plte[pi + 2]
+                lum.append((19595 * r + 38470 * g + 7471 * b) >> 16)
+            else:  # RGB / RGBA
+                lum.append(
+                    (19595 * line[x] + 38470 * line[x + 1] + 7471 * line[x + 2]) >> 16
+                )
+    return lum
+
+
 def _image_features(buf: bytes) -> list[float]:
-    """Real image decode behind the Pillow import-try: grayscale luminance
-    histogram over FEATURE_DIM bins."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires Pillow, which is not installed; "
-            "pass deterministic_fake=True for the pipeline-shape fake"
-        )
-    img = Image.open(io.BytesIO(buf)).convert("L")
+    """Real image decode: non-interlaced 8-bit PNGs decode with the stdlib
+    (zlib + scanline unfilter — works in this container); everything else
+    (JPEG, exotic PNG variants) goes through Pillow when importable, else
+    raises (declared stub, never silently faked). Output: grayscale
+    luminance histogram over FEATURE_DIM bins."""
+    lum = _png_decode_gray(buf)
+    if lum is None:
+        if not HAS_PIL:
+            raise NotImplementedError(
+                "decoding this image requires Pillow, which is not installed "
+                "(stdlib path covers non-interlaced 8-bit PNG only); pass "
+                "deterministic_fake=True for the pipeline-shape fake"
+            )
+        img = Image.open(io.BytesIO(buf)).convert("L")
+        lum = list(img.getdata())
     hist = [0.0] * FEATURE_DIM
-    for px in img.getdata():
+    for px in lum:
         hist[min(px * FEATURE_DIM // 256, FEATURE_DIM - 1)] += 1.0
     return _norm_hist(hist)
 
@@ -174,11 +265,12 @@ def decode_features(
 ) -> DataFrame:
     """Per-payload feature extraction, dispatched on magic bytes.
 
-    WAV payloads decode for real with the stdlib; PNG/JPEG decode for real
-    when Pillow is importable (``NotImplementedError`` otherwise — declared
-    stub, never silently faked); any other payload requires
-    ``deterministic_fake=True``, which substitutes a seeded byte-histogram
-    with identical schema/batching/partitioning."""
+    WAV and non-interlaced 8-bit PNG payloads decode for real with the
+    stdlib; JPEG and exotic PNG variants decode for real when Pillow is
+    importable (``NotImplementedError`` otherwise — declared stub, never
+    silently faked); any other payload requires ``deterministic_fake=True``,
+    which substitutes a seeded byte-histogram with identical
+    schema/batching/partitioning."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -193,8 +285,8 @@ def decode_features(
                     feats = _image_features(buf)
                 else:
                     raise NotImplementedError(
-                        "no codec for this payload (WAV decodes via stdlib, "
-                        "PNG/JPEG require Pillow); pass "
+                        "no codec for this payload (WAV and 8-bit PNG decode "
+                        "via stdlib, JPEG requires Pillow); pass "
                         "deterministic_fake=True for the pipeline-shape fake"
                     )
                 out.append(

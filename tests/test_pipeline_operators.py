@@ -222,24 +222,111 @@ def test_wav_decode_is_real(spark):
     assert sum(feats) == pytest.approx(1.0)
 
 
-def test_image_decode_honest_without_pil(spark):
-    """PNG magic routes to the image codec: real decode when Pillow is
-    importable, NotImplementedError (not a silent fake) when it isn't."""
+def _png_encode(w, h, color, rows, filters, palette=None):
+    """Minimal test-side PNG encoder: 8-bit, non-interlaced, with a chosen
+    filter type per scanline (forward-filters the raw rows, so the decoder
+    under test must invert every filter to recover them)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    for row, ft in zip(rows, filters):
+        line = bytearray(row)
+        assert len(line) == stride
+        filtered = bytearray([ft])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] - a) & 0xFF
+            elif ft == 2:
+                v = (line[i] - b) & 0xFF
+            elif ft == 3:
+                v = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (line[i] - pred) & 0xFF
+            filtered.append(v)
+        out += filtered
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        data += chunk(b"PLTE", bytes(palette))
+    return data + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_is_real_stdlib(spark):
+    """Non-interlaced 8-bit PNG decodes with the stdlib — runs (not skipped)
+    in this Pillow-less container: an all-white grayscale PNG whose rows use
+    every filter type lands entirely in the top luminance bin."""
+    rows = [bytes([255] * 8)] * 8
+    png = _png_encode(8, 8, 0, rows, filters=[0, 1, 2, 3, 4, 0, 2, 4])
+    out = multimodal.decode_features(_media_df(spark, [png])).collect()
+    assert out[0].byte_len == len(png)
+    assert out[0].features[multimodal.FEATURE_DIM - 1] == pytest.approx(1.0)
+
+
+def test_png_unfilter_all_color_types():
+    """The scanline unfilter inverts every forward filter exactly, for RGB,
+    RGBA, gray+alpha, and palette color types."""
+    from sap_sql_engine_spark.operators.multimodal import _png_decode_gray
+
+    def luma(r, g, b):
+        return (19595 * r + 38470 * g + 7471 * b) >> 16
+
+    # RGB 3x4, deterministic-but-varied pixels, all four non-None filters
+    pix = [[(x * 37 + y * 91) % 256 for x in range(9)] for y in range(4)]
+    png = _png_encode(3, 4, 2, [bytes(r) for r in pix], filters=[1, 2, 3, 4])
+    want = [luma(r[i], r[i + 1], r[i + 2]) for r in pix for i in range(0, 9, 3)]
+    assert _png_decode_gray(png) == want
+
+    # RGBA: alpha ignored; gray+alpha: value channel only
+    rgba = [bytes([10, 200, 30, 77] * 2)] * 2
+    assert _png_decode_gray(_png_encode(2, 2, 6, rgba, [4, 4])) == [
+        luma(10, 200, 30)
+    ] * 4
+    ga = [bytes([99, 5, 200, 5])] * 2
+    assert _png_decode_gray(_png_encode(2, 2, 4, ga, [2, 2])) == [99, 200] * 2
+
+    # palette: indices resolve through PLTE before the luma reduction
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = [bytes([0, 1, 2])]
+    assert _png_decode_gray(_png_encode(3, 1, 3, idx, [1], palette=pal)) == [
+        luma(255, 0, 0), luma(0, 255, 0), luma(0, 0, 255)
+    ]
+
+
+def test_image_decode_honest_beyond_stdlib(spark):
+    """Payloads the stdlib path can't decode stay honest: JPEG (and corrupt
+    PNG) raise rather than silently faking, when Pillow is absent."""
     if multimodal.HAS_PIL:
-        import io
-
-        from PIL import Image
-
-        img = Image.new("L", (8, 8), color=255)  # all-white -> top bin
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        out = multimodal.decode_features(_media_df(spark, [buf.getvalue()])).collect()
-        assert out[0].features[multimodal.FEATURE_DIM - 1] == pytest.approx(1.0)
-    else:
-        png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
-        with pytest.raises(Exception) as exc_info:
-            multimodal.decode_features(_media_df(spark, [png])).collect()
-        assert "Pillow" in str(exc_info.value)
+        pytest.skip("Pillow present: JPEG decodes for real via Pillow")
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_features(_media_df(spark, [jpeg])).collect()
+    assert "Pillow" in str(exc_info.value)
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_features(_media_df(spark, [corrupt])).collect()
+    assert "corrupt PNG" in str(exc_info.value)
 
 
 def test_frame_sample_chunks(spark, sf_dir):
