@@ -1103,6 +1103,19 @@ def q_recursive_line_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_FOLD_SQL.format(src=v))
 
 
+def q_recursive_line_chain_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal ``WITH RECURSIVE`` executed by Spark 4's native
+    recursion — the SQL-surface twin of :func:`q_recursive_line_chain`'s
+    algebraic fold (SURVEY §4.5). Registered as its own gated query so the
+    driver hashes Spark's native recursive-CTE execution against the same
+    DuckDB recursion the fold is checked against; the fold remains the
+    scale path (the native plan is one sequential self-join per recursion
+    level). Equality fold==native is additionally asserted in
+    ``test_recursive_fold_matches_native_recursion``."""
+    v = _tmp_view(table(spark, sf_dir, "lineitem"), "lineitem_chain_native_src")
+    return spark.sql(_RECURSIVE_SQL.format(src=v))
+
+
 ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement
 
 
@@ -1382,6 +1395,7 @@ QUERIES = {
     "quantity_price_corr": q_quantity_price_corr,
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
+    "recursive_line_chain_native": q_recursive_line_chain_native,
 }
 
 ORACLES = {
@@ -1419,4 +1433,5 @@ ORACLES = {
     "quantity_price_corr": ORACLE_QTY_PRICE_CORR,
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
+    "recursive_line_chain_native": ORACLE_RECURSIVE,
 }
