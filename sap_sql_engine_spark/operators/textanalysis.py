@@ -721,6 +721,146 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# auto-label QA: agreement between the stored `lang` label and the
+# language-ID prediction — per-class accuracy plus global Cohen's kappa.
+#
+# The QA step every auto-labeled corpus needs before the labels feed
+# filtering or mixing decisions: a confusion-cell aggregation (ONE shuffle
+# of (label, prediction) integer pairs, map-side combined), then the kappa
+# from exact integer sufficient statistics. With row/column/diagonal sums
+# r_i, c_i, d and N = sum(r_i):
+#     kappa = (N*d - sum(r_i*c_i)) / (N^2 - sum(r_i*c_i))
+# Products compute in DECIMAL (operands DECIMAL(19,0) -> exact
+# DECIMAL(38,0) on both engines — same recipe as quantity_dispersion), so
+# the value is bit-stable to ~10^16 docs. The per-class relation is
+# bounded by |label alphabet|, so the scalar fold is metadata-sized at any
+# corpus scale.
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_language_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("c"))
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("c")).otherwise(0)
+        ).alias("n_correct"),
+    )
+    per_pred = cells.groupBy("predicted_lang").agg(F.sum("c").alias("col_n"))
+    # full outer on the label alphabet: 'unknown' occurs only as a
+    # prediction, and a label with zero predictions still contributes
+    # row_i * 0 to pe
+    margins = per_lang.join(
+        per_pred, per_lang["lang"] == per_pred["predicted_lang"], "full_outer"
+    ).select(
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("decimal(19,0)").alias("r"),
+        F.coalesce(F.col("col_n"), F.lit(0)).cast("decimal(19,0)").alias("col_c"),
+        F.coalesce(F.col("n_correct"), F.lit(0)).alias("d"),
+    )
+    glob = margins.agg(
+        F.sum("r").cast("decimal(19,0)").alias("n"),
+        F.sum("d").cast("decimal(19,0)").alias("diag"),
+        F.sum(F.col("r") * F.col("col_c")).cast("decimal(38,0)").alias("pe_sum"),
+    )
+    kappa = F.floor(
+        (F.col("n") * F.col("diag") - F.col("pe_sum")).cast("double")
+        / (F.col("n") * F.col("n") - F.col("pe_sum")).cast("double")
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    glob_row = glob.select(kappa.alias("kappa"))
+    return (
+        per_lang.crossJoin(F.broadcast(glob_row))
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            (
+                F.floor(
+                    F.col("n_correct").cast("double")
+                    / F.col("n_docs").cast("double")
+                    * F.lit(10000.0)
+                )
+                / F.lit(10000.0)
+            ).alias("accuracy"),
+            "kappa",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LABEL_AGREEMENT = f"""
+WITH pred AS ({ORACLE_LANGUAGE_ID}),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS c FROM pred GROUP BY 1, 2
+),
+per_lang AS (
+  SELECT lang, sum(c) AS n_docs,
+         sum(CASE WHEN predicted_lang = lang THEN c ELSE 0 END) AS n_correct
+  FROM cells GROUP BY 1
+),
+per_pred AS (
+  SELECT predicted_lang, sum(c) AS col_n FROM cells GROUP BY 1
+),
+margins AS (
+  SELECT CAST(COALESCE(n_docs, 0) AS DECIMAL(19,0)) AS r,
+         CAST(COALESCE(col_n, 0) AS DECIMAL(19,0)) AS col_c,
+         COALESCE(n_correct, 0) AS d
+  FROM per_lang FULL OUTER JOIN per_pred ON lang = predicted_lang
+),
+overall AS (
+  SELECT CAST(sum(r) AS DECIMAL(19,0)) AS n,
+         CAST(sum(d) AS DECIMAL(19,0)) AS diag,
+         CAST(sum(r * col_c) AS DECIMAL(38,0)) AS pe_sum
+  FROM margins
+)
+SELECT lang, n_docs, n_correct,
+       floor(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) * 10000) / 10000 AS accuracy,
+       floor(CAST(n * diag - pe_sum AS DOUBLE) / CAST(n * n - pe_sum AS DOUBLE) * 1000000) / 1000000 AS kappa
+FROM per_lang, overall
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic quality-weighted sampling: keep a document with probability
+# equal to its quality score — the upsample/downsample step a pretraining
+# mix applies after scoring. The coin is md5(doc_id)-derived (uniform in
+# [0,1), engine-replicable, stable across runs/partitionings), so the
+# "sample" is exact, reproducible, and a pure map over the scored relation
+# — zero additional shuffles, and the SAME doc set survives on any cluster
+# layout.
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    u = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    ) / F.lit(4294967296.0)
+    return (
+        q.withColumn("__u", u)
+        .filter(F.col("__u") < F.col("quality_score"))
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.floor(F.col("__u") * F.lit(1000000.0)) / F.lit(1000000.0)).alias("u"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH q AS ({ORACLE_QUALITY_SCORE}),
+coin AS (
+  SELECT doc_id, quality_score,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u_exact
+  FROM q
+)
+SELECT doc_id, quality_score,
+       floor(u_exact * 1000000) / 1000000 AS u
+FROM coin WHERE u_exact < quality_score
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -737,6 +877,8 @@ QUERIES = {
     "corpus_mix_report": q_corpus_mix_report,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_target_mix_sample": q_docs_target_mix_sample,
+    "label_agreement_kappa": q_label_agreement,
+    "docs_weighted_sample": q_docs_weighted_sample,
 }
 
 ORACLES = {
@@ -755,4 +897,6 @@ ORACLES = {
     "corpus_mix_report": ORACLE_CORPUS_MIX,
     "docs_pack_sequences": ORACLE_PACK_SEQUENCES,
     "docs_target_mix_sample": ORACLE_TARGET_MIX,
+    "label_agreement_kappa": ORACLE_LABEL_AGREEMENT,
+    "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }

@@ -726,3 +726,23 @@ def test_empty_text_docs_agree_with_oracle(spark, tmp_path):
     assert got_bf == want_bf
     by_id = {row[0]: row for row in got_bf}
     assert by_id[2][1] == 0 and set(by_id[2][2:]) == {0}, "empty doc -> zeros row"
+
+
+def test_label_agreement_kappa_bounds_and_consistency(spark, sf_dir):
+    rows = textanalysis.q_label_agreement(spark, sf_dir).collect()
+    assert rows, "expected per-language agreement rows"
+    kappas = {r.kappa for r in rows}
+    assert len(kappas) == 1, "kappa is a global statistic, identical on every row"
+    k = kappas.pop()
+    assert -1.0 <= k <= 1.0
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_docs
+        assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_weighted_sample_deterministic_and_weighted(spark, sf_dir):
+    a = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
+    b = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
+    assert a == b, "md5-coin sampling must be run-to-run deterministic"
+    total = textanalysis.q_quality_score(spark, sf_dir).count()
+    assert 0 < len(a) < total, "Bernoulli(quality) keeps a strict subset"

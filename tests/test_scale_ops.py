@@ -250,6 +250,16 @@ def test_streaming_sessionize_tws_matches_batch(spark, sf_dir):
     # The TWS state-server protocol needs google.protobuf, which this
     # container lacks — SKIP (never fake) when it is genuinely absent,
     # same policy as the Pillow-gated image decode.
+    #
+    # WONTFIX in-container (r4 adjudication): no protobuf runtime exists
+    # anywhere in the environment (only typeshed stubs), installs are
+    # prohibited, and vendoring is not viable — pyspark's generated
+    # StateMessage_pb2 drives the full descriptor-pool/builder/message
+    # runtime, so a stub shim would amount to reimplementing protobuf.
+    # The twin runs green on any standard cluster image (protobuf ships
+    # with pyspark[connect] / every Databricks/EMR runtime); the
+    # applyInPandasWithState sessionize twin covers the stream==batch
+    # equivalence in this container.
     import pytest
 
     try:
