@@ -772,6 +772,107 @@ FROM scored WHERE jaccard >= {SNM_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# cross-document repeated-substring spans — the token-span analogue of
+# exact substring dedup (the "dup 50-gram" method of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better"): find doc
+# pairs sharing a CONTIGUOUS token run, not just a bag of shingles. Jaccard
+# answers "how similar are these docs"; this answers "do these docs share a
+# literal copied passage", which catches quote/boilerplate reuse between
+# otherwise-unrelated documents.
+#
+# Shape: positioned word-3-grams (pure map), occurrence-capped hot grams
+# (the cap is on TOTAL cross-corpus occurrences — stronger than the df cap,
+# because it directly bounds the m1*m2 position-pair products a repeated
+# gram emits into the join), one shuffle keyed on the 60-bit gram hash,
+# then gaps-and-islands per (pair, diagonal): matches on the same diagonal
+# offset p1-p2 with consecutive p1 form one contiguous run, detected with
+# the classic p1 - row_number() island key. Window partitions are
+# per-(pair, diagonal) — bounded by the capped match volume, never corpus-
+# sized. All-integer arithmetic; the oracle replicates every step.
+
+SPAN_MIN_TOKENS = 8  # report pairs sharing a contiguous run of >= 8 tokens
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar metadata probe, embedded as a literal
+    cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+        "i -> struct(i AS pos, CAST(conv(substr(md5(concat_ws(' ', "
+        "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)"
+        ")), 1, 15), 16, 10) AS BIGINT) AS sh))"
+    )
+    pos_sh = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh"))
+        .repartition("sh")
+        .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("occ") <= F.lit(int(cap)))
+        .drop("occ")
+    )
+    a, b = pos_sh.alias("a"), pos_sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        (F.col("a.pos") - F.col("b.pos")).alias("off"),
+        F.col("a.pos").alias("p1"),
+    )
+    island = F.col("p1") - F.row_number().over(
+        Window.partitionBy("doc1", "doc2", "off").orderBy("p1")
+    )
+    runs = (
+        pairs.withColumn("island", island)
+        .groupBy("doc1", "doc2", "off", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc1", "doc2")
+        .agg((F.max("run_len") + F.lit(2)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+    )
+
+
+ORACLE_SUBSTRING_SPANS = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i)
+),
+capped AS (
+  SELECT doc_id, pos, sh FROM (
+    SELECT *, count(*) OVER (PARTITION BY sh) AS occ FROM grams
+  ) WHERE occ <= greatest({DF_CAP_MIN}, CAST(ceil((SELECT count(*) FROM documents) * {DF_CAP_FRACTION}) AS BIGINT))
+),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.pos - b.pos AS off, a.pos AS p1
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc1, doc2, off, p1,
+         p1 - row_number() OVER (PARTITION BY doc1, doc2, off ORDER BY p1) AS island
+  FROM pairs
+),
+runs AS (
+  SELECT doc1, doc2, count(*) AS run_len
+  FROM isl GROUP BY doc1, doc2, off, island
+)
+SELECT doc1, doc2, max(run_len) + 2 AS span_tokens
+FROM runs GROUP BY doc1, doc2
+HAVING max(run_len) + 2 >= {SPAN_MIN_TOKENS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters: connected components over the pair graph
 #
 # Pair generation (above) finds edges; an actual dedup pipeline must then
@@ -1001,6 +1102,7 @@ QUERIES = {
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
+    "dedup_substring_spans": q_dedup_substring_spans,
 }
 
 ORACLES = {
@@ -1014,4 +1116,5 @@ ORACLES = {
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),
+    "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
 }

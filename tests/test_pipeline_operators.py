@@ -746,3 +746,29 @@ def test_weighted_sample_deterministic_and_weighted(spark, sf_dir):
     assert a == b, "md5-coin sampling must be run-to-run deterministic"
     total = textanalysis.q_quality_score(spark, sf_dir).count()
     assert 0 < len(a) < total, "Bernoulli(quality) keeps a strict subset"
+
+
+def test_substring_spans_exact_length_on_planted_passage(spark, tmp_path):
+    # two otherwise-unrelated docs share one literal 10-token passage; the
+    # operator must report exactly that pair with span_tokens == 10 (jaccard
+    # would score this pair LOW — the span detector is what catches it)
+    import pandas as pd
+
+    passage = "one two three four five six seven eight nine ten"
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"alpha beta gamma {passage} delta epsilon",
+                f"zeta eta theta iota kappa {passage} lam mu nu xi",
+                "completely unrelated words only here nothing shared at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    rows = dedup.q_dedup_substring_spans(spark, sf_dir).collect()
+    assert [(r.doc1, r.doc2, r.span_tokens) for r in rows] == [(1, 2, 10)]
