@@ -32,7 +32,7 @@ from . import config as config_mod
 from . import llmclient, nl, results, webui
 from .cli import EXAMPLES
 from .kg import KnowledgeGraph
-from .plans import executor
+from .plans import dialect, executor, lineage
 from .sources.registry import SemanticModel
 
 
@@ -209,6 +209,23 @@ class _Handler(BaseHTTPRequestHandler):
             elif "rows" in res:
                 res["chart"] = results.infer_chart(res)
             self._json(res, status)
+        elif self.path == "/api/lineage":
+            # plan-metadata only: analyzes the query, runs NO job — safe to
+            # call on arbitrarily large queries
+            sql = body.get("sql", "")
+            spark_sql = dialect.transpile(sql)
+            try:
+                df = ctx.spark.sql(spark_sql)
+                self._json(
+                    {
+                        "columns": lineage.column_lineage(df),
+                        "spark_sql": spark_sql,
+                    }
+                )
+            except Exception as e:
+                self._json(
+                    {"error": str(e).split("\n")[0], "spark_sql": spark_sql}, 400
+                )
         elif self.path == "/api/catalog":
             self._json(ctx.catalog)
         elif self.path == "/api/kg/resolve":

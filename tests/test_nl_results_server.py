@@ -289,3 +289,14 @@ def test_config_roundtrip(tmp_path):
     assert "unknown_key" not in back
     (tmp_path / "config.json").write_text("{corrupt")
     assert config.load_config(p)["max_rows"] == 200
+
+
+def test_api_lineage(api):
+    status, out = _req(
+        api, "POST", "/api/lineage", {"sql": "SELECT NAME1 AS vendor FROM LFA1"}
+    )
+    assert status == 200
+    [src] = out["columns"]["vendor"]
+    assert src.lower().endswith("lfa1.name1")
+    status, out = _req(api, "POST", "/api/lineage", {"sql": "SELECT FROM nope"})
+    assert status == 400 and "error" in out
