@@ -644,10 +644,26 @@ async function devRun() {
   } else {
     $('devstatus').textContent = `${res.row_count} rows · ${ms} ms`;
     $('devout').innerHTML = tableHtml(res) +
-      `<div class="toolbar">${exportButtons(sql)}</div>` +
+      `<div class="toolbar">${exportButtons(sql)}` +
+      ` <button onclick="devLineage()">lineage</button></div>` +
+      `<div id="devlineage"></div>` +
       (res.spark_sql && res.spark_sql !== sql
         ? `<div class="rowinfo">transpiled:</div><pre class="sql">${esc(res.spark_sql)}</pre>` : '');
   }
+}
+async function devLineage() {
+  const sql = $('devsql').value.trim();
+  if (!sql) return;
+  const r = await fetch('/api/lineage', {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({sql})});
+  const res = await r.json();
+  const el = $('devlineage');
+  if (res.error) { el.innerHTML = `<div class="err">${esc(res.error)}</div>`; return; }
+  const rows = Object.entries(res.columns).map(([col, srcs]) =>
+    `<tr><td>${esc(col)}</td><td>${srcs.length ? srcs.map(esc).join(', ') : '<i>derived/constant</i>'}</td></tr>`
+  ).join('');
+  el.innerHTML = `<div class="rowinfo">column lineage (base columns feeding each output):</div>` +
+    `<table class="results"><thead><tr><th>column</th><th>sources</th></tr></thead><tbody>${rows}</tbody></table>`;
 }
 
 // ---------- knowledge-graph explorer ----------
