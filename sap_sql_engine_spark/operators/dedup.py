@@ -806,7 +806,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)"
         ")), 1, 15), 16, 10) AS BIGINT) AS sh))"
     )
-    pos_sh = (
+    # the self-join reads this relation twice — materialize once (same
+    # policy as the jaccard path; at 100 TB: write the positioned-gram
+    # table and band-join against it)
+    pos_sh = cache_eager(
         toks.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh"))
         .repartition("sh")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachereg import cache_eager
 from ..sources.loader import table
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language-ID
@@ -740,7 +741,12 @@ GROUP BY source
 
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = q_language_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
-    cells = pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("c"))
+    # cells is alphabet²-bounded (tiny) but derives from the full-corpus
+    # regex scan; materialize it so per_lang and per_pred don't each
+    # re-run the language-ID pass over the corpus
+    cells = cache_eager(
+        pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("c"))
+    )
     per_lang = cells.groupBy("lang").agg(
         F.sum("c").alias("n_docs"),
         F.sum(
