@@ -225,6 +225,80 @@ GROUP BY user_id
 """
 
 
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` twin of the lag-gap sessionize — Spark's
+    built-in session windowing must agree with the algebraic rewrite
+    row-for-row (same twin pattern as recursive_line_chain vs its fold).
+
+    Boundary exactness: ``session_window`` merges an event into a session
+    when ``next_ts <= prev_ts + gap`` (the session-end bound is INCLUSIVE —
+    verified by the exact-boundary unit test), which is precisely the
+    lag-gap form's "gap > threshold starts a new session" complement — so
+    the gap duration is the SAME 1800 s, and the semantics are bit-equal
+    at integer-microsecond granularity, not just same-on-this-data. Gate
+    oracle is the SAME DuckDB statement the lag-gap query hashes against.
+
+    Scale shape: one shuffle on user_id; Spark merges/sorts sessions
+    within the partition (MergingSessionsExec) — no window-function
+    carry-forward pass at all."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_SECONDS} seconds")
+    per_session = ev.groupBy("user_id", sw).agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("session_count"),
+        F.sum("events_in_session").cast("bigint").alias("total_events"),
+        F.max("events_in_session").cast("bigint").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: latest state per key
+#
+# The write-path twin of dedup_incremental's read path: treat the event log
+# as a changelog and emit each user's CURRENT state (latest event wins) —
+# the upsert/SCD1 compaction every incremental ingest runs before serving.
+# ONE aggregation with map-side partial max over a (ts, event_id, payload)
+# struct (lexicographic struct ordering IS the latest-by-ts-then-id rule) —
+# no window, no row_number, no second shuffle; the oracle states the same
+# rule with a window to prove plan-independence of the result.
+
+
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    latest = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    ).alias("s")
+    return (
+        ev.groupBy("user_id")
+        .agg(latest, F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.date_format(F.col("s.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_EVENTS_LATEST_STATE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       n_events
+FROM ranked WHERE rn = 1
+"""
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str):
     """Custom stateful streaming operator: per-user sessionization with
     ``applyInPandasWithState`` — the streaming twin of
@@ -790,6 +864,8 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_dedup_counts": q_events_dedup_counts,
     "events_user_rolling": q_events_user_rolling,
+    "events_session_native": q_events_session_native,
+    "events_latest_state": q_events_latest_state,
 }
 
 ORACLES = {
@@ -801,4 +877,6 @@ ORACLES = {
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_dedup_counts": ORACLE_EVENTS_DEDUP,
     "events_user_rolling": ORACLE_EVENTS_ROLLING,
+    "events_session_native": ORACLE_EVENTS_SESSIONIZE,
+    "events_latest_state": ORACLE_EVENTS_LATEST_STATE,
 }

@@ -280,3 +280,31 @@ def test_streaming_sessionize_tws_matches_batch(spark, sf_dir):
         for r in ev.q_events_sessionize(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_session_native_equals_laggap_at_exact_boundary(spark):
+    # an inter-event gap of EXACTLY the session gap must merge in BOTH the
+    # lag-gap form (gap > threshold starts new) and the native
+    # session_window twin (Spark's session-end bound is INCLUSIVE:
+    # next_ts <= prev_ts + gap merges); one microsecond more must split in
+    # both
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    us = datetime.timedelta(microseconds=1)
+    gap = datetime.timedelta(seconds=ev.SESSION_GAP_SECONDS)
+    rows = [
+        (1, 1, t0), (2, 1, t0 + gap),            # exactly 1800 s -> one session
+        (3, 2, t0), (4, 2, t0 + gap + us),       # 1800 s + 1 us -> two sessions
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    laggap = {r.user_id: r.session_count for r in ev.sessionize_from(df).collect()}
+    sw = F.session_window(F.col("ts"), f"{ev.SESSION_GAP_SECONDS} seconds")
+    native = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id", sw).count()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert laggap == native == {1: 1, 2: 2}
