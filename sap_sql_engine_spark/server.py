@@ -209,6 +209,32 @@ class _Handler(BaseHTTPRequestHandler):
             elif "rows" in res:
                 res["chart"] = results.infer_chart(res)
             self._json(res, status)
+        elif self.path == "/api/explain":
+            # plan display (formatted/simple/cost/extended) — analysis only,
+            # no job; the structural checks stay in governance/lineage, this
+            # is the human-facing EXPLAIN surface
+            sql = body.get("sql", "")
+            mode = body.get("mode", "formatted")
+            if mode not in ("simple", "extended", "formatted", "cost", "codegen"):
+                self._json({"error": f"unknown explain mode: {mode}"}, 400)
+                return
+            spark_sql = dialect.transpile(sql)
+            try:
+                df = ctx.spark.sql(spark_sql)
+                jmode = ctx.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    mode
+                )
+                self._json(
+                    {
+                        "plan": df._jdf.queryExecution().explainString(jmode),
+                        "mode": mode,
+                        "spark_sql": spark_sql,
+                    }
+                )
+            except Exception as e:
+                self._json(
+                    {"error": str(e).split("\n")[0], "spark_sql": spark_sql}, 400
+                )
         elif self.path == "/api/lineage":
             # plan-metadata only: analyzes the query, runs NO job — safe to
             # call on arbitrarily large queries

@@ -645,11 +645,23 @@ async function devRun() {
     $('devstatus').textContent = `${res.row_count} rows · ${ms} ms`;
     $('devout').innerHTML = tableHtml(res) +
       `<div class="toolbar">${exportButtons(sql)}` +
-      ` <button onclick="devLineage()">lineage</button></div>` +
+      ` <button onclick="devLineage()">lineage</button>` +
+      ` <button onclick="devExplain()">explain</button></div>` +
       `<div id="devlineage"></div>` +
       (res.spark_sql && res.spark_sql !== sql
         ? `<div class="rowinfo">transpiled:</div><pre class="sql">${esc(res.spark_sql)}</pre>` : '');
   }
+}
+async function devExplain() {
+  const sql = $('devsql').value.trim();
+  if (!sql) return;
+  const r = await fetch('/api/explain', {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({sql})});
+  const res = await r.json();
+  const el = $('devlineage');
+  if (res.error) { el.innerHTML = `<div class="err">${esc(res.error)}</div>`; return; }
+  el.innerHTML = `<div class="rowinfo">physical plan (${esc(res.mode)}):</div>` +
+    `<pre class="sql">${esc(res.plan)}</pre>`;
 }
 async function devLineage() {
   const sql = $('devsql').value.trim();

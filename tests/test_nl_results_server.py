@@ -300,3 +300,15 @@ def test_api_lineage(api):
     assert src.lower().endswith("lfa1.name1")
     status, out = _req(api, "POST", "/api/lineage", {"sql": "SELECT FROM nope"})
     assert status == 400 and "error" in out
+
+
+def test_api_explain(api):
+    status, out = _req(
+        api,
+        "POST",
+        "/api/explain",
+        {"sql": "SELECT NAME1 FROM LFA1 WHERE LIFNR = 'V001'"},
+    )
+    assert status == 200 and "Scan" in out["plan"] and out["mode"] == "formatted"
+    status, out = _req(api, "POST", "/api/explain", {"sql": "SELECT 1", "mode": "nope"})
+    assert status == 400

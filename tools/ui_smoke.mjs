@@ -79,11 +79,11 @@ const { Script } = await import("node:vm");
 // top-level const/let in a vm script do NOT land on globalThis — export the
 // handles this harness needs through an explicit shim appended to the script
 script = script.replace(/^"use strict";\n/, "") + `
-globalThis.__ui = { kg, state, ask, devRun, devLineage, colFormat, fmtCell, drawChart,
+globalThis.__ui = { kg, state, ask, devRun, devLineage, devExplain, colFormat, fmtCell, drawChart,
                     openKG, kgTick, kgDraw, renderAnswer, tableHtml };
 `;
 new Script(script).runInThisContext();
-const { kg, ask, devRun, devLineage, colFormat, fmtCell, drawChart, openKG, kgTick, kgDraw } =
+const { kg, ask, devRun, devLineage, devExplain, colFormat, fmtCell, drawChart, openKG, kgTick, kgDraw } =
   globalThis.__ui;
 
 const assert = (cond, msg) => { if (!cond) { console.error("FAIL: " + msg); process.exit(1); } };
@@ -134,6 +134,11 @@ await devLineage();
 const linHtml = byId("devlineage").innerHTML;
 assert(linHtml.includes("c_mktsegment"), "lineage missing base column: " + linHtml.slice(0, 200));
 console.log("ok dev-mode lineage");
+
+// ---- explain for the executed SQL -----------------------------------------
+await devExplain();
+assert(byId("devlineage").innerHTML.includes("physical plan"), "explain not rendered");
+console.log("ok dev-mode explain");
 
 // chart spec comes back on /api/execute; drawChart must not throw
 const execRes = await (await fetch("/api/execute", {method: "POST",
