@@ -363,6 +363,35 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_session_native(spark: SparkSession, sf_dir: str):
+    """Streaming twin of ``q_events_session_native``: the BUILT-IN
+    ``session_window`` in a streaming aggregation — no custom state code at
+    all (contrast with the two hand-rolled stateful twins above; this is
+    the operator Spark itself maintains sessions with, RocksDB-backed on a
+    cluster). Session-window streaming supports complete/append only
+    (update raises STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION); complete
+    mode + memory sink keeps the full session table, so the equivalence
+    test folds it per user and must match the batch twin exactly."""
+    stream = _event_stream(spark, sf_dir)
+    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_SECONDS} seconds")
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "events_in_session",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_session_native_stream")
+        .start()
+    )
+
+
 def streaming_sessionize_tws(spark: SparkSession, sf_dir: str):
     """Sessionize twin on the MODERN stateful API (Spark 4
     ``transformWithStateInPandas``): same fold as the

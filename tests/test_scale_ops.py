@@ -308,3 +308,26 @@ def test_session_native_equals_laggap_at_exact_boundary(spark):
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert laggap == native == {1: 1, 2: 2}
+
+
+def test_streaming_session_native_matches_batch(spark, sf_dir):
+    # the built-in session_window streaming aggregation reproduces the batch
+    # twin: fold the update-mode emissions per user and compare
+    q = ev.streaming_session_native(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM events_session_native_stream").collect()
+    finally:
+        q.stop()
+    per = {}
+    for r in rows:  # last-writer-wins per (user, session start)
+        per[(r.user_id, r.session_start)] = r.events_in_session
+    stream_summary = {}
+    for (u, _), n in per.items():
+        sc, te, mx = stream_summary.get(u, (0, 0, 0))
+        stream_summary[u] = (sc + 1, te + n, max(mx, n))
+    batch = {
+        r.user_id: (r.session_count, r.total_events, r.max_session_events)
+        for r in ev.q_events_session_native(spark, sf_dir).collect()
+    }
+    assert stream_summary == batch
