@@ -979,6 +979,54 @@ FROM comp
 """
 
 
+def q_dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's END PRODUCT: per-source corpus accounting after
+    near-dup cluster-and-keep-one. Docs in a Jaccard near-dup component
+    survive only as the component representative (min doc_id); everything
+    else — including every singleton — survives untouched. Composition of
+    ``jaccard_pairs`` → ``connected_components`` → keep-one, closed with a
+    left join against the (tiny: only clustered non-representatives)
+    removal set; the corpus never re-pairs. The DuckDB oracle recomputes
+    the whole chain through its literal recursive-CTE components, so the
+    gate hashes the COMPOSED pipeline end-to-end, not just its stages."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    removed = (
+        q_dedup_neardup_clusters(spark, sf_dir)
+        .filter(F.col("is_representative") == 0)
+        .select("doc_id", F.lit(1).alias("gone"))
+    )
+    flagged = docs.join(F.broadcast(removed), "doc_id", "left")
+    n_removed = F.sum(F.coalesce(F.col("gone"), F.lit(0)))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_removed.cast("bigint").alias("n_removed"),
+        (F.count(F.lit(1)) - n_removed).cast("bigint").alias("n_surviving"),
+    )
+
+
+ORACLE_NEARDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+removed AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(count(*) - sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
+FROM documents d LEFT JOIN removed r USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-modal dedup verification: MinHash candidates x embedding cosine
 #
@@ -1106,6 +1154,7 @@ QUERIES = {
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_neardup_survivors": q_dedup_neardup_survivors,
 }
 
 ORACLES = {
@@ -1120,4 +1169,5 @@ ORACLES = {
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
+    "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
 }

@@ -772,3 +772,15 @@ def test_substring_spans_exact_length_on_planted_passage(spark, tmp_path):
     corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
     rows = dedup.q_dedup_substring_spans(spark, sf_dir).collect()
     assert [(r.doc1, r.doc2, r.span_tokens) for r in rows] == [(1, 2, 10)]
+
+
+def test_neardup_survivors_accounting(spark, sf_dir):
+    rows = dedup.q_dedup_neardup_survivors(spark, sf_dir).collect()
+    assert rows
+    total_removed = sum(r.n_removed for r in rows)
+    for r in rows:
+        assert r.n_docs == r.n_removed + r.n_surviving
+    # removal count == clustered docs minus one representative per cluster
+    clusters = dedup.q_dedup_neardup_clusters(spark, sf_dir).collect()
+    assert total_removed == sum(1 for c in clusters if c.is_representative == 0)
+    assert total_removed > 0, "planted near-dups must remove something"
