@@ -332,11 +332,133 @@ FROM stats JOIN top USING (token)
 """
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch frequency estimation — the bounded-memory structure for
+# hot-key / heavy-hitter detection when the vocabulary doesn't fit anywhere
+# (streaming token floods, skew probes before a join). The sketch is
+# CMS_DEPTH x CMS_WIDTH counters regardless of corpus size; estimates are
+# one-sided (est >= exact, overestimate ~ 2N/width w.h.p. per row, min over
+# depth rows tightens it). Hash family is the repo's md5 bridge with a
+# per-row salt, so the DuckDB oracle computes the IDENTICAL sketch and the
+# gate verifies estimate AND exact twin bit-for-bit — plus the est >= exact
+# invariant, which the query exposes as an output column.
+#
+# Scale shape: ONE shuffle of (row, bucket) int pairs with map-side combine
+# collapsing to <= depth*width rows per map partition; probes then hit the
+# d*w-row sketch with a broadcast lookup. No vocabulary-sized state exists
+# anywhere in the plan.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBES = ("spark", "join", "window", "data", "quality")
+
+
+def _cms_bucket_spark(row: int, token_col: str = "token") -> F.Column:
+    return F.expr(
+        f"CAST(conv(substr(md5(concat('cms{row}|', {token_col})), 1, 8), 16, 10) AS BIGINT) "
+        f"% {CMS_WIDTH}"
+    )
+
+
+def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    rows_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), _cms_bucket_spark(i).alias("b"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(rows_arr).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["term"])
+    probe_buckets = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), _cms_bucket_spark(i, "term").alias("b"))
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probe_buckets.join(sketch, ["r", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        toks.join(F.broadcast(probes), toks["token"] == probes["term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+def _cms_bucket_sql(row: int, token_expr: str = "token") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{row}|' || {token_expr}), 1, 8)) AS BIGINT) "
+        f"% {CMS_WIDTH}"
+    )
+
+
+def _oracle_cms() -> str:
+    probe_values = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, {_cms_bucket_sql(i)} AS b, token FROM toks"
+        for i in range(CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, {i} AS r, {_cms_bucket_sql(i, 'term')} AS b FROM probes"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS ({_O_TOKENS}),
+sketch AS (
+  SELECT r, b, count(*) AS c FROM ({bucket_rows}) GROUP BY r, b
+),
+probes(term) AS (VALUES {probe_values}),
+pb AS ({probe_rows}),
+est AS (
+  SELECT term, min(COALESCE(c, 0)) AS cms_estimate
+  FROM pb LEFT JOIN sketch USING (r, b) GROUP BY term
+),
+exact AS (
+  SELECT token AS term, count(*) AS exact_count
+  FROM toks WHERE token IN (SELECT term FROM probes) GROUP BY token
+)
+SELECT term,
+       CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - COALESCE(exact_count, 0) AS BIGINT) AS overestimate
+FROM est LEFT JOIN exact USING (term)
+"""
+
+
+ORACLE_TOKEN_CMS = _oracle_cms()
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "doc_chunks": q_doc_chunks,
     "posting_lists": q_posting_lists,
+    "token_cms_estimate": q_token_cms,
 }
 
 ORACLES = {
@@ -344,4 +466,5 @@ ORACLES = {
     "bm25_search": ORACLE_BM25,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "posting_lists": ORACLE_POSTING_LISTS,
+    "token_cms_estimate": ORACLE_TOKEN_CMS,
 }

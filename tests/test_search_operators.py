@@ -98,3 +98,14 @@ def test_posting_lists_capped_and_consistent(spark, sf_dir):
         assert len(listed) == len(set(listed))
         assert r.df >= len(listed)
         assert r.total_tf >= r.df
+
+
+def test_cms_one_sided_and_tight_on_small_vocab(spark, sf_dir):
+    # count-min guarantee: estimate >= exact, always; with the synthetic
+    # corpus vocabulary far below CMS_WIDTH buckets, collisions are rare
+    # enough that at least one probe must be exact
+    rows = search.q_token_cms(spark, sf_dir).collect()
+    assert len(rows) == len(search.CMS_PROBES)
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate == r.exact_count + r.overestimate for r in rows)
+    assert any(r.overestimate == 0 for r in rows)
