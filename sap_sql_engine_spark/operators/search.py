@@ -453,12 +453,147 @@ FROM est LEFT JOIN exact USING (term)
 ORACLE_TOKEN_CMS = _oracle_cms()
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — CMS's cardinality sibling: per-source
+# distinct-token estimates from 256 one-byte registers, vs the exact
+# countDistinct twin. Two cross-engine-determinism tricks make the gate
+# hashable:
+#   - the rank function is ALL-INTEGER: rho = bit_count((v & -v) - 1) + 1
+#     (lowest-set-bit position via bit_count — no log2/pow floats);
+#   - the harmonic sum is computed as an exact BIGINT numerator
+#     sum(2^(52-r)) over the 52-capped registers (absent buckets contribute
+#     2^52), so the only floating-point steps are one correctly-rounded
+#     cast and one correctly-rounded division by a shared literal — bit-
+#     identical on both engines by IEEE semantics, no pow()/ln() involved.
+# The query emits the RAW estimator plus the exact-integer inputs of the
+# standard small-range LinearCounting correction (the empty-register count
+# V): the correction itself is m*ln(m/V), and ln() is only 1-ulp-accurate
+# on the JVM — not bit-stable across engines — so it belongs to the CALLER
+# (computed in the test from V, as real HLL clients do), while every
+# gate-hashed column stays integer-derived. Registers are max-mergeable,
+# so the same sketch unions across partitions/days for free.
+
+HLL_BUCKETS = 256  # p = 8
+HLL_RMAX = 52
+# alpha_m * m^2 * 2^52 as a shared decimal literal: both engines parse the
+# same shortest-repr decimal to the same IEEE double
+_HLL_ALPHA_M = 0.7213 / (1 + 1.079 / HLL_BUCKETS)
+HLL_CONST = repr(_HLL_ALPHA_M * HLL_BUCKETS * HLL_BUCKETS * float(2**HLL_RMAX))
+
+
+def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    h = F.expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
+    # h DIV (integer division) — a `/` here is double division, which
+    # silently rounds above 2^53 and would desync the registers
+    hashed = toks.select("source", h.alias("h")).select(
+        "source",
+        F.expr(f"h % {HLL_BUCKETS}").alias("bucket"),
+        F.expr(f"h DIV {HLL_BUCKETS}").alias("v"),
+    ).withColumn(
+        "rho",
+        F.least(
+            F.when(F.col("v") == 0, F.lit(HLL_RMAX)).otherwise(
+                F.expr("bit_count((v & -v) - 1) + 1")
+            ),
+            F.lit(HLL_RMAX),
+        ),
+    )
+    regs = hashed.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    per_source = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - r)")).alias("s_present"),
+    )
+    s_num = (
+        F.col("s_present")
+        + (F.lit(HLL_BUCKETS) - F.col("n_present")) * F.lit(2**HLL_RMAX).cast("bigint")
+    )
+    est = F.floor(F.lit(float(HLL_CONST)) / s_num.cast("double")).cast("bigint")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return (
+        per_source.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            est.alias("hll_raw_estimate"),
+            (F.lit(HLL_BUCKETS) - F.col("n_present"))
+            .cast("bigint")
+            .alias("n_empty_regs"),
+        )
+    )
+
+
+def hll_corrected(raw: int, n_empty: int) -> int:
+    """Client-side small-range correction (LinearCounting): what an HLL
+    consumer applies to the query's raw estimate. Kept out of the gated
+    query because ln() is not bit-stable across engines."""
+    import math
+
+    if raw <= 2.5 * HLL_BUCKETS and n_empty > 0:
+        return round(HLL_BUCKETS * math.log(HLL_BUCKETS / n_empty))
+    return raw
+
+
+ORACLE_TOKEN_HLL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT source,
+         h % {HLL_BUCKETS} AS bucket,
+         CAST(h // {HLL_BUCKETS} AS BIGINT) AS v
+  FROM (
+    SELECT source,
+           CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h,
+           token
+    FROM toks
+  )
+),
+rho AS (
+  SELECT source, bucket,
+         least(CASE WHEN v = 0 THEN {HLL_RMAX}
+                    ELSE bit_count((v & -v) - 1) + 1 END, {HLL_RMAX}) AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT source, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_present,
+         sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - r)) AS s_present
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CAST(floor({HLL_CONST} / CAST(s_present + ({HLL_BUCKETS} - n_present) * (CAST(1 AS BIGINT) << {HLL_RMAX}) AS DOUBLE)) AS BIGINT) AS hll_raw_estimate,
+         CAST({HLL_BUCKETS} - n_present AS BIGINT) AS n_empty_regs
+  FROM per_source
+),
+exact AS (
+  SELECT source, count(DISTINCT token) AS exact_distinct FROM toks GROUP BY source
+)
+SELECT source,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       hll_raw_estimate,
+       n_empty_regs
+FROM est JOIN exact USING (source)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "doc_chunks": q_doc_chunks,
     "posting_lists": q_posting_lists,
     "token_cms_estimate": q_token_cms,
+    "token_hll_distinct": q_token_hll,
 }
 
 ORACLES = {
@@ -467,4 +602,5 @@ ORACLES = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "posting_lists": ORACLE_POSTING_LISTS,
     "token_cms_estimate": ORACLE_TOKEN_CMS,
+    "token_hll_distinct": ORACLE_TOKEN_HLL,
 }

@@ -109,3 +109,17 @@ def test_cms_one_sided_and_tight_on_small_vocab(spark, sf_dir):
     assert all(r.overestimate >= 0 for r in rows)
     assert all(r.cms_estimate == r.exact_count + r.overestimate for r in rows)
     assert any(r.overestimate == 0 for r in rows)
+
+
+def test_hll_estimates_within_expected_error(spark, sf_dir):
+    # m=256 registers -> relative error ~1.04/sqrt(256) = 6.5%. The QUERY
+    # emits the raw estimator + the integer LinearCounting input; the
+    # client-side correction (hll_corrected) must land within a few sigma
+    # of exact at every cardinality regime the corpus has.
+    rows = search.q_token_hll(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_distinct > 0
+        est = search.hll_corrected(r.hll_raw_estimate, r.n_empty_regs)
+        rel = abs(est - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.25, f"{r.source}: corrected {est} vs {r.exact_distinct}"
