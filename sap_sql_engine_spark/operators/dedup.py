@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..cachereg import cache_eager, track
 from ..sources.loader import spread, table
+from .ranks import with_global_rank
 from .textanalysis import fingerprint_col
 
 N_MINHASH = 16  # permutations
@@ -666,20 +667,13 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNM near-dup pairs at token-set Jaccard >= SNM_THRESHOLD.
 
     Scale shape: the global sort is a range-partitioned exchange (Spark
-    sorts 100 TB routinely) and STAYS one — global ranks are assembled
-    without any global window: after ``repartitionByRange`` +
-    ``sortWithinPartitions``, each row's within-partition position falls
-    out of ``monotonically_increasing_id`` (partition-local counter in its
-    low 33 bits — a pure map, no exchange), and a metadata-sized
-    per-partition row-count collect (one row per partition, the same
-    bookkeeping ``zipWithIndex`` does) turns local positions into global
-    ranks via a literal offset map. Range partition i holds keys strictly
-    below partition i+1's, so offset[pid] + local position IS the global
-    (bkey, doc_id) rank — no single task ever sees more than its range
-    slice. Neighbor pairing then needs NO range join — each row explodes
-    into its W-1 forward offsets and pairs by an EQUI-join on the neighbor
-    rank, so the candidate relation is n*(W-1) rows keyed on an integer.
-    The Jaccard scoring is per-pair array math over the two token sets. In
+    sorts 100 TB routinely) and STAYS one — global ranks come from
+    ``ranks.with_global_rank`` (the zipWithIndex-style offset stitch: no
+    global window, no single task ever sees more than its range slice).
+    Neighbor pairing then needs NO range join — each row explodes into its
+    W-1 forward offsets and pairs by an EQUI-join on the neighbor rank, so
+    the candidate relation is n*(W-1) rows keyed on an integer. The
+    Jaccard scoring is per-pair array math over the two token sets. In
     production, multi-pass SNM re-runs with a second blocking key (e.g.
     reversed prefix) to catch prefix-divergent dups — the same plan with a
     different key expression."""
@@ -690,36 +684,7 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, SNM_KEY_LEN).alias("bkey"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokset"),
     )
-    # cache the partitioned relation BEFORE deriving ranks: RangePartitioner
-    # samples bounds per materialization, so an uncached plan could hand the
-    # self-join's two branches different pid/mid assignments
-    part = cache_eager(
-        base.repartitionByRange(F.col("bkey"), F.col("doc_id"))
-        .sortWithinPartitions("bkey", "doc_id")
-        .select(
-            "*",
-            F.spark_partition_id().alias("pid"),
-            F.monotonically_increasing_id().alias("mid"),
-        )
-    )
-    counts = {
-        row["pid"]: row["cnt"]
-        for row in part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }  # one row per partition — metadata, not data
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    # mid = pid * 2^33 + within-partition counter (consecutive from 0 in
-    # sorted iterator order); strip the partition component, add the offset
-    local = F.col("mid") - F.shiftleft(F.col("pid").cast("bigint"), 33)
-    ranked = part.withColumn(
-        "rn", (offset_map[F.col("pid")] + local + F.lit(1)).cast("bigint")
-    )
+    ranked = with_global_rank(base, "bkey", "doc_id")
     left = ranked.select(
         F.col("doc_id").alias("doc1"),
         F.col("tokset").alias("t1"),

@@ -1,0 +1,64 @@
+"""Global dense ranks without a global window — the DataFrame analogue of
+``zipWithIndex``, extracted from the sorted-neighborhood dedup rewrite so
+any operator needing "position in the global sort order" can use it.
+
+A ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY executes by
+moving the ENTIRE relation into one task — the classic scale cliff. This
+helper assigns the identical ranks with no global window:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the rank keys —
+   one range-partitioned exchange (Spark sorts 100 TB routinely);
+2. per-row within-partition positions fall out of
+   ``monotonically_increasing_id`` (partition-local counter in the low 33
+   bits — a pure map, no exchange);
+3. a metadata-sized per-partition row-count collect (one row per
+   partition, the same bookkeeping ``zipWithIndex`` does) turns local
+   positions into global ranks through a literal offset map. Range
+   partition i holds keys strictly below partition i+1's, so
+   offset[pid] + local position IS the global rank.
+
+The partitioned relation is cached eagerly (registered with
+``cachereg``): RangePartitioner samples split bounds per materialization,
+so an uncached plan could hand two consumers different pid/mid
+assignments for the same row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cachereg import cache_eager
+
+
+def with_global_rank(df: DataFrame, *order_cols: str, rank_col: str = "rn") -> DataFrame:
+    """Return ``df`` (cached, range-partitioned by ``order_cols``) with a
+    1-based BIGINT ``rank_col`` equal to ``row_number() OVER (ORDER BY
+    order_cols)`` — assuming ``order_cols`` are a total order (include a
+    unique tiebreaker column). No single task ever holds more than its
+    range slice."""
+    part = cache_eager(
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    counts = {
+        row["__pid"]: row["cnt"]
+        for row in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }  # one row per partition — metadata, not data
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    # mid = pid * 2^33 + within-partition counter (consecutive from 0 in
+    # sorted iterator order); strip the partition component, add the offset
+    local = F.col("__mid") - F.shiftleft(F.col("__pid").cast("bigint"), 33)
+    return part.withColumn(
+        rank_col, (offset_map[F.col("__pid")] + local + F.lit(1)).cast("bigint")
+    ).drop("__pid", "__mid")

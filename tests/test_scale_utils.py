@@ -93,3 +93,31 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_rank_matches_window_row_number(spark):
+    # property: the offset-stitch rank over MANY range partitions equals
+    # row_number() over a single global window (run at a size that spans
+    # several range partitions; keys deliberately skewed + duplicated so
+    # partition boundaries land inside key runs, tiebroken by id)
+    from pyspark.sql import Window
+
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators.ranks import with_global_rank
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") * 37 % 101).cast("string"))
+        .repartition(16)
+    )
+    got = {
+        (r.id): r.rn for r in with_global_rank(df, "k", "id").collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id")).cast("bigint")
+        ).collect()
+    }
+    cachereg.release()
+    assert got == want
