@@ -194,3 +194,43 @@ def test_transpile_idempotent(snippet, pad, tail):
     assert dialect.transpile(once) == once
     # the guard keeps exactly one statement
     assert ";" not in once.rstrip().rstrip(";")
+
+
+# ---------------------------------------------------------------------------
+# generic as-of join vs a pure-Python naive backward scan
+
+
+@given(
+    st.lists(  # trades: (acct, ts) unique per list
+        st.tuples(st.integers(1, 3), st.integers(0, 40)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    st.lists(  # quotes: (acct, ts) unique; price may be genuinely NULL
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 40),
+            st.one_of(st.none(), st.integers(0, 999)),
+        ),
+        min_size=0, max_size=12, unique_by=lambda q: (q[0], q[1]),
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive_backward_scan(spark, trades, quotes):
+    from sap_sql_engine_spark.operators.asof import asof_join
+
+    tdf = spark.createDataFrame(
+        [(a, t, f"t{i}") for i, (a, t) in enumerate(trades)],
+        "acct INT, ts INT, trade_id STRING",
+    )
+    qdf = spark.createDataFrame(quotes, "acct INT, ts INT, price INT") if quotes else (
+        spark.createDataFrame([], "acct INT, ts INT, price INT")
+    )
+    got = {
+        r.trade_id: r.price
+        for r in asof_join(tdf, qdf, by="acct", ts="ts", right_cols=["price"]).collect()
+    }
+    want = {}
+    for i, (a, t) in enumerate(trades):
+        prior = [q for q in quotes if q[0] == a and q[1] <= t]
+        want[f"t{i}"] = max(prior, key=lambda q: q[1])[2] if prior else None
+    assert got == want
