@@ -29,10 +29,10 @@ from sap_sql_engine_spark.streaming import events as streaming_events
 SF0001_DIR = "/root/testdata/sf0.001"
 
 # Registration order drives the correctness gate's 50-entry window: the
-# dedup/similarity/search/multimodal/skew/events surface (33 queries) goes
-# first so every extension operator receives a gate row this round; the
-# relational/textanalysis queries that follow already hold green rows from
-# earlier rounds (CORRECTNESS_r01..r03).
+# dedup/similarity/search/multimodal/skew/events surface goes first so
+# every extension operator receives a gate row; the relational/
+# textanalysis queries that follow already hold green rows from earlier
+# rounds (CORRECTNESS_r01..r03).
 _MODULES = (
     dedup,
     similarity,
@@ -44,23 +44,35 @@ _MODULES = (
     textanalysis,
 )
 
+# Queries with no driver gate row yet whose home module sits past the
+# window cutoff — registered FIRST so they get a row this round (their
+# module-order position would land past entry 50).
+_GATE_PRIORITY = (
+    "label_agreement_kappa",
+    "docs_weighted_sample",
+    "recursive_line_chain_native",
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return relational.q_top_customers_by_spend(spark, SF0001_DIR)
 
 
+def _ordered(attr: str) -> dict:
+    full: dict = {}
+    for mod in _MODULES:
+        full.update(getattr(mod, attr))
+    out = {k: full[k] for k in _GATE_PRIORITY if k in full}
+    out.update(full)  # existing keys keep their (front) position
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
+    return _ordered("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per queries() key (same column aliases)."""
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return _ordered("ORACLES")

@@ -969,6 +969,73 @@ def q_dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection: per near-dup cluster keep
+    the HIGHEST-quality member (tiebreak: smallest doc_id) instead of the
+    arbitrary min-id — the policy real pipelines use, since near-dups
+    often differ in truncation/boilerplate and the keeper should be the
+    best copy. Joins the component relation against the quality-score
+    relation (both already gated operators); the per-cluster argmax window
+    partitions on cluster_id, so no partition exceeds a cluster size."""
+    from .textanalysis import q_quality_score
+
+    comp = q_dedup_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality_score").alias("kept_quality"),
+            "cluster_size",
+        )
+    )
+
+
+def _oracle_keep_best() -> str:
+    from .textanalysis import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM comp
+),
+quality AS (SELECT doc_id, quality_score FROM ({ORACLE_QUALITY_SCORE}) q),
+ranked AS (
+  SELECT s.cluster_id, s.doc_id, q.quality_score, s.cluster_size,
+         row_number() OVER (PARTITION BY s.cluster_id
+                            ORDER BY q.quality_score DESC, s.doc_id ASC) AS rk
+  FROM sized s JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc, quality_score AS kept_quality, cluster_size
+FROM ranked WHERE rk = 1
+"""
+
+
 ORACLE_NEARDUP_SURVIVORS = f"""
 WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
 edges AS (
@@ -1120,6 +1187,7 @@ QUERIES = {
     "dedup_semantic_verify": q_dedup_semantic_verify,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
@@ -1135,4 +1203,5 @@ ORACLES = {
     "dedup_semantic_verify": _oracle_semantic_verify(),
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
+    "dedup_keep_best": _oracle_keep_best(),
 }

@@ -784,3 +784,18 @@ def test_neardup_survivors_accounting(spark, sf_dir):
     clusters = dedup.q_dedup_neardup_clusters(spark, sf_dir).collect()
     assert total_removed == sum(1 for c in clusters if c.is_representative == 0)
     assert total_removed > 0, "planted near-dups must remove something"
+
+
+def test_keep_best_picks_highest_quality_member(spark, sf_dir):
+    best = {r.cluster_id: (r.kept_doc, r.kept_quality) for r in
+            dedup.q_dedup_keep_best(spark, sf_dir).collect()}
+    assert best
+    clusters = {}
+    for r in dedup.q_dedup_neardup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    quality = {r.doc_id: r.quality_score for r in
+               textanalysis.q_quality_score(spark, sf_dir).collect()}
+    assert set(best) == set(clusters)
+    for cid, members in clusters.items():
+        want = min(members, key=lambda d: (-quality[d], d))
+        assert best[cid] == (want, quality[want])
