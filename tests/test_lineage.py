@@ -84,3 +84,33 @@ def test_lineage_runs_no_job(spark):
     )
     lin = column_lineage(big)
     assert lin == {"k1": ["orders.o_orderkey"], "k2": ["orders.o_orderkey"]}
+
+
+def test_lineage_survives_exotic_plan_shapes(spark):
+    # the walker must not crash on any plan shape the engine produces —
+    # exercised here on the exotic ones: Python UDTF lateral join,
+    # mapInPandas, native session_window, native recursive CTE, cached
+    # range-partitioned windows, grouping sets, pivot. (A full 92-query
+    # sweep is run ad hoc; this pins the shapes that differ structurally.)
+    import __spark_entry__ as e
+
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.plans.lineage import column_lineage
+
+    qs = e.queries()
+    shapes = [
+        "text_head_tokens",          # UDTF lateral join
+        "multimodal_byte_features",  # mapInPandas
+        "events_session_native",     # session_window aggregation
+        "recursive_line_chain_native",  # UnionLoop native recursion
+        "dedup_sorted_neighborhood",    # cached range-partition + offsets
+        "grouping_sets_balance",
+        "pivot_priority_status",
+        "label_agreement_kappa",     # full-outer + cross join of scalars
+    ]
+    try:
+        for name in shapes:
+            lin = column_lineage(qs[name](spark, "/root/testdata/sf0.001"))
+            assert isinstance(lin, dict) and lin, name
+    finally:
+        cachereg.release()
