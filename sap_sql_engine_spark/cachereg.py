@@ -15,6 +15,13 @@ executor storage memory until LRU eviction.
 
 ``release()`` is idempotent and never raises: a DataFrame whose session
 has already stopped is skipped.
+
+Releasing BEFORE a consumer's action is safe for correctness (verified
+empirically for the range-partition-derived ranks): an unpersisted
+InMemoryRelation recomputes from its single child plan, and within one
+action the range partitioner's bounds are sampled once — so multi-branch
+consumers still see consistent derived ranks; early release only costs
+the recompute.
 """
 
 from __future__ import annotations
