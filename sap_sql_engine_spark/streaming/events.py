@@ -299,6 +299,36 @@ FROM ranked WHERE rn = 1
 """
 
 
+def streaming_latest_state(spark: SparkSession, sf_dir: str):
+    """Streaming twin of ``q_events_latest_state``: the changelog is a
+    stream and the current-state table maintains itself — the same
+    partial-max struct aggregation, running continuously in update mode
+    (per-key state is ONE struct; no watermark because keyed state is the
+    product, not a window). The standard streaming-upsert read path; at
+    scale the sink is a foreachBatch MERGE instead of a memory table."""
+    stream = _event_stream(spark, sf_dir)
+    latest = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    ).alias("s")
+    agg = (
+        stream.groupBy("user_id")
+        .agg(latest, F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.date_format(F.col("s.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("events_latest_state_stream")
+        .start()
+    )
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str):
     """Custom stateful streaming operator: per-user sessionization with
     ``applyInPandasWithState`` — the streaming twin of

@@ -331,3 +331,19 @@ def test_streaming_session_native_matches_batch(spark, sf_dir):
         for r in ev.q_events_session_native(spark, sf_dir).collect()
     }
     assert stream_summary == batch
+
+
+def test_streaming_latest_state_matches_batch(spark, sf_dir):
+    q = ev.streaming_latest_state(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream = {}
+        for r in spark.sql("SELECT * FROM events_latest_state_stream").collect():
+            stream[r.user_id] = (r.last_event_id, r.last_event_type, r.last_ts, r.n_events)
+    finally:
+        q.stop()
+    batch = {
+        r.user_id: (r.last_event_id, r.last_event_type, r.last_ts, r.n_events)
+        for r in ev.q_events_latest_state(spark, sf_dir).collect()
+    }
+    assert stream == batch
