@@ -51,6 +51,7 @@ _GATE_PRIORITY = (
     "label_agreement_kappa",
     "docs_weighted_sample",
     "recursive_line_chain_native",
+    "token_heavy_hitters",
 )
 
 

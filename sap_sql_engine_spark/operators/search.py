@@ -587,6 +587,84 @@ FROM est JOIN exact USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass candidate pruning, no full-vocabulary shuffle)
+
+HH_K = 30  # heavy hitter := token whose count * HH_K >= stream length N
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count >= N/HH_K of the token stream) in two
+    passes with no full-vocabulary shuffle — the scale shape for frequency
+    mining where the long tail of singleton tokens, not the hitters,
+    dominates a plain groupBy(token)'s exchange.
+
+    Pass 1 (candidates, shuffle-free): ``mapInPandas`` consumes each
+    partition's full Arrow batch iterator, accumulates per-partition token
+    counts, and emits only tokens with local_count * K >= partition_length
+    — at most K rows per partition, so the candidate relation is <= K * P
+    rows total. Pigeonhole guarantees zero false negatives: if a token's
+    global count * K >= N but its local count * K < N_p in EVERY
+    partition, summing gives count * K < N — contradiction. (Python lane
+    is Arrow-vectorized ``value_counts``, not per-row.)
+
+    Pass 2 (exact recount): broadcast the tiny candidate set, semi-join it
+    into the token stream BEFORE the exchange (map-side filter), aggregate
+    exact counts, and apply the global threshold. False positives from
+    pass 1 die here, so the result is exact and partition-independent —
+    which is what lets a DuckDB oracle with a plain GROUP BY/HAVING verify
+    it bit-for-bit.
+
+    At 100 TB: two scans of the raw stream (both map-side-filtered or
+    map-only), one broadcast of <= K*P rows, one aggregation over only
+    candidate-matching tokens. Compare: one-pass groupBy ships every
+    distinct (partition, token) pair through the exchange."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("token")
+
+    def _local_candidates(batches):
+        import collections
+
+        import pandas as pd
+
+        counts: collections.Counter = collections.Counter()
+        total = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            total += int(vc.sum())
+            for tok, c in vc.items():
+                counts[tok] += int(c)
+        yield pd.DataFrame(
+            {"token": [t for t, c in counts.items() if c * HH_K >= total]}
+        )
+
+    cands = toks.mapInPandas(_local_candidates, schema="token string").distinct()
+    n = toks.count()
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("hh_count"))
+        .filter(F.col("hh_count") * HH_K >= F.lit(n))
+        .select(
+            "token",
+            "hh_count",
+            (F.col("hh_count") * F.lit(1.0) / F.lit(n)).alias("share"),
+        )
+    )
+
+
+ORACLE_TOKEN_HEAVY_HITTERS = f"""
+WITH toks AS ({_O_TOKENS}),
+n AS (SELECT count(*) AS n FROM toks)
+SELECT token,
+       count(*) AS hh_count,
+       count(*) * 1.0 / (SELECT n FROM n) AS share
+FROM toks
+GROUP BY token
+HAVING count(*) * {HH_K} >= (SELECT n FROM n)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
@@ -594,6 +672,7 @@ QUERIES = {
     "posting_lists": q_posting_lists,
     "token_cms_estimate": q_token_cms,
     "token_hll_distinct": q_token_hll,
+    "token_heavy_hitters": q_token_heavy_hitters,
 }
 
 ORACLES = {
@@ -603,4 +682,5 @@ ORACLES = {
     "posting_lists": ORACLE_POSTING_LISTS,
     "token_cms_estimate": ORACLE_TOKEN_CMS,
     "token_hll_distinct": ORACLE_TOKEN_HLL,
+    "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
 }

@@ -123,3 +123,60 @@ def test_hll_estimates_within_expected_error(spark, sf_dir):
         est = search.hll_corrected(r.hll_raw_estimate, r.n_empty_regs)
         rel = abs(est - r.exact_distinct) / r.exact_distinct
         assert rel < 0.25, f"{r.source}: corrected {est} vs {r.exact_distinct}"
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark, sf_dir):
+    rows = search.q_token_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    # exactness: recompute ground truth with a plain full aggregation
+    toks = search._tokens(table(spark, sf_dir, "documents")).select("token")
+    n = toks.count()
+    truth = {
+        (r.token, r.c)
+        for r in toks.groupBy("token").count().withColumnRenamed("count", "c").collect()
+        if r.c * search.HH_K >= n
+    }
+    assert {(r.token, r.hh_count) for r in rows} == truth
+    for r in rows:
+        assert abs(r.share - r.hh_count / n) < 1e-15
+
+
+def test_heavy_hitters_planted_skew_single_hot_token(spark):
+    # A hot token concentrated in ONE partition with the rest of the stream
+    # spread elsewhere: the pigeonhole candidate pass must surface it no
+    # matter how the stream is partitioned.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    hot = ["hot"] * 120
+    cold = [f"t{i}" for i in range(2000)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"token": hot + cold})
+    )
+    for parts in (1, 7, 32):
+        toks = df.repartition(parts)
+
+        def _local(batches):
+            import collections
+
+            counts: collections.Counter = collections.Counter()
+            total = 0
+            for pdf in batches:
+                vc = pdf["token"].value_counts()
+                total += int(vc.sum())
+                for tok, c in vc.items():
+                    counts[tok] += int(c)
+            yield pd.DataFrame(
+                {"token": [t for t, c in counts.items() if c * search.HH_K >= total]}
+            )
+
+        cands = toks.mapInPandas(_local, schema="token string").distinct()
+        n = toks.count()
+        out = (
+            toks.join(F.broadcast(cands), "token")
+            .groupBy("token")
+            .count()
+            .filter(F.col("count") * search.HH_K >= F.lit(n))
+            .collect()
+        )
+        assert [(r.token, r["count"]) for r in out] == [("hot", 120)], f"parts={parts}"
