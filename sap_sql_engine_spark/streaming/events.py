@@ -299,6 +299,82 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build from the changelog: one row per CONSECUTIVE run
+    of a user's ``event_type`` with ``[valid_from, valid_to)`` interval
+    columns — the slowly-changing-dimension type-2 table an ingest
+    pipeline derives from the same events ``q_events_latest_state``
+    compacts to SCD1.
+
+    Gaps-and-islands: a change flag (event_type differs from the previous
+    event) prefix-sums into a run id; runs aggregate to intervals;
+    ``valid_to`` is the next run's start (NULL = current, flagged).
+    Ties on ts break by event_id so the history is deterministic.
+
+    Scale shape: ONE exchange on user_id — the change-flag and prefix-sum
+    windows, the (user_id, run_id) aggregation (hash(user_id) clustering
+    already satisfies the group-by's distribution — no second exchange),
+    and the lead() window all reuse that partitioning; history length per
+    user is bounded by that user's event count, so no skew beyond the
+    event log's own."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (F.col("event_type") != prev), 1).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = W.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(w_runs)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return per_run.withColumn("nxt", nxt).select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("version"),
+        "event_type",
+        F.date_format(F.col("vf"), fmt).alias("valid_from"),
+        F.date_format(F.col("nxt"), fmt).alias("valid_to"),
+        F.col("nxt").isNull().cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+ORACLE_EVENTS_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS run_id FROM ordered
+),
+per_run AS (
+  SELECT user_id, run_id, min(event_type) AS event_type,
+         min(ts) AS vf, count(*) AS n_events
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(run_id AS BIGINT) AS version,
+       event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(vf) OVER w2, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(CASE WHEN lead(vf) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_events
+FROM per_run
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
 def streaming_latest_state(spark: SparkSession, sf_dir: str):
     """Streaming twin of ``q_events_latest_state``: the changelog is a
     stream and the current-state table maintains itself — the same
@@ -925,6 +1001,7 @@ QUERIES = {
     "events_user_rolling": q_events_user_rolling,
     "events_session_native": q_events_session_native,
     "events_latest_state": q_events_latest_state,
+    "events_scd2": q_events_scd2,
 }
 
 ORACLES = {
@@ -938,4 +1015,5 @@ ORACLES = {
     "events_user_rolling": ORACLE_EVENTS_ROLLING,
     "events_session_native": ORACLE_EVENTS_SESSIONIZE,
     "events_latest_state": ORACLE_EVENTS_LATEST_STATE,
+    "events_scd2": ORACLE_EVENTS_SCD2,
 }

@@ -347,3 +347,116 @@ def test_streaming_latest_state_matches_batch(spark, sf_dir):
         for r in ev.q_events_latest_state(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    rows = ev.q_events_scd2(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    total = 0
+    for u, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # versions are 1..n dense; exactly one open (current) interval
+        assert [h.version for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(h.is_current for h in hist) == 1 and hist[-1].is_current == 1
+        for a, b in zip(hist, hist[1:]):
+            # intervals chain: valid_to == next valid_from, history is
+            # compressed (adjacent runs differ), time strictly advances
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
+            assert a.valid_from < b.valid_from
+        assert hist[-1].valid_to is None
+        total += sum(h.n_events for h in hist)
+    # every event is in exactly one interval
+    assert total == ev._events(spark, sf_dir).count()
+    # SCD2 collapses to SCD1: the open interval agrees with latest-state
+    latest = {
+        r.user_id: r.last_event_type
+        for r in ev.q_events_latest_state(spark, sf_dir).collect()
+    }
+    current = {u: h[-1].event_type for u, h in by_user.items()}
+    assert current == latest
+
+
+def test_zorder_beats_single_dim_sorts(spark, sf_dir):
+    # data-skipping payoff, measured as expected files touched by a random
+    # single-value predicate on each dimension (sum over files of that
+    # file's span fraction of the dimension's range). A linear sort is ~1
+    # on its own dimension and ~ALL files on the other; z-order bounds
+    # BOTH near sqrt(n_files). Assert the worst-dimension cost under
+    # z-order beats both linear sorts' worst dimension by >= 2x.
+    import datetime as dt
+
+    from sap_sql_engine_spark.operators import skew
+    from sap_sql_engine_spark.operators.ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = orders.count()
+    b = orders.select(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderdate").cast("date"), F.max("o_orderdate").cast("date"),
+    ).first()
+    c_range = b[1] - b[0] + 1
+    d_range = (b[3] - b[2]).days + 1
+
+    def worst_dim_cost(stats_rows):
+        ck = dd = 0.0
+        for r in stats_rows:
+            d0 = dt.date.fromisoformat(r.date_lo)
+            d1 = dt.date.fromisoformat(r.date_hi)
+            ck += (r.custkey_hi - r.custkey_lo + 1) / c_range
+            dd += ((d1 - d0).days + 1) / d_range
+        return max(ck, dd)
+
+    z_cost = worst_dim_cost(skew.q_zorder_layout_stats(spark, sf_dir).collect())
+
+    def single_dim_cost(*order_cols):
+        ranked = with_global_rank(orders, *order_cols, "o_orderkey")
+        bucket = F.expr(f"((rn - 1) * {skew.ZORDER_BUCKETS}) DIV {n}")
+        rows = (
+            ranked.withColumn("file_id", bucket)
+            .groupBy("file_id")
+            .agg(
+                F.min("o_custkey").alias("custkey_lo"),
+                F.max("o_custkey").alias("custkey_hi"),
+                F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_lo"),
+                F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_hi"),
+            )
+            .collect()
+        )
+        return worst_dim_cost(rows)
+
+    by_custkey = single_dim_cost("o_custkey")
+    by_date = single_dim_cost("o_orderdate")
+    assert z_cost * 2 <= min(by_custkey, by_date), (z_cost, by_custkey, by_date)
+
+
+def test_zorder_files_balanced_and_cover_all_rows(spark, sf_dir):
+    from sap_sql_engine_spark.operators import skew
+
+    rows = skew.q_zorder_layout_stats(spark, sf_dir).collect()
+    assert len(rows) == skew.ZORDER_BUCKETS
+    n = table(spark, sf_dir, "orders").count()
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:  # equal-count split: every file within 1 row of n/buckets
+        assert abs(r.n_rows - n / skew.ZORDER_BUCKETS) <= 1
+
+
+def test_rp_reduce_matches_jl_theory(spark, sf_dir):
+    # the calibration report must look like Johnson-Lindenstrauss says it
+    # should: errors concentrate at sigma = 1/sqrt(RP_DIM) (Gaussian-ish:
+    # ~68%/95% within 1/2 sigma, loosened for a 500-vector sample)
+    import math
+
+    r = similarity.q_embedding_rp_reduce(spark, sf_dir).collect()[0]
+    sig = 1.0 / math.sqrt(similarity.RP_DIM)
+    assert r.n_vecs > 0
+    assert 0 < r.mean_abs_err < 1.5 * sig
+    assert r.within_1sig / r.n_vecs > 0.45
+    assert r.within_2sig / r.n_vecs > 0.85
+    assert r.within_1sig <= r.within_2sig <= r.n_vecs
+    assert r.max_abs_err <= 2.0  # cosine difference is bounded
