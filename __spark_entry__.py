@@ -58,6 +58,7 @@ _GATE_PRIORITY = (
     "zorder_layout_stats",
     "embedding_rp_reduce",
     "nation_trade_pagerank",
+    "split_leakage_report",
 )
 
 

@@ -1174,6 +1174,88 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Train/eval split leakage: near-dup pairs crossing a deterministic split
+
+SPLIT_EVAL_PCT = 10  # eval share of the corpus, by md5('split|'||doc_id) % 100
+
+
+def _split_flag_spark() -> F.Column:
+    return (
+        F.expr(
+            "CAST(conv(substr(md5(concat('split|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < SPLIT_EVAL_PCT
+    ).cast("int")
+
+
+_O_SPLIT_FLAG = (
+    "CAST(CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% 100 < {SPLIT_EVAL_PCT} AS INT)"
+)
+
+
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check for a hash-based train/eval split:
+    how many NEAR-duplicate pairs (MinHash-LSH candidates at
+    est_jaccard >= JACCARD_THRESHOLD) straddle the split boundary, and
+    how many eval documents are compromised by a near-copy in train.
+    Exact dedup before splitting does not prevent this — near-copies
+    survive exact dedup, and a benchmark answer paraphrased in train
+    inflates eval. This is the report a pipeline gates promotion on.
+
+    Composition, not new machinery: the split is a deterministic md5 coin
+    per doc_id (reproducible anywhere, no stored split table), pairs come
+    from the same cached one-pass MinHash signature relation
+    ``dedup_minhash_lsh`` uses, and the classification is one broadcast
+    of the (doc_id, is_eval) relation into the tiny pair set. One row out;
+    the only full-corpus work is the signature build itself."""
+    docs = table(spark, sf_dir, "documents")
+    splits = spread(docs).select("doc_id", _split_flag_spark().alias("is_eval"))
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= JACCARD_THRESHOLD
+    )
+    s1 = splits.select(F.col("doc_id").alias("doc1"), F.col("is_eval").alias("e1"))
+    s2 = splits.select(F.col("doc_id").alias("doc2"), F.col("is_eval").alias("e2"))
+    tagged = pairs.join(s1, "doc1").join(s2, "doc2")
+    pair_stats = tagged.agg(
+        F.count(F.lit(1)).alias("neardup_pairs"),
+        F.sum((F.col("e1") != F.col("e2")).cast("bigint")).alias("cross_pairs"),
+    )
+    contaminated = (
+        tagged.filter(F.col("e1") != F.col("e2"))
+        .select(
+            F.when(F.col("e1") == 1, F.col("doc1")).otherwise(F.col("doc2")).alias("ev")
+        )
+        .agg(F.countDistinct("ev").alias("eval_docs_contaminated"))
+    )
+    sizes = splits.agg(
+        F.sum((F.col("is_eval") == 0).cast("bigint")).alias("n_train"),
+        F.sum("is_eval").cast("bigint").alias("n_eval"),
+    )
+    return sizes.crossJoin(pair_stats).crossJoin(contaminated)
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH pairs_all AS ({ORACLE_MINHASH_LSH}),
+pairs AS (SELECT * FROM pairs_all WHERE est_jaccard >= {JACCARD_THRESHOLD}),
+splits AS (SELECT doc_id, {_O_SPLIT_FLAG} AS is_eval FROM documents),
+tagged AS (
+  SELECT p.*, s1.is_eval AS e1, s2.is_eval AS e2
+  FROM pairs p
+  JOIN splits s1 ON p.doc1 = s1.doc_id
+  JOIN splits s2 ON p.doc2 = s2.doc_id
+)
+SELECT (SELECT count(*) FROM splits WHERE is_eval = 0) AS n_train,
+       (SELECT count(*) FROM splits WHERE is_eval = 1) AS n_eval,
+       (SELECT count(*) FROM tagged) AS neardup_pairs,
+       (SELECT count(*) FROM tagged WHERE e1 <> e2) AS cross_pairs,
+       (SELECT count(DISTINCT CASE WHEN e1 = 1 THEN doc1 ELSE doc2 END)
+        FROM tagged WHERE e1 <> e2) AS eval_docs_contaminated
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1188,6 +1270,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
     "dedup_keep_best": q_dedup_keep_best,
+    "split_leakage_report": q_split_leakage_report,
 }
 
 ORACLES = {
@@ -1204,4 +1287,5 @@ ORACLES = {
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "dedup_keep_best": _oracle_keep_best(),
+    "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
 }

@@ -75,7 +75,9 @@ def pagerank_loop(
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        # contrib is <= |V| rows — broadcast it; at web-scale graphs flip this
+        # to a shuffled join keyed on node (the docstring's scale note)
+        ranks = nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left").select(
             "node",
             F.expr(
                 f"({100 - PR_DAMP_NUM} * CAST({base} AS BIGINT) "
@@ -103,7 +105,7 @@ def q_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_loop(nations.select("node"), edges, PR_ITERATIONS, PR_N_NATIONS)
     return (
-        nations.join(ranks, "node")
+        nations.join(F.broadcast(ranks), "node")
         .select(
             "n_name",
             F.col("pr").alias("pagerank_micro"),

@@ -799,3 +799,32 @@ def test_keep_best_picks_highest_quality_member(spark, sf_dir):
     for cid, members in clusters.items():
         want = min(members, key=lambda d: (-quality[d], d))
         assert best[cid] == (want, quality[want])
+
+
+def test_split_leakage_report_consistency(spark, sf_dir):
+    from sap_sql_engine_spark.sources.loader import table
+
+    r = dedup.q_split_leakage_report(spark, sf_dir).collect()[0]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert r.n_train + r.n_eval == n_docs
+    # md5 coin: eval share lands near SPLIT_EVAL_PCT
+    assert 0.5 * dedup.SPLIT_EVAL_PCT <= 100 * r.n_eval / n_docs <= 2 * dedup.SPLIT_EVAL_PCT
+    assert 0 <= r.cross_pairs <= r.neardup_pairs
+    assert r.eval_docs_contaminated <= min(r.cross_pairs, r.n_eval)
+    # the synthetic corpus plants near-dups; a 10% split must catch some
+    assert r.cross_pairs > 0 and r.eval_docs_contaminated > 0
+    # cross pairs must match reclassifying the pair list directly
+    pairs = {
+        (p.doc1, p.doc2)
+        for p in dedup.q_dedup_minhash_lsh(spark, sf_dir)
+        .filter("est_jaccard >= 0.5")
+        .collect()
+    }
+    flags = {
+        d.doc_id: d.is_eval
+        for d in table(spark, sf_dir, "documents")
+        .select("doc_id", dedup._split_flag_spark().alias("is_eval"))
+        .collect()
+    }
+    assert r.neardup_pairs == len(pairs)
+    assert r.cross_pairs == sum(1 for a, b in pairs if flags[a] != flags[b])
