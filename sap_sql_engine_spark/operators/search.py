@@ -481,11 +481,11 @@ _HLL_ALPHA_M = 0.7213 / (1 + 1.079 / HLL_BUCKETS)
 HLL_CONST = repr(_HLL_ALPHA_M * HLL_BUCKETS * HLL_BUCKETS * float(2**HLL_RMAX))
 
 
-def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
-        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
+def hll_registers(toks: DataFrame) -> DataFrame:
+    """(source, bucket, r) HLL registers for a (source, token) stream.
+    Factored so the mergeability property — max-merging per-shard
+    registers equals whole-stream registers, the algebra that makes the
+    sketch distribute — is testable directly."""
     h = F.expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
     # h DIV (integer division) — a `/` here is double division, which
     # silently rounds above 2^53 and would desync the registers
@@ -502,7 +502,15 @@ def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(HLL_RMAX),
         ),
     )
-    regs = hashed.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    return hashed.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+
+
+def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    regs = hll_registers(toks)
     per_source = regs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - r)")).alias("s_present"),

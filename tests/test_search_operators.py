@@ -180,3 +180,24 @@ def test_heavy_hitters_planted_skew_single_hot_token(spark):
             .collect()
         )
         assert [(r.token, r["count"]) for r in out] == [("hot", 120)], f"parts={parts}"
+
+
+def test_hll_registers_merge_algebra(spark, sf_dir):
+    # the property that makes the sketch distribute: registers of the whole
+    # stream == per-shard registers max-merged, for ANY sharding
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    whole = {
+        (r.source, r.bucket): r.r for r in search.hll_registers(toks).collect()
+    }
+    shard_a = search.hll_registers(toks.filter("length(token) % 2 = 0"))
+    shard_b = search.hll_registers(toks.filter("length(token) % 2 = 1"))
+    merged = {}
+    for r in shard_a.collect() + shard_b.collect():
+        k = (r.source, r.bucket)
+        merged[k] = max(merged.get(k, 0), r.r)
+    assert merged == whole
