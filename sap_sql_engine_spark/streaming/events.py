@@ -317,7 +317,12 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the lead() window all reuse that partitioning; history length per
     user is bounded by that user's event count, so no skew beyond the
     event log's own."""
-    ev = _events(spark, sf_dir)
+    return scd2_from(_events(spark, sf_dir))
+
+
+def scd2_from(ev: DataFrame) -> DataFrame:
+    """SCD2 build over any (user_id, event_id, ts, event_type) relation —
+    q_events_scd2 body, factored for property tests on generated logs."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(prev.isNull() | (F.col("event_type") != prev), 1).otherwise(0)

@@ -234,3 +234,62 @@ def test_asof_join_matches_naive_backward_scan(spark, trades, quotes):
         prior = [q for q in quotes if q[0] == a and q[1] <= t]
         want[f"t{i}"] = max(prior, key=lambda q: q[1])[2] if prior else None
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build vs a pure-Python fold
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user_id
+            st.integers(min_value=0, max_value=5000),  # epoch sec (ties likely)
+            st.sampled_from(["a", "b", "c"]),          # event_type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_matches_python_fold(spark, raw):
+    rows = [(uid, eid, sec, t) for eid, (uid, sec, t) in enumerate(raw)]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "sec", "event_type"]
+    ).select(
+        "user_id", "event_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in ev.scd2_from(df).collect()
+    }
+
+    import datetime as dt
+
+    def fmt(sec):
+        return dt.datetime.fromtimestamp(sec, dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, eid, sec, t in rows:
+        by_user.setdefault(uid, []).append((sec, eid, t))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()  # (ts, event_id) order — the query's tiebreak
+        runs: list[list[tuple[int, int, str]]] = []
+        for e in evs:
+            if runs and runs[-1][-1][2] == e[2]:
+                runs[-1].append(e)
+            else:
+                runs.append([e])
+        for i, run in enumerate(runs):
+            nxt = fmt(runs[i + 1][0][0]) if i + 1 < len(runs) else None
+            expect[(uid, i + 1)] = (
+                run[0][2],
+                fmt(run[0][0]),
+                nxt,
+                int(nxt is None),
+                len(run),
+            )
+    assert got == expect

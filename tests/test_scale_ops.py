@@ -460,3 +460,32 @@ def test_rp_reduce_matches_jl_theory(spark, sf_dir):
     assert r.within_2sig / r.n_vecs > 0.85
     assert r.within_1sig <= r.within_2sig <= r.n_vecs
     assert r.max_abs_err <= 2.0  # cosine difference is bounded
+
+
+def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
+    # the engine-native semi-join prefilter: with runtime bloom filters on,
+    # the selective orders side is sketched and pushed into lineitem's scan
+    # stage as BloomFilterMightContain; results must equal the plain join
+    from sap_sql_engine_spark.operators import skew
+
+    def q():
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        ).select("o_orderkey")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            )
+        )
+
+    plain = q().collect()[0]
+    with skew.runtime_bloom_filters(spark):
+        df = q()
+        assert skew.expression_class_present(df, "BloomFilterMightContain")
+        bloomed = df.collect()[0]
+    assert (plain.n, plain.qty) == (bloomed.n, bloomed.qty)
+    # and the session is back to defaults afterwards
+    assert not skew.expression_class_present(q(), "BloomFilterMightContain")
