@@ -474,6 +474,74 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_scd2(spark: SparkSession, sf_dir: str):
+    """Streaming twin of ``q_events_scd2``: the SCD2 history table
+    maintains itself as the changelog streams in. State per user = the
+    COMPRESSED run list (event_type, first_ts_micros, n_events) — bounded
+    by the number of type CHANGES, not events; each micro-batch folds its
+    rows in (ts, event_id) order (within-user order across ordered-file
+    replay matches the batch sort) and re-emits the user's history rows,
+    last-writer-wins per (user_id, version) in the update-mode sink.
+
+    Scale posture: same as the sessionize twin — keyed state in the state
+    store, Arrow-batched pandas fold; run-list state is the SCD2-specific
+    part and is exactly what an upsert MERGE into a dimension table needs
+    per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, version long, event_type string, valid_from string, "
+        "valid_to string, is_current int, n_events long"
+    )
+    # run list flattened into parallel arrays (state schema must be flat-ish)
+    state_schema = "types array<string>, starts array<long>, counts array<long>"
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            types, starts, counts = (list(x) for x in state.get)
+        else:
+            types, starts, counts = [], [], []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for t, typ in zip(rows["ts"], rows["event_type"]):
+            us = t.value // 1000  # integer microseconds
+            if types and types[-1] == typ:
+                counts[-1] += 1
+            else:
+                types.append(typ)
+                starts.append(us)
+                counts.append(1)
+        state.update((types, starts, counts))
+
+        def fmt(us):
+            return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+        n = len(types)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * n,
+                "version": list(range(1, n + 1)),
+                "event_type": types,
+                "valid_from": [fmt(s) for s in starts],
+                "valid_to": [fmt(starts[i + 1]) if i + 1 < n else None for i in range(n)],
+                "is_current": [0] * (n - 1) + [1],
+                "n_events": counts,
+            }
+        )
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("events_scd2_stream")
+        .start()
+    )
+
+
 def streaming_session_native(spark: SparkSession, sf_dir: str):
     """Streaming twin of ``q_events_session_native``: the BUILT-IN
     ``session_window`` in a streaming aggregation — no custom state code at

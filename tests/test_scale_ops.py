@@ -489,3 +489,23 @@ def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
     assert (plain.n, plain.qty) == (bloomed.n, bloomed.qty)
     # and the session is back to defaults afterwards
     assert not skew.expression_class_present(q(), "BloomFilterMightContain")
+
+
+def test_streaming_scd2_matches_batch(spark, sf_dir):
+    q = ev.streaming_scd2(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream = {}
+        for r in spark.sql("SELECT * FROM events_scd2_stream").collect():
+            stream[(r.user_id, r.version)] = (
+                r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events
+            )
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.version): (
+            r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events
+        )
+        for r in ev.q_events_scd2(spark, sf_dir).collect()
+    }
+    assert stream == batch
