@@ -51,6 +51,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_expr,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered along a Z-order curve: range-partition on the
+    precomputed z-value into ``n_files`` slices, sort within each, drop the
+    helper column, write — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` shape
+    in plain parquet. Every file then carries a tight min/max bounding BOX
+    over ALL interleaved dimensions in its parquet footer, so 2-D
+    predicates prune files (the read-side evidence ``zorder_layout_stats``
+    reports from the same curve; the test verifies against the ACTUAL
+    written footers via parquet metadata).
+
+    ``zorder_expr`` is the interleaved-bit column (see
+    ``operators/skew._zvalue``); one range exchange total."""
+    (
+        df.withColumn("__z", zorder_expr)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     src_path: str,

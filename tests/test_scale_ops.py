@@ -509,3 +509,70 @@ def test_streaming_scd2_matches_batch(spark, sf_dir):
         for r in ev.q_events_scd2(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_write_zordered_real_footer_stats(spark, sf_dir, tmp_path):
+    # the write-side proof: actual parquet footers of a z-ordered write
+    # carry tight bounding boxes on BOTH dimensions, beating a date-sorted
+    # write's worst dimension by >= 2x (same metric as the read-side test,
+    # but measured from the files a scan would actually prune with)
+    import duckdb
+
+    from sap_sql_engine_spark.operators import skew
+    from sap_sql_engine_spark.sources import layout
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    b = orders.select(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))),
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))),
+    ).first()
+    c0, c1, d0, d1 = (int(x) for x in b)
+    scale = (1 << skew.ZORDER_BITS) - 1
+    u1 = F.expr(f"(o_custkey - {c0}) * {scale} DIV {max(c1 - c0, 1)}").cast("int")
+    u2 = F.expr(
+        f"(datediff(o_orderdate, DATE '1970-01-01') - {d0}) * {scale} DIV {max(d1 - d0, 1)}"
+    ).cast("int")
+
+    zpath = str(tmp_path / "orders_z")
+    dpath = str(tmp_path / "orders_d")
+    layout.write_zordered(orders, zpath, skew._zvalue(u1, u2), n_files=16)
+    (
+        orders.repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(dpath)
+    )
+
+    def worst_dim_cost(path):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT file_name, path_in_schema,
+                   min(stats_min_value) AS lo, max(stats_max_value) AS hi
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema IN ('o_custkey', 'o_orderdate')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        import datetime as dt
+
+        boxes: dict[str, dict[str, tuple]] = {}
+        for fn, col, lo, hi in rows:
+            boxes.setdefault(fn, {})[col] = (lo, hi)
+        ck = dd = 0.0
+        for cols in boxes.values():
+            klo, khi = (int(v) for v in cols["o_custkey"])
+            ck += (khi - klo + 1) / (c1 - c0 + 1)
+            tlo, thi = (
+                dt.datetime.fromisoformat(v).date() for v in cols["o_orderdate"]
+            )
+            dd += ((thi - tlo).days + 1) / (d1 - d0 + 1)
+        assert len(boxes) == 16
+        return max(ck, dd)
+
+    z_cost = worst_dim_cost(zpath)
+    d_cost = worst_dim_cost(dpath)
+    assert z_cost * 2 <= d_cost, (z_cost, d_cost)
