@@ -59,6 +59,7 @@ _GATE_PRIORITY = (
     "embedding_rp_reduce",
     "nation_trade_pagerank",
     "split_leakage_report",
+    "corpus_release_funnel",
 )
 
 

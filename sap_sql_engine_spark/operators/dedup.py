@@ -1256,6 +1256,160 @@ SELECT (SELECT count(*) FROM splits WHERE is_eval = 0) AS n_train,
 """
 
 
+# ---------------------------------------------------------------------------
+# The capstone composition: corpus release funnel
+
+
+def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END release pipeline as one gated query: how many
+    documents survive each stage a training-corpus release runs, in
+    order — language filter, quality filter, exact dedup (keep-first),
+    near-dup dedup (Jaccard clusters, keep the representative), and
+    decontamination (drop the benchmark slice AND every doc 3-gram-
+    overlapping it). Six (stage, stage_name, docs) rows; the DuckDB
+    oracle recomputes the ENTIRE chain — including the recursive-CTE
+    connected components — so the gate hashes the composition, not just
+    the stages it borrows from.
+
+    Composition economics at 100 TB: every stage reuses the machinery
+    already audited in isolation (``quality_expr``, ``fingerprint_col``,
+    ``jaccard_pairs``, ``connected_components``, the contamination
+    broadcast probe), stages only ever shrink the relation, and the two
+    cached frontiers (post-exact, post-neardup) are the natural
+    checkpoint tables a real pipeline writes between stages."""
+    from .textanalysis import QUALITY_KEEP, fingerprint_col, quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    s1 = docs.filter(F.col("lang") != "unknown")
+    s2 = s1.filter(quality_expr() >= QUALITY_KEEP)
+    s3 = cache_eager(
+        s2.withColumn("fp", fingerprint_col())
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "source")
+    )
+    removed = (
+        connected_components(jaccard_pairs(s3.select("doc_id", "text")))
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    s4 = cache_eager(s3.join(F.broadcast(removed), "doc_id", "left_anti"))
+    bench_sh = (
+        _hashed_shingles_from(docs.filter(F.col("source") == CONTAM_BENCH_SOURCE))
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contaminated = (
+        _hashed_shingles_from(s4.filter(F.col("source") != CONTAM_BENCH_SOURCE))
+        .join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap"),
+        )
+        .filter(F.round(F.col("overlap") / F.col("n_sh"), 4) >= CONTAM_FLAG)
+        .select("doc_id")
+    )
+    s5 = s4.filter(F.col("source") != CONTAM_BENCH_SOURCE).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+
+    stages = [
+        ("total", docs),
+        ("lang_filter", s1),
+        ("quality_filter", s2),
+        ("exact_dedup", s3),
+        ("neardup_dedup", s4),
+        ("decontaminated", s5),
+    ]
+    counted = [
+        df.agg(F.count(F.lit(1)).alias("docs")).select(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "docs",
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _oracle_release_funnel() -> str:
+    from .textanalysis import O_QUALITY_EXPR, QUALITY_KEEP
+
+    pairs_sql = ORACLE_NGRAM_JACCARD.replace("FROM documents", "FROM s3")
+    bench_shingles = _ORACLE_SHINGLES.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE source = '{CONTAM_BENCH_SOURCE}') bd",
+    )
+    s4_shingles = _ORACLE_SHINGLES.replace(
+        "FROM documents",
+        f"FROM (SELECT d.* FROM documents d JOIN s4 USING (doc_id) "
+        f"WHERE d.source <> '{CONTAM_BENCH_SOURCE}') s4d",
+    )
+    return rf"""
+WITH RECURSIVE
+s1 AS (SELECT * FROM documents WHERE lang <> 'unknown'),
+s2 AS (SELECT * FROM s1 WHERE {O_QUALITY_EXPR} >= {QUALITY_KEEP}),
+s3 AS (
+  SELECT doc_id, text, source FROM s2
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ORDER BY doc_id
+  ) = 1
+),
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+removed AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, min(label) AS label FROM reach GROUP BY node
+  ) WHERE node <> label
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+bench_sh AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({bench_shingles}) b
+),
+s4_sh AS (
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({s4_shingles}) c
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS overlap
+    FROM s4_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+    GROUP BY c.doc_id
+  ) WHERE round(overlap * 1.0 / n_sh, 4) >= {CONTAM_FLAG}
+),
+s5 AS (
+  SELECT * FROM s4
+  WHERE source <> '{CONTAM_BENCH_SOURCE}'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT 0 AS stage, 'total' AS stage_name, count(*) AS docs FROM documents
+UNION ALL SELECT 1, 'lang_filter', count(*) FROM s1
+UNION ALL SELECT 2, 'quality_filter', count(*) FROM s2
+UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+UNION ALL SELECT 4, 'neardup_dedup', count(*) FROM s4
+UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1271,6 +1425,7 @@ QUERIES = {
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
+    "corpus_release_funnel": q_corpus_release_funnel,
 }
 
 ORACLES = {
@@ -1288,4 +1443,5 @@ ORACLES = {
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
+    "corpus_release_funnel": _oracle_release_funnel(),
 }

@@ -249,6 +249,33 @@ WHERE {_BUCKET_DUCK} < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_
 QUALITY_KEEP = 0.5
 
 
+def quality_expr() -> F.Column:
+    """The corpus-filter quality blend (rounded to 4) — the same formula
+    ``q_corpus_clean_stats`` and the release funnel gate on, factored so
+    the two stay in lockstep."""
+    t = F.trim(F.col("text"))
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    words = F.size(F.split(t, r"\s+"))
+    stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it)\b"))
+    return F.round(
+        (alpha / n_chars) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop.cast("double") / words * F.lit(10)) * F.lit(0.3)
+        + F.least(F.lit(1.0), words.cast("double") / F.lit(100)) * F.lit(0.2),
+        4,
+    )
+
+
+# DuckDB mirror of quality_expr() (bit-identical expression tree)
+O_QUALITY_EXPR = (
+    r"round((CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    r" / length(trim(text))) * 0.5"
+    r" + least(1.0, CAST(len(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|a|in|is|it)\b')) AS DOUBLE)"
+    r" / len(regexp_split_to_array(trim(text), '\s+')) * 10) * 0.3"
+    r" + least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100) * 0.2, 4)"
+)
+
+
 def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source funnel: total docs -> docs passing quality+language
     filters -> distinct surviving fingerprints (what exact dedup would

@@ -828,3 +828,26 @@ def test_split_leakage_report_consistency(spark, sf_dir):
     }
     assert r.neardup_pairs == len(pairs)
     assert r.cross_pairs == sum(1 for a, b in pairs if flags[a] != flags[b])
+
+
+def test_corpus_release_funnel_monotone(spark, sf_dir):
+    rows = sorted(
+        dedup.q_corpus_release_funnel(spark, sf_dir).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage_name for r in rows] == [
+        "total", "lang_filter", "quality_filter",
+        "exact_dedup", "neardup_dedup", "decontaminated",
+    ]
+    counts = [r.docs for r in rows]
+    assert counts == sorted(counts, reverse=True)  # stages only shrink
+    assert counts[-1] > 0
+    # the release must have dropped the whole benchmark slice
+    from sap_sql_engine_spark.sources.loader import table
+
+    bench = (
+        table(spark, sf_dir, "documents")
+        .filter(f"source = '{dedup.CONTAM_BENCH_SOURCE}'")
+        .count()
+    )
+    assert bench > 0 and counts[-1] <= counts[-2] - 0  # and strictly dropped:
+    assert counts[-1] < counts[-2]
