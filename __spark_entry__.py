@@ -60,6 +60,7 @@ _GATE_PRIORITY = (
     "nation_trade_pagerank",
     "split_leakage_report",
     "corpus_release_funnel",
+    "text_lm_score",
 )
 
 

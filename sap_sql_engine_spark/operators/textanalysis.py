@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cachereg import cache_eager
-from ..sources.loader import table
+from ..sources.loader import spread, table
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language-ID
 # heuristic. Chosen to be regex-safe in both Java regex and RE2.
@@ -894,6 +894,93 @@ FROM coin WHERE u_exact < quality_score
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (perplexity-proxy quality signal)
+
+LM_Q = 1_000_000  # per-bigram log-prob quantization (floor to 1e-6)
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by a bigram language model TRAINED ON THE
+    CORPUS ITSELF — the perplexity-style quality signal pipelines use to
+    rank text (a KenLM stand-in with the same algebra, no external model):
+    ``avg_logprob`` = mean over the doc's bigrams of ln(c2/c1), where c2 =
+    corpus count of the bigram and c1 = count of its prefix token as a
+    bigram head. MLE without smoothing is total here — every scored bigram
+    was counted by the same pass, so c2 >= 1 always. ``min_logprob`` is
+    the doc's most surprising transition.
+
+    Cross-engine determinism: each bigram's ln() is computed ONCE in the
+    stats relation and floor-quantized to integer micro-nats there; the
+    per-doc aggregation then sums integers (associative, plan-independent)
+    — the same quantize-before-the-cross-row-sum discipline as BM25.
+
+    Scale shape: one (w1,w2)-keyed aggregation over the bigram stream
+    builds the model; the prefix totals are a narrow regroup of those
+    partials; the model (vocabulary-bounded — millions of rows at corpus
+    scale, megabytes) broadcasts back onto the stream, and the per-doc
+    score is one doc_id-keyed aggregation. Docs with < 2 tokens have no
+    bigrams and no row, on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, "w1").withColumn(
+        "lnq",
+        F.floor(F.log(F.col("c2") / F.col("c1")) * LM_Q).cast("bigint"),
+    )
+    return (
+        bigrams.join(F.broadcast(stats), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lnq") / (F.lit(float(LM_Q)) * F.count(F.lit(1))), 6).alias(
+                "avg_logprob"
+            ),
+            F.round(F.min("lnq") / F.lit(float(LM_Q)), 6).alias("min_logprob"),
+        )
+    )
+
+
+ORACLE_TEXT_LM_SCORE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+bigrams AS (
+  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM toks
+  )
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+stats AS (
+  SELECT w1, w2,
+         CAST(floor(ln(c2 * 1.0 / c1) * {LM_Q}) AS BIGINT) AS lnq
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(lnq) / ({LM_Q}.0 * count(*)), 6) AS avg_logprob,
+       round(min(lnq) / {LM_Q}.0, 6) AS min_logprob
+FROM bigrams JOIN stats USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -912,6 +999,7 @@ QUERIES = {
     "docs_target_mix_sample": q_docs_target_mix_sample,
     "label_agreement_kappa": q_label_agreement,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "text_lm_score": q_text_lm_score,
 }
 
 ORACLES = {
@@ -932,4 +1020,5 @@ ORACLES = {
     "docs_target_mix_sample": ORACLE_TARGET_MIX,
     "label_agreement_kappa": ORACLE_LABEL_AGREEMENT,
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "text_lm_score": ORACLE_TEXT_LM_SCORE,
 }

@@ -851,3 +851,38 @@ def test_corpus_release_funnel_monotone(spark, sf_dir):
     )
     assert bench > 0 and counts[-1] <= counts[-2] - 0  # and strictly dropped:
     assert counts[-1] < counts[-2]
+
+
+def test_lm_score_matches_python_model(spark, sf_dir):
+    import math
+
+    from sap_sql_engine_spark.sources.loader import table
+
+    rows = textanalysis.q_text_lm_score(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    # train the same bigram MLE in Python
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    expect = {}
+    for did, toks in docs.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        qs = [math.floor(math.log(c2[bg] / c1[bg[0]]) * textanalysis.LM_Q) for bg in bgs]
+        expect[did] = (len(bgs), sum(qs) / (textanalysis.LM_Q * len(bgs)), min(qs) / textanalysis.LM_Q)
+    assert {r.doc_id for r in rows} == set(expect)
+    for r in rows:
+        n, avg, mn = expect[r.doc_id]
+        assert r.n_bigrams == n
+        # libm vs JVM ln can differ in the last ulp at floor boundaries;
+        # allow a couple of quantization steps of slack
+        assert abs(r.avg_logprob - avg) < 3e-6
+        assert abs(r.min_logprob - mn) < 3e-6
+        assert r.min_logprob <= r.avg_logprob <= 0.0
