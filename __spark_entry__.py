@@ -61,6 +61,8 @@ _GATE_PRIORITY = (
     "split_leakage_report",
     "corpus_release_funnel",
     "text_lm_score",
+    "events_retention_cohorts",
+    "parts_copurchase",
 )
 
 

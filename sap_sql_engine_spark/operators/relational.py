@@ -1358,6 +1358,72 @@ GROUP BY w.w_start
 
 
 # ---------------------------------------------------------------------------
+# market-basket pair mining (frequent co-occurring parts within orders)
+
+BASKET_MIN_SUPPORT = 2
+
+
+def q_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets with support and lift —
+    the pairwise core of frequent-itemset mining (the A-Priori L2 step),
+    run directly as a self-join because TPC-H baskets are tiny.
+
+    Scale shape: the within-basket self-join is keyed on the order (an
+    equi-join, never cartesian) and its output is bounded by
+    sum(basket_size^2)/2 — with baskets <= 7 items that is < 21 rows per
+    order, linear in orders. The (p1, p2) support aggregation is the one
+    vocabulary-scale shuffle; per-part order counts broadcast back for
+    the lift denominator. For web-scale baskets (thousands of items) the
+    same plan gets an A-Priori frequent-singleton prefilter before the
+    self-join — a broadcast semi-join, same skeleton as the df-cap in
+    ``jaccard_pairs``."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    c1 = part_counts.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("c1"))
+    c2 = part_counts.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("c2"))
+    lift = (F.col("support") * F.lit(n_orders)) / (F.col("c1") * F.col("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .select("p1", "p2", "support", F.round(lift, 4).alias("lift"))
+    )
+
+
+ORACLE_PARTS_COPURCHASE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p1, p2, support,
+       round(support * 1.0 * (SELECT n_orders FROM n) / (c1.cnt * c2.cnt), 4) AS lift
+FROM pairs
+JOIN pc c1 ON c1.l_partkey = p1
+JOIN pc c2 ON c2.l_partkey = p2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1396,6 +1462,7 @@ QUERIES = {
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
     "recursive_line_chain_native": q_recursive_line_chain_native,
+    "parts_copurchase": q_parts_copurchase,
 }
 
 ORACLES = {
@@ -1434,4 +1501,5 @@ ORACLES = {
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
+    "parts_copurchase": ORACLE_PARTS_COPURCHASE,
 }

@@ -916,6 +916,71 @@ FROM per_user
 # instead of millions of raw events — that reuse is the entire point.
 
 
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day (cohort),
+    counted per days-since-first-seen offset — the (cohort x offset)
+    matrix in long form, plus the retention rate against cohort size.
+
+    Scale shape: first-seen is one user-keyed aggregation; the offset
+    tagging is a broadcast of the (user, first_day) relation back onto
+    the stream (user-count-sized — at larger scale the same user-keyed
+    exchange serves both); the matrix is one (cohort, offset) regroup of
+    per-user-day partials. Rate = exact integer pair divided once at the
+    output boundary."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    tagged = days.join(F.broadcast(first), "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        tagged.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format(F.col("cohort_day"), "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+            "cohort_users",
+            F.round(F.col("active_users") / F.col("cohort_users"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY cohort_day
+),
+mat AS (
+  SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+         count(DISTINCT d.user_id) AS active_users
+  FROM days d JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       active_users,
+       cohort_users,
+       round(active_users * 1.0 / cohort_users, 4) AS retention
+FROM mat m JOIN sizes USING (cohort_day)
+"""
+
+
 def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
@@ -1075,6 +1140,7 @@ QUERIES = {
     "events_session_native": q_events_session_native,
     "events_latest_state": q_events_latest_state,
     "events_scd2": q_events_scd2,
+    "events_retention_cohorts": q_events_retention_cohorts,
 }
 
 ORACLES = {
@@ -1089,4 +1155,5 @@ ORACLES = {
     "events_session_native": ORACLE_EVENTS_SESSIONIZE,
     "events_latest_state": ORACLE_EVENTS_LATEST_STATE,
     "events_scd2": ORACLE_EVENTS_SCD2,
+    "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
 }

@@ -576,3 +576,49 @@ def test_write_zordered_real_footer_stats(spark, sf_dir, tmp_path):
     z_cost = worst_dim_cost(zpath)
     d_cost = worst_dim_cost(dpath)
     assert z_cost * 2 <= d_cost, (z_cost, d_cost)
+
+
+def test_retention_cohorts_invariants(spark, sf_dir):
+    rows = ev.q_events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    total_users = 0
+    for day, rs in by_cohort.items():
+        offs = {r.day_offset: r for r in rs}
+        # offset 0 is full retention by construction (first-seen day)
+        assert offs[0].active_users == offs[0].cohort_users
+        assert offs[0].retention == 1.0
+        for r in rs:
+            assert 0 <= r.active_users <= r.cohort_users
+            assert abs(r.retention - r.active_users / r.cohort_users) <= 5e-5  # round(.,4)
+            assert r.day_offset >= 0
+        total_users += offs[0].cohort_users
+    # cohorts partition the user base
+    n_users = ev._events(spark, sf_dir).select("user_id").distinct().count()
+    assert total_users == n_users
+
+
+def test_parts_copurchase_invariants(spark, sf_dir):
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_parts_copurchase(spark, sf_dir).collect()
+    assert rows
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    # spot-check the highest-support pair against a direct count
+    best = max(rows, key=lambda r: (r.support, r.p1, r.p2))
+    direct = (
+        items.filter(F.col("l_partkey").isin([best.p1, best.p2]))
+        .groupBy("l_orderkey")
+        .count()
+        .filter("count = 2")
+        .count()
+    )
+    assert best.support == direct
+    for r in rows[:50]:
+        assert r.p1 < r.p2
+        assert r.support >= relational.BASKET_MIN_SUPPORT
+        assert r.lift > 0
