@@ -46,24 +46,24 @@ _MODULES = (
     textanalysis,
 )
 
-# Queries with no driver gate row yet whose home module sits past the
-# window cutoff — registered FIRST so they get a row this round (their
-# module-order position would land past entry 50).
-_GATE_PRIORITY = (
-    "label_agreement_kappa",
-    "docs_weighted_sample",
-    "recursive_line_chain_native",
-    "token_heavy_hitters",
-    "events_scd2",
-    "zorder_layout_stats",
-    "embedding_rp_reduce",
-    "nation_trade_pagerank",
-    "split_leakage_report",
-    "corpus_release_funnel",
-    "text_lm_score",
-    "events_retention_cohorts",
-    "parts_copurchase",
-)
+def _driver_gated() -> set[str]:
+    """Query names that already hold a green row in any driver
+    CORRECTNESS_r*.json — used to push never-gated queries to the FRONT
+    of the registration order so the gate's 50-entry window always spends
+    its slots on queries with no row on record. Self-maintaining: each
+    round's new file shrinks the priority set automatically."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    gated: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            gated |= set(json.load(open(path)))
+        except Exception:
+            continue  # a malformed record never breaks registration
+    return gated
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -75,7 +75,8 @@ def _ordered(attr: str) -> dict:
     full: dict = {}
     for mod in _MODULES:
         full.update(getattr(mod, attr))
-    out = {k: full[k] for k in _GATE_PRIORITY if k in full}
+    gated = _driver_gated()
+    out = {k: full[k] for k in full if k not in gated}  # never-gated first
     out.update(full)  # existing keys keep their (front) position
     return out
 
