@@ -93,7 +93,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--serve", type=int, metavar="PORT", help="start the HTTP API")
     p.add_argument("--json", action="store_true", help="emit raw JSON result")
+    p.add_argument(
+        "--pipeline",
+        metavar="QUERY",
+        help="run a registered pipeline operator by name on --sf-dir "
+        "(use '--pipeline list' to enumerate)",
+    )
     args = p.parse_args(argv)
+
+    if args.pipeline:
+        # the extension surface (dedup/ANN/search/events/...) — every entry
+        # the driver contract registers, runnable from the shell
+        import __spark_entry__ as entrymod
+
+        from .session import get_spark
+
+        qs = entrymod.queries()
+        if args.pipeline == "list":
+            for name in sorted(qs):
+                print(name)
+            return 0
+        if args.pipeline not in qs:
+            print(f"unknown pipeline query: {args.pipeline!r} (try '--pipeline list')")
+            return 2
+        df = qs[args.pipeline](get_spark("cli-pipeline"), args.sf_dir)
+        res = executor.collect_result(df)
+        print(json.dumps(res, default=str) if args.json else format_result(res))
+        return 0
 
     spark, model = _build(args.sf_dir)
 

@@ -77,12 +77,20 @@ def execute(
         }
 
     try:
-        rows = df.limit(max_rows + 1).collect()
+        out = collect_result(df, max_rows)
     except Exception as e:  # late analysis/runtime failure — same contract
         return {
             "error": str(e).split("\n")[0],
             "spark_sql": spark_sql,
         }
+    out["spark_sql"] = spark_sql
+    return out
+
+
+def collect_result(df, max_rows: int = DEFAULT_MAX_ROWS) -> dict:
+    """Capped collect of any DataFrame into the result-table contract —
+    shared by ``execute`` and the CLI's ``--pipeline`` runner."""
+    rows = df.limit(max_rows + 1).collect()
     has_more = len(rows) > max_rows
     rows = rows[:max_rows]
     return {
@@ -91,5 +99,4 @@ def execute(
         "rows": [[_to_jsonable(v) for v in row] for row in rows],
         "row_count": len(rows),
         "has_more": has_more,
-        "spark_sql": spark_sql,
     }

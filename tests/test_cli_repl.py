@@ -87,3 +87,19 @@ def test_web_command_starts_server(spark, mini, tmp_path, capsys, monkeypatch):
     out = run_repl(spark, mini, tmp_path, ["web"], capsys)
     assert started["port"] == 8080
     assert "serving on http://127.0.0.1:8080" in out
+
+
+def test_cli_pipeline_runner(capsys):
+    from sap_sql_engine_spark import cli
+
+    rc = cli.main(["--pipeline", "list"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "dedup_exact" in out and "corpus_release_funnel" in out
+
+    rc = cli.main(["--pipeline", "dedup_exact", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "doc_count" in out
+
+    rc = cli.main(["--pipeline", "no_such_query"])
+    out = capsys.readouterr().out
+    assert rc == 2 and "unknown pipeline query" in out
