@@ -726,6 +726,75 @@ FROM errs
 ORACLE_EMBEDDING_RP = _oracle_rp()
 
 
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: recall of the bucketed index against exact top-k
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall report for the WHOLE ANN ladder against the exact
+    brute-force top-``TOPK`` — one row per index (lsh_bucketed, ivf,
+    pq_adc): how many of the true top-k the index returned, and how many
+    rows it returned at all. This is the metric an ANN deployment gates
+    on before swapping the exact scan out, and it is deliberately honest:
+    on this near-orthogonal corpus single-probe sign-LSH scores 0.0
+    (collision probability ~0.59^6 per true neighbor — the documented
+    reason ``ann_lsh_bucketed`` prescribes multi-probe), IVF@4-probe
+    ~0.6, PQ-ADC ~0.4. The decision between index families is read off
+    this report, not assumed — same pattern as ``embedding_rp_reduce``'s
+    distortion calibration.
+
+    Composes the gated queries unchanged; the oracle recomputes all four
+    sides, so the gate pins the report itself. At scale the probe column
+    becomes a sampled query SET (a union over probes), same plan."""
+    exact = q_ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    reports = []
+    for name, df in (
+        ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir)),
+        ("ivf", q_ann_ivf(spark, sf_dir)),
+        ("pq_adc", q_ann_pq_adc(spark, sf_dir)),
+    ):
+        cand = df.select("vec_id")
+        hits = exact.join(cand, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        n = cand.agg(F.count(F.lit(1)).alias("n_returned"))
+        reports.append(
+            n.crossJoin(hits).select(
+                F.lit(name).alias("index"),
+                F.lit(TOPK).cast("int").alias("k"),
+                "n_returned",
+                "hits",
+                F.round(F.col("hits") / F.lit(float(TOPK)), 4).alias("recall_at_k"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _oracle_recall() -> str:
+    def leg(name: str, sub: str) -> str:
+        return f"""
+SELECT '{name}' AS index,
+       CAST({TOPK} AS INT) AS k,
+       (SELECT count(*) FROM {name}) AS n_returned,
+       (SELECT count(*) FROM exact e JOIN {name} c ON e.vec_id = c.vec_id) AS hits,
+       round((SELECT count(*) FROM exact e JOIN {name} c ON e.vec_id = c.vec_id)
+             / {float(TOPK)!r}, 4) AS recall_at_k"""
+
+    return f"""
+WITH exact AS ({ORACLE_ANN_BRUTEFORCE}),
+lsh_bucketed AS ({_oracle_lsh()}),
+ivf AS ({_oracle_ivf()}),
+pq_adc AS ({_oracle_pq()})
+{leg("lsh_bucketed", "")}
+UNION ALL{leg("ivf", "")}
+UNION ALL{leg("pq_adc", "")}
+"""
+
+
+ORACLE_ANN_RECALL = _oracle_recall()
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -734,6 +803,7 @@ QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
     "embedding_rp_reduce": q_embedding_rp_reduce,
+    "ann_recall_report": q_ann_recall_report,
 }
 
 ORACLES = {
@@ -744,4 +814,5 @@ ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
+    "ann_recall_report": ORACLE_ANN_RECALL,
 }

@@ -622,3 +622,21 @@ def test_parts_copurchase_invariants(spark, sf_dir):
         assert r.p1 < r.p2
         assert r.support >= relational.BASKET_MIN_SUPPORT
         assert r.lift > 0
+
+
+def test_ann_recall_report_cross_checks(spark, sf_dir):
+    rows = {r["index"]: r for r in similarity.q_ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh_bucketed", "ivf", "pq_adc"}
+    exact = {r.vec_id for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()}
+    got = {
+        "lsh_bucketed": {r.vec_id for r in similarity.q_ann_lsh_bucketed(spark, sf_dir).collect()},
+        "ivf": {r.vec_id for r in similarity.q_ann_ivf(spark, sf_dir).collect()},
+        "pq_adc": {r.vec_id for r in similarity.q_ann_pq_adc(spark, sf_dir).collect()},
+    }
+    for name, r in rows.items():
+        assert r.hits == len(exact & got[name]), name
+        assert r.n_returned == len(got[name])
+        assert abs(r.recall_at_k - r.hits / r.k) <= 5e-5
+    # the ladder's documented ordering on this corpus: probed IVF beats
+    # single-probe LSH
+    assert rows["ivf"].hits > rows["lsh_bucketed"].hits
