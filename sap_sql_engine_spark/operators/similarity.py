@@ -313,6 +313,86 @@ ORDER BY cosine DESC, vec_id ASC
 ORACLE_ANN_LSH = _oracle_lsh()
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: probe the query's bucket AND every bucket at
+    hamming distance 1 (each sign bit flipped once) — 1 + N_PLANES
+    buckets, exact cosine re-rank inside. This is the fix the
+    ``ann_recall_report`` prescribes: single-probe recall collapses on
+    near-orthogonal data because each true neighbor only agrees with the
+    query on each hyperplane with p ~ 0.59, so flipping the low-margin
+    bits recovers most of the lost mass for ~7x the candidate volume
+    (still a 64/7 = 9x reduction vs scanning everything).
+
+    The probe set is computed by EXPRESSION on the 1-row query relation
+    (string surgery on the signature — no driver collect), broadcast into
+    an ``array_contains`` join: the same probe-set-join shape as IVF."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    plane_expr = (
+        f"transform({_plane_literals()}, w -> "
+        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    sig_expr = (
+        f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    with_sig = emb.withColumn("bucket", F.expr(sig_expr))
+    flips = ", ".join(
+        f"concat(substring(qbucket, 1, {i - 1}), "
+        f"CASE WHEN substring(qbucket, {i}, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring(qbucket, {i + 1}, {N_PLANES}))"
+        for i in range(1, N_PLANES + 1)
+    )
+    q = (
+        with_sig.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket"))
+        .withColumn("probes", F.expr(f"array(qbucket, {flips})"))
+    )
+    return (
+        with_sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.expr("array_contains(probes, bucket)"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+
+
+def _oracle_lsh_multiprobe() -> str:
+    plane = (
+        "list_transform(range(1, {np} + 1), p -> "
+        "list_sum(list_transform(range(1, {dim} + 1), i -> "
+        "CAST(embedding[i] AS DOUBLE) * "
+        "(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 - 0.5)"
+        ")))"
+    ).format(np=N_PLANES, dim=DIM)
+    sig = (
+        f"array_to_string(list_transform({plane}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    flips = ", ".join(
+        f"substr(qbucket, 1, {i - 1}) || "
+        f"(CASE WHEN substr(qbucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(qbucket, {i + 1}, {N_PLANES})"
+        for i in range(1, N_PLANES + 1)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (SELECT qe, unnest([qbucket, {flips}]) AS pb FROM q)
+SELECT s.vec_id, s.bucket,
+       round({_o_cos("s.embedding", "p.qe")}, 6) AS cosine
+FROM sigs s JOIN probes p ON s.bucket = p.pb
+WHERE s.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+"""
+
+
+ORACLE_ANN_LSH_MULTIPROBE = _oracle_lsh_multiprobe()
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: frozen coarse-quantizer codebook + probed re-rank.
 #
@@ -732,16 +812,16 @@ ORACLE_EMBEDDING_RP = _oracle_rp()
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall report for the WHOLE ANN ladder against the exact
-    brute-force top-``TOPK`` — one row per index (lsh_bucketed, ivf,
-    pq_adc): how many of the true top-k the index returned, and how many
-    rows it returned at all. This is the metric an ANN deployment gates
-    on before swapping the exact scan out, and it is deliberately honest:
-    on this near-orthogonal corpus single-probe sign-LSH scores 0.0
-    (collision probability ~0.59^6 per true neighbor — the documented
-    reason ``ann_lsh_bucketed`` prescribes multi-probe), IVF@4-probe
-    ~0.6, PQ-ADC ~0.4. The decision between index families is read off
-    this report, not assumed — same pattern as ``embedding_rp_reduce``'s
-    distortion calibration.
+    brute-force top-``TOPK`` — one row per index (lsh_bucketed,
+    lsh_multiprobe, ivf, pq_adc): how many of the true top-k the index
+    returned, and how many rows it returned at all. This is the metric
+    an ANN deployment gates on before swapping the exact scan out, and
+    it is deliberately honest: on this near-orthogonal corpus
+    single-probe sign-LSH scores 0.0 (collision probability ~0.59^6 per
+    true neighbor), the hamming-1 multi-probe variant recovers 0.4 for
+    7x the candidates, IVF@4-probe ~0.6, PQ-ADC ~0.4. The decision
+    between index families is read off this report, not assumed — same
+    pattern as ``embedding_rp_reduce``'s distortion calibration.
 
     Composes the gated queries unchanged; the oracle recomputes all four
     sides, so the gate pins the report itself. At scale the probe column
@@ -750,6 +830,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports = []
     for name, df in (
         ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir)),
+        ("lsh_multiprobe", q_ann_lsh_multiprobe(spark, sf_dir)),
         ("ivf", q_ann_ivf(spark, sf_dir)),
         ("pq_adc", q_ann_pq_adc(spark, sf_dir)),
     ):
@@ -784,9 +865,11 @@ SELECT '{name}' AS index,
     return f"""
 WITH exact AS ({ORACLE_ANN_BRUTEFORCE}),
 lsh_bucketed AS ({_oracle_lsh()}),
+lsh_multiprobe AS ({_oracle_lsh_multiprobe()}),
 ivf AS ({_oracle_ivf()}),
 pq_adc AS ({_oracle_pq()})
 {leg("lsh_bucketed", "")}
+UNION ALL{leg("lsh_multiprobe", "")}
 UNION ALL{leg("ivf", "")}
 UNION ALL{leg("pq_adc", "")}
 """
@@ -804,6 +887,7 @@ QUERIES = {
     "embedding_outlier": q_embedding_outlier,
     "embedding_rp_reduce": q_embedding_rp_reduce,
     "ann_recall_report": q_ann_recall_report,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 ORACLES = {
@@ -815,4 +899,5 @@ ORACLES = {
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
     "ann_recall_report": ORACLE_ANN_RECALL,
+    "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
 }

@@ -626,10 +626,11 @@ def test_parts_copurchase_invariants(spark, sf_dir):
 
 def test_ann_recall_report_cross_checks(spark, sf_dir):
     rows = {r["index"]: r for r in similarity.q_ann_recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh_bucketed", "ivf", "pq_adc"}
+    assert set(rows) == {"lsh_bucketed", "lsh_multiprobe", "ivf", "pq_adc"}
     exact = {r.vec_id for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()}
     got = {
         "lsh_bucketed": {r.vec_id for r in similarity.q_ann_lsh_bucketed(spark, sf_dir).collect()},
+        "lsh_multiprobe": {r.vec_id for r in similarity.q_ann_lsh_multiprobe(spark, sf_dir).collect()},
         "ivf": {r.vec_id for r in similarity.q_ann_ivf(spark, sf_dir).collect()},
         "pq_adc": {r.vec_id for r in similarity.q_ann_pq_adc(spark, sf_dir).collect()},
     }
@@ -637,6 +638,8 @@ def test_ann_recall_report_cross_checks(spark, sf_dir):
         assert r.hits == len(exact & got[name]), name
         assert r.n_returned == len(got[name])
         assert abs(r.recall_at_k - r.hits / r.k) <= 5e-5
-    # the ladder's documented ordering on this corpus: probed IVF beats
-    # single-probe LSH
+    # the ladder's documented ordering on this corpus: probing beats
+    # single-probe, and the single bucket is a subset of the probe set
     assert rows["ivf"].hits > rows["lsh_bucketed"].hits
+    assert rows["lsh_multiprobe"].hits > rows["lsh_bucketed"].hits
+    assert got["lsh_bucketed"] <= got["lsh_multiprobe"]
