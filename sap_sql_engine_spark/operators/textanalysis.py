@@ -895,6 +895,64 @@ FROM coin WHERE u_exact < quality_score
 
 
 # ---------------------------------------------------------------------------
+# balanced training-shard assignment
+
+N_SHARDS = 8
+
+
+def q_docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of ``N_SHARDS`` training shards,
+    balanced by TOKEN budget (not doc count): documents are globally
+    ranked by descending token count (ties by doc_id) and dealt
+    round-robin — the deterministic longest-processing-time-style deal
+    that keeps every shard's token sum within one max-document of the
+    mean, so no data-parallel worker waits on a fat shard. Returns the
+    per-shard accounting (docs, tokens) the deal is judged by.
+
+    Scale shape: token counts are a pure map; the global rank is
+    ``with_global_rank`` (range exchange, no single-partition window);
+    the shard id is a modulo on the rank; accounting is one 8-group
+    aggregation. The same deal writes the shards with
+    ``partitionBy(shard)`` — this query IS the plan of that writer."""
+    from .ranks import with_global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
+    ).withColumn("neg_tokens", -F.col("token_count"))
+    ranked = with_global_rank(sized, "neg_tokens", "doc_id")
+    return (
+        ranked.withColumn("shard", ((F.col("rn") - 1) % N_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("token_sum"),
+            F.max("token_count").alias("max_doc_tokens"),
+        )
+    )
+
+
+ORACLE_DOCS_SHARD_ASSIGNMENT = rf"""
+WITH sized AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS token_count
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY token_count DESC, doc_id) AS rn
+  FROM sized
+)
+SELECT CAST((rn - 1) % {N_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(token_count) AS BIGINT) AS token_sum,
+       CAST(max(token_count) AS INT) AS max_doc_tokens
+FROM ranked
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram language-model scoring (perplexity-proxy quality signal)
 
 LM_Q = 1_000_000  # per-bigram log-prob quantization (floor to 1e-6)
@@ -1000,6 +1058,7 @@ QUERIES = {
     "label_agreement_kappa": q_label_agreement,
     "docs_weighted_sample": q_docs_weighted_sample,
     "text_lm_score": q_text_lm_score,
+    "docs_shard_assignment": q_docs_shard_assignment,
 }
 
 ORACLES = {
@@ -1021,4 +1080,5 @@ ORACLES = {
     "label_agreement_kappa": ORACLE_LABEL_AGREEMENT,
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
+    "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
 }

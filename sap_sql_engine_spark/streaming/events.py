@@ -981,6 +981,68 @@ FROM mat m JOIN sizes USING (cohort_day)
 """
 
 
+ACTIVE_WINDOW_DAYS = 7  # trailing window for the rolling-active metric
+
+
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users (the DAU/WAU family).
+
+    COUNT(DISTINCT) over a sliding RANGE window is not expressible as a
+    window function (Spark and most engines reject it), so the rolling
+    metric uses the standard compaction + small-range-join shape: the
+    event stream first compacts to distinct (day, user) — the only
+    full-volume aggregation — then each calendar day joins the user-days
+    inside its trailing window (a <= W-row-per-user-day expansion, W=7)
+    and re-counts distinct users. At 100 TB the compacted user-day
+    relation is orders of magnitude smaller than the stream, which is
+    what makes the W-fold expansion affordable; the oracle states the
+    identical join."""
+    ev = _events(spark, sf_dir)
+    user_days = ev.select(
+        F.to_date(F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = user_days.select("day").distinct()
+    dau = user_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    in_window = (
+        days.alias("d")
+        .join(
+            user_days.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (
+                F.col("u.day")
+                >= F.date_sub(F.col("d.day"), ACTIVE_WINDOW_DAYS - 1)
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias(f"wau_{ACTIVE_WINDOW_DAYS}d"))
+    )
+    return (
+        dau.join(in_window, "day")
+        .select(
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+            "dau",
+            f"wau_{ACTIVE_WINDOW_DAYS}d",
+        )
+    )
+
+
+ORACLE_EVENTS_ACTIVE_USERS = f"""
+WITH user_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM user_days),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM user_days GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau_{ACTIVE_WINDOW_DAYS}d
+  FROM days d JOIN user_days u
+    ON u.day <= d.day AND u.day >= d.day - {ACTIVE_WINDOW_DAYS - 1}
+  GROUP BY d.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau_{ACTIVE_WINDOW_DAYS}d
+FROM dau JOIN wau USING (day)
+"""
+
+
 def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
@@ -1141,6 +1203,7 @@ QUERIES = {
     "events_latest_state": q_events_latest_state,
     "events_scd2": q_events_scd2,
     "events_retention_cohorts": q_events_retention_cohorts,
+    "events_active_users": q_events_active_users,
 }
 
 ORACLES = {
@@ -1156,4 +1219,5 @@ ORACLES = {
     "events_latest_state": ORACLE_EVENTS_LATEST_STATE,
     "events_scd2": ORACLE_EVENTS_SCD2,
     "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
+    "events_active_users": ORACLE_EVENTS_ACTIVE_USERS,
 }

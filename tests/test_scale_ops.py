@@ -643,3 +643,30 @@ def test_ann_recall_report_cross_checks(spark, sf_dir):
     assert rows["ivf"].hits > rows["lsh_bucketed"].hits
     assert rows["lsh_multiprobe"].hits > rows["lsh_bucketed"].hits
     assert got["lsh_bucketed"] <= got["lsh_multiprobe"]
+
+
+def test_active_users_window_properties(spark, sf_dir):
+    rows = {r.day: r for r in ev.q_events_active_users(spark, sf_dir).collect()}
+    assert rows
+    days = sorted(rows)
+    for d in days:
+        r = rows[d]
+        col = f"wau_{ev.ACTIVE_WINDOW_DAYS}d"
+        assert r.dau <= r[col]  # window includes the day itself
+    # wau on the first observed day equals dau (no history before it)
+    first = rows[days[0]]
+    assert first[f"wau_{ev.ACTIVE_WINDOW_DAYS}d"] == first.dau
+
+
+def test_shard_assignment_balanced(spark, sf_dir):
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    rows = ta.q_docs_shard_assignment(spark, sf_dir).collect()
+    assert len(rows) == ta.N_SHARDS
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    sums = [r.token_sum for r in rows]
+    # the LPT-style round-robin deal: every shard within one max-doc of
+    # the heaviest shard
+    assert max(sums) - min(sums) <= max(r.max_doc_tokens for r in rows)
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
