@@ -79,6 +79,39 @@ def write_zordered(
     )
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+    force_plain_encoding: bool = False,
+) -> None:
+    """Parquet write with per-column BLOOM FILTERS in the file footers —
+    the point-lookup complement to min/max stats: range predicates prune
+    by min/max (see ``write_zordered``), equality probes on high-cardinality
+    columns (keys, ids, hashes) prune by bloom membership even when the
+    file's value range is wide. At 100 TB this is what makes needle
+    queries (one order id out of billions) touch a handful of files.
+
+    ``ndv`` sizes the filter (expected distinct values per file).
+    Parquet deliberately SKIPS the bloom for column chunks that stay
+    fully dictionary-encoded (the dictionary is already an exact
+    membership structure) — at production scale a key column overflows
+    the dictionary page and gets its bloom automatically;
+    ``force_plain_encoding`` disables the dictionary per column so the
+    bloom path is exercisable on small test data. Reader side is
+    automatic: Parquet readers consult footer blooms for `=`/`IN`."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+        if force_plain_encoding:
+            w = w.option(f"parquet.enable.dictionary#{c}", "false")
+    w.parquet(path)
+
+
 def compact(
     spark: SparkSession,
     src_path: str,
