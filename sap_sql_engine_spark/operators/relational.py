@@ -1424,6 +1424,111 @@ JOIN pc c2 ON c2.l_partkey = p2
 
 
 # ---------------------------------------------------------------------------
+# declarative data-quality constraint suite (the Deequ/dbt-test shape)
+
+
+def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraints over ``orders`` evaluated in
+    ONE pass where possible — the Deequ/dbt-test shape: each check is a
+    named predicate whose violation count and pass flag come back as a
+    row, so a pipeline gates ingestion on ``WHERE passed = 0``.
+
+    Checks: primary-key uniqueness, FK integrity to ``customer`` (the
+    only check needing a second relation — an anti-join on the broadcast
+    dim), non-negative totals, date-domain bounds, enum membership, and
+    null rates. Scale shape: the row-level checks fold into a single
+    aggregation over one scan (each violation count is a conditional
+    sum); uniqueness is one groupBy on the key; FK is one broadcast
+    anti-join. No check rescans the table row-by-row."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+
+    row_checks = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("nonpos_total"),
+        F.sum(
+            (
+                ~F.col("o_orderdate").cast("date").between("1992-01-01", "1998-12-31")
+            ).cast("bigint")
+        ).alias("date_out_of_domain"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("bad_status_enum"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("null_custkey"),
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+
+    def row(name: str, src: DataFrame, col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check"),
+            F.col(col).cast("bigint").alias("violations"),
+            (F.col(col) == 0).cast("int").alias("passed"),
+        )
+
+    # the four row-level counts unpivot from the ONE single-pass aggregate
+    # row (stack, not four union legs re-running the scan)
+    row_stacked = row_checks.select(
+        F.expr(
+            "stack(4, "
+            "'totalprice_positive', nonpos_total, "
+            "'orderdate_in_domain', date_out_of_domain, "
+            "'orderstatus_enum', bad_status_enum, "
+            "'custkey_not_null', null_custkey) AS (check, v)"
+        )
+    ).select(
+        "check",
+        F.col("v").cast("bigint").alias("violations"),
+        (F.col("v") == 0).cast("int").alias("passed"),
+    )
+    return (
+        row("orderkey_unique", dup_keys, "v")
+        .unionByName(row("custkey_fk_integrity", orphans, "v"))
+        .unionByName(row_stacked)
+    )
+
+
+ORACLE_DQ_ORDERS = """
+WITH dup AS (
+  SELECT COALESCE(sum(c), 0) AS v FROM (
+    SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  )
+),
+orphan AS (
+  SELECT count(*) AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+rowc AS (
+  SELECT
+    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_total,
+    sum(CASE WHEN CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1992-01-01' AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS date_out_of_domain,
+    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status_enum,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey
+  FROM orders
+)
+SELECT "check", CAST(violations AS BIGINT) AS violations,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM (
+  SELECT 'orderkey_unique' AS "check", (SELECT v FROM dup) AS violations
+  UNION ALL SELECT 'custkey_fk_integrity', (SELECT v FROM orphan)
+  UNION ALL SELECT 'totalprice_positive', (SELECT nonpos_total FROM rowc)
+  UNION ALL SELECT 'orderdate_in_domain', (SELECT date_out_of_domain FROM rowc)
+  UNION ALL SELECT 'orderstatus_enum', (SELECT bad_status_enum FROM rowc)
+  UNION ALL SELECT 'custkey_not_null', (SELECT null_custkey FROM rowc)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1463,6 +1568,7 @@ QUERIES = {
     "revenue_mom_delta": q_revenue_mom_delta,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
+    "dq_orders_checks": q_dq_orders_checks,
 }
 
 ORACLES = {
@@ -1502,4 +1608,5 @@ ORACLES = {
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
+    "dq_orders_checks": ORACLE_DQ_ORDERS,
 }

@@ -731,3 +731,41 @@ def test_heavy_hitters_candidate_pass_is_shuffle_free(spark, sf_dir):
         assert not any(
             subtree_has_shuffle(kids.apply(i)) for i in range(kids.size())
         ), "pass-1 candidate generation must stay shuffle-free"
+
+
+def test_dq_checks_planted_violations(spark, tmp_path):
+    # a tiny orders/customer pair with one planted violation per check
+    from sap_sql_engine_spark.operators import relational
+
+    import datetime as dt
+
+    rows = [
+        # (orderkey, custkey, totalprice, orderdate, status)
+        (1, 10, 100.0, dt.datetime(1995, 1, 1), "O"),   # clean
+        (1, 10, 100.0, dt.datetime(1995, 1, 2), "F"),   # dup orderkey (2 rows)
+        (2, 99, 50.0, dt.datetime(1995, 2, 1), "O"),    # orphan custkey
+        (3, 10, -5.0, dt.datetime(1995, 3, 1), "P"),    # non-positive total
+        (4, 10, 10.0, dt.datetime(2001, 1, 1), "O"),    # date out of domain
+        (5, 10, 10.0, dt.datetime(1995, 4, 1), "X"),    # bad enum
+        (6, None, 10.0, dt.datetime(1995, 5, 1), "O"),  # null custkey
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderdate timestamp, o_orderstatus string"
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long")
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r["check"]: (r.violations, r.passed)
+        for r in relational.q_dq_orders_checks(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orderkey_unique": (2, 0),        # both rows of the dup key count
+        "custkey_fk_integrity": (2, 0),   # orphan 99 + NULL custkey never matches
+        "totalprice_positive": (1, 0),
+        "orderdate_in_domain": (1, 0),
+        "orderstatus_enum": (1, 0),
+        "custkey_not_null": (1, 0),
+    }
