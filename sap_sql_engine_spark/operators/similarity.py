@@ -60,13 +60,15 @@ def _o_cos(a: str, b: str) -> str:
 # brute-force cosine top-k against a fixed query vector
 
 
-def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings"))
-    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    qvec = emb.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qe")
     )
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
@@ -78,15 +80,19 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_BRUTEFORCE = f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+def _oracle_bruteforce(qid: int = QUERY_VEC_ID) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid})
 SELECT vec_id, label,
        round({_o_cos("embedding", "qe")}, 6) AS cosine
 FROM embeddings, q
-WHERE vec_id != {QUERY_VEC_ID}
+WHERE vec_id != {qid}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOPK}
 """
+
+
+ORACLE_ANN_BRUTEFORCE = _oracle_bruteforce()
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +253,9 @@ def _plane_literals(n_planes: int = N_PLANES) -> str:
     return "array(" + ", ".join(rows) + ")"
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+) -> DataFrame:
     """Signature = N_PLANES sign bits of <v, plane_p>; candidates = vectors
     in the query's bucket; exact cosine re-rank inside the bucket.
 
@@ -271,11 +279,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
     )
     with_sig = emb.withColumn("bucket", F.expr(sig_expr))
-    qrow = with_sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    qrow = with_sig.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
     )
     return (
-        with_sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        with_sig.filter(F.col("vec_id") != qid)
         .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
         .select(
             "vec_id",
@@ -286,7 +294,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_lsh() -> str:
+def _oracle_lsh(qid: int = QUERY_VEC_ID) -> str:
     plane = (
         "list_transform(range(1, {np} + 1), p -> "
         "list_sum(list_transform(range(1, {dim} + 1), i -> "
@@ -301,11 +309,11 @@ def _oracle_lsh() -> str:
 WITH sigs AS (
   SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
 ),
-q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {QUERY_VEC_ID})
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {qid})
 SELECT vec_id, bucket,
        round({_o_cos("embedding", "qe")}, 6) AS cosine
 FROM sigs, q
-WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
+WHERE vec_id != {qid} AND bucket = qbucket
 ORDER BY cosine DESC, vec_id ASC
 """
 
@@ -313,7 +321,9 @@ ORDER BY cosine DESC, vec_id ASC
 ORACLE_ANN_LSH = _oracle_lsh()
 
 
-def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+) -> DataFrame:
     """Multi-probe LSH: probe the query's bucket AND every bucket at
     hamming distance 1 (each sign bit flipped once) — 1 + N_PLANES
     buckets, exact cosine re-rank inside. This is the fix the
@@ -343,12 +353,12 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, N_PLANES + 1)
     )
     q = (
-        with_sig.filter(F.col("vec_id") == QUERY_VEC_ID)
+        with_sig.filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket"))
         .withColumn("probes", F.expr(f"array(qbucket, {flips})"))
     )
     return (
-        with_sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        with_sig.filter(F.col("vec_id") != qid)
         .join(F.broadcast(q), F.expr("array_contains(probes, bucket)"))
         .select(
             "vec_id",
@@ -359,7 +369,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_lsh_multiprobe() -> str:
+def _oracle_lsh_multiprobe(qid: int = QUERY_VEC_ID) -> str:
     plane = (
         "list_transform(range(1, {np} + 1), p -> "
         "list_sum(list_transform(range(1, {dim} + 1), i -> "
@@ -380,12 +390,12 @@ def _oracle_lsh_multiprobe() -> str:
 WITH sigs AS (
   SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
 ),
-q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM sigs WHERE vec_id = {qid}),
 probes AS (SELECT qe, unnest([qbucket, {flips}]) AS pb FROM q)
 SELECT s.vec_id, s.bucket,
        round({_o_cos("s.embedding", "p.qe")}, 6) AS cosine
 FROM sigs s JOIN probes p ON s.bucket = p.pb
-WHERE s.vec_id != {QUERY_VEC_ID}
+WHERE s.vec_id != {qid}
 ORDER BY cosine DESC, vec_id ASC
 """
 
@@ -413,7 +423,9 @@ def _centroid_literals() -> str:
     return "array(" + ", ".join(rows) + ")"
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
+def q_ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE, qid: int = QUERY_VEC_ID
+) -> DataFrame:
     """IVF top-k: assign each vector to its nearest frozen centroid (squared
     L2 argmin), probe the n_probe cells nearest the query vector, exact
     cosine re-rank inside the probed cells.
@@ -443,11 +455,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataF
         f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
     )
     q = (
-        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        assigned.filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qe"), F.expr(probe_expr).alias("probe_ids"))
     )
     return (
-        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        assigned.filter(F.col("vec_id") != qid)
         .join(F.broadcast(q), F.expr("array_contains(probe_ids, list_id)"))
         .select(
             "vec_id",
@@ -459,7 +471,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataF
     )
 
 
-def _oracle_ivf() -> str:
+def _oracle_ivf(qid: int = QUERY_VEC_ID) -> str:
     cent = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
     ) + "]"
@@ -476,7 +488,7 @@ labeled AS (
          CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
   FROM assigned
 ),
-q AS (SELECT embedding AS qe, d AS qd FROM labeled WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding AS qe, d AS qd FROM labeled WHERE vec_id = {qid}),
 probe AS (
   SELECT CAST(j AS BIGINT) AS pid
   FROM q, range(1, {N_LISTS + 1}) t(j)
@@ -486,7 +498,7 @@ probe AS (
 SELECT a.vec_id, a.list_id,
        round({_o_cos("a.embedding", "qe")}, 6) AS cosine
 FROM labeled a, q
-WHERE a.vec_id != {QUERY_VEC_ID} AND a.list_id IN (SELECT pid FROM probe)
+WHERE a.vec_id != {qid} AND a.list_id IN (SELECT pid FROM probe)
 ORDER BY cosine DESC, a.vec_id ASC
 LIMIT {TOPK}
 """
@@ -591,7 +603,9 @@ _PQ_SUB_D2 = (
 )
 
 
-def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_pq_adc(
+    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+) -> DataFrame:
     """PQ top-k: encode every corpus vector to PQ_M subspace codes (argmin
     squared-L2 against the frozen per-subspace codebook), build the query's
     ADC lookup table (PQ_M x PQ_K exact subspace distances) on the single
@@ -619,7 +633,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(book, c -> {q_sub_d2}))"
     )
     q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qe"))
         .select(F.expr(lut_expr).alias("lut"))
     )
@@ -628,7 +642,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0D, (acc, v) -> acc + v)"
     )
     return (
-        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        coded.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -643,7 +657,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pq() -> str:
+def _oracle_pq(qid: int = QUERY_VEC_ID) -> str:
     books = "[" + ", ".join(
         "[" + ", ".join(
             "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in book
@@ -672,14 +686,14 @@ coded AS (
 q AS (
   SELECT list_transform(range(1, {PQ_M + 1}), m ->
            list_transform(range(1, {PQ_K + 1}), k -> {q_d2})) AS lut
-  FROM embeddings, books WHERE vec_id = {QUERY_VEC_ID}
+  FROM embeddings, books WHERE vec_id = {qid}
 )
 SELECT vec_id, label,
        array_to_string(list_transform(codes, c -> CAST(c - 1 AS VARCHAR)), ',') AS pq_code,
        round(list_sum(list_transform(range(1, {PQ_M + 1}), m ->
              lut[m][codes[m]])), 6) AS adc_dist
 FROM coded, q
-WHERE vec_id != {QUERY_VEC_ID}
+WHERE vec_id != {qid}
 ORDER BY adc_dist ASC, vec_id ASC
 LIMIT {TOPK}
 """
@@ -810,40 +824,56 @@ ORACLE_EMBEDDING_RP = _oracle_rp()
 # ANN self-evaluation: recall of the bucketed index against exact top-k
 
 
+ANN_RECALL_PROBES = (0, 123, 321)  # query vectors; all exist at every sf
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall report for the WHOLE ANN ladder against the exact
-    brute-force top-``TOPK`` — one row per index (lsh_bucketed,
-    lsh_multiprobe, ivf, pq_adc): how many of the true top-k the index
-    returned, and how many rows it returned at all. This is the metric
-    an ANN deployment gates on before swapping the exact scan out, and
-    it is deliberately honest: on this near-orthogonal corpus
-    single-probe sign-LSH scores 0.0 (collision probability ~0.59^6 per
-    true neighbor), the hamming-1 multi-probe variant recovers 0.4 for
-    7x the candidates, IVF@4-probe ~0.6, PQ-ADC ~0.4. The decision
-    between index families is read off this report, not assumed — same
-    pattern as ``embedding_rp_reduce``'s distortion calibration.
+    brute-force top-``TOPK``, measured over a PROBE SET (one single-probe
+    number is an anecdote; the mean over ``ANN_RECALL_PROBES`` is a
+    metric): one row per index (lsh_bucketed, lsh_multiprobe, ivf,
+    pq_adc) with total hits across probes and the mean recall@k. This is
+    what an ANN deployment gates on before swapping the exact scan out,
+    and it is deliberately honest: on this near-orthogonal corpus
+    single-probe sign-LSH sits near 0 (collision probability ~0.59^6 per
+    true neighbor), hamming-1 multi-probe recovers a chunk of it for 7x
+    the candidates, IVF@4-probe and PQ-ADC sit in the middle. The index
+    choice is read off this report, not assumed — same pattern as
+    ``embedding_rp_reduce``'s distortion calibration.
 
-    Composes the gated queries unchanged; the oracle recomputes all four
-    sides, so the gate pins the report itself. At scale the probe column
-    becomes a sampled query SET (a union over probes), same plan."""
-    exact = q_ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    Composes the gated queries unchanged (each accepts ``qid``); the
+    oracle recomputes every (index, probe) leg, so the gate pins the
+    report itself. Production would share the featurized corpus relation
+    across probes — here each leg rebuilds it, which the tiny corpus
+    affords and keeps the composition literally the gated operators."""
+    per_index: dict[str, list] = {}
+    for qid in ANN_RECALL_PROBES:
+        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid).select("vec_id")
+        for name, df in (
+            ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir, qid=qid)),
+            ("lsh_multiprobe", q_ann_lsh_multiprobe(spark, sf_dir, qid=qid)),
+            ("ivf", q_ann_ivf(spark, sf_dir, qid=qid)),
+            ("pq_adc", q_ann_pq_adc(spark, sf_dir, qid=qid)),
+        ):
+            hits = exact.join(df.select("vec_id"), "vec_id").agg(
+                F.count(F.lit(1)).alias("h")
+            )
+            per_index.setdefault(name, []).append(hits)
+    n_probes = len(ANN_RECALL_PROBES)
     reports = []
-    for name, df in (
-        ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir)),
-        ("lsh_multiprobe", q_ann_lsh_multiprobe(spark, sf_dir)),
-        ("ivf", q_ann_ivf(spark, sf_dir)),
-        ("pq_adc", q_ann_pq_adc(spark, sf_dir)),
-    ):
-        cand = df.select("vec_id")
-        hits = exact.join(cand, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-        n = cand.agg(F.count(F.lit(1)).alias("n_returned"))
+    for name, legs in per_index.items():
+        tot = legs[0]
+        for leg in legs[1:]:
+            tot = tot.unionByName(leg)
         reports.append(
-            n.crossJoin(hits).select(
+            tot.agg(F.sum("h").alias("hits_total")).select(
                 F.lit(name).alias("index"),
                 F.lit(TOPK).cast("int").alias("k"),
-                "n_returned",
-                "hits",
-                F.round(F.col("hits") / F.lit(float(TOPK)), 4).alias("recall_at_k"),
+                F.lit(n_probes).cast("int").alias("n_probes"),
+                F.col("hits_total").cast("bigint").alias("hits_total"),
+                F.round(
+                    F.col("hits_total") / F.lit(float(TOPK * n_probes)), 4
+                ).alias("mean_recall_at_k"),
             )
         )
     out = reports[0]
@@ -853,26 +883,31 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_recall() -> str:
-    def leg(name: str, sub: str) -> str:
-        return f"""
-SELECT '{name}' AS index,
+    oracles = {
+        "lsh_bucketed": _oracle_lsh,
+        "lsh_multiprobe": _oracle_lsh_multiprobe,
+        "ivf": _oracle_ivf,
+        "pq_adc": _oracle_pq,
+    }
+    n_probes = len(ANN_RECALL_PROBES)
+    ctes, legs = [], []
+    for pi, qid in enumerate(ANN_RECALL_PROBES):
+        ctes.append(f"exact_{pi} AS ({_oracle_bruteforce(qid)})")
+        for name, gen in oracles.items():
+            ctes.append(f"{name}_{pi} AS ({gen(qid)})")
+    for name in oracles:
+        hit_sum = " + ".join(
+            f"(SELECT count(*) FROM exact_{pi} e JOIN {name}_{pi} c ON e.vec_id = c.vec_id)"
+            for pi in range(n_probes)
+        )
+        legs.append(
+            f"""SELECT '{name}' AS index,
        CAST({TOPK} AS INT) AS k,
-       (SELECT count(*) FROM {name}) AS n_returned,
-       (SELECT count(*) FROM exact e JOIN {name} c ON e.vec_id = c.vec_id) AS hits,
-       round((SELECT count(*) FROM exact e JOIN {name} c ON e.vec_id = c.vec_id)
-             / {float(TOPK)!r}, 4) AS recall_at_k"""
-
-    return f"""
-WITH exact AS ({ORACLE_ANN_BRUTEFORCE}),
-lsh_bucketed AS ({_oracle_lsh()}),
-lsh_multiprobe AS ({_oracle_lsh_multiprobe()}),
-ivf AS ({_oracle_ivf()}),
-pq_adc AS ({_oracle_pq()})
-{leg("lsh_bucketed", "")}
-UNION ALL{leg("lsh_multiprobe", "")}
-UNION ALL{leg("ivf", "")}
-UNION ALL{leg("pq_adc", "")}
-"""
+       CAST({n_probes} AS INT) AS n_probes,
+       CAST({hit_sum} AS BIGINT) AS hits_total,
+       round(({hit_sum}) / {float(TOPK * n_probes)!r}, 4) AS mean_recall_at_k"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(legs)
 
 
 ORACLE_ANN_RECALL = _oracle_recall()

@@ -627,22 +627,31 @@ def test_parts_copurchase_invariants(spark, sf_dir):
 def test_ann_recall_report_cross_checks(spark, sf_dir):
     rows = {r["index"]: r for r in similarity.q_ann_recall_report(spark, sf_dir).collect()}
     assert set(rows) == {"lsh_bucketed", "lsh_multiprobe", "ivf", "pq_adc"}
-    exact = {r.vec_id for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()}
-    got = {
-        "lsh_bucketed": {r.vec_id for r in similarity.q_ann_lsh_bucketed(spark, sf_dir).collect()},
-        "lsh_multiprobe": {r.vec_id for r in similarity.q_ann_lsh_multiprobe(spark, sf_dir).collect()},
-        "ivf": {r.vec_id for r in similarity.q_ann_ivf(spark, sf_dir).collect()},
-        "pq_adc": {r.vec_id for r in similarity.q_ann_pq_adc(spark, sf_dir).collect()},
+    # recompute every (index, probe) leg directly and compare the totals
+    fns = {
+        "lsh_bucketed": similarity.q_ann_lsh_bucketed,
+        "lsh_multiprobe": similarity.q_ann_lsh_multiprobe,
+        "ivf": similarity.q_ann_ivf,
+        "pq_adc": similarity.q_ann_pq_adc,
     }
+    expect = {name: 0 for name in fns}
+    for qid in similarity.ANN_RECALL_PROBES:
+        exact = {
+            r.vec_id
+            for r in similarity.q_ann_bruteforce_topk(spark, sf_dir, qid=qid).collect()
+        }
+        for name, fn in fns.items():
+            got = {r.vec_id for r in fn(spark, sf_dir, qid=qid).collect()}
+            expect[name] += len(exact & got)
+    n = len(similarity.ANN_RECALL_PROBES)
     for name, r in rows.items():
-        assert r.hits == len(exact & got[name]), name
-        assert r.n_returned == len(got[name])
-        assert abs(r.recall_at_k - r.hits / r.k) <= 5e-5
+        assert r.hits_total == expect[name], name
+        assert r.n_probes == n
+        assert abs(r.mean_recall_at_k - r.hits_total / (r.k * n)) <= 5e-5
     # the ladder's documented ordering on this corpus: probing beats
-    # single-probe, and the single bucket is a subset of the probe set
-    assert rows["ivf"].hits > rows["lsh_bucketed"].hits
-    assert rows["lsh_multiprobe"].hits > rows["lsh_bucketed"].hits
-    assert got["lsh_bucketed"] <= got["lsh_multiprobe"]
+    # single-probe LSH
+    assert rows["ivf"].hits_total > rows["lsh_bucketed"].hits_total
+    assert rows["lsh_multiprobe"].hits_total > rows["lsh_bucketed"].hits_total
 
 
 def test_active_users_window_properties(spark, sf_dir):
