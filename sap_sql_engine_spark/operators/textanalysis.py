@@ -895,6 +895,71 @@ FROM coin WHERE u_exact < quality_score
 
 
 # ---------------------------------------------------------------------------
+# unicode text cleaning (control strip + NFC + whitespace collapse)
+
+
+def q_text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text cleaning: strip C0/DEL control characters (keeping
+    \\t \\n \\r as whitespace), Unicode-NFC normalize, collapse ASCII
+    whitespace runs, trim — the canonicalization every ingest runs
+    before fingerprinting so that byte-different renderings of the same
+    text dedup together.
+
+    NFC needs a real Unicode library, so this is an Arrow-batched scalar
+    ``pandas_udf`` (vectorized str ops + ``unicodedata``) — and the
+    DuckDB oracle runs its OWN NFC (utf8proc) over the same regexes, so
+    the gate cross-checks two independent Unicode implementations. The
+    whitespace class is the explicit ASCII set on both engines (Python
+    ``\\s`` would also eat U+00A0 etc.; RE2's would not — the explicit
+    class removes the disagreement).
+
+    Scale shape: pure per-row map, zero shuffles."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _clean(texts: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
+        def f(t):
+            if t is None:
+                return None
+            t = ctrl.sub("", t)
+            t = unicodedata.normalize("NFC", t)
+            return ws.sub(" ", t).strip()
+
+        return texts.map(f)
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    cleaned = docs.select("doc_id", "text", _clean(F.col("text")).alias("clean"))
+    return cleaned.select(
+        "doc_id",
+        F.length("clean").alias("clean_len"),
+        (F.col("clean") != F.col("text")).cast("int").alias("was_changed"),
+        F.md5("clean").alias("clean_fingerprint"),
+    )
+
+
+ORACLE_TEXT_CLEAN = r"""
+WITH cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+           '[ \t\n\r\f\v]+', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(clean) AS INT) AS clean_len,
+       CAST(clean <> text AS INT) AS was_changed,
+       md5(clean) AS clean_fingerprint
+FROM cleaned
+"""
+
+
+# ---------------------------------------------------------------------------
 # balanced training-shard assignment
 
 N_SHARDS = 8
@@ -1059,6 +1124,7 @@ QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "text_lm_score": q_text_lm_score,
     "docs_shard_assignment": q_docs_shard_assignment,
+    "text_clean_normalize": q_text_clean_normalize,
 }
 
 ORACLES = {
@@ -1081,4 +1147,5 @@ ORACLES = {
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
+    "text_clean_normalize": ORACLE_TEXT_CLEAN,
 }

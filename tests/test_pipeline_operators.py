@@ -886,3 +886,40 @@ def test_lm_score_matches_python_model(spark, sf_dir):
         assert abs(r.avg_logprob - avg) < 3e-6
         assert abs(r.min_logprob - mn) < 3e-6
         assert r.min_logprob <= r.avg_logprob <= 0.0
+
+
+def test_text_clean_normalize_unicode_planted(spark, tmp_path):
+    # planted unicode: combining accents (NFC-composable), control chars,
+    # CRLF runs, NBSP (must NOT be collapsed — explicit ASCII class).
+    # Cross-checks the Python/unicodedata path against DuckDB's utf8proc
+    # NFC on the same file — two independent Unicode implementations.
+    import duckdb
+
+    rows = [
+        (1, "éclair"),              # e + combining acute -> é (NFC)
+        (2, "a\x01b\x7fc"),               # control chars stripped
+        (3, "x\r\n\t  y"),                # whitespace run collapses to one space
+        (4, "a b"),                  # NBSP preserved
+        (5, "  already clean  "),         # trim only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(path)
+
+    got = {
+        r.doc_id: (r.clean_len, r.was_changed, r.clean_fingerprint)
+        for r in textanalysis.q_text_clean_normalize(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(textanalysis.ORACLE_TEXT_CLEAN).fetchall()
+    }
+    assert got == oracle
+    # semantic spot checks
+    assert got[1][0] == len("éclair") and got[1][1] == 1
+    assert got[2][0] == 3 and got[2][1] == 1
+    assert got[3][0] == 3 and got[3][1] == 1   # "x y"
+    assert got[4][0] == 3 and got[4][1] == 0   # NBSP untouched
+    assert got[5][1] == 1
