@@ -293,3 +293,59 @@ def test_scd2_matches_python_fold(spark, raw):
                 len(run),
             )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# market-basket pairs vs a pure-Python count
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),   # orderkey
+            st.integers(min_value=1, max_value=6),   # partkey
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_copurchase_matches_python(spark, raw):
+    from sap_sql_engine_spark.operators import relational
+
+    df = spark.createDataFrame(raw, ["l_orderkey", "l_partkey"])
+    items = {(o, p) for o, p in raw}
+    baskets: dict[int, set[int]] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    support: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] = support.get((a, b), 0) + 1
+    part_orders: dict[int, int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            part_orders[p] = part_orders.get(p, 0) + 1
+    n_orders = len(baskets)
+    expect = {
+        (a, b): (c, c * n_orders / (part_orders[a] * part_orders[b]))
+        for (a, b), c in support.items()
+        if c >= relational.BASKET_MIN_SUPPORT
+    }
+
+    # drive the same operator body on the generated relation via a temp dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        got = {
+            (r.p1, r.p2): (r.support, r.lift)
+            for r in relational.q_parts_copurchase(spark, d).collect()
+        }
+    assert set(got) == set(expect)
+    for k, (sup, lift) in expect.items():
+        assert got[k][0] == sup
+        # Spark rounds half-up, Python half-even — compare to the grid
+        assert abs(got[k][1] - lift) <= 5.0001e-5
