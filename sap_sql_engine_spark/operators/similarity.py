@@ -17,7 +17,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cachereg import cache_eager
@@ -824,6 +824,117 @@ ORACLE_EMBEDDING_RP = _oracle_rp()
 # ANN self-evaluation: recall of the bucketed index against exact top-k
 
 
+KNN_K = 5  # neighbors for the label-accuracy eval
+
+
+def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality eval: leave-one-out ``KNN_K``-NN label
+    prediction accuracy per label — if cosine neighborhoods respect the
+    label structure, majority-vote accuracy beats the label prior; if
+    embeddings are noise, it collapses to it. This is the eval a pipeline
+    runs before trusting an embedding column for dedup/clustering, next
+    to ``embedding_rp_reduce``'s distortion and ``ann_recall_report``'s
+    recall.
+
+    Mechanics: the eval side is a deterministic SAMPLE (vec_id % 5 == 0
+    — exact-neighbor eval is quadratic by definition, so you bound the
+    query side, not the corpus side; the broadcast eval sample against
+    the full corpus is the same bounded nested-loop shape as
+    ``ann_bruteforce_topk``'s one-row probe, and the ANN indexes would
+    replace it at serving time with this as their ground truth). Top-K
+    neighbors per sampled vector by (cosine desc, vec_id), majority vote
+    with deterministic tie-break (higher count, then smaller label),
+    compared to the vector's own label. One row per label: n, correct,
+    accuracy — plus the label prior for reference."""
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    a = F.broadcast(emb.filter(F.col("vec_id") % 5 == 0)).alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("nb_emb"),
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("nb_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("nb_id"),
+        F.col("nb_label"),
+        _cosine("a.embedding", "nb_emb").alias("cos"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb_id"))
+    )
+    topk = pairs.withColumn("rn", rn).filter(F.col("rn") <= KNN_K)
+    votes = topk.groupBy("vec_id", "label", "nb_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("v").desc(), F.col("nb_label"))
+    )
+    predicted = (
+        votes.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select("vec_id", "label", F.col("nb_label").alias("predicted"))
+    )
+    n_total = emb.filter(F.col("vec_id") % 5 == 0).count()
+    return (
+        predicted.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("label") == F.col("predicted")).cast("bigint")).alias(
+                "correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "correct",
+            F.round(F.col("correct") / F.col("n"), 4).alias("accuracy"),
+            F.round(F.col("n") / F.lit(float(n_total)), 4).alias("label_prior"),
+        )
+    )
+
+
+def _oracle_knn_accuracy() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+         {_o_cos("a.embedding", "b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, nb_id
+    ) AS rn FROM pairs
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT vec_id, label, nb_label, count(*) AS v
+  FROM topk GROUP BY 1, 2, 3
+),
+predicted AS (
+  SELECT vec_id, label, nb_label AS predicted FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY v DESC, nb_label
+    ) AS pick FROM votes
+  ) WHERE pick = 1
+)
+SELECT label,
+       count(*) AS n,
+       CAST(sum(CASE WHEN label = predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       round(sum(CASE WHEN label = predicted THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy,
+       round(count(*) * 1.0 / (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0), 4) AS label_prior
+FROM predicted
+GROUP BY label
+"""
+
+
+ORACLE_EMBEDDING_KNN = _oracle_knn_accuracy()
+
+
 ANN_RECALL_PROBES = (0, 123, 321)  # query vectors; all exist at every sf
 
 
@@ -923,6 +1034,7 @@ QUERIES = {
     "embedding_rp_reduce": q_embedding_rp_reduce,
     "ann_recall_report": q_ann_recall_report,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "embedding_knn_accuracy": q_embedding_knn_accuracy,
 }
 
 ORACLES = {
@@ -935,4 +1047,5 @@ ORACLES = {
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
     "ann_recall_report": ORACLE_ANN_RECALL,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
+    "embedding_knn_accuracy": ORACLE_EMBEDDING_KNN,
 }

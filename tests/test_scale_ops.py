@@ -778,3 +778,40 @@ def test_dq_checks_planted_violations(spark, tmp_path):
         "orderstatus_enum": (1, 0),
         "custkey_not_null": (1, 0),
     }
+
+
+def test_knn_accuracy_planted_clusters(spark, tmp_path):
+    # 4 labels x 10 vectors, each label clustered around an orthogonal
+    # axis with tiny deterministic jitter: leave-one-out 5-NN must score
+    # accuracy 1.0 for every label
+    import math
+
+    rows = []
+    vid = 0
+    for lbl in range(4):
+        for j in range(10):
+            v = [0.0] * 64
+            v[lbl * 16] = 1.0
+            v[lbl * 16 + 1 + (j % 8)] = 0.05 + 0.001 * j  # jitter within cluster
+            rows.append((vid, v, lbl))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from sap_sql_engine_spark.operators import similarity
+
+    out = similarity.q_embedding_knn_accuracy(spark, str(tmp_path)).collect()
+    assert out
+    for r in out:
+        assert r.accuracy == 1.0, (r.label, r.accuracy)
+        assert r.correct == r.n
+
+
+def test_knn_accuracy_real_corpus_consistency(spark, sf_dir):
+    rows = similarity.q_embedding_knn_accuracy(spark, sf_dir).collect()
+    assert rows
+    n_eval = sum(r.n for r in rows)
+    for r in rows:
+        assert 0 <= r.correct <= r.n
+        assert abs(r.accuracy - r.correct / r.n) <= 5e-5
+        assert abs(r.label_prior - r.n / n_eval) <= 5e-5
