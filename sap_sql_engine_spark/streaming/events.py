@@ -981,6 +981,90 @@ FROM mat m JOIN sizes USING (cohort_day)
 """
 
 
+ANOMALY_TRAIL_HOURS = 24  # trailing baseline for the hourly z-score
+ANOMALY_Z = 3.0  # |z| >= 3 flags
+
+
+def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each hour's event count scored against
+    the trailing ``ANOMALY_TRAIL_HOURS``-hour baseline (mean/std of the
+    PRECEDING hours — the current hour never contaminates its own
+    baseline), flagged at |z| >= 3. The monitoring query a pipeline runs
+    over its own ingest volumes.
+
+    Exactness: the window carries integer sum and sum-of-squares of
+    counts; z derives from those integers in one closed-form float
+    expression — ``(n*c - s) / sqrt(n*ssq - s*s)`` times sqrt(n) —
+    identical on both engines (no accumulated float state). Hours with
+    an undefined baseline (fewer than 2 trailing hours, or zero
+    variance) emit NULL z and no flag, stated identically in the oracle.
+
+    Scale shape: the full-volume work is ONE hourly aggregation; the
+    z-window then runs over the already-aggregated hours relation
+    (tiny — one row per hour), so the unpartitioned ROWS window is a
+    metadata-scale sort, not a data cliff. (c^2 sums wrap BIGINT past
+    ~3e9 events/hour — at that volume compute ssq in DECIMAL(38,0) on
+    both engines, the quantity_price_corr headroom move.)"""
+    ev = _events(spark, sf_dir)
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        W.orderBy("hour")
+        .rowsBetween(-ANOMALY_TRAIL_HOURS, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    s = F.sum("c").over(w).cast("bigint")
+    ssq = F.sum(F.col("c") * F.col("c")).over(w).cast("bigint")
+    # z = (c - s/n) / sqrt((ssq - s^2/n)/n) == (n*c - s) / sqrt(n*ssq - s*s)
+    num = (n * F.col("c") - s).cast("double")
+    den = F.sqrt((n * ssq - s * s).cast("double"))
+    var_num = n * ssq - s * s
+    z = F.when((n >= 2) & (var_num > 0), F.round(num / den, 4))
+    flag = (
+        F.when((n >= 2) & (var_num > 0), F.abs(z) >= ANOMALY_Z)
+        .when((n >= 2) & (var_num == 0), n * F.col("c") != s)
+        .otherwise(F.lit(False))
+    )
+    return (
+        hours.select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("event_count"),
+            n.alias("baseline_hours"),
+            z.alias("z_score"),
+            flag.cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT hour, c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS s,
+         CAST(sum(c * c) OVER w AS BIGINT) AS ssq
+  FROM hours
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {ANOMALY_TRAIL_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       c AS event_count,
+       n AS baseline_hours,
+       CASE WHEN n >= 2 AND n * ssq - s * s > 0
+            THEN round((n * c - s) * 1.0 / sqrt(CAST(n * ssq - s * s AS DOUBLE)), 4)
+       END AS z_score,
+       CAST(CASE
+            WHEN n >= 2 AND n * ssq - s * s > 0 THEN
+              abs(round((n * c - s) * 1.0 / sqrt(CAST(n * ssq - s * s AS DOUBLE)), 4)) >= {ANOMALY_Z}
+            WHEN n >= 2 AND n * ssq - s * s = 0 THEN n * c <> s
+            ELSE FALSE END AS INT) AS is_anomaly
+FROM win
+"""
+
+
 ACTIVE_WINDOW_DAYS = 7  # trailing window for the rolling-active metric
 
 
@@ -1204,6 +1288,7 @@ QUERIES = {
     "events_scd2": q_events_scd2,
     "events_retention_cohorts": q_events_retention_cohorts,
     "events_active_users": q_events_active_users,
+    "events_anomaly_hours": q_events_anomaly_hours,
 }
 
 ORACLES = {
@@ -1220,4 +1305,5 @@ ORACLES = {
     "events_scd2": ORACLE_EVENTS_SCD2,
     "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
     "events_active_users": ORACLE_EVENTS_ACTIVE_USERS,
+    "events_anomaly_hours": ORACLE_EVENTS_ANOMALY,
 }

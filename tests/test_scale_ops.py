@@ -815,3 +815,30 @@ def test_knn_accuracy_real_corpus_consistency(spark, sf_dir):
         assert 0 <= r.correct <= r.n
         assert abs(r.accuracy - r.correct / r.n) <= 5e-5
         assert abs(r.label_prior - r.n / n_eval) <= 5e-5
+
+
+def test_anomaly_hours_planted_spike(spark, tmp_path):
+    # flat 10-events-per-hour baseline with one 100-event spike: only the
+    # spike hour may flag, and early hours with no baseline emit NULL z
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(48):
+        n = 100 if h == 30 else 10
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.hour: r for r in ev.q_events_anomaly_hours(spark, str(tmp_path)).collect()}
+    assert len(out) == 48
+    spike = out["2024-01-02 06:00:00"]
+    assert spike.event_count == 100 and spike.is_anomaly == 1
+    assert sum(r.is_anomaly for r in out.values()) == 1
+    first = out["2024-01-01 00:00:00"]
+    assert first.z_score is None and first.is_anomaly == 0  # no baseline yet
+    # flat hours before the spike have zero variance -> NULL z, no flag
+    assert out["2024-01-01 05:00:00"].z_score is None
