@@ -235,6 +235,37 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(
                     {"error": str(e).split("\n")[0], "spark_sql": spark_sql}, 400
                 )
+        elif self.path == "/api/pipeline":
+            # dev-mode runner for the EXTENSION surface (dedup/ANN/search/
+            # events/...): runs a registered __spark_entry__ query on a
+            # testdata dir — the HTTP twin of `--pipeline` in the CLI
+            name = body.get("name", "")
+            sf_dir = body.get("sf_dir") or "/root/testdata/sf0.001"
+            try:
+                import os
+                import sys
+
+                root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                if root not in sys.path:
+                    sys.path.insert(0, root)
+                import __spark_entry__ as entrymod
+
+                qs = entrymod.queries()
+            except Exception as e:  # driver contract not importable here
+                self._json({"error": str(e).split("\n")[0]}, 500)
+                return
+            if name == "list":
+                self._json({"queries": sorted(qs)})
+            elif name not in qs:
+                self._json({"error": f"unknown pipeline query: {name}"}, 400)
+            else:
+                try:
+                    res = executor.collect_result(qs[name](ctx.spark, sf_dir))
+                    res["query"] = name
+                    res["chart"] = results.infer_chart(res)
+                    self._json(res)
+                except Exception as e:
+                    self._json({"error": str(e).split("\n")[0]}, 400)
         elif self.path == "/api/lineage":
             # plan-metadata only: analyzes the query, runs NO job — safe to
             # call on arbitrarily large queries

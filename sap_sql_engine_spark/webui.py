@@ -198,6 +198,8 @@ a { color: var(--accent); }
       onkeydown="if(event.key==='Enter'&&event.ctrlKey){event.preventDefault();devRun();}"></textarea>
     <div style="display:flex;gap:8px;padding:8px;border-bottom:1px solid var(--border);align-items:center">
       <button class="primary" onclick="devRun()">Run</button>
+      <select id="pipesel" title="pipeline operators"><option value="">pipeline…</option></select>
+      <button onclick="devPipeline()">Go</button>
       <span class="rowinfo" id="devstatus"></span>
     </div>
     <div id="devout"></div>
@@ -624,7 +626,40 @@ function drawPie(ctx, W, H, d) {
 }
 
 // ---------- dev mode (C7) ----------
-function toggleDev() { $('devpanel').classList.toggle('open'); }
+let pipeLoaded = false;
+function toggleDev() {
+  $('devpanel').classList.toggle('open');
+  if (!pipeLoaded) { pipeLoaded = true; loadPipelineList(); }
+}
+async function loadPipelineList() {
+  try {
+    const r = await fetch('/api/pipeline', {method: 'POST',
+      headers: {'Content-Type': 'application/json'}, body: JSON.stringify({name: 'list'})});
+    const res = await r.json();
+    const sel = $('pipesel');
+    (res.queries || []).forEach(q => {
+      const o = document.createElement('option'); o.value = q; o.textContent = q;
+      sel.appendChild(o);
+    });
+  } catch (e) { /* extension surface absent — selector stays empty */ }
+}
+async function devPipeline() {
+  const name = $('pipesel').value;
+  if (!name) return;
+  $('devstatus').textContent = 'running ' + name + '…';
+  const t0 = performance.now();
+  const r = await fetch('/api/pipeline', {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({name})});
+  const res = await r.json();
+  const ms = Math.round(performance.now() - t0);
+  if (res.error) {
+    $('devstatus').textContent = 'error';
+    $('devout').innerHTML = `<div class="err">${esc(res.error)}</div>`;
+  } else {
+    $('devstatus').textContent = `${res.row_count} rows · ${ms} ms`;
+    $('devout').innerHTML = `<div class="rowinfo">pipeline: ${esc(res.query)}</div>` + tableHtml(res);
+  }
+}
 async function devRun() {
   const sql = $('devsql').value.trim();
   if (!sql) return;

@@ -312,3 +312,19 @@ def test_api_explain(api):
     assert status == 200 and "Scan" in out["plan"] and out["mode"] == "formatted"
     status, out = _req(api, "POST", "/api/explain", {"sql": "SELECT 1", "mode": "nope"})
     assert status == 400
+
+
+def test_api_pipeline_runner(api):
+    status, out = _req(api, "POST", "/api/pipeline", {"name": "list"})
+    assert status == 200 and "dedup_exact" in out["queries"]
+    status, out = _req(
+        api,
+        "POST",
+        "/api/pipeline",
+        {"name": "dedup_exact", "sf_dir": "/root/testdata/sf0.001"},
+    )
+    assert status == 200
+    assert out["query"] == "dedup_exact"
+    assert "doc_count" in out["columns"] and out["row_count"] > 0
+    status, out = _req(api, "POST", "/api/pipeline", {"name": "nope"})
+    assert status == 400 and "unknown pipeline query" in out["error"]

@@ -79,12 +79,12 @@ const { Script } = await import("node:vm");
 // top-level const/let in a vm script do NOT land on globalThis — export the
 // handles this harness needs through an explicit shim appended to the script
 script = script.replace(/^"use strict";\n/, "") + `
-globalThis.__ui = { kg, state, ask, devRun, devLineage, devExplain, colFormat, fmtCell, drawChart,
-                    openKG, kgTick, kgDraw, renderAnswer, tableHtml };
+globalThis.__ui = { kg, state, ask, devRun, devLineage, devExplain, devPipeline, loadPipelineList,
+                    colFormat, fmtCell, drawChart, openKG, kgTick, kgDraw, renderAnswer, tableHtml };
 `;
 new Script(script).runInThisContext();
-const { kg, ask, devRun, devLineage, devExplain, colFormat, fmtCell, drawChart, openKG, kgTick, kgDraw } =
-  globalThis.__ui;
+const { kg, ask, devRun, devLineage, devExplain, devPipeline, loadPipelineList,
+        colFormat, fmtCell, drawChart, openKG, kgTick, kgDraw } = globalThis.__ui;
 
 const assert = (cond, msg) => { if (!cond) { console.error("FAIL: " + msg); process.exit(1); } };
 const sleep = ms => new Promise(r => setTimeout(r, ms));
@@ -148,6 +148,16 @@ assert(execRes.chart && execRes.chart.value_cols.includes("cnt"), "no chart spec
 const canvas = new Elem("c"); canvas.width = 760; canvas.height = 300;
 for (const t of execRes.chart.suggested_types) drawChart(canvas, execRes.chart, execRes, t);
 console.log("ok chart draw (" + execRes.chart.suggested_types.join(",") + ")");
+
+// ---- pipeline runner (extension surface over HTTP) -------------------------
+await loadPipelineList();
+for (let i = 0; i < 20 && byId("pipesel").children.length < 2; i++) await sleep(250);
+assert(byId("pipesel").children.length > 50, "pipeline list not loaded: " + byId("pipesel").children.length);
+byId("pipesel").value = "dedup_exact";
+await devPipeline();
+assert(byId("devout").innerHTML.includes("pipeline: dedup_exact"), "pipeline result not rendered");
+assert(byId("devout").innerHTML.includes("doc_count"), "pipeline table missing");
+console.log("ok pipeline runner");
 
 // ---- governance shield -----------------------------------------------------
 byId("devsql").value = "SELECT PERNR, NACHN FROM PA0002";
