@@ -349,3 +349,52 @@ def test_copurchase_matches_python(spark, raw):
         assert got[k][0] == sup
         # Spark rounds half-up, Python half-even — compare to the grid
         assert abs(got[k][1] - lift) <= 5.0001e-5
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives vs a pure-Python window
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # user
+            st.integers(min_value=0, max_value=20),   # day offset
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_active_users_matches_python(spark, raw):
+    import datetime as dt
+    import tempfile
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d, hours=u), u, "click", 0.0, "{}")
+        for i, (u, d) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    user_days = {(u, (base + dt.timedelta(days=d)).date()) for _, (u, d) in enumerate(raw)}
+    days = sorted({day for _, day in user_days})
+    expect = {}
+    for day in days:
+        dau = len({u for u, dd in user_days if dd == day})
+        w = len({
+            u for u, dd in user_days
+            if day - dt.timedelta(days=ev.ACTIVE_WINDOW_DAYS - 1) <= dd <= day
+        })
+        expect[day.strftime("%Y-%m-%d")] = (dau, w)
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.day: (r.dau, r[f"wau_{ev.ACTIVE_WINDOW_DAYS}d"])
+            for r in ev.q_events_active_users(spark, d).collect()
+        }
+    assert got == expect
