@@ -1073,35 +1073,34 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     COUNT(DISTINCT) over a sliding RANGE window is not expressible as a
     window function (Spark and most engines reject it), so the rolling
-    metric uses the standard compaction + small-range-join shape: the
-    event stream first compacts to distinct (day, user) — the only
-    full-volume aggregation — then each calendar day joins the user-days
-    inside its trailing window (a <= W-row-per-user-day expansion, W=7)
-    and re-counts distinct users. At 100 TB the compacted user-day
-    relation is orders of magnitude smaller than the stream, which is
-    what makes the W-fold expansion affordable; the oracle states the
-    identical join."""
+    metric uses compaction + anchor fan-out: the event stream first
+    compacts to distinct (day, user) — the only full-volume aggregation —
+    then each user-day EXPLODES to the <= W anchor days whose trailing
+    window contains it (a bounded W-fold map, no join predicate at all),
+    and a second distinct count per anchor day finishes it. Anchors keep
+    only days that actually occur (broadcast equi-join with the DAU
+    relation). At 100 TB the compacted user-day relation is orders of
+    magnitude smaller than the stream, which is what makes the W-fold
+    fan-out affordable; there is no non-equi join anywhere in the plan.
+    The oracle states the identical fan-out."""
     ev = _events(spark, sf_dir)
     user_days = ev.select(
         F.to_date(F.col("ts")).alias("day"), "user_id"
     ).distinct()
-    days = user_days.select("day").distinct()
     dau = user_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    in_window = (
-        days.alias("d")
-        .join(
-            user_days.alias("u"),
-            (F.col("u.day") <= F.col("d.day"))
-            & (
-                F.col("u.day")
-                >= F.date_sub(F.col("d.day"), ACTIVE_WINDOW_DAYS - 1)
-            ),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("user_id").alias(f"wau_{ACTIVE_WINDOW_DAYS}d"))
+    anchors = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ACTIVE_WINDOW_DAYS - 1}), interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    rolling = anchors.groupBy("day").agg(
+        F.countDistinct("user_id").alias(f"wau_{ACTIVE_WINDOW_DAYS}d")
     )
     return (
-        dau.join(in_window, "day")
+        dau.join(F.broadcast(rolling), "day")
         .select(
             F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
             "dau",
