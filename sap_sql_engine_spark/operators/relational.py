@@ -1424,6 +1424,90 @@ JOIN pc c2 ON c2.l_partkey = p2
 
 
 # ---------------------------------------------------------------------------
+# customer cohort lifetime value (the revenue twin of events retention)
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by first-order month, revenue
+    accumulated per months-since-first-order offset — cumulative
+    lifetime value per cohort in exact decimal, divided per customer
+    only at the output boundary. The finance-side twin of
+    ``events_retention_cohorts`` (which counts activity; this sums
+    money).
+
+    Month arithmetic is an integer key (year*12 + month - 1) on both
+    engines — no calendar-function drift. Scale shape: first-order is
+    one customer-keyed aggregation; the (customer -> cohort) relation
+    broadcasts back onto orders (customer-count-sized); the matrix is a
+    (cohort, offset) regroup; the cumulative sum is a window over the
+    tiny aggregated matrix, DECIMAL-exact (associativity is not enough
+    for money — the window is ordered, so it is deterministic too)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mk"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("mk").alias("cm"))
+    sizes = first.groupBy("cm").agg(F.count(F.lit(1)).alias("n_customers"))
+    mat = (
+        orders.join(F.broadcast(first), "o_custkey")
+        .groupBy("cm", (F.col("mk") - F.col("cm")).alias("month_offset"))
+        .agg(F.sum("price").alias("rev"))
+    )
+    w = W.partitionBy("cm").orderBy("month_offset")
+    cum = F.sum("rev").over(w)
+    cohort_month = F.format_string("%04d-%02d", F.expr("cm DIV 12"), F.col("cm") % 12 + 1)
+    return (
+        mat.join(F.broadcast(sizes), "cm")
+        .select(
+            cohort_month.alias("cohort_month"),
+            "month_offset",
+            "n_customers",
+            out2(F.col("rev")).alias("revenue"),
+            out2(cum).alias("cum_revenue"),
+            # per-customer division floors to the CENT in integer math —
+            # double division + round() disagrees between engines exactly
+            # at half-cent boundaries (observed at sf0.01)
+            (
+                F.floor(
+                    (cum * 100).cast("bigint") / F.col("n_customers")
+                ).cast("bigint")
+                / F.lit(100.0)
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mk,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+first AS (SELECT o_custkey, min(mk) AS cm FROM o GROUP BY 1),
+sizes AS (SELECT cm, count(*) AS n_customers FROM first GROUP BY 1),
+mat AS (
+  SELECT f.cm, o.mk - f.cm AS month_offset, sum(price) AS rev
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cm, month_offset, rev,
+         sum(rev) OVER (PARTITION BY cm ORDER BY month_offset) AS cum_rev
+  FROM mat
+)
+SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+       CAST(month_offset AS BIGINT) AS month_offset,
+       n_customers,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(cum_rev AS DOUBLE), 2) AS cum_revenue,
+       CAST(floor(CAST(cum_rev * 100 AS BIGINT) / n_customers) AS BIGINT) / 100.0 AS ltv_per_customer
+FROM cum JOIN sizes USING (cm)
+"""
+
+
+# ---------------------------------------------------------------------------
 # declarative data-quality constraint suite (the Deequ/dbt-test shape)
 
 
@@ -1569,6 +1653,7 @@ QUERIES = {
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
     "dq_orders_checks": q_dq_orders_checks,
+    "customer_cohort_ltv": q_customer_cohort_ltv,
 }
 
 ORACLES = {
@@ -1609,4 +1694,5 @@ ORACLES = {
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
     "dq_orders_checks": ORACLE_DQ_ORDERS,
+    "customer_cohort_ltv": ORACLE_CUSTOMER_COHORT_LTV,
 }

@@ -842,3 +842,32 @@ def test_anomaly_hours_planted_spike(spark, tmp_path):
     assert first.z_score is None and first.is_anomaly == 0  # no baseline yet
     # flat hours before the spike have zero variance -> NULL z, no flag
     assert out["2024-01-01 05:00:00"].z_score is None
+
+
+def test_cohort_ltv_invariants(spark, sf_dir):
+    from decimal import Decimal
+
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_customer_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for cm, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.month_offset)
+        assert rs[0].month_offset == 0  # a cohort exists because of its first order
+        cum = 0.0
+        for r in rs:
+            cum = round(cum + r.revenue, 2)
+            assert abs(r.cum_revenue - cum) < 0.02  # double re-accumulation slack
+            assert r.ltv_per_customer <= r.cum_revenue / r.n_customers + 0.01
+            assert r.n_customers == rs[0].n_customers  # constant per cohort
+    # total matrix revenue equals total order revenue
+    total = sum(r.revenue for r in rows)
+    expect = float(
+        table(spark, sf_dir, "orders")
+        .selectExpr("sum(cast(o_totalprice as decimal(18,2)))")
+        .first()[0]
+    )
+    assert abs(total - expect) < 1.0  # per-cell cent rounding accumulates
