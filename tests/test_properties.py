@@ -398,3 +398,90 @@ def test_active_users_matches_python(spark, raw):
             for r in ev.q_events_active_users(spark, d).collect()
         }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters vs a pure-Python count
+
+
+@given(
+    st.lists(st.sampled_from(VOCAB + ["hot"] * 4), min_size=1, max_size=120)
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_match_python(spark, tokens):
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.operators import search
+
+    df = spark.createDataFrame([(t,) for t in tokens], ["token"]).repartition(5)
+    n = len(tokens)
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    expect = {t: c for t, c in counts.items() if c * search.HH_K >= n}
+
+    def _local(batches):
+        import collections
+
+        import pandas as pd
+
+        cs: collections.Counter = collections.Counter()
+        total = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            total += int(vc.sum())
+            for tok, c in vc.items():
+                cs[tok] += int(c)
+        yield pd.DataFrame(
+            {"token": [t for t, c in cs.items() if c * search.HH_K >= total]}
+        )
+
+    cands = df.mapInPandas(_local, schema="token string").distinct()
+    got = {
+        r.token: r.c
+        for r in df.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * search.HH_K >= F.lit(n))
+        .collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# z-order interleave vs a pure-Python bit mirror
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_zvalue_matches_python_interleave(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.operators import skew
+
+    def py_z(u1, u2):
+        z = 0
+        for b in range(skew.ZORDER_BITS):
+            z |= ((u1 >> b) & 1) << (2 * b + 1)
+            z |= ((u2 >> b) & 1) << (2 * b)
+        return z
+
+    df = spark.createDataFrame(pairs, ["u1", "u2"])
+    got_pairs = {
+        (r.u1, r.u2): r.z
+        for r in df.select(
+            "u1", "u2",
+            skew._zvalue(F.col("u1").cast("int"), F.col("u2").cast("int")).alias("z"),
+        ).collect()
+    }
+    for (u1, u2) in pairs:
+        assert got_pairs[(u1, u2)] == py_z(u1, u2)
