@@ -485,3 +485,41 @@ def test_zvalue_matches_python_interleave(spark, pairs):
     }
     for (u1, u2) in pairs:
         assert got_pairs[(u1, u2)] == py_z(u1, u2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures vs a pure-Python mirror
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_signature_matches_python(spark, texts):
+    import hashlib
+    import tempfile
+
+    from sap_sql_engine_spark.operators import dedup
+
+    def py_simhash(text):
+        counters = [0] * dedup.SIMHASH_BITS
+        for tok in text.strip().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(dedup.SIMHASH_BITS):
+                counters[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(dedup.SIMHASH_BITS):
+            if counters[b] > 0:
+                sig |= 1 << b
+        return sig
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r.simhash for r in dedup._simhash(spark, d).collect()}
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
