@@ -45,6 +45,7 @@ HAMMING_THRESHOLD = 1
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: fingerprint-distinct vs total doc counts."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.withColumn("fp", fingerprint_col())
@@ -219,6 +220,7 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard (hashed shingles, df-capped, single full exchange)."""
     return jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
@@ -518,6 +520,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: one representative (smallest doc_id) per fingerprint plus copy count."""
     docs = table(spark, sf_dir, "documents").withColumn("fp", fingerprint_col())
     w = Window.partitionBy("fp")
     return (
@@ -759,6 +762,7 @@ SPAN_MIN_TOKENS = 8  # report pairs sharing a contiguous run of >= 8 tokens
 
 
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous copied-passage spans between doc pairs (gaps-and-islands on the gram diagonal)."""
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar metadata probe, embedded as a literal
     cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
@@ -1074,6 +1078,7 @@ SEMANTIC_COS = 0.2  # synthetic embeddings are label-clustered; 0.2 splits plant
 
 
 def q_dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs confirmed by embedding cosine (cross-modal dedup verification)."""
     from .similarity import _cosine
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
@@ -1129,6 +1134,7 @@ CONTAM_FLAG = 0.5
 
 
 def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram overlap against the held-out benchmark slice (broadcast membership probe)."""
     docs = table(spark, sf_dir, "documents")
     sh = _hashed_shingles_from(docs, "source")
     bench = (

@@ -96,6 +96,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media metadata probe: real PNG/JPEG/WAV header parsing over byte columns."""
     media = documents_as_media(spark, sf_dir)
     return media.select(
         "media_id",
@@ -436,6 +437,7 @@ _BYTE_FEATURES_SCHEMA = T.StructType(
 
 
 def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas lane: integer byte histograms per doc, value-checked against the oracle."""
     media = documents_as_media(spark, sf_dir).select("media_id", "content")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -511,6 +513,7 @@ _PERMILLE_SCHEMA = T.StructType(
 
 
 def q_source_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped lane: per-source integer min-max permille normalization."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.length(F.trim(F.col("text"))).cast("long").alias("n_chars")
     )
@@ -554,6 +557,7 @@ FROM base
 
 
 def q_arrow_byte_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow lane: zero-copy pyarrow kernels computing per-doc byte lengths, oracle-gated."""
     import pyarrow as pa
     import pyarrow.compute as pc
 

@@ -73,6 +73,7 @@ def out4(c) -> F.Column:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: wide decimal aggregates per flag/status."""
     li = table(spark, sf_dir, "lineitem")
     disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
     taxp = F.lit(1).cast(DEC4) + F.col("l_tax").cast(DEC4)
@@ -116,6 +117,7 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top customers by total spend (broadcast dim join + TakeOrderedAndProject)."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     return (
@@ -148,6 +150,7 @@ LIMIT 10
 
 
 def q_signed_amount_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHKZG-style signed amount aggregation (debit/credit CASE sign)."""
     li = table(spark, sf_dir, "lineitem")
     signed = F.when(F.col("l_returnflag") == "R", -money("l_extendedprice")).otherwise(
         money("l_extendedprice")
@@ -179,6 +182,7 @@ GROUP BY l_linestatus
 
 
 def q_union_open_cleared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over UNION ALL of open and cleared item relations."""
     orders = table(spark, sf_dir, "orders")
     open_items = orders.filter(F.col("o_orderstatus") == "O").withColumn(
         "item_state", F.lit("open")
@@ -218,6 +222,7 @@ _AGING_REF_DATE = "2002-01-01"
 
 
 def q_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging buckets with CASE-expression ordering (the AR aging report shape)."""
     orders = table(spark, sf_dir, "orders")
     age = F.datediff(F.lit(_AGING_REF_DATE).cast("date"), F.col("o_orderdate").cast("date"))
     bucket = (
@@ -277,6 +282,7 @@ ORDER BY bucket_order
 
 
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT of customer segments per nation."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -301,6 +307,7 @@ GROUP BY l_returnflag
 
 
 def q_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY with a HAVING threshold over aggregated order totals."""
     orders = table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
@@ -335,6 +342,7 @@ HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
     cust = table(spark, sf_dir, "customer")
     big_urgent = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000)
@@ -361,6 +369,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join: customers holding at least one urgent-priority order."""
     cust = table(spark, sf_dir, "customer")
     urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
@@ -385,6 +394,7 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join chain to regional revenue (broadcast dims)."""
     region = table(spark, sf_dir, "region")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
@@ -426,6 +436,7 @@ ORDER BY revenue DESC
 
 
 def q_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COALESCE: customer counts for every nation including empty ones."""
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
@@ -462,6 +473,7 @@ LEFT JOIN (
 
 
 def q_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose account balance exceeds their nation's average (correlated scalar subquery shape)."""
     v = _tmp_view(table(spark, sf_dir, "customer"), "sap_rel_customer")
     return spark.sql(
         f"""
@@ -489,6 +501,7 @@ WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
 
 
 def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N orders per market segment via ranked window."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     w = W.partitionBy("c_mktsegment").orderBy(
@@ -528,6 +541,7 @@ WHERE rank_in_segment <= 3
 
 
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: datediff/add_months/trunc over order dates."""
     orders = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731 — ISO strings
@@ -571,6 +585,7 @@ WHERE o_orderkey <= 1000
 
 
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring/upper/trim/concat/LIKE over customer data."""
     part = table(spark, sf_dir, "part")
     return (
         part.filter(F.upper(F.col("p_name")).like("%BOLT%"))
@@ -603,6 +618,7 @@ WHERE upper(p_name) LIKE '%BOLT%'
 
 
 def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation per order status."""
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
@@ -720,6 +736,7 @@ FROM (
 
 
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value percentiles (percentile_disc semantics on both engines)."""
     orders = table(spark, sf_dir, "orders")
     g = orders.groupBy("o_orderpriority").agg(
         F.expr(
@@ -752,6 +769,7 @@ ORDER BY o_orderpriority
 
 
 def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key three-way quantity match across order/lineitem/part."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     part = table(spark, sf_dir, "part")
@@ -789,6 +807,7 @@ ORDER BY p_brand ASC
 
 
 def q_orders_outside_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti-join with the null-safe NOT EXISTS rewrite."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
@@ -816,6 +835,7 @@ GROUP BY o_orderstatus
 
 
 def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT market segments."""
     cust = table(spark, sf_dir, "customer")
     return cust.select("c_mktsegment", "c_nationkey").distinct()
 
@@ -830,6 +850,7 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 # semantics on both engines; the brand filters reach the parquet scan, and
 # each set op is one hash-partitioned shuffle on the compared column.
 def q_brand_size_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over part brand/size combinations (set-operator coverage)."""
     part = table(spark, sf_dir, "part")
     a = part.filter(F.col("p_brand") == "Brand#12").select("p_size")
     b = part.filter(F.col("p_brand") == "Brand#34").select("p_size")
@@ -858,6 +879,7 @@ ORDER BY tag, p_size
 
 
 def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over region/nation revenue."""
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     cust = table(spark, sf_dir, "customer")
@@ -901,6 +923,7 @@ GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment), ())
 
 
 def q_grouping_sets_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation with grouping-id disambiguation."""
     views = {
         t[0]: _tmp_view(table(spark, sf_dir, t), f"gs_{t}")
         for t in ("customer", "nation", "region")
@@ -917,6 +940,7 @@ ORACLE_GROUPING_SETS = _GROUPING_SETS_SQL.format(c="customer", n="nation", r="re
 
 
 def q_join_constant_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with a compound ON clause that embeds a constant predicate."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     cond = (
@@ -1099,6 +1123,7 @@ ORDER BY r.depth
 
 
 def q_recursive_line_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear recursive CTE collapsed to one aggregation pass, hash-matched vs WITH RECURSIVE."""
     v = _tmp_view(table(spark, sf_dir, "lineitem"), "lineitem_chain_src")
     return spark.sql(_RECURSIVE_FOLD_SQL.format(src=v))
 
@@ -1126,6 +1151,7 @@ ORACLE_RECURSIVE = _RECURSIVE_SQL.format(src="lineitem")  # identical statement
 
 
 def q_size_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL bag semantics over part sizes."""
     part = table(spark, sf_dir, "part")
     a = part.filter(F.col("p_size") < 25).select("p_brand")
     b = part.filter(F.col("p_type").contains("BRASS")).select("p_brand")
@@ -1160,6 +1186,7 @@ SELECT p_brand, 'intersect_all' AS tag FROM (
 
 
 def q_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation via DECIMAL(38,0) sufficient statistics."""
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     # cents EXACTLY: multiply in decimal first (scale stays 2, value x.00),
@@ -1216,6 +1243,7 @@ FROM stats
 
 
 def q_cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over return flag x line status."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")

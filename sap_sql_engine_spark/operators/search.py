@@ -361,6 +361,7 @@ def _cms_bucket_spark(row: int, token_col: str = "token") -> F.Column:
 
 
 def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates with the exact counts beside them."""
     docs = table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     rows_arr = F.array(
@@ -506,6 +507,7 @@ def hll_registers(toks: DataFrame) -> DataFrame:
 
 
 def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source with all-integer registers and exact twin."""
     docs = table(spark, sf_dir, "documents")
     toks = spread(docs).select(
         "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")

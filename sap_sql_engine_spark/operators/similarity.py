@@ -63,6 +63,7 @@ def _o_cos(a: str, b: str) -> str:
 def q_ann_bruteforce_topk(
     spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
 ) -> DataFrame:
+    """Exact cosine top-k against a query vector — the ANN ladder's ground-truth baseline."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qe")
@@ -527,6 +528,7 @@ OUTLIER_Q = 1_000_000  # quantization: 1e-6 resolution, |sum| < 2^53 up to ~10^9
 
 
 def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 distance to the exact integer-quantized label centroid (embedding QA)."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     cent = ex.groupBy("label", "pos").agg(

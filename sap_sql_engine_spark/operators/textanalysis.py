@@ -179,6 +179,7 @@ def fingerprint_col() -> F.Column:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5 over normalized text) plus prefix bucket."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -371,6 +372,7 @@ def repetition_score_from(docs: DataFrame) -> DataFrame:
 
 
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-2-gram and top-token fractions, map-side."""
     return repetition_score_from(table(spark, sf_dir, "documents"))
 
 
@@ -426,6 +428,7 @@ def pii_scan_from(docs: DataFrame) -> DataFrame:
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scan (emails/phones/ids) with per-doc hit counts."""
     return pii_scan_from(table(spark, sf_dir, "documents"))
 
 
@@ -450,6 +453,7 @@ FROM documents
 
 
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling-weight shares of the corpus mix."""
     docs = table(spark, sf_dir, "documents")
     agg = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -497,6 +501,7 @@ PACK_BUCKETS = 8
 
 
 def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing via bucketed window cumsum (context-window filling)."""
     docs = table(spark, sf_dir, "documents")
     tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bucket = F.expr(
@@ -557,6 +562,7 @@ FROM pos
 
 
 def q_docs_target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sampler: map-side keep filter toward a target mix."""
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
     wall = Window.partitionBy()
@@ -610,6 +616,7 @@ WHERE {_BUCKET_DUCK} < keep_pct
 
 
 def q_quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score percent_rank/ntile distribution columns."""
     docs = table(spark, sf_dir, "documents")
     scored = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     w = Window.partitionBy("source").orderBy(
@@ -667,6 +674,7 @@ def _vowel_count_fn(texts: pd.Series) -> pd.Series:
 
 
 def q_text_vowel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf lane: per-doc vowel statistics, oracle-gated."""
     # wrapped at call time: the decorator parses its DDL return type through
     # the active session, so decorating at import would demand a
     # SparkContext before any caller created one
@@ -703,6 +711,7 @@ class _HeadTokens:
 
 
 def q_text_head_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via lateral join: first tokens per document, position-indexed."""
     head_tokens = udtf(_HeadTokens, returnType="pos int, token string")
     docs = table(spark, sf_dir, "documents")
     return docs.lateralJoin(
@@ -767,6 +776,7 @@ GROUP BY source
 
 
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-label QA: exact-integer Cohen's kappa between declared and predicted language."""
     pred = q_language_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
     # cells is alphabet²-bounded (tiny) but derives from the full-corpus
     # regex scan; materialize it so per_lang and per_pred don't each
@@ -866,6 +876,7 @@ ORDER BY lang
 
 
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(quality) sampling — an md5 coin per doc, no RNG state."""
     q = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     u = F.expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"

@@ -58,6 +58,7 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned hourly tumbling-window rollup (count, value sum, active users)."""
     ev = _events(spark, sf_dir)
     win = F.window(F.col("ts"), "1 hour")
     return (
@@ -266,6 +267,7 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction: one partial-max struct aggregation per key (SCD1 upsert read)."""
     ev = _events(spark, sf_dir)
     latest = F.max(
         F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
@@ -651,6 +653,7 @@ def streaming_sessionize_tws(spark: SparkSession, sf_dir: str):
 
 
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column with typed accessors."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
@@ -696,6 +699,7 @@ GROUP BY event_type
 
 
 def q_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event counts under duplicate delivery (dedup by event_id)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_events"),
@@ -762,6 +766,7 @@ ASOF_RIGHT = "click"
 
 
 def q_events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent prior click (windowed carry-forward)."""
     ev = _events(spark, sf_dir).filter(
         F.col("event_type").isin(ASOF_LEFT, ASOF_RIGHT)
     )
@@ -830,6 +835,7 @@ WHERE event_type = '{ASOF_LEFT}' AND prior_click_id IS NOT NULL
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered click->view->purchase funnel per user via chained windows."""
     ev = _events(spark, sf_dir).filter(
         F.col("event_type").isin("signup", "click", "purchase")
     )
@@ -1127,6 +1133,7 @@ FROM dau JOIN wau USING (day)
 
 
 def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup folding hourly partials — the continuous-aggregate pattern."""
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
@@ -1250,6 +1257,7 @@ def streaming_rollup_to_table(spark: SparkSession, sf_dir: str, out_dir: str):
 
 
 def q_events_user_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing RANGE-frame rolling aggregates over event time."""
     ev = _events(spark, sf_dir)
     w = (
         W.partitionBy("user_id")
