@@ -550,6 +550,78 @@ FROM pos
 """
 
 
+def q_docs_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per bucket: how much of the training
+    context budget the concat-and-chunk deal actually fills. Padding
+    waste is wasted FLOPs — every training step pays for CONTEXT_TOKENS
+    whether filled or not — and boundary-spanning documents get split
+    across sequences (attention truncation), so both are costs a
+    pipeline watches before committing a packing layout. Columns per
+    bucket: docs, tokens, packs (ceil), padding tokens, fill ratio, and
+    how many documents span a pack boundary.
+
+    Composition: the totals are one narrow regroup of the same
+    (doc, bucket, token_count) relation the packer uses; the spanning
+    count reads the packer's own output (pack_offset + token_count >
+    CONTEXT_TOKENS). Integer math everywhere except the single fill
+    division at the output boundary."""
+    docs = table(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.expr(
+        f"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), {PACK_BUCKETS})"
+    )
+    base = docs.select(tok.alias("token_count"), bucket.cast("int").alias("bucket"))
+    totals = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("tokens"),
+    )
+    n_packs = F.expr(f"(tokens + {CONTEXT_TOKENS} - 1) DIV {CONTEXT_TOKENS}")
+    spanning = (
+        q_docs_pack_sequences(spark, sf_dir)
+        .filter(F.col("pack_offset") + F.col("token_count") > CONTEXT_TOKENS)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("spanning_docs"))
+    )
+    return (
+        totals.join(F.broadcast(spanning), "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "tokens",
+            n_packs.cast("bigint").alias("packs"),
+            (n_packs * CONTEXT_TOKENS - F.col("tokens")).cast("bigint").alias(
+                "padding_tokens"
+            ),
+            F.round(
+                F.col("tokens") / (n_packs * CONTEXT_TOKENS).cast("double"), 4
+            ).alias("fill_ratio"),
+            F.coalesce(F.col("spanning_docs"), F.lit(0)).cast("bigint").alias(
+                "spanning_docs"
+            ),
+        )
+    )
+
+
+ORACLE_PACK_EFFICIENCY = rf"""
+WITH packed AS ({ORACLE_PACK_SEQUENCES}),
+totals AS (
+  SELECT bucket, count(*) AS n_docs, CAST(sum(token_count) AS BIGINT) AS tokens
+  FROM packed GROUP BY bucket
+),
+spanning AS (
+  SELECT bucket, count(*) AS spanning_docs
+  FROM packed WHERE pack_offset + token_count > {CONTEXT_TOKENS}
+  GROUP BY bucket
+)
+SELECT t.bucket, t.n_docs, t.tokens,
+       CAST((t.tokens + {CONTEXT_TOKENS} - 1) // {CONTEXT_TOKENS} AS BIGINT) AS packs,
+       CAST((t.tokens + {CONTEXT_TOKENS} - 1) // {CONTEXT_TOKENS} * {CONTEXT_TOKENS} - t.tokens AS BIGINT) AS padding_tokens,
+       round(t.tokens * 1.0 / ((t.tokens + {CONTEXT_TOKENS} - 1) // {CONTEXT_TOKENS} * {CONTEXT_TOKENS}), 4) AS fill_ratio,
+       CAST(COALESCE(s.spanning_docs, 0) AS BIGINT) AS spanning_docs
+FROM totals t LEFT JOIN spanning s USING (bucket)
+"""
+
+
 # ---------------------------------------------------------------------------
 # target-mix resampling: rebalance the corpus toward target language shares
 #
@@ -1136,6 +1208,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "docs_shard_assignment": q_docs_shard_assignment,
     "text_clean_normalize": q_text_clean_normalize,
+    "docs_pack_efficiency": q_docs_pack_efficiency,
 }
 
 ORACLES = {
@@ -1159,4 +1232,5 @@ ORACLES = {
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
+    "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
 }

@@ -923,3 +923,27 @@ def test_text_clean_normalize_unicode_planted(spark, tmp_path):
     assert got[3][0] == 3 and got[3][1] == 1   # "x y"
     assert got[4][0] == 3 and got[4][1] == 0   # NBSP untouched
     assert got[5][1] == 1
+
+
+def test_pack_efficiency_accounting(spark, sf_dir):
+    from sap_sql_engine_spark.sources.loader import table
+
+    rows = {r.bucket: r for r in textanalysis.q_docs_pack_efficiency(spark, sf_dir).collect()}
+    assert len(rows) == textanalysis.PACK_BUCKETS
+    C = textanalysis.CONTEXT_TOKENS
+    packed = textanalysis.q_docs_pack_sequences(spark, sf_dir).collect()
+    import collections
+
+    by_bucket = collections.defaultdict(list)
+    for p in packed:
+        by_bucket[p.bucket].append(p)
+    total_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == total_docs
+    for b, r in rows.items():
+        toks = sum(p.token_count for p in by_bucket[b])
+        assert r.tokens == toks
+        assert r.packs == -(-toks // C)
+        assert r.padding_tokens == r.packs * C - toks
+        assert 0 < r.fill_ratio <= 1.0
+        spanning = sum(1 for p in by_bucket[b] if p.pack_offset + p.token_count > C)
+        assert r.spanning_docs == spanning
