@@ -30,3 +30,31 @@ def test_view_registering_queries_run_concurrently(spark, sf_dir):
             f"concurrent run of {targets[idx][0].__name__} returned {count}, "
             f"expected {expected[idx]}"
         )
+
+
+def test_cache_heavy_compositions_run_concurrently(spark, sf_dir):
+    # the round-4 compositions share cached relations (MinHash signatures,
+    # shingle relations) through cachereg; concurrent invocations must not
+    # race a cache rebuild into wrong or partial results
+    from sap_sql_engine_spark.operators import dedup
+
+    targets = [
+        dedup.q_split_leakage_report,
+        dedup.q_dedup_minhash_lsh,
+        dedup.q_corpus_release_funnel,
+    ]
+    expected = [
+        sorted(map(tuple, fn(spark, sf_dir).collect())) for fn in targets
+    ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(i):
+        fn = targets[i % len(targets)]
+        return i % len(targets), sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, range(9)))
+
+    for idx, rows in results:
+        assert rows == expected[idx], targets[idx].__name__
