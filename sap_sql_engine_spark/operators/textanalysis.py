@@ -977,6 +977,80 @@ FROM coin WHERE u_exact < quality_score
 """
 
 
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: after each document (in
+    doc_id order), the cumulative token volume and cumulative DISTINCT
+    vocabulary. The curve a corpus builder reads dataset diversity off —
+    a flattening vocab curve means new documents stop contributing new
+    types (saturation / heavy duplication), while Heaps' law predicts
+    V ~ k*N^b with b in [0.4, 0.6] for natural text.
+
+    A windowed COUNT DISTINCT is inexpressible, so the growth comes from
+    first-occurrence attribution: each (source, token)'s first document
+    is one aggregation; the per-doc count of first-seen types regroups
+    those partials; the cumulative curve is a window over the tiny
+    doc-level relation. All integers, one token-keyed shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    first_seen = (
+        toks.groupBy("source", "token").agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("source", F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("token_count")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_doc.join(first_seen, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "token_count",
+            F.coalesce(F.col("new_types"), F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "token_count",
+            "new_types",
+            F.sum("token_count").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+ORACLE_DOCS_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+first_seen AS (
+  SELECT source, first_doc AS doc_id, count(*) AS new_types FROM (
+    SELECT source, token, min(doc_id) AS first_doc FROM toks GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS token_count FROM toks GROUP BY 1, 2
+)
+SELECT p.source, p.doc_id,
+       CAST(p.token_count AS BIGINT) AS token_count,
+       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(p.token_count) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM per_doc p LEFT JOIN first_seen f USING (source, doc_id)
+WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # unicode text cleaning (control strip + NFC + whitespace collapse)
 
@@ -1209,6 +1283,7 @@ QUERIES = {
     "docs_shard_assignment": q_docs_shard_assignment,
     "text_clean_normalize": q_text_clean_normalize,
     "docs_pack_efficiency": q_docs_pack_efficiency,
+    "docs_vocab_growth": q_docs_vocab_growth,
 }
 
 ORACLES = {
@@ -1233,4 +1308,5 @@ ORACLES = {
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
+    "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
 }

@@ -16,6 +16,8 @@ triangle close.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -987,6 +989,89 @@ FROM mat m JOIN sizes USING (cohort_day)
 """
 
 
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration report: how unevenly event volume is spread
+    over users — top-1%/top-10% shares and the exact Gini coefficient.
+    The skew early-warning for any user-keyed operator: a Gini near 1
+    means a handful of hot keys will dominate every user-partitioned
+    shuffle (sessionize, SCD2, rolling features) and salting is due.
+
+    Exactness: users are ranked by (count desc, user_id) via
+    ``with_global_rank`` over the ALREADY-AGGREGATED per-user relation
+    (orders of magnitude smaller than the stream); the Gini is the
+    integer weighted sum sum((2*rank - n - 1) * c_i) over the ascending
+    order — computed entirely in BIGINT and divided once at the output.
+    Top-k shares are integer sums over rank prefixes."""
+    from ..operators.ranks import with_global_rank
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # ascending rank (smallest counts first) for the canonical Gini form
+    ranked = with_global_rank(per_user, "c", "user_id")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum((2 * F.col("rn") - 1) * F.col("c")).cast("bigint").alias("wsum"),
+    ).first()
+    n, total, wsum = int(stats["n_users"]), int(stats["n_events"]), int(stats["wsum"])
+    # gini = (2*sum(i*c_i) - (n+1)*total) / (n*total) with ascending ranks
+    # floor-quantize every emitted float: Python round() is half-even,
+    # DuckDB's is half-away — floor agrees everywhere
+    gini = math.floor((wsum - n * total) / (n * total) * 1e6) / 1e6 if n * total else 0.0
+    top1_n = max(1, n // 100)
+    top10_n = max(1, n // 10)
+    shares = ranked.agg(
+        F.sum(F.when(F.col("rn") > n - top1_n, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("top1"),
+        F.sum(F.when(F.col("rn") > n - top10_n, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("top10"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                total,
+                float(gini),
+                int(shares["top1"]),
+                math.floor(int(shares["top1"]) / total * 1e4) / 1e4,
+                int(shares["top10"]),
+                math.floor(int(shares["top10"]) / total * 1e4) / 1e4,
+            )
+        ],
+        "n_users long, n_events long, gini double, top1pct_events long, "
+        "top1pct_share double, top10pct_events long, top10pct_share double",
+    )
+
+
+def _oracle_power_users() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM per_user
+),
+g AS (
+  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum((2 * rn - 1) * c) AS BIGINT) AS wsum
+  FROM ranked
+)
+SELECT n AS n_users,
+       total AS n_events,
+       floor((wsum - n * total) * 1.0 / (n * total) * 1000000) / 1000000 AS gini,
+       (SELECT CAST(sum(c) AS BIGINT) FROM ranked, g WHERE rn > n - greatest(1, n // 100)) AS top1pct_events,
+       floor((SELECT sum(c) FROM ranked, g WHERE rn > n - greatest(1, n // 100)) * 1.0 / total * 10000) / 10000 AS top1pct_share,
+       (SELECT CAST(sum(c) AS BIGINT) FROM ranked, g WHERE rn > n - greatest(1, n // 10)) AS top10pct_events,
+       floor((SELECT sum(c) FROM ranked, g WHERE rn > n - greatest(1, n // 10)) * 1.0 / total * 10000) / 10000 AS top10pct_share
+FROM g
+"""
+
+
+ORACLE_EVENTS_POWER_USERS = _oracle_power_users()
+
+
 ANOMALY_TRAIL_HOURS = 24  # trailing baseline for the hourly z-score
 ANOMALY_Z = 3.0  # |z| >= 3 flags
 
@@ -1296,6 +1381,7 @@ QUERIES = {
     "events_retention_cohorts": q_events_retention_cohorts,
     "events_active_users": q_events_active_users,
     "events_anomaly_hours": q_events_anomaly_hours,
+    "events_power_users": q_events_power_users,
 }
 
 ORACLES = {
@@ -1313,4 +1399,5 @@ ORACLES = {
     "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
     "events_active_users": ORACLE_EVENTS_ACTIVE_USERS,
     "events_anomaly_hours": ORACLE_EVENTS_ANOMALY,
+    "events_power_users": ORACLE_EVENTS_POWER_USERS,
 }

@@ -871,3 +871,51 @@ def test_cohort_ltv_invariants(spark, sf_dir):
         .first()[0]
     )
     assert abs(total - expect) < 1.0  # per-cell cent rounding accumulates
+
+
+def test_power_users_gini_matches_python(spark, sf_dir):
+    import math
+
+    r = ev.q_events_power_users(spark, sf_dir).collect()[0]
+    counts = sorted(
+        c for (c,) in ev._events(spark, sf_dir)
+        .groupBy("user_id").count().select("count").collect()
+    )
+    n, total = len(counts), sum(counts)
+    wsum = sum((2 * (i + 1) - 1) * c for i, c in enumerate(counts))
+    gini = math.floor((wsum - n * total) / (n * total) * 1e6) / 1e6
+    assert r.n_users == n and r.n_events == total
+    assert abs(r.gini - gini) < 1e-9
+    assert 0 <= r.gini < 1
+    assert r.top1pct_share <= r.top10pct_share <= 1.0
+    # the k largest users hold at least k/n of events (their mean >= global
+    # mean) — the exact bound, valid even when n//10 rounds down to 1 user
+    top10_n = max(1, n // 10)
+    assert r.top10pct_share >= top10_n / n - 1e-4
+
+
+def test_vocab_growth_monotone_and_consistent(spark, sf_dir):
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    rows = ta.q_docs_vocab_growth(spark, sf_dir).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        assert rs[0].cum_tokens == rs[0].token_count
+        assert rs[0].cum_vocab == rs[0].new_types
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_tokens == a.cum_tokens + b.token_count
+            assert b.cum_vocab == a.cum_vocab + b.new_types
+            assert b.new_types <= b.token_count
+        # final vocab equals the source's distinct-token count
+        distinct = (
+            ta.spread(table(spark, sf_dir, "documents"))
+            .filter(F.col("source") == src)
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+            .distinct()
+            .count()
+        )
+        assert rs[-1].cum_vocab == distinct
