@@ -1452,6 +1452,96 @@ JOIN pc c2 ON c2.l_partkey = p2
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer with orders scored 1-4 on
+    Recency (last order date), Frequency (order count), and Monetary
+    (total spend), grouped into the 64 R-F-M segment codes with size and
+    average spend — the classic marketing segmentation, done
+    deterministically.
+
+    Quartile assignment is integer arithmetic over global ranks
+    (``(rank-1)*4 DIV n + 1`` with ``with_global_rank`` — NOT ntile,
+    whose remainder distribution differs between engines, and no global
+    window). Ranks ascend, so quartile 4 = most recent / most frequent /
+    highest spend; ties break by custkey on both engines. Average spend
+    floors to the cent in integer math (the ``customer_cohort_ltv``
+    lesson: double division + round() diverges at half-cent boundaries).
+
+    Scale shape: one customer-keyed aggregation over orders, then three
+    range exchanges over the customer-level relation (orders of
+    magnitude smaller than the fact table), one 64-group regroup."""
+    from .ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"),
+    )
+    n = per_cust.count()
+
+    def quartile(df, order_col, out_col):
+        ranked = with_global_rank(df, order_col, "o_custkey", rank_col="__r")
+        return ranked.withColumn(
+            out_col, F.expr(f"(__r - 1) * 4 DIV {n} + 1").cast("int")
+        ).drop("__r")
+
+    scored = quartile(per_cust, "last_day", "r_score")
+    scored = quartile(scored, "n_orders", "f_score")
+    scored = quartile(scored, "spend", "m_score")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").alias("seg_spend"),
+        )
+        .select(
+            F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            (
+                F.floor((F.col("seg_spend") * 100).cast("bigint") / F.col("n_customers"))
+                .cast("bigint")
+                / F.lit(100.0)
+            ).alias("avg_spend"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day,
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS n FROM per_cust),
+scored AS (
+  SELECT o_custkey, spend,
+         CAST((row_number() OVER (ORDER BY last_day, o_custkey) - 1) * 4
+              // (SELECT n FROM n) + 1 AS INT) AS r_score,
+         CAST((row_number() OVER (ORDER BY n_orders, o_custkey) - 1) * 4
+              // (SELECT n FROM n) + 1 AS INT) AS f_score,
+         CAST((row_number() OVER (ORDER BY spend, o_custkey) - 1) * 4
+              // (SELECT n FROM n) + 1 AS INT) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) || '-' || CAST(m_score AS VARCHAR) AS segment,
+       r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(floor(CAST(sum(spend) * 100 AS BIGINT) / count(*)) AS BIGINT) / 100.0 AS avg_spend
+FROM scored
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # customer cohort lifetime value (the revenue twin of events retention)
 
 
@@ -1682,6 +1772,7 @@ QUERIES = {
     "parts_copurchase": q_parts_copurchase,
     "dq_orders_checks": q_dq_orders_checks,
     "customer_cohort_ltv": q_customer_cohort_ltv,
+    "customer_rfm_segments": q_customer_rfm_segments,
 }
 
 ORACLES = {
@@ -1723,4 +1814,5 @@ ORACLES = {
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
     "dq_orders_checks": ORACLE_DQ_ORDERS,
     "customer_cohort_ltv": ORACLE_CUSTOMER_COHORT_LTV,
+    "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
 }

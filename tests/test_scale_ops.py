@@ -919,3 +919,31 @@ def test_vocab_growth_monotone_and_consistent(spark, sf_dir):
             .count()
         )
         assert rs[-1].cum_vocab == distinct
+
+
+def test_rfm_segments_quartiles_balanced(spark, sf_dir):
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_customer_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    n_custs = sum(r.n_customers for r in rows)
+    expect = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert n_custs == expect  # every ordering customer lands in a segment
+    # each dimension's quartiles are balanced within 1 (rank formula)
+    for dim in ("r_score", "f_score", "m_score"):
+        per_q = {}
+        for r in rows:
+            per_q[r[dim]] = per_q.get(r[dim], 0) + r.n_customers
+        assert set(per_q) == {1, 2, 3, 4}
+        assert max(per_q.values()) - min(per_q.values()) <= 1
+    for r in rows:
+        assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+        assert r.avg_spend > 0
+    # monetary quartile 4 has strictly higher average spend than quartile 1
+    m4 = sum(r.avg_spend * r.n_customers for r in rows if r.m_score == 4)
+    m4n = sum(r.n_customers for r in rows if r.m_score == 4)
+    m1 = sum(r.avg_spend * r.n_customers for r in rows if r.m_score == 1)
+    m1n = sum(r.n_customers for r in rows if r.m_score == 1)
+    assert m4 / m4n > m1 / m1n
