@@ -1330,6 +1330,60 @@ def streaming_rollup_to_table(spark: SparkSession, sf_dir: str, out_dir: str):
     )
 
 
+def streaming_anomaly_to_table(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Self-maintaining anomaly table via foreachBatch: the monitoring
+    query ``q_events_anomaly_hours`` needs a cross-hour trailing window,
+    which no streaming aggregation expresses — so each micro-batch
+    RECOMPUTES the full anomaly table from the hourly-count streaming
+    aggregation's current state and overwrites the output atomically
+    (write to a temp dir would be the cluster move; locally a plain
+    overwrite of the tiny hours-level table). This is the materialized-
+    view-maintenance recipe for derived tables whose definition spans the
+    whole history: the STREAM maintains the cheap aggregate, foreachBatch
+    derives the expensive view from it — replay-idempotent because the
+    derivation is deterministic in the aggregate state."""
+    stream = _event_stream(spark, sf_dir)
+    hours = (
+        stream.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = (
+            W.orderBy("hour")
+            .rowsBetween(-ANOMALY_TRAIL_HOURS, -1)
+        )
+        n = F.count(F.lit(1)).over(w).cast("bigint")
+        s = F.sum("c").over(w).cast("bigint")
+        ssq = F.sum(F.col("c") * F.col("c")).over(w).cast("bigint")
+        num = (n * F.col("c") - s).cast("double")
+        den = F.sqrt((n * ssq - s * s).cast("double"))
+        var_num = n * ssq - s * s
+        z = F.when((n >= 2) & (var_num > 0), F.round(num / den, 4))
+        flag = (
+            F.when((n >= 2) & (var_num > 0), F.abs(z) >= ANOMALY_Z)
+            .when((n >= 2) & (var_num == 0), n * F.col("c") != s)
+            .otherwise(F.lit(False))
+        )
+        (
+            batch_df.select(
+                F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                F.col("c").alias("event_count"),
+                n.alias("baseline_hours"),
+                z.alias("z_score"),
+                flag.cast("int").alias("is_anomaly"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    return (
+        hours.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # range-frame rolling feature: per-event trailing-hour activity count
 #

@@ -947,3 +947,21 @@ def test_rfm_segments_quartiles_balanced(spark, sf_dir):
     m1 = sum(r.avg_spend * r.n_customers for r in rows if r.m_score == 1)
     m1n = sum(r.n_customers for r in rows if r.m_score == 1)
     assert m4 / m4n > m1 / m1n
+
+
+def test_streaming_anomaly_table_matches_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "anomaly_table")
+    q = ev.streaming_anomaly_to_table(spark, sf_dir, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        r.hour: (r.event_count, r.baseline_hours, r.z_score, r.is_anomaly)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.hour: (r.event_count, r.baseline_hours, r.z_score, r.is_anomaly)
+        for r in ev.q_events_anomaly_hours(spark, sf_dir).collect()
+    }
+    assert stream == batch
