@@ -60,9 +60,21 @@ def _driver_gated() -> set[str]:
     gated: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
-            gated |= set(json.load(open(path)))
+            record = json.load(open(path))
         except Exception:
             continue  # a malformed record never breaks registration
+        for name, row in record.items():
+            # Only a GREEN row counts as gated: a red row (hash/schema/
+            # rows mismatch or an error) must re-enter the window so the
+            # driver can re-verify the fix next round.
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                gated.add(name)
     return gated
 
 

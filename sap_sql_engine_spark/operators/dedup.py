@@ -79,8 +79,13 @@ def _shingles_raw_from(docs: DataFrame) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
+    # guarded index list: a <3-token doc yields NO shingles — Spark's
+    # sequence(1, 0) is DESCENDING ([1, 0]) and element_at(toks, 0)
+    # throws, so the unguarded form crashes on short docs (same class as
+    # the lm_score 1-token fix; DuckDB's range(1, 1) is empty)
     grams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "transform(CASE WHEN size(toks) >= 3 "
+        "THEN sequence(1, size(toks) - 2, 1) ELSE array() END, "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
         "element_at(toks, i + 2)))"
     )
@@ -117,8 +122,10 @@ def _hashed_shingles_from(docs: DataFrame, *extra_cols: str) -> DataFrame:
     toks = spread(docs).select(
         *extra_cols, "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
+    # guarded like _shingles_raw_from: <3 tokens -> empty, not a crash
     hashed_grams = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+        "array_distinct(transform(CASE WHEN size(toks) >= 3 "
+        "THEN sequence(1, size(toks) - 2, 1) ELSE array() END, "
         "i -> CAST(conv(substr(md5(concat_ws(' ', element_at(toks, i), "
         "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))"
     )
@@ -769,8 +776,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
+    # guarded like _shingles_raw_from: <3 tokens -> empty, not a crash
     grams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+        "transform(CASE WHEN size(toks) >= 3 "
+        "THEN sequence(1, size(toks) - 2, 1) ELSE array() END, "
         "i -> struct(i AS pos, CAST(conv(substr(md5(concat_ws(' ', "
         "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)"
         ")), 1, 15), 16, 10) AS BIGINT) AS sh))"
@@ -954,17 +963,20 @@ def q_dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive only as the component representative (min doc_id); everything
     else — including every singleton — survives untouched. Composition of
     ``jaccard_pairs`` → ``connected_components`` → keep-one, closed with a
-    left join against the (tiny: only clustered non-representatives)
-    removal set; the corpus never re-pairs. The DuckDB oracle recomputes
-    the whole chain through its literal recursive-CTE components, so the
-    gate hashes the COMPOSED pipeline end-to-end, not just its stages."""
+    left join against the removal set (clustered non-representatives —
+    NO broadcast hint: on a web-scale corpus near-dup removal is a large
+    fraction of all doc_ids, a fact-sized relation; AQE broadcasts it
+    when genuinely small and shuffles otherwise); the corpus never
+    re-pairs. The DuckDB oracle recomputes the whole chain through its
+    literal recursive-CTE components, so the gate hashes the COMPOSED
+    pipeline end-to-end, not just its stages."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     removed = (
         q_dedup_neardup_clusters(spark, sf_dir)
         .filter(F.col("is_representative") == 0)
         .select("doc_id", F.lit(1).alias("gone"))
     )
-    flagged = docs.join(F.broadcast(removed), "doc_id", "left")
+    flagged = docs.join(removed, "doc_id", "left")
     n_removed = F.sum(F.coalesce(F.col("gone"), F.lit(0)))
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1301,7 +1313,10 @@ def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("label"))
         .select(F.col("node").alias("doc_id"))
     )
-    s4 = cache_eager(s3.join(F.broadcast(removed), "doc_id", "left_anti"))
+    # no broadcast hint on `removed` — doc-cardinality at corpus scale
+    # (AQE decides); `bench_sh` below stays hinted: benchmark suites are
+    # genuinely dim-sized
+    s4 = cache_eager(s3.join(removed, "doc_id", "left_anti"))
     bench_sh = (
         _hashed_shingles_from(docs.filter(F.col("source") == CONTAM_BENCH_SOURCE))
         .select("sh")
@@ -1320,7 +1335,7 @@ def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s5 = s4.filter(F.col("source") != CONTAM_BENCH_SOURCE).join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
+        contaminated, "doc_id", "left_anti"
     )
 
     stages = [
@@ -1416,6 +1431,97 @@ UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5
 """
 
 
+# ---------------------------------------------------------------------------
+# dataset-level overlap: pairwise source-vs-source estimated Jaccard from
+# per-SOURCE MinHash signatures — the corpus-QA view a pipeline reads before
+# mixing sources (two crawls of the same sites will show high overlap and
+# double-weight their content; a benchmark source overlapping a train
+# source is a leakage smell at the dataset level, before any per-doc scan).
+
+
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise estimated shingle-set Jaccard between sources.
+
+    min() over a source's whole shingle stream IS the MinHash of the UNION
+    of its documents' shingle sets — so the per-source signature needs no
+    per-doc state and no distinct: one groupBy(source) aggregation with
+    map-side combine over the raw shingle stream (duplicate-insensitive),
+    output |sources| x N_MINHASH integers. The pairwise compare is a
+    self-join of that metadata-sized relation — |sources|^2 rows. At
+    100 TB the full-volume work is exactly one shingle scan; everything
+    after is driver-negligible. Same universal-hash permutation family as
+    ``dedup_minhash_lsh`` (one md5 per shingle, multiply-adds per perm,
+    products < 2^63 — bit-identical on both engines); ``est_jaccard`` is
+    an integer agreement count over N_MINHASH (FLOATS.md class A)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    # guarded index list: <3 tokens -> no shingles on BOTH engines (the
+    # lm_score 1-token lesson: sequence(1, 0) is DESCENDING in Spark)
+    grams = F.expr(
+        "transform(CASE WHEN size(toks) >= 3 "
+        "THEN sequence(1, size(toks) - 2, 1) ELSE array() END, "
+        "i -> CAST(conv(substr(md5(concat_ws(' ', element_at(toks, i), "
+        "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))"
+    )
+    sh = toks.select("source", F.explode(grams).alias("h"))
+    wide = sh.groupBy("source").agg(
+        *[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
+    )
+    a = wide.select(
+        F.col("source").alias("source1"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(1, N_MINHASH + 1)],
+    )
+    b = wide.select(
+        F.col("source").alias("source2"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(1, N_MINHASH + 1)],
+    )
+    agree = sum(
+        (F.expr(f"int(a{p} = b{p})") for p in range(1, N_MINHASH + 1)),
+        F.lit(0),
+    )
+    return (
+        a.join(b, F.col("source1") < F.col("source2"))
+        .select(
+            "source1",
+            "source2",
+            agree.cast("bigint").alias("agree"),
+            F.round(agree / F.lit(N_MINHASH), 4).alias("est_jaccard"),
+        )
+        .orderBy("source1", "source2")
+    )
+
+
+_ORACLE_SOURCE_SHINGLES = r"""
+  SELECT source,
+         CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                  i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                       regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                       regexp_split_to_array(trim(text), '\s+')[i+2])) AS sh
+    FROM documents
+  )
+"""
+
+ORACLE_SOURCE_OVERLAP = rf"""
+WITH sh AS ({_ORACLE_SOURCE_SHINGLES}),
+sigs AS (
+  SELECT source, perm, min((a * h + b) % {_MERSENNE}) AS m
+  FROM sh, (VALUES {_PERM_VALUES}) AS perms(perm, a, b)
+  GROUP BY source, perm
+)
+SELECT a.source AS source1, b.source AS source2,
+       CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / {N_MINHASH}, 4) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.perm = b.perm AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1432,6 +1538,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
     "corpus_release_funnel": q_corpus_release_funnel,
+    "source_overlap_minhash": q_source_overlap_minhash,
 }
 
 ORACLES = {
@@ -1450,4 +1557,5 @@ ORACLES = {
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "corpus_release_funnel": _oracle_release_funnel(),
+    "source_overlap_minhash": ORACLE_SOURCE_OVERLAP,
 }

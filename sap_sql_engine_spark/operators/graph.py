@@ -19,10 +19,11 @@ per-edge contribution floor(r_src * w / out_w_src); dangling-node mass
 and the last-digit floor residue are deliberately dropped — the oracle
 states the identical recurrence, so the gate pins the semantics.
 
-Overflow bound: r_src * w <= SCALE * max_edge_weight must stay under
-2^63 — fine to ~9e6 lineitems per nation pair (sf ~1000); beyond that,
-compute the contribution in DECIMAL(38,0) on both engines (the same
-headroom move ``quantity_price_corr`` makes).
+Overflow headroom: the per-edge product r_src * w computes in
+DECIMAL(38,0) on both engines (Spark DECIMAL div / DuckDB HUGEINT //)
+before the integral divide, so edge weights up to ~1e26 are exact — no
+sf-bound on the BIGINT path (the same headroom move
+``quantity_price_corr`` makes).
 """
 
 from __future__ import annotations
@@ -41,14 +42,19 @@ PR_N_NATIONS = 25  # teleport base = PR_SCALE / 25, exact
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, w): customer-nation -> supplier-nation, weighted by
-    lineitem count. Dims broadcast; the only full-volume work is the
-    lineitem scan + one (src, dst) aggregation (<= 625 groups)."""
+    lineitem count. The TRUE dims (customer, supplier) broadcast;
+    lineitem ⋈ orders is fact ⋈ fact and is left to AQE — both sides
+    shuffle on the order key (the classic co-shuffle), or AQE flips it
+    to broadcast when the orders projection is genuinely small. A forced
+    broadcast of orders (~150 GB at 100 TB posture) would OOM the
+    executors. The only full-volume work is the lineitem scan + one
+    (src, dst) aggregation (<= 625 groups)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy(
@@ -68,16 +74,30 @@ def pagerank_loop(
     edges_n = cache_eager(edges.join(out_w, "src"))
     base = PR_SCALE // n_teleport
     ranks = nodes.select("node", F.lit(base).cast("bigint").alias("pr"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        # fresh, per-iteration column names on both sides of each join:
+        # ranks/contrib all descend from `nodes`, and re-joining shared
+        # lineage by same-named attributes trips Spark's ambiguous-column
+        # resolution for non-trivial node relations — renamed keys keep
+        # the factored kernel robust for arbitrary callers
+        rk = ranks.select(F.col("node").alias(f"__rk{it}"), "pr")
         contrib = (
-            edges_n.join(F.broadcast(ranks), edges_n["src"] == ranks["node"])
-            .select("dst", F.expr("pr * w DIV out_w").alias("c"))
+            edges_n.join(F.broadcast(rk), edges_n["src"] == F.col(f"__rk{it}"))
+            # DECIMAL(38,0) product before the integral divide: exact at
+            # any edge weight (result <= pr, fits BIGINT after DIV)
+            .select(
+                "dst",
+                F.expr("CAST(pr AS DECIMAL(38,0)) * w DIV out_w").alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
+            .select(F.col("dst").alias(f"__ct{it}"), "incoming")
         )
         # contrib is <= |V| rows — broadcast it; at web-scale graphs flip this
         # to a shuffled join keyed on node (the docstring's scale note)
-        ranks = nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left").select(
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes["node"] == F.col(f"__ct{it}"), "left"
+        ).select(
             "node",
             F.expr(
                 f"({100 - PR_DAMP_NUM} * CAST({base} AS BIGINT) "
@@ -126,7 +146,7 @@ def _oracle_pagerank() -> str:
   SELECT n.node,
          CAST(({t} * CAST({base} AS BIGINT) + {d} * COALESCE(s.incoming, 0)) // 100 AS BIGINT) AS pr
   FROM nodes n LEFT JOIN (
-    SELECT e.dst, sum(CAST(p.pr * e.w // e.out_w AS BIGINT)) AS incoming
+    SELECT e.dst, sum(CAST(CAST(p.pr AS HUGEINT) * e.w // e.out_w AS BIGINT)) AS incoming
     FROM edges_n e JOIN {prev} p ON e.src = p.node
     GROUP BY e.dst
   ) s ON n.node = s.dst

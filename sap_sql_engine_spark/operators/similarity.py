@@ -61,10 +61,13 @@ def _o_cos(a: str, b: str) -> str:
 
 
 def q_ann_bruteforce_topk(
-    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    qid: int = QUERY_VEC_ID,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k against a query vector — the ANN ladder's ground-truth baseline."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = feat if feat is not None else spread(table(spark, sf_dir, "embeddings"))
     qvec = emb.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qe")
     )
@@ -254,8 +257,24 @@ def _plane_literals(n_planes: int = N_PLANES) -> str:
     return "array(" + ", ".join(rows) + ")"
 
 
+def _lsh_sig_expr() -> str:
+    """SQL expression computing the N_PLANES-bit sign signature of
+    ``embedding`` — shared by the two LSH builders and ``_featurize``."""
+    plane_expr = (
+        f"transform({_plane_literals()}, w -> "
+        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    return (
+        f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
 def q_ann_lsh_bucketed(
-    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    qid: int = QUERY_VEC_ID,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """Signature = N_PLANES sign bits of <v, plane_p>; candidates = vectors
     in the query's bucket; exact cosine re-rank inside the bucket.
@@ -269,17 +288,17 @@ def q_ann_lsh_bucketed(
     literal: per-row work is N_PLANES dot products instead of N_PLANES*DIM
     interpreted md5 calls. k/2^24 - 0.5 is exact in binary and repr()
     round-trips doubles, so the values are bit-identical to the SQL-computed
-    ones the DuckDB oracle still derives from scratch."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    plane_expr = (
-        f"transform({_plane_literals()}, w -> "
-        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
-        "0D, (acc, v) -> acc + v))"
-    )
-    sig_expr = (
-        f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
-    )
-    with_sig = emb.withColumn("bucket", F.expr(sig_expr))
+    ones the DuckDB oracle still derives from scratch.
+
+    ``feat``: an optional pre-featurized corpus relation (``_featurize``)
+    carrying the ``bucket`` column — multi-probe callers (the recall
+    report) pass one cached relation so N legs share ONE signature pass
+    instead of re-deriving it per leg."""
+    if feat is not None:
+        with_sig = feat
+    else:
+        emb = spread(table(spark, sf_dir, "embeddings"))
+        with_sig = emb.withColumn("bucket", F.expr(_lsh_sig_expr()))
     qrow = with_sig.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
     )
@@ -323,7 +342,10 @@ ORACLE_ANN_LSH = _oracle_lsh()
 
 
 def q_ann_lsh_multiprobe(
-    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    qid: int = QUERY_VEC_ID,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe LSH: probe the query's bucket AND every bucket at
     hamming distance 1 (each sign bit flipped once) — 1 + N_PLANES
@@ -336,17 +358,14 @@ def q_ann_lsh_multiprobe(
 
     The probe set is computed by EXPRESSION on the 1-row query relation
     (string surgery on the signature — no driver collect), broadcast into
-    an ``array_contains`` join: the same probe-set-join shape as IVF."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    plane_expr = (
-        f"transform({_plane_literals()}, w -> "
-        "aggregate(zip_with(embedding, w, (x, wi) -> CAST(x AS DOUBLE) * wi), "
-        "0D, (acc, v) -> acc + v))"
-    )
-    sig_expr = (
-        f"array_join(transform({plane_expr}, d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
-    )
-    with_sig = emb.withColumn("bucket", F.expr(sig_expr))
+    an ``array_contains`` join: the same probe-set-join shape as IVF.
+    ``feat``: optional shared featurized relation (see
+    ``q_ann_lsh_bucketed``)."""
+    if feat is not None:
+        with_sig = feat
+    else:
+        emb = spread(table(spark, sf_dir, "embeddings"))
+        with_sig = emb.withColumn("bucket", F.expr(_lsh_sig_expr()))
     flips = ", ".join(
         f"concat(substring(qbucket, 1, {i - 1}), "
         f"CASE WHEN substring(qbucket, {i}, 1) = '1' THEN '0' ELSE '1' END, "
@@ -424,8 +443,22 @@ def _centroid_literals() -> str:
     return "array(" + ", ".join(rows) + ")"
 
 
+def _ivf_dist_expr() -> str:
+    """Squared-L2 distances of ``embedding`` to every frozen centroid."""
+    return (
+        f"transform({_centroid_literals()}, c -> "
+        "aggregate(zip_with(embedding, c, (x, ci) -> "
+        "(CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        "0D, (acc, v) -> acc + v))"
+    )
+
+
 def q_ann_ivf(
-    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE, qid: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    qid: int = QUERY_VEC_ID,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: assign each vector to its nearest frozen centroid (squared
     L2 argmin), probe the n_probe cells nearest the query vector, exact
@@ -435,17 +468,16 @@ def q_ann_ivf(
     literal (here) or a broadcast (bigger codebooks); assignment is one
     narrow map pass with zero shuffles, and each query touches
     n_probe/N_LISTS of the corpus — the standard IVF trade. The probe-set
-    computation runs on the single query row (broadcast), not the corpus."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    dists = (
-        f"transform({_centroid_literals()}, c -> "
-        "aggregate(zip_with(embedding, c, (x, ci) -> "
-        "(CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-        "0D, (acc, v) -> acc + v))"
-    )
-    assigned = emb.withColumn("d", F.expr(dists)).withColumn(
-        "list_id", F.expr("array_position(d, array_min(d))")
-    )
+    computation runs on the single query row (broadcast), not the corpus.
+    ``feat``: optional shared featurized relation carrying ``d`` and
+    ``list_id`` (see ``q_ann_lsh_bucketed``)."""
+    if feat is not None:
+        assigned = feat
+    else:
+        emb = spread(table(spark, sf_dir, "embeddings"))
+        assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+            "list_id", F.expr("array_position(d, array_min(d))")
+        )
     # single query row: its embedding + the probe set (cell ids sorted by
     # centroid distance, ties by id, first n_probe)
     probe_expr = (
@@ -605,8 +637,24 @@ _PQ_SUB_D2 = (
 )
 
 
+def _pq_codes_expr() -> str:
+    """PQ_M subspace code assignments for ``embedding`` (argmin squared-L2
+    per frozen sub-codebook)."""
+    sub_d2 = _PQ_SUB_D2.format(vec="embedding", m="m", c="c")
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"array_position(x_d2(m), array_min(x_d2(m))))"
+    ).replace(
+        "x_d2(m)",
+        f"transform(element_at({_pq_book_literals()}, m + 1), c -> {sub_d2})",
+    )
+
+
 def q_ann_pq_adc(
-    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    qid: int = QUERY_VEC_ID,
+    feat: DataFrame | None = None,
 ) -> DataFrame:
     """PQ top-k: encode every corpus vector to PQ_M subspace codes (argmin
     squared-L2 against the frozen per-subspace codebook), build the query's
@@ -618,17 +666,20 @@ def q_ann_pq_adc(
     pass done once at ingest, and per-query work per row is PQ_M array
     lookups. The lookup-table build (PQ_M*PQ_K subspace distances) happens
     once on the query row, not per corpus row — the asymmetric trade that
-    keeps recall (query side stays exact)."""
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    sub_d2 = _PQ_SUB_D2.format(vec="embedding", m="m", c="c")
-    codes_expr = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"array_position(x_d2(m), array_min(x_d2(m))))"
-    ).replace(
-        "x_d2(m)",
-        f"transform(element_at({_pq_book_literals()}, m + 1), c -> {sub_d2})",
+    keeps recall (query side stays exact).
+    ``feat``: optional shared featurized relation carrying ``codes`` (see
+    ``q_ann_lsh_bucketed``)."""
+    emb = (
+        feat
+        if feat is not None
+        else spread(table(spark, sf_dir, "embeddings"))
     )
-    coded = emb.select("vec_id", "label", F.expr(codes_expr).alias("codes"))
+    if feat is not None:
+        coded = feat.select("vec_id", "label", "codes")
+    else:
+        coded = emb.select(
+            "vec_id", "label", F.expr(_pq_codes_expr()).alias("codes")
+        )
     q_sub_d2 = _PQ_SUB_D2.format(vec="qe", m="m", c="c")
     lut_expr = (
         f"transform({_pq_book_literals()}, (book, m) -> "
@@ -747,8 +798,11 @@ def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, zero pre-aggregation shuffles, 1-row broadcast
     for the query vector; the report is a single partial-aggregated
-    reduction whose mean is integer-quantized per row (floor(err*1e6))
-    so the cross-row sum is associative — hash-stable on any plan."""
+    reduction. Determinism: err is quantized ONCE per row to BIGINT
+    micro-units (floor(err*1e6)) and every emitted cell — mean, max, and
+    both threshold counts — derives from that integer column with integer
+    thresholds and integer division, so no raw double ever crosses an
+    engine boundary (the r4 driver-red fix)."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     rp_expr = (
         f"transform({_rp_literals()}, w -> "
@@ -759,22 +813,20 @@ def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = reduced.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("rp").alias("qrp")
     )
-    sig1 = 1.0 / math.sqrt(RP_DIM)
+    # integer micro-unit thresholds, computed once driver-side in Python
+    sig1_u = math.floor(1.0 / math.sqrt(RP_DIM) * 1_000_000)
+    sig2_u = math.floor(2.0 / math.sqrt(RP_DIM) * 1_000_000)
     err = F.abs(_cosine("rp", "qrp") - _cosine("embedding", "qe"))
     return (
         reduced.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qrow))
-        .select(err.alias("err"))
+        .select(F.floor(err * 1_000_000).cast("bigint").alias("err_u"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum(F.floor(F.col("err") * 1_000_000).cast("bigint"))
-                / (F.lit(1_000_000.0) * F.count(F.lit(1))),
-                6,
-            ).alias("mean_abs_err"),
-            F.round(F.max("err"), 6).alias("max_abs_err"),
-            F.sum((F.col("err") <= sig1).cast("bigint")).alias("within_1sig"),
-            F.sum((F.col("err") <= 2 * sig1).cast("bigint")).alias("within_2sig"),
+            F.expr("sum(err_u) div count(1)").alias("mean_abs_err_micro"),
+            F.max("err_u").alias("max_abs_err_micro"),
+            F.sum((F.col("err_u") <= sig1_u).cast("bigint")).alias("within_1sig"),
+            F.sum((F.col("err_u") <= sig2_u).cast("bigint")).alias("within_2sig"),
         )
     )
 
@@ -799,22 +851,23 @@ def _oracle_rp() -> str:
 
         return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
-    sig1 = 1.0 / math.sqrt(RP_DIM)
+    sig1_u = math.floor(1.0 / math.sqrt(RP_DIM) * 1_000_000)
+    sig2_u = math.floor(2.0 / math.sqrt(RP_DIM) * 1_000_000)
     return f"""
 WITH reduced AS (
   SELECT vec_id, embedding, {rp_list} AS rp FROM embeddings
 ),
 q AS (SELECT embedding AS qe, rp AS qrp FROM reduced WHERE vec_id = {QUERY_VEC_ID}),
 errs AS (
-  SELECT abs({cos("rp", "qrp", RP_DIM)} - {cos("embedding", "qe", DIM)}) AS err
+  SELECT CAST(floor(abs({cos("rp", "qrp", RP_DIM)} - {cos("embedding", "qe", DIM)}) * 1000000) AS BIGINT) AS err_u
   FROM reduced, q
   WHERE vec_id != {QUERY_VEC_ID}
 )
 SELECT count(*) AS n_vecs,
-       round(sum(CAST(floor(err * 1000000) AS BIGINT)) / (1000000.0 * count(*)), 6) AS mean_abs_err,
-       round(max(err), 6) AS max_abs_err,
-       sum(CASE WHEN err <= {sig1!r} THEN 1 ELSE 0 END) AS within_1sig,
-       sum(CASE WHEN err <= {2 * sig1!r} THEN 1 ELSE 0 END) AS within_2sig
+       sum(err_u) // count(*) AS mean_abs_err_micro,
+       max(err_u) AS max_abs_err_micro,
+       sum(CASE WHEN err_u <= {sig1_u} THEN 1 ELSE 0 END) AS within_1sig,
+       sum(CASE WHEN err_u <= {sig2_u} THEN 1 ELSE 0 END) AS within_2sig
 FROM errs
 """
 
@@ -940,6 +993,22 @@ ORACLE_EMBEDDING_KNN = _oracle_knn_accuracy()
 ANN_RECALL_PROBES = (0, 123, 321)  # query vectors; all exist at every sf
 
 
+def _featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE cached corpus pass computing every index feature the ANN ladder
+    needs — LSH sign signature (``bucket``), IVF centroid distances +
+    assignment (``d``, ``list_id``), PQ codes (``codes``) — so multi-leg
+    consumers (the recall report) share a single featurization instead of
+    re-deriving per (index, probe) leg. Pure map over one scan, zero
+    shuffles; lifetime owned by the consuming surface via cachereg."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return cache_eager(
+        emb.withColumn("bucket", F.expr(_lsh_sig_expr()))
+        .withColumn("d", F.expr(_ivf_dist_expr()))
+        .withColumn("list_id", F.expr("array_position(d, array_min(d))"))
+        .withColumn("codes", F.expr(_pq_codes_expr()))
+    )
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall report for the WHOLE ANN ladder against the exact
     brute-force top-``TOPK``, measured over a PROBE SET (one single-probe
@@ -954,19 +1023,27 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is read off this report, not assumed — same pattern as
     ``embedding_rp_reduce``'s distortion calibration.
 
-    Composes the gated queries unchanged (each accepts ``qid``); the
-    oracle recomputes every (index, probe) leg, so the gate pins the
-    report itself. Production would share the featurized corpus relation
-    across probes — here each leg rebuilds it, which the tiny corpus
-    affords and keeps the composition literally the gated operators."""
+    Composes the gated queries unchanged (each accepts ``qid`` and an
+    optional shared ``feat`` relation); the oracle recomputes every
+    (index, probe) leg, so the gate pins the report itself. The corpus is
+    featurized ONCE — embedding + LSH signature + IVF assignment + PQ
+    codes in a single cached map pass — and all 15 legs (5 indexes x 3
+    probes) read that relation: at 100 TB this is the difference between
+    1 corpus scan and 15."""
+    feat = _featurize(spark, sf_dir)
     per_index: dict[str, list] = {}
     for qid in ANN_RECALL_PROBES:
-        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid).select("vec_id")
+        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
+            "vec_id"
+        )
         for name, df in (
-            ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir, qid=qid)),
-            ("lsh_multiprobe", q_ann_lsh_multiprobe(spark, sf_dir, qid=qid)),
-            ("ivf", q_ann_ivf(spark, sf_dir, qid=qid)),
-            ("pq_adc", q_ann_pq_adc(spark, sf_dir, qid=qid)),
+            ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir, qid=qid, feat=feat)),
+            (
+                "lsh_multiprobe",
+                q_ann_lsh_multiprobe(spark, sf_dir, qid=qid, feat=feat),
+            ),
+            ("ivf", q_ann_ivf(spark, sf_dir, qid=qid, feat=feat)),
+            ("pq_adc", q_ann_pq_adc(spark, sf_dir, qid=qid, feat=feat)),
         ):
             hits = exact.join(df.select("vec_id"), "vec_id").agg(
                 F.count(F.lit(1)).alias("h")

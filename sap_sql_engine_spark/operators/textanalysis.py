@@ -841,10 +841,14 @@ GROUP BY source
 # r_i, c_i, d and N = sum(r_i):
 #     kappa = (N*d - sum(r_i*c_i)) / (N^2 - sum(r_i*c_i))
 # Products compute in DECIMAL (operands DECIMAL(19,0) -> exact
-# DECIMAL(38,0) on both engines — same recipe as quantity_dispersion), so
-# the value is bit-stable to ~10^16 docs. The per-class relation is
-# bounded by |label alphabet|, so the scalar fold is metadata-sized at any
-# corpus scale.
+# DECIMAL(38,0) on both engines — same recipe as quantity_dispersion), and
+# the emitted cells are INTEGRAL quotients (kappa_micro = num*1e6 div den,
+# accuracy_bp = n_correct*1e4 div n_docs; Spark `div` and DuckDB `//`
+# both truncate toward zero) — no double division anywhere, so the value
+# is bit-stable across engines/libm to ~1e12 docs (the 1e6 scale factor
+# spends 7 of DECIMAL(38,0)'s digits). The per-class relation is bounded
+# by |label alphabet|, so the scalar fold is metadata-sized at any corpus
+# scale.
 
 
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,27 +882,25 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("decimal(19,0)").alias("diag"),
         F.sum(F.col("r") * F.col("col_c")).cast("decimal(38,0)").alias("pe_sum"),
     )
-    kappa = F.floor(
-        (F.col("n") * F.col("diag") - F.col("pe_sum")).cast("double")
-        / (F.col("n") * F.col("n") - F.col("pe_sum")).cast("double")
-        * F.lit(1000000.0)
-    ) / F.lit(1000000.0)
-    glob_row = glob.select(kappa.alias("kappa"))
+    # exact end-to-end: scale the DECIMAL numerator by 1e6 (fits
+    # DECIMAL(38,0) to ~1e12 docs) and take the integral quotient — Spark
+    # `div` and DuckDB `//` both truncate toward zero, so the emitted cell
+    # is integer-derived on both engines (the r4 driver-red fix)
+    kappa_micro = F.expr(
+        "((n * diag - pe_sum) * 1000000) div (n * n - pe_sum)"
+    ).cast("bigint")
+    glob_row = glob.select(kappa_micro.alias("kappa_micro"))
+    accuracy_bp = F.expr(
+        "(CAST(n_correct AS DECIMAL(38,0)) * 10000) div n_docs"
+    ).cast("bigint")
     return (
         per_lang.crossJoin(F.broadcast(glob_row))
         .select(
             "lang",
             "n_docs",
             "n_correct",
-            (
-                F.floor(
-                    F.col("n_correct").cast("double")
-                    / F.col("n_docs").cast("double")
-                    * F.lit(10000.0)
-                )
-                / F.lit(10000.0)
-            ).alias("accuracy"),
-            "kappa",
+            accuracy_bp.alias("accuracy_bp"),
+            "kappa_micro",
         )
         .orderBy("lang")
     )
@@ -930,10 +932,96 @@ overall AS (
   FROM margins
 )
 SELECT lang, n_docs, n_correct,
-       floor(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) * 10000) / 10000 AS accuracy,
-       floor(CAST(n * diag - pe_sum AS DOUBLE) / CAST(n * n - pe_sum AS DOUBLE) * 1000000) / 1000000 AS kappa
+       CAST((CAST(n_correct AS HUGEINT) * 10000) // CAST(n_docs AS HUGEINT) AS BIGINT) AS accuracy_bp,
+       CAST((CAST(n * diag - pe_sum AS HUGEINT) * 1000000) // CAST(n * n - pe_sum AS HUGEINT) AS BIGINT) AS kappa_micro
 FROM per_lang, overall
 ORDER BY lang
+"""
+
+
+def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the auto-label QA pass — the
+    drill-down next to ``label_agreement_kappa``'s single global number:
+    which classes the language-ID model confuses, read per class before a
+    pipeline trusts per-language filtering decisions.
+
+    All emitted cells are integral: with per-class actual total a_k,
+    predicted total p_k, and diagonal tp_k (exact confusion-cell counts),
+    precision_bp = tp*1e4 div p_k, recall_bp = tp*1e4 div a_k, and
+    f1_bp = 2*tp*1e4 div (a_k + p_k) — the micro identity
+    F1 = 2TP/(2TP+FP+FN) with denominator a_k + p_k — so no double
+    division exists anywhere (FLOATS.md class A; `div` ≡ `//` verified
+    including the by-zero → NULL case).
+
+    Scale shape: one (label, prediction) confusion-cell aggregation over
+    the corpus scan (map-side combined, alphabet²-bounded output); the
+    class margins and the report are metadata-sized regroups of those
+    cells — same shape as kappa, which shares the cached cells relation
+    at the operator level."""
+    pred = q_language_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    actual = cells.groupBy(F.col("lang").alias("klass")).agg(
+        F.sum("c").alias("n_actual"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("c")).otherwise(0)
+        ).alias("tp"),
+    )
+    predicted = cells.groupBy(F.col("predicted_lang").alias("klass")).agg(
+        F.sum("c").alias("n_predicted")
+    )
+    return (
+        actual.join(predicted, "klass", "full_outer")
+        .select(
+            "klass",
+            F.coalesce(F.col("n_actual"), F.lit(0)).cast("bigint").alias("n_actual"),
+            F.coalesce(F.col("n_predicted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .select(
+            "klass",
+            "n_actual",
+            "n_predicted",
+            "tp",
+            F.expr("tp * 10000 div n_predicted").cast("bigint").alias("precision_bp"),
+            F.expr("tp * 10000 div n_actual").cast("bigint").alias("recall_bp"),
+            F.expr("2 * tp * 10000 div (n_actual + n_predicted)")
+            .cast("bigint")
+            .alias("f1_bp"),
+        )
+        .orderBy("klass")
+    )
+
+
+ORACLE_LABEL_CONFUSION = f"""
+WITH pred AS ({ORACLE_LANGUAGE_ID}),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS c FROM pred GROUP BY 1, 2
+),
+actual AS (
+  SELECT lang AS klass, sum(c) AS n_actual,
+         sum(CASE WHEN predicted_lang = lang THEN c ELSE 0 END) AS tp
+  FROM cells GROUP BY 1
+),
+predicted AS (
+  SELECT predicted_lang AS klass, sum(c) AS n_predicted FROM cells GROUP BY 1
+),
+margins AS (
+  SELECT COALESCE(a.klass, p.klass) AS klass,
+         CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+         CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+  FROM actual a FULL OUTER JOIN predicted p ON a.klass = p.klass
+)
+SELECT klass, n_actual, n_predicted, tp,
+       CAST(tp * 10000 // n_predicted AS BIGINT) AS precision_bp,
+       CAST(tp * 10000 // n_actual AS BIGINT) AS recall_bp,
+       CAST(2 * tp * 10000 // (n_actual + n_predicted) AS BIGINT) AS f1_bp
+FROM margins
+ORDER BY klass
 """
 
 
@@ -1205,11 +1293,15 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
+    # guard the bigram index list: sequence(1, 0) yields the DESCENDING
+    # [1, 0] in Spark and element_at(toks, 0) throws — a 1-token doc must
+    # produce an empty list (no row), matching DuckDB's empty range(1, 1)
     bigrams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "transform(CASE WHEN size(toks) >= 2 "
+                "THEN sequence(1, size(toks) - 1, 1) ELSE array() END, "
                 "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
             )
         ).alias("bg"),
@@ -1278,6 +1370,7 @@ QUERIES = {
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_target_mix_sample": q_docs_target_mix_sample,
     "label_agreement_kappa": q_label_agreement,
+    "label_confusion_report": q_label_confusion,
     "docs_weighted_sample": q_docs_weighted_sample,
     "text_lm_score": q_text_lm_score,
     "docs_shard_assignment": q_docs_shard_assignment,
@@ -1303,6 +1396,7 @@ ORACLES = {
     "docs_pack_sequences": ORACLE_PACK_SEQUENCES,
     "docs_target_mix_sample": ORACLE_TARGET_MIX,
     "label_agreement_kappa": ORACLE_LABEL_AGREEMENT,
+    "label_confusion_report": ORACLE_LABEL_CONFUSION,
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,

@@ -930,17 +930,20 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix in long form, plus the retention rate against cohort size.
 
     Scale shape: first-seen is one user-keyed aggregation; the offset
-    tagging is a broadcast of the (user, first_day) relation back onto
-    the stream (user-count-sized — at larger scale the same user-keyed
-    exchange serves both); the matrix is one (cohort, offset) regroup of
-    per-user-day partials. Rate = exact integer pair divided once at the
-    output boundary."""
+    tagging joins the (user, first_day) relation back onto the per-user
+    days WITHOUT a broadcast hint — `first` is user-cardinality (a fact
+    relation at 100 TB; a forced broadcast would OOM executors), and both
+    sides are already partitioned by user_id from the distinct/groupBy,
+    so the join reuses the same exchange (AQE still flips to broadcast
+    when the relation is genuinely small); the matrix is one
+    (cohort, offset) regroup of per-user-day partials. Rate = exact
+    integer pair divided once at the output boundary."""
     ev = _events(spark, sf_dir)
     days = ev.select(
         "user_id", F.to_date(F.col("ts")).alias("day")
     ).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    tagged = days.join(F.broadcast(first), "user_id").select(
+    tagged = days.join(first, "user_id").select(
         "user_id",
         "cohort_day",
         F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),

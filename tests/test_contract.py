@@ -41,14 +41,9 @@ def test_oracles_are_nonempty_sql_strings():
 
 
 def test_never_gated_queries_fit_the_driver_window():
-    import glob
-    import json
-    import os
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    gated: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        gated |= set(json.load(open(path)))
+    # "gated" means a GREEN driver row (rows+schema+hash, no err) — same
+    # predicate as _driver_gated(); a red row must re-enter the window.
+    gated = entry._driver_gated()
     keys = list(entry.queries())
     never = {k for k in keys if k not in gated}
     # the window cannot hold more never-gated queries than it has slots;
@@ -61,3 +56,36 @@ def test_never_gated_queries_fit_the_driver_window():
         f"window slots spent on already-gated {wasted} while never-gated "
         f"{waiting} wait outside"
     )
+
+
+def test_red_driver_rows_requeue_into_the_window():
+    """A query with only a red driver row (hash/schema/rows mismatch or
+    err) must NOT count as gated, so the driver can re-verify a fix."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    red: set[str] = set()
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                green.add(name)
+            else:
+                red.add(name)
+    only_red = red - green
+    gated = entry._driver_gated()
+    leaked = sorted(only_red & gated)
+    assert not leaked, f"red-only rows wrongly counted as gated: {leaked}"
+    # and every red-only query must sit inside the 50-slot window
+    window = set(list(entry.queries())[:50])
+    outside = sorted(only_red - window)
+    assert not outside, f"red-only rows outside the re-gate window: {outside}"

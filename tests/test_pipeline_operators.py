@@ -731,13 +731,28 @@ def test_empty_text_docs_agree_with_oracle(spark, tmp_path):
 def test_label_agreement_kappa_bounds_and_consistency(spark, sf_dir):
     rows = textanalysis.q_label_agreement(spark, sf_dir).collect()
     assert rows, "expected per-language agreement rows"
-    kappas = {r.kappa for r in rows}
+    kappas = {r.kappa_micro for r in rows}
     assert len(kappas) == 1, "kappa is a global statistic, identical on every row"
     k = kappas.pop()
-    assert -1.0 <= k <= 1.0
+    assert -1_000_000 <= k <= 1_000_000  # kappa in micro-units
     for r in rows:
         assert 0 <= r.n_correct <= r.n_docs
-        assert 0.0 <= r.accuracy <= 1.0
+        assert 0 <= r.accuracy_bp <= 10_000  # accuracy in basis points
+
+
+def test_label_confusion_report_margins_consistent(spark, sf_dir):
+    rows = textanalysis.q_label_confusion(spark, sf_dir).collect()
+    assert rows
+    # both margins count every document exactly once
+    assert sum(r.n_actual for r in rows) == sum(r.n_predicted for r in rows)
+    agg = {r.lang: r for r in textanalysis.q_label_agreement(spark, sf_dir).collect()}
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_actual, r.n_predicted) or r.n_predicted == 0
+        for bp in (r.precision_bp, r.recall_bp, r.f1_bp):
+            assert bp is None or 0 <= bp <= 10_000
+        if r.klass in agg:  # diagonal matches the kappa query's n_correct
+            assert r.tp == agg[r.klass].n_correct
+            assert r.n_actual == agg[r.klass].n_docs
 
 
 def test_weighted_sample_deterministic_and_weighted(spark, sf_dir):
@@ -772,6 +787,39 @@ def test_substring_spans_exact_length_on_planted_passage(spark, tmp_path):
     corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
     rows = dedup.q_dedup_substring_spans(spark, sf_dir).collect()
     assert [(r.doc1, r.doc2, r.span_tokens) for r in rows] == [(1, 2, 10)]
+
+
+def test_short_docs_do_not_crash_token_operators(spark, tmp_path):
+    # regression for the descending-sequence trap: Spark's sequence(1, 0)
+    # yields [1, 0] (or throws with an explicit step) and element_at(x, 0)
+    # always throws — so 1- and 2-token docs used to crash every shingle/
+    # bigram operator. The gate corpus never has short docs; this pins the
+    # guard (short docs contribute NOTHING, but must not fail the job).
+    import pandas as pd
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["solo", "two tokens", "three tokens here plus more"],
+            "lang": ["en"] * 3,
+            "source": ["s0", "s0", "s1"],
+            "n_chars": [4, 10, 27],
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    # bigram LM: only the 2+-token docs produce rows
+    lm = textanalysis.q_text_lm_score(spark, sf_dir).collect()
+    assert {r.doc_id for r in lm} == {2, 3}
+    # 3-gram shinglers: doc 3 is the only one with any shingle
+    sh = dedup._shingles_raw(spark, sf_dir).collect()
+    assert {r.doc_id for r in sh} == {3}
+    spans = dedup.q_dedup_substring_spans(spark, sf_dir).collect()
+    assert spans == []
+    # s0 has no shingles at all -> no signature row -> no pair emitted
+    # (identical on the oracle: its sigs CTE has no s0 group either)
+    overlap = dedup.q_source_overlap_minhash(spark, sf_dir).collect()
+    assert overlap == []
 
 
 def test_neardup_survivors_accounting(spark, sf_dir):

@@ -453,13 +453,13 @@ def test_rp_reduce_matches_jl_theory(spark, sf_dir):
     import math
 
     r = similarity.q_embedding_rp_reduce(spark, sf_dir).collect()[0]
-    sig = 1.0 / math.sqrt(similarity.RP_DIM)
+    sig_micro = 1_000_000 / math.sqrt(similarity.RP_DIM)
     assert r.n_vecs > 0
-    assert 0 < r.mean_abs_err < 1.5 * sig
+    assert 0 < r.mean_abs_err_micro < 1.5 * sig_micro
     assert r.within_1sig / r.n_vecs > 0.45
     assert r.within_2sig / r.n_vecs > 0.85
     assert r.within_1sig <= r.within_2sig <= r.n_vecs
-    assert r.max_abs_err <= 2.0  # cosine difference is bounded
+    assert r.max_abs_err_micro <= 2_000_000  # cosine difference is bounded
 
 
 def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir):
