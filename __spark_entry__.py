@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sap_sql_engine_spark.operators import (
+    bpe,
     dedup,
     graph,
     multimodal,
@@ -37,6 +38,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 _MODULES = (
     dedup,
     graph,
+    bpe,
     similarity,
     search,
     multimodal,

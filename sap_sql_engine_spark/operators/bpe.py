@@ -1,0 +1,187 @@
+"""On-engine BPE (byte-pair-encoding) merge training over ``documents`` —
+the tokenizer-construction step of a training-data pipeline, expressed as
+the same bounded-iteration DataFrame loop as PageRank (``graph.py``): each
+round is one vocabulary-bounded aggregation plus a 1-row broadcast, no
+driver-side data collects.
+
+The reference has no tokenizer surface (its NL layer calls a hosted model,
+reference ``sap_sql_engine.py:73-120``); this is the data-scale
+counterpart a corpus pipeline needs before token-count accounting.
+
+Algorithm (classic Sennrich-style BPE on the word vocabulary):
+  1. Tokenize once: (word, count) — the ONLY full-corpus pass. BPE
+     training is vocabulary-side by construction (Heaps' law keeps the
+     vocab relation tiny relative to the corpus), exactly how production
+     trainers operate.
+  2. Each word's symbol sequence is encoded as one string with every
+     symbol WRAPPED in ASCII unit separators: ``SEP s SEP`` per symbol,
+     so a sequence [a, b] is ``SEP a SEP SEP b SEP``. With that encoding
+     "merge pair (s1, s2)" is a plain non-overlapping string replace of
+     ``SEP s1 SEP SEP s2 SEP`` with ``SEP s1s2 SEP`` — occurrences are
+     bracket-delimited disjoint segments, so left-to-right replace IS the
+     greedy BPE apply, with no suffix/prefix ambiguity and no shared
+     boundary characters between adjacent occurrences. (A naive
+     single-separator join has both defects: the pair pattern can match a
+     SUFFIX of a longer symbol, and adjacent occurrences share one
+     separator so the second is skipped. The unit test pins this against
+     a pure-Python greedy fold.)
+  3. N_MERGES rounds: count adjacent symbol pairs weighted by word count
+     (overlapping occurrences count, the standard statistic), pick the
+     max with a total tie-break (count desc, then pair lexicographic),
+     apply the merge, repeat.
+
+Determinism: pair counts are exact integers; the winner selection is a
+total order; symbol strings compare bytewise identically on both engines
+— so the DuckDB oracle (the same recurrence unrolled as chained CTEs)
+hash-matches every round.
+
+Scale shape: the word-count relation is cached once (at 100 TB: a few
+hundred MB of vocabulary — Heaps' law); every iteration touches only that
+relation (pair explode -> one shuffle over <= |pairs| groups -> 1-row
+top-k -> broadcast back). Iteration count is a bounded constant. The
+corpus itself is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cachereg import cache_eager
+from ..sources.loader import spread, table
+
+N_MERGES = 6
+SEP = chr(31)  # ASCII unit separator; never occurs in whitespace-split tokens
+
+
+def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """The first ``n_merges`` BPE merges learned from ``docs`` (needs a
+    ``text`` column): one row per merge rank with the pair, the merged
+    symbol, and the pair's weighted frequency at selection time."""
+    toks = spread(docs).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    # state string: every 1-char symbol wrapped as SEP||s||SEP
+    words = cache_eager(
+        toks.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr(
+                "concat(chr(31), array_join(split(w, ''), chr(31) || chr(31)), chr(31))"
+            ).alias("symstr"),
+            "cnt",
+        )
+    )
+    # adjacent symbol pairs of the unwrapped state; a 1-symbol word has no
+    # pairs (guarded CASE — Spark's sequence(1, 0) is descending, see the
+    # sibling lesson in dedup._shingles_raw_from)
+    pairs_expr = (
+        "transform(CASE WHEN size(sy) >= 2 THEN sequence(1, size(sy) - 1, 1) "
+        "ELSE array() END, "
+        "j -> struct(element_at(sy, j) AS s1, element_at(sy, j + 1) AS s2))"
+    )
+    merge_rows = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn(
+                "sy",
+                F.expr(
+                    "split(trim(BOTH chr(31) FROM symstr), chr(31) || chr(31))"
+                ),
+            )
+            .select("cnt", F.explode(F.expr(pairs_expr)).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = cache_eager(
+            pairs.orderBy(F.col("c").desc(), "s1", "s2")
+            .limit(1)
+            # per-iteration column names: the loop re-joins descendants of
+            # the same lineage (the PageRank-kernel aliasing lesson)
+            .select(
+                F.col("s1").alias(f"__m{it}_s1"),
+                F.col("s2").alias(f"__m{it}_s2"),
+                F.col("c").alias(f"__m{it}_c"),
+            )
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(it).cast("int").alias("merge_rank"),
+                F.col(f"__m{it}_s1").alias("s1"),
+                F.col(f"__m{it}_s2").alias("s2"),
+                F.concat(F.col(f"__m{it}_s1"), F.col(f"__m{it}_s2")).alias(
+                    "merged"
+                ),
+                F.col(f"__m{it}_c").cast("bigint").alias("pair_count"),
+            )
+        )
+        words = cache_eager(
+            words.crossJoin(F.broadcast(top)).select(
+                F.expr(
+                    f"replace(symstr, "
+                    f"chr(31) || __m{it}_s1 || chr(31) || chr(31) || __m{it}_s2 || chr(31), "
+                    f"chr(31) || __m{it}_s1 || __m{it}_s2 || chr(31))"
+                ).alias("symstr"),
+                "cnt",
+            )
+        )
+    out = merge_rows[0]
+    for r in merge_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_rank")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training on the ``documents`` table."""
+    return bpe_merges_from(table(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe() -> str:
+    ctes = [
+        r"""w0 AS (
+  SELECT chr(31) || rtrim(regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g'), chr(31)) || chr(31) AS symstr,
+         count(*) AS cnt
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+  )
+  WHERE w != ''
+  GROUP BY w
+)"""
+    ]
+    for it in range(1, N_MERGES + 1):
+        ctes.append(
+            f"""p{it} AS (
+  SELECT pr['s1'] AS s1, pr['s2'] AS s2, sum(cnt) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(sy)),
+                  j -> {{'s1': sy[j], 's2': sy[j + 1]}})) AS pr, cnt
+    FROM (SELECT string_split(trim(symstr, chr(31)), chr(31) || chr(31)) AS sy, cnt FROM w{it - 1})
+  )
+  GROUP BY 1, 2
+),
+t{it} AS (SELECT s1, s2, c FROM p{it} ORDER BY c DESC, s1, s2 LIMIT 1),
+w{it} AS (
+  SELECT replace(symstr,
+                 chr(31) || s1 || chr(31) || chr(31) || s2 || chr(31),
+                 chr(31) || s1 || s2 || chr(31)) AS symstr, cnt
+  FROM w{it - 1}, t{it}
+)"""
+        )
+    legs = "\nUNION ALL ".join(
+        f"SELECT CAST({it} AS INT) AS merge_rank, s1, s2, s1 || s2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM t{it}"
+        for it in range(1, N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + legs + "\nORDER BY merge_rank"
+
+
+ORACLE_BPE_MERGES = _oracle_bpe()
+
+
+QUERIES = {
+    "bpe_merge_training": q_bpe_merges,
+}
+
+ORACLES = {
+    "bpe_merge_training": ORACLE_BPE_MERGES,
+}

@@ -523,3 +523,73 @@ def test_simhash_signature_matches_python(spark, texts):
         df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
         got = {r.doc_id: r.simhash for r in dedup._simhash(spark, d).collect()}
     assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training vs a pure-Python greedy implementation
+
+
+def _py_bpe(texts, n_merges):
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.strip().split() if w)
+    state = [(list(w), c) for w, c in wc.items()]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, c in state:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c  # overlapping occurrences count
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, s1, s2, s1 + s2, c))
+        new_state = []
+        for syms, cnt in state:
+            out, i = [], 0
+            while i < len(syms):  # greedy left-to-right non-overlapping
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state.append((out, cnt))
+        state = new_state
+    return merges
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aaaa", "abab", "ab", "ba", "xa", "b", "aab", "x"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_merges_match_python_greedy(spark, texts):
+    # the word set is chosen adversarially for the string-encoded merge
+    # apply: runs ("aaaa" — non-overlap parity), adjacent occurrences
+    # ("abab" — shared-boundary skips), and suffix collisions ("xa" + "b"
+    # must NOT merge as (a, b))
+    import tempfile
+
+    from sap_sql_engine_spark.operators import bpe
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            (r.merge_rank, r.s1, r.s2, r.merged, r.pair_count)
+            for r in bpe.bpe_merges_from(
+                spark.read.parquet(f"{d}/documents.parquet"), n_merges=3
+            ).collect()
+        ]
+    assert got == _py_bpe(texts, 3)  # 3 rounds cover all adversarial cases
