@@ -54,10 +54,10 @@ N_MERGES = 6
 SEP = chr(31)  # ASCII unit separator; never occurs in whitespace-split tokens
 
 
-def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """The first ``n_merges`` BPE merges learned from ``docs`` (needs a
-    ``text`` column): one row per merge rank with the pair, the merged
-    symbol, and the pair's weighted frequency at selection time."""
+def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """Run the merge loop; returns (one-row merge DataFrames, the final
+    (w, symstr, cnt) vocabulary state) so both the training report and
+    the token-count apply share one implementation."""
     toks = spread(docs).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
@@ -67,6 +67,7 @@ def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "w",
             F.expr(
                 "concat(chr(31), array_join(split(w, ''), chr(31) || chr(31)), chr(31))"
             ).alias("symstr"),
@@ -118,6 +119,7 @@ def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         )
         words = cache_eager(
             words.crossJoin(F.broadcast(top)).select(
+                "w",
                 F.expr(
                     f"replace(symstr, "
                     f"chr(31) || __m{it}_s1 || chr(31) || chr(31) || __m{it}_s2 || chr(31), "
@@ -126,6 +128,14 @@ def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
                 "cnt",
             )
         )
+    return merge_rows, words
+
+
+def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """The first ``n_merges`` BPE merges learned from ``docs`` (needs a
+    ``text`` column): one row per merge rank with the pair, the merged
+    symbol, and the pair's weighted frequency at selection time."""
+    merge_rows, _ = _train(docs, n_merges)
     out = merge_rows[0]
     for r in merge_rows[1:]:
         out = out.unionByName(r)
@@ -137,10 +147,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_from(table(spark, sf_dir, "documents"))
 
 
-def _oracle_bpe() -> str:
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained BPE merges — the
+    accounting a pipeline runs to budget training FLOPs/context packing
+    with the REAL tokenizer rather than a whitespace proxy.
+
+    Scale shape — train vocab-side, apply via join, never re-segment the
+    corpus: the merge loop leaves a (word -> final symbol string) map
+    whose size is the VOCABULARY (Heaps-bounded); per-word token count is
+    one map-side ``size(split(...))`` over that relation; the corpus word
+    stream then joins the map on the word key (no broadcast hint — at
+    web scale the vocabulary is fact-sized and AQE decides) and one
+    doc_id aggregation emits integer counts. Exactly two full-volume
+    passes over the corpus total (train tokenization + apply join), both
+    unavoidable."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _train(docs, N_MERGES)
+    per_word = vocab.select(
+        "w",
+        F.expr(
+            "size(split(trim(BOTH chr(31) FROM symstr), chr(31) || chr(31)))"
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    stream = spread(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        stream.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_ctes() -> str:
+    """The shared CTE chain: w0..wN vocabulary states (word carried
+    through) and t1..tN winning pairs."""
     ctes = [
         r"""w0 AS (
-  SELECT chr(31) || rtrim(regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g'), chr(31)) || chr(31) AS symstr,
+  SELECT w,
+         chr(31) || rtrim(regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g'), chr(31)) || chr(31) AS symstr,
          count(*) AS cnt
   FROM (
     SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
@@ -161,27 +211,49 @@ def _oracle_bpe() -> str:
 ),
 t{it} AS (SELECT s1, s2, c FROM p{it} ORDER BY c DESC, s1, s2 LIMIT 1),
 w{it} AS (
-  SELECT replace(symstr,
+  SELECT w, replace(symstr,
                  chr(31) || s1 || chr(31) || chr(31) || s2 || chr(31),
                  chr(31) || s1 || s2 || chr(31)) AS symstr, cnt
   FROM w{it - 1}, t{it}
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _oracle_bpe() -> str:
     legs = "\nUNION ALL ".join(
         f"SELECT CAST({it} AS INT) AS merge_rank, s1, s2, s1 || s2 AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM t{it}"
         for it in range(1, N_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + legs + "\nORDER BY merge_rank"
+    return "WITH " + _bpe_ctes() + "\n" + legs + "\nORDER BY merge_rank"
 
 
 ORACLE_BPE_MERGES = _oracle_bpe()
 
+ORACLE_BPE_TOKEN_COUNTS = rf"""
+WITH {_bpe_ctes()},
+vocab AS (
+  SELECT w,
+         CAST(len(string_split(trim(symstr, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_sym
+  FROM w{N_MERGES}
+),
+stream AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+)
+SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+FROM stream JOIN vocab USING (w)
+WHERE w != ''
+GROUP BY doc_id
+"""
+
 
 QUERIES = {
     "bpe_merge_training": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLES = {
     "bpe_merge_training": ORACLE_BPE_MERGES,
+    "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
 }

@@ -593,3 +593,46 @@ def test_bpe_merges_match_python_greedy(spark, texts):
             ).collect()
         ]
     assert got == _py_bpe(texts, 3)  # 3 rounds cover all adversarial cases
+
+
+def test_bpe_token_counts_match_python(spark, tmp_path):
+    # fixed adversarial corpus; mirror = greedy-apply the learned merges
+    # per word, then count symbols per document
+    from sap_sql_engine_spark.operators import bpe
+
+    texts = [
+        "aaaa abab ab ab ba xa b",
+        "aab aab x aaaa",
+        "ab ba ab aaaa abab",
+    ]
+    merges = _py_bpe(texts, bpe.N_MERGES)
+
+    def tokens(word):
+        syms = list(word)
+        for _, s1, s2, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {
+        i: (len(t.split()), sum(tokens(w) for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe.q_bpe_token_counts(spark, sf_dir).collect()
+    }
+    assert got == expected
