@@ -1065,6 +1065,93 @@ FROM coin WHERE u_exact < quality_score
 """
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) over
+    the token frequency spectrum — the companion diagnostic to
+    ``docs_vocab_growth``'s Heaps curve. Natural text sits near slope -1;
+    a much flatter slope means templated/duplicated text (the frequency
+    mass is spread), a much steeper one means a degenerate vocabulary —
+    either way the mix decision reads off this number.
+
+    Determinism (FLOATS.md class C + class A): the two ln() calls are
+    quantized ONCE per token row to integer micro-nats; the OLS
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) are then DECIMAL(38,0)
+    integer sums (associative on any plan), and the slope is one integral
+    quotient: slope_micro = (n*Sxy - Sx*Sy) * 1e6 div (n*Sxx - Sx*Sx) —
+    headroom to ~1e11 types per source inside DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: one (source, token) aggregation over the corpus scan
+    (map-side combined); ranking + regression run on the vocabulary-
+    bounded frequency relation (the per-source window sorts vocab rows,
+    not corpus rows); one row per source out."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    freqs = (
+        toks.filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    )
+    pts = freqs.withColumn("r", rank).select(
+        "source",
+        F.floor(F.log(F.col("r").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    stats = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return stats.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_types"),
+        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("zipf_slope_micro"),
+    ).orderBy("source")
+
+
+ORACLE_ZIPF_SLOPE = r"""
+WITH freqs AS (
+  SELECT source, token, count(*) AS c FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  )
+  WHERE token != ''
+  GROUP BY source, token
+),
+pts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+  FROM freqs
+),
+stats AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_types,
+       CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT) AS zipf_slope_micro
+FROM stats
+ORDER BY source
+"""
+
+
 def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth per source: after each document (in
     doc_id order), the cumulative token volume and cumulative DISTINCT
@@ -1377,6 +1464,7 @@ QUERIES = {
     "text_clean_normalize": q_text_clean_normalize,
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
+    "zipf_slope_fit": q_zipf_slope,
 }
 
 ORACLES = {
@@ -1403,4 +1491,5 @@ ORACLES = {
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
+    "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
 }

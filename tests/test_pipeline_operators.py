@@ -755,6 +755,49 @@ def test_label_confusion_report_margins_consistent(spark, sf_dir):
             assert r.n_actual == agg[r.klass].n_docs
 
 
+def test_zipf_slope_matches_python_ols_on_planted_zipfian(spark, tmp_path):
+    # planted corpus: token w_r appears floor(120/r) times -> ln-ln slope
+    # should land near -1; the assertion is EXACT vs a pure-Python mirror
+    # of the quantized integer OLS, plus the ~-1 window
+    import math
+
+    import pandas as pd
+
+    counts = {f"w{r:02d}": 120 // r for r in range(1, 21)}
+    words = [w for w, c in counts.items() for _ in range(c)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [" ".join(words)],
+            "lang": ["en"],
+            "source": ["s0"],
+            "n_chars": [0],
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    row = textanalysis.q_zipf_slope(spark, sf_dir).collect()[0]
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.floor(math.log(r) * 1e6), math.floor(math.log(c) * 1e6))
+        for r, (_, c) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+    # exact integer division truncating toward zero (Spark div ≡ DuckDB //)
+    expect = abs(num) // abs(den)
+    if (num < 0) != (den < 0):
+        expect = -expect
+    assert row.n_types == n
+    assert row.zipf_slope_micro == expect
+    assert -1_200_000 < row.zipf_slope_micro < -800_000  # ~Zipfian
+
+
 def test_weighted_sample_deterministic_and_weighted(spark, sf_dir):
     a = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
     b = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
