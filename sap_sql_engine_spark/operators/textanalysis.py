@@ -1152,6 +1152,113 @@ ORDER BY source
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row-per-source DATASET CARD: the summary table a corpus
+    release ships next to the data — volume (docs, tokens, vocabulary),
+    exact-duplicate load, label purity (majority declared language and
+    its share), and the Zipf slope diagnostic, all in one relation. A
+    consumer reads mixing weights and red flags off this card before any
+    per-document work; every number is re-derivable because each column
+    is the head of an already-gated operator (exact dedup, zipf fit).
+
+    Every cell is integer or string: token/doc/type counts, integral
+    basis-point shares, micro-unit slope (FLOATS.md class A over the
+    class-C zipf column).
+
+    Scale shape: three corpus-scan aggregations (doc stats, token stats,
+    lang counts) + the vocabulary-bounded zipf fit, all reduced to
+    |sources| rows before a metadata-sized 4-way join — the joins move a
+    handful of rows regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    norm_md5 = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    doc_stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm_md5).alias("distinct_docs"),
+    )
+    toks = spread(docs).select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tok_stats = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("ln").desc(), "lang")
+    )
+    majority = (
+        lang_counts.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            F.col("ln").alias("m_ln"),
+        )
+    )
+    zipf = q_zipf_slope(spark, sf_dir).select("source", "zipf_slope_micro")
+    return (
+        doc_stats.join(tok_stats, "source")
+        .join(majority, "source")
+        .join(zipf, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.expr("n_tokens div n_docs").cast("bigint").alias("mean_doc_tokens"),
+            (F.col("n_docs") - F.col("distinct_docs"))
+            .cast("bigint")
+            .alias("exact_dup_docs"),
+            "majority_lang",
+            F.expr("m_ln * 10000 div n_docs").cast("bigint").alias("majority_lang_bp"),
+            "zipf_slope_micro",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DATASET_CARD = rf"""
+WITH doc_stats AS (
+  SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS distinct_docs
+  FROM documents GROUP BY source
+),
+tok_stats AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+  )
+  WHERE t != ''
+  GROUP BY source
+),
+majority AS (
+  SELECT source, lang AS majority_lang, ln FROM (
+    SELECT source, lang, count(*) AS ln,
+           row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS pick
+    FROM documents GROUP BY source, lang
+  ) WHERE pick = 1
+),
+zipf AS ({ORACLE_ZIPF_SLOPE.replace("ORDER BY source", "")})
+SELECT d.source, n_docs, n_tokens, t.n_types,
+       CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+       CAST(n_docs - distinct_docs AS BIGINT) AS exact_dup_docs,
+       majority_lang,
+       CAST(ln * 10000 // n_docs AS BIGINT) AS majority_lang_bp,
+       zipf_slope_micro
+FROM doc_stats d
+JOIN tok_stats t ON d.source = t.source
+JOIN majority m ON d.source = m.source
+JOIN zipf z ON d.source = z.source
+ORDER BY d.source
+"""
+
+
 def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth per source: after each document (in
     doc_id order), the cumulative token volume and cumulative DISTINCT
@@ -1465,6 +1572,7 @@ QUERIES = {
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
     "zipf_slope_fit": q_zipf_slope,
+    "dataset_card": q_dataset_card,
 }
 
 ORACLES = {
@@ -1492,4 +1600,5 @@ ORACLES = {
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
+    "dataset_card": ORACLE_DATASET_CARD,
 }
