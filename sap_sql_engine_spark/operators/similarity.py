@@ -231,11 +231,66 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-dup CLUSTERS: connected components
+    over the cosine near-dup pair graph, with cluster_id = min vec_id,
+    cluster size, and the keep-one representative flag — the embedding
+    twin of ``dedup_neardup_clusters`` (shingle space). A pipeline that
+    dedups on meaning rather than surface form keeps
+    ``is_representative = 1`` and drops the rest.
+
+    Composition of the gated banded-LSH pair query and the min-label
+    propagation kernel (``dedup.connected_components`` — the same
+    bounded-round, two-shuffles-per-round loop the Jaccard clusters use);
+    the DuckDB oracle recomputes reachability with a literal recursive
+    CTE over the brute-force pair SQL, so the gate pins the composed
+    semantics AND the banding recall at once."""
+    from .dedup import connected_components
+
+    pairs = q_embedding_neardup_pairs(spark, sf_dir).select("v1", "v2")
+    comp = connected_components(pairs, src="v1", dst="v2")
+    return (
+        comp.select(
+            F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn(
+            "is_representative",
+            (F.col("vec_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+
+
 ORACLE_EMBEDDING_NEARDUP = f"""
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        round({_o_cos("a.embedding", "b.embedding")}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_o_cos("a.embedding", "b.embedding")}, 6) >= {NEARDUP_COS}
+"""
+
+
+# min-reachable-label components over the brute-force pair SQL — the same
+# recursive-CTE skeleton as dedup's ORACLE_NEARDUP_CLUSTERS
+ORACLE_EMBEDDING_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_EMBEDDING_NEARDUP}),
+edges AS (
+  SELECT v1 AS a, v2 AS b FROM pairs
+  UNION ALL
+  SELECT v2 AS a, v1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(vec_id = cluster_id AS INT) AS is_representative
+FROM comp
 """
 
 
@@ -1106,6 +1161,7 @@ ORACLE_ANN_RECALL = _oracle_recall()
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_pq_adc": q_ann_pq_adc,
@@ -1119,6 +1175,7 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
+    "embedding_neardup_clusters": ORACLE_EMBEDDING_NEARDUP_CLUSTERS,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_pq_adc": ORACLE_ANN_PQ,
