@@ -1259,6 +1259,112 @@ ORDER BY d.source
 """
 
 
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain shift between sources: KL(P_s1 || P_s2) over unigram
+    distributions, in integer micro-nats, for every ordered source pair —
+    the quantitative answer to "how different is this corpus slice from
+    that one" that drives mixing and domain-adaptation decisions (a near-
+    zero KL pair is redundant data; an extreme pair needs its own mixing
+    weight). Laplace add-1 smoothing on the reference side keeps the
+    quotient finite off-support.
+
+    Determinism (FLOATS.md class C): per (token, pair) row ONE ln of the
+    exact rational c1*(T2+V) / (T1*(c2+1)) is floor-quantized to integer
+    micro-nats; the weighted sum c1*lnq accumulates in DECIMAL(38,0); the
+    final division by T1 is integral. BIGINT->double conversion and the
+    IEEE division feeding ln are bit-identical on both engines.
+
+    Scale shape: one (source, token) aggregation over the corpus scan;
+    everything after runs on the vocabulary-bounded count relation —
+    the pair expansion is |vocab_s1| x |sources| rows (sources are a
+    handful), joined per (token, source) with no broadcast hints needed
+    beyond the |sources|-row totals."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = cache_eager(
+        toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    vocab_n = counts.select("token").distinct().count()  # scalar metadata probe
+    a = counts.join(totals, "source").select(
+        F.col("source").alias("s1"), "token", F.col("c").alias("c1"),
+        F.col("t").alias("t1"),
+    )
+    bt = totals.select(F.col("source").alias("s2"), F.col("t").alias("t2"))
+    bc = counts.select(
+        F.col("source").alias("s2c"),
+        F.col("token").alias("tok2"),
+        F.col("c").alias("c2"),
+    )
+    base = a.join(F.broadcast(bt), F.col("s1") != F.col("s2"))
+    j = base.join(
+        bc,
+        (F.col("s2") == F.col("s2c")) & (F.col("token") == F.col("tok2")),
+        "left",
+    ).select(
+        "s1", "s2", "c1", "t1", "t2",
+        F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+    )
+    lnq = F.floor(
+        F.log(
+            (F.col("c1") * (F.col("t2") + F.lit(vocab_n))).cast("double")
+            / (F.col("t1") * (F.col("c2") + 1)).cast("double")
+        )
+        * 1_000_000
+    ).cast("decimal(38,0)")
+    return (
+        j.select("s1", "s2", (F.col("c1").cast("decimal(38,0)") * lnq).alias("w"), "t1")
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.max("t1").alias("t1"),
+        )
+        .select(
+            "s1",
+            "s2",
+            F.expr("sw div t1").cast("bigint").alias("kl_micro_nats"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+ORACLE_SOURCE_KL = r"""
+WITH counts AS (
+  SELECT source, token, count(*) AS c FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  )
+  WHERE token != ''
+  GROUP BY source, token
+),
+totals AS (SELECT source, sum(c) AS t FROM counts GROUP BY source),
+v AS (SELECT count(DISTINCT token) AS vn FROM counts),
+j AS (
+  SELECT a.source AS s1, bt.source AS s2, a.c AS c1, ta.t AS t1, bt.t AS t2,
+         COALESCE(bc.c, 0) AS c2, vn
+  FROM counts a
+  JOIN totals ta ON a.source = ta.source
+  JOIN totals bt ON bt.source != a.source
+  LEFT JOIN counts bc ON bc.source = bt.source AND bc.token = a.token
+  CROSS JOIN v
+),
+terms AS (
+  SELECT s1, s2, t1,
+         CAST(c1 AS HUGEINT) * CAST(floor(ln(
+           CAST(c1 * (t2 + vn) AS DOUBLE) / CAST(t1 * (c2 + 1) AS DOUBLE)
+         ) * 1000000) AS HUGEINT) AS w
+  FROM j
+)
+SELECT s1, s2, CAST(sum(w) // CAST(max(t1) AS HUGEINT) AS BIGINT) AS kl_micro_nats
+FROM terms
+GROUP BY s1, s2
+ORDER BY s1, s2
+"""
+
+
 def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth per source: after each document (in
     doc_id order), the cumulative token volume and cumulative DISTINCT
@@ -1573,6 +1679,7 @@ QUERIES = {
     "docs_vocab_growth": q_docs_vocab_growth,
     "zipf_slope_fit": q_zipf_slope,
     "dataset_card": q_dataset_card,
+    "source_kl_divergence": q_source_kl_divergence,
 }
 
 ORACLES = {
@@ -1601,4 +1708,5 @@ ORACLES = {
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "dataset_card": ORACLE_DATASET_CARD,
+    "source_kl_divergence": ORACLE_SOURCE_KL,
 }

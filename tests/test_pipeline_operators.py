@@ -798,6 +798,35 @@ def test_zipf_slope_matches_python_ols_on_planted_zipfian(spark, tmp_path):
     assert -1_200_000 < row.zipf_slope_micro < -800_000  # ~Zipfian
 
 
+def test_source_kl_divergence_planted(spark, tmp_path):
+    # twin sources (identical text) must sit near 0 (add-1 smoothing keeps
+    # it slightly positive); a disjoint-vocabulary source must dominate
+    import pandas as pd
+
+    same = "alpha beta gamma delta alpha beta alpha"
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [same, same, "zebra yak xylo walrus zebra yak zebra"],
+            "lang": ["en"] * 3,
+            "source": ["twin_a", "twin_b", "other"],
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    kl = {
+        (r.s1, r.s2): r.kl_micro_nats
+        for r in textanalysis.q_source_kl_divergence(spark, sf_dir).collect()
+    }
+    assert len(kl) == 6  # 3 sources, ordered pairs
+    twin = kl[("twin_a", "twin_b")]
+    cross = kl[("twin_a", "other")]
+    assert 0 <= twin < 600_000  # ~0 up to smoothing
+    assert cross > twin + 1_000_000  # disjoint vocab >> twins
+    assert kl[("twin_a", "twin_b")] == kl[("twin_b", "twin_a")]  # symmetric corpus
+
+
 def test_weighted_sample_deterministic_and_weighted(spark, sf_dir):
     a = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
     b = {r.doc_id for r in textanalysis.q_docs_weighted_sample(spark, sf_dir).collect()}
