@@ -1278,23 +1278,11 @@ SELECT (SELECT count(*) FROM splits WHERE is_eval = 0) AS n_train,
 # The capstone composition: corpus release funnel
 
 
-def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END release pipeline as one gated query: how many
-    documents survive each stage a training-corpus release runs, in
-    order — language filter, quality filter, exact dedup (keep-first),
-    near-dup dedup (Jaccard clusters, keep the representative), and
-    decontamination (drop the benchmark slice AND every doc 3-gram-
-    overlapping it). Six (stage, stage_name, docs) rows; the DuckDB
-    oracle recomputes the ENTIRE chain — including the recursive-CTE
-    connected components — so the gate hashes the composition, not just
-    the stages it borrows from.
-
-    Composition economics at 100 TB: every stage reuses the machinery
-    already audited in isolation (``quality_expr``, ``fingerprint_col``,
-    ``jaccard_pairs``, ``connected_components``, the contamination
-    broadcast probe), stages only ever shrink the relation, and the two
-    cached frontiers (post-exact, post-neardup) are the natural
-    checkpoint tables a real pipeline writes between stages."""
+def _release_stages(spark: SparkSession, sf_dir: str):
+    """The six release-pipeline frontiers (docs, s1..s5) shared by the
+    funnel (stage counts) and the per-doc provenance (removal reasons):
+    language filter -> quality filter -> exact dedup (keep-first) ->
+    near-dup dedup (cluster representatives) -> decontamination."""
     from .textanalysis import QUALITY_KEEP, fingerprint_col, quality_expr
 
     docs = table(spark, sf_dir, "documents")
@@ -1337,6 +1325,27 @@ def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s5 = s4.filter(F.col("source") != CONTAM_BENCH_SOURCE).join(
         contaminated, "doc_id", "left_anti"
     )
+    return docs, s1, s2, s3, s4, s5
+
+
+def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END release pipeline as one gated query: how many
+    documents survive each stage a training-corpus release runs, in
+    order — language filter, quality filter, exact dedup (keep-first),
+    near-dup dedup (Jaccard clusters, keep the representative), and
+    decontamination (drop the benchmark slice AND every doc 3-gram-
+    overlapping it). Six (stage, stage_name, docs) rows; the DuckDB
+    oracle recomputes the ENTIRE chain — including the recursive-CTE
+    connected components — so the gate hashes the composition, not just
+    the stages it borrows from.
+
+    Composition economics at 100 TB: every stage reuses the machinery
+    already audited in isolation (``quality_expr``, ``fingerprint_col``,
+    ``jaccard_pairs``, ``connected_components``, the contamination
+    broadcast probe), stages only ever shrink the relation, and the two
+    cached frontiers (post-exact, post-neardup) are the natural
+    checkpoint tables a real pipeline writes between stages."""
+    docs, s1, s2, s3, s4, s5 = _release_stages(spark, sf_dir)
 
     stages = [
         ("total", docs),
@@ -1360,7 +1369,44 @@ def q_corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _oracle_release_funnel() -> str:
+def q_corpus_doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal attribution for the release pipeline: every
+    doc_id with the FIRST stage that dropped it ('lang_filter',
+    'quality_filter', 'exact_dup', 'neardup_dup', 'contaminated',
+    'benchmark_holdout') or 'survived' — the audit ledger that answers
+    "why is my document not in the release?" at document granularity,
+    the per-doc twin of ``corpus_release_funnel``'s stage counts.
+
+    Same frontiers, different projection: membership in each cached
+    frontier attaches as a doc_id-keyed left join flag (five co-keyed
+    joins over shrinking id sets — no broadcast hints, AQE decides), and
+    the reason is one CASE read from the deepest surviving frontier
+    outward. The oracle recomputes the whole chain (recursive-CTE
+    components included) and the same CASE."""
+    docs, s1, s2, s3, s4, s5 = _release_stages(spark, sf_dir)
+    base = docs.select("doc_id", "source")
+    for i, frontier in ((1, s1), (2, s2), (3, s3), (4, s4), (5, s5)):
+        flag = frontier.select("doc_id", F.lit(1).alias(f"in{i}"))
+        base = base.join(flag, "doc_id", "left")
+    outcome = (
+        F.when(F.col("in5").isNotNull(), "survived")
+        .when(
+            F.col("in4").isNotNull()
+            & (F.col("source") == CONTAM_BENCH_SOURCE),
+            "benchmark_holdout",
+        )
+        .when(F.col("in4").isNotNull(), "contaminated")
+        .when(F.col("in3").isNotNull(), "neardup_dup")
+        .when(F.col("in2").isNotNull(), "exact_dup")
+        .when(F.col("in1").isNotNull(), "quality_filter")
+        .otherwise("lang_filter")
+    )
+    return base.select("doc_id", "source", outcome.alias("outcome"))
+
+
+def _oracle_release_ctes() -> str:
+    """The shared WITH-clause body (s1..s5 frontiers) for the funnel and
+    the per-doc provenance oracles."""
     from .textanalysis import O_QUALITY_EXPR, QUALITY_KEEP
 
     pairs_sql = ORACLE_NGRAM_JACCARD.replace("FROM documents", "FROM s3")
@@ -1421,7 +1467,13 @@ s5 AS (
   SELECT * FROM s4
   WHERE source <> '{CONTAM_BENCH_SOURCE}'
     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-)
+)"""
+
+
+def _oracle_release_funnel() -> str:
+    return (
+        _oracle_release_ctes()
+        + """
 SELECT 0 AS stage, 'total' AS stage_name, count(*) AS docs FROM documents
 UNION ALL SELECT 1, 'lang_filter', count(*) FROM s1
 UNION ALL SELECT 2, 'quality_filter', count(*) FROM s2
@@ -1429,6 +1481,29 @@ UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
 UNION ALL SELECT 4, 'neardup_dedup', count(*) FROM s4
 UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5
 """
+    )
+
+
+def _oracle_doc_provenance() -> str:
+    return (
+        _oracle_release_ctes()
+        + f"""
+SELECT d.doc_id, d.source,
+       CASE WHEN i5.doc_id IS NOT NULL THEN 'survived'
+            WHEN i4.doc_id IS NOT NULL AND d.source = '{CONTAM_BENCH_SOURCE}' THEN 'benchmark_holdout'
+            WHEN i4.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN i3.doc_id IS NOT NULL THEN 'neardup_dup'
+            WHEN i2.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN i1.doc_id IS NOT NULL THEN 'quality_filter'
+            ELSE 'lang_filter' END AS outcome
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM s1) i1 ON d.doc_id = i1.doc_id
+LEFT JOIN (SELECT doc_id FROM s2) i2 ON d.doc_id = i2.doc_id
+LEFT JOIN (SELECT doc_id FROM s3) i3 ON d.doc_id = i3.doc_id
+LEFT JOIN (SELECT doc_id FROM s4) i4 ON d.doc_id = i4.doc_id
+LEFT JOIN (SELECT doc_id FROM s5) i5 ON d.doc_id = i5.doc_id
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1539,6 +1614,7 @@ QUERIES = {
     "split_leakage_report": q_split_leakage_report,
     "corpus_release_funnel": q_corpus_release_funnel,
     "source_overlap_minhash": q_source_overlap_minhash,
+    "corpus_doc_provenance": q_corpus_doc_provenance,
 }
 
 ORACLES = {
@@ -1558,4 +1634,5 @@ ORACLES = {
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "corpus_release_funnel": _oracle_release_funnel(),
     "source_overlap_minhash": ORACLE_SOURCE_OVERLAP,
+    "corpus_doc_provenance": _oracle_doc_provenance(),
 }

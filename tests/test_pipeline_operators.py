@@ -894,6 +894,29 @@ def test_short_docs_do_not_crash_token_operators(spark, tmp_path):
     assert overlap == []
 
 
+def test_doc_provenance_reconciles_with_funnel(spark, sf_dir):
+    # per-doc removal reasons must sum exactly to the funnel's stage deltas
+    from collections import Counter
+
+    funnel = {
+        r.stage_name: r.docs
+        for r in dedup.q_corpus_release_funnel(spark, sf_dir).collect()
+    }
+    prov = Counter(
+        r.outcome for r in dedup.q_corpus_doc_provenance(spark, sf_dir).collect()
+    )
+    assert sum(prov.values()) == funnel["total"]
+    assert prov["survived"] == funnel["decontaminated"]
+    assert prov["lang_filter"] == funnel["total"] - funnel["lang_filter"]
+    assert prov["quality_filter"] == funnel["lang_filter"] - funnel["quality_filter"]
+    assert prov["exact_dup"] == funnel["quality_filter"] - funnel["exact_dedup"]
+    assert prov["neardup_dup"] == funnel["exact_dedup"] - funnel["neardup_dedup"]
+    assert (
+        prov["contaminated"] + prov["benchmark_holdout"]
+        == funnel["neardup_dedup"] - funnel["decontaminated"]
+    )
+
+
 def test_neardup_survivors_accounting(spark, sf_dir):
     rows = dedup.q_dedup_neardup_survivors(spark, sf_dir).collect()
     assert rows
