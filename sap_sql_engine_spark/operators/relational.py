@@ -430,6 +430,152 @@ ORDER BY revenue DESC
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q7/Q8 shapes: bilateral trade volume and market share — the classic
+# cross-nation analytics the engine should express verbatim.
+
+VS_NATION_A = "NATION_3"  # synthetic corpus names (TESTDATA.md)
+VS_NATION_B = "NATION_7"
+MS_NATION = "NATION_5"
+MS_REGION = "AMERICA"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade revenue between two nations by
+    ship year — supplier nation on one side, customer nation on the
+    other, disjunctive pair predicate.
+
+    Scale shape: the disjunction pushes into the two broadcast nation
+    dims BEFORE the fact joins (each side filtered to the 2-row nation
+    subset), so lineitem ⋈ orders stays the only fact-fact co-shuffle
+    and the pair predicate prunes everything else map-side."""
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(VS_NATION_A, VS_NATION_B))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(VS_NATION_A, VS_NATION_B))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(out2(F.sum(money("l_extendedprice") * disc)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{VS_NATION_A}', '{VS_NATION_B}')
+  AND n2.n_name IN ('{VS_NATION_A}', '{VS_NATION_B}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of a region's customer
+    market by order year, emitted as integral basis points — both the
+    numerator and denominator are exact DECIMAL cent sums, converted to
+    integer cents before one integral division (FLOATS.md class A; no
+    double division in the emitted cell)."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == MS_REGION)
+    n_c = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_s = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    vol = F.sum(money("l_extendedprice") * disc)
+    nat_vol = F.sum(
+        F.when(
+            F.col("supp_nation") == MS_NATION, money("l_extendedprice") * disc
+        ).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(
+            F.broadcast(region.select("r_regionkey")),
+            F.col("cn_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(vol.alias("tot"), nat_vol.alias("nat"))
+        .select(
+            "o_year",
+            out2(F.col("nat")).alias("nation_revenue"),
+            out2(F.col("tot")).alias("market_revenue"),
+            # DECIMAL scale-6 sums shifted to exact integers, then one
+            # integral division — Spark `div` ≡ DuckDB `//`
+            F.expr(
+                "CAST((CAST(nat * 1000000 AS DECIMAL(38,0)) * 10000) "
+                "div CAST(tot * 1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+WITH vols AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS tot,
+         sum(CASE WHEN ns.n_name = '{MS_NATION}'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{MS_REGION}'
+  GROUP BY 1
+)
+SELECT o_year,
+       round(CAST(nat AS DOUBLE), 2) AS nation_revenue,
+       round(CAST(tot AS DOUBLE), 2) AS market_revenue,
+       CAST((CAST(nat * 1000000 AS HUGEINT) * 10000) // CAST(tot * 1000000 AS HUGEINT) AS BIGINT) AS share_bp
+FROM vols
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # J3: left outer join + COALESCE — reference LEFT JOIN SKAT text lookups
 # with COALESCE defaults (sap_semantic_model.json:7211; 27 LEFT JOINs).
 # Nations with zero customers must appear with 0.
@@ -1744,6 +1890,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "revenue_by_region": q_revenue_by_region,
+    "volume_shipping_pairs": q_volume_shipping,
+    "nation_market_share": q_market_share,
     "nation_customer_counts": q_nation_customer_counts,
     "above_nation_average": q_above_nation_average,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1786,6 +1934,8 @@ ORACLES = {
     "customers_without_orders": ORACLE_ANTI_JOIN,
     "customers_with_urgent_orders": ORACLE_SEMI_JOIN,
     "revenue_by_region": ORACLE_REVENUE_BY_REGION,
+    "volume_shipping_pairs": ORACLE_VOLUME_SHIPPING,
+    "nation_market_share": ORACLE_MARKET_SHARE,
     "nation_customer_counts": ORACLE_NATION_CUSTOMER_COUNTS,
     "above_nation_average": ORACLE_ABOVE_NATION_AVG,
     "top_orders_per_segment": ORACLE_TOP_PER_SEGMENT,
