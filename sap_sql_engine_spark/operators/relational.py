@@ -494,6 +494,61 @@ ORDER BY 1, 2, 3
 """
 
 
+LV_QTY_THRESHOLD = 250  # Q18's "large volume" order-quantity cutoff
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose TOTAL line
+    quantity exceeds a threshold — the grouped-HAVING-IN-subquery
+    pattern, expressed as an aggregate-then-semi-join.
+
+    Scale shape: the qualifying order set comes from ONE map-side-
+    combined aggregation of lineitem (integer quantity sums), and the
+    order/lineitem re-join consumes that (small, threshold-pruned) set —
+    AQE broadcasts it when small, shuffles when the threshold admits
+    many orders. Quantities are integer-valued DECIMALs, so the sum and
+    the threshold compare are exact."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > LV_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            out2(F.col("o_totalprice").cast(DEC)).alias("totalprice"),
+            out2(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+    )
+
+
+ORACLE_LARGE_VOLUME = f"""
+SELECT c_name,
+       o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS totalprice,
+       round(CAST(tq.total_qty AS DOUBLE), 2) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {LV_QTY_THRESHOLD}
+) tq ON o_orderkey = tq.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+"""
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's supplier share of a region's customer
     market by order year, emitted as integral basis points — both the
@@ -1892,6 +1947,7 @@ QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "volume_shipping_pairs": q_volume_shipping,
     "nation_market_share": q_market_share,
+    "large_volume_customers": q_large_volume_customers,
     "nation_customer_counts": q_nation_customer_counts,
     "above_nation_average": q_above_nation_average,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1936,6 +1992,7 @@ ORACLES = {
     "revenue_by_region": ORACLE_REVENUE_BY_REGION,
     "volume_shipping_pairs": ORACLE_VOLUME_SHIPPING,
     "nation_market_share": ORACLE_MARKET_SHARE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME,
     "nation_customer_counts": ORACLE_NATION_CUSTOMER_COUNTS,
     "above_nation_average": ORACLE_ABOVE_NATION_AVG,
     "top_orders_per_segment": ORACLE_TOP_PER_SEGMENT,
