@@ -1045,6 +1045,149 @@ GROUP BY label
 ORACLE_EMBEDDING_KNN = _oracle_knn_accuracy()
 
 
+# ---------------------------------------------------------------------------
+# On-engine deterministic k-means (Lloyd's) over the embedding corpus
+
+KM_K = 8  # clusters; seeds = vec_id 0..7 (deterministic, every sf has them)
+KM_ITERS = 3  # bounded Lloyd rounds
+KM_Q = 1_000_000  # micro-unit quantization for distances and components
+
+
+def q_kmeans_embedding_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means fitted ON-ENGINE over the embedding corpus —
+    KM_ITERS bounded rounds, then the final assignment's per-cluster
+    size and inertia. This is the clustering step a pipeline runs to
+    train IVF coarse quantizers / diversity buckets on the corpus itself
+    (the frozen ``ivf_centroids`` codebook was trained offline in numpy;
+    this closes the loop with the same algorithm as a gated query).
+
+    Determinism: distances quantize ONCE per (vector, centroid) to
+    integer micro-units before the argmin (ties broken by cluster id —
+    a total order), and centroid updates use the integer-quantized
+    component-mean recipe from ``embedding_outlier`` (floor(v*1e6) BIGINT
+    sums are associative; the division back to double is exact-input).
+    Inertia is an integer sum of the quantized distances. The DuckDB
+    oracle unrolls the identical recurrence as chained CTEs.
+
+    Scale shape: each round is (a) assignment — K centroids broadcast
+    into a map pass over the corpus, one vec-keyed reduction for the
+    argmin; and (b) update — one (cluster, dim) integer aggregation
+    (<= K*DIM groups, map-side combined). Seeds are fixed rows (k-means||
+    sampling would replace them at production K). Empty clusters drop
+    out deterministically on both engines."""
+    emb = cache_eager(
+        spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    )
+    cent = emb.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.expr(
+            "aggregate(zip_with(embedding, centroid, "
+            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+            "0D, (acc, v) -> acc + v)"
+        )
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.floor(d2 * KM_Q).cast("bigint").alias("d2u"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2u", "cid")
+        )
+        return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    for _ in range(KM_ITERS):
+        assigned = assign(cent)
+        comp = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(
+                    F.expr(f"CAST(floor(CAST(val AS DOUBLE) * {KM_Q}) AS BIGINT)")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+        cent = cache_eager(
+            comp.groupBy("cid").agg(
+                F.expr(
+                    f"transform(array_sort(collect_list(struct(pos, sq, cnt))), "
+                    f"s -> CAST(s.sq AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * {KM_Q}))"
+                ).alias("centroid")
+            )
+        )
+    final = assign(cent)
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2u").alias("inertia_micro"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_kmeans() -> str:
+    dist_u = (
+        "CAST(floor(list_sum(list_transform(range(1, {dim} + 1), p -> "
+        "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]) * "
+        "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]))) * {q}) AS BIGINT)"
+    ).format(dim=DIM, q=KM_Q)
+    ctes = [
+        f"""c0 AS (
+  SELECT vec_id AS cid,
+         list_transform(range(1, {DIM} + 1), p -> CAST(embedding[p] AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {KM_K}
+)"""
+    ]
+    for it in range(1, KM_ITERS + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_u}, c.cid) AS rn
+    FROM embeddings e, c{it - 1} c
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT cid, list(comp ORDER BY pos) AS centroid FROM (
+    SELECT cid, p AS pos,
+           CAST(sum(CAST(floor(CAST(embedding[p] AS DOUBLE) * {KM_Q}) AS BIGINT)) AS DOUBLE)
+             / (count(*) * {KM_Q}) AS comp
+    FROM a{it}, range(1, {DIM} + 1) t(p)
+    GROUP BY cid, p
+  ) GROUP BY cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+final AS (
+  SELECT vec_id, cid, d2u FROM (
+    SELECT e.vec_id, c.cid, {dist_u} AS d2u,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_u}, c.cid) AS rn
+    FROM embeddings e, c{KM_ITERS} c
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, count(*) AS n_vecs,
+       CAST(sum(d2u) AS BIGINT) AS inertia_micro
+FROM final
+GROUP BY cid
+ORDER BY cluster_id
+"""
+    )
+
+
+ORACLE_KMEANS = _oracle_kmeans()
+
+
 ANN_RECALL_PROBES = (0, 123, 321)  # query vectors; all exist at every sf
 
 
@@ -1162,6 +1305,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
+    "kmeans_embedding_fit": q_kmeans_embedding_fit,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_pq_adc": q_ann_pq_adc,
@@ -1176,6 +1320,7 @@ ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_clusters": ORACLE_EMBEDDING_NEARDUP_CLUSTERS,
+    "kmeans_embedding_fit": ORACLE_KMEANS,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_pq_adc": ORACLE_ANN_PQ,

@@ -636,3 +636,57 @@ def test_bpe_token_counts_match_python(spark, tmp_path):
         for r in bpe.q_bpe_token_counts(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_kmeans_matches_python_lloyd(spark, sf_dir):
+    # exact-match mirror of the quantized Lloyd recurrence on the real
+    # corpus: quantized distances, (d2u, cid) argmin, integer-quantized
+    # component means — every step replicated in pure Python
+    import math
+
+    from sap_sql_engine_spark.operators import similarity as sim
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    Q = sim.KM_Q
+    cent = {cid: vecs[cid][:] for cid in range(sim.KM_K)}
+
+    def d2u(v, c):
+        s = 0.0
+        for x, y in zip(v, c):
+            s += (x - y) * (x - y)
+        return math.floor(s * Q)
+
+    def assign(cent):
+        out = {}
+        for vid, v in vecs.items():
+            out[vid] = min((d2u(v, c), cid) for cid, c in sorted(cent.items()))
+        return out
+
+    for _ in range(sim.KM_ITERS):
+        a = assign(cent)
+        sums, cnts = {}, {}
+        for vid, (_, cid) in a.items():
+            cnts[cid] = cnts.get(cid, 0) + 1
+            acc = sums.setdefault(cid, [0] * len(vecs[vid]))
+            for p, x in enumerate(vecs[vid]):
+                acc[p] += math.floor(x * Q)
+        cent = {
+            cid: [s / (cnts[cid] * Q) for s in acc]
+            for cid, acc in sums.items()
+        }
+    final = assign(cent)
+    expect = {}
+    for vid, (du, cid) in final.items():
+        n, i = expect.get(cid, (0, 0))
+        expect[cid] = (n + 1, i + du)
+
+    got = {
+        r.cluster_id: (r.n_vecs, r.inertia_micro)
+        for r in sim.q_kmeans_embedding_fit(spark, sf_dir).collect()
+    }
+    assert got == expect
