@@ -1075,6 +1075,22 @@ def q_kmeans_embedding_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= K*DIM groups, map-side combined). Seeds are fixed rows (k-means||
     sampling would replace them at production K). Empty clusters drop
     out deterministically on both engines."""
+    emb, cent, assign = _kmeans_loop(spark, sf_dir)
+    final = assign(cent)
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2u").alias("inertia_micro"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_loop(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd loop: returns (cached corpus, fitted centroid
+    relation, assign function) for the fit-stats query and the fitted-IVF
+    serving query."""
     emb = cache_eager(
         spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     )
@@ -1122,23 +1138,75 @@ def q_kmeans_embedding_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("centroid")
             )
         )
-    final = assign(cent)
-    return (
-        final.groupBy(F.col("cid").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("d2u").alias("inertia_micro"),
+    return emb, cent, assign
+
+
+KM_N_PROBE = 2  # fitted-IVF serving: probe the 2 cells nearest the query
+
+
+def q_ann_ivf_fitted(
+    spark: SparkSession, sf_dir: str, qid: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Train-and-serve END TO END on-engine: IVF top-k where the coarse
+    quantizer is the ``kmeans_embedding_fit`` codebook learned from this
+    corpus in the same query — no offline training step, no frozen
+    literals. Assignment, probe selection (KM_N_PROBE cells nearest the
+    query by quantized distance, ties by cluster id), and the exact
+    cosine re-rank all run under the fitted centroids; the oracle
+    re-derives the entire chain (Lloyd rounds included), so the gate
+    hashes training AND serving as one composition."""
+    emb, cent, assign = _kmeans_loop(spark, sf_dir)
+    assigned = assign(cent)
+    qd = (
+        emb.filter(F.col("vec_id") == qid)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("embedding").alias("qe"),
+            "cid",
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(embedding, centroid, "
+                    "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+                    "0D, (acc, v) -> acc + v)"
+                )
+                * KM_Q
+            )
+            .cast("bigint")
+            .alias("d2u"),
         )
-        .orderBy("cluster_id")
+    )
+    probes = (
+        qd.withColumn(
+            "rn", F.row_number().over(Window.orderBy("d2u", "cid"))
+        )
+        .filter(F.col("rn") <= KM_N_PROBE)
+        .select("qe", F.col("cid").alias("probe_cid"))
+    )
+    return (
+        assigned.filter(F.col("vec_id") != qid)
+        .join(F.broadcast(probes), F.col("cid") == F.col("probe_cid"))
+        .select(
+            "vec_id",
+            F.col("cid").alias("list_id"),
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
     )
 
 
-def _oracle_kmeans() -> str:
-    dist_u = (
-        "CAST(floor(list_sum(list_transform(range(1, {dim} + 1), p -> "
-        "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]) * "
-        "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]))) * {q}) AS BIGINT)"
-    ).format(dim=DIM, q=KM_Q)
+
+
+_KM_DIST_U = (
+    "CAST(floor(list_sum(list_transform(range(1, {dim} + 1), p -> "
+    "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]) * "
+    "(CAST(e.embedding[p] AS DOUBLE) - c.centroid[p]))) * {q}) AS BIGINT)"
+).format(dim=DIM, q=KM_Q)
+
+
+def _kmeans_ctes() -> str:
+    """The Lloyd recurrence (c0..c{KM_ITERS}) plus the final assignment
+    CTE, shared by the fit-stats and fitted-IVF oracles."""
     ctes = [
         f"""c0 AS (
   SELECT vec_id AS cid,
@@ -1151,7 +1219,7 @@ def _oracle_kmeans() -> str:
             f"""a{it} AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_u}, c.cid) AS rn
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST_U}, c.cid) AS rn
     FROM embeddings e, c{it - 1} c
   ) WHERE rn = 1
 ),
@@ -1165,27 +1233,51 @@ c{it} AS (
   ) GROUP BY cid
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-final AS (
-  SELECT vec_id, cid, d2u FROM (
-    SELECT e.vec_id, c.cid, {dist_u} AS d2u,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_u}, c.cid) AS rn
+    ctes.append(
+        f"""final AS (
+  SELECT vec_id, embedding, cid, d2u FROM (
+    SELECT e.vec_id, e.embedding, c.cid, {_KM_DIST_U} AS d2u,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_DIST_U}, c.cid) AS rn
     FROM embeddings e, c{KM_ITERS} c
   ) WHERE rn = 1
-)
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+ORACLE_KMEANS = (
+    "WITH "
+    + _kmeans_ctes()
+    + """
 SELECT cid AS cluster_id, count(*) AS n_vecs,
        CAST(sum(d2u) AS BIGINT) AS inertia_micro
 FROM final
 GROUP BY cid
 ORDER BY cluster_id
 """
-    )
+)
 
 
-ORACLE_KMEANS = _oracle_kmeans()
+ORACLE_ANN_IVF_FITTED = (
+    "WITH "
+    + _kmeans_ctes()
+    + f""",
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY {_KM_DIST_U}, c.cid) AS rn
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) e,
+         c{KM_ITERS} c
+  ) WHERE rn <= {KM_N_PROBE}
+)
+SELECT a.vec_id, a.cid AS list_id,
+       round({_o_cos("a.embedding", "qe")}, 6) AS cosine
+FROM final a, q
+WHERE a.vec_id != {QUERY_VEC_ID} AND a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+)
 
 
 ANN_RECALL_PROBES = (0, 123, 321)  # query vectors; all exist at every sf
@@ -1306,6 +1398,7 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "kmeans_embedding_fit": q_kmeans_embedding_fit,
+    "ann_ivf_fitted": q_ann_ivf_fitted,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_pq_adc": q_ann_pq_adc,
@@ -1321,6 +1414,7 @@ ORACLES = {
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_clusters": ORACLE_EMBEDDING_NEARDUP_CLUSTERS,
     "kmeans_embedding_fit": ORACLE_KMEANS,
+    "ann_ivf_fitted": ORACLE_ANN_IVF_FITTED,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_pq_adc": ORACLE_ANN_PQ,
