@@ -1259,6 +1259,68 @@ ORDER BY d.source
 """
 
 
+def q_docs_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document FEATURE MATRIX a quality classifier trains on:
+    every text signal the engine computes, joined into one wide
+    doc_id-keyed relation — token/char/subword volume, quality ratios,
+    language prediction + label agreement, repetition fractions, and the
+    bigram-LM log-probs. This is the materialize-once export feeding
+    fastText/logreg-style quality models and the ablation dashboards
+    next to them; each column is the head of an already-gated query, so
+    the matrix inherits their determinism classes unchanged.
+
+    Scale shape: the component queries each scan the corpus (the export
+    is a materialize-once artifact; a production pipeline fuses the
+    row-local ones into a single pass — the LM score genuinely needs its
+    own aggregation pair), and the join is doc_id-keyed co-partitioned
+    all the way. LM columns are NULL for <2-token docs (left join),
+    stated identically in the oracle."""
+    ts = q_token_stats(spark, sf_dir).select(
+        "doc_id", "token_count", "char_count", "subword_count", "avg_token_len"
+    )
+    qs = q_quality_score(spark, sf_dir).select(
+        "doc_id", "alpha_ratio", "stopword_ratio", "quality_score"
+    )
+    li = q_language_id(spark, sf_dir).select(
+        "doc_id",
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("lang_match"),
+    )
+    rep = repetition_score_from(table(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_2gram_frac", "top_token_frac"
+    )
+    lm = q_text_lm_score(spark, sf_dir).select(
+        "doc_id", "avg_logprob", "min_logprob"
+    )
+    return (
+        ts.join(qs, "doc_id")
+        .join(li, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id", "left")
+    )
+
+
+def _oracle_feature_matrix() -> str:
+    return f"""
+WITH ts AS ({ORACLE_TOKEN_STATS}),
+qs AS ({ORACLE_QUALITY_SCORE}),
+li AS ({ORACLE_LANGUAGE_ID}),
+rep AS ({ORACLE_REPETITION_SCORE}),
+lm AS ({ORACLE_TEXT_LM_SCORE})
+SELECT ts.doc_id, ts.token_count, ts.char_count, ts.subword_count, ts.avg_token_len,
+       qs.alpha_ratio, qs.stopword_ratio, qs.quality_score,
+       li.predicted_lang,
+       CAST(li.predicted_lang = li.lang AS INT) AS lang_match,
+       rep.dup_2gram_frac, rep.top_token_frac,
+       lm.avg_logprob, lm.min_logprob
+FROM ts
+JOIN qs ON ts.doc_id = qs.doc_id
+JOIN li ON ts.doc_id = li.doc_id
+JOIN rep ON ts.doc_id = rep.doc_id
+LEFT JOIN lm ON ts.doc_id = lm.doc_id
+"""
+
+
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain shift between sources: KL(P_s1 || P_s2) over unigram
     distributions, in integer micro-nats, for every ordered source pair —
@@ -1524,6 +1586,20 @@ def q_docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shard id is a modulo on the rank; accounting is one 8-group
     aggregation. The same deal writes the shards with
     ``partitionBy(shard)`` — this query IS the plan of that writer."""
+    return (
+        _sharded(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("token_sum"),
+            F.max("token_count").alias("max_doc_tokens"),
+        )
+    )
+
+
+def _sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token_count, rn, shard): the token-balanced round-robin
+    deal shared by the accounting query and the manifest."""
     from .ranks import with_global_rank
 
     docs = table(spark, sf_dir, "documents")
@@ -1532,15 +1608,57 @@ def q_docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
     ).withColumn("neg_tokens", -F.col("token_count"))
     ranked = with_global_rank(sized, "neg_tokens", "doc_id")
+    return ranked.withColumn("shard", ((F.col("rn") - 1) % N_SHARDS).cast("int"))
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST a trainer consumes next to the written shards: per
+    shard, the doc/token volume plus an ORDER-INSENSITIVE integrity
+    checksum — ``bit_xor`` over a 48-bit md5 hash of each member doc_id.
+    XOR is associative/commutative and overflow-free, so the checksum is
+    identical on any partitioning or read order; re-deriving it after a
+    copy/rewrite detects any lost, duplicated, or misrouted document
+    without comparing id lists.
+
+    Scale shape: the deal's global rank plus ONE shard-keyed aggregation
+    (map-side combined); the checksum adds a per-row md5 — no extra
+    shuffle."""
     return (
-        ranked.withColumn("shard", ((F.col("rn") - 1) % N_SHARDS).cast("int"))
+        _sharded(spark, sf_dir)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("token_count").cast("bigint").alias("token_sum"),
-            F.max("token_count").alias("max_doc_tokens"),
+            F.expr(
+                "bit_xor(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT))"
+            ).alias("id_checksum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
         )
+        .orderBy("shard")
     )
+
+
+ORACLE_SHARD_MANIFEST = rf"""
+WITH sized AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS token_count
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY token_count DESC, doc_id) AS rn
+  FROM sized
+)
+SELECT CAST((rn - 1) % {N_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(token_count) AS BIGINT) AS token_sum,
+       bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)) AS id_checksum,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 ORACLE_DOCS_SHARD_ASSIGNMENT = rf"""
@@ -1680,6 +1798,8 @@ QUERIES = {
     "zipf_slope_fit": q_zipf_slope,
     "dataset_card": q_dataset_card,
     "source_kl_divergence": q_source_kl_divergence,
+    "docs_feature_matrix": q_docs_feature_matrix,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLES = {
@@ -1709,4 +1829,6 @@ ORACLES = {
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "dataset_card": ORACLE_DATASET_CARD,
     "source_kl_divergence": ORACLE_SOURCE_KL,
+    "docs_feature_matrix": _oracle_feature_matrix(),
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
 }
