@@ -1,0 +1,89 @@
+"""Multi-format ingest: JSONL/CSV round-trips of the documents table and
+the measurable-loss (corrupt-record) contract."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark.sources import ingest
+
+
+def _docs_schema(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+
+def _canon(df):
+    rows = df.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    return sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in rows)
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    pq.write.mode("overwrite").json(path)
+    got = ingest.read_jsonl(spark, path, pq.schema)
+    good, bad = ingest.split_corrupt(got)
+    assert bad.count() == 0
+    assert _canon(good) == _canon(pq)
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_csv")
+    # RFC-4180 writer settings mirroring the reader (quote-doubling escape)
+    (
+        pq.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    got = ingest.read_csv(spark, path, pq.schema, header=True)
+    good, bad = ingest.split_corrupt(got)
+    assert bad.count() == 0
+    assert _canon(good) == _canon(pq)
+
+
+def test_jsonl_malformed_rows_are_captured_not_dropped(spark, tmp_path):
+    lines = [
+        json.dumps({"doc_id": 1, "text": "good row", "lang": "en"}),
+        "{this is not json",
+        json.dumps({"doc_id": 2, "text": "also good", "lang": "en"}),
+        '{"doc_id": "NOT_A_NUMBER", "text": "type clash", "lang": "en"}',
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    schema = "doc_id LONG, text STRING, lang STRING"
+    from pyspark.sql.types import _parse_datatype_string
+
+    df = ingest.read_jsonl(spark, str(p), _parse_datatype_string(schema))
+    good, bad = ingest.split_corrupt(df)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    # both the syntactically-broken line AND the type-clash row are
+    # captured raw — loss is measurable, schema never retypes
+    assert bad.count() == 2
+
+
+def test_csv_embedded_commas_and_quotes_roundtrip(spark, tmp_path):
+    rows = [
+        (1, 'has, comma', "en"),
+        (2, 'has "quotes" inside', "en"),
+        (3, "plain", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    path = str(tmp_path / "tricky_csv")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    got = ingest.read_csv(spark, path, df.schema, header=True)
+    good, bad = ingest.split_corrupt(got)
+    assert bad.count() == 0
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, 'has, comma'),
+        (2, 'has "quotes" inside'),
+        (3, "plain"),
+    ]
