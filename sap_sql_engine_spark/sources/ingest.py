@@ -69,6 +69,22 @@ def read_csv(
     )
 
 
+def stream_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl` — the drop-folder pattern: a
+    file-source stream over the same pinned schema, so new JSONL drops
+    ingest incrementally with exactly the batch reader's parse semantics
+    (drive with ``trigger(availableNow=True)`` for catch-up-then-stop,
+    or continuously for a live folder). ``maxFilesPerTrigger`` bounds
+    per-micro-batch work at scale."""
+    return (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 64)
+        .json(path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): rows that parsed cleanly vs captured raw records —
     the measurable-loss contract of the ingest gate.

@@ -87,3 +87,42 @@ def test_csv_embedded_commas_and_quotes_roundtrip(spark, tmp_path):
         (2, 'has "quotes" inside'),
         (3, "plain"),
     ]
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    # drop-folder pattern: the file-source stream must parse EXACTLY like
+    # the batch reader — same schema pin, same corrupt-record capture
+    from pyspark.sql.types import _parse_datatype_string
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one", "lang": "en"}\n'
+        "{broken line\n"
+        '{"doc_id": 2, "text": "two", "lang": "de"}\n'
+    )
+    (d / "b.jsonl").write_text('{"doc_id": 3, "text": "three", "lang": "fr"}\n')
+    schema = _parse_datatype_string("doc_id LONG, text STRING, lang STRING")
+
+    q = (
+        ingest.stream_jsonl(spark, str(d), schema)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM ingest_stream_test")
+    batch = ingest.read_jsonl(spark, str(d), schema)
+
+    def canon(df):
+        rows = [
+            (r.doc_id, r.text, r.lang, r[ingest.CORRUPT_COL]) for r in df.collect()
+        ]
+        # None-safe total order (corrupt rows have NULL data columns)
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    assert canon(streamed) == canon(batch)
+    s_good, s_bad = ingest.split_corrupt(streamed)
+    assert s_bad.count() == 1 and s_good.count() == 3
