@@ -798,6 +798,54 @@ def test_zipf_slope_matches_python_ols_on_planted_zipfian(spark, tmp_path):
     assert -1_200_000 < row.zipf_slope_micro < -800_000  # ~Zipfian
 
 
+def test_dataset_card_consistent_with_components(spark, sf_dir):
+    # the card's cells must equal the heads of the gated component queries
+    card = {r.source: r for r in textanalysis.q_dataset_card(spark, sf_dir).collect()}
+    exact = {r.source: r for r in dedup.q_dedup_exact(spark, sf_dir).collect()}
+    zipf = {
+        r.source: r.zipf_slope_micro
+        for r in textanalysis.q_zipf_slope(spark, sf_dir).collect()
+    }
+    assert set(card) == set(exact) == set(zipf)
+    for s, row in card.items():
+        assert row.n_docs == exact[s].doc_count
+        assert row.exact_dup_docs == exact[s].duplicate_count
+        assert row.zipf_slope_micro == zipf[s]
+        assert 0 < row.majority_lang_bp <= 10_000
+        assert row.mean_doc_tokens * row.n_docs <= row.n_tokens
+
+
+def test_source_overlap_minhash_planted(spark, tmp_path):
+    # identical-content sources -> identical union MinHash -> est 1.0;
+    # disjoint-vocabulary source -> 0 agreement with either twin
+    import pandas as pd
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota"
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [same, "prefix words " + same, same,
+                     "zebra yak xylo walrus vulture unau tapir seal rhea"],
+            "lang": ["en"] * 4,
+            "source": ["twin_a", "twin_a", "twin_b", "other"],
+            "n_chars": [0] * 4,
+        }
+    )
+    sf_dir = str(tmp_path)
+    corpus.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    got = {
+        (r.source1, r.source2): (r.agree, r.est_jaccard)
+        for r in dedup.q_source_overlap_minhash(spark, sf_dir).collect()
+    }
+    assert len(got) == 3
+    # twin_b's shingle set is a SUBSET of twin_a's (extra prefix doc adds
+    # shingles) — union-MinHash agreement stays high but bounded below 1
+    agree_ab, est_ab = got[("twin_a", "twin_b")]
+    assert est_ab > 0.5
+    assert got[("other", "twin_a")][0] == 0
+    assert got[("other", "twin_b")][0] == 0
+
+
 def test_source_kl_divergence_planted(spark, tmp_path):
     # twin sources (identical text) must sit near 0 (add-1 smoothing keeps
     # it slightly positive); a disjoint-vocabulary source must dominate
