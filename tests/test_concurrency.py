@@ -58,3 +58,32 @@ def test_cache_heavy_compositions_run_concurrently(spark, sf_dir):
 
     for idx, rows in results:
         assert rows == expected[idx], targets[idx].__name__
+
+
+def test_r5_cache_sharing_queries_run_concurrently(spark, sf_dir):
+    # round-5 cache users: the ANN recall report's shared featurized
+    # relation, the k-means loop's cached vocabulary/centroids, and the
+    # BPE trainer's cached word counts — concurrent invocations must not
+    # race a cache rebuild into wrong or partial results
+    from sap_sql_engine_spark.operators import bpe, similarity
+
+    targets = [
+        similarity.q_ann_recall_report,
+        similarity.q_kmeans_embedding_fit,
+        bpe.q_bpe_merges,
+    ]
+    expected = [
+        sorted(map(tuple, fn(spark, sf_dir).collect())) for fn in targets
+    ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(i):
+        fn = targets[i % len(targets)]
+        return i % len(targets), sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, range(6)))
+
+    for idx, rows in results:
+        assert rows == expected[idx], targets[idx].__name__
