@@ -597,6 +597,111 @@ FROM est JOIN exact USING (source)
 """
 
 
+def q_hll_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct counter, PROVEN
+    in-engine as a gated one-row report: max-merging the per-source
+    register sets must reproduce the whole-stream register set exactly
+    (max is associative/commutative — partial sketches from any shard
+    layout merge to the same global sketch), so the merged estimate IS
+    the direct estimate. Emits the register-mismatch count (0 is the
+    invariant the gate hashes) alongside both raw estimates and the
+    exact global distinct for calibration.
+
+    Scale shape: two register builds over one token stream (production
+    keeps only the per-shard one and merges — the second build exists
+    here to prove the merge), each a (key, bucket) max-aggregation with
+    map-side combine; the compare and the estimate are 256-row
+    metadata ops."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    merged = (
+        hll_registers(toks)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("rm"))
+    )
+    direct = hll_registers(toks.withColumn("source", F.lit("__all__"))).select(
+        "bucket", F.col("r").alias("rd")
+    )
+    cmp = merged.join(direct, "bucket", "full_outer")
+    mismatches = F.sum(
+        (
+            F.col("rm").isNull()
+            | F.col("rd").isNull()
+            | (F.col("rm") != F.col("rd"))
+        ).cast("bigint")
+    )
+
+    def raw_est(sum_col: F.Column, present_col: F.Column) -> F.Column:
+        s_num = sum_col + (F.lit(HLL_BUCKETS) - present_col) * F.lit(
+            2**HLL_RMAX
+        ).cast("bigint")
+        return F.floor(F.lit(float(HLL_CONST)) / s_num.cast("double")).cast(
+            "bigint"
+        )
+
+    stats = cmp.agg(
+        mismatches.alias("n_register_mismatch"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - rm)")).alias("sm"),
+        F.count("rm").alias("pm"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - rd)")).alias("sd"),
+        F.count("rd").alias("pd"),
+    )
+    exact = toks.agg(F.countDistinct("token").alias("exact_distinct"))
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "n_register_mismatch",
+        raw_est(F.col("sm"), F.col("pm")).alias("merged_raw_estimate"),
+        raw_est(F.col("sd"), F.col("pd")).alias("direct_raw_estimate"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
+
+
+ORACLE_HLL_MERGE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT source,
+         h % {HLL_BUCKETS} AS bucket,
+         CAST(h // {HLL_BUCKETS} AS BIGINT) AS v
+  FROM (
+    SELECT source,
+           CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+    FROM toks
+  )
+),
+rho AS (
+  SELECT source, bucket,
+         least(CASE WHEN v = 0 THEN {HLL_RMAX}
+                    ELSE bit_count((v & -v) - 1) + 1 END, {HLL_RMAX}) AS rho
+  FROM hashed
+),
+per_source_regs AS (
+  SELECT source, bucket, max(rho) AS r FROM rho GROUP BY source, bucket
+),
+merged AS (SELECT bucket, max(r) AS rm FROM per_source_regs GROUP BY bucket),
+direct AS (SELECT bucket, max(rho) AS rd FROM rho GROUP BY bucket),
+cmp AS (
+  SELECT COALESCE(m.bucket, d.bucket) AS bucket, rm, rd
+  FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN rm IS NULL OR rd IS NULL OR rm <> rd THEN 1 ELSE 0 END) AS BIGINT) AS n_register_mismatch,
+         sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - rm)) AS sm, count(rm) AS pm,
+         sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - rd)) AS sd, count(rd) AS pd
+  FROM cmp
+),
+exact AS (SELECT count(DISTINCT token) AS exact_distinct FROM toks)
+SELECT n_register_mismatch,
+       CAST(floor({HLL_CONST} / CAST(sm + ({HLL_BUCKETS} - pm) * (CAST(1 AS BIGINT) << {HLL_RMAX}) AS DOUBLE)) AS BIGINT) AS merged_raw_estimate,
+       CAST(floor({HLL_CONST} / CAST(sd + ({HLL_BUCKETS} - pd) * (CAST(1 AS BIGINT) << {HLL_RMAX}) AS DOUBLE)) AS BIGINT) AS direct_raw_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM stats, exact
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy hitters (two-pass candidate pruning, no full-vocabulary shuffle)
 
@@ -682,6 +787,7 @@ QUERIES = {
     "posting_lists": q_posting_lists,
     "token_cms_estimate": q_token_cms,
     "token_hll_distinct": q_token_hll,
+    "hll_merge_check": q_hll_merge_check,
     "token_heavy_hitters": q_token_heavy_hitters,
 }
 
@@ -692,5 +798,6 @@ ORACLES = {
     "posting_lists": ORACLE_POSTING_LISTS,
     "token_cms_estimate": ORACLE_TOKEN_CMS,
     "token_hll_distinct": ORACLE_TOKEN_HLL,
+    "hll_merge_check": ORACLE_HLL_MERGE,
     "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
 }
