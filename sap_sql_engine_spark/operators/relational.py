@@ -494,6 +494,99 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, the DORMANT high-value customers —
+    account balance above the average positive balance, engagement
+    (order count) strictly below the per-customer average. Two
+    scalar-aggregate thresholds + a count-attach, the "who should sales
+    call" query. (Q22's literal no-orders anti-join is already gated as
+    ``customers_without_orders`` and is an empty relation on this dense
+    synthetic corpus; the below-average-engagement form keeps the shape
+    productive.)
+
+    Exactness: balances land as DOUBLE in parquet, so they are cast once
+    to integer CENTS (exact DECIMAL(18,2) -> x100) and both thresholds
+    are integral-division averages — every compare is integer vs integer
+    on both engines, no float averaging (FLOATS.md class A).
+
+    Scale shape: the order counts are one customer-keyed aggregation
+    attached by co-keyed left join (0 for never-ordered); both
+    thresholds are 1-row scalar attaches; one nation-keyed aggregation
+    emits the report."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "bal_cents"
+        ),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ord_counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    with_orders = cust.join(
+        ord_counts, cust.c_custkey == ord_counts.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+    thresh = with_orders.agg(
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN bal_cents > 0 THEN bal_cents ELSE 0 END) AS DECIMAL(38,0)) "
+            "div sum(CASE WHEN bal_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("avg_cents"),
+        F.expr("CAST(sum(n_orders) div count(1) AS BIGINT)").alias("avg_orders"),
+    )
+    return (
+        with_orders.crossJoin(F.broadcast(thresh))
+        .filter(
+            (F.col("bal_cents") > F.col("avg_cents"))
+            & (F.col("n_orders") < F.col("avg_orders"))
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("bal_cents") / F.lit(100.0), 2).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+),
+with_orders AS (
+  SELECT c.c_custkey, c.c_nationkey, c.bal_cents,
+         CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+  FROM cust c LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+),
+thresh AS (
+  SELECT CAST(CAST(sum(CASE WHEN bal_cents > 0 THEN bal_cents ELSE 0 END) AS HUGEINT)
+              // sum(CASE WHEN bal_cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS avg_cents,
+         CAST(CAST(sum(n_orders) AS HUGEINT) // count(*) AS BIGINT) AS avg_orders
+  FROM with_orders
+)
+SELECT n_name,
+       count(*) AS n_customers,
+       round(sum(bal_cents) / 100.0, 2) AS total_balance
+FROM with_orders, thresh
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents > avg_cents AND n_orders < avg_orders
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 LV_QTY_THRESHOLD = 250  # Q18's "large volume" order-quantity cutoff
 
 
@@ -1948,6 +2041,7 @@ QUERIES = {
     "volume_shipping_pairs": q_volume_shipping,
     "nation_market_share": q_market_share,
     "large_volume_customers": q_large_volume_customers,
+    "sales_opportunity": q_sales_opportunity,
     "nation_customer_counts": q_nation_customer_counts,
     "above_nation_average": q_above_nation_average,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1993,6 +2087,7 @@ ORACLES = {
     "volume_shipping_pairs": ORACLE_VOLUME_SHIPPING,
     "nation_market_share": ORACLE_MARKET_SHARE,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
+    "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
     "nation_customer_counts": ORACLE_NATION_CUSTOMER_COUNTS,
     "above_nation_average": ORACLE_ABOVE_NATION_AVG,
     "top_orders_per_segment": ORACLE_TOP_PER_SEGMENT,
