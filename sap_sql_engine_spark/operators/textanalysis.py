@@ -36,11 +36,7 @@ def _norm_text() -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish subword proxy
-    (runs of letters OR digits OR single punctuation — the classic
-    pre-tokenizer regex)."""
-    docs = table(spark, sf_dir, "documents")
+def token_stats_from(docs: DataFrame) -> DataFrame:
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
@@ -68,10 +64,14 @@ FROM documents
 """
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, alpha ratio, punctuation density, stopword
-    ratio — the standard cheap quality signals for corpus filtering."""
-    docs = table(spark, sf_dir, "documents")
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (runs of letters OR digits OR single punctuation — the classic
+    pre-tokenizer regex)."""
+    return token_stats_from(table(spark, sf_dir, "documents"))
+
+
+def quality_score_from(docs: DataFrame) -> DataFrame:
     t = F.trim(F.col("text"))
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -119,11 +119,13 @@ FROM base
 """
 
 
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID: score = marker-word hits per language,
-    predict argmax (deterministic tie-break: en > de > fr > es > unknown).
-    """
-    docs = table(spark, sf_dir, "documents")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, alpha ratio, punctuation density, stopword
+    ratio — the standard cheap quality signals for corpus filtering."""
+    return quality_score_from(table(spark, sf_dir, "documents"))
+
+
+def language_id_from(docs: DataFrame) -> DataFrame:
     low = F.lower(F.col("text"))
     scores = {
         lang: F.regexp_count(low, F.lit(r"\b(" + "|".join(words) + r")\b"))
@@ -147,6 +149,13 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.alias("score_es"),
         predicted.alias("predicted_lang"),
     )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score = marker-word hits per language,
+    predict argmax (deterministic tie-break: en > de > fr > es > unknown).
+    """
+    return language_id_from(table(spark, sf_dir, "documents"))
 
 
 def _marker_re(lang: str) -> str:
@@ -1269,27 +1278,31 @@ def q_docs_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to them; each column is the head of an already-gated query, so
     the matrix inherits their determinism classes unchanged.
 
-    Scale shape: the component queries each scan the corpus (the export
-    is a materialize-once artifact; a production pipeline fuses the
-    row-local ones into a single pass — the LM score genuinely needs its
-    own aggregation pair), and the join is doc_id-keyed co-partitioned
-    all the way. LM columns are NULL for <2-token docs (left join),
-    stated identically in the oracle."""
-    ts = q_token_stats(spark, sf_dir).select(
+    Scale shape: ONE cached corpus scan feeds every component (each
+    ``*_from`` builder reads the shared in-memory relation — the
+    materialized-once shape; without the cache this export would scan
+    the corpus five times), and the join is doc_id-keyed co-partitioned
+    all the way. The LM score's model aggregations also read the cache.
+    LM columns are NULL for <2-token docs (left join), stated
+    identically in the oracle."""
+    from ..cachereg import cache_eager
+
+    docs = cache_eager(spread(table(spark, sf_dir, "documents")))
+    ts = token_stats_from(docs).select(
         "doc_id", "token_count", "char_count", "subword_count", "avg_token_len"
     )
-    qs = q_quality_score(spark, sf_dir).select(
+    qs = quality_score_from(docs).select(
         "doc_id", "alpha_ratio", "stopword_ratio", "quality_score"
     )
-    li = q_language_id(spark, sf_dir).select(
+    li = language_id_from(docs).select(
         "doc_id",
         "predicted_lang",
         (F.col("predicted_lang") == F.col("lang")).cast("int").alias("lang_match"),
     )
-    rep = repetition_score_from(table(spark, sf_dir, "documents")).select(
+    rep = repetition_score_from(docs).select(
         "doc_id", "dup_2gram_frac", "top_token_frac"
     )
-    lm = q_text_lm_score(spark, sf_dir).select(
+    lm = text_lm_score_from(docs).select(
         "doc_id", "avg_logprob", "min_logprob"
     )
     return (
@@ -1707,8 +1720,11 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, megabytes) broadcasts back onto the stream, and the per-doc
     score is one doc_id-keyed aggregation. Docs with < 2 tokens have no
     bigrams and no row, on both engines."""
-    docs = table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
+    return text_lm_score_from(spread(table(spark, sf_dir, "documents")))
+
+
+def text_lm_score_from(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     # guard the bigram index list: sequence(1, 0) yields the DESCENDING
