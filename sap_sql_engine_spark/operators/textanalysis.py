@@ -1093,8 +1093,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined); ranking + regression run on the vocabulary-
     bounded frequency relation (the per-source window sorts vocab rows,
     not corpus rows); one row per source out."""
-    docs = table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
+    return zipf_slope_from(spread(table(spark, sf_dir, "documents")))
+
+
+def zipf_slope_from(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     )
@@ -1174,11 +1177,14 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis-point shares, micro-unit slope (FLOATS.md class A over the
     class-C zipf column).
 
-    Scale shape: three corpus-scan aggregations (doc stats, token stats,
-    lang counts) + the vocabulary-bounded zipf fit, all reduced to
-    |sources| rows before a metadata-sized 4-way join — the joins move a
-    handful of rows regardless of corpus size."""
-    docs = table(spark, sf_dir, "documents")
+    Scale shape: ONE cached corpus scan feeds all four component
+    aggregations (doc stats, token stats, lang counts, and the
+    vocabulary-bounded zipf fit), each reduced to |sources| rows before
+    a metadata-sized 4-way join — the joins move a handful of rows
+    regardless of corpus size."""
+    from ..cachereg import cache_eager
+
+    docs = cache_eager(spread(table(spark, sf_dir, "documents")))
     norm_md5 = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     )
@@ -1209,7 +1215,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ln").alias("m_ln"),
         )
     )
-    zipf = q_zipf_slope(spark, sf_dir).select("source", "zipf_slope_micro")
+    zipf = zipf_slope_from(docs).select("source", "zipf_slope_micro")
     return (
         doc_stats.join(tok_stats, "source")
         .join(majority, "source")
