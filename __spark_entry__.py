@@ -65,6 +65,8 @@ def _driver_gated() -> set[str]:
             record = json.load(open(path))
         except Exception:
             continue  # a malformed record never breaks registration
+        if not isinstance(record, dict):
+            continue  # e.g. a list-shaped legacy file: valid JSON, no rows
         for name, row in record.items():
             # Only a GREEN row counts as gated: a red row (hash/schema/
             # rows mismatch or an error) must re-enter the window so the

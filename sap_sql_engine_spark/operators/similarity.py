@@ -919,10 +919,10 @@ errs AS (
   WHERE vec_id != {QUERY_VEC_ID}
 )
 SELECT count(*) AS n_vecs,
-       sum(err_u) // count(*) AS mean_abs_err_micro,
+       CAST(sum(err_u) // count(*) AS BIGINT) AS mean_abs_err_micro,
        max(err_u) AS max_abs_err_micro,
-       sum(CASE WHEN err_u <= {sig1_u} THEN 1 ELSE 0 END) AS within_1sig,
-       sum(CASE WHEN err_u <= {sig2_u} THEN 1 ELSE 0 END) AS within_2sig
+       CAST(sum(CASE WHEN err_u <= {sig1_u} THEN 1 ELSE 0 END) AS BIGINT) AS within_1sig,
+       CAST(sum(CASE WHEN err_u <= {sig2_u} THEN 1 ELSE 0 END) AS BIGINT) AS within_2sig
 FROM errs
 """
 

@@ -895,12 +895,17 @@ def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(38,0) to ~1e12 docs) and take the integral quotient — Spark
     # `div` and DuckDB `//` both truncate toward zero, so the emitted cell
     # is integer-derived on both engines (the r4 driver-red fix)
+    # nullif guards: n*n = pe_sum only for a degenerate single-cell corpus
+    # (every doc one label, predicted identically) and n_docs = 0 can't
+    # occur for a grouped row — but under the driver's ANSI-on session a
+    # zero divisor would CRASH rather than yield NULL, so guard anyway
+    # (FLOATS.md class E); DuckDB's `//` yields NULL on zero, matching.
     kappa_micro = F.expr(
-        "((n * diag - pe_sum) * 1000000) div (n * n - pe_sum)"
+        "((n * diag - pe_sum) * 1000000) div nullif(n * n - pe_sum, 0)"
     ).cast("bigint")
     glob_row = glob.select(kappa_micro.alias("kappa_micro"))
     accuracy_bp = F.expr(
-        "(CAST(n_correct AS DECIMAL(38,0)) * 10000) div n_docs"
+        "(CAST(n_correct AS DECIMAL(38,0)) * 10000) div nullif(n_docs, 0)"
     ).cast("bigint")
     return (
         per_lang.crossJoin(F.broadcast(glob_row))
@@ -940,7 +945,9 @@ overall AS (
          CAST(sum(r * col_c) AS DECIMAL(38,0)) AS pe_sum
   FROM margins
 )
-SELECT lang, n_docs, n_correct,
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_correct AS BIGINT) AS n_correct,
        CAST((CAST(n_correct AS HUGEINT) * 10000) // CAST(n_docs AS HUGEINT) AS BIGINT) AS accuracy_bp,
        CAST((CAST(n * diag - pe_sum AS HUGEINT) * 1000000) // CAST(n * n - pe_sum AS HUGEINT) AS BIGINT) AS kappa_micro
 FROM per_lang, overall
@@ -959,8 +966,13 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision_bp = tp*1e4 div p_k, recall_bp = tp*1e4 div a_k, and
     f1_bp = 2*tp*1e4 div (a_k + p_k) — the micro identity
     F1 = 2TP/(2TP+FP+FN) with denominator a_k + p_k — so no double
-    division exists anywhere (FLOATS.md class A; `div` ≡ `//` verified
-    including the by-zero → NULL case).
+    division exists anywhere (FLOATS.md class A). Every divisor is wrapped
+    in ``nullif(x, 0)``: a class that is never predicted (e.g. ``zh``,
+    which has no LANG_MARKERS entry) has n_predicted = 0, and Spark's
+    ANSI mode (the driver's default) would otherwise raise
+    DIVIDE_BY_ZERO where DuckDB's ``//`` yields NULL — the nullif makes
+    both engines emit NULL under either ANSI setting (FLOATS.md class E,
+    evaluation-environment hazard).
 
     Scale shape: one (label, prediction) confusion-cell aggregation over
     the corpus scan (map-side combined, alphabet²-bounded output); the
@@ -995,10 +1007,21 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_actual",
             "n_predicted",
             "tp",
-            F.expr("tp * 10000 div n_predicted").cast("bigint").alias("precision_bp"),
-            F.expr("tp * 10000 div n_actual").cast("bigint").alias("recall_bp"),
-            F.expr("2 * tp * 10000 div (n_actual + n_predicted)")
-            .cast("bigint")
+            # bp cells are DOUBLE, not BIGINT: they carry NULL (a class
+            # never predicted has no precision), and pandas promotes a
+            # NULL-bearing int column to float64 on BOTH engines — the
+            # only NULL-in-numeric pattern with green driver precedent
+            # (events_anomaly_hours.z_score, revenue_mom_delta.mom_delta)
+            # pairs oracle float64 with Spark double. The values stay
+            # exact: each is an integral `div` quotient < 2^53.
+            F.expr("tp * 10000 div nullif(n_predicted, 0)")
+            .cast("double")
+            .alias("precision_bp"),
+            F.expr("tp * 10000 div nullif(n_actual, 0)")
+            .cast("double")
+            .alias("recall_bp"),
+            F.expr("2 * tp * 10000 div nullif(n_actual + n_predicted, 0)")
+            .cast("double")
             .alias("f1_bp"),
         )
         .orderBy("klass")
@@ -1026,9 +1049,9 @@ margins AS (
   FROM actual a FULL OUTER JOIN predicted p ON a.klass = p.klass
 )
 SELECT klass, n_actual, n_predicted, tp,
-       CAST(tp * 10000 // n_predicted AS BIGINT) AS precision_bp,
-       CAST(tp * 10000 // n_actual AS BIGINT) AS recall_bp,
-       CAST(2 * tp * 10000 // (n_actual + n_predicted) AS BIGINT) AS f1_bp
+       CAST(tp * 10000 // nullif(n_predicted, 0) AS DOUBLE) AS precision_bp,
+       CAST(tp * 10000 // nullif(n_actual, 0) AS DOUBLE) AS recall_bp,
+       CAST(2 * tp * 10000 // nullif(n_actual + n_predicted, 0) AS DOUBLE) AS f1_bp
 FROM margins
 ORDER BY klass
 """
@@ -1128,7 +1151,10 @@ def zipf_slope_from(docs: DataFrame) -> DataFrame:
     return stats.select(
         "source",
         F.col("n").cast("bigint").alias("n_types"),
-        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+        # n*sxx = sx*sx exactly when every rank collapses to one x value
+        # (single-type vocabulary); ANSI-on would crash on the zero
+        # divisor, nullif makes both engines emit NULL (FLOATS.md class E)
+        F.expr("((n * sxy - sx * sy) * 1000000) div nullif(n * sxx - sx * sx, 0)")
         .cast("bigint")
         .alias("zipf_slope_micro"),
     ).orderBy("source")
@@ -1389,10 +1415,21 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1", "s2", "c1", "t1", "t2",
         F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
     )
+    # cast each factor to double BEFORE multiplying: the BIGINT products
+    # c1*(t2+V) and t1*(c2+1) would overflow (ANSI: error; non-ANSI:
+    # silent wrap) once counts approach 2^63 — double*double is one IEEE
+    # correctly-rounded op, bit-identical on both engines, and each
+    # factor individually is exact in double far past any real corpus
     lnq = F.floor(
         F.log(
-            (F.col("c1") * (F.col("t2") + F.lit(vocab_n))).cast("double")
-            / (F.col("t1") * (F.col("c2") + 1)).cast("double")
+            (
+                F.col("c1").cast("double")
+                * (F.col("t2") + F.lit(vocab_n)).cast("double")
+            )
+            / (
+                F.col("t1").cast("double")
+                * (F.col("c2") + 1).cast("double")
+            )
         )
         * 1_000_000
     ).cast("decimal(38,0)")
@@ -1435,7 +1472,8 @@ j AS (
 terms AS (
   SELECT s1, s2, t1,
          CAST(c1 AS HUGEINT) * CAST(floor(ln(
-           CAST(c1 * (t2 + vn) AS DOUBLE) / CAST(t1 * (c2 + 1) AS DOUBLE)
+           (CAST(c1 AS DOUBLE) * CAST(t2 + vn AS DOUBLE))
+           / (CAST(t1 AS DOUBLE) * CAST(c2 + 1 AS DOUBLE))
          ) * 1000000) AS HUGEINT) AS w
   FROM j
 )

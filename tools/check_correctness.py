@@ -5,7 +5,21 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names, and an order-insensitive value
 normalization. Use while iterating:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--ansi] [sf_dir] [query ...]
+
+``--ansi`` runs the Spark side under ``spark.sql.ansi.enabled=true`` —
+the DRIVER's environment (Spark 4 defaults ANSI ON; the repo's own
+session pins it OFF), which is how `label_confusion_report`'s
+DIVIDE_BY_ZERO crash reached round 5's driver unseen. Run BOTH legs
+before a snapshot.
+
+Beyond value equality, every query also gets a DTYPE-PAIRING check:
+the oracle result's pandas dtype class must match the Spark schema's
+class (bigint↔int64, double/decimal↔float64, string↔object). The
+driver's hash canonicalization distinguishes DuckDB HUGEINT columns
+(rendered float64, ``70.0``) from Spark BIGINT (``70``) even when the
+local %.17g normalization masks it — exactly the r4/r5
+`embedding_rp_reduce` / `label_agreement_kappa` red rows.
 """
 
 from __future__ import annotations
@@ -49,14 +63,70 @@ def normalize_df(pdf):
     return cols, sorted(rows)
 
 
+def dtype_class(dtype_str: str) -> str:
+    """Collapse a dtype name to the class the driver's hash distinguishes."""
+    d = dtype_str.lower()
+    if any(t in d for t in ("float", "double", "decimal")):
+        return "float"
+    if any(t in d for t in ("int", "long", "short", "byte")):
+        return "int"
+    if "bool" in d:
+        return "bool"
+    return "other"
+
+
+def spark_dtype_class(spark_type: str) -> str:
+    d = spark_type.lower()
+    # Spark DECIMAL → pandas object(Decimal) → normalized via float lane,
+    # matching DuckDB DECIMAL → float64; classify both as float
+    if any(t in d for t in ("float", "double", "decimal")):
+        return "float"
+    if any(t in d for t in ("bigint", "int", "long", "smallint", "tinyint")):
+        return "int"
+    if "bool" in d:
+        return "bool"
+    return "other"
+
+
+def dtype_pairing_errors(sdf_spark, odf) -> list:
+    """int↔float pairings between Spark schema and oracle pandas dtypes.
+
+    A DuckDB HUGEINT (or NULL-promoted int) column comes back float64;
+    if Spark emits bigint for the same column the driver hashes `70.0`
+    vs `70` and the row goes red even though values match — the r4/r5
+    `embedding_rp_reduce`/`label_agreement_kappa` failure mode. A
+    NULL-bearing numeric column must be double/DECIMAL on the Spark
+    side too (the only pattern with green driver precedent), so every
+    int↔float pairing is flagged regardless of cause."""
+    errs = []
+    sparktypes = dict(sdf_spark.dtypes)
+    for col in odf.columns:
+        if col not in sparktypes:
+            continue
+        oc = dtype_class(str(odf[col].dtype))
+        sc = spark_dtype_class(sparktypes[col])
+        if {oc, sc} == {"int", "float"}:
+            errs.append(f"{col}: oracle {odf[col].dtype} vs spark {sparktypes[col]}")
+    return errs
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--ansi"]
+    ansi = "--ansi" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from sap_sql_engine_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    spark = get_spark(
+        "correctness-check-ansi" if ansi else "correctness-check",
+        extra_conf={"spark.sql.ansi.enabled": "true"} if ansi else None,
+    )
+    if ansi:
+        # getOrCreate() reuses an existing session's conf; force the flag
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("== ANSI-ON leg (driver environment) ==")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -73,7 +143,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            sdf = sdf_spark.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -88,6 +159,11 @@ def main() -> int:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        derrs = dtype_pairing_errors(sdf_spark, odf)
+        if derrs:
+            print(f"FAIL  {name}: dtype pairing (driver hash hazard): {derrs}")
             n_fail += 1
             continue
         scols, srows = normalize_df(sdf)
