@@ -2027,6 +2027,195 @@ FROM (
 # ---------------------------------------------------------------------------
 # registry
 
+# ---------------------------------------------------------------------------
+# TPC-H Q20/Q21 shapes — the two hardest decorrelation patterns in the
+# benchmark, completing the Q7/Q8/Q18/Q22 series. The reference's template
+# surface stops at single-level EXISTS (sap_semantic_model.json templates);
+# these extend it the way its own SQL guidelines describe nested subqueries.
+
+PP_PREFIX = "large"  # Q20's p_name LIKE prefix
+PP_YEAR = 1997  # Q20's one-year availability window
+
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers concentrated on promo parts — the
+    nested semi-join chain (supplier ⋉ pairs ⋉ part-filter) whose inner
+    predicate is a CORRELATED aggregate threshold (Q20's
+    ``ps_availqty > 0.5 * sum(l_quantity WHERE same part+supp)``,
+    adapted to this schema: a (supplier, part) pair qualifies when its
+    {year} shipped quantity exceeds half its all-time shipped quantity).
+
+    Decorrelation: the correlated scalar subquery collapses into ONE
+    map-side-combined aggregation computing the window sum and the
+    all-time sum together as conditional aggregates — one lineitem pass,
+    no per-row subquery. The part name filter broadcasts (dim-sized),
+    qualifying pairs regroup to supplier grain, and the supplier dim
+    broadcasts onto the (tiny) qualifying set. Both quantity sums stay
+    DECIMAL-exact so the 2x threshold compare cannot drift; counts are
+    BIGINT on both engines (FLOATS.md classes A and D).
+
+    Scale shape: filter-pushed part scan → broadcast semi-join →
+    one (suppkey, partkey) shuffle → supplier-grain regroup. No
+    correlated execution, no cartesian expansion."""
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(PP_PREFIX))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    in_window = F.year("l_shipdate") == PP_YEAR
+    pairs = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in_window, money("l_quantity")).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).alias("promo_qty"),
+            F.sum(money("l_quantity")).alias("total_qty"),
+        )
+        .filter(
+            (F.col("promo_qty") * 2 > F.col("total_qty"))
+            & (F.col("promo_qty") > 0)
+        )
+    )
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("qualifying_parts"),
+            F.sum("promo_qty").alias("promo_qty_sum"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "qualifying_parts",
+            out2(F.col("promo_qty_sum")).alias("promo_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+ORACLE_PROMO_PART_SUPPLIERS = f"""
+SELECT s_name,
+       n_name AS supp_nation,
+       count(*) AS qualifying_parts,
+       round(CAST(sum(pq.promo_qty) AS DOUBLE), 2) AS promo_qty
+FROM (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN year(l_shipdate) = {PP_YEAR}
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_qty,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{PP_PREFIX}%')
+  GROUP BY 1, 2
+) pq
+JOIN supplier ON s_suppkey = pq.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE pq.promo_qty * 2 > pq.total_qty AND pq.promo_qty > 0
+GROUP BY s_name, n_name
+ORDER BY s_name
+"""
+
+
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame in multi-supplier
+    orders — the double-correlated EXISTS / NOT EXISTS pattern (adapted:
+    'late' = a returned line, ``l_returnflag = 'R'``, on a finalized
+    order; the schema has no commit/receipt dates). A supplier is
+    counted for an order when it shipped a returned line, ANOTHER
+    supplier participated (EXISTS), and NO other supplier's line was
+    returned (NOT EXISTS).
+
+    Decorrelation: both correlated subqueries collapse into window
+    aggregates over the (orderkey, suppkey) pair grain — n_suppliers
+    and n_late_suppliers per order — so the plan is one pair-grain
+    aggregation (map-side combined) + one orderkey-partitioned window
+    + one supplier-grain regroup: two shuffles total, versus the
+    re-scan-per-row a literal EXISTS pair would cost. The DuckDB oracle
+    keeps the textual EXISTS/NOT-EXISTS form over the same pair CTE,
+    pinning that the rewrite IS the subquery semantics.
+
+    numwait counts DISTINCT waiting orders per supplier (pair grain,
+    not line grain), BIGINT on both engines."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    ).filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("supp_nation"), "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+ORACLE_SUPPLIERS_KEPT_WAITING = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name AS supp_nation, count(*) AS numwait
+FROM pairs p1
+JOIN supplier ON s_suppkey = p1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p1.late = 1
+  AND EXISTS (
+    SELECT 1 FROM pairs p2
+    WHERE p2.l_orderkey = p1.l_orderkey AND p2.l_suppkey <> p1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p3
+    WHERE p3.l_orderkey = p1.l_orderkey AND p3.l_suppkey <> p1.l_suppkey
+      AND p3.late = 1
+  )
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -2071,6 +2260,8 @@ QUERIES = {
     "dq_orders_checks": q_dq_orders_checks,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "promo_part_suppliers": q_promo_part_suppliers,
+    "suppliers_kept_waiting": q_suppliers_kept_waiting,
 }
 
 ORACLES = {
@@ -2117,4 +2308,6 @@ ORACLES = {
     "dq_orders_checks": ORACLE_DQ_ORDERS,
     "customer_cohort_ltv": ORACLE_CUSTOMER_COHORT_LTV,
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
+    "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,
+    "suppliers_kept_waiting": ORACLE_SUPPLIERS_KEPT_WAITING,
 }
