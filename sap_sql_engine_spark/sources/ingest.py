@@ -85,6 +85,32 @@ def stream_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFram
     )
 
 
+def stream_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> DataFrame:
+    """Streaming twin of :func:`read_csv` — the same drop-folder pattern
+    as :func:`stream_jsonl` for vendor CSV drops: a file-source stream
+    with the batch reader's exact parse semantics (pinned schema,
+    PERMISSIVE corrupt-record capture, RFC-4180 quote-doubling).
+    ``multiLine`` is deliberately NOT offered on the streaming path: an
+    unsplittable multi-line file makes one micro-batch task arbitrarily
+    large, which is exactly the latency hazard a drop-folder stream
+    exists to bound. ``maxFilesPerTrigger`` caps per-micro-batch work."""
+    return (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("maxFilesPerTrigger", 64)
+        .csv(path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): rows that parsed cleanly vs captured raw records —
     the measurable-loss contract of the ingest gate.

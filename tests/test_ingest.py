@@ -126,3 +126,42 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
     assert canon(streamed) == canon(batch)
     s_good, s_bad = ingest.split_corrupt(streamed)
     assert s_bad.count() == 1 and s_good.count() == 3
+
+
+def test_csv_stream_matches_batch(spark, tmp_path):
+    # CSV drop-folder twin: stream must parse EXACTLY like read_csv —
+    # same schema pin, corrupt capture, and RFC-4180 quote-doubling
+    from pyspark.sql.types import _parse_datatype_string
+
+    d = tmp_path / "csv_drops"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "doc_id,text,lang\n"
+        '1,"one, with a comma",en\n'
+        '2,"a ""quoted"" word",de\n'
+        "not,a,valid,row,too-many-cols\n"
+    )
+    (d / "b.csv").write_text("doc_id,text,lang\n3,three,fr\n")
+    schema = _parse_datatype_string("doc_id LONG, text STRING, lang STRING")
+
+    q = (
+        ingest.stream_csv(spark, str(d), schema)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_csv_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM ingest_csv_stream_test")
+    batch = ingest.read_csv(spark, str(d), schema)
+
+    def canon(df):
+        rows = [
+            (r.doc_id, r.text, r.lang, r[ingest.CORRUPT_COL]) for r in df.collect()
+        ]
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    assert canon(streamed) == canon(batch)
+    got = {r.text for r in streamed.filter("doc_id IS NOT NULL").collect()}
+    assert got == {"one, with a comma", 'a "quoted" word', "three"}
