@@ -2216,6 +2216,223 @@ ORDER BY numwait DESC, s_name
 """
 
 
+SQ_REV_DIVISOR = 7  # Q17's "average yearly" divisor
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lines
+    whose quantity is below 20% of their part's average order quantity,
+    generalized from one brand to a per-brand report.
+
+    Decorrelation: Q17's correlated scalar subquery
+    ``l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE same part)``
+    becomes ONE per-part aggregation joined back to lineitem; the avg
+    compare is cross-multiplied to stay exact —
+    ``qty * 5 * cnt < sum_qty`` over DECIMAL/BIGINT (no float avg, no
+    rounding at the predicate; FLOATS.md class A), which is algebraically
+    identical to qty < 0.2 * sum/cnt since cnt > 0.
+
+    Scale shape: two passes over the pruned 3-column lineitem scan (one
+    to build part averages, one to filter) joined on partkey — AQE picks
+    shuffle vs broadcast by the part-aggregate's actual size; the brand
+    regroup is dim-bounded. The per-part relation is |parts|-sized, far
+    smaller than lineitem, exactly Q17's planner-intended shape."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(money("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = (
+        li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(money("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return (
+        small.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.sum(money("l_extendedprice")).alias("rev"),
+        )
+        .select(
+            "p_brand",
+            "n_small_lines",
+            out2(F.col("rev") / SQ_REV_DIVISOR).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SMALL_QUANTITY = f"""
+WITH pa AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       count(*) AS n_small_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  / {SQ_REV_DIVISOR} AS DOUBLE), 2) AS avg_yearly
+FROM lineitem li
+JOIN pa ON li.l_partkey = pa.l_partkey
+JOIN part ON li.l_partkey = p_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+TS_START = "1998-01-01"  # Q15's 3-month revenue window
+TS_END = "1998-04-01"
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter — the view-plus-scalar-max pattern
+    (``WHERE total_revenue = (SELECT max(total_revenue) FROM view)``).
+
+    Decorrelation: the revenue view is one map-side-combined supplier
+    aggregation; the scalar max is a 1-row aggregate broadcast back as
+    a cross join (the admissible scalar-attach class in SCALE.md's
+    policy) and compared in DECIMAL — exact, so 'ties return all
+    suppliers' (Q15's stated semantics) holds bit-for-bit instead of
+    hinging on float equality.
+
+    Scale shape: date-pushed lineitem scan → one suppkey shuffle →
+    1-row max probe → broadcast supplier dim onto the (usually 1-row)
+    winner set."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= TS_START) & (F.col("l_shipdate") < TS_END)
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(money("l_extendedprice") * disc).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            out2(F.col("total_revenue")).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{TS_START}' AND l_shipdate < DATE '{TS_END}'
+  GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY suppkey
+"""
+
+
+CS_TYPE = "PROMO"  # Q2's part filter, adapted to this schema's p_type
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one type, the supplier offering
+    it cheapest — the correlated-min subquery
+    (``ps_supplycost = (SELECT min(ps_supplycost) WHERE same part)``),
+    adapted to this schema (no partsupp): a supplier's offer price for a
+    part is its observed average unit sell price, computed as an exact
+    integral micro-quotient ``(sum_price_cents * 10000) div
+    qty_hundredths`` so the min compare never touches a float
+    (FLOATS.md class A).
+
+    Decorrelation: the correlated min collapses into a row_number()
+    window over the (part, supplier) offer relation ordered by
+    (unit_price_micro, suppkey) — rank 1 IS the min row, with the
+    supplier key as total tie-break (Q2 breaks ties too). One
+    (part, supplier) aggregation + one part-partitioned window; the
+    offer relation is |parts x suppliers|-bounded, dims broadcast."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == CS_TYPE)
+        .select("p_partkey", "p_name")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(money("l_extendedprice")).alias("sum_price"),
+            F.sum(money("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST((CAST(sum_price * 100 AS DECIMAL(38,0)) * 10000) "
+                "div CAST(sum_qty * 100 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("unit_price_micro"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("l_partkey").orderBy("unit_price_micro", "l_suppkey")
+    )
+    return (
+        offers.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            "s_name",
+            "unit_price_micro",
+        )
+        .orderBy("partkey")
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) * 10000)
+              // CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS BIGINT)
+         AS unit_price_micro
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '{CS_TYPE}')
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_price_micro,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price_micro, l_suppkey) AS rn
+  FROM offers
+)
+SELECT r.l_partkey AS partkey, p_name, s_name, unit_price_micro
+FROM ranked r
+JOIN part ON r.l_partkey = p_partkey
+JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY partkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -2262,6 +2479,9 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "promo_part_suppliers": q_promo_part_suppliers,
     "suppliers_kept_waiting": q_suppliers_kept_waiting,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
 }
 
 ORACLES = {
@@ -2310,4 +2530,7 @@ ORACLES = {
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
     "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,
     "suppliers_kept_waiting": ORACLE_SUPPLIERS_KEPT_WAITING,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
+    "cheapest_supplier_per_part": ORACLE_CHEAPEST_SUPPLIER,
 }
