@@ -2305,11 +2305,16 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: date-pushed lineitem scan → one suppkey shuffle →
     1-row max probe → broadcast supplier dim onto the (usually 1-row)
     winner set."""
+    from ..cachereg import cache_eager
+
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= TS_START) & (F.col("l_shipdate") < TS_END)
     )
     disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
-    rev = (
+    # the revenue view is supplier-sized; cache it so the scalar-max
+    # probe reads the cached relation instead of re-scanning lineitem
+    # (2x the heaviest input otherwise)
+    rev = cache_eager(
         li.groupBy("l_suppkey")
         .agg(F.sum(money("l_extendedprice") * disc).alias("total_revenue"))
     )
