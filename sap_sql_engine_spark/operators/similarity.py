@@ -1393,8 +1393,95 @@ def _oracle_recall() -> str:
 ORACLE_ANN_RECALL = _oracle_recall()
 
 
+# ---------------------------------------------------------------------------
+# label-centroid similarity: the embedding-space complement to
+# source_kl_divergence's lexical domain shift — how close two label
+# clusters sit in embedding space. A near-1 pair means the labels are
+# embedding-indistinguishable (merge candidates / labeling noise); a
+# near-0 or negative pair separates cleanly. Feeds class-balance and
+# relabeling decisions the same way KL feeds mixing weights.
+
+CC_Q = 1_000_000  # per-component quantization for exact centroid sums
+
+
+def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between integer-quantized label centroids.
+
+    Determinism (FLOATS.md classes A/B): each component is floor-
+    quantized ONCE per row (q = floor(val * 1e6), exact input floats),
+    centroid components are integral quotients ``sum(q) div cnt``
+    (BIGINT, order-independent), and the pair dot/norm sums stay BIGINT
+    (|c| <= 1e6, 64 dims -> sums < 2^53, exact in double too). The one
+    emitted float is floor(dot * 1e6 / (sqrt(n1) * sqrt(n2))) — a
+    closed-form chain of individually correctly-rounded IEEE ops on
+    exact integers (the z_score precedent), CAST to DOUBLE on both
+    engines (class-D pairing).
+
+    Scale shape: one posexplode + (label, pos) aggregation over the
+    corpus scan (map-side combined, |labels| x 64 output); the pair
+    expansion and everything after runs on that metadata-sized relation.
+    At 100 TB the only corpus-sized work is the first aggregation."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.expr(
+                f"sum(CAST(floor(CAST(val AS DOUBLE) * {CC_Q}) AS BIGINT)) "
+                "div count(1)"
+            ).alias("c")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    pairs = a.join(b, "pos").filter(F.col("label_a") < F.col("label_b"))
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("n1"),
+            F.sum(F.col("cb") * F.col("cb")).alias("n2"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.expr(
+                "CAST(floor(CAST(dot AS DOUBLE) * 1000000 / "
+                "(sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) "
+                "AS DOUBLE)"
+            ).alias("cos_micro"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+ORACLE_LABEL_CENTROID_SIM = f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {CC_Q}) AS BIGINT) AS q
+  FROM embeddings, range(1, {DIM + 1}) t(i)
+),
+cent AS (
+  SELECT label, pos, CAST(sum(q) // count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+)
+SELECT label_a, label_b,
+       CAST(floor(CAST(sum(ca * cb) AS DOUBLE) * 1000000 /
+            (sqrt(CAST(sum(ca * ca) AS DOUBLE)) * sqrt(CAST(sum(cb * cb) AS DOUBLE))))
+         AS DOUBLE) AS cos_micro
+FROM pairs
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "kmeans_embedding_fit": q_kmeans_embedding_fit,
@@ -1411,6 +1498,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
+    "embedding_label_centroid_sim": ORACLE_LABEL_CENTROID_SIM,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_clusters": ORACLE_EMBEDDING_NEARDUP_CLUSTERS,
     "kmeans_embedding_fit": ORACLE_KMEANS,

@@ -1831,8 +1831,142 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate phrase mining: the CCNet-style cleaning signal a crawl corpus
+# needs before near-dup removal — phrases (3-gram shingles) that recur
+# across MANY documents of a source are headers/footers/templates, not
+# content; they inflate n-gram LMs and dedup false-positive rates. A
+# shingle is "boilerplate" when its document frequency reaches
+# BP_DF_PCT% of the source's documents.
+
+BP_DF_PCT = 5  # df >= 5% of the source's docs → boilerplate
+
+
+def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report: how many shingles cross the
+    document-frequency threshold, the most widespread one, and what
+    fraction of documents carry at least one boilerplate phrase.
+
+    Scale shape: ONE distinct (source, doc_id, shingle) relation (cached;
+    shuffle keyed on the shingle triple) feeds both the df aggregation
+    (same-key regroup) and the affected-document probe; the boilerplate
+    set itself is threshold-pruned to metadata size (df >= 5% of docs
+    bounds it by 20x the per-source common-phrase count), so it
+    broadcasts back onto the shingle relation. The df compare is
+    cross-multiplied (``df * 20 >= n_docs``) so no quotient exists, and
+    every output cell is a count, an integral bp quotient (divisor
+    n_docs >= 1 structurally), or a COALESCEd string — no NULL-in-bigint
+    (FLOATS.md classes A, D, E)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    src = cache_eager(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    toks = docs.select(
+        "source", "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    # guarded index list — same short-doc guard as dedup's shingle helpers
+    grams = F.expr(
+        "transform(CASE WHEN size(toks) >= 3 "
+        "THEN sequence(1, size(toks) - 2, 1) ELSE array() END, "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
+    )
+    dg = cache_eager(
+        toks.select("source", "doc_id", F.explode(grams).alias("g")).distinct()
+    )
+    df_rel = dg.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = cache_eager(
+        df_rel.join(F.broadcast(src), "source").filter(
+            F.col("df") * (100 // BP_DF_PCT) >= F.col("n_docs")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("df").desc(), "g")
+    )
+    top = (
+        boiler.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("g").alias("top_gram"), F.col("df").alias("top_df"))
+    )
+    stats = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bp")
+    )
+    affected = (
+        dg.join(F.broadcast(boiler.select("source", "g")), ["source", "g"])
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_aff"))
+    )
+    return (
+        src.join(stats, "source", "left")
+        .join(top, "source", "left")
+        .join(affected, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_bp"), F.lit(0)).cast("bigint").alias(
+                "n_boilerplate_grams"
+            ),
+            F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("top_df"), F.lit(0)).cast("bigint").alias(
+                "top_gram_df"
+            ),
+            F.expr("COALESCE(n_aff, 0) * 10000 div n_docs")
+            .cast("bigint")
+            .alias("boilerplate_doc_frac_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BOILERPLATE = rf"""
+WITH docs AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+src AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1),
+grams AS (
+  SELECT DISTINCT source, doc_id,
+         list_aggregate(toks[i:i+2], 'string_agg', ' ') AS g
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+),
+df AS (SELECT source, g, count(*) AS df FROM grams GROUP BY 1, 2),
+boiler AS (
+  SELECT d.source, d.g, d.df
+  FROM df d JOIN src s ON d.source = s.source
+  WHERE d.df * {100 // BP_DF_PCT} >= s.n_docs
+),
+top AS (
+  SELECT source, g AS top_gram, df AS top_df,
+         row_number() OVER (PARTITION BY source ORDER BY df DESC, g) AS rn
+  FROM boiler
+),
+stats AS (SELECT source, count(*) AS n_bp FROM boiler GROUP BY 1),
+affected AS (
+  SELECT g2.source, count(DISTINCT g2.doc_id) AS n_aff
+  FROM grams g2 JOIN boiler b ON g2.source = b.source AND g2.g = b.g
+  GROUP BY 1
+)
+SELECT s.source,
+       s.n_docs,
+       CAST(COALESCE(st.n_bp, 0) AS BIGINT) AS n_boilerplate_grams,
+       COALESCE(t.top_gram, '') AS top_gram,
+       CAST(COALESCE(t.top_df, 0) AS BIGINT) AS top_gram_df,
+       CAST(COALESCE(a.n_aff, 0) * 10000 // s.n_docs AS BIGINT)
+         AS boilerplate_doc_frac_bp
+FROM src s
+LEFT JOIN stats st ON s.source = st.source
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON s.source = t.source
+LEFT JOIN affected a ON s.source = a.source
+ORDER BY s.source
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "boilerplate_phrases": q_boilerplate_phrases,
     "text_quality_score": q_quality_score,
     "text_quality_percent_rank": q_quality_percent_rank,
     "text_vowel_stats": q_text_vowel_stats,
@@ -1864,6 +1998,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "boilerplate_phrases": ORACLE_BOILERPLATE,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_quality_percent_rank": ORACLE_QUALITY_PERCENT_RANK,
     "text_vowel_stats": ORACLE_VOWEL_STATS,
