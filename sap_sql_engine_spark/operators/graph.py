@@ -180,10 +180,160 @@ ORDER BY pagerank_micro DESC, n_name
 ORACLE_NATION_TRADE_PAGERANK = _oracle_pagerank()
 
 
+# ---------------------------------------------------------------------------
+# triangle counting + global clustering coefficient over the co-purchase
+# graph (parts sharing an order) — the second classic distributed-graph
+# kernel next to PageRank, and the standard connectivity-quality number
+# (how clique-ish is the product catalog's co-occurrence structure).
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient, via the
+    degree-ordered edge orientation algorithm (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11 —
+    public literature): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, generate wedges only
+    among each node's ORIENTED out-neighbors, and close them against the
+    oriented edge set. Each triangle is counted exactly once, and a
+    degree-D hub generates O(out_deg²) wedges where out_deg is bounded
+    by the graph's degeneracy — not O(D²) — which is what makes the
+    self-join survive power-law degree skew at scale.
+
+    Scale shape: basket-bounded pair self-join (same shape as
+    parts_copurchase), one degree aggregation, then all joins run on the
+    edge relation (edges cached once, reused for orientation, wedges,
+    and closure); the output is four scalar aggregates cross-joined
+    (1-row attaches). clustering_micro = (3 * triangles * 1e6) div
+    open_wedges is an integral quotient of exact counts (FLOATS.md
+    class A; nullif guards the empty-graph divisor, class E)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(b2, (li.l_orderkey == b2.o2) & (li.l_partkey < b2.pk2))
+        .select(F.col("l_partkey").alias("p1"), F.col("pk2").alias("p2"))
+        .distinct()
+    )
+    return triangle_report(edges)
+
+
+def triangle_report(raw_edges: DataFrame) -> DataFrame:
+    """The counting kernel, factored for planted-graph tests: takes an
+    undirected edge list as (p1, p2) with p1 < p2 (distinct), returns the
+    1-row report."""
+    edges = cache_eager(raw_edges)
+    deg = cache_eager(
+        edges.select(F.explode(F.array("p1", "p2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("n").alias("n1"), F.col("d").alias("dg1"))
+    d2 = deg.select(F.col("n").alias("n2"), F.col("d").alias("dg2"))
+    with_deg = edges.join(d1, edges.p1 == d1.n1).join(d2, edges.p2 == d2.n2)
+    fwd = (F.col("dg1") < F.col("dg2")) | (
+        (F.col("dg1") == F.col("dg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = cache_eager(
+        with_deg.select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+            F.when(fwd, F.col("dg2")).otherwise(F.col("dg1")).alias("dv"),
+        )
+    )
+    o2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = oriented.join(
+        o2,
+        (F.col("u") == F.col("u2"))
+        & (
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        ),
+    ).select(F.col("v").alias("x"), F.col("w").alias("y"))
+    closing = oriented.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    n_tri = (
+        wedges.join(
+            closing, (F.col("x") == F.col("cu")) & (F.col("y") == F.col("cv"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_open = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_open)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("(3 * n_triangles * 1000000) div nullif(n_wedges, 0)")
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+    )
+
+
+ORACLE_COPURCHASE_TRIANGLES = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS p1, c.l_partkey AS p2
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+              THEN e.p1 ELSE e.p2 END AS u,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+              THEN e.p2 ELSE e.p1 END AS v,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+              THEN d2.d ELSE d1.d END AS dv
+  FROM e JOIN deg d1 ON e.p1 = d1.n JOIN deg d2 ON e.p2 = d2.n
+),
+w AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2
+    ON o1.u = o2.u
+   AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN o ON w.x = o.u AND w.y = o.v
+),
+scalars AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM e) AS n_edges,
+         (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST((3 * n_triangles * 1000000) // nullif(n_wedges, 0) AS BIGINT)
+         AS clustering_micro
+FROM scalars
+"""
+
+
 QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
+    "copurchase_triangles": q_copurchase_triangles,
 }
 
 ORACLES = {
     "nation_trade_pagerank": ORACLE_NATION_TRADE_PAGERANK,
+    "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
 }

@@ -51,3 +51,30 @@ def test_nation_pagerank_invariants(spark, sf_dir):
     for r in rows:
         assert r.pagerank_micro > 0
         assert abs(r.pagerank - r.pagerank_micro / graph.PR_SCALE) < 1e-8
+
+
+def _tri_report(spark, edges):
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "p1 long, p2 long"
+    ).distinct()
+    return graph.triangle_report(df).collect()[0]
+
+
+def test_triangle_kernel_planted_graphs(spark):
+    # K4: 4 triangles, 4 nodes, 6 edges, wedges = 4*C(3,2) = 12,
+    # clustering = 3*4/12 = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri_report(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_micro == 1_000_000
+
+    # path 0-1-2-3: no triangles, 2 open wedges, clustering 0
+    r = _tri_report(spark, [(0, 1), (1, 2), (2, 3)])
+    assert (r.n_triangles, r.n_wedges, r.clustering_micro) == (0, 2, 0)
+
+    # two triangles sharing an edge (bowtie-ish): 0-1-2 and 1-2-3
+    r = _tri_report(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert r.n_triangles == 2
+    # degree-skew star + one closing edge: hub 0 to 1..5, edge (1, 2)
+    r = _tri_report(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+    assert r.n_triangles == 1 and r.n_edges == 6
