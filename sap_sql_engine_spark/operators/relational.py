@@ -2390,7 +2390,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "l_suppkey",
             F.expr(
-                "CAST((CAST(sum_price * 100 AS DECIMAL(38,0)) * 10000) "
+                "CAST((CAST(sum_price * 100 AS DECIMAL(38,0)) * 1000000) "
                 "div CAST(sum_qty * 100 AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("unit_price_micro"),
         )
@@ -2416,7 +2416,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHEAPEST_SUPPLIER = f"""
 WITH offers AS (
   SELECT l_partkey, l_suppkey,
-         CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) * 10000)
+         CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) * 1000000)
               // CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS BIGINT)
          AS unit_price_micro
   FROM lineitem
