@@ -206,3 +206,69 @@ def test_boilerplate_phrases_df_cutoff(spark, tmp_path):
     assert r.n_boilerplate_grams == 1
     assert r.top_gram == "aa bb cc" and r.top_gram_df == 3
     assert r.boilerplate_doc_frac_bp == 1000  # 3/30 in bp
+
+
+def test_label_centroid_sim_python_mirror(spark, tmp_path):
+    # tiny planted embedding set mirrored by an exact pure-Python fold of
+    # the same quantized recipe (floor(v*1e6) -> integral mean -> cosine)
+    import math
+
+    from sap_sql_engine_spark.operators import similarity
+
+    vecs = {
+        0: [[1.0, 0.0, 0.0, 0.25], [0.5, 0.1, 0.0, 0.25]],
+        1: [[0.0, 1.0, 0.0, -0.5], [0.0, 0.8, 0.2, -0.5]],
+        2: [[1.0, 0.1, 0.0, 0.0]],
+    }
+    dim = 4
+    rows = []
+    vid = 0
+    for lab, vs in vecs.items():
+        for v in vs:
+            rows.append((vid, v + [0.0] * (similarity.DIM - dim), lab))
+            vid += 1
+    _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    import numpy as np
+
+    def centroid(vs):
+        n = len(vs)
+        comps = []
+        for i in range(similarity.DIM):
+            q = sum(
+                math.floor(float(np.float32(v[i] if i < dim else 0.0)) * similarity.CC_Q)
+                for v in vs
+            )
+            # Spark `div` truncates toward zero (Python // floors)
+            comps.append((abs(q) // n) * (1 if q >= 0 else -1))
+        return comps
+
+    cents = {lab: centroid(vs) for lab, vs in vecs.items()}
+
+    def cos_micro(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        n1 = sum(x * x for x in a)
+        n2 = sum(y * y for y in b)
+        return float(math.floor(dot * 1e6 / (math.sqrt(n1) * math.sqrt(n2))))
+
+    expect = {
+        (a, b): cos_micro(cents[a], cents[b])
+        for a in cents
+        for b in cents
+        if a < b
+    }
+    got = {
+        (r.label_a, r.label_b): r.cos_micro
+        for r in similarity.q_embedding_label_centroid_sim(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expect
+    # sanity: label 2 is near label 0's direction, far from label 1
+    assert got[(0, 2)] > got[(1, 2)]
