@@ -206,7 +206,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-row attaches). clustering_micro = (3 * triangles * 1e6) div
     open_wedges is an integral quotient of exact counts (FLOATS.md
     class A; nullif guards the empty-graph divisor, class E)."""
-    li = (
+    # the distinct basket relation feeds BOTH sides of the pair self-join;
+    # cache it so lineitem scans once (the only corpus-sized input)
+    li = cache_eager(
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

@@ -1423,7 +1423,11 @@ def q_embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFram
     At 100 TB the only corpus-sized work is the first aggregation."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    cent = (
+    from ..cachereg import cache_eager
+
+    # cent feeds both sides of the pair self-join; cache it so the
+    # corpus aggregation (the only embeddings scan) runs once
+    cent = cache_eager(
         ex.groupBy("label", "pos")
         .agg(
             F.expr(
