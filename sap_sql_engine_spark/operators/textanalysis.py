@@ -1964,8 +1964,102 @@ ORDER BY s.source
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV: the tokenizer-sizing report next to BPE
+# training — if the deployment vocabulary keeps only the top-K global
+# tokens, what fraction of each source's token stream falls out-of-
+# vocabulary? A source with high OOV under the shared vocab is the one
+# that needs vocab budget (or its own merges) before training.
+
+VOCAB_KS = (10, 20, 40)  # candidate vocabulary sizes to report
+
+
+def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, K) out-of-vocabulary rate for top-K global vocabs.
+
+    Scale shape: ONE (source, token) aggregation over the corpus scan
+    (map-side combined) is the only corpus-sized work; the global
+    ranking is a window over the Heaps-bounded vocabulary relation
+    (single-partition window is safe BECAUSE the relation is
+    vocabulary-sized, the same adjudication as the BPE argmax), which
+    then broadcasts back onto the per-source counts; the K fan-out is a
+    3-element literal explode. Every cell is a count or an integral bp
+    quotient over counts (divisor = the source's token total, >= 1 for
+    any emitted group; FLOATS.md class A, oracle sums CAST to BIGINT
+    per class D)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    stc = cache_eager(
+        toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = stc.groupBy("token").agg(F.sum("c").alias("gc"))
+    rank = g.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("gc").desc(), "token"))
+        .alias("r"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in VOCAB_KS])
+    ).alias("k")
+    return (
+        stc.join(F.broadcast(rank), "token")
+        .select("source", "c", "r", ks)
+        .groupBy("source", "k")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("r") > F.col("k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "k",
+            "total_tokens",
+            "oov_tokens",
+            F.expr("oov_tokens * 10000 div total_tokens")
+            .cast("bigint")
+            .alias("oov_bp"),
+        )
+        .orderBy("source", "k")
+    )
+
+
+ORACLE_VOCAB_OOV = rf"""
+WITH toks AS (
+  SELECT source, token FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  )
+  WHERE token != ''
+),
+stc AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+g AS (SELECT token, sum(c) AS gc FROM stc GROUP BY 1),
+rank AS (
+  SELECT token, row_number() OVER (ORDER BY gc DESC, token) AS r FROM g
+),
+fan AS (
+  SELECT s.source, s.c, rk.r, k
+  FROM stc s JOIN rank rk ON s.token = rk.token
+  CROSS JOIN (VALUES {", ".join(f"({k})" for k in VOCAB_KS)}) ks(k)
+)
+SELECT source, k,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN r > k THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+       CAST(sum(CASE WHEN r > k THEN c ELSE 0 END) * 10000 // sum(c) AS BIGINT)
+         AS oov_bp
+FROM fan
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "vocab_oov_report": q_vocab_oov_report,
     "boilerplate_phrases": q_boilerplate_phrases,
     "text_quality_score": q_quality_score,
     "text_quality_percent_rank": q_quality_percent_rank,
@@ -1999,6 +2093,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "boilerplate_phrases": ORACLE_BOILERPLATE,
+    "vocab_oov_report": ORACLE_VOCAB_OOV,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_quality_percent_rank": ORACLE_QUALITY_PERCENT_RANK,
     "text_vowel_stats": ORACLE_VOWEL_STATS,

@@ -272,3 +272,30 @@ def test_label_centroid_sim_python_mirror(spark, tmp_path):
     assert got == expect
     # sanity: label 2 is near label 0's direction, far from label 1
     assert got[(0, 2)] > got[(1, 2)]
+
+
+def test_vocab_oov_report_planted_ranking(spark, tmp_path):
+    # 12 distinct tokens with counts 12..1 (rank == alphabetical order
+    # here); K=10 leaves t11 (2 occurrences) + t12 (1) OOV; K>=20 covers
+    # everything. total = 78, so oov_bp(10) = 3*10000 div 78 = 384.
+    docs = []
+    did = 0
+    for i in range(1, 13):
+        for _ in range(13 - i):
+            docs.append((did, f"t{i:02d}", "en", "srcA", 4))
+            did += 1
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from sap_sql_engine_spark import cachereg
+
+    try:
+        rows = textanalysis.q_vocab_oov_report(spark, str(tmp_path)).collect()
+    finally:
+        cachereg.release()
+    got = {r.k: (r.total_tokens, r.oov_tokens, r.oov_bp) for r in rows}
+    assert got == {10: (78, 3, 384), 20: (78, 0, 0), 40: (78, 0, 0)}
