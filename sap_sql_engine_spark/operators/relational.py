@@ -2260,7 +2260,10 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "n_small_lines",
-            out2(F.col("rev") / SQ_REV_DIVISOR).alias("avg_yearly"),
+            # divide in DOUBLE on both engines (one IEEE op on the exact
+            # DECIMAL sum) — DECIMAL-division rounding rules differ across
+            # engines, the double lane does not
+            F.round(F.col("rev").cast("double") / F.lit(float(SQ_REV_DIVISOR)), 2).alias("avg_yearly"),
         )
         .orderBy("p_brand")
     )
@@ -2275,8 +2278,8 @@ WITH pa AS (
 )
 SELECT p_brand,
        count(*) AS n_small_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                  / {SQ_REV_DIVISOR} AS DOUBLE), 2) AS avg_yearly
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / {SQ_REV_DIVISOR}.0, 2) AS avg_yearly
 FROM lineitem li
 JOIN pa ON li.l_partkey = pa.l_partkey
 JOIN part ON li.l_partkey = p_partkey
