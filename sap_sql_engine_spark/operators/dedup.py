@@ -1214,6 +1214,66 @@ _O_SPLIT_FLAG = (
 )
 
 
+def q_docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX `split_leakage_report` motivates: a train/eval split that
+    cannot leak through near-duplicates, because the md5 coin flips per
+    near-dup CLUSTER, not per document — every member of a component
+    lands on the same side by construction, so no near-dup pair ever
+    straddles the boundary. Singletons keep cluster_id = doc_id, which
+    makes their flag identical to the naive per-doc split: only docs
+    that actually have a near-copy can move sides relative to it.
+
+    Composition: the component relation is the already-gated
+    ``dedup_neardup_clusters`` machinery left-joined onto the corpus
+    (no broadcast hint — clustered docs are corpus-fraction-sized at web
+    scale, AQE decides); the coin is the same engine-replicable
+    md5('split|' || key) % 100 recipe the leakage report audits. Output
+    is the full per-doc assignment, so the gate hashes every single
+    placement, and the DuckDB oracle recomputes the components through
+    its literal recursive CTE."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    clustered = q_dedup_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    full = docs.join(clustered, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    coin = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('split|', CAST(cluster_id AS STRING))), "
+            "1, 8), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < SPLIT_EVAL_PCT
+    ).cast("int")
+    return full.select("doc_id", "cluster_id", coin.alias("is_eval")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_LEAKAGE_FREE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CAST(('0x' || substr(md5('split|' ||
+              CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < {SPLIT_EVAL_PCT} AS INT) AS is_eval
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set contamination check for a hash-based train/eval split:
     how many NEAR-duplicate pairs (MinHash-LSH candidates at
@@ -1612,6 +1672,7 @@ QUERIES = {
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
+    "docs_leakage_free_split": q_docs_leakage_free_split,
     "corpus_release_funnel": q_corpus_release_funnel,
     "source_overlap_minhash": q_source_overlap_minhash,
     "corpus_doc_provenance": q_corpus_doc_provenance,
@@ -1632,6 +1693,7 @@ ORACLES = {
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
+    "docs_leakage_free_split": ORACLE_LEAKAGE_FREE_SPLIT,
     "corpus_release_funnel": _oracle_release_funnel(),
     "source_overlap_minhash": ORACLE_SOURCE_OVERLAP,
     "corpus_doc_provenance": _oracle_doc_provenance(),

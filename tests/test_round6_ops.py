@@ -299,3 +299,70 @@ def test_vocab_oov_report_planted_ranking(spark, tmp_path):
         cachereg.release()
     got = {r.k: (r.total_tokens, r.oov_tokens, r.oov_bp) for r in rows}
     assert got == {10: (78, 3, 384), 20: (78, 0, 0), 40: (78, 0, 0)}
+
+
+def test_leakage_free_split_never_straddles(spark, sf_dir):
+    # property over the real corpus: no jaccard near-dup pair may cross
+    # the cluster-keyed split boundary (the defect split_leakage_report
+    # measures for the naive per-doc split)
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators import dedup
+    from sap_sql_engine_spark.sources.loader import table
+
+    try:
+        split = dedup.q_docs_leakage_free_split(spark, sf_dir)
+        pairs = dedup.jaccard_pairs(
+            table(spark, sf_dir, "documents")
+        ).select("doc1", "doc2")
+        s1 = split.select(
+            F.col("doc_id").alias("doc1"), F.col("is_eval").alias("e1")
+        )
+        s2 = split.select(
+            F.col("doc_id").alias("doc2"), F.col("is_eval").alias("e2")
+        )
+        cross = pairs.join(s1, "doc1").join(s2, "doc2").filter("e1 <> e2")
+        assert cross.count() == 0
+        # and the split is non-degenerate: both sides populated
+        sides = {r.is_eval for r in split.select("is_eval").distinct().collect()}
+        assert sides == {0, 1}
+    finally:
+        cachereg.release()
+
+
+def test_leakage_free_split_planted_cluster(spark, tmp_path):
+    # two identical docs (near-dup cluster) + singletons: the cluster
+    # members MUST share a flag keyed on the min doc_id; singletons keep
+    # the naive per-doc coin
+    import hashlib
+
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators import dedup
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, dup, "en", "s", 1), (2, dup, "en", "s", 1)]
+    for i in range(3, 9):
+        docs.append((i, f"w{i}a w{i}b w{i}c w{i}d w{i}e", "en", "s", 1))
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def coin(key: int) -> int:
+        h = hashlib.md5(f"split|{key}".encode()).hexdigest()[:8]
+        return int(int(h, 16) % 100 < dedup.SPLIT_EVAL_PCT)
+
+    try:
+        rows = {
+            r.doc_id: (r.cluster_id, r.is_eval)
+            for r in dedup.q_docs_leakage_free_split(spark, str(tmp_path)).collect()
+        }
+    finally:
+        cachereg.release()
+    assert rows[1] == (1, coin(1)) and rows[2] == (1, coin(1))
+    for i in range(3, 9):
+        assert rows[i] == (i, coin(i))
