@@ -828,6 +828,121 @@ WHERE event_type = '{ASOF_LEFT}' AND prior_click_id IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# attribution interval join: every purchase credited with the clicks in
+# its trailing attribution window — the ad-tech click-attribution shape,
+# and (in its streaming twin) the one Structured Streaming capability the
+# suite didn't yet exercise: a STREAM-STREAM inner join with watermarks
+# bounding both sides' state.
+
+ATTR_WINDOW_DAYS = 7
+
+
+def q_events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: how many of the user's clicks fall inside the
+    trailing {W}-day attribution window (purchases with none are dropped —
+    inner-join semantics, matching the streaming twin).
+
+    Scale shape: clicks ⋈ purchases is an equi-join on user_id with the
+    interval predicate as the join residual — SMJ/shuffle on the user
+    key, never an inequality-only nested loop; the per-purchase regroup
+    rides the same key. Timestamps compare as exact integer microseconds
+    (FLOATS.md class A; DuckDB epoch_us twin).
+
+    The streaming twin (``streaming_attribution_join``) runs the SAME
+    join as a watermarked stream-stream join, where the interval bound
+    is what lets Spark expire join state: a click older than the
+    watermark minus the window can never match a future purchase.
+    ``tests/test_streaming.py``-style stream==batch equality is pinned in
+    ``tests/test_round6_ops.py``."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    win_us = ATTR_WINDOW_DAYS * 86_400 * 1_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), us.alias("c_ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_ts_us"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts_us") <= F.col("p_ts_us"))
+        & (F.col("c_ts_us") >= F.col("p_ts_us") - F.lit(win_us)),
+    )
+    return (
+        joined.groupBy("purchase_id", "p_user")
+        .agg(F.count(F.lit(1)).alias("n_attr_clicks"))
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "n_attr_clicks",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       count(*) AS n_attr_clicks
+FROM e p JOIN e c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts_us <= p.ts_us
+ AND c.ts_us >= p.ts_us - CAST({ATTR_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+def streaming_attribution_join(spark: SparkSession, sf_dir: str):
+    """Stream-stream twin of q_events_attribution_window's JOIN stage: two
+    watermarked streams (clicks, purchases) interval-joined; the memory
+    sink collects the matched pairs in append mode. Watermarks + the
+    interval bound let Spark expire click state older than
+    watermark - window and purchase state at the watermark — bounded
+    state at any stream length, the property the batch docstring claims.
+    Returns the started query; caller drives processAllAvailable() and
+    reads sink ``events_attr_stream``."""
+    stream = _event_stream(spark, sf_dir)
+    wm = f"{ATTR_WINDOW_DAYS + 1} days"
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", wm)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", wm)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_attr_stream")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
 # conversion funnel: signup -> later click -> later purchase, per user
 #
 # Three chained windows over the SAME (user_id) partitioning — Spark plans
@@ -1429,6 +1544,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
     "events_asof_prior_click": q_events_asof_prior_click,
+    "events_attribution_window": q_events_attribution_window,
     "events_funnel": q_events_funnel,
     "events_dedup_counts": q_events_dedup_counts,
     "events_user_rolling": q_events_user_rolling,
@@ -1447,6 +1563,7 @@ ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_json_props": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
+    "events_attribution_window": ORACLE_EVENTS_ATTRIBUTION,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_dedup_counts": ORACLE_EVENTS_DEDUP,
     "events_user_rolling": ORACLE_EVENTS_ROLLING,

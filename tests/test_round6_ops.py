@@ -366,3 +366,25 @@ def test_leakage_free_split_planted_cluster(spark, tmp_path):
     assert rows[1] == (1, coin(1)) and rows[2] == (1, coin(1))
     for i in range(3, 9):
         assert rows[i] == (i, coin(i))
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
+    # the watermarked stream-stream interval join must produce EXACTLY the
+    # batch join's pair multiset (grouped to per-purchase counts)
+    from sap_sql_engine_spark.streaming import events as ev
+
+    batch = {
+        (r.purchase_id, r.user_id): r.n_attr_clicks
+        for r in ev.q_events_attribution_window(spark, sf_dir).collect()
+    }
+    q = ev.streaming_attribution_join(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        pairs = spark.sql(
+            "SELECT purchase_id, user_id, count(*) AS n FROM events_attr_stream "
+            "GROUP BY 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+    stream = {(r.purchase_id, r.user_id): r.n for r in pairs}
+    assert stream == batch and len(batch) > 0
