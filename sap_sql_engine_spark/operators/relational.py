@@ -2441,6 +2441,108 @@ ORDER BY partkey
 """
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers — the left-join-then-histogram pattern whose
+    trap is that an inner join silently drops the zero bucket (the
+    largest one in practice).
+
+    Scale shape: one left join customer→orders on the customer key (AQE
+    picks the strategy), one per-customer count, one tiny regroup onto
+    the count value — the second aggregation's input is |customers|
+    rows, its output at most the max order count. Excluding one priority
+    class ('1-URGENT', Q13's comment-filter analogue) pushes to the
+    orders scan. All counts, BIGINT both engines."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# Q19's OR-of-ANDs clauses, adapted to this schema's brands/sizes
+DISC_CLAUSES = (
+    ("Brand#11", 1, 15, 1, 15),
+    ("Brand#22", 1, 30, 10, 25),
+    ("Brand#33", 1, 50, 20, 35),
+)
+
+
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of conjunctive
+    (brand, size-range, quantity-range) clauses — the disjunctive-
+    predicate plan test. Expressed as ONE join with the disjunction in
+    the filter, not three unioned scans: Catalyst derives the pushable
+    parts (brand IN (...) and the size hull reach the part scan, the
+    quantity hull reaches the lineitem scan — visible as PushedFilters
+    in SCALE.md) and evaluates the exact disjunction as the join
+    residual. Revenue stays DECIMAL until the output boundary."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    clause = None
+    for brand, s_lo, s_hi, q_lo, q_hi in DISC_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        clause = c if clause is None else (clause | c)
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            out2(F.sum(money("l_extendedprice") * disc)).alias("revenue"),
+        )
+    )
+
+
+def _oracle_discounted() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in DISC_CLAUSES
+    )
+    return f"""
+SELECT count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+ORACLE_DISCOUNTED_BRAND = _oracle_discounted()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -2490,6 +2592,8 @@ QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "customer_order_distribution": q_customer_order_distribution,
+    "discounted_brand_revenue": q_discounted_brand_revenue,
 }
 
 ORACLES = {
@@ -2541,4 +2645,6 @@ ORACLES = {
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
     "cheapest_supplier_per_part": ORACLE_CHEAPEST_SUPPLIER,
+    "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DIST,
+    "discounted_brand_revenue": ORACLE_DISCOUNTED_BRAND,
 }
