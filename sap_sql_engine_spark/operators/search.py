@@ -780,8 +780,162 @@ HAVING count(*) * {HH_K} >= (SELECT n FROM n)
 """
 
 
+# ---------------------------------------------------------------------------
+# mergeable histogram quantiles: the quantile arm of the sketch algebra
+# (HLL = distinct counts, CMS = frequencies, this = percentiles). An
+# equi-width integer-bin histogram is trivially mergeable (merge = vector
+# add), so per-shard partials roll up to the exact global histogram on
+# any shard layout — proven in-engine the same way hll_merge_check proves
+# register max-merge — and a quantile read off the merged histogram is
+# wrong by at most one bin width.
+
+QH_BIN_CENTS = 500_000  # $5,000 bins over o_totalprice
+QH_PCTS = (50, 95, 99)
+
+
+def q_quantile_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: shard-merged histogram == direct histogram
+    (mismatch count, 0 is the invariant), plus histogram-estimated
+    p50/p95/p99 next to the exact type-1 order statistics for
+    calibration — |est_hi - exact| <= one bin width by construction.
+
+    Scale shape: the histogram build is one map-side-combined (shard,
+    bin) aggregation over the pruned orders scan; everything after runs
+    on the ~100-bin relation. The exact quantiles use a global sort here
+    for calibration only — production reads the histogram, which is the
+    point. All cells are exact integers (FLOATS.md class A; quantile =
+    smallest bin whose cumulative count reaches ceil(p*n/100))."""
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    vals = cache_eager(
+        table(spark, sf_dir, "orders").select(
+            cents.alias("cents"),
+            F.expr("o_orderkey % 8").alias("shard"),
+        )
+    )
+    binned = vals.select(
+        "shard", F.expr(f"cents div {QH_BIN_CENTS}").alias("bin")
+    )
+    sharded = (
+        binned.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("cm"))
+    )
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cd"))
+    cmp = sharded.join(direct, "bin", "full_outer")
+    mismatch = F.sum(
+        (
+            F.col("cm").isNull()
+            | F.col("cd").isNull()
+            | (F.col("cm") != F.col("cd"))
+        ).cast("bigint")
+    )
+    stats = cmp.agg(
+        mismatch.alias("shard_merge_mismatch"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n_orders"))
+    cum = sharded.select(
+        "bin",
+        F.sum("cm")
+        .over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    ).crossJoin(F.broadcast(total))
+    est_cols = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n_orders") * p, F.col("bin")
+            )
+        ).alias(f"b{p}")
+        for p in QH_PCTS
+    ]
+    ests = cum.agg(*est_cols)
+    rn = F.row_number().over(Window.orderBy("cents"))
+    ranked = vals.select("cents", rn.alias("rn")).crossJoin(F.broadcast(total))
+    exact_cols = [
+        F.min(
+            F.when(
+                F.col("rn") * 100 >= F.col("n_orders") * p, F.col("cents")
+            )
+        ).alias(f"e{p}")
+        for p in QH_PCTS
+    ]
+    exacts = ranked.agg(*exact_cols)
+    out = [
+        "n_orders",
+        "n_bins",
+        "shard_merge_mismatch",
+    ]
+    sel = total.crossJoin(stats).crossJoin(ests).crossJoin(exacts)
+    cols = [F.col(c) for c in out]
+    for p in QH_PCTS:
+        cols.append(
+            F.expr(f"(b{p} + 1) * {QH_BIN_CENTS}")
+            .cast("bigint")
+            .alias(f"p{p}_est_hi_cents")
+        )
+        cols.append(F.col(f"e{p}").cast("bigint").alias(f"p{p}_exact_cents"))
+    return sel.select(*cols)
+
+
+def _oracle_quantile_hist() -> str:
+    est = ", ".join(
+        f"CAST((min(CASE WHEN cum * 100 >= n_orders * {p} THEN bin END) + 1) "
+        f"* {QH_BIN_CENTS} AS BIGINT) AS p{p}_est_hi_cents"
+        for p in QH_PCTS
+    )
+    exact = ", ".join(
+        f"CAST(min(CASE WHEN rn * 100 >= n_orders * {p} THEN cents END) "
+        f"AS BIGINT) AS p{p}_exact_cents"
+        for p in QH_PCTS
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey % 8 AS shard
+  FROM orders
+),
+total AS (SELECT count(*) AS n_orders FROM vals),
+binned AS (SELECT shard, cents // {QH_BIN_CENTS} AS bin FROM vals),
+sharded AS (
+  SELECT bin, CAST(sum(c) AS BIGINT) AS cm FROM (
+    SELECT shard, bin, count(*) AS c FROM binned GROUP BY 1, 2
+  ) GROUP BY bin
+),
+direct AS (SELECT bin, count(*) AS cd FROM binned GROUP BY 1),
+cmp AS (
+  SELECT CAST(sum(CASE WHEN cm IS NULL OR cd IS NULL OR cm != cd
+                       THEN 1 ELSE 0 END) AS BIGINT) AS shard_merge_mismatch,
+         count(*) AS n_bins
+  FROM sharded FULL OUTER JOIN direct USING (bin)
+),
+cum AS (
+  SELECT bin, sum(cm) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n_orders
+  FROM sharded CROSS JOIN total
+),
+ests AS (SELECT {est} FROM cum),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn, n_orders
+  FROM vals CROSS JOIN total
+),
+exacts AS (SELECT {exact} FROM ranked)
+SELECT n_orders, n_bins, shard_merge_mismatch,
+       {", ".join(f"p{p}_est_hi_cents, p{p}_exact_cents" for p in QH_PCTS)}
+FROM total CROSS JOIN cmp CROSS JOIN ests CROSS JOIN exacts
+"""
+
+
+ORACLE_QUANTILE_HIST = _oracle_quantile_hist()
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
+    "quantile_histogram_check": q_quantile_histogram_check,
     "bm25_search": q_bm25_search,
     "doc_chunks": q_doc_chunks,
     "posting_lists": q_posting_lists,
@@ -793,6 +947,7 @@ QUERIES = {
 
 ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF,
+    "quantile_histogram_check": ORACLE_QUANTILE_HIST,
     "bm25_search": ORACLE_BM25,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "posting_lists": ORACLE_POSTING_LISTS,

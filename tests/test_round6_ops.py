@@ -388,3 +388,19 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
         q.stop()
     stream = {(r.purchase_id, r.user_id): r.n for r in pairs}
     assert stream == batch and len(batch) > 0
+
+
+def test_quantile_histogram_invariants(spark, sf_dir):
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators import search
+
+    try:
+        r = search.q_quantile_histogram_check(spark, sf_dir).collect()[0]
+    finally:
+        cachereg.release()
+    assert r.shard_merge_mismatch == 0  # merge = vector add, any shard layout
+    for p in search.QH_PCTS:
+        est, ex = r[f"p{p}_est_hi_cents"], r[f"p{p}_exact_cents"]
+        # histogram read-off is wrong by at most one bin width, on the
+        # high side (est is the qualifying bin's exclusive upper bound)
+        assert 0 <= est - ex <= search.QH_BIN_CENTS
