@@ -801,10 +801,12 @@ def q_quantile_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the histogram build is one map-side-combined (shard,
     bin) aggregation over the pruned orders scan; everything after runs
-    on the ~100-bin relation. The exact quantiles use a global sort here
-    for calibration only — production reads the histogram, which is the
-    point. All cells are exact integers (FLOATS.md class A; quantile =
-    smallest bin whose cumulative count reaches ceil(p*n/100))."""
+    on the ~100-bin relation. The exact quantiles come from a
+    pre-aggregated (cents, count) cumulative sum — the per-row global
+    rank collapses to a distinct-price-sized relation BEFORE the one
+    ordered window, so no task ever sorts the full table. All cells are
+    exact integers (FLOATS.md class A; quantile = smallest value whose
+    cumulative count reaches ceil(p*n/100))."""
     cents = F.expr(
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     )
@@ -854,17 +856,36 @@ def q_quantile_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in QH_PCTS
     ]
     ests = cum.agg(*est_cols)
-    rn = F.row_number().over(Window.orderBy("cents"))
-    ranked = vals.select("cents", rn.alias("rn")).crossJoin(F.broadcast(total))
+    # exact order statistics WITHOUT ranking every row: aggregate to
+    # (cents, count) first (map-side combined, distinct-price-sized),
+    # then one ordered window over that small relation — the cumulative
+    # count at each distinct value equals the row_number of its LAST
+    # duplicate, so "smallest cents with cum*100 >= n*p" is the same
+    # type-1 order statistic the per-row rank would give.
+    ccum = (
+        vals.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .select(
+            "cents",
+            F.sum("cc")
+            .over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("crn"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
     exact_cols = [
         F.min(
             F.when(
-                F.col("rn") * 100 >= F.col("n_orders") * p, F.col("cents")
+                F.col("crn") * 100 >= F.col("n_orders") * p, F.col("cents")
             )
         ).alias(f"e{p}")
         for p in QH_PCTS
     ]
-    exacts = ranked.agg(*exact_cols)
+    exacts = ccum.agg(*exact_cols)
     out = [
         "n_orders",
         "n_bins",

@@ -1851,9 +1851,13 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on the shingle triple) feeds both the df aggregation
     (same-key regroup) and the affected-document probe; the boilerplate
     set itself is threshold-pruned to metadata size (df >= 5% of docs
-    bounds it by 20x the per-source common-phrase count), so it
-    broadcasts back onto the shingle relation. The df compare is
-    cross-multiplied (``df * 20 >= n_docs``) so no quotient exists, and
+    bounds it by 20x the per-source common-phrase count, and a df >= 2
+    floor keeps it pruned even for tiny sources where n_docs <= 20 would
+    otherwise let every df=1 shingle qualify — the broadcast stays
+    metadata-sized regardless of source size), so it broadcasts back
+    onto the shingle relation. The df compare is cross-multiplied
+    (``df * 100 >= n_docs * BP_DF_PCT`` — exact for any pct, not just
+    divisors of 100) so no quotient exists, and
     every output cell is a count, an integral bp quotient (divisor
     n_docs >= 1 structurally), or a COALESCEd string — no NULL-in-bigint
     (FLOATS.md classes A, D, E)."""
@@ -1877,7 +1881,8 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_rel = dg.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
     boiler = cache_eager(
         df_rel.join(F.broadcast(src), "source").filter(
-            F.col("df") * (100 // BP_DF_PCT) >= F.col("n_docs")
+            (F.col("df") * 100 >= F.col("n_docs") * BP_DF_PCT)
+            & (F.col("df") >= 2)
         )
     )
     rn = F.row_number().over(
@@ -1936,7 +1941,7 @@ df AS (SELECT source, g, count(*) AS df FROM grams GROUP BY 1, 2),
 boiler AS (
   SELECT d.source, d.g, d.df
   FROM df d JOIN src s ON d.source = s.source
-  WHERE d.df * {100 // BP_DF_PCT} >= s.n_docs
+  WHERE d.df * 100 >= s.n_docs * {BP_DF_PCT} AND d.df >= 2
 ),
 top AS (
   SELECT source, g AS top_gram, df AS top_df,

@@ -73,10 +73,12 @@ def test_dtype_class_collapse():
 def test_all_oracles_pair_with_spark_schemas(spark, con):
     """Every (query, oracle) pair at sf0.001: no int↔float class mismatch.
 
-    Spark side uses .schema only (no execution) — the lazy DataFrame's
-    analyzed schema is what toPandas()/collect() will emit. Oracles DO
-    execute (dtypes depend on values via fetchdf), which is cheap at
-    sf0.001.
+    Spark side reads only the analyzed schema of the returned DataFrame
+    (what toPandas()/collect() will emit) — but BUILDING some queries
+    does execute jobs: builders that call cache_eager() materialize
+    their cached intermediates during construction, so this sweep runs
+    real (sf0.001-sized) Spark work, not a pure schema walk. Oracles
+    execute too (dtypes depend on values via fetchdf).
     """
     qs, oracles = entry.queries(), entry.oracle_sql()
     from sap_sql_engine_spark import cachereg
