@@ -2543,6 +2543,277 @@ WHERE {ors}
 ORACLE_DISCOUNTED_BRAND = _oracle_discounted()
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority check — the EXISTS-per-order semi-join
+# whose correlated predicate compares columns from BOTH tables
+# (reference's EXISTS templates, sap_semantic_model.json guideline 14).
+
+OPC_START = "1996-07-01"  # Q4's one-quarter order window
+OPC_END = "1996-10-01"
+OPC_LATE_DAYS = 60  # "late" = shipped >60 days after order placement
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority, in a one-quarter window,
+    where EXISTS a line shipped more than ``OPC_LATE_DAYS`` days after
+    the order date (the schema's stand-in for Q4's
+    ``l_commitdate < l_receiptdate`` lateness test — the correlated
+    predicate still references BOTH relations, which is the point).
+
+    Plan: LEFT SEMI join on the orderkey equi-pair with the cross-table
+    date inequality as the join residual — one hash semi-join, never a
+    per-order re-scan, and each qualifying order counts ONCE no matter
+    how many of its lines are late (semi-join semantics; the oracle
+    keeps the literal EXISTS form to pin that equivalence). The quarter
+    filter pushes to the orders scan; counts are BIGINT."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(OPC_START))
+            & (F.col("o_orderdate") < F.lit(OPC_END))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate.cast("date")
+            > F.date_add(orders.o_orderdate.cast("date"), OPC_LATE_DAYS)
+        ),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY_CHECK = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '{OPC_START}' AND o_orderdate < '{OPC_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + {OPC_LATE_DAYS}
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: two-level conditional aggregation after a fact-fact
+# join (Q12 groups by l_shipmode, absent from this schema — l_returnflag
+# plays the lineitem-attribute role; the priority-class CASE split is
+# Q12's verbatim structure).
+
+SPC_YEAR = 1997
+
+
+def q_ship_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per lineitem class (returnflag standing in for
+    the absent shipmode), how many lines belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs low — the join-then-conditional-count
+    pattern.
+
+    Plan: the year filter pushes to the lineitem scan BEFORE the
+    orderkey join (only one year of the fact shuffles); the priority
+    CASE evaluates map-side inside a partial+final hash aggregate on
+    the 3-value class key. Counts are BIGINT on both engines."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == SPC_YEAR)
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+ORACLE_SHIP_PRIORITY_CLASSES = f"""
+SELECT l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = {SPC_YEAR}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — a conditional/total ratio
+# computed in ONE aggregation pass (never two scans), widened from Q14's
+# single month to a per-month report over a year.
+
+PRS_YEAR = 1997
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship month, revenue from PROMO-type parts
+    next to total revenue and the promo share — the conditional-sum /
+    total-sum ratio evaluated in one partial+final aggregate over a
+    single lineitem⋈part pass (Q14's plan intent: the CASE carries the
+    numerator, so no second scan and no self-join).
+
+    The part dim broadcasts; the year filter pushes to the lineitem
+    scan. Revenue math stays DECIMAL to the output boundary; the share
+    is emitted as integral basis points via the exact
+    DECIMAL(38,0)-shift-then-div recipe (FLOATS.md class A — Spark
+    ``div`` ≡ DuckDB ``//``), so no float division exists anywhere."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == PRS_YEAR)
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    rev = money("l_extendedprice") * disc
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(promo.alias("pr"), F.sum(rev).alias("tr"))
+        .select(
+            "ship_month",
+            out2(F.col("pr")).alias("promo_revenue"),
+            out2(F.col("tr")).alias("total_revenue"),
+            F.expr(
+                "CAST((CAST(pr * 1000000 AS DECIMAL(38,0)) * 10000) "
+                "div CAST(tr * 1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("promo_share_bp"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = f"""
+WITH m AS (
+  SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS pr,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS tr
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = {PRS_YEAR}
+  GROUP BY 1
+)
+SELECT ship_month,
+       round(CAST(pr AS DOUBLE), 2) AS promo_revenue,
+       round(CAST(tr AS DOUBLE), 2) AS total_revenue,
+       CAST((CAST(pr * 1000000 AS HUGEINT) * 10000)
+            // CAST(tr * 1000000 AS HUGEINT) AS BIGINT) AS promo_share_bp
+FROM m
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier concentration per part descriptor — COUNT
+# DISTINCT over a pair relation with NOT-IN supplier exclusion and
+# negated dim predicates (no partsupp in this schema; the observed
+# distinct (l_partkey, l_suppkey) pairs ARE the supply relation, and
+# "complaint" suppliers are the negative-balance ones).
+
+PSC_EXCL_BRAND = "Brand#45"  # Q16's excluded brand
+PSC_SIZES = (1, 9, 17, 25, 33, 41, 49)  # Q16's size IN-list
+
+
+def q_part_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) part descriptor, excluding one brand, the PROMO
+    type, and "complaint" suppliers (NOT IN subquery — negative account
+    balance stands in for Q16's comment scan).
+
+    Plan: the supply pairs come from ONE distinct over the 2-column
+    pruned lineitem scan (pair grain, far below line grain); the
+    filtered part dim broadcasts onto it (negated predicates still push
+    to the part scan); the exclusion set is a LEFT ANTI join against a
+    metadata-sized broadcast — the NOT-IN rewrite is safe here because
+    s_suppkey is structurally non-null, and the oracle keeps the
+    literal NOT IN to pin that equivalence. COUNT DISTINCT runs as the
+    standard two-level expand aggregate; BIGINT on both engines."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != PSC_EXCL_BRAND)
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*PSC_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_CONCENTRATION = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{PSC_EXCL_BRAND}'
+  AND p_type <> 'PROMO'
+  AND p_size IN {PSC_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -2594,6 +2865,10 @@ QUERIES = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "customer_order_distribution": q_customer_order_distribution,
     "discounted_brand_revenue": q_discounted_brand_revenue,
+    "order_priority_check": q_order_priority_check,
+    "ship_priority_classes": q_ship_priority_classes,
+    "promo_revenue_share": q_promo_revenue_share,
+    "part_supplier_concentration": q_part_supplier_concentration,
 }
 
 ORACLES = {
@@ -2647,4 +2922,8 @@ ORACLES = {
     "cheapest_supplier_per_part": ORACLE_CHEAPEST_SUPPLIER,
     "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DIST,
     "discounted_brand_revenue": ORACLE_DISCOUNTED_BRAND,
+    "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
+    "ship_priority_classes": ORACLE_SHIP_PRIORITY_CLASSES,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
+    "part_supplier_concentration": ORACLE_PART_SUPPLIER_CONCENTRATION,
 }
