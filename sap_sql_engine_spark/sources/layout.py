@@ -156,8 +156,17 @@ def _exec_nodes(df: DataFrame):
 
     def walk(node):
         yield node
-        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
             yield from walk(node.executedPlan())
+        # After execution AQE splits the tree into leaf QueryStageExec
+        # nodes (children() is empty; the materialized subtree hangs off
+        # .plan()) and dedups via ReusedExchangeExec (.child()) — descend
+        # both, or every post-collect walk stops above the scans.
+        elif name.endswith("QueryStageExec"):
+            yield from walk(node.plan())
+        elif name == "ReusedExchangeExec":
+            yield from walk(node.child())
         kids = node.children()
         for i in range(kids.size()):
             yield from walk(kids.apply(i))
@@ -190,3 +199,81 @@ def exchange_count(df: DataFrame) -> int:
 
 def mounted_tables(spark: SparkSession) -> list[str]:
     return [t.name for t in spark.catalog.listTables()]
+
+
+def _scala_map_to_dict(m) -> dict:
+    it = m.keys().iterator()
+    out = {}
+    while it.hasNext():
+        k = it.next()
+        out[k] = m.apply(k).value()
+    return out
+
+
+def dpp_scan_stats(df: DataFrame) -> list[dict]:
+    """Per-FileSourceScanExec evidence that dynamic partition pruning
+    planned AND executed — one dict per scan with:
+
+    - ``dynamic_pruning``: a ``DynamicPruningExpression`` sits in the
+      scan's partition filters (structural class check, no text parse)
+    - ``num_partitions`` / ``static_num_files`` / ``files_read``: the
+      runtime metrics — after execution, a pruned scan shows
+      ``num_partitions < static_num_files`` (the static count is what a
+      non-pruned listing would have touched)
+
+    Call AFTER an action so the metrics carry real values. A scan with
+    ``dynamic_pruning`` True but ``num_partitions`` == the full
+    partition count means DPP was planned then dropped at runtime (e.g.
+    the dim side lost the broadcast-build role) — the failure mode the
+    structural test exists to catch."""
+    stats = []
+    for node in _exec_nodes(df):
+        if node.getClass().getSimpleName() != "FileSourceScanExec":
+            continue
+        flt = node.partitionFilters()
+        classes = [
+            flt.apply(i).getClass().getSimpleName() for i in range(flt.size())
+        ]
+        m = _scala_map_to_dict(node.metrics())
+        stats.append(
+            {
+                "dynamic_pruning": "DynamicPruningExpression" in classes,
+                "partition_filter_classes": classes,
+                "num_partitions": m.get("numPartitions"),
+                "static_num_files": m.get("staticFilesNum"),
+                "files_read": m.get("numFiles"),
+                "rows_read": m.get("numOutputRows"),
+            }
+        )
+    return stats
+
+
+def skew_join_stats(df: DataFrame) -> dict:
+    """Structural evidence that AQE split a skewed join at runtime:
+
+    - ``skew_smj_count``: sort-merge joins whose ``isSkewJoin`` flag the
+      runtime set (OptimizeSkewedJoin rewrote the join)
+    - ``partial_reducer_specs``: shuffle-read partition specs of class
+      ``PartialReducerPartitionSpec`` — each one is a SLICE of the hot
+      reducer partition, the mechanism that turns one straggler task
+      into many bounded ones
+
+    Call AFTER an action (AQE decides from materialized shuffle stats)."""
+    skew_smj = 0
+    partial_specs = 0
+    for node in _exec_nodes(df):
+        name = node.getClass().getSimpleName()
+        if name == "SortMergeJoinExec" and bool(node.isSkewJoin()):
+            skew_smj += 1
+        elif name.startswith("AQEShuffleRead"):
+            specs = node.partitionSpecs()
+            for i in range(specs.size()):
+                if (
+                    specs.apply(i).getClass().getSimpleName()
+                    == "PartialReducerPartitionSpec"
+                ):
+                    partial_specs += 1
+    return {
+        "skew_smj_count": skew_smj,
+        "partial_reducer_specs": partial_specs,
+    }
