@@ -39,6 +39,16 @@ HEADLINE = [
     "rollup_region_nation",
     "running_balance",
     "recursive_line_chain",
+    # TPC-H breadth (added r7 so regressions in these plans are visible;
+    # the four r5/r6 shapes with nontrivial plans + the four r7 shapes)
+    "cheapest_supplier_per_part",  # Q2
+    "small_quantity_revenue",  # Q17
+    "promo_part_suppliers",  # Q20
+    "suppliers_kept_waiting",  # Q21
+    "order_priority_check",  # Q4
+    "ship_priority_classes",  # Q12
+    "promo_revenue_share",  # Q14
+    "part_supplier_concentration",  # Q16
     # pipeline operators
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
