@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sap_sql_engine_spark.operators import (
     bpe,
     dedup,
+    govqueries,
     graph,
     multimodal,
     relational,
@@ -43,6 +44,7 @@ _MODULES = (
     search,
     multimodal,
     skew,
+    govqueries,
     streaming_events,
     relational,
     textanalysis,
