@@ -111,6 +111,82 @@ def stream_csv(
     )
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer — the second columnar format a 100 TB pipeline actually
+    meets (Hive-lineage warehouses hand over ORC the way vendors hand
+    over CSV). Spark's ORC support is built in and zero-dependency;
+    footer statistics and predicate pushdown work like parquet's."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    ignore_corrupt_files: bool = False,
+) -> DataFrame:
+    """ORC reader with an optionally pinned schema.
+
+    ORC is self-describing, so the JSONL/CSV corrupt-RECORD column does
+    not apply — a malformed row cannot exist inside a valid stripe; the
+    failure unit is the corrupt FILE. Default posture is fail-loud (a
+    truncated/garbage file aborts the read); ``ignore_corrupt_files``
+    opts into skip-and-continue per file, which is measurable loss at
+    file granularity (count files before/after), mirroring the
+    measurable-loss contract of :func:`split_corrupt`."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if ignore_corrupt_files:
+        r = r.option("ignoreCorruptFiles", "true")
+    return r.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Whether the spark-avro module is on the classpath. Avro has been
+    an EXTERNAL module since Spark 2.4 (``org.apache.spark:spark-avro``
+    must ship with the job); this container does not bundle it, so the
+    Avro lane is availability-gated rather than faked."""
+    try:
+        # the registry lookup Spark itself performs — a bare
+        # Class.forName is NOT sufficient (this container ships some
+        # avro classes without the DataSourceRegister service entry, so
+        # forName succeeds while reads/writes still fail)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath (external module since "
+            "Spark 2.4); deploy org.apache.spark:spark-avro_2.13 with the "
+            "job to enable the Avro ingest lane"
+        )
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro writer (row-oriented interchange format — the Kafka/schema-
+    registry lineage twin of the ORC lane). Availability-gated: raises
+    with deployment instructions when spark-avro is absent."""
+    _require_avro(df.sparkSession)
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Avro reader with an optionally pinned schema; availability-gated
+    like :func:`write_avro`."""
+    _require_avro(spark)
+    r = spark.read.format("avro")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): rows that parsed cleanly vs captured raw records —
     the measurable-loss contract of the ingest gate.

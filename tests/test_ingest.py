@@ -165,3 +165,79 @@ def test_csv_stream_matches_batch(spark, tmp_path):
     assert canon(streamed) == canon(batch)
     got = {r.text for r in streamed.filter("doc_id IS NOT NULL").collect()}
     assert got == {"one, with a comma", 'a "quoted" word', "three"}
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    ingest.write_orc(pq, path)
+    got = ingest.read_orc(spark, path, pq.schema)
+    assert _canon(got) == _canon(pq)
+
+
+def test_orc_corrupt_file_fails_loud_then_skips_measurably(
+    spark, sf_dir, tmp_path
+):
+    """ORC's failure unit is the FILE: default read aborts on a garbage
+    file; ignore_corrupt_files skips it and the loss is measurable as
+    the row delta."""
+    import glob
+
+    import pytest
+
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc_corrupt")
+    ingest.write_orc(pq.coalesce(4), path)
+    n_good = pq.count()
+    # plant a garbage file that claims to be ORC
+    with open(f"{path}/part-zzz-garbage.orc", "wb") as fh:
+        fh.write(b"ORC\x00not really an orc stripe" * 64)
+    with pytest.raises(Exception):
+        ingest.read_orc(spark, path, pq.schema).count()
+    survived = ingest.read_orc(
+        spark, path, pq.schema, ignore_corrupt_files=True
+    )
+    assert survived.count() == n_good  # good files all survive
+    assert len(glob.glob(f"{path}/*.orc")) >= 2  # garbage file still there
+
+
+def test_orc_predicate_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    """The point of the ORC lane at scale: filters reach the ORC scan as
+    pushed filters exactly like parquet (structural check on the scan
+    node's pushedFilters, not plan text)."""
+    from sap_sql_engine_spark.sources.layout import _exec_nodes
+
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc_pushdown")
+    ingest.write_orc(pq, path)
+    q = ingest.read_orc(spark, path, pq.schema).filter(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    q.collect()
+    scans = [
+        n
+        for n in _exec_nodes(q)
+        if n.getClass().getSimpleName() == "FileSourceScanExec"
+    ]
+    assert scans
+    pushed = scans[0].pushedDownFilters()
+    rendered = [str(pushed.apply(i)) for i in range(pushed.size())]
+    assert any("lang" in s for s in rendered), rendered
+
+
+def test_avro_lane_gated_or_roundtrips(spark, sf_dir, tmp_path):
+    """Avro is an external Spark module; absent → the lane refuses with
+    deployment instructions (never fakes), present → full round-trip."""
+    import pytest
+
+    pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_avro")
+    if ingest.avro_available(spark):
+        ingest.write_avro(pq, path)
+        got = ingest.read_avro(spark, path, pq.schema)
+        assert _canon(got) == _canon(pq)
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ingest.write_avro(pq, path)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ingest.read_avro(spark, path)
