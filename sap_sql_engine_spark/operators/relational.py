@@ -2814,6 +2814,375 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3/Q5/Q6/Q9/Q10/Q11 shapes — added r7 to complete the full
+# 22-shape TPC-H sweep (every query form now has a gated counterpart).
+
+SP_SEGMENT = "BUILDING"  # Q3's market segment
+SP_DATE = "1996-07-01"  # Q3's cutoff date
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the 10 highest-revenue orders taken before the
+    cutoff but (partly) shipped after it, for one market segment — the
+    classic sel-join-agg-topk. Both date filters push to their own
+    scans BEFORE the join (only unshipped-window lines and pre-cutoff
+    orders shuffle); the segment-filtered customer dim broadcasts; the
+    top-k is a TakeOrderedAndProject, never a global sort. Revenue is
+    DECIMAL to the boundary; the order date is emitted as an ISO string
+    (engine conventions at module top); l_orderkey breaks revenue
+    ties."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == SP_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(SP_DATE))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(SP_DATE))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(money("l_extendedprice") * disc).alias("rev"))
+        .select(
+            "l_orderkey",
+            out2(F.col("rev")).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SP_SEGMENT}'
+  AND o_orderdate < '{SP_DATE}'
+  AND l_shipdate > '{SP_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+LSV_REGION = "ASIA"  # Q5's region
+LSV_YEAR = 1997  # Q5's order year
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
+    SUPPLIER share that nation, within one region and order year — the
+    six-table join whose distinguishing predicate
+    (``c_nationkey = s_nationkey``) is a join of two different dims'
+    keys, not a dim filter.
+
+    Plan: the year filter pushes to the orders scan; customer/supplier/
+    nation/region all broadcast; the nation-equality predicate rides as
+    a join residual so no extra shuffle exists for it. Revenue stays
+    DECIMAL to the boundary; n_name breaks revenue ties."""
+    region = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == LSV_REGION)
+        .select("r_regionkey")
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == LSV_YEAR)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(out2(F.sum(money("l_extendedprice") * disc)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{LSV_REGION}' AND year(o_orderdate) = {LSV_YEAR}
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+FRC_YEAR = 1997  # Q6's ship year
+FRC_DISC_LO, FRC_DISC_HI = 0.05, 0.07
+FRC_QTY = 24
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue gain from eliminating small
+    discounts — a single-scan filter-and-sum whose ENTIRE predicate set
+    (year range, discount band, quantity cap) must reach the parquet
+    scan as pushed filters; any post-scan filtering here is a plan bug
+    at 100 TB. One partial+final aggregate, no shuffle beyond it."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == FRC_YEAR)
+        & (F.col("l_discount").between(FRC_DISC_LO, FRC_DISC_HI))
+        & (F.col("l_quantity") < FRC_QTY)
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        out2(
+            F.sum(money("l_extendedprice") * F.col("l_discount").cast(DEC4))
+        ).alias("revenue_change"),
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = f"""
+SELECT count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue_change
+FROM lineitem
+WHERE year(l_shipdate) = {FRC_YEAR}
+  AND l_discount BETWEEN {FRC_DISC_LO} AND {FRC_DISC_HI}
+  AND l_quantity < {FRC_QTY}
+"""
+
+
+PTP_TOKEN = "widget"  # Q9's p_name LIKE token
+PTP_COST_FACTOR = "0.6"  # stand-in unit-cost fraction of retail price
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year for parts
+    matching a name token. The schema has no partsupp, so Q9's
+    ``ps_supplycost`` becomes a retail-price-derived unit cost
+    (``0.6 * p_retailprice`` — the shape is the point: profit is a
+    PER-LINE expression mixing lineitem and part columns, aggregated
+    across a 4-table join).
+
+    Plan: the name filter pushes to the part scan and that dim
+    broadcasts (the pre-filtered part set drives the join, Q9's
+    planner-intended direction); supplier and nation broadcast; one
+    fact shuffle to the (nation, year) grain. All money math DECIMAL;
+    the cost factor is an exact DECIMAL(18,4) literal so both engines
+    compute identical cents."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PTP_TOKEN))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    amount = money("l_extendedprice") * disc - money("p_retailprice") * money(
+        "l_quantity"
+    ) * F.lit(PTP_COST_FACTOR).cast(DEC4)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(out2(F.sum(amount)).alias("profit"))
+        .orderBy("supp_nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = f"""
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         - CAST(p_retailprice AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2))
+           * CAST({PTP_COST_FACTOR} AS DECIMAL(18,4))
+       ) AS DOUBLE), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{PTP_TOKEN}%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+RIR_START = "1996-10-01"  # Q10's one-quarter window
+RIR_END = "1997-01-01"
+RIR_TOP = 20
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the top-20 customers by revenue LOST to returns
+    in one quarter — sel-join-agg over customer grain with a top-k.
+    The return-flag filter pushes to the lineitem scan and the quarter
+    filter to the orders scan; customer/nation broadcast; the k-cap is
+    a TakeOrderedAndProject on (revenue desc, custkey) so ties are
+    deterministic."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(RIR_START))
+            & (F.col("o_orderdate") < F.lit(RIR_END))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(money("l_extendedprice") * disc).alias("rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("cust_nation"),
+            out2(F.col("rev")).alias("lost_revenue"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(RIR_TOP)
+    )
+
+
+ORACLE_RETURNED_ITEM_REPORT = f"""
+SELECT c_custkey, c_name, n_name AS cust_nation,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 2) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '{RIR_START}' AND o_orderdate < '{RIR_END}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT {RIR_TOP}
+"""
+
+
+IPV_NATION = "NATION_3"  # Q11's supplier nation
+IPV_SHARE_MULT = 400  # keep parts whose value share exceeds 1/400
+
+
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the parts carrying an outsized share of one
+    nation's supplied value — a grouped sum filtered by a SCALAR
+    subquery over the same relation (Q11's HAVING
+    ``> fraction * sum(...)``), adapted to observed line value since
+    the schema has no partsupp.
+
+    Decorrelation: the per-part aggregation runs ONCE, the global total
+    is a 1-row aggregate of that same relation attached by broadcast
+    cross-join (a bounded 1-row attach, per SCALE.md's bnlj policy),
+    and the share compare is cross-multiplied
+    (``val * 100 > total``) over exact DECIMAL sums — no quotient, no
+    float drift, no second scan of lineitem."""
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == IPV_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(money("l_extendedprice")).alias("val"))
+    )
+    total = vals.agg(F.sum("val").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * IPV_SHARE_MULT > F.col("total"))
+        .select("l_partkey", out2(F.col("val")).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUES = f"""
+WITH vals AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{IPV_NATION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM vals, (SELECT sum(val) AS total FROM vals) t
+WHERE val * {IPV_SHARE_MULT} > total
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -2869,6 +3238,12 @@ QUERIES = {
     "ship_priority_classes": q_ship_priority_classes,
     "promo_revenue_share": q_promo_revenue_share,
     "part_supplier_concentration": q_part_supplier_concentration,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "product_type_profit": q_product_type_profit,
+    "returned_item_report": q_returned_item_report,
+    "important_part_values": q_important_part_values,
 }
 
 ORACLES = {
@@ -2926,4 +3301,10 @@ ORACLES = {
     "ship_priority_classes": ORACLE_SHIP_PRIORITY_CLASSES,
     "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
     "part_supplier_concentration": ORACLE_PART_SUPPLIER_CONCENTRATION,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
+    "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
+    "returned_item_report": ORACLE_RETURNED_ITEM_REPORT,
+    "important_part_values": ORACLE_IMPORTANT_PART_VALUES,
 }

@@ -5,7 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names, and an order-insensitive value
 normalization. Use while iterating:
 
-    python tools/check_correctness.py [--ansi] [sf_dir] [query ...]
+    python tools/check_correctness.py [--ansi] [--outside-window] [sf_dir] [query ...]
+
+``--outside-window`` restricts the run to the queries AFTER the
+driver's 50-entry gate window (registration order) — the round-robin
+re-verification leg for old green rows nothing else re-checks.
 
 ``--ansi`` runs the Spark side under ``spark.sql.ansi.enabled=true`` —
 the DRIVER's environment (Spark 4 defaults ANSI ON; the repo's own
@@ -111,8 +115,10 @@ def dtype_pairing_errors(sdf_spark, odf) -> list:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--ansi"]
-    ansi = "--ansi" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ansi = "--ansi" in flags
+    outside_window = "--outside-window" in flags
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -137,6 +143,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if outside_window:
+        # The driver's gate records only the FIRST 50 registered queries
+        # each round; everything after slot 50 holds an older green row
+        # that nothing re-verifies. This leg re-runs exactly that
+        # outside-the-window remainder so a regression in an old query
+        # surfaces locally the same round it is introduced.
+        outside = list(qs)[50:]
+        print(f"== outside-window sweep: {len(outside)} queries "
+              f"(window holds the first 50 of {len(qs)}) ==")
+        only = set(outside)
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -1,0 +1,124 @@
+"""Dedup-ladder growth stress — measures how the banded/df-capped dedup
+queries scale when the corpus grows past the bench scale.
+
+    python tools/dedup_growth.py [factor ...]     # default: 1 5 10
+
+For each factor k the sf0.1 documents table is replicated k times with a
+per-replica VOCABULARY shift (every token prefixed ``{k}x``), so each
+replica block keeps the original's internal near-dup rate while sharing
+no shingles across blocks — corpus size grows k×, true-pair count grows
+~k×, and a sub-quadratic algorithm should show ~linear time and
+candidate growth. (Replicating without mutation would instead grow
+k-cliques of near-identical docs — pair OUTPUT is quadratic in clique
+size by definition, which measures the data, not the algorithm.)
+
+Prints one JSON line per (query, factor): rows in, result pairs, sec
+(min of 2 passes). Numbers land in SCALE.md's growth note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark import cachereg
+from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.session import get_spark
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = {
+    "dedup_ngram_jaccard": dedup.QUERIES["dedup_ngram_jaccard"],
+    "dedup_minhash_lsh": dedup.QUERIES["dedup_minhash_lsh"],
+}
+
+
+def build_scaled_corpus(spark, factor: int, dst_dir: str) -> int:
+    """documents.parquet replicated ``factor``× with disjoint vocabularies
+    (token prefix + doc_id offset per replica). Returns the row count."""
+    base = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    parts = []
+    for k in range(factor):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            (
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda t: F.concat(F.lit(f"{k}x"), t),
+                    ),
+                    " ",
+                )
+                if k > 0
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(rep)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet")
+    return spark.read.parquet(f"{dst_dir}/documents.parquet").count()
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    spark = get_spark("dedup-growth")
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"dedup_growth_{factor}x_")
+        try:
+            n_rows = build_scaled_corpus(spark, factor, tmp)
+            for name, fn in QUERIES.items():
+                times, pairs = [], None
+                for _ in range(2):
+                    t0 = time.time()
+                    pairs = fn(spark, tmp).count()
+                    times.append(round(time.time() - t0, 3))
+                    cachereg.release()
+                    spark.catalog.clearCache()
+                rec = {
+                    "query": name,
+                    "factor": factor,
+                    "rows": n_rows,
+                    "pairs": pairs,
+                    "sec": min(times),
+                    "passes": times,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    # growth summary relative to the smallest factor
+    base = {r["query"]: r for r in results if r["factor"] == factors[0]}
+    for r in results:
+        b = base[r["query"]]
+        if r is b:
+            continue
+        kx = r["factor"] / b["factor"]
+        print(
+            json.dumps(
+                {
+                    "summary": r["query"],
+                    "scale_up": kx,
+                    "time_ratio": round(r["sec"] / b["sec"], 2),
+                    "pair_ratio": round(r["pairs"] / max(1, b["pairs"]), 2),
+                    "linear_bound": kx,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
