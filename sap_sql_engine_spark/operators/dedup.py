@@ -566,24 +566,22 @@ SELECT doc_id, source, fp, n_copies FROM w WHERE doc_id = keeper
 INCR_BATCH_SOURCE = "src19"
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-band matches of the incoming batch against the corpus.
-
-    Scale shape: signatures compute once over the full table (at 100 TB the
-    corpus side is a PERSISTED band table — only the batch side is new
-    work), the batch band relation is tiny and BROADCAST, so the corpus
-    never shuffles for the probe; the estimate re-rank joins the two wide
-    signature rows exactly like the batch LSH path."""
-    docs = table(spark, sf_dir, "documents")
+def _minhash_wide_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, m1..mN) MinHash signature row per document. Signatures
+    are per-document (shingling and permutation hashing reference no
+    corpus statistics), so any subset — a standing corpus, an incoming
+    micro-batch — signs independently and identically."""
     sh = _shingles_raw_from(docs).select(
         "doc_id",
         F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
     )
-    wide = cache_eager(
-        sh.groupBy("doc_id")
-        .agg(*[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)])
-        .join(docs.select("doc_id", "source"), "doc_id")
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_perm_hash(p)).alias(f"m{p}") for p in range(1, N_MINHASH + 1)]
     )
+
+
+def _bands_of(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band relation from a wide signature row."""
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -594,15 +592,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    banded = wide.select(
-        "doc_id", "source", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "source", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    batch = banded.filter(F.col("source") == INCR_BATCH_SOURCE).drop("source")
-    corpus = banded.filter(F.col("source") != INCR_BATCH_SOURCE).drop("source")
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def incremental_probe_from_wide(
+    wide_corpus: DataFrame, batch_docs: DataFrame
+) -> DataFrame:
+    """(new_doc, corpus_doc, est_jaccard) matches of ``batch_docs``
+    against a PRE-BUILT corpus signature relation — the per-batch unit
+    of work: only the batch side is signed fresh, its (tiny) band
+    relation broadcasts, and the corpus never re-pairs."""
+    wide_b = cache_eager(_minhash_wide_from(batch_docs))
     candidates = (
-        corpus.alias("c")
+        _bands_of(wide_corpus)
+        .alias("c")
         .join(
-            F.broadcast(batch.alias("b")),
+            F.broadcast(_bands_of(wide_b).alias("b")),
             (F.col("c.band") == F.col("b.band")) & (F.col("c.sig") == F.col("b.sig")),
         )
         .select(
@@ -610,11 +617,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w1 = wide.select(
+    w1 = wide_b.select(
         F.col("doc_id").alias("new_doc"),
         *[F.col(f"m{p}").alias(f"a{p}") for p in range(1, N_MINHASH + 1)],
     )
-    w2 = wide.select(
+    w2 = wide_corpus.select(
         F.col("doc_id").alias("corpus_doc"),
         *[F.col(f"m{p}").alias(f"b{p}") for p in range(1, N_MINHASH + 1)],
     )
@@ -631,6 +638,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agree / F.lit(N_MINHASH), 4).alias("est_jaccard"),
         )
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-band matches of the incoming batch against the corpus.
+
+    Scale shape: the corpus side signs once (at 100 TB it is a PERSISTED
+    band table — only the batch side is new work), the batch band
+    relation is tiny and BROADCAST, so the corpus never shuffles for the
+    probe; the estimate re-rank joins the two wide signature rows
+    exactly like the batch LSH path. The probe body is shared verbatim
+    with the drop-folder streaming twin
+    (:func:`streaming_incremental_dedup`)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    wide_c = cache_eager(_minhash_wide_from(corpus))
+    return incremental_probe_from_wide(wide_c, batch)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str
+):
+    """Drop-folder STREAMING twin of :func:`q_dedup_incremental`: newly
+    arrived documents (JSONL drops, the ingest lane's schema-pinned
+    parse) probe the standing corpus signature relation per micro-batch
+    via ``foreachBatch``, appending matches to ``out_dir``.
+
+    This is the production shape of continuous dedup: the corpus
+    signatures are built ONCE (a persisted artifact at scale; an eager
+    cache here) and each micro-batch pays only its own signing plus a
+    broadcast band probe — ingest latency is independent of corpus
+    size. Returns the started query; the caller drives it
+    (``processAllAvailable``) and compares ``out_dir`` with the batch
+    query — the twin test asserts stream == batch exactly."""
+    from ..sources.ingest import CORRUPT_COL, stream_jsonl
+
+    docs = table(spark, sf_dir, "documents")
+    wide_c = cache_eager(
+        _minhash_wide_from(docs.filter(F.col("source") != INCR_BATCH_SOURCE))
+    )
+    schema = docs.schema
+    stream = (
+        stream_jsonl(spark, drop_dir, schema)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+
+    def probe_batch(batch_df, _epoch):
+        if batch_df.isEmpty():
+            return
+        incremental_probe_from_wide(wide_c, batch_df).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return stream.writeStream.foreachBatch(probe_batch).start()
 
 
 ORACLE_DEDUP_INCREMENTAL = rf"""

@@ -965,3 +965,40 @@ def test_streaming_anomaly_table_matches_batch(spark, sf_dir, tmp_path):
         for r in ev.q_events_anomaly_hours(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Drop-folder incremental dedup: two JSONL drops of the incoming
+    batch probe the standing corpus signatures per micro-batch; the
+    accumulated matches equal the batch query exactly (stream == batch),
+    and ingest work stays batch-sized (the corpus signs once)."""
+    from sap_sql_engine_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("source") == dedup.INCR_BATCH_SOURCE)
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "matches")
+
+    # first drop arrives before the stream starts, second mid-stream —
+    # exercises multi-micro-batch accumulation
+    batch.filter(F.col("doc_id") % 2 == 0).write.mode("append").json(drop_dir)
+    q = dedup.streaming_incremental_dedup(spark, sf_dir, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+        batch.filter(F.col("doc_id") % 2 == 1).write.mode("append").json(
+            drop_dir
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.new_doc, r.corpus_doc, r.est_jaccard)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.new_doc, r.corpus_doc, r.est_jaccard)
+        for r in dedup.q_dedup_incremental(spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the planted batch has real near-dups to find
