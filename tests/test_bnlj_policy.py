@@ -1,0 +1,108 @@
+"""SCALE.md's BroadcastNestedLoopJoin policy, enforced as a gate.
+
+The audit doc states: the ONLY admissible nested loops are bounded
+broadcast probes (a 1-row query vector, a fixed eval sample, a K-row
+codebook/centroid relation) and 1-row global-scalar attaches. Until now
+that was a per-round manual audit of SCALE.md; this test pins it — a new
+query (or an edit to an old one) that introduces a nested-loop join over
+anything corpus-sized fails CI the moment it is written, instead of
+surfacing as a 100 TB cartesian blowup.
+
+Every allowlisted entry documents WHY its nested loop is bounded. The
+allowlist is exact-match: a query gaining a bnlj it never had must be
+justified here explicitly.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+from tools.explain_audit import audit_plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> why its BroadcastNestedLoopJoin count is bounded (audited in
+# SCALE.md; every probe side is O(1) or O(K) in the corpus size)
+BNLJ_ALLOWED = {
+    "important_part_values": "1-row global-total attach (Q11 scalar subquery)",
+    "split_leakage_report": "1-row split-fraction scalar attaches",
+    "source_overlap_minhash": "per-source signature cross (|sources|^2, metadata-sized)",
+    "copurchase_triangles": "1-row edge/wedge totals attached to the coefficient",
+    "ann_bruteforce_topk": "1-row query-vector broadcast probe",
+    "kmeans_embedding_fit": "K-row centroid broadcast per bounded Lloyd round",
+    "ann_ivf_fitted": "K-row trained-codebook broadcast probes",
+    "ann_ivf": "K-row frozen-codebook broadcast probe",
+    "ann_pq_adc": "codebook (K x subspaces) broadcast probe",
+    "embedding_rp_reduce": "1-row distortion-calibration attach",
+    "ann_recall_report": "fixed 3-query eval sample probed against each index",
+    "ann_lsh_multiprobe": "1-row query-vector probe (hamming-1 bucket fanout)",
+    "embedding_knn_accuracy": "fixed leave-one-out eval sample broadcast",
+    "quantile_histogram_check": "1-row total/estimate attaches on ~100-bin relation",
+    "hll_merge_check": "1-row merged-vs-direct register comparison",
+    "sales_opportunity": "1-row global-average threshold attach (Q22)",
+    "label_agreement_kappa": "1-row n/pe scalar attach",
+    "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """explain('formatted') text for every registered query — plan build
+    only (cache_eager builders do materialize their sf0.001-sized
+    caches, same caveat as the dtype-pairing sweep)."""
+    from sap_sql_engine_spark import cachereg
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    out = {}
+    try:
+        for name, fn in entry.queries().items():
+            df = fn(spark, SF_DIR)
+            out[name] = df._jdf.queryExecution().explainString(mode)
+    finally:
+        cachereg.release()
+    return out
+
+
+def test_no_unbounded_nested_loop_joins(plans):
+    violations = {}
+    for name, plan in plans.items():
+        n = audit_plan(plan)["nested_loop_joins"]
+        if n > 0 and name not in BNLJ_ALLOWED:
+            violations[name] = n
+    assert not violations, (
+        "BroadcastNestedLoopJoin outside the bounded-probe allowlist "
+        f"(SCALE.md policy): {violations} — either the plan regressed or "
+        "the new nested loop needs an explicit bounded-probe justification "
+        "in BNLJ_ALLOWED"
+    )
+
+
+def test_allowlist_entries_still_have_bnlj(plans):
+    """Reverse direction: an allowlist entry whose query no longer plans
+    any nested loop is stale documentation — prune it so the allowlist
+    stays an exact statement of the audited surface."""
+    stale = [
+        name
+        for name in BNLJ_ALLOWED
+        if name in plans and audit_plan(plans[name])["nested_loop_joins"] == 0
+    ]
+    assert not stale, f"stale BNLJ_ALLOWED entries (no bnlj in plan): {stale}"
+
+
+def test_every_shuffling_query_plans_adaptively(plans):
+    """AQE must wrap every query that shuffles — it is the runtime half
+    of the scale posture (partition coalescing, skew splits, join
+    re-planning). Shuffle-free plans are exempt: Spark only inserts
+    AdaptiveSparkPlan when an exchange/subquery exists to adapt, and a
+    single-stage map plan is itself the strongest scale shape (those
+    queries are the pure-projection/sample lanes)."""
+    missing = [
+        n
+        for n, p in plans.items()
+        if audit_plan(p)["shuffles"] > 0 and "AdaptiveSparkPlan" not in p
+    ]
+    assert not missing, f"shuffling queries planning without AQE: {missing}"
