@@ -29,6 +29,14 @@ def main() -> int:
     print("Regenerate with `python tools/gen_operators_md.py > OPERATORS.md`.")
     print(f"Total: {len(qs)} queries, {len(oracles)} with DuckDB oracles.")
     print()
+    print("Verification cadence: the driver's per-round gate records the")
+    print("FIRST 50 registered queries (never-gated queries self-order to")
+    print("the front — `__spark_entry__._driver_gated`); the remainder is")
+    print("re-verified locally each round by the round-robin sweep")
+    print("`python tools/check_correctness.py --outside-window [--ansi]`")
+    print("(both ANSI legs; results recorded in PROGRESS.jsonl), so every")
+    print("query is re-checked every round on one lane or the other.")
+    print()
     print("| query | module | oracle | summary |")
     print("|---|---|---|---|")
     for name in sorted(qs):
