@@ -559,6 +559,104 @@ def q_ann_ivf(
     )
 
 
+def ivf_probe_batch(
+    assigned_corpus: DataFrame,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """(query_id, vec_id, list_id, cosine) — per-query IVF top-k for a
+    BATCH of query vectors against a pre-assigned corpus.
+
+    The serving unit of an ANN index: the corpus-side cell assignment is
+    built once (a persisted artifact at scale; an eager cache in the
+    streaming twin), and each query batch pays only its own centroid
+    distances plus a broadcast probe join — query latency independent of
+    corpus size, touching ``n_probe``/``N_LISTS`` of it. Per-query
+    ranking is a window over the probed candidates only (never the
+    corpus), with the batch path's exact (cosine desc, vec_id) tie
+    order."""
+    probe_expr = (
+        f"transform(slice(array_sort(sequence(1, {N_LISTS}), (l, r) -> "
+        "CASE WHEN element_at(d, l) < element_at(d, r) THEN -1 "
+        "WHEN element_at(d, l) > element_at(d, r) THEN 1 "
+        "WHEN l < r THEN -1 ELSE 1 END), "
+        f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
+    )
+    q = (
+        queries.withColumn("d", F.expr(_ivf_dist_expr()))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.expr(probe_expr).alias("probe_ids"),
+        )
+    )
+    cand = (
+        assigned_corpus.join(
+            F.broadcast(q), F.expr("array_contains(probe_ids, list_id)")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "list_id",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+    )
+    return cand.withColumn("rn", rn).filter(F.col("rn") <= topk).drop("rn")
+
+
+def streaming_ann_probe(
+    spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str
+):
+    """Drop-folder STREAMING twin of IVF serving: query vectors arrive
+    as JSONL drops and each micro-batch probes the standing indexed
+    corpus via ``foreachBatch``, appending per-query top-k to
+    ``out_dir``. Same production split as
+    ``dedup.streaming_incremental_dedup``: index once, probe per batch
+    — the twin test asserts stream == batch exactly."""
+    from ..sources.ingest import CORRUPT_COL, stream_jsonl
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assigned = cache_eager(
+        emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+            "list_id", F.expr("array_position(d, array_min(d))")
+        )
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    stream = (
+        stream_jsonl(spark, drop_dir, schema)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+
+    def probe(batch_df, _epoch):
+        if batch_df.isEmpty():
+            return
+        ivf_probe_batch(assigned, batch_df).write.mode("append").parquet(
+            out_dir
+        )
+
+    return stream.writeStream.foreachBatch(probe).start()
+
+
 def _oracle_ivf(qid: int = QUERY_VEC_ID) -> str:
     cent = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS

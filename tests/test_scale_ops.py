@@ -1002,3 +1002,54 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert len(got) > 0  # the planted batch has real near-dups to find
+
+
+def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Drop-folder IVF serving: query vectors streamed in two JSONL
+    drops probe the standing indexed corpus per micro-batch; accumulated
+    top-k equals the batch probe exactly, and the single-query slice
+    equals q_ann_ivf's gated result."""
+    from sap_sql_engine_spark.operators import similarity as sim
+    from sap_sql_engine_spark.sources.loader import spread
+
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    qids = [0, 5, 9]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        "vec_id", "embedding"
+    )
+    drop_dir = str(tmp_path / "qdrops")
+    out_dir = str(tmp_path / "topk")
+
+    queries.filter(F.col("vec_id") == 0).write.mode("append").json(drop_dir)
+    q = sim.streaming_ann_probe(spark, sf_dir, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+        queries.filter(F.col("vec_id") != 0).write.mode("append").json(
+            drop_dir
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.query_id, r.vec_id, r.list_id, r.cosine)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+    assigned = emb.withColumn("d", F.expr(sim._ivf_dist_expr())).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.list_id, r.cosine)
+        for r in sim.ivf_probe_batch(assigned, queries).collect()
+    )
+    assert got == want
+    assert len(got) == 3 * sim.TOPK
+
+    # the query_id=0 slice must be exactly the gated q_ann_ivf result
+    gated = sorted(
+        (r.vec_id, r.list_id, r.cosine)
+        for r in sim.q_ann_ivf(spark, sf_dir).collect()
+    )
+    slice0 = sorted((v, l, c) for (qid_, v, l, c) in got if qid_ == 0)
+    assert slice0 == gated
