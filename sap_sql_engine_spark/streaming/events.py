@@ -750,6 +750,50 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str, copies: int = 2):
     )
 
 
+def streaming_dedup_counts_watermarked(
+    spark: SparkSession, sf_dir: str, copies: int = 2, delay: str = "1 hour"
+):
+    """BOUNDED-STATE twin of :func:`streaming_dedup_counts`:
+    ``dropDuplicatesWithinWatermark`` instead of ``dropDuplicates``.
+
+    The plain operator keys state on event_id FOREVER — on an unbounded
+    stream that state grows without limit, the memory failure mode of
+    naive exactly-once dedup. The watermarked form evicts each key once
+    the event-time watermark passes its timestamp + ``delay``, so state
+    is bounded by (delay × arrival rate) at ANY stream length — the
+    correct 100 TB/day posture when redelivery (at-least-once sources,
+    producer retries) happens within a bounded window, which is the real
+    redelivery profile. Correctness contract: duplicates arriving within
+    ``delay`` of the original collapse exactly like the unbounded form —
+    the twin test asserts count-equality with the batch distinct."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = table(spark, sf_dir, "events").schema
+    stage = os.path.join(
+        _stage_root(), "dupwm_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(stage, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(stage, f"events_copy{i}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(stage))
+    agg = (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_dedup_wm_stream")
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join: each purchase matched to the user's most recent PRIOR click
 #

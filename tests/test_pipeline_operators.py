@@ -1138,3 +1138,25 @@ def test_pack_efficiency_accounting(spark, sf_dir):
         assert 0 < r.fill_ratio <= 1.0
         spanning = sum(1 for p in by_bucket[b] if p.pack_offset + p.token_count > C)
         assert r.spanning_docs == spanning
+
+
+def test_streaming_dedup_watermarked_bounded_state_matches_batch(spark, sf_dir):
+    """The bounded-state dedup twin (dropDuplicatesWithinWatermark):
+    redeliveries inside the watermark window collapse exactly like the
+    unbounded form — same counts as the batch distinct — while per-key
+    state is evicted once the watermark passes (the unbounded form's
+    memory failure mode on infinite streams)."""
+    batch = {
+        r.event_type: r.n_events
+        for r in ev.q_events_dedup_counts(spark, sf_dir).collect()
+    }
+    q = ev.streaming_dedup_counts_watermarked(spark, sf_dir, copies=2)
+    try:
+        q.processAllAvailable()
+        stream = {
+            r.event_type: r.n_events
+            for r in spark.sql("SELECT * FROM events_dedup_wm_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert stream == batch
