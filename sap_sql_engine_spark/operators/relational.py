@@ -3122,7 +3122,7 @@ LIMIT {RIR_TOP}
 
 
 IPV_NATION = "NATION_3"  # Q11's supplier nation
-IPV_SHARE_MULT = 400  # keep parts whose value share exceeds 1/400
+IPV_MEAN_MULT = 2  # keep parts whose value exceeds 2x the mean part value
 
 
 def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3132,12 +3132,15 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``> fraction * sum(...)``), adapted to observed line value since
     the schema has no partsupp.
 
-    Decorrelation: the per-part aggregation runs ONCE, the global total
-    is a 1-row aggregate of that same relation attached by broadcast
-    cross-join (a bounded 1-row attach, per SCALE.md's bnlj policy),
-    and the share compare is cross-multiplied
-    (``val * 100 > total``) over exact DECIMAL sums — no quotient, no
-    float drift, no second scan of lineitem."""
+    Decorrelation: the per-part aggregation runs ONCE, the global
+    (total, n_parts) pair is a 1-row aggregate of that same relation
+    attached by broadcast cross-join (a bounded 1-row attach, per
+    SCALE.md's bnlj policy), and the threshold is SCALE-INVARIANT —
+    parts above ``IPV_MEAN_MULT``x the MEAN part value, compared
+    cross-multiplied (``val * n_parts > mult * total``) over exact
+    DECIMAL/BIGINT — no quotient, no float drift, no second lineitem
+    scan, and the selectivity survives any corpus scale (a fixed share
+    threshold degenerates to 0 rows as the part count grows)."""
     supp = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -3158,10 +3161,15 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(money("l_extendedprice")).alias("val"))
     )
-    total = vals.agg(F.sum("val").alias("total"))
+    total = vals.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         vals.crossJoin(F.broadcast(total))
-        .filter(F.col("val") * IPV_SHARE_MULT > F.col("total"))
+        .filter(
+            F.col("val") * F.col("n_parts")
+            > F.lit(IPV_MEAN_MULT) * F.col("total")
+        )
         .select("l_partkey", out2(F.col("val")).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -3177,8 +3185,8 @@ WITH vals AS (
   GROUP BY l_partkey
 )
 SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
-FROM vals, (SELECT sum(val) AS total FROM vals) t
-WHERE val * {IPV_SHARE_MULT} > total
+FROM vals, (SELECT sum(val) AS total, count(*) AS n_parts FROM vals) t
+WHERE val * n_parts > {IPV_MEAN_MULT} * total
 ORDER BY part_value DESC, l_partkey
 """
 
