@@ -2062,7 +2062,178 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# On-engine Naive Bayes language classifier — train AND serve as one
+# gated composition (the counts-based sibling of bpe_merge_training /
+# kmeans_embedding_fit / ann_ivf_fitted: training is pure integer
+# counting, serving is an argmax of quantized log sums, so the full
+# train→classify→score pipeline hash-matches a DuckDB oracle).
+
+NB_LN_SCALE = 1_000_000  # micro-nats (the zipf/kl quantization unit)
+
+
+def q_nb_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier on the corpus
+    (labels: the ``lang`` column; features: unigram tokens), classify
+    the same corpus, and report per-language accuracy — the standard
+    closed-loop QA for auto-labeling: a language whose docs the
+    counts-based model cannot re-identify has labels that unigram
+    evidence does not support (the synthetic corpus scores honestly,
+    like ``embedding_knn_accuracy``; a planted disjoint-vocabulary test
+    pins that separable input scores 1.0).
+
+    Determinism (FLOATS.md classes A + C): the smoothed log-likelihood
+    ``ln((c+1)/(T_l+V))`` and the prior ``ln(n_l/N)`` are each floor-
+    quantized ONCE per (token, lang) / lang row to integer micro-nats;
+    per-doc scores are exact BIGINT sums of count*lnq; the argmax
+    tie-breaks lexicographically; accuracy is integral basis points.
+
+    Scale shape: training is ONE (lang, token) count aggregation over
+    the corpus scan; the model is a vocabulary-bounded |V| x |langs|
+    relation (langs are a handful) that joins back onto the per-doc
+    token counts — scoring volume is corpus-tokens x |langs|, linear in
+    the corpus; the |langs|-row prior/total relations broadcast. No
+    iteration: Naive Bayes trains in one pass, which is why it is the
+    scale-friendliest classifier a 100 TB labeling QA loop can run."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    doc_toks = cache_eager(
+        toks.groupBy("doc_id", "lang", "token").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    lt = doc_toks.groupBy("lang", "token").agg(F.sum("n").alias("c"))
+    totals = lt.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = lt.select("token").distinct()
+    vocab_n = vocab.count()  # scalar metadata probe (kl-divergence precedent)
+    # |V| x |langs| smoothed log-likelihood table, c=0 rows included
+    ll = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(lt, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            F.expr(
+                f"CAST(floor(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE) "
+                f"/ CAST(t + {vocab_n} AS DOUBLE)) * {NB_LN_SCALE}) AS BIGINT)"
+            ).alias("lnq"),
+        )
+    )
+    n_docs = docs.count()  # scalar metadata probe
+    prior = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .select(
+            F.col("lang").alias("cand"),
+            "nl",
+            F.expr(
+                f"CAST(floor(ln(CAST(nl AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+                f" * {NB_LN_SCALE}) AS BIGINT)"
+            ).alias("prior_lnq"),
+        )
+    )
+    scores = (
+        doc_toks.join(
+            ll.select(
+                F.col("lang").alias("cand"), "token", "lnq"
+            ),
+            "token",
+        )
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.col("n") * F.col("lnq")).alias("s"))
+        .join(F.broadcast(prior.select("cand", "prior_lnq")), "cand")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (F.col("s") + F.col("prior_lnq")).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    )
+    pred = scores.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("cand") == F.col("lang"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            F.expr("n_correct * 10000 div n_docs").cast("bigint").alias(
+                "accuracy_bp"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_NB_LANGUAGE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+doc_toks AS (
+  SELECT doc_id, lang, token, count(*) AS n
+  FROM toks WHERE token != '' GROUP BY 1, 2, 3
+),
+lt AS (SELECT lang, token, sum(n) AS c FROM doc_toks GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c) AS t FROM lt GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM lt),
+vn AS (SELECT count(*) AS v FROM vocab),
+ll AS (
+  SELECT totals.lang, vocab.token,
+         CAST(floor(ln(CAST(COALESCE(lt.c, 0) + 1 AS DOUBLE)
+              / CAST(totals.t + vn.v AS DOUBLE)) * {NB_LN_SCALE}) AS BIGINT)
+           AS lnq
+  FROM vocab CROSS JOIN totals CROSS JOIN vn
+  LEFT JOIN lt ON lt.lang = totals.lang AND lt.token = vocab.token
+),
+nd AS (SELECT count(*) AS n FROM documents),
+prior AS (
+  SELECT lang AS cand,
+         CAST(floor(ln(CAST(count(*) AS DOUBLE)
+              / CAST((SELECT n FROM nd) AS DOUBLE)) * {NB_LN_SCALE}) AS BIGINT)
+           AS prior_lnq
+  FROM documents GROUP BY lang
+),
+scores AS (
+  SELECT d.doc_id, d.lang, ll.lang AS cand,
+         sum(d.n * ll.lnq) + any_value(p.prior_lnq) AS score
+  FROM doc_toks d
+  JOIN ll ON ll.token = d.token
+  JOIN prior p ON p.cand = ll.lang
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scores
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS accuracy_bp
+FROM pred WHERE rn = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "nb_language_report": q_nb_language_report,
     "text_token_stats": q_token_stats,
     "vocab_oov_report": q_vocab_oov_report,
     "boilerplate_phrases": q_boilerplate_phrases,
@@ -2096,6 +2267,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nb_language_report": ORACLE_NB_LANGUAGE,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "boilerplate_phrases": ORACLE_BOILERPLATE,
     "vocab_oov_report": ORACLE_VOCAB_OOV,

@@ -1160,3 +1160,31 @@ def test_streaming_dedup_watermarked_bounded_state_matches_batch(spark, sf_dir):
     finally:
         q.stop()
     assert stream == batch
+
+
+def test_nb_language_planted_separable_vocab(spark, tmp_path):
+    """Disjoint per-language vocabularies: Naive Bayes must re-identify
+    every document's language (accuracy 10000 bp per lang) — pins that
+    the honest ~13% on the synthetic corpus reflects the data, not the
+    math."""
+    rows = []
+    did = 0
+    for li, lang in enumerate(["de", "en", "fr"]):
+        for j in range(8):
+            words = [f"{lang}tok{k}" for k in range(j % 3 + 2)]
+            text = " ".join(words * 3)
+            rows.append((did, text, lang, f"src{li}", len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = ta.q_nb_language_report(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_docs == 8
+        assert r.n_correct == 8, (r.lang, r.n_correct)
+        assert r.accuracy_bp == 10000
