@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "quantile_histogram_check": "1-row total/estimate attaches on ~100-bin relation",
     "hll_merge_check": "1-row merged-vs-direct register comparison",
     "sales_opportunity": "1-row global-average threshold attach (Q22)",
+    "nb_language_report": "|langs|-row totals crossed onto the vocabulary "
+    "(model-table build; langs are a handful)",
     "label_agreement_kappa": "1-row n/pe scalar attach",
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
 }
