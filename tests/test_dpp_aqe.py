@@ -147,3 +147,38 @@ def test_no_skew_split_on_uniform_keys(spark, skew_confs):
     j = big.join(small, "k")
     j.collect()
     assert skew_join_stats(j)["skew_smj_count"] == 0
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The third AQE mechanism (after skew-split and DPP's broadcast
+    reuse): post-shuffle partition coalescing. A static
+    spark.sql.shuffle.partitions sized for 100 TB produces thousands of
+    near-empty reducers on a small stage; AQE merges them to the
+    advisory size at runtime, so the same job config serves every data
+    scale. Structural: the shuffle read shows CoalescedPartitionSpec
+    slices covering fewer partitions than the static setting."""
+    n_static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n_static >= 4  # conftest pins 8; the assertion needs headroom
+    df = (
+        spark.range(0, 1000)
+        .select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    from sap_sql_engine_spark.sources.layout import _exec_nodes
+
+    coalesced = []
+    for node in _exec_nodes(df):
+        if node.getClass().getSimpleName().startswith("AQEShuffleRead"):
+            specs = node.partitionSpecs()
+            kinds = [
+                specs.apply(i).getClass().getSimpleName()
+                for i in range(specs.size())
+            ]
+            coalesced.append(kinds)
+    assert coalesced, "no AQE shuffle read in the executed plan"
+    final = coalesced[-1]
+    assert all(k == "CoalescedPartitionSpec" for k in final)
+    assert len(final) < n_static, (len(final), n_static)
