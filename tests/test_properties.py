@@ -690,3 +690,37 @@ def test_kmeans_matches_python_lloyd(spark, sf_dir):
         for r in sim.q_kmeans_embedding_fit(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_results_independent_of_shuffle_partition_count(spark, sf_dir):
+    """The determinism conventions (FLOATS.md) claim every gated query's
+    output is independent of physical parallelism — DECIMAL money sums,
+    integer-quantized ln sums, and tie-broken windows are associative/
+    deterministic regardless of how rows land in partitions. Pin it:
+    representative queries from each float class produce identical rows
+    under shuffle_partitions=3 and =17 (both != the session's 8, both
+    coprime-ish so reducer assignments genuinely differ)."""
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators import relational, textanalysis
+
+    picks = {
+        "pricing_summary": relational.q_pricing_summary,  # class A DECIMAL
+        "quantity_price_corr": relational.q_quantity_price_corr,  # class B
+        "zipf_slope_fit": textanalysis.q_zipf_slope,  # class C ln
+        "nb_language_report": textanalysis.q_nb_language_report,  # class C
+        "running_balance": relational.q_running_balance,  # window+tiebreak
+    }
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name, fn in picks.items():
+                rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+                cachereg.release()
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across shuffle partition counts"
+        assert a, f"{name} returned no rows"
