@@ -50,6 +50,38 @@ def cache_eager(df: DataFrame) -> DataFrame:
     return track(cached)
 
 
+def scope():
+    """Context manager releasing only the caches registered INSIDE the
+    block — the per-iteration complement to the surface-level
+    :func:`release`. A long-running consumer that builds caches per unit
+    of work (a streaming ``foreachBatch`` signing each micro-batch, a
+    bounded training loop) must not let registrations accumulate until
+    the surface releases at shutdown: with the scope, each unit's caches
+    die with the unit while caches built before the block (the standing
+    corpus relation) survive. Early release of a concurrent builder's
+    cache is correctness-safe (see module docstring: unpersisted
+    relations recompute)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        with _LOCK:
+            start = len(_TRACKED)
+        try:
+            yield
+        finally:
+            with _LOCK:
+                newly = _TRACKED[start:]
+                del _TRACKED[start:]
+            for df in newly:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    return _scope()
+
+
 def release() -> int:
     """Unpersist every tracked DataFrame; returns how many were released."""
     with _LOCK:

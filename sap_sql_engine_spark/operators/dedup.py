@@ -688,9 +688,15 @@ def streaming_incremental_dedup(
     def probe_batch(batch_df, _epoch):
         if batch_df.isEmpty():
             return
-        incremental_probe_from_wide(wide_c, batch_df).write.mode(
-            "append"
-        ).parquet(out_dir)
+        from .. import cachereg
+
+        # each micro-batch's signature cache dies with its batch; the
+        # corpus cache (built above, outside the scope) survives — on an
+        # unbounded stream the registry would otherwise grow per batch
+        with cachereg.scope():
+            incremental_probe_from_wide(wide_c, batch_df).write.mode(
+                "append"
+            ).parquet(out_dir)
 
     return stream.writeStream.foreachBatch(probe_batch).start()
 
