@@ -2232,7 +2232,288 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling: select raw-corpus documents that "look
+# like" a target domain by hashed-n-gram importance weights (Xie et al.,
+# "Data Selection for Language Models via Importance Resampling", NeurIPS
+# 2023 — public). The target here is the corpus's own `lang = 'en'` slice
+# standing in for a high-quality target domain; features are unigrams
+# hashed into DSIR_B buckets so both feature distributions are
+# BUCKET-BOUNDED relations regardless of corpus size.
+
+DSIR_B = 64  # hashed-feature buckets (paper uses 10k; vocab here is tiny)
+DSIR_Q = 1_000_000  # per-bucket log-ratio quantization (floor to micro-nats)
+DSIR_TOPK = 20
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents by DSIR importance weight toward the `en` target
+    slice: weight(d) = sum over d's tokens of ln(p_target(bucket) /
+    p_raw(bucket)), add-1 smoothed over DSIR_B hashed buckets. A positive
+    weight means the doc is more target-like than the raw average — the
+    selection signal importance resampling draws against.
+
+    Determinism (FLOATS.md class C): ONE ln per bucket row — the exact
+    rational (ct+1)(Tr+B) / ((cr+1)(Tt+B)) with each factor cast to
+    double before one multiply and one divide (bit-identical IEEE on both
+    engines) — floor-quantized to integer micro-nats; per-doc weights are
+    DECIMAL(38,0) sums of those integers (associative, plan-independent).
+    The bucket hash is the md5-hex prefix recipe the dedup family proves
+    cross-engine (``conv(substr(md5(t),1,8),16,10) % B``).
+
+    Scale shape: the corpus token stream is scanned twice (bucket
+    counting, then scoring), exactly like ``text_lm_score``'s bigram
+    stream; BOTH feature distributions live on one DSIR_B-row relation
+    (the totals come from a window over those B rows, not a global
+    window), which broadcasts back onto the stream; the per-doc weight is
+    one doc_id-keyed aggregation and the top-K is TakeOrderedAndProject —
+    no global sort materializes. At 100 TB nothing here grows beyond the
+    corpus scan: the model is B rows, the output K rows."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tokb = toks.withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint") % DSIR_B,
+    )
+    raw = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tokb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    # raw ⊇ tgt bucket support, so the left join covers every populated
+    # bucket and the totals are windows over this B-row relation
+    w_all = Window.partitionBy()
+    lr = cache_eager(
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
+        .withColumn("tr", F.sum("cr").over(w_all))
+        .withColumn("tt", F.sum("ct").over(w_all))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.col("ct") + 1).cast("double")
+                        * (F.col("tr") + F.lit(DSIR_B)).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        * (F.col("tt") + F.lit(DSIR_B)).cast("double")
+                    )
+                )
+                * DSIR_Q
+            ).cast("bigint").alias("lr"),
+        )
+    )
+    return (
+        tokb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lr").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("weight_micro_nats"),
+        )
+        .orderBy(F.desc("weight_micro_nats"), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
+ORACLE_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id, source, lang, token,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {DSIR_B} AS b
+  FROM (
+    SELECT doc_id, source, lang,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
+tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+lr AS (
+  SELECT b,
+         CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + {DSIR_B} AS DOUBLE))
+                       / (CAST(cr + 1 AS DOUBLE) * CAST(tt + {DSIR_B} AS DOUBLE)))
+                    * {DSIR_Q}) AS BIGINT) AS lr
+  FROM (
+    SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct,
+           sum(cr) OVER () AS tr,
+           sum(coalesce(ct, 0)) OVER () AS tt
+    FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+  )
+)
+SELECT t.doc_id, t.source, t.lang,
+       count(*) AS n_tokens,
+       CAST(sum(lr.lr) AS BIGINT) AS weight_micro_nats
+FROM toks t JOIN lr ON t.b = lr.b
+GROUP BY 1, 2, 3
+ORDER BY weight_micro_nats DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: split each language's documents into
+# head / middle / tail terciles by LM score (Wenzek et al., "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data", 2020
+# — public; CCNet keeps "head" = lowest-perplexity third). Reuses the
+# corpus-trained bigram model of ``text_lm_score``.
+
+
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, tercile) report over the corpus-trained bigram LM:
+    bucket 1 = head (highest mean log-prob / lowest perplexity), 3 =
+    tail. Output: doc counts and the micro-nat mean-log-prob range each
+    bucket spans — the cut sheet a CCNet-style quality filter applies.
+
+    Determinism: per-doc mean log-prob is an EXACT integer floor
+    division ((s - pmod(s, n)) / n with the pmod spelled out as
+    ((s % n + n) % n) so both engines floor identically on negative
+    sums); tercile assignment happens at the (lang, mean) SCORE grain —
+    docs sharing a score share a bucket by construction (no tie-split
+    ambiguity) — via bucket = 1 + (cum_hi - 1) * 3 // n_lang over the
+    cumulative count, all integer arithmetic.
+
+    Scale shape: the model build and doc scoring are ``text_lm_score``'s
+    plan (vocabulary-bounded stats broadcast onto the bigram stream, one
+    doc_id-keyed aggregation); the tercile windows then run over the
+    (lang, mean_micro) DISTINCT-SCORE relation — score-cardinality-
+    bounded, orders of magnitude smaller than the corpus — never over
+    per-doc rows (the pre-aggregated-cumulative-sum recipe, same as
+    ``quantile_histogram_check``'s calibration)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    bigrams = toks.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr(
+                "transform(CASE WHEN size(toks) >= 2 "
+                "THEN sequence(1, size(toks) - 1, 1) ELSE array() END, "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, "w1").withColumn(
+        "lnq",
+        F.floor(F.log(F.col("c2") / F.col("c1")) * LM_Q).cast("bigint"),
+    )
+    per_doc = (
+        bigrams.join(F.broadcast(stats.select("w1", "w2", "lnq")), ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lnq").alias("s"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CAST((s - ((s % n + n) % n)) DIV n AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    scores = per_doc.groupBy("lang", "mean_micro").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("mean_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = (
+        scores.withColumn("n_lang", F.sum("cnt").over(w_lang))
+        .withColumn("cum_hi", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "bucket",
+            (F.lit(1) + F.expr("(cum_hi - 1) * 3 DIV n_lang")).cast("int"),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.min("mean_micro").alias("lo_micro_nats"),
+            F.max("mean_micro").alias("hi_micro_nats"),
+        )
+        .withColumn(
+            "bucket_label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_PERPLEXITY_BUCKETS = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, lang, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+    FROM toks
+  )
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+stats AS (
+  SELECT w1, w2,
+         CAST(floor(ln(c2 * 1.0 / c1) * {LM_Q}) AS BIGINT) AS lnq
+  FROM c2 JOIN c1 USING (w1)
+),
+per_doc AS (
+  SELECT lang,
+         (s - ((s % n + n) % n)) // n AS mean_micro
+  FROM (
+    SELECT doc_id, lang, count(*) AS n, CAST(sum(lnq) AS BIGINT) AS s
+    FROM bigrams JOIN stats USING (w1, w2)
+    GROUP BY 1, 2
+  )
+),
+scores AS (
+  SELECT lang, mean_micro, count(*) AS cnt
+  FROM per_doc GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT lang, mean_micro, cnt,
+         CAST(1 + (cum_hi - 1) * 3 // n_lang AS INT) AS bucket
+  FROM (
+    SELECT lang, mean_micro, cnt,
+           sum(cnt) OVER (PARTITION BY lang) AS n_lang,
+           sum(cnt) OVER (PARTITION BY lang ORDER BY mean_micro DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_hi
+    FROM scores
+  )
+)
+SELECT lang, bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(min(mean_micro) AS BIGINT) AS lo_micro_nats,
+       CAST(max(mean_micro) AS BIGINT) AS hi_micro_nats,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM bucketed
+GROUP BY 1, 2
+ORDER BY lang, bucket
+"""
+
+
 QUERIES = {
+    "dsir_importance": q_dsir_importance,
+    "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "nb_language_report": q_nb_language_report,
     "text_token_stats": q_token_stats,
     "vocab_oov_report": q_vocab_oov_report,
@@ -2267,6 +2548,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsir_importance": ORACLE_DSIR,
+    "lm_perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "nb_language_report": ORACLE_NB_LANGUAGE,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "boilerplate_phrases": ORACLE_BOILERPLATE,

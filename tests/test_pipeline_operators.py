@@ -1188,3 +1188,73 @@ def test_nb_language_planted_separable_vocab(spark, tmp_path):
         assert r.n_docs == 8
         assert r.n_correct == 8, (r.lang, r.n_correct)
         assert r.accuracy_bp == 10000
+
+
+def test_dsir_importance_planted_disjoint_vocab(spark, tmp_path):
+    """Disjoint target/raw vocabularies: every `en` (target-slice) doc
+    must score a strictly positive DSIR weight and rank above every `de`
+    doc (strictly negative weight). Token names are chosen so the two
+    vocabularies occupy disjoint md5 hash buckets (verified: entok0-2 ->
+    {1, 60, 36}, detok0-2 -> {4, 6, 54})."""
+    rows = []
+    did = 0
+    for lang, stem in (("en", "entok"), ("de", "detok")):
+        for j in range(10):
+            words = [f"{stem}{k}" for k in range(3)]
+            text = " ".join(words * (j % 2 + 2))
+            rows.append((did, text, lang, "srcX", len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = ta.q_dsir_importance(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    top10, bottom10 = out[:10], out[10:]
+    assert all(r.lang == "en" and r.weight_micro_nats > 0 for r in top10), top10
+    assert all(r.lang == "de" and r.weight_micro_nats < 0 for r in bottom10), bottom10
+
+
+def test_lm_perplexity_buckets_planted_terciles(spark, tmp_path):
+    """Three planted score groups of 3 docs each must land in exactly the
+    head/middle/tail buckets in mean-log-prob order; a second language
+    with 4 docs in 2 score groups pins the score-grain rule (ties never
+    split: 2 docs at cum_hi=2 -> head, 2 at cum_hi=4 -> tail, no middle
+    bucket exists)."""
+    rows = []
+    did = 0
+    # lang 'en': group scores (exact bigram MLE means over the 9-doc slice):
+    #   "a a a a"  -> ln(9/9) = 0 per bigram         (head)
+    #   "h i h j"  -> (2 ln(3/6) + ln(3/3)) / 3 ~ -0.462  (middle)
+    #   "b b b c"  -> (2 ln(6/9) + ln(3/9)) / 3 ~ -0.636  (tail)
+    for text in ("a a a a", "h i h j", "b b b c"):
+        for _ in range(3):
+            rows.append((did, text, "en", "srcX", len(text)))
+            did += 1
+    # lang 'fr': 2 score groups x 2 docs
+    for text in ("p p p p", "q r q s"):
+        for _ in range(2):
+            rows.append((did, text, "fr", "srcX", len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = ta.q_lm_perplexity_buckets(spark, str(tmp_path)).collect()
+    en = [r for r in out if r.lang == "en"]
+    fr = [r for r in out if r.lang == "fr"]
+    assert [(r.bucket, r.bucket_label, r.n_docs) for r in en] == [
+        (1, "head", 3), (2, "middle", 3), (3, "tail", 3)
+    ]
+    assert en[0].lo_micro_nats == en[0].hi_micro_nats == 0
+    assert en[0].hi_micro_nats > en[1].hi_micro_nats > en[2].hi_micro_nats
+    # score-grain tercile rule: ties share a bucket, middle may be empty
+    assert [(r.bucket, r.bucket_label, r.n_docs) for r in fr] == [
+        (1, "head", 2), (3, "tail", 2)
+    ]
