@@ -1582,6 +1582,51 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# late-data semantics twin: append-mode windowed rollup over a drop folder
+
+
+def streaming_late_rollup(
+    spark: SparkSession, drop_dir: str, out_dir: str, delay: str = "30 minutes"
+):
+    """Append-mode hourly rollup over a JSONL drop folder — the twin that
+    PINS watermark late-data semantics, which `complete`-mode twins never
+    exercise: a window emits exactly once, when the watermark passes its
+    end, and a row arriving after the watermark has passed its window is
+    DROPPED (visible both in the emitted counts and in the state
+    operator's ``numRowsDroppedByWatermark`` metric), while a late row
+    still inside the watermark bound updates its open window.
+
+    This is the memory contract a 100 TB stream lives by: the watermark
+    is what bounds state (windows older than it are evicted after
+    emission), so the drop is the price of bounded memory — the test
+    asserts both sides of that trade."""
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, value double"
+        )
+        .json(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window(F.col("ts"), "1 hour"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_count",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_daily_rollup": q_events_daily_rollup,

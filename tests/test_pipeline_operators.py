@@ -1258,3 +1258,59 @@ def test_lm_perplexity_buckets_planted_terciles(spark, tmp_path):
     assert [(r.bucket, r.bucket_label, r.n_docs) for r in fr] == [
         (1, "head", 2), (3, "tail", 2)
     ]
+
+
+def test_streaming_late_data_watermark_semantics(spark, tmp_path):
+    """Append-mode watermark contract, both sides: a row older than the
+    watermark is DROPPED (its already-emitted window stays at its closed
+    count, and numRowsDroppedByWatermark records it), while a late row
+    still within the watermark updates its open window. Delay = 30 min,
+    1-hour tumbling windows."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "rollup")
+
+    def drop(*hhmm):
+        rows = [
+            (1, "click", dt.datetime(2024, 3, 1, h, m), 1.0) for h, m in hhmm
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, value double"
+        ).write.mode("append").json(drop_dir)
+
+    # b1: two rows in window 10:00, plus 12:00 -> watermark = 11:30 > 11:00
+    drop((10, 0), (10, 10), (12, 0))
+    q = se.streaming_late_rollup(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+        # b2: 10:20 is BELOW the 11:30 watermark -> dropped; 12:10 joins
+        # the open 12:00 window. Window 10:00 emits here (closed by b1's
+        # watermark) with count 2, NOT 3.
+        drop((10, 20), (12, 10))
+        q.processAllAvailable()
+        # b3: 12:20 is late (behind 14:00 in the same drop) but window
+        # 12:00 is still open (watermark was 11:40) -> counted; 14:00
+        # pushes the watermark to 13:30, closing window 12:00.
+        drop((12, 20), (14, 0))
+        q.processAllAvailable()
+        # b4: flush trigger so the closed 12:00 window's emission lands
+        drop((16, 0))
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start: r.event_count
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got["2024-03-01 10:00:00"] == 2  # late 10:20 row NOT counted
+    assert got["2024-03-01 12:00:00"] == 3  # within-watermark 12:20 counted
+    assert dropped == 1  # the state operator recorded exactly the one drop
