@@ -2511,9 +2511,208 @@ ORDER BY lang, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI co-occurrence mining: the skip-bigram count matrix + pointwise mutual
+# information ranking that word-embedding pipelines (word2vec/GloVe count
+# prep) build as their first pass. Forward window of 2 (offsets +1, +2).
+
+PMI_MIN_COUNT = 5  # pair-count floor: kills noise, bounds the ranked relation
+PMI_TOPK = 50
+
+
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K token pairs by PMI = ln(p(x,y) / (p(x) p(y))) over forward
+    co-occurrence windows of 2, with a pair-count floor — the collocation
+    extraction / embedding-count-matrix pass.
+
+    Determinism (FLOATS.md class C): ONE ln per surviving pair row on the
+    exact rational c_xy * Nu^2 / (Np * c_x * c_y), every factor cast to
+    double first (left-assoc products, bit-identical IEEE both engines),
+    floor-quantized to micro-nats. No cross-row float sums exist.
+
+    Scale shape: pair generation is a pure per-doc array transform (zero
+    joins — offsets materialize inside the token array); one pair-keyed
+    aggregation is the only corpus-sized shuffle. The unigram relation is
+    vocabulary-bounded and broadcasts onto the FLOORED pair relation
+    (count >= PMI_MIN_COUNT bounds it to heavy co-occurrences); the 1-row
+    Nu/Np totals attach to that floored relation only (bnlj-allowlisted
+    1-row scalar attach), and the top-K is TakeOrderedAndProject."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    pairs_all = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(array("
+                "transform(CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1, 1) "
+                "ELSE array() END, i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y)), "
+                "transform(CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2, 1) "
+                "ELSE array() END, i -> struct(element_at(t, i) AS x, element_at(t, i + 2) AS y))"
+                "))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    pair_counts = cache_eager(
+        pairs_all.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    uni = cache_eager(uni)
+    totals = (
+        uni.agg(F.sum("cu").alias("nu"))
+        .crossJoin(pair_counts.agg(F.sum("c_pair").alias("np")))
+    )
+    floored = pair_counts.filter(F.col("c_pair") >= PMI_MIN_COUNT)
+    joined = (
+        floored.join(
+            F.broadcast(uni.select(F.col("token").alias("x"), F.col("cu").alias("cx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("y"), F.col("cu").alias("cy"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.select(
+            "x", "y", "c_pair",
+            F.floor(
+                F.log(
+                    (
+                        F.col("c_pair").cast("double")
+                        * F.col("nu").cast("double")
+                        * F.col("nu").cast("double")
+                    )
+                    / (
+                        F.col("np").cast("double")
+                        * F.col("cx").cast("double")
+                        * F.col("cy").cast("double")
+                    )
+                )
+                * 1_000_000
+            ).cast("bigint").alias("pmi_micro_nats"),
+        )
+        .orderBy(F.desc("pmi_micro_nats"), "x", "y")
+        .limit(PMI_TOPK)
+    )
+
+
+ORACLE_TOKEN_PMI = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+pairs_all AS (
+  SELECT p['x'] AS x, p['y'] AS y FROM (
+    SELECT unnest(list_concat(
+      list_transform(range(1, greatest(len(t), 1)),
+                     i -> {{'x': t[i], 'y': t[i + 1]}}),
+      list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> {{'x': t[i], 'y': t[i + 2]}})
+    )) AS p
+    FROM toks
+  )
+),
+pair_counts AS (SELECT x, y, count(*) AS c_pair FROM pairs_all GROUP BY 1, 2),
+uni AS (
+  SELECT token, count(*) AS cu FROM (
+    SELECT unnest(t) AS token FROM toks
+  ) GROUP BY 1
+),
+totals AS (
+  SELECT (SELECT sum(cu) FROM uni) AS nu,
+         (SELECT sum(c_pair) FROM pair_counts) AS np
+)
+SELECT p.x, p.y, p.c_pair,
+       CAST(floor(ln((CAST(p.c_pair AS DOUBLE) * CAST(t.nu AS DOUBLE) * CAST(t.nu AS DOUBLE))
+                     / (CAST(t.np AS DOUBLE) * CAST(ux.cu AS DOUBLE) * CAST(uy.cu AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS pmi_micro_nats
+FROM pair_counts p
+JOIN uni ux ON ux.token = p.x
+JOIN uni uy ON uy.token = p.y
+CROSS JOIN totals t
+WHERE p.c_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi_micro_nats DESC, p.x, p.y
+LIMIT {PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source token entropy: the corpus-diversity diagnostic next to
+# zipf_slope_fit and source_kl_divergence — low-entropy sources are
+# templated/repetitive, high-entropy ones lexically diverse.
+
+
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy H = -sum p ln p of each source's unigram
+    distribution, in integer micro-nats, plus vocab size and volume.
+
+    Determinism (FLOATS.md class C): per (source, token) row one ln of
+    c/t floor-quantized to micro-nats; -sum(c * lnq) accumulates in
+    DECIMAL(38,0); the final division by t is integral.
+
+    Scale shape: one (source, token) aggregation over the corpus scan;
+    everything after runs on the vocabulary-bounded count relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("vocab")
+    )
+    lnq = F.floor(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1_000_000
+    ).cast("decimal(38,0)")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            "source", "t", "vocab",
+            (F.col("c").cast("decimal(38,0)") * lnq).alias("w"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            F.max("vocab").cast("bigint").alias("vocab_size"),
+            F.expr("CAST(-sum(w) DIV max(t) AS BIGINT)").alias(
+                "entropy_micro_nats"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_ENTROPY = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token, count(*) AS c FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, sum(c) AS t, count(*) AS vocab FROM counts GROUP BY 1
+)
+SELECT c.source,
+       CAST(max(t.t) AS BIGINT) AS n_tokens,
+       CAST(max(t.vocab) AS BIGINT) AS vocab_size,
+       CAST(-sum(c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+                                  * 1000000) AS BIGINT))
+            // max(t.t) AS BIGINT) AS entropy_micro_nats
+FROM counts c JOIN totals t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
+    "token_pmi_pairs": q_token_pmi_pairs,
+    "source_token_entropy": q_source_token_entropy,
     "nb_language_report": q_nb_language_report,
     "text_token_stats": q_token_stats,
     "vocab_oov_report": q_vocab_oov_report,
@@ -2550,6 +2749,8 @@ QUERIES = {
 ORACLES = {
     "dsir_importance": ORACLE_DSIR,
     "lm_perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "token_pmi_pairs": ORACLE_TOKEN_PMI,
+    "source_token_entropy": ORACLE_SOURCE_ENTROPY,
     "nb_language_report": ORACLE_NB_LANGUAGE,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "boilerplate_phrases": ORACLE_BOILERPLATE,

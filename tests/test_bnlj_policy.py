@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "nb_language_report": "|langs|-row totals crossed onto the vocabulary "
     "(model-table build; langs are a handful)",
     "label_agreement_kappa": "1-row n/pe scalar attach",
+    "token_pmi_pairs": "1-row Nu/Np totals attach onto the count-floored "
+    "pair relation (heavy-co-occurrence bounded)",
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
 }
 

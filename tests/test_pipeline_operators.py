@@ -1314,3 +1314,54 @@ def test_streaming_late_data_watermark_semantics(spark, tmp_path):
     assert got["2024-03-01 10:00:00"] == 2  # late 10:20 row NOT counted
     assert got["2024-03-01 12:00:00"] == 3  # within-watermark 12:20 counted
     assert dropped == 1  # the state operator recorded exactly the one drop
+
+
+def test_token_pmi_pairs_planted_collocation(spark, tmp_path):
+    """One planted collocation survives the count floor; its PMI equals
+    the Python mirror of the exact quantized formula. Filler docs use
+    doc-unique tokens so every filler pair stays below PMI_MIN_COUNT."""
+    import math
+
+    rows = [(d, "alpha beta", "en", "srcX", 10) for d in range(10)]
+    rows += [
+        (10 + d, " ".join(f"f{d}_{i}" for i in range(6)), "en", "srcX", 20)
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = ta.q_token_pmi_pairs(spark, str(tmp_path)).collect()
+    # Nu = 10*2 + 10*6 = 80; Np = 10*1 + 10*(5+4) = 100; c(alpha)=c(beta)=10
+    expected = math.floor(
+        math.log((10.0 * 80.0 * 80.0) / (100.0 * 10.0 * 10.0)) * 1_000_000
+    )
+    assert [(r.x, r.y, r.c_pair, r.pmi_micro_nats) for r in out] == [
+        ("alpha", "beta", 10, expected)
+    ]
+
+
+def test_source_token_entropy_planted_uniform_and_degenerate(spark, tmp_path):
+    """Uniform 4-token source scores exactly the quantized ln(4); a
+    single-token source scores exactly 0."""
+    rows = [(d, "a b c d", "en", "uniform", 8) for d in range(5)]
+    rows += [(5 + d, "z z z", "en", "single", 5) for d in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = {
+        r.source: (r.n_tokens, r.vocab_size, r.entropy_micro_nats)
+        for r in ta.q_source_token_entropy(spark, str(tmp_path)).collect()
+    }
+    import math
+
+    lnq = math.floor(math.log(5.0 / 20.0) * 1_000_000)  # each p = 1/4
+    assert out["uniform"] == (20, 4, -(4 * 5 * lnq) // 20)
+    assert out["single"] == (9, 1, 0)
