@@ -51,6 +51,8 @@ HEADLINE = [
     "part_supplier_concentration",  # Q16
     # pipeline operators
     "dedup_ngram_jaccard",
+    "dsir_importance",
+    "token_pmi_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality_score",

@@ -2708,11 +2708,146 @@ ORDER BY c.source
 """
 
 
+# ---------------------------------------------------------------------------
+# robust length-outlier detection: the Gopher/RefinedWeb-style cleaning rule
+# that flags documents whose token count sits far outside their source's
+# typical range, using median/MAD (robust to the outliers being measured —
+# mean/stddev would be dragged by exactly the docs we want to flag).
+
+MAD_K = 3  # flag |len - median| > 3 * MAD
+
+
+def q_docs_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length profile: exact median token count, exact
+    MAD (median absolute deviation), and how many documents sit more
+    than MAD_K MADs from the median — the length-based cleaning rule.
+
+    Determinism (FLOATS.md class A): every cell is an integer; both
+    medians are type-1 lower medians (smallest value whose cumulative
+    count reaches half, compared cross-multiplied as cum*2 >= n).
+
+    Scale shape: the per-doc length projection collapses to a (source,
+    len) HISTOGRAM first — length-cardinality-bounded — and both median
+    passes (values, then absolute deviations) run cumulative windows
+    over that compact relation, never over per-doc rows (the
+    pre-aggregated-cumulative-sum recipe); the median/MAD relations are
+    |sources|-sized broadcasts back onto the histogram."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("len"),
+    )
+    hist = cache_eager(
+        lens.groupBy("source", "len").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    w_len = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        hist.withColumn("cum", F.sum("c").over(w_len))
+        .join(F.broadcast(n), "source")
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("len").alias("med"))
+    )
+    devs = (
+        hist.join(F.broadcast(med), "source")
+        .select(
+            "source",
+            F.abs(F.col("len") - F.col("med")).alias("dev"),
+            "c",
+        )
+        .groupBy("source", "dev")
+        .agg(F.sum("c").alias("c"))
+    )
+    w_dev = (
+        Window.partitionBy("source")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        devs.withColumn("cum", F.sum("c").over(w_dev))
+        .join(F.broadcast(n), "source")
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        hist.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.max("med").cast("bigint").alias("median_len"),
+            F.max("mad").cast("bigint").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("len") - F.col("med")) > MAD_K * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_outliers"),
+            F.min("len").cast("bigint").alias("min_len"),
+            F.max("len").cast("bigint").alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LENGTH_OUTLIERS = rf"""
+WITH lens AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS len
+  FROM documents
+),
+hist AS (SELECT source, len, count(*) AS c FROM lens GROUP BY 1, 2),
+n AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1),
+med AS (
+  SELECT source, min(len) AS med FROM (
+    SELECT h.source, h.len,
+           sum(h.c) OVER (PARTITION BY h.source ORDER BY h.len
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           n.n AS n
+    FROM hist h JOIN n ON h.source = n.source
+  ) WHERE cum * 2 >= n GROUP BY source
+),
+devs AS (
+  SELECT h.source, abs(h.len - m.med) AS dev, sum(h.c) AS c
+  FROM hist h JOIN med m ON h.source = m.source
+  GROUP BY 1, 2
+),
+mad AS (
+  SELECT source, min(dev) AS mad FROM (
+    SELECT d.source, d.dev,
+           sum(d.c) OVER (PARTITION BY d.source ORDER BY d.dev
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           n.n AS n
+    FROM devs d JOIN n ON d.source = n.source
+  ) WHERE cum * 2 >= n GROUP BY source
+)
+SELECT h.source,
+       CAST(sum(h.c) AS BIGINT) AS n_docs,
+       CAST(max(m.med) AS BIGINT) AS median_len,
+       CAST(max(a.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN abs(h.len - m.med) > {MAD_K} * a.mad
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(min(h.len) AS BIGINT) AS min_len,
+       CAST(max(h.len) AS BIGINT) AS max_len
+FROM hist h
+JOIN med m ON h.source = m.source
+JOIN mad a ON h.source = a.source
+GROUP BY h.source
+ORDER BY h.source
+"""
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "token_pmi_pairs": q_token_pmi_pairs,
     "source_token_entropy": q_source_token_entropy,
+    "docs_length_outliers": q_docs_length_outliers,
     "nb_language_report": q_nb_language_report,
     "text_token_stats": q_token_stats,
     "vocab_oov_report": q_vocab_oov_report,
@@ -2751,6 +2886,7 @@ ORACLES = {
     "lm_perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "token_pmi_pairs": ORACLE_TOKEN_PMI,
     "source_token_entropy": ORACLE_SOURCE_ENTROPY,
+    "docs_length_outliers": ORACLE_LENGTH_OUTLIERS,
     "nb_language_report": ORACLE_NB_LANGUAGE,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "boilerplate_phrases": ORACLE_BOILERPLATE,

@@ -1365,3 +1365,29 @@ def test_source_token_entropy_planted_uniform_and_degenerate(spark, tmp_path):
     lnq = math.floor(math.log(5.0 / 20.0) * 1_000_000)  # each p = 1/4
     assert out["uniform"] == (20, 4, -(4 * 5 * lnq) // 20)
     assert out["single"] == (9, 1, 0)
+
+
+def test_docs_length_outliers_planted(spark, tmp_path):
+    """Planted length profiles: a source of nine 10-token docs plus one
+    100-token doc has median 10, MAD 0, exactly one outlier; a spread
+    source (8..12 tokens) has MAD 1 and no outliers."""
+    rows = []
+    did = 0
+    for _ in range(9):
+        rows.append((did, " ".join(["w"] * 10), "en", "spiky", 10)); did += 1
+    rows.append((did, " ".join(["w"] * 100), "en", "spiky", 100)); did += 1
+    for ln in (8, 9, 10, 11, 12):
+        rows.append((did, " ".join(["w"] * ln), "en", "spread", ln)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    out = {
+        r.source: (r.n_docs, r.median_len, r.mad, r.n_outliers, r.min_len, r.max_len)
+        for r in ta.q_docs_length_outliers(spark, str(tmp_path)).collect()
+    }
+    assert out["spiky"] == (10, 10, 0, 1, 10, 100)
+    assert out["spread"] == (5, 10, 1, 0, 8, 12)
