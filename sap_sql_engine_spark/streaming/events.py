@@ -669,6 +669,30 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT lane twin of :func:`q_events_json_props`: props
+    parses ONCE per row into the binary variant encoding
+    (``try_parse_json``) and the typed accessor (``variant_get``) reads
+    the value — at 100 TB this replaces per-access JSON string re-parsing
+    with one decode plus O(1) typed reads, and ``try_`` keeps the lane
+    total on malformed rows (null, same as the string lane). Identical
+    aggregate contract and oracle as the string lane, so the gate proves
+    the two extraction paths agree."""
+    ev = _events(spark, sf_dir)
+    k = F.variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "int"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.min(k).cast("bigint").alias("k_min"),
+            F.max(k).cast("bigint").alias("k_max"),
+        )
+    )
+
+
 # every aggregate pinned to BIGINT: DuckDB sum(INT) is HUGEINT, whose value
 # encoding the driver's hasher sees differently from Spark's BIGINT
 ORACLE_EVENTS_JSON = """
@@ -1632,6 +1656,7 @@ QUERIES = {
     "events_daily_rollup": q_events_daily_rollup,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
+    "events_json_props_variant": q_events_json_props_variant,
     "events_asof_prior_click": q_events_asof_prior_click,
     "events_attribution_window": q_events_attribution_window,
     "events_funnel": q_events_funnel,
@@ -1651,6 +1676,7 @@ ORACLES = {
     "events_daily_rollup": ORACLE_EVENTS_DAILY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_json_props": ORACLE_EVENTS_JSON,
+    "events_json_props_variant": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_attribution_window": ORACLE_EVENTS_ATTRIBUTION,
     "events_funnel": ORACLE_EVENTS_FUNNEL,

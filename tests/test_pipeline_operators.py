@@ -1391,3 +1391,29 @@ def test_docs_length_outliers_planted(spark, tmp_path):
     }
     assert out["spiky"] == (10, 10, 0, 1, 10, 100)
     assert out["spread"] == (5, 10, 1, 0, 8, 12)
+
+
+def test_events_json_props_variant_total_on_malformed(spark, tmp_path):
+    """The VARIANT lane must stay total: malformed and null props rows
+    contribute null (excluded from sum/min/max, counted in event_count),
+    exactly like the string lane — pins try_parse_json semantics."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, '{"k": 3}'),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 1, "click", 1.0, '{k:'),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 1, "click", 1.0, None),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 1, "click", 1.0, '{"k": 7}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    out = se.q_events_json_props_variant(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.event_count, r.k_sum, r.k_min, r.k_max) for r in out] == [
+        ("click", 4, 10, 3, 7)
+    ]
