@@ -1725,11 +1725,76 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH recall honesty report: how much of the exact near-dup pair set the
+# banded MinHash index actually surfaces — the dedup-side counterpart of
+# ann_recall_report (an index whose recall nobody measured is a silent
+# under-dedup at 100 TB, which shows up as eval contamination later).
+
+
+def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: exact Jaccard >= threshold pair count, MinHash-LSH
+    candidate count, their overlap, and integral-bp recall (of exact
+    pairs surfaced by the index) and precision (of candidates that are
+    true near-dups). Honest by construction — both relations are the
+    SAME gated queries' plans (`dedup_ngram_jaccard`,
+    `dedup_minhash_lsh`), so this measures the shipped index, not a
+    test-only twin.
+
+    Scale shape: both pair relations are near-dup-bounded (banding and
+    the df-cap keep them ~|dups|, never all-pairs); the full outer join
+    runs on those bounded relations and collapses to one row. Division
+    is integral with a nullif guard (0-pair corpora report 0 bp, both
+    engines)."""
+    exact = jaccard_pairs(table(spark, sf_dir, "documents")).select(
+        "doc1", "doc2", F.lit(1).alias("ex")
+    )
+    cand = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("ca")
+    )
+    j = exact.join(cand, ["doc1", "doc2"], "full_outer").select(
+        F.coalesce(F.col("ex"), F.lit(0)).alias("ex"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+    )
+    return j.agg(
+        F.sum("ex").cast("bigint").alias("n_exact"),
+        F.sum("ca").cast("bigint").alias("n_candidates"),
+        F.sum(F.col("ex") * F.col("ca")).cast("bigint").alias("n_hit"),
+        F.expr(
+            "CAST(coalesce(sum(ex * ca) * 10000 div nullif(sum(ex), 0), 0) AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(coalesce(sum(ex * ca) * 10000 div nullif(sum(ca), 0), 0) AS BIGINT)"
+        ).alias("precision_bp"),
+    )
+
+
+ORACLE_LSH_RECALL = rf"""
+WITH exact AS (
+  SELECT doc1, doc2, 1 AS ex FROM ({ORACLE_NGRAM_JACCARD}) e
+),
+cand AS (
+  SELECT doc1, doc2, 1 AS ca FROM ({ORACLE_MINHASH_LSH}) c
+),
+j AS (
+  SELECT coalesce(ex, 0) AS ex, coalesce(ca, 0) AS ca
+  FROM exact FULL OUTER JOIN cand USING (doc1, doc2)
+)
+SELECT CAST(sum(ex) AS BIGINT) AS n_exact,
+       CAST(sum(ca) AS BIGINT) AS n_candidates,
+       CAST(sum(ex * ca) AS BIGINT) AS n_hit,
+       CAST(coalesce(sum(ex * ca) * 10000 // nullif(sum(ex), 0), 0) AS BIGINT) AS recall_bp,
+       CAST(coalesce(sum(ex * ca) * 10000 // nullif(sum(ca), 0), 0) AS BIGINT) AS precision_bp
+FROM j
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "dedup_simhash": q_dedup_simhash,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_incremental": q_dedup_incremental,
@@ -1751,6 +1816,7 @@ ORACLES = {
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_lsh_recall_report": ORACLE_LSH_RECALL,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_sorted_neighborhood": ORACLE_SNM,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

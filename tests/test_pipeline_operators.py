@@ -1417,3 +1417,18 @@ def test_events_json_props_variant_total_on_malformed(spark, tmp_path):
     assert [(r.event_type, r.event_count, r.k_sum, r.k_min, r.k_max) for r in out] == [
         ("click", 4, 10, 3, 7)
     ]
+
+
+def test_dedup_lsh_recall_report_invariants(spark, sf_dir):
+    """The recall report's counters must be mutually consistent: the
+    overlap can exceed neither side, and both bp ratios are exact
+    integral divisions of the counters."""
+    from sap_sql_engine_spark.operators import dedup
+
+    r = dedup.q_dedup_lsh_recall_report(spark, sf_dir).collect()[0]
+    assert r.n_hit <= min(r.n_exact, r.n_candidates)
+    assert r.recall_bp == (r.n_hit * 10000 // r.n_exact if r.n_exact else 0)
+    assert r.precision_bp == (
+        r.n_hit * 10000 // r.n_candidates if r.n_candidates else 0
+    )
+    assert r.n_exact > 0  # the corpus plants real near-dups
