@@ -3191,6 +3191,99 @@ ORDER BY part_value DESC, l_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# calendar-spine gap fill: the generated-dimension pattern every reporting
+# layer needs — a month x region spine built from literals (no scan), left-
+# joined by the sparse fact so empty cells surface as explicit zeros
+# instead of missing rows (a missing row and a zero month are different
+# answers to "how did March look").
+
+
+def q_monthly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled 1995 monthly revenue of urgent high-value orders per
+    region. The 12-month spine is generated from date literals
+    (``sequence`` + explode over a 1-row relation — no table scan) and
+    crossed with the 5-row region dim (bnlj-allowlisted metadata cross);
+    the sparse aggregated fact left-joins onto it, so months with no
+    qualifying orders appear with n_orders = 0 / revenue = 0.00.
+
+    Scale shape: the fact side is one filtered orders⋈customer join
+    (both filters pushed to the orders scan) aggregated to at most
+    |regions| x 12 rows BEFORE touching the spine; the spine join is a
+    60-row broadcast. The spine itself is O(months x regions) whatever
+    the corpus size."""
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 350000)
+    )
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    re = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    actual = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).alias("rev"),
+        )
+    )
+    months = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE'1995-01-01', DATE'1995-12-01', interval 1 month)"
+            )
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    spine = months.crossJoin(re.select(F.col("r_name").alias("region_name")))
+    return (
+        spine.join(F.broadcast(actual), ["region_name", "month"], "left")
+        .select(
+            "region_name",
+            "month",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            out2(F.coalesce(F.col("rev"), F.lit(0))).alias("revenue"),
+        )
+        .orderBy("region_name", "month")
+    )
+
+
+ORACLE_MONTHLY_SPINE = """
+WITH actual AS (
+  SELECT r.r_name AS region_name,
+         strftime(o.o_orderdate, '%Y-%m') AS month,
+         count(*) AS n,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_totalprice > 350000
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT r.r_name AS region_name,
+         strftime(m.m, '%Y-%m') AS month
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+                                      INTERVAL 1 MONTH)) AS m) m
+  CROSS JOIN region r
+)
+SELECT s.region_name, s.month,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+       round(CAST(coalesce(a.rev, 0) AS DOUBLE), 2) AS revenue
+FROM spine s LEFT JOIN actual a
+  ON s.region_name = a.region_name AND s.month = a.month
+ORDER BY s.region_name, s.month
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -3230,6 +3323,7 @@ QUERIES = {
     "quantity_price_corr": q_quantity_price_corr,
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
+    "monthly_revenue_spine": q_monthly_revenue_spine,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
     "dq_orders_checks": q_dq_orders_checks,
@@ -3293,6 +3387,7 @@ ORACLES = {
     "quantity_price_corr": ORACLE_QTY_PRICE_CORR,
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
+    "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
     "dq_orders_checks": ORACLE_DQ_ORDERS,

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "label_agreement_kappa": "1-row n/pe scalar attach",
     "token_pmi_pairs": "1-row Nu/Np totals attach onto the count-floored "
     "pair relation (heavy-co-occurrence bounded)",
+    "monthly_revenue_spine": "12-month literal spine crossed with the "
+    "|regions| dim (metadata-sized calendar cross)",
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
 }
 
