@@ -506,13 +506,10 @@ def hll_registers(toks: DataFrame) -> DataFrame:
     return hashed.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
 
 
-def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-token estimate per source with all-integer registers and exact twin."""
-    docs = table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
-        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
-    regs = hll_registers(toks)
+def hll_estimate_from(regs: DataFrame) -> DataFrame:
+    """(source, hll_raw_estimate, n_empty_regs) from a register relation —
+    the estimate algebra factored out so any (source, token) domain
+    (tokens, user ids, URLs) reuses the same sketch."""
     per_source = regs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - r)")).alias("s_present"),
@@ -522,18 +519,32 @@ def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(HLL_BUCKETS) - F.col("n_present")) * F.lit(2**HLL_RMAX).cast("bigint")
     )
     est = F.floor(F.lit(float(HLL_CONST)) / s_num.cast("double")).cast("bigint")
+    return per_source.select(
+        "source",
+        est.alias("hll_raw_estimate"),
+        (F.lit(HLL_BUCKETS) - F.col("n_present"))
+        .cast("bigint")
+        .alias("n_empty_regs"),
+    )
+
+
+def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source with all-integer registers and exact twin."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    estimates = hll_estimate_from(hll_registers(toks))
     exact = toks.groupBy("source").agg(
         F.countDistinct("token").alias("exact_distinct")
     )
     return (
-        per_source.join(exact, "source")
+        estimates.join(exact, "source")
         .select(
             "source",
             "exact_distinct",
-            est.alias("hll_raw_estimate"),
-            (F.lit(HLL_BUCKETS) - F.col("n_present"))
-            .cast("bigint")
-            .alias("n_empty_regs"),
+            "hll_raw_estimate",
+            "n_empty_regs",
         )
     )
 

@@ -110,3 +110,35 @@ def test_bm25_matches_python_oracle(spark, tmp_path_factory, texts):
     docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     got = {r.doc_id: r.bm25 for r in search.q_bm25_search(spark, d).collect()}
     assert got == _py_bm25(texts)
+
+
+def test_hll_daily_active_users_within_error(spark, sf_dir):
+    """The HLL sketch generalizes off the token domain: per-day distinct
+    USER estimates (the approximate-DAU rollup a 100 TB event stream
+    would keep instead of exact distinct state) land within the sketch's
+    error envelope of the exact counts on every day."""
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.operators import search
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("source"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    est = {
+        r.source: search.hll_corrected(r.hll_raw_estimate, r.n_empty_regs)
+        for r in search.hll_estimate_from(
+            search.hll_registers(stream)
+        ).collect()
+    }
+    exact = {
+        r.source: r.exact
+        for r in stream.groupBy("source")
+        .agg(F.countDistinct("token").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(exact) > 5
+    for day, ex in exact.items():
+        # 256 buckets -> sigma ~6.5%; 3 sigma + small-range slack
+        assert abs(est[day] - ex) <= max(0.2 * ex, 8), (day, est[day], ex)

@@ -1,0 +1,136 @@
+"""Relational-core growth stress — measures how the headline TPC-H-shaped
+queries scale when the FACT tables grow past the bench scale.
+
+    python tools/tpch_growth.py [factor ...]     # default: 1 5 10
+
+For each factor k the sf0.1 ``orders`` and ``lineitem`` tables are
+replicated k times with a per-replica orderkey offset (order/line
+structure preserved, every replica joins the SAME dimension rows), so
+fact volume grows k× while dimensions stay fixed — exactly the shape of
+real warehouse growth. A plan whose joins broadcast the dims and whose
+aggregations combine map-side should show ~linear (or better, given
+fixed JVM/stage overheads) time growth.
+
+Prints one JSON line per (query, factor): fact rows in, result rows, sec
+(min of 2 passes). Numbers land in SCALE.md's growth section (rendered
+from tools/tpch_growth_results.json by tools/explain_audit.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark import cachereg
+from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.session import get_spark
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+FACT_OFFSET_COLS = {"orders": ("o_orderkey",), "lineitem": ("l_orderkey",)}
+KEY_STRIDE = 1_000_000_000  # far above any base orderkey at bench scale
+
+QUERIES = {
+    "pricing_summary": relational.QUERIES["pricing_summary"],
+    "top_customers_by_spend": relational.QUERIES["top_customers_by_spend"],
+    "three_way_match": relational.QUERIES["three_way_match"],
+    "suppliers_kept_waiting": relational.QUERIES["suppliers_kept_waiting"],
+}
+
+
+def build_scaled_warehouse(spark, factor: int, dst_dir: str) -> int:
+    """orders/lineitem replicated ``factor``× with consistent orderkey
+    offsets; dimensions copied once. Returns total fact rows."""
+    for t in DIM_TABLES:
+        spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst_dir}/{t}.parquet")
+    n_facts = 0
+    for t, key_cols in FACT_OFFSET_COLS.items():
+        base = spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet")
+        parts = []
+        for k in range(factor):
+            parts.append(
+                base.select(
+                    *[
+                        (F.col(c) + F.lit(k * KEY_STRIDE)).alias(c)
+                        if c in key_cols
+                        else F.col(c)
+                        for c in base.columns
+                    ]
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
+        n_facts += spark.read.parquet(f"{dst_dir}/{t}.parquet").count()
+    return n_facts
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    spark = get_spark("tpch-growth")
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"tpch_growth_{factor}x_")
+        try:
+            n_rows = build_scaled_warehouse(spark, factor, tmp)
+            for name, fn in QUERIES.items():
+                times, out_rows = [], None
+                for _ in range(2):
+                    t0 = time.time()
+                    out_rows = fn(spark, tmp).count()
+                    times.append(round(time.time() - t0, 3))
+                    cachereg.release()
+                    spark.catalog.clearCache()
+                rec = {
+                    "query": name,
+                    "factor": factor,
+                    "fact_rows": n_rows,
+                    "result_rows": out_rows,
+                    "sec": min(times),
+                    "passes": times,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    base = {r["query"]: r for r in results if r["factor"] == factors[0]}
+    summaries = []
+    for r in results:
+        b = base[r["query"]]
+        if r is b:
+            continue
+        kx = r["factor"] / b["factor"]
+        s = {
+            "summary": r["query"],
+            "scale_up": kx,
+            "time_ratio": round(r["sec"] / b["sec"], 2),
+            "linear_bound": kx,
+        }
+        summaries.append(s)
+        print(json.dumps(s), flush=True)
+    out = {
+        "base_sf_dir": BASE_SF_DIR,
+        "harness": "tools/tpch_growth.py " + " ".join(str(f) for f in factors),
+        "rows": results,
+        "summaries": summaries,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tpch_growth_results.json"
+    )
+    json.dump(out, open(path, "w"), indent=1)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
