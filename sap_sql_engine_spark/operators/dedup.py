@@ -701,6 +701,120 @@ def streaming_incremental_dedup(
     return stream.writeStream.foreachBatch(probe_batch).start()
 
 
+def streaming_admission_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    drop_dir: str,
+    out_dir: str,
+    state_dir: str,
+):
+    """Drop-folder STREAMING form of the release pipeline's ADMISSION
+    side: each JSONL micro-batch of candidate documents runs the same
+    gates the batch funnel audits — language, quality, exact-dedup
+    against everything already seen, decontamination against the
+    benchmark slice — and appends one funnel row per batch to
+    ``out_dir`` plus the admitted fingerprints to ``state_dir``.
+
+    This is continuous corpus ingest: the seen-fingerprint state is
+    SEEDED once with the standing corpus and then grows only by what
+    each batch admits, so a document duplicated across two drops admits
+    exactly once (first arrival wins), and a corpus duplicate never
+    admits at all. The benchmark shingle set is a standing broadcast.
+    Stage relations only ever shrink, each batch pays batch-sized work,
+    and per-batch caches die with their batch (``cachereg.scope``) —
+    ingest cost is independent of how long the stream has been running.
+
+    Stage math is the release funnel's own (``quality_expr``,
+    ``fingerprint_col``, the 3-gram CONTAM_FLAG probe), so the twin test
+    can assert stream == the same gates run in one batch."""
+    from ..sources.ingest import CORRUPT_COL, stream_jsonl
+    from .textanalysis import QUALITY_KEEP, fingerprint_col, quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    # seed the seen-fingerprint state with the standing corpus (once)
+    docs.select(fingerprint_col().alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    bench_sh = cache_eager(
+        _hashed_shingles_from(docs.filter(F.col("source") == CONTAM_BENCH_SOURCE))
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    stream = (
+        stream_jsonl(spark, drop_dir, docs.schema)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+
+    def admit(batch_df, epoch):
+        if batch_df.isEmpty():
+            return
+        from .. import cachereg
+
+        with cachereg.scope():
+            b = cache_eager(batch_df)
+            n_arrived = b.count()
+            lang_ok = b.filter(F.col("lang") != "unknown")
+            n_lang = lang_ok.count()
+            qual = cache_eager(
+                lang_ok.filter(quality_expr() >= QUALITY_KEEP)
+            )
+            n_quality = qual.count()
+            seen = spark.read.parquet(state_dir)
+            fresh = cache_eager(
+                qual.withColumn("fp", fingerprint_col())
+                .join(seen, "fp", "left_anti")
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("fp").orderBy("doc_id")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            n_new = fresh.count()
+            contaminated = (
+                _hashed_shingles_from(fresh)
+                .join(F.broadcast(bench_sh), "sh", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_sh"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("overlap"),
+                )
+                .filter(
+                    F.round(F.col("overlap") / F.col("n_sh"), 4) >= CONTAM_FLAG
+                )
+                .select("doc_id")
+            )
+            admitted = cache_eager(
+                fresh.join(contaminated, "doc_id", "left_anti")
+            )
+            n_admitted = admitted.count()
+            admitted.select("fp").write.mode("append").parquet(state_dir)
+            spark.createDataFrame(
+                [
+                    (
+                        int(epoch),
+                        n_arrived,
+                        n_lang,
+                        n_quality,
+                        n_new,
+                        n_admitted,
+                    )
+                ],
+                "batch_id long, n_arrived long, n_lang_pass long, "
+                "n_quality_pass long, n_new_fingerprint long, n_admitted long",
+            ).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+
+
 ORACLE_DEDUP_INCREMENTAL = rf"""
 WITH sigs AS ({_ORACLE_MINHASH_SIGS}),
 src AS (SELECT doc_id, source FROM documents),

@@ -1053,3 +1053,89 @@ def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     )
     slice0 = sorted((v, l, c) for (qid_, v, l, c) in got if qid_ == 0)
     assert slice0 == gated
+
+
+def test_streaming_admission_funnel(spark, sf_dir, tmp_path):
+    """Continuous corpus admission, every gate exercised across two
+    drops: a corpus duplicate never admits, a cross-drop duplicate
+    admits exactly once (first arrival), an unknown-lang row stops at
+    the language gate, a digits-only row stops at the quality gate, and
+    a near-copy of a benchmark doc stops at decontamination. The final
+    admitted-fingerprint state equals corpus ∪ the two admitted docs."""
+    from sap_sql_engine_spark.operators import dedup
+    from sap_sql_engine_spark.operators.textanalysis import (
+        QUALITY_KEEP,
+        fingerprint_col,
+        quality_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    good = (
+        docs.filter(
+            (F.col("lang") != "unknown") & (quality_expr() >= QUALITY_KEEP)
+        )
+        .orderBy("doc_id")
+    )
+    corpus_text = good.first().text  # passes lang+quality, fp already seen
+    bench_text = (
+        good.filter(F.col("source") == dedup.CONTAM_BENCH_SOURCE).first().text
+    )
+    fresh1 = "the cat and the dog sat on the mat near the old door"
+    fresh2 = "the red fox and the blue owl met in the old barn today"
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "funnel")
+    state_dir = str(tmp_path / "seen_fps")
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("append").json(drop_dir)
+
+    drop(
+        [
+            (1000001, corpus_text, "en", "feed", len(corpus_text)),
+            (1000002, fresh1, "en", "feed", len(fresh1)),
+            (1000003, "words here", "unknown", "feed", 10),
+            (1000004, "zz the " + bench_text, "en", "feed", 7 + len(bench_text)),
+        ]
+    )
+    q = dedup.streaming_admission_funnel(
+        spark, sf_dir, drop_dir, out_dir, state_dir
+    )
+    try:
+        q.processAllAvailable()
+        drop(
+            [
+                (1000005, fresh1, "en", "feed", len(fresh1)),  # cross-drop dup
+                (1000006, fresh2, "en", "feed", len(fresh2)),
+                (1000007, "0 1 2 3 4 5", "en", "feed", 11),  # quality fail
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (
+            (r.n_arrived, r.n_lang_pass, r.n_quality_pass,
+             r.n_new_fingerprint, r.n_admitted)
+            for r in spark.read.parquet(out_dir).collect()
+        ),
+    )
+    assert sorted(rows) == sorted([(4, 3, 3, 2, 1), (3, 3, 2, 1, 1)])
+
+    # state = corpus fingerprints ∪ exactly the two admitted docs
+    seen = {r.fp for r in spark.read.parquet(state_dir).collect()}
+    corpus_fps = {
+        r.fp for r in docs.select(fingerprint_col().alias("fp")).collect()
+    }
+    extra = seen - corpus_fps
+    admitted_fps = {
+        r.fp
+        for r in spark.createDataFrame(
+            [(fresh1,), (fresh2,)], "text string"
+        ).select(fingerprint_col().alias("fp")).collect()
+    }
+    assert extra == admitted_fps
