@@ -1767,15 +1767,19 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_lm_score_from(spread(table(spark, sf_dir, "documents")))
 
 
-def text_lm_score_from(docs: DataFrame) -> DataFrame:
+def _bigram_lm(docs: DataFrame, *extra_cols: str):
+    """(bigrams, stats): the corpus bigram stream with any carried
+    columns, and the quantized MLE model (w1, w2, lnq) — shared by
+    ``text_lm_score`` and ``lm_perplexity_buckets`` so the two stay in
+    lockstep with their oracles' common CTE chain."""
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        *extra_cols, "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     # guard the bigram index list: sequence(1, 0) yields the DESCENDING
     # [1, 0] in Spark and element_at(toks, 0) throws — a 1-token doc must
     # produce an empty list (no row), matching DuckDB's empty range(1, 1)
     bigrams = toks.select(
-        "doc_id",
+        *extra_cols, "doc_id",
         F.explode(
             F.expr(
                 "transform(CASE WHEN size(toks) >= 2 "
@@ -1783,13 +1787,21 @@ def text_lm_score_from(docs: DataFrame) -> DataFrame:
                 "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        *extra_cols, "doc_id",
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
+    )
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    stats = c2.join(c1, "w1").withColumn(
-        "lnq",
-        F.floor(F.log(F.col("c2") / F.col("c1")) * LM_Q).cast("bigint"),
+    stats = c2.join(c1, "w1").select(
+        "w1", "w2",
+        F.floor(F.log(F.col("c2") / F.col("c1")) * LM_Q).cast("bigint").alias("lnq"),
     )
+    return bigrams, stats
+
+
+def text_lm_score_from(docs: DataFrame) -> DataFrame:
+    bigrams, stats = _bigram_lm(docs)
     return (
         bigrams.join(F.broadcast(stats), ["w1", "w2"])
         .groupBy("doc_id")
@@ -2388,27 +2400,9 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rows (the pre-aggregated-cumulative-sum recipe, same as
     ``quantile_histogram_check``'s calibration)."""
     docs = spread(table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    bigrams = toks.select(
-        "doc_id", "lang",
-        F.explode(
-            F.expr(
-                "transform(CASE WHEN size(toks) >= 2 "
-                "THEN sequence(1, size(toks) - 1, 1) ELSE array() END, "
-                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    stats = c2.join(c1, "w1").withColumn(
-        "lnq",
-        F.floor(F.log(F.col("c2") / F.col("c1")) * LM_Q).cast("bigint"),
-    )
+    bigrams, stats = _bigram_lm(docs, "lang")
     per_doc = (
-        bigrams.join(F.broadcast(stats.select("w1", "w2", "lnq")), ["w1", "w2"])
+        bigrams.join(F.broadcast(stats), ["w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
