@@ -2291,19 +2291,18 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
         .cast("bigint") % DSIR_B,
     )
-    raw = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tokb.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE aggregation carries both distributions (ct is a conditional
+    # count) — no second corpus scan and no bucket join; the totals are
+    # windows over this B-row relation
+    raw = tokb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("ct"),
     )
-    # raw ⊇ tgt bucket support, so the left join covers every populated
-    # bucket and the totals are windows over this B-row relation
     w_all = Window.partitionBy()
     lr = cache_eager(
-        raw.join(tgt, "b", "left")
-        .select("b", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
-        .withColumn("tr", F.sum("cr").over(w_all))
+        raw.withColumn("tr", F.sum("cr").over(w_all))
         .withColumn("tt", F.sum("ct").over(w_all))
         .select(
             "b",
@@ -2346,18 +2345,21 @@ WITH toks AS (
     FROM documents
   ) WHERE token <> ''
 ),
-raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
-tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+raw AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM toks GROUP BY 1
+),
 lr AS (
   SELECT b,
          CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + {DSIR_B} AS DOUBLE))
                        / (CAST(cr + 1 AS DOUBLE) * CAST(tt + {DSIR_B} AS DOUBLE)))
                     * {DSIR_Q}) AS BIGINT) AS lr
   FROM (
-    SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct,
+    SELECT b, cr, ct,
            sum(cr) OVER () AS tr,
-           sum(coalesce(ct, 0)) OVER () AS tt
-    FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+           sum(ct) OVER () AS tt
+    FROM raw
   )
 )
 SELECT t.doc_id, t.source, t.lang,
