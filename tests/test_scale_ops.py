@@ -1139,3 +1139,19 @@ def test_streaming_admission_funnel(spark, sf_dir, tmp_path):
         ).select(fingerprint_col().alias("fp")).collect()
     }
     assert extra == admitted_fps
+
+
+def test_dsir_scoring_plan_single_scan_no_bnlj(spark, sf_dir):
+    """Pins the DSIR plan shape the optimization bought: the scoring side
+    pays exactly ONE corpus scan (the bucket model is served from the
+    cached B-row relation, visible as an InMemoryTableScan), and the
+    1-row totals ride windows — no nested-loop join anywhere."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+    from sap_sql_engine_spark.sources.layout import _exec_nodes
+
+    df = ta.q_dsir_importance(spark, sf_dir)
+    df.collect()
+    names = [n.getClass().getSimpleName() for n in _exec_nodes(df)]
+    assert names.count("FileSourceScanExec") == 1, names
+    assert "BroadcastNestedLoopJoinExec" not in names
+    assert "InMemoryTableScanExec" in names
