@@ -1581,7 +1581,103 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic-dedup threshold tuning: how the pair graph thins as the cosine
+# cutoff tightens from the operating point — the curve a pipeline reads to
+# pick its dedup aggressiveness (each row: pairs surviving, vectors touched).
+
+SWEEP_THRESHOLDS = ((400, 0.40), (430, 0.43), (460, 0.46), (490, 0.49), (520, 0.52))
+
+
+def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair/vector counts at five cosine cutoffs >= the operating
+    threshold, computed in ONE aggregation over the gated near-dup pair
+    relation (no per-threshold re-scan): the pair stream and the
+    per-vector max-cosine stream union into one tall relation and every
+    threshold is a conditional sum; ``stack`` unpivots the single wide
+    row. Sweeping only UPWARD from NEARDUP_COS keeps the report exact —
+    at the operating point the banding has proven 100% recall (the
+    brute-force oracle is the gate), so every tighter cutoff is a pure
+    filter of a complete pair set, never an estimate.
+
+    Scale shape: everything runs on the near-dup-bounded pair relation
+    (~|dups| rows); one union, one aggregation, five integer cells per
+    threshold."""
+    pairs = q_embedding_neardup_pairs(spark, sf_dir)
+    vec = (
+        pairs.select(F.explode(F.array("v1", "v2")).alias("v"), "cosine")
+        .groupBy("v")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    tall = pairs.select(F.lit(1).alias("is_pair"), "cosine").unionByName(
+        vec.select(F.lit(0).alias("is_pair"), "cosine")
+    )
+    aggs = []
+    for pm, thr in SWEEP_THRESHOLDS:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("is_pair") == 1) & (F.col("cosine") >= thr),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias(f"p{pm}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("is_pair") == 0) & (F.col("cosine") >= thr),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias(f"v{pm}")
+        )
+    wide = tall.agg(*aggs)
+    stack_args = ", ".join(
+        f"{pm}, p{pm}, v{pm}" for pm, _ in SWEEP_THRESHOLDS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(SWEEP_THRESHOLDS)}, {stack_args}) "
+            "AS (thr_permille, n_pairs, n_vecs)"
+        )
+        .selectExpr(
+            "CAST(thr_permille AS BIGINT) AS thr_permille",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(n_vecs AS BIGINT) AS n_vecs",
+        )
+        .orderBy("thr_permille")
+    )
+
+
+def _oracle_threshold_sweep() -> str:
+    rows = ", ".join(f"({pm}, {thr})" for pm, thr in SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS (
+  SELECT v1, v2, cosine FROM ({ORACLE_EMBEDDING_NEARDUP}) p
+),
+vec AS (
+  SELECT v, max(cosine) AS cosine FROM (
+    SELECT v1 AS v, cosine FROM pairs
+    UNION ALL
+    SELECT v2 AS v, cosine FROM pairs
+  ) GROUP BY v
+),
+thr AS (SELECT * FROM (VALUES {rows}) t(thr_permille, thr))
+SELECT CAST(thr_permille AS BIGINT) AS thr_permille,
+       CAST(coalesce((SELECT count(*) FROM pairs p WHERE p.cosine >= t.thr), 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce((SELECT count(*) FROM vec v WHERE v.cosine >= t.thr), 0) AS BIGINT) AS n_vecs
+FROM thr t
+ORDER BY thr_permille
+"""
+
+
 QUERIES = {
+    "embedding_threshold_sweep": q_embedding_threshold_sweep,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1599,6 +1695,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_threshold_sweep": _oracle_threshold_sweep(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_label_centroid_sim": ORACLE_LABEL_CENTROID_SIM,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP,

@@ -1432,3 +1432,16 @@ def test_dedup_lsh_recall_report_invariants(spark, sf_dir):
         r.n_hit * 10000 // r.n_candidates if r.n_candidates else 0
     )
     assert r.n_exact > 0  # the corpus plants real near-dups
+
+
+def test_embedding_threshold_sweep_monotone(spark, sf_dir):
+    """The sweep must thin monotonically as the cutoff tightens, and its
+    operating-point row must agree exactly with the gated pair query."""
+    from sap_sql_engine_spark.operators import similarity as sim
+
+    rows = sim.q_embedding_threshold_sweep(spark, sf_dir).collect()
+    assert [r.thr_permille for r in rows] == [400, 430, 460, 490, 520]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs and a.n_vecs >= b.n_vecs
+    n_pairs_op = sim.q_embedding_neardup_pairs(spark, sf_dir).count()
+    assert rows[0].n_pairs == n_pairs_op
