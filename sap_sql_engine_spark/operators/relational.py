@@ -3192,6 +3192,91 @@ ORDER BY part_value DESC, l_partkey
 
 
 # ---------------------------------------------------------------------------
+# revenue concentration (Pareto): how much of total revenue the top spend
+# deciles carry — the whale-curve counterpart of events_power_users' Gini,
+# on the relational side.
+
+
+def q_customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile revenue concentration: customers ranked by total spend
+    (decile 1 = biggest spenders), with customer counts, revenue in
+    integer cents, and exact integral-bp share and cumulative share.
+
+    Decile assignment is the RFM recipe — ``(rank-1)*10 DIV n + 1`` over
+    ``with_global_rank`` (range-partitioned, no global window, ties
+    broken by custkey) — and every downstream cell is integer arithmetic
+    over the 10-row decile relation (the share windows run there, not
+    over customers).
+
+    Scale shape: one customer-keyed aggregation over orders, one range
+    exchange over the customer-grain relation, a 10-group regroup."""
+    from .ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"),
+    ).select(
+        "o_custkey",
+        (F.col("spend") * -1).alias("neg_spend"),
+        F.expr("CAST(spend * 100 AS BIGINT)").alias("cents"),
+    )
+    ranked = with_global_rank(per_cust, "neg_spend", "o_custkey", rank_col="__r")
+    n = ranked.count()
+    deciles = (
+        ranked.withColumn(
+            "decile", F.expr(f"CAST((__r - 1) * 10 DIV {n} + 1 AS BIGINT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        deciles.withColumn("total", F.sum("revenue_cents").over(w_all))
+        .withColumn("cum", F.sum("revenue_cents").over(w_cum))
+        .selectExpr(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            "CAST(revenue_cents * 10000 DIV total AS BIGINT) AS share_bp",
+            "CAST(cum * 10000 DIV total AS BIGINT) AS cum_share_bp",
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_REVENUE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, CAST(spend * 100 AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY spend DESC, o_custkey) AS r,
+         count(*) OVER () AS n
+  FROM per_cust
+),
+deciles AS (
+  SELECT CAST((r - 1) * 10 // n + 1 AS BIGINT) AS decile,
+         count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM ranked GROUP BY 1
+)
+SELECT decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       revenue_cents,
+       CAST(revenue_cents * 10000 // sum(revenue_cents) OVER () AS BIGINT) AS share_bp,
+       CAST(sum(revenue_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) * 10000
+            // sum(revenue_cents) OVER () AS BIGINT) AS cum_share_bp
+FROM deciles
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # calendar-spine gap fill: the generated-dimension pattern every reporting
 # layer needs — a month x region spine built from literals (no scan), left-
 # joined by the sparse fact so empty cells surface as explicit zeros
@@ -3324,6 +3409,7 @@ QUERIES = {
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
     "monthly_revenue_spine": q_monthly_revenue_spine,
+    "customer_revenue_pareto": q_customer_revenue_pareto,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
     "dq_orders_checks": q_dq_orders_checks,
@@ -3388,6 +3474,7 @@ ORACLES = {
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
+    "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
     "dq_orders_checks": ORACLE_DQ_ORDERS,

@@ -135,3 +135,17 @@ def test_pii_gate_on_sap_fixtures(spark, sap):
         "WHERE ENDDA = '9999-12-31' GROUP BY ORGEH",
     )
     assert allowed.get("row_count", 0) > 0
+
+
+def test_customer_revenue_pareto_invariants(spark, sf_dir):
+    """Whale-curve consistency: 10 deciles, shares sum to ~10000 bp
+    (integral flooring loses at most 9 bp), cumulative share is monotone
+    ending at exactly 10000, and decile 1 carries the largest share."""
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_customer_revenue_pareto(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert 10000 - 9 <= sum(r.share_bp for r in rows) <= 10000
+    cums = [r.cum_share_bp for r in rows]
+    assert cums == sorted(cums) and cums[-1] == 10000
+    assert rows[0].share_bp == max(r.share_bp for r in rows)
