@@ -3192,6 +3192,75 @@ ORDER BY part_value DESC, l_partkey
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit screen: the statistical data-quality test auditors
+# run on amount columns — organically-grown magnitudes follow
+# P(d) = log10(1 + 1/d); fabricated or truncated data deviates. Companion
+# to dq_orders_checks' rule-based constraints.
+
+
+def q_dq_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice against the Benford
+    expectation, per digit: observed count, observed share and expected
+    share in integral basis points, and the signed deviation.
+
+    Determinism (FLOATS.md classes A+C): the digit extraction is string
+    arithmetic on the DECIMAL(18,2) cast (no float formatting); observed
+    shares are integral divisions; the expected share takes ONE
+    ln(1+1/d)/ln(10) per DIGIT row (9 of them), floor-quantized to bp.
+
+    Scale shape: one pushed two-column scan, one 9-group aggregation with
+    map-side combine; everything after runs on 9 rows."""
+    od = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast(DEC).cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        od.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = W.partitionBy()
+    expected_bp = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * 10000
+    ).cast("bigint")
+    return (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n * 10000 DIV total AS BIGINT)").alias("observed_bp"),
+            expected_bp.alias("expected_bp"),
+            (
+                F.expr("CAST(n * 10000 DIV total AS BIGINT)") - expected_bp
+            ).cast("bigint").alias("delta_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_DQ_BENFORD = """
+WITH counts AS (
+  SELECT digit, count(*) AS n FROM (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+  ) WHERE digit BETWEEN 1 AND 9
+  GROUP BY 1
+)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS observed_bp,
+       CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000) AS BIGINT) AS expected_bp,
+       CAST(n * 10000 // sum(n) OVER ()
+            - floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000) AS BIGINT) AS delta_bp
+FROM counts
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
 # revenue concentration (Pareto): how much of total revenue the top spend
 # deciles carry — the whale-curve counterpart of events_power_users' Gini,
 # on the relational side.
@@ -3410,6 +3479,7 @@ QUERIES = {
     "revenue_mom_delta": q_revenue_mom_delta,
     "monthly_revenue_spine": q_monthly_revenue_spine,
     "customer_revenue_pareto": q_customer_revenue_pareto,
+    "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
     "dq_orders_checks": q_dq_orders_checks,
@@ -3475,6 +3545,7 @@ ORACLES = {
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
     "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
+    "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
     "dq_orders_checks": ORACLE_DQ_ORDERS,

@@ -149,3 +149,26 @@ def test_customer_revenue_pareto_invariants(spark, sf_dir):
     cums = [r.cum_share_bp for r in rows]
     assert cums == sorted(cums) and cums[-1] == 10000
     assert rows[0].share_bp == max(r.share_bp for r in rows)
+
+
+def test_dq_benford_planted_digits(spark, tmp_path):
+    """Planted first digits: nine amounts with digits 1..9 give exactly
+    1111 bp observed each; a sub-1 amount (leading '0') is excluded from
+    the digit population; expected_bp matches the quantized Benford
+    formula."""
+    import math
+
+    rows = [(i, float(f"{d}00.50")) for i, d in enumerate(range(1, 10))]
+    rows.append((99, 0.50))  # leading digit 0 -> excluded
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    from sap_sql_engine_spark.operators import relational
+
+    out = relational.q_dq_benford_amounts(spark, str(tmp_path)).collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    for r in out:
+        assert r.n == 1 and r.observed_bp == 1111
+        exp = math.floor(math.log10(1 + 1 / r.digit) * 10000)
+        assert r.expected_bp == exp and r.delta_bp == 1111 - exp
