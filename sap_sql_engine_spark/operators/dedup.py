@@ -671,7 +671,13 @@ def streaming_incremental_dedup(
     broadcast band probe — ingest latency is independent of corpus
     size. Returns the started query; the caller drives it
     (``processAllAvailable``) and compares ``out_dir`` with the batch
-    query — the twin test asserts stream == batch exactly."""
+    query — the twin test asserts stream == batch exactly.
+
+    Exactly-once output: the sink is checkpointed AND idempotent —
+    each micro-batch OVERWRITES its own ``out_dir/epoch=<n>`` partition,
+    so a post-failure replay of the last epoch rewrites the same rows
+    instead of double-appending them (foreachBatch is at-least-once;
+    idempotent epoch-keyed writes are what upgrade it to exactly-once)."""
     from ..sources.ingest import CORRUPT_COL, stream_jsonl
 
     docs = table(spark, sf_dir, "documents")
@@ -685,7 +691,7 @@ def streaming_incremental_dedup(
         .drop(CORRUPT_COL)
     )
 
-    def probe_batch(batch_df, _epoch):
+    def probe_batch(batch_df, epoch):
         if batch_df.isEmpty():
             return
         from .. import cachereg
@@ -695,10 +701,14 @@ def streaming_incremental_dedup(
         # unbounded stream the registry would otherwise grow per batch
         with cachereg.scope():
             incremental_probe_from_wide(wide_c, batch_df).write.mode(
-                "append"
-            ).parquet(out_dir)
+                "overwrite"
+            ).parquet(f"{out_dir}/epoch={int(epoch)}")
 
-    return stream.writeStream.foreachBatch(probe_batch).start()
+    return (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
 
 
 def streaming_admission_funnel(
@@ -726,7 +736,16 @@ def streaming_admission_funnel(
 
     Stage math is the release funnel's own (``quality_expr``,
     ``fingerprint_col``, the 3-gram CONTAM_FLAG probe), so the twin test
-    can assert stream == the same gates run in one batch."""
+    can assert stream == the same gates run in one batch.
+
+    Exactly-once contract under replay: foreachBatch is at-least-once,
+    so BOTH sinks are epoch-keyed and overwritten — the funnel row goes
+    to ``out_dir/epoch=<n>`` and the admitted fingerprints to
+    ``state_dir/epoch=<n>`` (seed lives at ``epoch=seed``), each with
+    mode("overwrite"). A replayed epoch rewrites its own partitions
+    instead of double-appending, and the seen-state read EXCLUDES the
+    replaying epoch's own partition so its stage counts recompute
+    identically even when the state write survived the crash."""
     from ..sources.ingest import CORRUPT_COL, stream_jsonl
     from .textanalysis import QUALITY_KEEP, fingerprint_col, quality_expr
 
@@ -734,7 +753,7 @@ def streaming_admission_funnel(
     # seed the seen-fingerprint state with the standing corpus (once)
     docs.select(fingerprint_col().alias("fp")).distinct().write.mode(
         "overwrite"
-    ).parquet(state_dir)
+    ).parquet(f"{state_dir}/epoch=seed")
     bench_sh = cache_eager(
         _hashed_shingles_from(docs.filter(F.col("source") == CONTAM_BENCH_SOURCE))
         .select("sh")
@@ -761,7 +780,14 @@ def streaming_admission_funnel(
                 lang_ok.filter(quality_expr() >= QUALITY_KEEP)
             )
             n_quality = qual.count()
-            seen = spark.read.parquet(state_dir)
+            # partition-discovered read of every epoch's fingerprints,
+            # minus this epoch's own (a replay would otherwise see its
+            # first attempt's admissions and count n_new = 0)
+            seen = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("epoch") != F.lit(str(int(epoch))))
+                .select("fp")
+            )
             fresh = cache_eager(
                 qual.withColumn("fp", fingerprint_col())
                 .join(seen, "fp", "left_anti")
@@ -792,7 +818,9 @@ def streaming_admission_funnel(
                 fresh.join(contaminated, "doc_id", "left_anti")
             )
             n_admitted = admitted.count()
-            admitted.select("fp").write.mode("append").parquet(state_dir)
+            admitted.select("fp").write.mode("overwrite").parquet(
+                f"{state_dir}/epoch={int(epoch)}"
+            )
             spark.createDataFrame(
                 [
                     (
@@ -806,7 +834,7 @@ def streaming_admission_funnel(
                 ],
                 "batch_id long, n_arrived long, n_lang_pass long, "
                 "n_quality_pass long, n_new_fingerprint long, n_admitted long",
-            ).write.mode("append").parquet(out_dir)
+            ).write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch)}")
 
     return (
         stream.writeStream.foreachBatch(admit)

@@ -672,14 +672,17 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT lane twin of :func:`q_events_json_props`: props
     parses ONCE per row into the binary variant encoding
-    (``try_parse_json``) and the typed accessor (``variant_get``) reads
-    the value — at 100 TB this replaces per-access JSON string re-parsing
-    with one decode plus O(1) typed reads, and ``try_`` keeps the lane
-    total on malformed rows (null, same as the string lane). Identical
-    aggregate contract and oracle as the string lane, so the gate proves
-    the two extraction paths agree."""
+    (``try_parse_json``) and the typed accessor (``try_variant_get``)
+    reads the value — at 100 TB this replaces per-access JSON string
+    re-parsing with one decode plus O(1) typed reads. BOTH accessors are
+    the ``try_`` forms so the lane stays total on malformed rows (parse
+    failure -> null variant) AND on valid-JSON/wrong-type rows (e.g.
+    ``{"k":[1,2]}`` or ``{"k":"abc"}`` -> null int), matching the string
+    lane's ``get_json_object(...).cast('int')`` null-on-mismatch
+    behavior. Identical aggregate contract and oracle as the string
+    lane, so the gate proves the two extraction paths agree."""
     ev = _events(spark, sf_dir)
-    k = F.variant_get(
+    k = F.try_variant_get(
         F.try_parse_json(F.col("props")), "$.k", "int"
     )
     return (

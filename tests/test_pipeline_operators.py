@@ -1394,9 +1394,12 @@ def test_docs_length_outliers_planted(spark, tmp_path):
 
 
 def test_events_json_props_variant_total_on_malformed(spark, tmp_path):
-    """The VARIANT lane must stay total: malformed and null props rows
-    contribute null (excluded from sum/min/max, counted in event_count),
-    exactly like the string lane — pins try_parse_json semantics."""
+    """The VARIANT lane must stay total: malformed props, null props, AND
+    valid-JSON rows whose $.k has the wrong type (array, non-numeric
+    string) all contribute null (excluded from sum/min/max, counted in
+    event_count), exactly like the string lane — pins try_parse_json +
+    try_variant_get semantics (strict variant_get would THROW on the
+    type-mismatch rows)."""
     import datetime as dt
 
     rows = [
@@ -1404,6 +1407,8 @@ def test_events_json_props_variant_total_on_malformed(spark, tmp_path):
         (2, dt.datetime(2024, 1, 1, 0, 1), 1, "click", 1.0, '{k:'),
         (3, dt.datetime(2024, 1, 1, 0, 2), 1, "click", 1.0, None),
         (4, dt.datetime(2024, 1, 1, 0, 3), 1, "click", 1.0, '{"k": 7}'),
+        (5, dt.datetime(2024, 1, 1, 0, 4), 1, "click", 1.0, '{"k": [1, 2]}'),
+        (6, dt.datetime(2024, 1, 1, 0, 5), 1, "click", 1.0, '{"k": "abc"}'),
     ]
     spark.createDataFrame(
         rows,
@@ -1415,7 +1420,12 @@ def test_events_json_props_variant_total_on_malformed(spark, tmp_path):
 
     out = se.q_events_json_props_variant(spark, str(tmp_path)).collect()
     assert [(r.event_type, r.event_count, r.k_sum, r.k_min, r.k_max) for r in out] == [
-        ("click", 4, 10, 3, 7)
+        ("click", 6, 10, 3, 7)
+    ]
+    # and the string lane agrees on the same mixed-type corpus
+    out_s = se.q_events_json_props(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.event_count, r.k_sum, r.k_min, r.k_max) for r in out_s] == [
+        ("click", 6, 10, 3, 7)
     ]
 
 

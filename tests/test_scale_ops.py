@@ -971,7 +971,12 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Drop-folder incremental dedup: two JSONL drops of the incoming
     batch probe the standing corpus signatures per micro-batch; the
     accumulated matches equal the batch query exactly (stream == batch),
-    and ingest work stays batch-sized (the corpus signs once)."""
+    and ingest work stays batch-sized (the corpus signs once). A crash
+    is simulated between the drops (the checkpoint's last commit marker
+    is deleted, so the restart REPLAYS epoch 0) — the epoch-keyed
+    overwrite sink must absorb the replay without double-appending."""
+    import os
+
     from sap_sql_engine_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -985,9 +990,16 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     q = dedup.streaming_incremental_dedup(spark, sf_dir, drop_dir, out_dir)
     try:
         q.processAllAvailable()
-        batch.filter(F.col("doc_id") % 2 == 1).write.mode("append").json(
-            drop_dir
-        )
+    finally:
+        q.stop()
+    # crash-replay: offsets/0 survives, commits/0 doesn't -> the restart
+    # re-executes epoch 0 against the already-written output
+    for marker in ("0", ".0.crc"):  # the crc sidecar must go too, or
+        # the replayed commit write fails its rename onto the stale crc
+        os.remove(os.path.join(out_dir + "_ckpt", "commits", marker))
+    batch.filter(F.col("doc_id") % 2 == 1).write.mode("append").json(drop_dir)
+    q = dedup.streaming_incremental_dedup(spark, sf_dir, drop_dir, out_dir)
+    try:
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1061,7 +1073,13 @@ def test_streaming_admission_funnel(spark, sf_dir, tmp_path):
     admits exactly once (first arrival), an unknown-lang row stops at
     the language gate, a digits-only row stops at the quality gate, and
     a near-copy of a benchmark doc stops at decontamination. The final
-    admitted-fingerprint state equals corpus ∪ the two admitted docs."""
+    admitted-fingerprint state equals corpus ∪ the two admitted docs.
+    A crash is simulated between the drops (commit marker deleted ->
+    epoch 0 REPLAYS on restart): the epoch-keyed overwrite sinks and the
+    exclude-own-epoch state read must reproduce the same funnel row and
+    state, not double them."""
+    import os
+
     from sap_sql_engine_spark.operators import dedup
     from sap_sql_engine_spark.operators.textanalysis import (
         QUALITY_KEEP,
@@ -1106,13 +1124,24 @@ def test_streaming_admission_funnel(spark, sf_dir, tmp_path):
     )
     try:
         q.processAllAvailable()
-        drop(
-            [
-                (1000005, fresh1, "en", "feed", len(fresh1)),  # cross-drop dup
-                (1000006, fresh2, "en", "feed", len(fresh2)),
-                (1000007, "0 1 2 3 4 5", "en", "feed", 11),  # quality fail
-            ]
-        )
+    finally:
+        q.stop()
+    # crash-replay: drop the last commit marker so the restart
+    # re-executes epoch 0 with its state/funnel partitions already written
+    for marker in ("0", ".0.crc"):  # the crc sidecar must go too, or
+        # the replayed commit write fails its rename onto the stale crc
+        os.remove(os.path.join(out_dir + "_ckpt", "commits", marker))
+    drop(
+        [
+            (1000005, fresh1, "en", "feed", len(fresh1)),  # cross-drop dup
+            (1000006, fresh2, "en", "feed", len(fresh2)),
+            (1000007, "0 1 2 3 4 5", "en", "feed", 11),  # quality fail
+        ]
+    )
+    q = dedup.streaming_admission_funnel(
+        spark, sf_dir, drop_dir, out_dir, state_dir
+    )
+    try:
         q.processAllAvailable()
     finally:
         q.stop()

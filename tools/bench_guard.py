@@ -1,6 +1,10 @@
 """Per-query bench regression guard.
 
     python tools/bench_guard.py NEW.json OLD.json [--max-ratio 1.2]
+    python tools/bench_guard.py NEW.json OLD.json [--max-ratio=1.2]
+
+(argparse: both the space and the ``=`` flag forms work; arg order is
+NEW then OLD — reversing them silently inverts every ratio.)
 
 Compares two bench JSON lines (``BENCH_r{N}.json`` shape) query by
 query and fails when any query shared by both runs slowed past the
@@ -13,21 +17,23 @@ scheduler noise, not plan regressions (the r6 verdict's reading of the
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 ABS_FLOOR_SEC = 0.1
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ratio = 1.2
-    for a in sys.argv[1:]:
-        if a.startswith("--max-ratio"):
-            ratio = float(a.split("=", 1)[1])
-    if len(args) != 2:
-        print(__doc__)
-        return 2
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        description="Per-query bench regression guard (NEW vs OLD)."
+    )
+    p.add_argument("new_json", help="newer BENCH json (the run under test)")
+    p.add_argument("old_json", help="older BENCH json (the baseline)")
+    p.add_argument("--max-ratio", type=float, default=1.2)
+    ns = p.parse_args(argv)
+    ratio = ns.max_ratio
+    args = [ns.new_json, ns.old_json]
+
     def load_queries(path: str) -> dict:
         d = json.load(open(path))
         # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"

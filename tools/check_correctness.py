@@ -152,7 +152,13 @@ def main() -> int:
         outside = list(qs)[50:]
         print(f"== outside-window sweep: {len(outside)} queries "
               f"(window holds the first 50 of {len(qs)}) ==")
-        only = set(outside)
+        if only:
+            # explicit names given alongside the flag: intersect, don't
+            # silently discard the user's selection
+            only &= set(outside)
+            print(f"== intersected with explicit names: {sorted(only)} ==")
+        else:
+            only = set(outside)
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:

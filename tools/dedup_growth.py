@@ -13,7 +13,11 @@ k-cliques of near-identical docs — pair OUTPUT is quadratic in clique
 size by definition, which measures the data, not the algorithm.)
 
 Prints one JSON line per (query, factor): rows in, result pairs, sec
-(min of 2 passes). Numbers land in SCALE.md's growth note.
+(min of 2 passes), and persists the run to tools/growth_results.json
+(same {base_sf_dir, harness, rows, summaries} shape tpch_growth.py
+writes) — tools/explain_audit.py renders SCALE.md's dedup growth
+section from that file, so regenerating SCALE.md always reflects what
+the harness last MEASURED, not hand-copied numbers.
 """
 
 from __future__ import annotations
@@ -101,23 +105,32 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
     # growth summary relative to the smallest factor
     base = {r["query"]: r for r in results if r["factor"] == factors[0]}
+    summaries = []
     for r in results:
         b = base[r["query"]]
         if r is b:
             continue
         kx = r["factor"] / b["factor"]
-        print(
-            json.dumps(
-                {
-                    "summary": r["query"],
-                    "scale_up": kx,
-                    "time_ratio": round(r["sec"] / b["sec"], 2),
-                    "pair_ratio": round(r["pairs"] / max(1, b["pairs"]), 2),
-                    "linear_bound": kx,
-                }
-            ),
-            flush=True,
-        )
+        s = {
+            "summary": r["query"],
+            "scale_up": kx,
+            "time_ratio": round(r["sec"] / b["sec"], 2),
+            "pair_ratio": round(r["pairs"] / max(1, b["pairs"]), 2),
+            "linear_bound": kx,
+        }
+        summaries.append(s)
+        print(json.dumps(s), flush=True)
+    out = {
+        "base_sf_dir": BASE_SF_DIR,
+        "harness": "tools/dedup_growth.py " + " ".join(str(f) for f in factors),
+        "rows": results,
+        "summaries": summaries,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "growth_results.json"
+    )
+    json.dump(out, open(path, "w"), indent=1)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
