@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 
 ABS_FLOOR_SEC = 0.1
 
@@ -39,7 +40,26 @@ def main(argv: list[str] | None = None) -> int:
         # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
         if "parsed" in d and isinstance(d["parsed"], dict):
             d = d["parsed"]
-        return d["queries"]
+        if "queries" in d:
+            return d["queries"]
+        # salvage path: BENCH_r07.json has parsed:null because the bench
+        # line overflowed the driver's 2000-char tail capture (fixed in
+        # bench.py by moving raw passes to a side file). Recover whatever
+        # scalar "name": sec pairs survive in the truncated tail —
+        # passes arrays don't match the scalar regex, meta keys excluded.
+        tail = d.get("tail", "")
+        meta = {"value", "sf", "n", "rc", "cpus", "scale_up", "time_ratio",
+                "pair_ratio", "linear_bound"}
+        pairs = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+\.?[0-9]*)[,}]', tail)
+            if m.group(1) not in meta
+        }
+        if not pairs:
+            raise SystemExit(f"{path}: no queries dict and nothing salvageable")
+        print(f"(salvaged {len(pairs)} per-query timings from {path}'s "
+              f"truncated tail — front-truncated queries are absent)")
+        return pairs
 
     new = load_queries(args[0])
     old = load_queries(args[1])
