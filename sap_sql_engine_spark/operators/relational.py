@@ -3438,6 +3438,297 @@ ORDER BY s.region_name, s.month
 """
 
 
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): the multi-objective "best tradeoffs" operator
+# (cheapest part for its size class). The naive formulation is a quadratic
+# NOT-EXISTS self-join; in 2-D it collapses to ONE sort + two window minima:
+# a point survives iff no strictly-cheaper point is at most its size and it
+# holds the size minimum among its own price tie-group. Mirrors the
+# reference's ranked "best value" templates (sap_semantic_model.json GROUP BY
+# + ORDER BY price families) generalized to two objectives.
+
+
+def q_part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier over (retailprice, size), both minimized.
+
+    Window recipe (no self-join): sort each brand by price cents; a part is
+    dominated iff min(size) over strictly-cheaper rows <= its size (the
+    cheaper row is already strictly better on price), or a same-price row
+    has a strictly smaller size. Exact integer math (price in cents), so the
+    quadratic NOT EXISTS oracle and this O(n log n) plan hash-match.
+
+    Scale shape: one range exchange per brand partition; each partition is
+    scanned once with two running minima — at 100 TB this is sort-partition
+    work, not the all-pairs dominance join the textbook formulation implies."""
+    part = table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_brand").alias("brand"),
+        (money("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        W.partitionBy("brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_tie = W.partitionBy("brand", "price_cents")
+    return (
+        pts.withColumn("min_size_cheaper", F.min("size").over(w_cheaper))
+        .withColumn("min_size_tie", F.min("size").over(w_tie))
+        .filter(
+            (
+                F.col("min_size_cheaper").isNull()
+                | (F.col("min_size_cheaper") > F.col("size"))
+            )
+            & (F.col("size") == F.col("min_size_tie"))
+        )
+        .groupBy("brand", "price_cents", "size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("brand", "price_cents", "size")
+    )
+
+
+ORACLE_PART_SKYLINE = """
+WITH pts AS (
+  SELECT p_brand AS brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT brand, price_cents, size, CAST(count(*) AS BIGINT) AS n_parts
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.brand = a.brand
+    AND b.price_cents <= a.price_cents AND b.size <= a.size
+    AND (b.price_cents < a.price_cents OR b.size < a.size))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation via cumulative-interval join: match a supply stream to a
+# demand stream first-in-first-out WITHOUT an iterative loop. Each side gets
+# a running-sum interval [cum - qty, cum); FIFO matched quantity between a
+# supply row and a demand row is exactly the overlap of their intervals, so
+# the whole allocation is one window pass per side plus one equi-join on the
+# key with an interval-overlap residual. The classic imperative formulation
+# is a per-key loop; this one is a declarative plan that shuffles once.
+
+
+def q_fifo_return_reallocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand FIFO reallocation of returned stock to outstanding demand.
+
+    Supply = returned lines (l_returnflag = 'R'), demand = regular lines
+    ('N'), both per part in shipdate order (orderkey/linenumber tiebreak).
+    Cumulative-quantity intervals turn FIFO matching into an interval
+    overlap: matched = least(hi,hi) - greatest(lo,lo) when positive. All
+    integer quantities — exact on both engines.
+
+    Scale shape: two window passes partitioned by partkey, one partkey
+    equi-join with the overlap as residual (NOT a BNLJ — the equi key
+    carries the join), aggregate to part then brand grain. FIFO pair count
+    per part is O(supply + demand), not O(supply x demand): consecutive
+    cumulative intervals overlap only in a band."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, 0)
+
+    def intervals(flag: str, lo: str, hi: str) -> DataFrame:
+        side = li.filter(F.col("l_returnflag") == flag)
+        return side.withColumn(hi, F.sum("qty").over(w)).select(
+            "l_partkey",
+            (F.col(hi) - F.col("qty")).alias(lo),
+            hi,
+        )
+
+    supply = intervals("R", "s_lo", "s_hi")
+    demand = intervals("N", "d_lo", "d_hi").withColumnRenamed(
+        "l_partkey", "d_partkey"
+    )
+    matched = (
+        supply.join(
+            demand,
+            (F.col("l_partkey") == F.col("d_partkey"))
+            & (F.col("s_lo") < F.col("d_hi"))
+            & (F.col("d_lo") < F.col("s_hi")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
+            ).alias("matched_qty")
+        )
+    )
+    totals = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("qty")).otherwise(0)).alias("supply_qty"),
+            F.sum(F.when(F.col("l_returnflag") == "N", F.col("qty")).otherwise(0)).alias("demand_qty"),
+        )
+    )
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("brand")
+    )
+    per_part = totals.join(matched, "l_partkey", "left").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        per_part.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("supply_qty").cast("bigint").alias("supply_qty"),
+            F.sum("demand_qty").cast("bigint").alias("demand_qty"),
+            F.sum(F.coalesce(F.col("matched_qty"), F.lit(0)))
+            .cast("bigint")
+            .alias("matched_qty"),
+        )
+        .withColumn(
+            "fill_bp",
+            F.expr(
+                "CAST(matched_qty * 10000 DIV (CASE WHEN demand_qty = 0 THEN NULL ELSE demand_qty END) AS BIGINT)"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+ORACLE_FIFO_REALLOCATION = """
+WITH base AS (
+  SELECT l_partkey, l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+supply AS (
+  SELECT l_partkey,
+         sum(qty) OVER w - qty AS s_lo, sum(qty) OVER w AS s_hi
+  FROM base WHERE l_returnflag = 'R'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+),
+demand AS (
+  SELECT l_partkey,
+         sum(qty) OVER w - qty AS d_lo, sum(qty) OVER w AS d_hi
+  FROM base WHERE l_returnflag = 'N'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+),
+matched AS (
+  SELECT s.l_partkey,
+         sum(least(s.s_hi, d.d_hi) - greatest(s.s_lo, d.d_lo)) AS matched_qty
+  FROM supply s JOIN demand d
+    ON s.l_partkey = d.l_partkey AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+  GROUP BY 1
+),
+totals AS (
+  SELECT l_partkey,
+         sum(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END) AS supply_qty,
+         sum(CASE WHEN l_returnflag = 'N' THEN qty ELSE 0 END) AS demand_qty
+  FROM base GROUP BY 1
+)
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(t.supply_qty) AS BIGINT) AS supply_qty,
+       CAST(sum(t.demand_qty) AS BIGINT) AS demand_qty,
+       CAST(sum(coalesce(m.matched_qty, 0)) AS BIGINT) AS matched_qty,
+       CAST(sum(coalesce(m.matched_qty, 0)) * 10000
+            // nullif(sum(t.demand_qty), 0) AS BIGINT) AS fill_bp
+FROM totals t
+LEFT JOIN matched m ON t.l_partkey = m.l_partkey
+JOIN part p ON t.l_partkey = p.p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy similarity join: near-duplicate part names by edit distance.
+# The all-pairs formulation is O(n^2) string comparisons; blocking on the
+# brand plus a cheap length-band residual BEFORE the levenshtein call is the
+# standard record-linkage shape (compare only within blocks, and let an O(1)
+# length filter discard most of the block before the O(len^2) distance).
+
+
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pairs per brand (levenshtein <= 4).
+
+    Blocking: pairs are generated only within a brand (equi-join key), the
+    length band |len(a) - len(b)| <= 2 prunes before levenshtein runs (an
+    edit distance is at least the length difference, so the band loses no
+    true pair at threshold 4... it keeps pairs the distance then rejects),
+    and a < b on partkey halves the candidate space.
+
+    Scale shape: the brand key carries a hash join (no BNLJ); per-block
+    work is |block|^2/2 cheap length checks and only the band survivors pay
+    the edit distance. At 100 TB you'd add a second blocking key (name
+    prefix or sorted-token fingerprint) exactly like dedup_sorted_neighborhood."""
+    part = table(spark, sf_dir, "part")
+    names = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.length("p_name").alias("len"),
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.pk") < F.col("b.pk"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= 4)
+    )
+    return (
+        pairs.groupBy(F.col("a.brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("dist") == 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
+ORACLE_PART_FUZZY = """
+WITH names AS (
+  SELECT p_partkey AS pk, p_brand AS brand,
+         lower(p_name) AS name, length(p_name) AS len
+  FROM part
+),
+pairs AS (
+  SELECT a.brand, levenshtein(a.name, b.name) AS dist
+  FROM names a JOIN names b
+    ON a.brand = b.brand AND a.pk < b.pk AND abs(a.len - b.len) <= 2
+  WHERE levenshtein(a.name, b.name) <= 4
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(max(dist) AS BIGINT) AS max_dist
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -3478,6 +3769,9 @@ QUERIES = {
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
     "monthly_revenue_spine": q_monthly_revenue_spine,
+    "part_skyline_frontier": q_part_skyline_frontier,
+    "fifo_return_reallocation": q_fifo_return_reallocation,
+    "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
@@ -3544,6 +3838,9 @@ ORACLES = {
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
+    "part_skyline_frontier": ORACLE_PART_SKYLINE,
+    "fifo_return_reallocation": ORACLE_FIFO_REALLOCATION,
+    "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
     "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
     "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,

@@ -1,0 +1,130 @@
+"""Planted-scenario tests for the round-8 operators: tiny hand-built
+parquet fixtures where the right answer is computable by eye, pinning the
+SEMANTICS (skyline dominance incl. ties and duplicates, FIFO interval
+overlap algebra, fuzzy-join blocking tradeoffs) independently of the
+DuckDB oracle gate.
+"""
+
+import datetime as dt
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from sap_sql_engine_spark.operators import relational
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_size int, "
+    "p_retailprice double"
+)
+
+
+def test_part_skyline_planted_dominance(spark, tmp_path):
+    # brand B1 (price_cents, size):
+    #   (100, 5)  dominated by (100, 3): same price, smaller size
+    #   (100, 3)  frontier (size min of its price tie-group)
+    #   (150, 4)  dominated by (100, 3): cheaper AND smaller
+    #   (200, 2) x2  frontier DUPLICATE point -> one row, n_parts = 2
+    #   (250, 3)  dominated by (200, 2)
+    #   (300, 1)  frontier
+    rows = [
+        (1, "a", "B1", 5, 1.00),
+        (2, "b", "B1", 3, 1.00),
+        (3, "c", "B1", 4, 1.50),
+        (4, "d", "B1", 2, 2.00),
+        (5, "e", "B1", 2, 2.00),
+        (6, "f", "B1", 3, 2.50),
+        (7, "g", "B1", 1, 3.00),
+        # second brand: single point is trivially its own frontier
+        (8, "h", "B2", 9, 9.00),
+    ]
+    _write(spark, tmp_path, "part", rows, PART_SCHEMA)
+    out = [
+        (r.brand, r.price_cents, r.size, r.n_parts)
+        for r in relational.q_part_skyline_frontier(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert out == [
+        ("B1", 100, 3, 1),
+        ("B1", 200, 2, 2),
+        ("B1", 300, 1, 1),
+        ("B2", 900, 9, 1),
+    ]
+
+
+LI_SCHEMA = (
+    "l_orderkey long, l_linenumber int, l_partkey long, l_returnflag string, "
+    "l_shipdate date, l_quantity double"
+)
+
+
+def test_fifo_reallocation_planted_interval_overlap(spark, tmp_path):
+    d = dt.date
+    rows = [
+        # part 1 (brand A): supply [0,5),[5,8); demand [0,4),[4,10)
+        #   matched = 4 (s1xd1) + 1 (s1xd2) + 3 (s2xd2) = 8 = min(8, 10)
+        #   s2xd1 must NOT pair: s_lo=5 < d_hi=4 fails the overlap join
+        (1, 1, 1, "R", d(2024, 1, 1), 5.0),
+        (2, 1, 1, "R", d(2024, 1, 2), 3.0),
+        (3, 1, 1, "N", d(2024, 1, 1), 4.0),
+        (4, 1, 1, "N", d(2024, 1, 3), 6.0),
+        # part 2 (brand B): supply only -> demand 0, fill_bp NULL
+        (5, 1, 2, "R", d(2024, 1, 1), 2.0),
+        # part 3 (brand C): demand only -> matched 0, fill_bp 0
+        (6, 1, 3, "N", d(2024, 1, 1), 7.0),
+        # an 'A' row never enters either side
+        (7, 1, 1, "A", d(2024, 1, 1), 99.0),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    _write(
+        spark,
+        tmp_path,
+        "part",
+        [(1, "p1", "A", 1, 1.0), (2, "p2", "B", 1, 1.0), (3, "p3", "C", 1, 1.0)],
+        PART_SCHEMA,
+    )
+    out = [
+        (r.brand, r.n_parts, r.supply_qty, r.demand_qty, r.matched_qty, r.fill_bp)
+        for r in relational.q_fifo_return_reallocation(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert out == [
+        ("A", 1, 8, 10, 8, 8000),
+        ("B", 1, 2, 0, 0, None),
+        ("C", 1, 0, 7, 0, 0),
+    ]
+
+
+def test_part_fuzzy_pairs_planted_blocking(spark, tmp_path):
+    rows = [
+        # brand X: (1,2) dist 1 -> pair; (4,5) exact dup -> pair
+        (1, "alpha widget", "X", 1, 1.0),
+        (2, "alphq widget", "X", 1, 1.0),
+        # same length as 1/2 but distance >> 4 -> evaluated, rejected
+        (3, "qqqqqqqqqqqq", "X", 1, 1.0),
+        (4, "beta bolt", "X", 1, 1.0),
+        (5, "beta bolt", "X", 1, 1.0),
+        # length band excludes this candidate BEFORE levenshtein even
+        # though its true distance (3) is inside the threshold — the
+        # documented blocking tradeoff (distance >= length difference
+        # only guarantees bands >= threshold are safe to skip)
+        (6, "alpha widgetxxx", "X", 1, 1.0),
+        # brand Y: cross-brand near-dup of 1 must NOT pair (block key)
+        (7, "alpha widget", "Y", 1, 1.0),
+    ]
+    _write(spark, tmp_path, "part", rows, PART_SCHEMA)
+    out = [
+        (r.brand, r.n_pairs, r.n_exact, r.min_dist, r.max_dist)
+        for r in relational.q_part_name_fuzzy_pairs(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert out == [("X", 2, 1, 0, 1)]
