@@ -90,5 +90,92 @@ ORDER BY c_mktsegment
 """
 
 
-QUERIES = {"governance_masked_join": q_masked_pseudonym_join}
-ORACLES = {"governance_masked_join": ORACLE_MASKED_PSEUDONYM_JOIN}
+K_ANON = 5  # minimum group size before a QI group is releasable
+
+
+def q_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer quasi-identifiers.
+
+    The governance gate blocks row-level PII; the complementary release
+    question is whether the ALLOWED aggregate grain still re-identifies:
+    a quasi-identifier (QI) combination shared by fewer than k rows is a
+    linkage handle, and a group whose sensitive attribute is constant
+    (l = 1) leaks by homogeneity even at k. QI here is
+    (c_nationkey, c_mktsegment); the sensitive attribute is the account
+    standing class (debt vs credit).
+
+    Per segment: group count, row count, the smallest group, how many
+    groups/rows fall below k, and the l-diversity floor — the numbers a
+    data-release checklist actually wants (k-anonymity, Sweeney 2002;
+    l-diversity, Machanavajjhala 2007).
+
+    Scale shape: one groupBy over the QI columns (partial+final hash
+    agg), then a ~125-row regroup to segment grain. No joins, no UDFs;
+    at 100 TB this is a single shuffle keyed exactly like any other
+    fact aggregation."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit").alias(
+            "standing"
+        ),
+    )
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("standing").alias("l"),
+    )
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min("n").cast("bigint").alias("min_group_size"),
+            F.sum((F.col("n") < K_ANON).cast("bigint"))
+            .cast("bigint")
+            .alias("n_viol_groups"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol_rows"),
+            F.min("l").cast("bigint").alias("l_min"),
+            F.sum((F.col("l") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_homogeneous_groups"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_KANONYMITY = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS n,
+         count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                             ELSE 'credit' END) AS l
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(min(n) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viol_groups,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_viol_rows,
+       CAST(min(l) AS BIGINT) AS l_min,
+       CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homogeneous_groups
+FROM groups
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "governance_masked_join": q_masked_pseudonym_join,
+    "kanonymity_report": q_kanonymity_report,
+}
+ORACLES = {
+    "governance_masked_join": ORACLE_MASKED_PSEUDONYM_JOIN,
+    "kanonymity_report": ORACLE_KANONYMITY,
+}

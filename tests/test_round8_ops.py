@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.operators import govqueries, relational
 
 
 def _write(spark, tmp_path, name, rows, schema):
@@ -128,3 +128,39 @@ def test_part_fuzzy_pairs_planted_blocking(spark, tmp_path):
         ).collect()
     ]
     assert out == [("X", 2, 1, 0, 1)]
+
+
+def test_kanonymity_planted_violations(spark, tmp_path):
+    # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
+    #            QI group (nation 2) has 2 rows, both credit -> k-violating
+    #            AND homogeneous (l = 1)
+    # segment T: one group of 6, all debt -> k-safe but homogeneous
+    rows = (
+        [(i, 1, "S", 10.0 if i % 2 else -10.0) for i in range(5)]
+        + [(10, 2, "S", 1.0), (11, 2, "S", 2.0)]
+        + [(20 + i, 3, "T", -5.0) for i in range(6)]
+    )
+    _write(
+        spark,
+        tmp_path,
+        "customer",
+        rows,
+        "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double",
+    )
+    out = [
+        (
+            r.segment,
+            r.n_groups,
+            r.n_rows,
+            r.min_group_size,
+            r.n_viol_groups,
+            r.n_viol_rows,
+            r.l_min,
+            r.n_homogeneous_groups,
+        )
+        for r in govqueries.q_kanonymity_report(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("S", 2, 7, 2, 1, 2, 1, 1),
+        ("T", 1, 6, 6, 0, 0, 1, 1),
+    ]
