@@ -1676,7 +1676,114 @@ ORDER BY thr_permille
 """
 
 
+# ---------------------------------------------------------------------------
+# scalar (int8) quantization audit: per-dimension min/max calibration ->
+# 8-bit codes -> reconstruction error. The storage-side counterpart of the
+# PQ lane (ann_pq_adc quantizes SUBvectors against a trained codebook; SQ8
+# quantizes each dimension against its own range — the format faiss calls
+# SQ8 and every vector store offers as the cheap 4x compression). At 100 TB
+# the calibration pass is one partial+final min/max aggregate and the
+# encode is a pure projection — this query reports the error budget that
+# compression would cost, per dimension, in exact integers.
+
+
+def q_embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 (uint8 min/max) reconstruction-error report.
+
+    ``q = floor((v - min) * 255 / (max - min) + 0.5)`` (explicit
+    half-up floor — both engines agree bit-for-bit where a bare
+    ``round()`` would expose HALF_UP vs HALF_EVEN), dequantized back and
+    squared; the per-value error is quantized to integer 1e-12 units
+    BEFORE summing so the aggregate is order-independent (FLOATS.md
+    class: integer-quantized statistic).
+
+    Scale shape: explode -> per-dim min/max (64-row aggregate) ->
+    broadcast the calibration back onto the exploded values -> one
+    regroup. Two shuffles total, both keyed on the 64-value dimension id."""
+    vals = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "vf"))
+        .select("pos", F.col("vf").cast("double").alias("v"))
+    )
+    rng = vals.groupBy("pos").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    qexpr = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.floor(
+            ((F.col("v") - F.col("vmin")) * F.lit(255.0))
+            / (F.col("vmax") - F.col("vmin"))
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    deq = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.col("vmin")
+        + (F.col("q").cast("double") * (F.col("vmax") - F.col("vmin")))
+        / F.lit(255.0),
+    ).otherwise(F.col("vmin"))
+    err = (F.col("v") - F.col("deq")) * (F.col("v") - F.col("deq"))
+    return (
+        vals.join(F.broadcast(rng), "pos")
+        .withColumn("q", qexpr)
+        .withColumn("deq", deq)
+        .withColumn(
+            "qerr_e12",
+            F.floor(err * F.lit(1e12) + F.lit(0.5)).cast("bigint"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+            F.floor(F.min("vmin") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmin_e6"),
+            F.floor(F.max("vmax") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmax_e6"),
+            F.sum("qerr_e12").cast("bigint").alias("sum_qerr_e12"),
+        )
+        .select(F.col("pos").cast("bigint").alias("pos"), "n_vals", "vmin_e6", "vmax_e6", "sum_qerr_e12")
+        .orderBy("pos")
+    )
+
+
+ORACLE_EMBEDDING_SQ8 = """
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+rng AS (
+  SELECT pos, min(v) AS vmin, max(v) AS vmax FROM vals GROUP BY 1
+),
+coded AS (
+  SELECT vals.pos, v, vmin, vmax,
+         CASE WHEN vmax > vmin
+              THEN floor(((v - vmin) * 255.0) / (vmax - vmin) + 0.5)
+              ELSE 0 END AS q
+  FROM vals JOIN rng USING (pos)
+),
+deq AS (
+  SELECT pos, v, vmin, vmax,
+         CASE WHEN vmax > vmin
+              THEN vmin + (q * (vmax - vmin)) / 255.0
+              ELSE vmin END AS d
+  FROM coded
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(floor(min(vmin) * 1000000 + 0.5) AS BIGINT) AS vmin_e6,
+       CAST(floor(max(vmax) * 1000000 + 0.5) AS BIGINT) AS vmax_e6,
+       CAST(sum(CAST(floor((v - d) * (v - d) * 1e12 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_qerr_e12
+FROM deq
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "embedding_sq8_error": q_embedding_sq8_error,
     "embedding_threshold_sweep": q_embedding_threshold_sweep,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
@@ -1695,6 +1802,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_sq8_error": ORACLE_EMBEDDING_SQ8,
     "embedding_threshold_sweep": _oracle_threshold_sweep(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "embedding_label_centroid_sim": ORACLE_LABEL_CENTROID_SIM,

@@ -130,6 +130,32 @@ def test_part_fuzzy_pairs_planted_blocking(spark, tmp_path):
     assert out == [("X", 2, 1, 0, 1)]
 
 
+def test_embedding_sq8_planted_reconstruction(spark, tmp_path):
+    import math
+
+    from sap_sql_engine_spark.operators import similarity
+
+    # dim 0: values {0, 0.5, 1} -> calibration [0, 1]; the 0.5 value maps
+    # to code floor(127.5 + 0.5) = 128 -> dequantizes to 128/255, a known
+    # reconstruction error. dim 1 is CONSTANT -> zero range, zero error.
+    rows = [
+        (0, [0.0, 7.0], 0),
+        (1, [0.5, 7.0], 0),
+        (2, [1.0, 7.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.pos: (r.n_vals, r.vmin_e6, r.vmax_e6, r.sum_qerr_e12)
+        for r in similarity.q_embedding_sq8_error(spark, str(tmp_path)).collect()
+    }
+    err_mid = (0.5 - 128.0 / 255.0) ** 2
+    expect_e12 = math.floor(err_mid * 1e12 + 0.5)
+    assert out[0] == (3, 0, 1000000, expect_e12)
+    assert out[1] == (3, 7000000, 7000000, 0)
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
