@@ -1931,7 +1931,64 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# simhash bit-balance audit: hash-family data quality. A healthy SimHash
+# family sets every signature bit on ~half the corpus; a skewed bit means
+# the underlying hash mixes poorly for this token distribution, which
+# silently degrades banded candidate recall (bands over near-constant bits
+# collide everything or nothing). This is the DQ check you run BEFORE
+# trusting the dedup ladder's signatures at a new corpus.
+
+
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit set-rate of the corpus SimHash signatures vs the 500-permille
+    ideal. Shares ``_simhash`` with the gated dedup lane, so the audited
+    bits are exactly the production signatures.
+
+    Scale shape: the signature relation aggregates to ONE row via
+    SIMHASH_BITS conditional sums (wide aggregate, partial+final — no
+    per-bit row explosion at doc grain), then ``stack`` unpivots the
+    single row to 32 bit rows. Integer permille math on both engines."""
+    sig = _simhash(spark, sf_dir)
+    aggs = [
+        F.sum(F.expr(f"int(shiftright(simhash, {b}) & 1)"))
+        .cast("bigint")
+        .alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    one = sig.agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n"))
+    stack_args = ", ".join(f"{b}L, b{b}" for b in range(SIMHASH_BITS))
+    return (
+        one.selectExpr(
+            f"stack({SIMHASH_BITS}, {stack_args}) AS (bit, n_set)", "n"
+        )
+        .selectExpr(
+            "CAST(bit AS BIGINT) AS bit",
+            "CAST(n_set AS BIGINT) AS n_set",
+            "CAST(n_set * 1000 DIV n AS BIGINT) AS set_permille",
+            "CAST(abs(n_set * 1000 DIV n - 500) AS BIGINT) AS dev_permille",
+        )
+        .orderBy("bit")
+    )
+
+
+ORACLE_SIMHASH_BIT_BALANCE = rf"""
+WITH sig AS ({_ORACLE_SIMHASH}),
+bits AS (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+SELECT CAST(bit AS BIGINT) AS bit,
+       CAST(sum((simhash >> bit) & 1) AS BIGINT) AS n_set,
+       CAST(sum((simhash >> bit) & 1) * 1000 // count(*) AS BIGINT)
+         AS set_permille,
+       CAST(abs(sum((simhash >> bit) & 1) * 1000 // count(*) - 500) AS BIGINT)
+         AS dev_permille
+FROM sig, bits
+GROUP BY bit
+ORDER BY bit
+"""
+
+
 QUERIES = {
+    "simhash_bit_balance": q_simhash_bit_balance,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1954,6 +2011,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "simhash_bit_balance": ORACLE_SIMHASH_BIT_BALANCE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -156,6 +156,29 @@ def test_embedding_sq8_planted_reconstruction(spark, tmp_path):
     assert out[1] == (3, 7000000, 7000000, 0)
 
 
+def test_simhash_bit_balance_consistent_with_signatures(spark, tmp_path):
+    from sap_sql_engine_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "web", 22),
+        (2, "epsilon zeta eta theta iota", "en", "web", 27),
+        (3, "alpha alpha alpha", "en", "web", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup.q_simhash_bit_balance(spark, str(tmp_path)).collect()
+    assert [r.bit for r in out] == list(range(dedup.SIMHASH_BITS))
+    # cross-check n_set per bit against the raw signatures
+    sigs = [r.simhash for r in dedup._simhash(spark, str(tmp_path)).collect()]
+    for r in out:
+        expect = sum((s >> r.bit) & 1 for s in sigs)
+        assert r.n_set == expect
+        assert r.set_permille == expect * 1000 // len(sigs)
+        assert r.dev_permille == abs(r.set_permille - 500)
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
