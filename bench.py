@@ -49,6 +49,12 @@ HEADLINE = [
     "ship_priority_classes",  # Q12
     "promo_revenue_share",  # Q14
     "part_supplier_concentration",  # Q16
+    # r8 additions: skyline window recipe, FIFO interval join, collapsed
+    # fuzzy join, SQ8 audit — the new nontrivial plans under the guard
+    "part_skyline_frontier",
+    "fifo_return_reallocation",
+    "part_name_fuzzy_pairs",
+    "embedding_sq8_error",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
