@@ -2838,7 +2838,143 @@ ORDER BY h.source
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm): guaranteed-overlap local document fingerprinting. Every
+# window of WINNOW_W consecutive k-gram hashes contributes its minimum
+# (rightmost on ties), so any shared substring of length >= k + W - 1
+# tokens is GUARANTEED to share a fingerprint — the local-sampling
+# property plain modulo-sampling ("0 mod p") lacks.
+
+WINNOW_K = 3  # token-gram size
+WINNOW_W = 4  # window of consecutive gram hashes
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing fingerprint report (k=3 token-grams, w=4).
+
+    The whole select-min-per-window pass runs INSIDE per-row array
+    expressions (transform/aggregate higher-order functions over the
+    gram-hash array): gram hashing, the w-window scan with the rightmost
+    tie rule, position dedup, and the per-doc fingerprint sum are all
+    map-side — the only shuffle in the plan is the final per-source
+    rollup. At 100 TB this is the difference between a fingerprint pass
+    that costs one scan and one that explodes the token stream w-fold
+    through an exchange. fp_hash_sum spot-checks that the SELECTED hash
+    multiset (not just its size) matches the oracle's windowed
+    row_number formulation exactly; all-integer math.
+
+    Expected-density note: winnowing selects ~2/(w+1) of gram positions
+    (the paper's bound); density_permille lands near 400 at w=4."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    hs = (
+        "transform(CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2, 1) "
+        "ELSE array() END, i -> CAST(conv(substring(md5(concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))), 1, 8), "
+        "16, 10) AS BIGINT))"
+    )
+    # one struct per window: scan the w positions left->right keeping the
+    # min with <= so the RIGHTMOST tie wins (the winnowing tie rule)
+    sel = (
+        "array_distinct(transform("
+        "CASE WHEN size(hs) >= 4 THEN sequence(1, size(hs) - 3, 1) ELSE array() END, "
+        "s -> aggregate(sequence(s, s + 3, 1), "
+        "named_struct('mh', CAST(9223372036854775807 AS BIGINT), 'mp', -1), "
+        "(acc, i) -> CASE WHEN element_at(hs, i) <= acc.mh "
+        "THEN named_struct('mh', element_at(hs, i), 'mp', i) ELSE acc END, "
+        "acc -> acc.mp)))"
+    )
+    per_doc = (
+        docs.select(
+            "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .withColumn("hs", F.expr(hs))
+        .drop("t")
+        .withColumn("sel", F.expr(sel))
+        .select(
+            "source",
+            F.expr("size(hs)").alias("n_grams"),
+            F.expr("greatest(size(hs) - 3, 0)").alias("n_windows"),
+            F.expr("size(sel)").alias("n_fp"),
+            F.expr(
+                "aggregate(sel, CAST(0 AS BIGINT), (a, p) -> a + element_at(hs, p))"
+            ).alias("fp_sum"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_windows").cast("bigint").alias("n_windows"),
+            F.sum("n_fp").cast("bigint").alias("n_fingerprints"),
+            F.sum("fp_sum").cast("bigint").alias("fp_hash_sum"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_windows",
+            "n_fingerprints",
+            "CAST(n_fingerprints * 1000 DIV nullif(n_windows, 0) AS BIGINT)"
+            " AS density_permille",
+            "fp_hash_sum",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WINNOWING = rf"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1), i ->
+             CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                   1, 8)) AS BIGINT))
+         ELSE [] END AS hs
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, source, hs, unnest(range(1, len(hs) - 2)) AS s
+  FROM grams WHERE len(hs) >= 4
+),
+scored AS (
+  SELECT doc_id, source, s, s + o AS p, hs[s + o] AS h,
+         row_number() OVER (PARTITION BY doc_id, s
+                            ORDER BY hs[s + o], s + o DESC) AS rn
+  FROM (SELECT doc_id, source, hs, s, unnest(range(0, 4)) AS o FROM wins)
+),
+sel AS (
+  SELECT doc_id, source, count(*) AS n_fp, sum(h) AS fp_sum
+  FROM (SELECT DISTINCT doc_id, source, p, h FROM scored WHERE rn = 1)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT g.source, len(g.hs) AS n_grams,
+         greatest(len(g.hs) - 3, 0) AS n_windows,
+         coalesce(s.n_fp, 0) AS n_fp, coalesce(s.fp_sum, 0) AS fp_sum
+  FROM grams g LEFT JOIN sel s ON g.doc_id = s.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_windows) AS BIGINT) AS n_windows,
+       CAST(sum(n_fp) AS BIGINT) AS n_fingerprints,
+       CAST(sum(n_fp) * 1000 // nullif(sum(n_windows), 0) AS BIGINT)
+         AS density_permille,
+       CAST(sum(fp_sum) AS BIGINT) AS fp_hash_sum
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "text_winnowing": q_text_winnowing,
     "dsir_importance": q_dsir_importance,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "token_pmi_pairs": q_token_pmi_pairs,
@@ -2878,6 +3014,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_winnowing": ORACLE_WINNOWING,
     "dsir_importance": ORACLE_DSIR,
     "lm_perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "token_pmi_pairs": ORACLE_TOKEN_PMI,

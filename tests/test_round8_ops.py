@@ -156,6 +156,62 @@ def test_embedding_sq8_planted_reconstruction(spark, tmp_path):
     assert out[1] == (3, 7000000, 7000000, 0)
 
 
+def _winnow_reference(text, k=3, w=4):
+    """Plain-python winnowing (Schleimer et al. rightmost-min rule) used
+    to pin the Spark array-program implementation."""
+    import hashlib
+
+    toks = text.strip().split()
+    hs = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        best, bp = None, None
+        for p in range(s, s + w):
+            if best is None or hs[p] <= best:
+                best, bp = hs[p], p
+        sel.add((bp, hs[bp]))
+    return hs, sel
+
+
+def test_text_winnowing_matches_python_reference(spark, tmp_path):
+    from sap_sql_engine_spark.operators import textanalysis
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pad pad pad the quick brown fox jumps over the end",  # shared 6+ run
+        "one two",  # too short for any gram window
+        "a a a a a a a a",  # all-equal hashes: rightmost-tie stress
+    ]
+    rows = [
+        (i, t, "en", f"src{i}", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.source: (r.n_grams, r.n_windows, r.n_fingerprints, r.fp_hash_sum)
+        for r in textanalysis.q_text_winnowing(spark, str(tmp_path)).collect()
+    }
+    sels = []
+    for i, t in enumerate(texts):
+        hs, sel = _winnow_reference(t)
+        n_grams = max(len(t.split()) - 2, 0)
+        assert out[f"src{i}"] == (
+            n_grams,
+            max(n_grams - 3, 0),
+            len(sel),
+            sum(h for _, h in sel),
+        ), f"doc {i}"
+        sels.append({h for _, h in sel})
+    # the guaranteed-overlap property: docs 0 and 1 share a >= k+w-1
+    # token run, so winnowing MUST give them a common fingerprint
+    assert sels[0] & sels[1]
+
+
 def test_simhash_bit_balance_consistent_with_signatures(spark, tmp_path):
     from sap_sql_engine_spark.operators import dedup
 
