@@ -2973,7 +2973,171 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM, evaluated on a held-out slice. The MLE
+# lanes (text_lm_score / lm_perplexity_buckets) can only score bigrams the
+# corpus contains; KN is what a real LM pipeline trains — absolute
+# discounting plus the continuation-probability backoff that scores UNSEEN
+# bigrams. d = 0.75 is kept as the exact rational 3/4 so every probability
+# is a ratio of two BIGINT products:
+#   P_KN(w2|w1) = (c2 - 3/4)/c1 + (3/4)(D_w1/c1)(Npre_w2/T)
+#               = [(4*c2 - 3)*T + 3*D_w1*Npre_w2] / [4*c1*T]
+# (seen; the first term drops when c2 = 0). ONE ln per row on that exact
+# rational (both integer operands < 2^53, so the double division is
+# bit-identical on both engines), floor-quantized to micro-nats — the
+# same FLOATS.md class-C discipline as token_pmi_pairs.
+
+KN_HELDOUT = "src0"  # evaluation slice; the model trains on the rest
+
+
+def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out KN bigram evaluation: train on source != src0, score src0.
+
+    Per coverage class — 'seen' (bigram in the model), 'backoff' (w1
+    known, bigram unseen -> pure continuation mass), 'oov_w1' (history
+    never seen), 'oov_cont' (w2 never seen as a continuation) — the
+    bigram count and the exact-integer micro-nat log-prob sum.
+
+    Scale shape: the model relations (c2, the w1 grain with D_w1 and the
+    type total T riding a vocabulary-bounded window, the Npre w2 grain)
+    are all vocabulary-bounded and broadcast onto the held-out bigram
+    stream; the only corpus-sized shuffles are the two bigram-count
+    aggregations. No 1-row scalar attach exists in the plan (T rides the
+    w1 join), so no BNLJ."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    train_bg, _ = _bigram_lm(docs.filter(F.col("source") != KN_HELDOUT))
+    eval_bg, _ = _bigram_lm(docs.filter(F.col("source") == KN_HELDOUT))
+
+    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    w_all = Window.partitionBy()
+    c2t = c2.withColumn("ttot", F.count(F.lit(1)).over(w_all))
+    w1g = c2t.groupBy("w1").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).alias("dw1"),
+        F.max("ttot").alias("ttot"),
+    )
+    npre = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("npre"))
+
+    scored = (
+        eval_bg.join(F.broadcast(w1g), "w1", "left")
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(npre), "w2", "left")
+        .withColumn(
+            "category",
+            F.when(F.col("c1").isNull(), "oov_w1")
+            .when(F.col("c2").isNotNull(), "seen")
+            .when(F.col("npre").isNull(), "oov_cont")
+            .otherwise("backoff"),
+        )
+        .withColumn(
+            "lnq",
+            F.when(
+                F.col("category").isin("seen", "backoff"),
+                F.floor(
+                    F.log(
+                        (
+                            F.coalesce(
+                                (F.lit(4) * F.col("c2") - F.lit(3))
+                                * F.col("ttot"),
+                                F.lit(0),
+                            )
+                            + F.lit(3) * F.col("dw1") * F.col("npre")
+                        ).cast("double")
+                        / (F.lit(4) * F.col("c1") * F.col("ttot")).cast(
+                            "double"
+                        )
+                    )
+                    * F.lit(LM_Q)
+                ).cast("bigint"),
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "count_band",
+            F.when(F.col("category") != "seen", F.lit("-"))
+            .when(F.col("c2") == 1, "1")
+            .when(F.col("c2") <= 3, "2-3")
+            .otherwise("4+"),
+        )
+        .groupBy("category", "count_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("lnq"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_lnq"),
+        )
+        .withColumn(
+            "avg_lnq",
+            F.when(
+                F.col("category").isin("seen", "backoff"),
+                # FLOOR division on a negative sum: Spark DIV truncates
+                # toward zero while DuckDB // floors, so spell out the
+                # floor-div identity (the lm_perplexity_buckets recipe)
+                F.expr(
+                    "CAST((sum_lnq - ((sum_lnq % n_bigrams + n_bigrams) "
+                    "% n_bigrams)) DIV n_bigrams AS BIGINT)"
+                ),
+            ),
+        )
+        .orderBy("category", "count_band")
+    )
+
+
+ORACLE_KN_BIGRAM = rf"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+bgi AS (
+  SELECT source, toks, unnest(range(1, len(toks))) AS i
+  FROM tok WHERE len(toks) >= 2
+),
+bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2 FROM bgi),
+c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg WHERE source != '{KN_HELDOUT}'
+  GROUP BY 1, 2
+),
+w1g AS (
+  SELECT w1, sum(c2) AS c1, count(*) AS dw1,
+         (SELECT count(*) FROM c2) AS ttot
+  FROM c2 GROUP BY 1
+),
+npre AS (SELECT w2, count(*) AS npre FROM c2 GROUP BY 1),
+scored AS (
+  SELECT m.c2,
+         CASE WHEN g.c1 IS NULL THEN 'oov_w1'
+              WHEN m.c2 IS NOT NULL THEN 'seen'
+              WHEN p.npre IS NULL THEN 'oov_cont'
+              ELSE 'backoff' END AS category,
+         CASE WHEN g.c1 IS NOT NULL AND (m.c2 IS NOT NULL OR p.npre IS NOT NULL)
+              THEN floor(ln(
+                CAST(coalesce((4 * m.c2 - 3) * g.ttot, 0)
+                     + 3 * g.dw1 * p.npre AS DOUBLE)
+                / CAST(4 * g.c1 * g.ttot AS DOUBLE)) * {LM_Q}) END AS lnq
+  FROM (SELECT w1, w2 FROM bg WHERE source = '{KN_HELDOUT}') e
+  LEFT JOIN w1g g USING (w1)
+  LEFT JOIN c2 m USING (w1, w2)
+  LEFT JOIN npre p USING (w2)
+)
+SELECT category,
+       CASE WHEN category != 'seen' THEN '-'
+            WHEN c2 = 1 THEN '1'
+            WHEN c2 <= 3 THEN '2-3'
+            ELSE '4+' END AS count_band,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(coalesce(lnq, 0)) AS BIGINT) AS sum_lnq,
+       CAST(CASE WHEN category IN ('seen', 'backoff')
+                 THEN sum(coalesce(lnq, 0)) // count(*) END AS BIGINT)
+         AS avg_lnq
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "kn_bigram_smoothing": q_kn_bigram_smoothing,
     "text_winnowing": q_text_winnowing,
     "dsir_importance": q_dsir_importance,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -3014,6 +3178,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kn_bigram_smoothing": ORACLE_KN_BIGRAM,
     "text_winnowing": ORACLE_WINNOWING,
     "dsir_importance": ORACLE_DSIR,
     "lm_perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,

@@ -212,6 +212,40 @@ def test_text_winnowing_matches_python_reference(spark, tmp_path):
     assert sels[0] & sels[1]
 
 
+def test_kn_bigram_planted_all_coverage_classes(spark, tmp_path):
+    import math
+
+    from sap_sql_engine_spark.operators import textanalysis
+
+    rows = [
+        # train: c2 = {(a,b):2, (b,c):1, (b,b):1}; c1 = {a:2, b:2};
+        # dw1 = {a:1, b:2}; npre = {b:2, c:1}; T = 3 bigram types
+        (1, "a b c", "en", "train", 5),
+        (2, "a b b", "en", "train", 5),
+        # eval (src0): (a,b) seen c2=2; (b,a) oov_cont (a never a
+        # continuation); (a,c) backoff; (c,x) + (x,a) oov_w1
+        (3, "a b a c x a", "en", "src0", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = [
+        (r.category, r.count_band, r.n_bigrams, r.sum_lnq, r.avg_lnq)
+        for r in textanalysis.q_kn_bigram_smoothing(spark, str(tmp_path)).collect()
+    ]
+    # exact rationals: backoff (a,c) = 3*dw1(a)*npre(c) / (4*c1(a)*T)
+    # = 3/24; seen (a,b) = ((4*2-3)*3 + 3*1*2) / 24 = 21/24
+    lnq_backoff = math.floor(math.log(3 / 24) * 1_000_000)
+    lnq_seen = math.floor(math.log(21 / 24) * 1_000_000)
+    assert out == [
+        ("backoff", "-", 1, lnq_backoff, lnq_backoff),
+        ("oov_cont", "-", 1, 0, None),
+        ("oov_w1", "-", 2, 0, None),
+        ("seen", "2-3", 1, lnq_seen, lnq_seen),
+    ]
+
+
 def test_simhash_bit_balance_consistent_with_signatures(spark, tmp_path):
     from sap_sql_engine_spark.operators import dedup
 
