@@ -1654,7 +1654,77 @@ def streaming_late_rollup(
     )
 
 
+# ---------------------------------------------------------------------------
+# Markov transition matrix: the product-analytics "what happens next"
+# operator. Consecutive same-user events inside the session gap form a
+# (from, to) transition; the matrix rows are permille-normalized so the
+# output is a first-order Markov chain estimate over event types.
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix, permille-normalized.
+
+    A transition is a consecutive event pair of one user no more than
+    SESSION_GAP_SECONDS apart (the same gap rule as the sessionize lane,
+    so "within session" means the same thing in both). p_permille is
+    integer row-normalized: n * 1000 DIV row-total per from_type.
+
+    Scale shape: one user-keyed sort window for the lag (the exchange
+    every sessionization already pays), then a 25-row aggregate; the
+    permille window runs on the matrix relation, not the event stream."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("prev_type").isNotNull() & (F.col("gap_us") <= gap_us))
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_row = W.partitionBy("from_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(w_row))
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "n",
+            "CAST(n * 1000 DIV row_total AS BIGINT) AS p_permille",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_TRANSITION_MATRIX = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq
+  WHERE prev_type IS NOT NULL AND gap_us <= {SESSION_GAP_SECONDS * 1_000_000}
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_permille
+FROM trans
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
+    "events_transition_matrix": q_events_transition_matrix,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_daily_rollup": q_events_daily_rollup,
     "events_sessionize": q_events_sessionize,
@@ -1675,6 +1745,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transition_matrix": ORACLE_TRANSITION_MATRIX,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_daily_rollup": ORACLE_EVENTS_DAILY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,

@@ -269,6 +269,40 @@ def test_simhash_bit_balance_consistent_with_signatures(spark, tmp_path):
         assert r.dev_permille == abs(r.set_permille - 500)
 
 
+def test_events_transition_matrix_planted_gap_break(spark, tmp_path):
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta
+    rows = [
+        # user 1: view -> click counts; the 49:50 gap to purchase breaks
+        # the chain; purchase -> view (5 min) counts again
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + s(seconds=10), 1, "click", 1.0, None),
+        (3, t0 + s(minutes=50), 1, "purchase", 1.0, None),
+        (4, t0 + s(minutes=55), 1, "view", 1.0, None),
+        # user 2: exactly at the 30-min gap boundary -> still a transition
+        (5, t0, 2, "click", 1.0, None),
+        (6, t0 + s(minutes=30), 2, "click", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [
+        (r.from_type, r.to_type, r.n, r.p_permille)
+        for r in ev.q_events_transition_matrix(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("click", "click", 1, 1000),
+        ("purchase", "view", 1, 1000),
+        ("view", "click", 1, 1000),
+    ]
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
