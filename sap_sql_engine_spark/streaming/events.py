@@ -1723,7 +1723,86 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# snapshot drift reconciliation: the CDC audit between two as-of states.
+# events_latest_state materializes ONE state; operations teams reconcile
+# TWO (yesterday's handoff vs today's) to prove the pipeline only changed
+# what the source changed. Both as-of states come out of a SINGLE scan +
+# SINGLE shuffle via filtered max_by aggregates.
+
+DRIFT_T1 = "2024-01-10 00:00:00"
+DRIFT_T2 = "2024-01-20 00:00:00"
+
+
+def q_events_state_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest-state drift between the T1 and T2 snapshots.
+
+    drift_class: 'added' (user first seen after T1), 'changed' (latest
+    event_type differs), 'unchanged'. Both states are filtered
+    ``max_by(event_type, (ts, event_id))`` aggregates in ONE groupBy —
+    one scan, one exchange, no self-join of two window passes. The
+    (ts, event_id) ordering struct makes the argmax tie-free.
+
+    Scale shape at 100 TB: this is the idiomatic two-snapshot reconcile —
+    a CDC table would partition by ingest date and the T2 filter prunes
+    partitions; the per-user state fits the same shuffle any latest-state
+    query pays."""
+    ev = _events(spark, sf_dir)
+    states = (
+        ev.filter(F.col("ts") <= F.lit(DRIFT_T2).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"max_by(event_type, struct(ts, event_id)) "
+                f"FILTER (WHERE ts <= TIMESTAMP '{DRIFT_T1}')"
+            ).alias("type_t1"),
+            F.expr("max_by(event_type, struct(ts, event_id))").alias(
+                "type_t2"
+            ),
+        )
+    )
+    return (
+        states.withColumn(
+            "drift_class",
+            F.when(F.col("type_t1").isNull(), "added")
+            .when(F.col("type_t1") != F.col("type_t2"), "changed")
+            .otherwise("unchanged"),
+        )
+        .groupBy("drift_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user_id"),
+            F.max("user_id").cast("bigint").alias("max_user_id"),
+        )
+        .orderBy("drift_class")
+    )
+
+
+ORACLE_STATE_DRIFT = f"""
+WITH states AS (
+  SELECT user_id,
+         (max(struct_pack(ts := ts, eid := event_id, et := event_type))
+            FILTER (WHERE ts <= TIMESTAMP '{DRIFT_T1}')).et AS type_t1,
+         (max(struct_pack(ts := ts, eid := event_id, et := event_type))).et
+           AS type_t2
+  FROM events
+  WHERE ts <= TIMESTAMP '{DRIFT_T2}'
+  GROUP BY 1
+)
+SELECT CASE WHEN type_t1 IS NULL THEN 'added'
+            WHEN type_t1 != type_t2 THEN 'changed'
+            ELSE 'unchanged' END AS drift_class,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(user_id) AS BIGINT) AS min_user_id,
+       CAST(max(user_id) AS BIGINT) AS max_user_id
+FROM states
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "events_state_drift": q_events_state_drift,
     "events_transition_matrix": q_events_transition_matrix,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_daily_rollup": q_events_daily_rollup,
@@ -1745,6 +1824,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_state_drift": ORACLE_STATE_DRIFT,
     "events_transition_matrix": ORACLE_TRANSITION_MATRIX,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_daily_rollup": ORACLE_EVENTS_DAILY,

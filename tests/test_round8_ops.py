@@ -303,6 +303,42 @@ def test_events_transition_matrix_planted_gap_break(spark, tmp_path):
     ]
 
 
+def test_events_state_drift_planted_classes(spark, tmp_path):
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    rows = [
+        # user 1: latest at T1 = click, latest at T2 = view -> changed
+        (1, dt.datetime(2024, 1, 5), 1, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 15), 1, "view", 1.0, None),
+        # user 2: only after T1 -> added
+        (3, dt.datetime(2024, 1, 12), 2, "signup", 1.0, None),
+        # user 3: same latest type in both snapshots -> unchanged
+        (4, dt.datetime(2024, 1, 3), 3, "view", 1.0, None),
+        (5, dt.datetime(2024, 1, 4), 3, "view", 1.0, None),
+        # user 4: events only AFTER T2 -> outside both snapshots entirely
+        (6, dt.datetime(2024, 1, 25), 4, "error", 1.0, None),
+        # user 5: T1-latest ties on ts -> higher event_id (purchase) wins
+        (7, dt.datetime(2024, 1, 2), 5, "click", 1.0, None),
+        (8, dt.datetime(2024, 1, 2), 5, "purchase", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [
+        (r.drift_class, r.n_users, r.min_user_id, r.max_user_id)
+        for r in ev.q_events_state_drift(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("added", 1, 2, 2),
+        ("changed", 1, 1, 1),
+        ("unchanged", 2, 3, 5),
+    ]
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
