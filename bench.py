@@ -55,6 +55,10 @@ HEADLINE = [
     "fifo_return_reallocation",
     "part_name_fuzzy_pairs",
     "embedding_sq8_error",
+    "kn_bigram_smoothing",
+    "text_winnowing",
+    "events_transition_matrix",
+    "events_state_drift",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",

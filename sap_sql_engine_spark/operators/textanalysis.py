@@ -3008,7 +3008,12 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_bg, _ = _bigram_lm(docs.filter(F.col("source") != KN_HELDOUT))
     eval_bg, _ = _bigram_lm(docs.filter(F.col("source") == KN_HELDOUT))
 
-    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds three consumers (the w1 grain, the continuation grain, and
+    # the seen-bigram join) — cache the vocabulary-bounded model relation
+    # so the corpus-sized bigram aggregation runs once, not three times
+    c2 = cache_eager(
+        train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
     w_all = Window.partitionBy()
     c2t = c2.withColumn("ttot", F.count(F.lit(1)).over(w_all))
     w1g = c2t.groupBy("w1").agg(
