@@ -3758,7 +3758,95 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index: THE market-concentration
+# statistic (sum of squared supplier shares). Exact in integer basis
+# points: each share is quantized to bp by integral division first, so
+# the squared sum is BIGINT arithmetic both engines reproduce bit-for-bit.
+
+
+def q_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region supplier revenue concentration (HHI in bp^2 units).
+
+    Supplier revenue = sum(extendedprice * (1 - discount)) in exact
+    cents; share_bp = rev_cents * 10000 DIV region_total_cents; the HHI
+    is sum(share_bp^2) plus the leader's share and supplier count — the
+    antitrust-style concentration readout per market.
+
+    Scale shape: one supplier-keyed aggregation over lineitem (the only
+    corpus-sized shuffle), two broadcast dim hops to region, a 5-row
+    regroup. The share window runs on the supplier-grain relation."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    re = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    disc = F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(
+            # the 6-dp decimal sum scaled to integral micro-dollars —
+            # *1e6 is exact (scale 6), so the BIGINT cast can never hit
+            # an engine-specific fractional rounding rule
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                "* (CAST(1 AS DECIMAL(18,4)) "
+                "- CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS BIGINT)"
+            ).alias("micro")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), "l_suppkey", "micro")
+    )
+    shares = per_sup.withColumn(
+        "share_bp",
+        F.expr("CAST(micro * 10000 DIV sum(micro) OVER "
+               "(PARTITION BY region) AS BIGINT)"),
+    )
+    return (
+        shares.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi_bp2"),
+            F.max("share_bp").cast("bigint").alias("top_share_bp"),
+        )
+        .orderBy("region")
+    )
+
+
+ORACLE_SUPPLIER_HHI = """
+WITH per_sup AS (
+  SELECT r.r_name AS region, l.l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
+              AS BIGINT) AS micro
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT region,
+         CAST(micro * 10000 // sum(micro) OVER (PARTITION BY region)
+              AS BIGINT) AS share_bp
+  FROM per_sup
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+       CAST(max(share_bp) AS BIGINT) AS top_share_bp
+FROM shares
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "supplier_herfindahl": q_supplier_herfindahl,
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
     "signed_amount_sum": q_signed_amount_sum,
@@ -3828,6 +3916,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_herfindahl": ORACLE_SUPPLIER_HHI,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_customers_by_spend": ORACLE_TOP_CUSTOMERS,
     "signed_amount_sum": ORACLE_SIGNED_AMOUNT,

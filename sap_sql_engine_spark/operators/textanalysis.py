@@ -3141,7 +3141,225 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# population stability index: the standard "did my feature distribution
+# drift" metric between a reference and a current population. Buckets are
+# FIXED length bins (not reference quantiles), so bucket membership is
+# pure integer arithmetic; the PSI term keeps its ln on an exact rational
+# and defers every division to one integral DIV after the integer sum.
+
+PSI_BIN = 200  # n_chars per fixed bucket
+PSI_NBINS = 10  # buckets 0..9 (n_chars DIV 200 capped)
+
+
+def q_source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the doc-length distribution between two
+    deterministic md5(doc_id) halves (the stand-in for reference vs
+    current ingestion window).
+
+    psi_micro = sum over buckets of
+      (cnt_r * N_c - cnt_c * N_r) * floor(ln((cnt_r*N_c)/(cnt_c*N_r))*1e6)
+      DIV (N_r * N_c)
+    — one ln per (source, bucket) row on an exact rational (class C),
+    everything else BIGINT; buckets missing on either side are excluded
+    and surfaced in n_skipped_buckets (the standard epsilon-free PSI
+    treatment, made explicit instead of silently fudged).
+
+    Scale shape: one (source, half, bucket) aggregation over a 3-column
+    pruned scan, then a bucket-grain pivot join — the ln table is
+    O(sources x buckets)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    binned = docs.select(
+        "source",
+        # doc_id parity is source-striped in the corpus (each source owns
+        # one residue class), so the split hashes instead: md5(doc_id)
+        # low bit — deterministic, engine-replicable, source-independent
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+            == 0
+        ).alias("is_ref"),
+        F.least(
+            F.expr(f"CAST(n_chars DIV {PSI_BIN} AS INT)"), F.lit(PSI_NBINS - 1)
+        ).alias("bucket"),
+    )
+    counts = binned.groupBy("source", "bucket").agg(
+        F.sum(F.col("is_ref").cast("bigint")).alias("cr"),
+        F.sum((~F.col("is_ref")).cast("bigint")).alias("cc"),
+    )
+    w_src = Window.partitionBy("source")
+    terms = (
+        counts.withColumn("nr", F.sum("cr").over(w_src))
+        .withColumn("nc", F.sum("cc").over(w_src))
+        .withColumn(
+            "lnq",
+            F.when(
+                (F.col("cr") > 0) & (F.col("cc") > 0),
+                F.floor(
+                    F.log(
+                        (F.col("cr") * F.col("nc")).cast("double")
+                        / (F.col("cc") * F.col("nr")).cast("double")
+                    )
+                    * F.lit(1_000_000)
+                ).cast("bigint"),
+            ),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("nr").cast("bigint").alias("n_ref"),
+            F.max("nc").cast("bigint").alias("n_cur"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum((F.col("lnq").isNull()).cast("bigint"))
+            .cast("bigint")
+            .alias("n_skipped_buckets"),
+            F.sum(
+                F.when(
+                    F.col("lnq").isNotNull(),
+                    (F.col("cr") * F.col("nc") - F.col("cc") * F.col("nr"))
+                    * F.col("lnq"),
+                ).otherwise(F.lit(0))
+            ).alias("num"),
+            F.max(F.col("nr") * F.col("nc")).alias("den"),
+        )
+        .selectExpr(
+            "source",
+            "n_ref",
+            "n_cur",
+            "n_buckets",
+            "n_skipped_buckets",
+            # floor-div identity: num can be negative only transiently
+            # (each PSI term is >= 0 mathematically, but the quantized ln
+            # makes a tiny negative possible), so spell out floor-div
+            "CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)"
+            " AS psi_micro",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH binned AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 = 0 AS is_ref,
+         least(CAST(n_chars // {PSI_BIN} AS INT), {PSI_NBINS - 1}) AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT source, bucket,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+  FROM binned GROUP BY 1, 2
+),
+terms AS (
+  SELECT source, cr, cc,
+         sum(cr) OVER (PARTITION BY source) AS nr,
+         sum(cc) OVER (PARTITION BY source) AS nc,
+         CASE WHEN cr > 0 AND cc > 0 THEN
+           CAST(floor(ln(CAST(cr * sum(cc) OVER (PARTITION BY source) AS DOUBLE)
+                         / CAST(cc * sum(cr) OVER (PARTITION BY source) AS DOUBLE))
+                      * 1000000) AS BIGINT)
+         END AS lnq
+  FROM counts
+)
+SELECT source,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN lnq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped_buckets,
+       CAST(CAST(sum(CASE WHEN lnq IS NOT NULL
+                          THEN (cr * nc - cc * nr) * lnq ELSE 0 END)
+                 AS BIGINT)
+            // CAST(max(nr) * max(nc) AS BIGINT) AS BIGINT) AS psi_micro
+FROM terms
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve: what fraction of all corpus tokens the top-K
+# vocabulary covers — the tokenizer-budget question (how big must the
+# vocab be) answered as a cumulative-share curve at standard K points.
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token coverage of the top-K vocabulary, K in {10, 100,
+    1000}. Rank ties break lexicographically so the curve is exact and
+    stable. All-integer: covered * 1000 DIV total.
+
+    Scale shape: one token count aggregation (the corpus-sized shuffle),
+    then ranking and cumulative sums on the vocabulary-bounded relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w_rank))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("total", F.sum("c").over(w_all))
+    )
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return (
+        ranked.withColumn("k", F.explode(F.expr(f"array({ks})")))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("cum").cast("bigint").alias("tokens_covered"),
+            F.max("total").cast("bigint").alias("tokens_total"),
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "tokens_covered",
+            "tokens_total",
+            "CAST(tokens_covered * 1000 DIV tokens_total AS BIGINT)"
+            " AS coverage_permille",
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, token ASC) AS r,
+         sum(c) OVER (ORDER BY c DESC, token ASC ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         sum(c) OVER () AS total
+  FROM counts
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(max(cum) AS BIGINT) AS tokens_covered,
+       CAST(max(total) AS BIGINT) AS tokens_total,
+       CAST(max(cum) * 1000 // max(total) AS BIGINT) AS coverage_permille
+FROM ranked, (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+WHERE r <= k
+GROUP BY k
+ORDER BY k
+"""
+
+
 QUERIES = {
+    "source_psi_drift": q_source_psi_drift,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
     "kn_bigram_smoothing": q_kn_bigram_smoothing,
     "text_winnowing": q_text_winnowing,
     "dsir_importance": q_dsir_importance,
@@ -3183,6 +3401,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_psi_drift": ORACLE_PSI_DRIFT,
+    "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
     "kn_bigram_smoothing": ORACLE_KN_BIGRAM,
     "text_winnowing": ORACLE_WINNOWING,
     "dsir_importance": ORACLE_DSIR,

@@ -1801,7 +1801,89 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# chi-square goodness-of-fit: is hourly traffic uniform? The exact-integer
+# companion to the Benford screen (dq_benford_amounts) — chi2 against the
+# uniform expectation is a pure rational:
+#   chi2 = sum_h (obs_h - T/24)^2 / (T/24) = sum_h (24*obs_h - T)^2 / (24*T)
+# so chi2_micro = [sum_h (24*obs_h - T)^2] * 1e6 DIV (24*T) is BIGINT end
+# to end, and the 0.05 critical-value verdict is an integer compare.
+
+CHI2_CRIT_MICRO_DF23 = 35_172_462  # chi2_0.95 at df=23, in 1e-6 units
+
+
+def q_events_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity test of events per hour-of-day (df = 23).
+
+    All 24 cells are guaranteed present by construction only when every
+    hour has traffic; missing hours contribute (0 - T/24)^2 like any
+    other cell because the spine is the literal 0..23 sequence, not the
+    observed hours (a missing hour is exactly the anomaly the test must
+    see, so the spine can't come from the data).
+
+    Scale shape: one 24-group aggregation over a single pruned scan,
+    left-joined onto a generated 24-row spine; everything after the
+    aggregate is constant-size."""
+    ev = _events(spark, sf_dir)
+    obs = ev.groupBy(F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    spine = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    cells = spine.join(F.broadcast(obs), "h", "left").select(
+        "h", F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs")
+    )
+    return (
+        cells.agg(
+            F.sum("obs").alias("t"),
+            F.count(F.lit(1)).alias("_k"),
+            F.sum(F.col("obs") * F.col("obs")).alias("ss"),
+        )
+        .selectExpr(
+            # sum (24*obs - T)^2 / (24*T) reduces to (24*ss - T^2) / T
+            # (ss = sum obs^2, sum obs = T); the reduced form keeps the
+            # pre-division intermediate <= 23*T^2*1e6 — BIGINT-safe for
+            # any T below ~6e5 even in the all-in-one-hour worst case
+            "CAST(t AS BIGINT) AS n_events",
+            "CAST(23 AS BIGINT) AS df",
+            "CAST((24 * ss - t * t) * 1000000 DIV t AS BIGINT)"
+            " AS chi2_micro",
+        )
+        .selectExpr(
+            "n_events",
+            "df",
+            "chi2_micro",
+            f"CASE WHEN chi2_micro > {CHI2_CRIT_MICRO_DF23} "
+            "THEN 'nonuniform' ELSE 'uniform' END AS verdict",
+        )
+    )
+
+
+ORACLE_HOUR_UNIFORMITY = f"""
+WITH obs AS (
+  SELECT CAST(extract(hour FROM ts) AS INT) AS h, count(*) AS obs
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT s.h, coalesce(o.obs, 0) AS obs
+  FROM (SELECT unnest(range(0, 24)) AS h) s
+  LEFT JOIN obs o ON s.h = o.h
+),
+agg AS (
+  SELECT sum(obs) AS t, sum(obs * obs) AS ss FROM cells
+)
+SELECT CAST(t AS BIGINT) AS n_events,
+       CAST(23 AS BIGINT) AS df,
+       CAST((24 * ss - t * t) * 1000000 // t AS BIGINT)
+         AS chi2_micro,
+       CASE WHEN (24 * ss - t * t) * 1000000 // t
+                 > {CHI2_CRIT_MICRO_DF23}
+            THEN 'nonuniform' ELSE 'uniform' END AS verdict
+FROM agg
+"""
+
+
 QUERIES = {
+    "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
     "events_transition_matrix": q_events_transition_matrix,
     "events_hourly_rollup": q_events_hourly_rollup,
@@ -1824,6 +1906,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,
     "events_transition_matrix": ORACLE_TRANSITION_MATRIX,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

@@ -339,6 +339,135 @@ def test_events_state_drift_planted_classes(spark, tmp_path):
     ]
 
 
+def test_supplier_herfindahl_planted_monopoly_vs_duopoly(spark, tmp_path):
+    d = __import__("datetime").date
+    # region M: one supplier -> share 10000 bp, HHI = 1e8
+    # region D: two suppliers with equal revenue -> 2 * 5000^2 = 5e7
+    _write(
+        spark, tmp_path, "region",
+        [(0, "M"), (1, "D")], "r_regionkey long, r_name string",
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(0, "N0", 0), (1, "N1", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    _write(
+        spark, tmp_path, "supplier",
+        [(1, "S1", 0), (2, "S2", 1), (3, "S3", 1)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    li = [
+        (1, 1, 1, 1, "N", d(2024, 1, 1), 100.0, 0.0),
+        (2, 1, 1, 2, "N", d(2024, 1, 1), 40.0, 0.5),  # -> 20.0
+        (3, 1, 1, 3, "N", d(2024, 1, 1), 20.0, 0.0),
+    ]
+    _write(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+        "l_returnflag string, l_shipdate date, l_extendedprice double, "
+        "l_discount double",
+    )
+    out = [
+        (r.region, r.n_suppliers, r.hhi_bp2, r.top_share_bp)
+        for r in relational.q_supplier_herfindahl(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("D", 2, 50_000_000, 5000),
+        ("M", 1, 100_000_000, 10000),
+    ]
+
+
+def test_vocab_coverage_curve_planted(spark, tmp_path):
+    # 12 distinct tokens: 'a' x10, 'b' x5, then c..l once each -> total 25.
+    # top-10 = a,b + 8 singletons = 23 tokens -> 920 permille; K>=12 -> 1000.
+    text = " ".join(["a"] * 10 + ["b"] * 5 + list("cdefghijkl"))
+    _write(
+        spark, tmp_path, "documents",
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from sap_sql_engine_spark.operators import textanalysis
+
+    out = [
+        (r.k, r.tokens_covered, r.tokens_total, r.coverage_permille)
+        for r in textanalysis.q_vocab_coverage_curve(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(10, 23, 25, 920), (100, 25, 25, 1000), (1000, 25, 25, 1000)]
+
+
+def test_source_psi_drift_planted_zero_and_shift(spark, tmp_path):
+    import hashlib
+    import math
+
+    from sap_sql_engine_spark.operators import textanalysis
+
+    def ref_side(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 2 == 0
+
+    ids = list(range(1, 200))
+    refs = [i for i in ids if ref_side(i)][:4]
+    curs = [i for i in ids if not ref_side(i)][:4]
+    rows = []
+    # source 'same': identical length profile on both halves -> PSI 0
+    for i in refs[:2]:
+        rows.append((i, "x", "en", "same", 100))
+    for i in curs[:2]:
+        rows.append((i, "x", "en", "same", 100))
+    # source 'shift': ref in bucket 0 (n_chars 100), cur in bucket 2 (500)
+    # -> both buckets one-sided -> skipped -> psi contribution 0 BUT
+    # n_skipped_buckets = 2; add one shared bucket with 2:1 imbalance
+    for i in refs[2:4]:
+        rows.append((i, "x", "en", "shift", 100))
+    rows.append((curs[2], "x", "en", "shift", 100))
+    rows.append((curs[3], "x", "en", "shift", 500))
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.source: (r.n_ref, r.n_cur, r.n_buckets, r.n_skipped_buckets, r.psi_micro)
+        for r in textanalysis.q_source_psi_drift(spark, str(tmp_path)).collect()
+    }
+    assert out["same"] == (2, 2, 1, 0, 0)
+    # shift: shared bucket 0 has cr=2, cc=1; nr=2, nc=2; the 500-char doc
+    # is bucket 2 cur-only (skipped). term = (2*2 - 1*2) * floor(ln(4/2)*1e6)
+    # = 2 * 693147; psi = floor(1386294 / 4) = 346573
+    lnq = math.floor(math.log(2) * 1_000_000)
+    assert out["shift"] == (2, 2, 2, 1, (2 * lnq) // 4)
+
+
+def test_events_hour_uniformity_planted(spark, tmp_path):
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    # uniform: one event in each of the 24 hours -> chi2 = 0
+    rows = [
+        (h, dt.datetime(2024, 1, 1, h), 1, "view", 1.0, None) for h in range(24)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = ev.q_events_hour_uniformity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.df, r.chi2_micro, r.verdict) == (24, 23, 0, "uniform")
+
+    # all 24 events in hour 0 -> chi2 = 23 * T = 552 -> nonuniform
+    rows = [
+        (h, dt.datetime(2024, 1, 1, 0, h % 60), 1, "view", 1.0, None)
+        for h in range(24)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = ev.q_events_hour_uniformity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.chi2_micro, r.verdict) == (24, 552_000_000, "nonuniform")
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
