@@ -59,6 +59,8 @@ HEADLINE = [
     "text_winnowing",
     "events_transition_matrix",
     "events_state_drift",
+    "supplier_herfindahl",
+    "vocab_coverage_curve",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
