@@ -1782,7 +1782,128 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity: how much cosine similarity survives when
+# vectors are truncated to their first-k dimensions (the MRL deployment
+# question — serve 8/16/32 dims instead of 64 and pay how much?). The
+# probe pair set is deterministic (each vec_id with its successor), every
+# per-pair delta is quantized to integer micro-units before aggregation.
+
+MATRYOSHKA_KS = (8, 16, 32, 64)
+
+
+def q_embedding_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix-length k: mean/max |cos_k - cos_full| over consecutive
+    vec_id pairs, plus sign flips (pairs whose similarity changes sign
+    under truncation — the rank-inversion risk proxy).
+
+    All cosines are fixed-order array folds of IEEE-exact ops (class B);
+    each |delta| is floor(x*1e6 + 0.5)-quantized per row, aggregates are
+    BIGINT. Zero-norm prefixes are structurally impossible here but
+    guarded (pair dropped) so the lane stays total.
+
+    Scale shape: ONE successor self-join (shuffle on vec_id), then all
+    four prefix cosines compute per row from the same two arrays — no
+    per-k pass over the corpus; the k explosion is 4x on the PAIR
+    relation, map-side."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ida"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "ida")
+
+    def cos_k(k: int) -> str:
+        def dot(x: str, y: str) -> str:
+            return (
+                f"aggregate(zip_with(slice({x}, 1, {k}), slice({y}, 1, {k}), "
+                f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+                f"0D, (acc, v) -> acc + v)"
+            )
+
+        num = dot("ea", "eb")
+        den = f"(sqrt({dot('ea', 'ea')}) * sqrt({dot('eb', 'eb')}))"
+        return f"CASE WHEN {den} = 0D THEN NULL ELSE {num} / {den} END"
+
+    full = cos_k(MATRYOSHKA_KS[-1])
+    ks_structs = ", ".join(
+        f"named_struct('k', {k}, 'c', {cos_k(k)})" for k in MATRYOSHKA_KS
+    )
+    return (
+        pairs.selectExpr(f"inline(array({ks_structs}))", f"{full} AS cfull")
+        .filter("c IS NOT NULL AND cfull IS NOT NULL")
+        .selectExpr(
+            "k",
+            "CAST(floor(abs(c - cfull) * 1000000 + 0.5) AS BIGINT) AS d_micro",
+            "CASE WHEN c * cfull < 0D THEN 1 ELSE 0 END AS flip",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(d_micro) DIV count(1) AS BIGINT)").alias(
+                "avg_abs_delta_micro"
+            ),
+            F.max("d_micro").cast("bigint").alias("max_abs_delta_micro"),
+            F.sum("flip").cast("bigint").alias("n_sign_flips"),
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "n_pairs",
+            "avg_abs_delta_micro",
+            "max_abs_delta_micro",
+            "n_sign_flips",
+        )
+        .orderBy("k")
+    )
+
+
+def _oracle_matryoshka() -> str:
+    def dot(x: str, y: str, k: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {k + 1}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    def cos(k: int) -> str:
+        num = dot("ea", "eb", k)
+        den = f"(sqrt({dot('ea', 'ea', k)}) * sqrt({dot('eb', 'eb', k)}))"
+        return f"CASE WHEN {den} = 0 THEN NULL ELSE {num} / {den} END"
+
+    branches = " ".join(
+        f"WHEN {k} THEN ({cos(k)})" for k in MATRYOSHKA_KS
+    )
+    ks = ", ".join(str(k) for k in MATRYOSHKA_KS)
+    return f"""
+WITH pairs AS (
+  SELECT a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+deltas AS (
+  SELECT k,
+         CASE k {branches} END AS c,
+         ({cos(MATRYOSHKA_KS[-1])}) AS cfull
+  FROM pairs, (SELECT unnest([{ks}]) AS k)
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(sum(CAST(floor(abs(c - cfull) * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) // count(*) AS BIGINT) AS avg_abs_delta_micro,
+       CAST(max(CAST(floor(abs(c - cfull) * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_abs_delta_micro,
+       CAST(sum(CASE WHEN c * cfull < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sign_flips
+FROM deltas
+WHERE c IS NOT NULL AND cfull IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+ORACLE_MATRYOSHKA = _oracle_matryoshka()
+
+
 QUERIES = {
+    "embedding_matryoshka_report": q_embedding_matryoshka_report,
     "embedding_sq8_error": q_embedding_sq8_error,
     "embedding_threshold_sweep": q_embedding_threshold_sweep,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -1802,6 +1923,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_matryoshka_report": ORACLE_MATRYOSHKA,
     "embedding_sq8_error": ORACLE_EMBEDDING_SQ8,
     "embedding_threshold_sweep": _oracle_threshold_sweep(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,

@@ -468,6 +468,45 @@ def test_events_hour_uniformity_planted(spark, tmp_path):
     assert (r.n_events, r.chi2_micro, r.verdict) == (24, 552_000_000, "nonuniform")
 
 
+def test_embedding_matryoshka_planted_flip_and_delta(spark, tmp_path):
+    import math
+
+    from sap_sql_engine_spark.operators import similarity
+
+    def vec(**at):
+        v = [0.0] * 64
+        for pos, val in at.items():
+            v[int(pos[1:])] = float(val)
+        return v
+
+    # pair (0,1): prefix-8 cosine 1.0, full cosine 1/sqrt(2) -> known delta
+    # pair (1,2): prefix-8 cosine 1.0 but FULL cosine negative -> sign flip
+    rows = [
+        (0, vec(d0=1.0), 0),
+        (1, vec(d0=1.0, d33=1.0), 0),
+        (2, vec(d0=1.0, d33=-3.0), 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r.k: (r.n_pairs, r.avg_abs_delta_micro, r.max_abs_delta_micro, r.n_sign_flips)
+        for r in similarity.q_embedding_matryoshka_report(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def q(x):
+        return math.floor(abs(x) * 1_000_000 + 0.5)
+
+    cf_01 = 1.0 / math.sqrt(2.0)
+    cf_12 = (1.0 - 3.0) / (math.sqrt(2.0) * math.sqrt(10.0))
+    d01, d12 = q(1.0 - cf_01), q(1.0 - cf_12)
+    assert out[8] == (2, (d01 + d12) // 2, max(d01, d12), 1)
+    assert out[64] == (2, 0, 0, 0)
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating

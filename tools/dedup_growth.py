@@ -34,13 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.operators import dedup, textanalysis
 from sap_sql_engine_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = {
     "dedup_ngram_jaccard": dedup.QUERIES["dedup_ngram_jaccard"],
     "dedup_minhash_lsh": dedup.QUERIES["dedup_minhash_lsh"],
+    # r8: the two new corpus-heavy text ops ride the same harness — for
+    # these, "pairs" records the (constant-grain) result rows; the growth
+    # signal is sec vs the kx corpus (winnowing is map-side + one rollup,
+    # KN is two bigram aggregations — both should track the linear bound)
+    "text_winnowing": textanalysis.QUERIES["text_winnowing"],
+    "kn_bigram_smoothing": textanalysis.QUERIES["kn_bigram_smoothing"],
 }
 
 
