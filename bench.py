@@ -61,6 +61,7 @@ HEADLINE = [
     "events_state_drift",
     "supplier_herfindahl",
     "vocab_coverage_curve",
+    "embedding_matryoshka_report",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
