@@ -3005,8 +3005,12 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations. No 1-row scalar attach exists in the plan (T rides the
     w1 join), so no BNLJ."""
     docs = spread(table(spark, sf_dir, "documents"))
-    train_bg, _ = _bigram_lm(docs.filter(F.col("source") != KN_HELDOUT))
-    eval_bg, _ = _bigram_lm(docs.filter(F.col("source") == KN_HELDOUT))
+    # ONE bigram extraction over ONE corpus scan, carrying the source tag;
+    # train/eval split afterwards (a filter on the extracted stream), so
+    # the token-explode work isn't paid twice
+    all_bg, _ = _bigram_lm(docs, "source")
+    train_bg = all_bg.filter(F.col("source") != KN_HELDOUT)
+    eval_bg = all_bg.filter(F.col("source") == KN_HELDOUT)
 
     # c2 feeds three consumers (the w1 grain, the continuation grain, and
     # the seen-bigram join) — cache the vocabulary-bounded model relation
