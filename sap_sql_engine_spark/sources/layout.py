@@ -248,6 +248,40 @@ def dpp_scan_stats(df: DataFrame) -> list[dict]:
     return stats
 
 
+def runtime_bloom_stats(df: DataFrame) -> dict:
+    """Structural evidence that Spark injected a RUNTIME BLOOM FILTER
+    (row-level runtime filtering, the third 100 TB join mechanism next
+    to DPP and AQE skew-split): the probe side's Filter carries a
+    ``BloomFilterMightContain`` expression fed by a ``bloom_filter_agg``
+    subquery over the selective build side.
+
+    Returns the count of such filters plus the probe Filter's output
+    rows metric — after an action, ``filter_output_rows`` well below the
+    scan's row count is the filter actually discarding non-matching rows
+    BEFORE the shuffle. Class-based expression-tree walk, no plan-text
+    parsing."""
+
+    def expr_classes(root):
+        stack = [root]
+        while stack:
+            e = stack.pop()
+            yield e.getClass().getSimpleName()
+            kids = e.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+
+    n_filters = 0
+    out_rows = []
+    for node in _exec_nodes(df):
+        if node.getClass().getSimpleName() != "FilterExec":
+            continue
+        if "BloomFilterMightContain" in set(expr_classes(node.condition())):
+            n_filters += 1
+            m = _scala_map_to_dict(node.metrics())
+            out_rows.append(m.get("numOutputRows"))
+    return {"might_contain_filters": n_filters, "filter_output_rows": out_rows}
+
+
 def skew_join_stats(df: DataFrame) -> dict:
     """Structural evidence that AQE split a skewed join at runtime:
 
