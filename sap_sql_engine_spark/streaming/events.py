@@ -1882,6 +1882,63 @@ FROM agg
 """
 
 
+def streaming_transition_matrix(spark: SparkSession, sf_dir: str):
+    """Streaming twin of :func:`q_events_transition_matrix`: per-user
+    state = (last event time, last event type); each micro-batch folds
+    its rows in event-time order and APPENDS the batch's transition
+    deltas (from_type, to_type, n) — the caller aggregates the delta
+    stream and compares against the batch matrix (stream == batch).
+
+    Scale posture: state is one (timestamp, type) pair per user; the
+    emitted relation is delta-grain (bounded by the matrix size per user
+    per batch, not the event volume), so the downstream aggregation is
+    tiny. Append output mode means a replayed batch appends its deltas
+    again — exactly-once consumers aggregate from a checkpointed sink
+    keyed by (batch, user), the same epoch discipline as the admission
+    funnel; the memory-sink twin here only asserts semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir)
+    out_schema = "from_type string, to_type string, n long"
+    state_schema = "last_ts double, last_type string"
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            last_ts, last_type = state.get
+        else:
+            last_ts, last_type = None, None
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        deltas: dict = {}
+        for t, et in zip(rows["ts"], rows["event_type"]):
+            ts = t.value // 1000  # integer microseconds, same math as batch
+            if last_type is not None and ts - last_ts <= gap_us:
+                k = (last_type, et)
+                deltas[k] = deltas.get(k, 0) + 1
+            last_ts, last_type = ts, et
+        state.update((last_ts, last_type))
+        if deltas:
+            ks = list(deltas)
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in ks],
+                    "to_type": [k[1] for k in ks],
+                    "n": [deltas[k] for k in ks],
+                }
+            )
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        updated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_transition_stream")
+        .start()
+    )
+
+
 QUERIES = {
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,

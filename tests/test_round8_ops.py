@@ -507,6 +507,26 @@ def test_embedding_matryoshka_planted_flip_and_delta(spark, tmp_path):
     assert out[64] == (2, 0, 0, 0)
 
 
+def test_streaming_transition_matrix_matches_batch(spark, sf_dir):
+    from sap_sql_engine_spark.streaming import events as ev
+
+    batch = {
+        (r.from_type, r.to_type): r.n
+        for r in ev.q_events_transition_matrix(spark, sf_dir).collect()
+    }
+    q = ev.streaming_transition_matrix(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql(
+            "SELECT from_type, to_type, CAST(sum(n) AS BIGINT) AS n "
+            "FROM events_transition_stream GROUP BY 1, 2"
+        ).collect()
+        stream = {(r.from_type, r.to_type): r.n for r in stream_rows}
+    finally:
+        q.stop()
+    assert stream == batch and batch
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
