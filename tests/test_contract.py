@@ -126,3 +126,30 @@ def test_all_22_tpch_shapes_stay_registered_and_oracled():
     unoracled = {n: q for n, q in TPCH_SHAPES.items() if q not in oracles}
     assert not missing, f"TPC-H shapes missing from queries(): {missing}"
     assert not unoracled, f"TPC-H shapes without oracles: {unoracled}"
+
+
+def test_bench_headline_all_registered_and_line_fits_capture():
+    """Every bench HEADLINE query must exist in the registry, and the
+    worst-case slim output line must stay under the driver's 2000-char
+    tail capture (BENCH_r07 went parsed:null when the line overflowed)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from bench import HEADLINE
+
+    qs = entry.queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"bench names not registered: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate bench entries"
+    worst = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in HEADLINE},
+            "sf": 0.1,
+        }
+    )
+    assert len(worst) < 1900, f"bench line would be {len(worst)} chars"
