@@ -3361,7 +3361,103 @@ ORDER BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# moments merge proof: the third mergeable-summary invariant gate (HLL
+# registers and equi-width histograms already have one). Mean/variance at
+# 100 TB are computed from per-shard sufficient statistics (n, sum,
+# sum-of-squares) merged by plain addition — this query PROVES merged ==
+# direct in-engine, per source, on exact integers.
+
+
+def q_moments_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length moments via two md5(doc_id) shards, merged
+    and compared against the direct single-pass computation.
+
+    The sufficient statistics (n, sum(n_chars), sum(n_chars^2)) are
+    BIGINTs, so merged-vs-direct equality is exact — mismatch = 0 is the
+    invariant the gate hashes. Mean and variance emit as integral micro
+    units from the merged stats: var = (n*ss - s^2) DIV n^2 scaled —
+    the population-variance rational, no float path anywhere.
+
+    Scale shape: one (source, shard) aggregation with map-side combine,
+    a source-grain merge, and a second direct aggregation that exists
+    only to prove the merge (production keeps the shards)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    base = docs.select(
+        "source", shard.alias("shard"), F.col("n_chars").cast("bigint").alias("x")
+    )
+    per_shard = base.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    merged = per_shard.groupBy("source").agg(
+        F.sum("n").alias("mn"), F.sum("s").alias("ms"), F.sum("ss").alias("mss")
+    )
+    direct = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("x").alias("ds"),
+        F.sum(F.col("x") * F.col("x")).alias("dss"),
+    )
+    return (
+        merged.join(direct, "source")
+        .selectExpr(
+            "source",
+            "CAST(mn AS BIGINT) AS n_docs",
+            "CAST(CASE WHEN mn = dn AND ms = ds AND mss = dss "
+            "THEN 0 ELSE 1 END AS BIGINT) AS merge_mismatch",
+            "CAST(ms * 1000000 DIV mn AS BIGINT) AS mean_micro",
+            # two-stage division keeps the intermediate under 2^63 at any
+            # shard size (single-stage *1e6 would overflow near ~2.5k
+            # docs/source); both engines evaluate the identical staging
+            "CAST(((mn * mss - ms * ms) DIV mn) * 1000000 DIV mn AS BIGINT)"
+            " AS var_micro",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MOMENTS_MERGE = """
+WITH base AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS shard,
+         CAST(n_chars AS BIGINT) AS x
+  FROM documents
+),
+per_shard AS (
+  SELECT source, shard, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+  FROM base GROUP BY 1, 2
+),
+merged AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS mn, CAST(sum(s) AS BIGINT) AS ms,
+         CAST(sum(ss) AS BIGINT) AS mss
+  FROM per_shard GROUP BY 1
+),
+direct AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS dn, CAST(sum(x) AS BIGINT) AS ds,
+         CAST(sum(x * x) AS BIGINT) AS dss
+  FROM base GROUP BY 1
+)
+SELECT m.source,
+       mn AS n_docs,
+       CAST(CASE WHEN mn = dn AND ms = ds AND mss = dss
+            THEN 0 ELSE 1 END AS BIGINT) AS merge_mismatch,
+       CAST(ms * 1000000 // mn AS BIGINT) AS mean_micro,
+       CAST(((mn * mss - ms * ms) // mn) * 1000000 // mn AS BIGINT)
+         AS var_micro
+FROM merged m JOIN direct d ON m.source = d.source
+ORDER BY m.source
+"""
+
+
 QUERIES = {
+    "moments_merge_check": q_moments_merge_check,
     "source_psi_drift": q_source_psi_drift,
     "vocab_coverage_curve": q_vocab_coverage_curve,
     "kn_bigram_smoothing": q_kn_bigram_smoothing,
@@ -3405,6 +3501,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "moments_merge_check": ORACLE_MOMENTS_MERGE,
     "source_psi_drift": ORACLE_PSI_DRIFT,
     "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
     "kn_bigram_smoothing": ORACLE_KN_BIGRAM,

@@ -527,6 +527,25 @@ def test_streaming_transition_matrix_matches_batch(spark, sf_dir):
     assert stream == batch and batch
 
 
+def test_moments_merge_check_planted(spark, tmp_path):
+    from sap_sql_engine_spark.operators import textanalysis
+
+    # lengths 10, 20, 30: mean 20, population variance 200/3 -> floor
+    # micro 66666666... staged division: ((3*1400 - 60^2) DIV 3)*1e6 DIV 3
+    rows = [
+        (i, "x", "en", "s", n) for i, n in ((1, 10), (2, 20), (3, 30))
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = textanalysis.q_moments_merge_check(spark, str(tmp_path)).collect()[0]
+    expect_var = ((3 * 1400 - 60 * 60) // 3) * 1_000_000 // 3
+    assert (r.source, r.n_docs, r.merge_mismatch, r.mean_micro, r.var_micro) == (
+        "s", 3, 0, 20_000_000, expect_var,
+    )
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
