@@ -1987,7 +1987,111 @@ ORDER BY bit
 """
 
 
+# ---------------------------------------------------------------------------
+# banded-candidate hamming histogram: the threshold-tuning diagnostic for
+# the simhash lane. The banded join's candidate set contains every pair
+# within HAMMING_THRESHOLD plus band collisions at larger distances — this
+# histogram shows where the candidates actually sit, i.e. how much work
+# the exact-distance filter discards and whether the threshold leaves
+# usable margin.
+
+
+def q_dedup_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the simhash BANDED candidate pairs
+    (distinct pairs sharing at least one band key), distance-banded into
+    fixed classes with integral permille shares. Shares the signature and
+    banding recipe with the gated dedup lane bit-for-bit.
+
+    Scale shape: identical candidate generation to q_dedup_simhash (band
+    equi-join, never n^2); the histogram adds one constant-size regroup."""
+    n_bands = HAMMING_THRESHOLD + 1
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    sig = cache_eager(_simhash(spark, sf_dir))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    cls = (
+        F.when(F.col("hamming") <= 1, F.lpad(F.col("hamming").cast("string"), 2, "0"))
+        .when(F.col("hamming") <= 4, "02-04")
+        .when(F.col("hamming") <= 8, "05-08")
+        .when(F.col("hamming") <= 16, "09-16")
+        .otherwise("17-32")
+    )
+    w_all = Window.partitionBy()
+    return (
+        cand.withColumn("dist_class", cls)
+        .groupBy("dist_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("total", F.sum("n_pairs").over(w_all))
+        .selectExpr(
+            "dist_class",
+            "n_pairs",
+            "CAST(n_pairs * 1000 DIV total AS BIGINT) AS share_permille",
+        )
+        .orderBy("dist_class")
+    )
+
+
+ORACLE_HAMMING_HISTOGRAM = rf"""
+WITH sig AS ({_ORACLE_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * {SIMHASH_BITS // (HAMMING_THRESHOLD + 1)}))
+           & {(1 << (SIMHASH_BITS // (HAMMING_THRESHOLD + 1))) - 1} AS key
+  FROM sig, (SELECT unnest(range(0, {HAMMING_THRESHOLD + 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+hist AS (
+  SELECT CASE WHEN hamming <= 1 THEN lpad(CAST(hamming AS VARCHAR), 2, '0')
+              WHEN hamming <= 4 THEN '02-04'
+              WHEN hamming <= 8 THEN '05-08'
+              WHEN hamming <= 16 THEN '09-16'
+              ELSE '17-32' END AS dist_class,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM cand GROUP BY 1
+)
+SELECT dist_class, n_pairs,
+       CAST(n_pairs * 1000 // sum(n_pairs) OVER () AS BIGINT)
+         AS share_permille
+FROM hist
+ORDER BY dist_class
+"""
+
+
 QUERIES = {
+    "dedup_hamming_histogram": q_dedup_hamming_histogram,
     "simhash_bit_balance": q_simhash_bit_balance,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2011,6 +2115,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_hamming_histogram": ORACLE_HAMMING_HISTOGRAM,
     "simhash_bit_balance": ORACLE_SIMHASH_BIT_BALANCE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,

@@ -3790,17 +3790,18 @@ def q_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
                 "* (CAST(1 AS DECIMAL(18,4)) "
-                "- CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS BIGINT)"
-            ).alias("micro")
+                "- CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS BIGINT) "
+                "DIV 1000"  # integral milli-dollars: *10000 headroom at any sf
+            ).alias("milli")
         )
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(F.col("r_name").alias("region"), "l_suppkey", "micro")
+        .select(F.col("r_name").alias("region"), "l_suppkey", "milli")
     )
     shares = per_sup.withColumn(
         "share_bp",
-        F.expr("CAST(micro * 10000 DIV sum(micro) OVER "
+        F.expr("CAST(milli * 10000 DIV sum(milli) OVER "
                "(PARTITION BY region) AS BIGINT)"),
     )
     return (
@@ -3822,7 +3823,7 @@ WITH per_sup AS (
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (CAST(1 AS DECIMAL(18,4))
                      - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
-              AS BIGINT) AS micro
+              AS BIGINT) // 1000 AS milli
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -3831,7 +3832,7 @@ WITH per_sup AS (
 ),
 shares AS (
   SELECT region,
-         CAST(micro * 10000 // sum(micro) OVER (PARTITION BY region)
+         CAST(milli * 10000 // sum(milli) OVER (PARTITION BY region)
               AS BIGINT) AS share_bp
   FROM per_sup
 )
@@ -3845,7 +3846,121 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ABC (Pareto) inventory classification: parts bucketed A/B/C by cumulative
+# revenue share (A <= 80%, B <= 95%, C rest). Same scale discipline as the
+# customer Pareto: rank via the range-partitioned global rank (no global
+# window over the part grain), then ALL cumulative math on a fixed
+# 1000-bucket relation — class boundaries land at bucket resolution, which
+# is what makes the plan identical at 2k parts and 2B parts.
+
+
+def q_parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C revenue classes over parts (bucketed cumulative shares).
+
+    Revenue per part in exact integral micro-dollars; parts ranked by
+    (revenue desc, partkey); rank quantized to 1000 buckets; cumulative
+    share computed over the 1000-row bucket relation; class assigned on
+    the bucket's cumulative bp (A <= 8000, B <= 9500, C rest).
+
+    Scale shape: one part-keyed aggregation over lineitem, one range
+    exchange for the global rank, then constant-size bucket math."""
+    from .ranks import with_global_rank
+
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (CAST(1 AS DECIMAL(18,4)) "
+            "- CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS BIGINT) "
+            "DIV 1000"  # exact micro cast first, then integral milli —
+            # keeps every downstream *10000 product under 2^63 at any sf
+        ).alias("milli")
+    ).select(
+        "l_partkey", (F.col("milli") * -1).alias("neg_milli"), "milli"
+    )
+    ranked = with_global_rank(per_part, "neg_milli", "l_partkey", rank_col="__r")
+    n = ranked.count()
+    buckets = (
+        ranked.withColumn(
+            "bucket", F.expr(f"CAST((__r - 1) * 1000 DIV {n} + 1 AS BIGINT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("milli").cast("bigint").alias("milli"),
+        )
+    )
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    classed = (
+        buckets.withColumn("total", F.sum("milli").over(w_all))
+        .withColumn("cum", F.sum("milli").over(w_cum))
+        .withColumn("cum_bp", F.expr("CAST(cum * 10000 DIV total AS BIGINT)"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_bp") <= 8000, "A")
+            .when(F.col("cum_bp") <= 9500, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            F.sum("milli").alias("m"),
+            F.max("total").alias("t"),
+        )
+        .selectExpr(
+            "abc_class",
+            "n_parts",
+            "CAST(m * 10000 DIV t AS BIGINT) AS revenue_share_bp",
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_PARTS_ABC = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
+              AS BIGINT) // 1000 AS milli
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT milli,
+         row_number() OVER (ORDER BY milli DESC, l_partkey) AS r,
+         count(*) OVER () AS n
+  FROM per_part
+),
+buckets AS (
+  SELECT CAST((r - 1) * 1000 // n + 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(milli) AS BIGINT) AS milli
+  FROM ranked GROUP BY 1
+),
+classed AS (
+  SELECT n_parts, milli,
+         CAST(sum(milli) OVER () AS BIGINT) AS total,
+         CAST(sum(milli) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              * 10000 // sum(milli) OVER () AS BIGINT) AS cum_bp
+  FROM buckets
+)
+SELECT CASE WHEN cum_bp <= 8000 THEN 'A'
+            WHEN cum_bp <= 9500 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+       CAST(CAST(sum(milli) AS BIGINT) * 10000 // max(total) AS BIGINT)
+         AS revenue_share_bp
+FROM classed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "parts_abc_classification": q_parts_abc_classification,
     "supplier_herfindahl": q_supplier_herfindahl,
     "pricing_summary": q_pricing_summary,
     "top_customers_by_spend": q_top_customers_by_spend,
@@ -3916,6 +4031,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "parts_abc_classification": ORACLE_PARTS_ABC,
     "supplier_herfindahl": ORACLE_SUPPLIER_HHI,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_customers_by_spend": ORACLE_TOP_CUSTOMERS,

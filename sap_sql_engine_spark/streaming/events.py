@@ -1939,7 +1939,69 @@ def streaming_transition_matrix(spark: SparkSession, sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# inter-arrival latency percentiles: the latency-SLO readout for event
+# pipelines. The gap stream comes from the same user-keyed sort window
+# sessionization pays; the percentile is Spark's exact `percentile`
+# (linear interpolation), mirrored by DuckDB's quantile_cont — the
+# order_value_percentiles precedent extended to a derived (lag) measure.
+
+
+def q_events_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 same-user inter-arrival seconds per (later) event type.
+
+    Gaps are exact integer microseconds from the lag window, cast to
+    double once for the interpolating percentile; emitted as seconds
+    rounded to 2 dp (class A: the only float ops are the IEEE division
+    and one interpolation on exactly-represented integers).
+
+    Scale shape: one user-keyed sort window (the sessionize exchange),
+    one 5-group percentile aggregation."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.col("gap_us").cast("double").alias("g"))
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile(g, array(0.5D, 0.9D, 0.99D))").alias("p"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.element_at(F.col("p"), 1) / 1_000_000.0, 2).alias("p50_s"),
+        F.round(F.element_at(F.col("p"), 2) / 1_000_000.0, 2).alias("p90_s"),
+        F.round(F.element_at(F.col("p"), 3) / 1_000_000.0, 2).alias("p99_s"),
+    ).orderBy("event_type")
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(g, 0.5) / 1000000.0, 2) AS p50_s,
+       round(quantile_cont(g, 0.9) / 1000000.0, 2) AS p90_s,
+       round(quantile_cont(g, 0.99) / 1000000.0, 2) AS p99_s
+FROM gaps
+WHERE g IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
     "events_transition_matrix": q_events_transition_matrix,
@@ -1963,6 +2025,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,
     "events_transition_matrix": ORACLE_TRANSITION_MATRIX,

@@ -546,6 +546,80 @@ def test_moments_merge_check_planted(spark, tmp_path):
     )
 
 
+def test_parts_abc_planted_class_boundaries(spark, tmp_path):
+    d = __import__("datetime").date
+    # four parts with revenue 80/15/4/1 dollars -> cumulative bp exactly
+    # 8000 (A boundary inclusive), 9500 (B boundary inclusive), 9900, 10000
+    li = [
+        (i, 1, pk, 1, "N", d(2024, 1, 1), float(rev), 0.0)
+        for i, (pk, rev) in enumerate([(1, 80), (2, 15), (3, 4), (4, 1)], 1)
+    ]
+    _write(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+        "l_returnflag string, l_shipdate date, l_extendedprice double, "
+        "l_discount double",
+    )
+    out = [
+        (r.abc_class, r.n_parts, r.revenue_share_bp)
+        for r in relational.q_parts_abc_classification(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert out == [("A", 1, 8000), ("B", 1, 1500), ("C", 2, 500)]
+
+
+def test_dedup_hamming_histogram_consistent_with_pair_query(spark, sf_dir):
+    from sap_sql_engine_spark.operators import dedup
+
+    hist = {
+        r.dist_class: (r.n_pairs, r.share_permille)
+        for r in dedup.q_dedup_hamming_histogram(spark, sf_dir).collect()
+    }
+    # the pigeonhole guarantee: the banded candidate set contains EVERY
+    # pair within the threshold, so the <=1 classes must equal the gated
+    # pair query's per-distance counts exactly
+    from collections import Counter
+
+    pair_counts = Counter(
+        r.hamming for r in dedup.q_dedup_simhash(spark, sf_dir).collect()
+    )
+    assert hist.get("00", (0, 0))[0] == pair_counts.get(0, 0)
+    assert hist.get("01", (0, 0))[0] == pair_counts.get(1, 0)
+    total = sum(n for n, _ in hist.values())
+    assert total >= sum(pair_counts.values())
+    assert sum(p for _, p in hist.values()) <= 1000  # integral floor shares
+
+
+def test_events_interarrival_percentiles_planted(spark, tmp_path):
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta
+    rows = [
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + s(seconds=10), 1, "view", 1.0, None),   # gap 10
+        (3, t0 + s(seconds=30), 1, "view", 1.0, None),   # gap 20
+        (4, t0 + s(seconds=60), 1, "view", 1.0, None),   # gap 30
+        (5, t0, 2, "click", 1.0, None),                   # first event: no gap
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_gaps, r.p50_s, r.p90_s, r.p99_s)
+        for r in ev.q_events_interarrival_percentiles(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # gaps [10, 20, 30]: p50 = 20, p90 = 28 (linear interp), p99 = 29.8
+    assert out == {"view": (3, 20.0, 28.0, 29.8)}
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
