@@ -62,6 +62,8 @@ HEADLINE = [
     "supplier_herfindahl",
     "vocab_coverage_curve",
     "embedding_matryoshka_report",
+    "parts_abc_classification",
+    "events_interarrival_percentiles",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
