@@ -2090,7 +2090,77 @@ ORDER BY dist_class
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate-cluster size histogram: the release-report companion to exact
+# dedup — how duplication mass distributes across cluster sizes (web
+# corpora are power-law: a few templates own most copies). Size classes
+# are fixed so the report is constant-width at any corpus.
+
+
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: per size class, cluster
+    count, document count, and the share of ALL docs (permille) that
+    class owns. The '1' class is the unique mass; everything else is
+    what dedup removes minus one survivor per cluster.
+
+    Scale shape: one fingerprint-keyed count (the same shuffle exact
+    dedup pays), then a constant-width regroup."""
+    docs = table(spark, sf_dir, "documents")
+    clusters = docs.select(fingerprint_col().alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    cls = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    w_all = Window.partitionBy()
+    return (
+        clusters.withColumn("size_class", cls)
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .withColumn("total_docs", F.sum("n_docs").over(w_all))
+        .selectExpr(
+            "size_class",
+            "n_clusters",
+            "n_docs",
+            "CAST(n_docs * 1000 DIV total_docs AS BIGINT) AS doc_share_permille",
+        )
+        .orderBy("size_class")
+    )
+
+
+ORACLE_CLUSTER_HISTOGRAM = r"""
+WITH clusters AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         count(*) AS sz
+  FROM documents GROUP BY 1
+),
+hist AS (
+  SELECT CASE WHEN sz = 1 THEN '1'
+              WHEN sz = 2 THEN '2'
+              WHEN sz <= 4 THEN '3-4'
+              WHEN sz <= 8 THEN '5-8'
+              ELSE '9+' END AS size_class,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM clusters GROUP BY 1
+)
+SELECT size_class, n_clusters, n_docs,
+       CAST(n_docs * 1000 // sum(n_docs) OVER () AS BIGINT)
+         AS doc_share_permille
+FROM hist
+ORDER BY size_class
+"""
+
+
 QUERIES = {
+    "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "dedup_hamming_histogram": q_dedup_hamming_histogram,
     "simhash_bit_balance": q_simhash_bit_balance,
     "dedup_exact": q_dedup_exact,
@@ -2115,6 +2185,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_histogram": ORACLE_CLUSTER_HISTOGRAM,
     "dedup_hamming_histogram": ORACLE_HAMMING_HISTOGRAM,
     "simhash_bit_balance": ORACLE_SIMHASH_BIT_BALANCE,
     "dedup_exact": ORACLE_DEDUP_EXACT,

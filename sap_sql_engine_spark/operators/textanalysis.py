@@ -3456,7 +3456,108 @@ ORDER BY m.source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus saturation curve: how fast new data stops contributing new
+# n-grams. Docs are bucketed into 10 ingestion deciles (doc_id order —
+# the corpus's arrival proxy); a 3-gram is NEW in the first decile that
+# contains it. Falling novelty permille across deciles is the "we've
+# seen this web before" signal that caps useful corpus growth.
+
+
+def q_corpus_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ingestion decile: total 3-gram occurrences, first-seen gram
+    types, and novelty permille (new types per occurrence).
+
+    All counts are exact integers; the first-seen decile is a min
+    aggregate over the hashed-gram relation (one corpus-sized shuffle),
+    deciles from ntile-free integer math on doc_id rank is avoided —
+    the decile is doc_id DIV bucket-width over the known id range, kept
+    as pure arithmetic so both engines bucket identically.
+
+    Scale shape: gram hashing is map-side (same array program family as
+    winnowing); one (gram -> min decile) aggregation plus one
+    occurrence-count aggregation, both gram-keyed; final math on 10 rows."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    # decile by doc_id ORDER (rank) would need a global sort; doc_id
+    # ranges are dense in the corpus, so integer range-bucketing gives
+    # the same ingestion-order semantics with zero shuffles
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = max(hi - lo + 1, 1)
+    dec = f"CAST(least((doc_id - {lo}) * 10 DIV {span}, 9) AS BIGINT)"
+    grams = (
+        docs.selectExpr(
+            f"{dec} AS decile", "split(trim(text), '\\\\s+') AS t"
+        )
+        .selectExpr(
+            "decile",
+            "explode(transform(CASE WHEN size(t) >= 3 "
+            "THEN sequence(1, size(t) - 2, 1) ELSE array() END, "
+            "i -> CAST(conv(substring(md5(concat_ws(' ', element_at(t, i), "
+            "element_at(t, i + 1), element_at(t, i + 2))), 1, 8), 16, 10) "
+            "AS BIGINT))) AS g",
+        )
+    )
+    first_seen = grams.groupBy("g").agg(F.min("decile").alias("first_decile"))
+    occ = grams.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    new_types = first_seen.groupBy(
+        F.col("first_decile").alias("decile")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_types"))
+    return (
+        occ.join(new_types, "decile", "left")
+        .selectExpr(
+            "decile",
+            "n_occurrences",
+            "CAST(coalesce(n_new_types, 0) AS BIGINT) AS n_new_types",
+            "CAST(coalesce(n_new_types, 0) * 1000 DIV n_occurrences AS BIGINT)"
+            " AS novelty_permille",
+        )
+        .orderBy("decile")
+    )
+
+
+def _oracle_saturation(sf_dir: str | None = None) -> str:
+    return r"""
+WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+gi AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT CAST(least((g.doc_id - b.lo) * 10 // (greatest(b.hi - b.lo + 1, 1)), 9)
+              AS BIGINT) AS decile,
+         CAST(('0x' || substr(md5(g.t[g.i] || ' ' || g.t[g.i+1] || ' ' ||
+               g.t[g.i+2]), 1, 8)) AS BIGINT) AS gram
+  FROM gi g, bounds b
+),
+occ AS (SELECT decile, count(*) AS n_occurrences FROM grams GROUP BY 1),
+first_seen AS (SELECT gram, min(decile) AS first_decile FROM grams GROUP BY 1),
+new_types AS (
+  SELECT first_decile AS decile, count(*) AS n_new_types
+  FROM first_seen GROUP BY 1
+)
+SELECT o.decile,
+       CAST(o.n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+       CAST(coalesce(n.n_new_types, 0) * 1000 // o.n_occurrences AS BIGINT)
+         AS novelty_permille
+FROM occ o LEFT JOIN new_types n ON o.decile = n.decile
+ORDER BY o.decile
+"""
+
+
+ORACLE_SATURATION = _oracle_saturation()
+
+
 QUERIES = {
+    "corpus_saturation_curve": q_corpus_saturation_curve,
     "moments_merge_check": q_moments_merge_check,
     "source_psi_drift": q_source_psi_drift,
     "vocab_coverage_curve": q_vocab_coverage_curve,
@@ -3501,6 +3602,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_saturation_curve": ORACLE_SATURATION,
     "moments_merge_check": ORACLE_MOMENTS_MERGE,
     "source_psi_drift": ORACLE_PSI_DRIFT,
     "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,

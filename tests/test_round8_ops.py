@@ -620,6 +620,46 @@ def test_events_interarrival_percentiles_planted(spark, tmp_path):
     assert out == {"view": (3, 20.0, 28.0, 29.8)}
 
 
+def test_corpus_saturation_planted_decile_novelty(spark, tmp_path):
+    from sap_sql_engine_spark.operators import textanalysis
+
+    # doc_ids 0..9 over a span of 10 -> decile == doc_id. Docs 0-4 repeat
+    # one gram (new only in decile 0); docs 5-9 each introduce a new gram.
+    rows = [(i, "a b c", "en", "s", 5) for i in range(5)] + [
+        (i, f"w{i} x{i} y{i}", "en", "s", 8) for i in range(5, 10)
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = [
+        (r.decile, r.n_occurrences, r.n_new_types, r.novelty_permille)
+        for r in textanalysis.q_corpus_saturation_curve(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    expect = [(0, 1, 1, 1000)] + [(d, 1, 0, 0) for d in range(1, 5)] + [
+        (d, 1, 1, 1000) for d in range(5, 10)
+    ]
+    assert out == expect
+
+
+def test_dedup_cluster_histogram_planted(spark, tmp_path):
+    from sap_sql_engine_spark.operators import dedup
+
+    texts = ["copy a"] * 3 + ["copy b"] * 2 + ["unique c"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = [
+        (r.size_class, r.n_clusters, r.n_docs, r.doc_share_permille)
+        for r in dedup.q_dedup_cluster_histogram(spark, str(tmp_path)).collect()
+    ]
+    assert out == [("1", 1, 1, 166), ("2", 1, 2, 333), ("3-4", 1, 3, 500)]
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
