@@ -3556,7 +3556,155 @@ ORDER BY o.decile
 ORACLE_SATURATION = _oracle_saturation()
 
 
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-broken): does document length predict the
+# quality score? Pearson on row_number ranks with a deterministic doc_id
+# tiebreak — the ranks are exact BIGINTs, so the sufficient statistics are
+# integers and the one sqrt/division happens at the output boundary (the
+# quantity_price_corr recipe applied to ranks).
+
+
+def q_docs_length_quality_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source Spearman correlation between n_chars and the quality
+    blend, ranks tie-broken by doc_id on BOTH axes (documented variant:
+    deterministic everywhere, standard average-rank Spearman differs
+    only under ties).
+
+    Scale shape: two rank windows partitioned by source (the exchanges
+    any per-source ranking pays), one integer sufficient-statistics
+    aggregation, 20 output rows."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("len"),
+        quality_expr().alias("q"),
+    )
+    wx = Window.partitionBy("source").orderBy("len", "doc_id")
+    wy = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = base.select(
+        "source",
+        F.row_number().over(wx).cast("bigint").alias("rx"),
+        F.row_number().over(wy).cast("bigint").alias("ry"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(num / den, 6).alias("spearman"),
+    ).orderBy("source")
+
+
+ORACLE_SPEARMAN = f"""
+WITH base AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len,
+         {O_QUALITY_EXPR} AS q
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+              AS BIGINT) AS rx,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+              AS BIGINT) AS ry
+  FROM base
+),
+agg AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# token burstiness (Church/Gale): how concentrated a token's occurrences
+# are — df/cf near 1 means it appears once per document (function-word
+# behavior), low df/cf means it bursts inside few documents (topical
+# behavior). Per-token integers over the vocabulary-bounded relation.
+
+
+def q_token_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by corpus frequency with collection frequency,
+    document frequency, df-per-1000-occurrences, and occurrences per
+    million tokens — all integral.
+
+    Scale shape: one (token, doc) distinct aggregation + one token
+    aggregation (the shuffles every df/cf computation pays); top-20 is
+    TakeOrderedAndProject on the vocabulary-bounded relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    per_tok = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_tok.withColumn("total", F.sum("cf").over(w_all))
+        .selectExpr(
+            "token",
+            "CAST(cf AS BIGINT) AS cf",
+            "CAST(df AS BIGINT) AS df",
+            "CAST(df * 1000 DIV cf AS BIGINT) AS df_per_1000_occ",
+            "CAST(cf * 1000000 DIV total AS BIGINT) AS occ_ppm",
+        )
+        .orderBy(F.col("cf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_BURSTINESS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+per_tok AS (
+  SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY 1
+)
+SELECT token,
+       CAST(cf AS BIGINT) AS cf,
+       CAST(df AS BIGINT) AS df,
+       CAST(df * 1000 // cf AS BIGINT) AS df_per_1000_occ,
+       CAST(cf * 1000000 // sum(cf) OVER () AS BIGINT) AS occ_ppm
+FROM per_tok
+ORDER BY cf DESC, token ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "docs_length_quality_spearman": q_docs_length_quality_spearman,
+    "token_burstiness_report": q_token_burstiness_report,
     "corpus_saturation_curve": q_corpus_saturation_curve,
     "moments_merge_check": q_moments_merge_check,
     "source_psi_drift": q_source_psi_drift,
@@ -3602,6 +3750,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_length_quality_spearman": ORACLE_SPEARMAN,
+    "token_burstiness_report": ORACLE_BURSTINESS,
     "corpus_saturation_curve": ORACLE_SATURATION,
     "moments_merge_check": ORACLE_MOMENTS_MERGE,
     "source_psi_drift": ORACLE_PSI_DRIFT,

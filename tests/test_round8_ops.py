@@ -660,6 +660,56 @@ def test_dedup_cluster_histogram_planted(spark, tmp_path):
     assert out == [("1", 1, 1, 166), ("2", 1, 2, 333), ("3-4", 1, 3, 500)]
 
 
+def test_spearman_planted_perfect_monotone(spark, tmp_path):
+    from sap_sql_engine_spark.operators import textanalysis
+
+    rows = []
+    # source 'up': quality rises with length (more stopwords, higher word
+    # term) -> spearman exactly +1; source 'down': longer docs are mostly
+    # digits (alpha ratio collapses) -> spearman exactly -1
+    for i, k in enumerate((10, 20, 30, 40), 1):
+        t = ("the " * k).strip()
+        rows.append((i, t, "en", "up", len(t)))
+    for i, k in enumerate((1, 3, 5, 7), 10):
+        t = "the " + ("1 " * k).strip()
+        rows.append((i, t, "en", "down", len(t)))
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.source: (r.n_docs, r.spearman)
+        for r in textanalysis.q_docs_length_quality_spearman(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"up": (4, 1.0), "down": (4, -1.0)}
+
+
+def test_token_burstiness_planted(spark, tmp_path):
+    from sap_sql_engine_spark.operators import textanalysis
+
+    rows = [
+        (1, "x x x x y", "en", "s", 9),
+        (2, "y z", "en", "s", 3),
+        (3, "y", "en", "s", 1),
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.token: (r.cf, r.df, r.df_per_1000_occ, r.occ_ppm)
+        for r in textanalysis.q_token_burstiness_report(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # 8 tokens total: x bursty (df 1 / cf 4), y spread (df 3 / cf 3)
+    assert out["x"] == (4, 1, 250, 500_000)
+    assert out["y"] == (3, 3, 1000, 375_000)
+    assert out["z"] == (1, 1, 1000, 125_000)
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
