@@ -965,7 +965,148 @@ FROM total CROSS JOIN cmp CROSS JOIN ests CROSS JOIN exacts
 ORACLE_QUANTILE_HIST = _oracle_quantile_hist()
 
 
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection estimation by inclusion-exclusion over the
+# SAME mergeable registers the distinct counter uses. |A ∩ B| has no direct
+# HLL form — |A| + |B| - |A ∪ B| is how production sketch stacks answer
+# cross-segment overlap questions without re-scanning either side; the
+# union sketch is just the bucketwise max-merge (the proven-associative op).
+
+
+def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain overlap between the even- and odd-indexed sources:
+    HLL estimates for A, B, A ∪ B (max-merged registers), the
+    inclusion-exclusion intersection estimate, the exact counterparts,
+    and the intersection error in basis points.
+
+    One register build per side from one token scan; the union sketch
+    merges REGISTERS (256 rows), never re-reads data — the exact twin
+    exists only to grade the estimate. All-integer registers; the two
+    floor(const/double) estimates per side are the gated q_token_hll
+    recipe unchanged."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    side = F.when(
+        F.substring("source", 4, 8).cast("int") % 2 == 0, "A"
+    ).otherwise("B")
+    toks = docs.select(
+        side.alias("source"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    regs = cache_eager(hll_registers(toks))
+    regs_u = regs.groupBy("bucket").agg(F.max("r").alias("r")).select(
+        F.lit("U").alias("source"), "bucket", "r"
+    )
+    # full HLL algorithm, not just the raw estimator: at small cardinality
+    # the raw harmonic mean overestimates badly (measured 199 vs exact 31
+    # here) — the standard small-range branch switches to linear counting
+    # m*ln(m/V) over the V empty registers. One ln per side row (class C),
+    # floored to an integer estimate on both engines.
+    m = float(HLL_BUCKETS)
+    corrected = F.when(
+        (F.col("hll_raw_estimate") <= F.lit(2.5 * m))
+        & (F.col("n_empty_regs") > 0),
+        F.floor(
+            F.lit(m) * F.log(F.lit(m) / F.col("n_empty_regs").cast("double"))
+        ).cast("bigint"),
+    ).otherwise(F.col("hll_raw_estimate"))
+    ests = hll_estimate_from(regs.unionByName(regs_u)).withColumn(
+        "est", corrected
+    )
+    one = ests.groupBy().pivot("source", ["A", "B", "U"]).sum("est")
+    sides = cache_eager(toks.distinct())
+    exact = (
+        sides.groupBy("token")
+        .agg(F.countDistinct("source").alias("ns"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum((F.col("ns") == 2).cast("bigint"))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+    return (
+        one.crossJoin(F.broadcast(exact))  # 1-row x 1-row scalar attach
+        .selectExpr(
+            "CAST(A AS BIGINT) AS est_a",
+            "CAST(B AS BIGINT) AS est_b",
+            "CAST(U AS BIGINT) AS est_union",
+            "CAST(greatest(A + B - U, 0) AS BIGINT) AS est_intersection",
+            "exact_union",
+            "exact_intersection",
+            "CAST(abs(greatest(A + B - U, 0) - exact_intersection) * 10000 "
+            "DIV nullif(exact_intersection, 0) AS BIGINT) AS err_bp",
+        )
+    )
+
+
+ORACLE_HLL_INTERSECTION = f"""
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT source, h % {HLL_BUCKETS} AS bucket,
+         CAST(h // {HLL_BUCKETS} AS BIGINT) AS v
+  FROM (SELECT source,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+        FROM toks)
+),
+rho AS (
+  SELECT source, bucket,
+         least(CASE WHEN v = 0 THEN {HLL_RMAX}
+                    ELSE bit_count((v & -v) - 1) + 1 END, {HLL_RMAX}) AS rho
+  FROM hashed
+),
+regs AS (SELECT source, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+all_regs AS (
+  SELECT source, bucket, r FROM regs
+  UNION ALL
+  SELECT 'U' AS source, bucket, max(r) AS r FROM regs GROUP BY 2
+),
+raw AS (
+  SELECT source,
+         CAST(floor({HLL_CONST} / CAST(sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - r))
+              + ({HLL_BUCKETS} - count(*)) * (CAST(1 AS BIGINT) << {HLL_RMAX})
+              AS DOUBLE)) AS BIGINT) AS raw_e,
+         CAST({HLL_BUCKETS} - count(*) AS BIGINT) AS v
+  FROM all_regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN raw_e <= {2.5 * HLL_BUCKETS} AND v > 0
+              THEN CAST(floor({float(HLL_BUCKETS)} *
+                   ln({float(HLL_BUCKETS)} / CAST(v AS DOUBLE))) AS BIGINT)
+              ELSE raw_e END AS e
+  FROM raw
+),
+one AS (
+  SELECT max(CASE WHEN source = 'A' THEN e END) AS a,
+         max(CASE WHEN source = 'B' THEN e END) AS b,
+         max(CASE WHEN source = 'U' THEN e END) AS u
+  FROM est
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM (SELECT token, count(DISTINCT source) AS ns FROM toks GROUP BY 1)
+)
+SELECT CAST(a AS BIGINT) AS est_a,
+       CAST(b AS BIGINT) AS est_b,
+       CAST(u AS BIGINT) AS est_union,
+       CAST(greatest(a + b - u, 0) AS BIGINT) AS est_intersection,
+       exact_union,
+       exact_intersection,
+       CAST(abs(greatest(a + b - u, 0) - exact_intersection) * 10000
+            // nullif(exact_intersection, 0) AS BIGINT) AS err_bp
+FROM one, exact
+"""
+
+
 QUERIES = {
+    "hll_intersection_estimate": q_hll_intersection_estimate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quantile_histogram_check": q_quantile_histogram_check,
     "bm25_search": q_bm25_search,
@@ -985,6 +1126,7 @@ ORACLES = {
     "posting_lists": ORACLE_POSTING_LISTS,
     "token_cms_estimate": ORACLE_TOKEN_CMS,
     "token_hll_distinct": ORACLE_TOKEN_HLL,
+    "hll_intersection_estimate": ORACLE_HLL_INTERSECTION,
     "hll_merge_check": ORACLE_HLL_MERGE,
     "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
 }

@@ -710,6 +710,28 @@ def test_token_burstiness_planted(spark, tmp_path):
     assert out["z"] == (1, 1, 1000, 125_000)
 
 
+def test_hll_intersection_planted_overlap(spark, tmp_path):
+    from sap_sql_engine_spark.operators import search
+
+    # side A (src0): tokens t0..t9; side B (src1): t5..t14 -> exact
+    # union 15, intersection 5. Estimates carry the 256-bucket envelope.
+    a = " ".join(f"t{i}" for i in range(10))
+    b = " ".join(f"t{i}" for i in range(5, 15))
+    rows = [(1, a, "en", "src0", len(a)), (2, b, "en", "src1", len(b))]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = search.q_hll_intersection_estimate(spark, str(tmp_path)).collect()[0]
+    assert (r.exact_union, r.exact_intersection) == (15, 5)
+    # small-range-corrected estimates: linear counting at this scale is
+    # tight — allow the same generous envelope the HLL property test uses
+    assert 0 < r.est_a <= 20 and 0 < r.est_b <= 20
+    assert 10 <= r.est_union <= 25
+    assert r.est_intersection >= 0
+    assert r.err_bp is not None
+
+
 def test_kanonymity_planted_violations(spark, tmp_path):
     # segment S: QI group (nation 1) has 5 rows mixed standing -> safe;
     #            QI group (nation 2) has 2 rows, both credit -> k-violating
