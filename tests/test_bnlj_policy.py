@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "monthly_revenue_spine": "12-month literal spine crossed with the "
     "|regions| dim (metadata-sized calendar cross)",
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
+    "hll_intersection_estimate": "1-row pivoted-estimates x 1-row exact-twin "
+    "attach (both sides are single-row aggregates of 256-register sketches)",
 }
 
 
