@@ -31,11 +31,10 @@ from sap_sql_engine_spark.streaming import events as streaming_events
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
-# Registration order drives the correctness gate's 50-entry window: the
-# dedup/similarity/search/multimodal/skew/events surface goes first so
-# every extension operator receives a gate row; the relational/
-# textanalysis queries that follow already hold green rows from earlier
-# rounds (CORRECTNESS_r01..r03).
+# Module order is only the TIE-BREAK for the correctness gate's 50-entry
+# window: _ordered() sorts by gate age (never-gated first, then stalest
+# green driver row first) so every query re-earns a fresh driver-oracle
+# row every ~ceil(N/50) rounds.
 _MODULES = (
     dedup,
     graph,
@@ -50,19 +49,27 @@ _MODULES = (
     textanalysis,
 )
 
-def _driver_gated() -> set[str]:
-    """Query names that already hold a green row in any driver
-    CORRECTNESS_r*.json — used to push never-gated queries to the FRONT
-    of the registration order so the gate's 50-entry window always spends
-    its slots on queries with no row on record. Self-maintaining: each
-    round's new file shrinks the priority set automatically."""
+def _latest_green_round() -> dict[str, int]:
+    """Per query: the HIGHEST round number whose driver CORRECTNESS file
+    holds a green row (rows+schema+hash, no err). Absent = never gated.
+
+    Drives the gate window's rotation: with zero never-gated queries left
+    (end of r8), ordering by gate AGE — stalest first — means every query
+    re-earns a fresh driver-oracle row every ~ceil(N/50) rounds instead of
+    the front-of-registration block monopolising the window forever.
+    Self-maintaining: each round's new file re-sorts the queue."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    gated: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             record = json.load(open(path))
         except Exception:
@@ -80,8 +87,14 @@ def _driver_gated() -> set[str]:
                 and row.get("hash_match")
                 and not row.get("err")
             ):
-                gated.add(name)
-    return gated
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_gated() -> set[str]:
+    """Query names that hold a green driver row in ANY round (red-only
+    rows still re-enter the window — see _latest_green_round)."""
+    return set(_latest_green_round())
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -90,13 +103,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _ordered(attr: str) -> dict:
+    """Registration order = gate age: never-gated first (round -1), then
+    ascending by the round of each query's newest green driver row, ties
+    broken by module registration order (sorted() is stable). The driver's
+    50-entry window therefore always re-verifies the 50 STALEST queries."""
     full: dict = {}
     for mod in _MODULES:
         full.update(getattr(mod, attr))
-    gated = _driver_gated()
-    out = {k: full[k] for k in full if k not in gated}  # never-gated first
-    out.update(full)  # existing keys keep their (front) position
-    return out
+    latest = _latest_green_round()
+    reg = {k: i for i, k in enumerate(full)}
+    names = sorted(full, key=lambda k: (latest.get(k, -1), reg[k]))
+    return {k: full[k] for k in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

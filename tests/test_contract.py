@@ -58,6 +58,28 @@ def test_never_gated_queries_fit_the_driver_window():
     )
 
 
+def test_gate_window_holds_the_stalest_queries():
+    """Rotation invariant (r9): the 50-slot driver window must contain
+    the queries whose newest green driver row is OLDEST — no query inside
+    the window may have a fresher latest-green round than one outside it.
+    Never-gated queries sort as round -1 (front), preserving the older
+    allocation invariant as a special case."""
+    latest = entry._latest_green_round()
+    keys = list(entry.queries())
+    window, outside = keys[:50], keys[50:]
+    if not outside:
+        return
+    max_inside = max(latest.get(k, -1) for k in window)
+    min_outside = min(latest.get(k, -1) for k in outside)
+    assert max_inside <= min_outside, (
+        f"window holds a round-{max_inside} query while a round-"
+        f"{min_outside} (staler) query waits outside"
+    )
+    # and the full ordering is monotone in gate age
+    ages = [latest.get(k, -1) for k in keys]
+    assert ages == sorted(ages), "queries() not sorted by gate age"
+
+
 def test_red_driver_rows_requeue_into_the_window():
     """A query with only a red driver row (hash/schema/rows mismatch or
     err) must NOT count as gated, so the driver can re-verify a fix."""
