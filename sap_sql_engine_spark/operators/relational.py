@@ -3675,8 +3675,9 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one is ~0.3 s for the identical result).
 
     Blocking: brand equi-key carries the join; the length band
-    |len(a) - len(b)| <= 2 prunes before levenshtein (deliberately lossy
-    at threshold 4 — a documented record-linkage tradeoff); name-order
+    |len(a) - len(b)| <= 4 prunes before levenshtein — the band equals
+    the distance threshold, and |len(a)-len(b)| is a LOWER bound on edit
+    distance, so the pruning is exact (zero recall loss); name-order
     a.name < b.name replaces pk-order on the distinct grain.
 
     Scale shape at 100 TB: distinct-grain collapse IS the scale lever —
@@ -3699,7 +3700,7 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.brand") == F.col("b.brand"))
             & (F.col("a.name") < F.col("b.name"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= 2),
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 4),
         )
         .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
         .filter(F.col("dist") <= 4)
@@ -3740,7 +3741,7 @@ pairs AS (
   SELECT a.brand, levenshtein(a.name, b.name) AS dist,
          a.cnt * b.cnt AS weight
   FROM names a JOIN names b
-    ON a.brand = b.brand AND a.name < b.name AND abs(a.len - b.len) <= 2
+    ON a.brand = b.brand AND a.name < b.name AND abs(a.len - b.len) <= 4
   WHERE levenshtein(a.name, b.name) <= 4
   UNION ALL
   SELECT brand, 0 AS dist, cnt * (cnt - 1) // 2 AS weight

@@ -2998,12 +2998,14 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     never seen), 'oov_cont' (w2 never seen as a continuation) — the
     bigram count and the exact-integer micro-nat log-prob sum.
 
-    Scale shape: the model relations (c2, the w1 grain with D_w1 and the
-    type total T riding a vocabulary-bounded window, the Npre w2 grain)
-    are all vocabulary-bounded and broadcast onto the held-out bigram
-    stream; the only corpus-sized shuffles are the two bigram-count
-    aggregations. No 1-row scalar attach exists in the plan (T rides the
-    w1 join), so no BNLJ."""
+    Scale shape: the model relations are smaller than the corpus but NOT
+    vocabulary-bounded — c2 and npre sit at the bigram-TYPE grain (Heaps-
+    sublinear, still corpus-growing), w1g at the unigram grain — so none
+    carries a forced broadcast hint; AQE broadcasts while they fit and
+    degrades to shuffle joins past the threshold (growth-harness row
+    `kn_bigram_smoothing` tracks the 10x trend). The only corpus-sized
+    shuffles are the two bigram-count aggregations. No 1-row scalar
+    attach exists in the plan (T rides the w1 join), so no BNLJ."""
     docs = spread(table(spark, sf_dir, "documents"))
     # ONE bigram extraction over ONE corpus scan, carrying the source tag;
     # train/eval split afterwards (a filter on the extracted stream), so
@@ -3027,10 +3029,14 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     npre = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("npre"))
 
+    # no broadcast hints: c2 and npre are bigram-TYPE-grain relations
+    # (Heaps-sublinear but NOT vocabulary-bounded — they grow with the
+    # corpus), so a forced broadcast would OOM at 100 TB; AQE broadcasts
+    # them while they fit and falls back to shuffle joins when they don't
     scored = (
-        eval_bg.join(F.broadcast(w1g), "w1", "left")
-        .join(F.broadcast(c2), ["w1", "w2"], "left")
-        .join(F.broadcast(npre), "w2", "left")
+        eval_bg.join(w1g, "w1", "left")
+        .join(c2, ["w1", "w2"], "left")
+        .join(npre, "w2", "left")
         .withColumn(
             "category",
             F.when(F.col("c1").isNull(), "oov_w1")
@@ -3226,7 +3232,10 @@ def q_source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("lnq"),
                 ).otherwise(F.lit(0))
             ).alias("num"),
-            F.max(F.col("nr") * F.col("nc")).alias("den"),
+            # nullif: a source whose docs all hash to one md5 parity has
+            # an empty half (den = 0) — NULL psi on BOTH engines instead
+            # of a Spark-NULL / DuckDB-raise divergence (FLOATS.md class E)
+            F.expr("nullif(max(nr * nc), 0)").alias("den"),
         )
         .selectExpr(
             "source",
@@ -3278,7 +3287,8 @@ SELECT source,
        CAST(CAST(sum(CASE WHEN lnq IS NOT NULL
                           THEN (cr * nc - cc * nr) * lnq ELSE 0 END)
                  AS BIGINT)
-            // CAST(max(nr) * max(nc) AS BIGINT) AS BIGINT) AS psi_micro
+            // CAST(nullif(max(nr) * max(nc), 0) AS BIGINT) AS BIGINT)
+         AS psi_micro
 FROM terms
 GROUP BY 1
 ORDER BY 1
@@ -3480,16 +3490,22 @@ def q_corpus_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     # decile by doc_id ORDER (rank) would need a global sort; doc_id
     # ranges are dense in the corpus, so integer range-bucketing gives
-    # the same ingestion-order semantics with zero shuffles
+    # the same ingestion-order semantics with zero extra shuffles. The
+    # lo/span bounds ride the plan as a 1-row aggregate cross-join
+    # (BNLJ_ALLOWED metadata attach) instead of an eager collect(), so
+    # building the DataFrame stays lazy like every other registered query
     bounds = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    lo, hi = int(bounds.lo), int(bounds.hi)
-    span = max(hi - lo + 1, 1)
-    dec = f"CAST(least((doc_id - {lo}) * 10 DIV {span}, 9) AS BIGINT)"
+        F.min("doc_id").alias("_lo"),
+        F.greatest(
+            F.max("doc_id") - F.min("doc_id") + F.lit(1), F.lit(1)
+        ).alias("_span"),
+    )
     grams = (
-        docs.selectExpr(
-            f"{dec} AS decile", "split(trim(text), '\\\\s+') AS t"
+        docs.join(F.broadcast(bounds))
+        .selectExpr(
+            "CAST(least((doc_id - _lo) * 10 DIV _span, 9) AS BIGINT)"
+            " AS decile",
+            "split(trim(text), '\\\\s+') AS t",
         )
         .selectExpr(
             "decile",

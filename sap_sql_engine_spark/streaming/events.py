@@ -1836,17 +1836,25 @@ def q_events_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.agg(
             F.sum("obs").alias("t"),
             F.count(F.lit(1)).alias("_k"),
-            F.sum(F.col("obs") * F.col("obs")).alias("ss"),
+            # DECIMAL(38,0) sufficient statistic: obs^2 and the chi2
+            # numerator below need the oracle's HUGEINT headroom — a
+            # BIGINT (24*ss - t*t)*1e6 wraps silently (non-ANSI) past
+            # T ~ 6.3e5 in the skewed case, diverging from DuckDB exactly
+            # on the anomalous distributions this gate exists to flag
+            F.sum(
+                F.col("obs").cast("decimal(19,0)")
+                * F.col("obs").cast("decimal(19,0)")
+            ).alias("ss"),
         )
         .selectExpr(
             # sum (24*obs - T)^2 / (24*T) reduces to (24*ss - T^2) / T
-            # (ss = sum obs^2, sum obs = T); the reduced form keeps the
-            # pre-division intermediate <= 23*T^2*1e6 — BIGINT-safe for
-            # any T below ~6e5 even in the all-in-one-hour worst case
+            # (ss = sum obs^2, sum obs = T); all intermediates DECIMAL(38,0)
+            # (mirrors DuckDB's HUGEINT promotion), <= 23*T^2*1e6 — exact
+            # up to T ~ 2e15 even in the all-in-one-hour worst case
             "CAST(t AS BIGINT) AS n_events",
             "CAST(23 AS BIGINT) AS df",
-            "CAST((24 * ss - t * t) * 1000000 DIV t AS BIGINT)"
-            " AS chi2_micro",
+            "CAST((24 * ss - CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))"
+            " * 1000000 DIV t AS BIGINT) AS chi2_micro",
         )
         .selectExpr(
             "n_events",

@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
     "hll_intersection_estimate": "1-row pivoted-estimates x 1-row exact-twin "
     "attach (both sides are single-row aggregates of 256-register sketches)",
+    "corpus_saturation_curve": "1-row doc_id-bounds attach for decile "
+    "range-bucketing (replaced the eager collect, r9)",
 }
 
 

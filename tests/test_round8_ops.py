@@ -112,11 +112,14 @@ def test_part_fuzzy_pairs_planted_blocking(spark, tmp_path):
         (3, "qqqqqqqqqqqq", "X", 1, 1.0),
         (4, "beta bolt", "X", 1, 1.0),
         (5, "beta bolt", "X", 1, 1.0),
-        # length band excludes this candidate BEFORE levenshtein even
-        # though its true distance (3) is inside the threshold — the
-        # documented blocking tradeoff (distance >= length difference
-        # only guarantees bands >= threshold are safe to skip)
+        # length diff 3, true distance 3: the r9 exact band (band ==
+        # threshold == 4; |len diff| is a lower bound on edit distance)
+        # must KEEP this pair — the r8 band of 2 lost it (ADVICE fix).
+        # Pairs with 1 (dist 3) and with 2 (dist 4).
         (6, "alpha widgetxxx", "X", 1, 1.0),
+        # length diff 5 vs row 3: pruned WITHOUT levenshtein, and the
+        # pruning is exact (true distance >= |len diff| = 5 > 4)
+        (8, "qqqqqqqqqqqqqqqqq", "X", 1, 1.0),
         # brand Y: cross-brand near-dup of 1 must NOT pair (block key)
         (7, "alpha widget", "Y", 1, 1.0),
     ]
@@ -127,7 +130,7 @@ def test_part_fuzzy_pairs_planted_blocking(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     ]
-    assert out == [("X", 2, 1, 0, 1)]
+    assert out == [("X", 4, 1, 0, 4)]
 
 
 def test_embedding_sq8_planted_reconstruction(spark, tmp_path):
