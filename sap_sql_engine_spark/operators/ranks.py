@@ -31,12 +31,22 @@ from pyspark.sql import functions as F
 from ..cachereg import cache_eager
 
 
-def with_global_rank(df: DataFrame, *order_cols: str, rank_col: str = "rn") -> DataFrame:
+def with_global_rank(
+    df: DataFrame,
+    *order_cols: str,
+    rank_col: str = "rn",
+    total_col: str | None = None,
+) -> DataFrame:
     """Return ``df`` (cached, range-partitioned by ``order_cols``) with a
     1-based BIGINT ``rank_col`` equal to ``row_number() OVER (ORDER BY
     order_cols)`` — assuming ``order_cols`` are a total order (include a
     unique tiebreaker column). No single task ever holds more than its
-    range slice."""
+    range slice.
+
+    ``total_col``: optionally attach the relation's total row count as a
+    literal BIGINT column — the count is already known driver-side from
+    the per-partition metadata collect, so callers needing N (e.g. rank
+    quantization) get it for free instead of running a second job."""
     part = cache_eager(
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -59,6 +69,9 @@ def with_global_rank(df: DataFrame, *order_cols: str, rank_col: str = "rn") -> D
     # mid = pid * 2^33 + within-partition counter (consecutive from 0 in
     # sorted iterator order); strip the partition component, add the offset
     local = F.col("__mid") - F.shiftleft(F.col("__pid").cast("bigint"), 33)
-    return part.withColumn(
+    out = part.withColumn(
         rank_col, (offset_map[F.col("__pid")] + local + F.lit(1)).cast("bigint")
     ).drop("__pid", "__mid")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("bigint"))
+    return out

@@ -3880,11 +3880,14 @@ def q_parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_partkey", (F.col("milli") * -1).alias("neg_milli"), "milli"
     )
-    ranked = with_global_rank(per_part, "neg_milli", "l_partkey", rank_col="__r")
-    n = ranked.count()
+    # N rides out of the rank pass's own metadata collect (total_col) —
+    # no second count() job over the ranked relation (r8 verdict nit)
+    ranked = with_global_rank(
+        per_part, "neg_milli", "l_partkey", rank_col="__r", total_col="__n"
+    )
     buckets = (
         ranked.withColumn(
-            "bucket", F.expr(f"CAST((__r - 1) * 1000 DIV {n} + 1 AS BIGINT)")
+            "bucket", F.expr("CAST((__r - 1) * 1000 DIV __n + 1 AS BIGINT)")
         )
         .groupBy("bucket")
         .agg(

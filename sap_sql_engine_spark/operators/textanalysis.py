@@ -1994,15 +1994,18 @@ VOCAB_KS = (10, 20, 40)  # candidate vocabulary sizes to report
 def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, K) out-of-vocabulary rate for top-K global vocabs.
 
-    Scale shape: ONE (source, token) aggregation over the corpus scan
-    (map-side combined) is the only corpus-sized work; the global
-    ranking is a window over the Heaps-bounded vocabulary relation
-    (single-partition window is safe BECAUSE the relation is
-    vocabulary-sized, the same adjudication as the BPE argmax), which
-    then broadcasts back onto the per-source counts; the K fan-out is a
-    3-element literal explode. Every cell is a count or an integral bp
-    quotient over counts (divisor = the source's token total, >= 1 for
-    any emitted group; FLOATS.md class A, oracle sums CAST to BIGINT
+    Scale shape (two-phase top-K, r9): ONE (source, token) aggregation
+    over the corpus scan (map-side combined) is the only corpus-sized
+    work; the global ranking keeps only the top max(K) tokens via
+    ``orderBy().limit(maxK)`` — a parallel TakeOrderedAndProject, no
+    single-partition sort of the full vocabulary (Heaps-sublinear but
+    still 1e8+ rows at web scale) — then ranks the <= maxK survivors
+    with a bounded window and LEFT-broadcasts them onto the per-source
+    counts: a token missing from the top-maxK relation has rank > maxK
+    >= every K, i.e. it is OOV for all K by construction. The K fan-out
+    is a 3-element literal explode. Every cell is a count or an integral
+    bp quotient over counts (divisor = the source's token total, >= 1
+    for any emitted group; FLOATS.md class A, oracle sums CAST to BIGINT
     per class D)."""
     docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
@@ -2013,7 +2016,8 @@ def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
     )
     g = stc.groupBy("token").agg(F.sum("c").alias("gc"))
-    rank = g.select(
+    top = g.orderBy(F.col("gc").desc(), "token").limit(max(VOCAB_KS))
+    rank = top.select(
         "token",
         F.row_number()
         .over(Window.orderBy(F.col("gc").desc(), "token"))
@@ -2023,12 +2027,18 @@ def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(k) for k in VOCAB_KS])
     ).alias("k")
     return (
-        stc.join(F.broadcast(rank), "token")
+        stc.join(F.broadcast(rank), "token", "left")
         .select("source", "c", "r", ks)
         .groupBy("source", "k")
         .agg(
             F.sum("c").cast("bigint").alias("total_tokens"),
-            F.sum(F.when(F.col("r") > F.col("k"), F.col("c")).otherwise(0))
+            # NULL rank = outside the top-maxK relation = OOV for all K
+            F.sum(
+                F.when(
+                    F.col("r").isNull() | (F.col("r") > F.col("k")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("oov_tokens"),
         )
@@ -3308,8 +3318,14 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000}. Rank ties break lexicographically so the curve is exact and
     stable. All-integer: covered * 1000 DIV total.
 
-    Scale shape: one token count aggregation (the corpus-sized shuffle),
-    then ranking and cumulative sums on the vocabulary-bounded relation."""
+    Scale shape (two-phase top-K, r9): one token count aggregation (the
+    corpus-sized shuffle), then ``orderBy().limit(maxK)`` — which plans
+    as a parallel TakeOrderedAndProject (partial top-K per partition,
+    NO single-partition sort of the 1e8+-row web-scale vocabulary) —
+    and the rank/cumulative windows run on the <= maxK-row survivor
+    relation. The corpus token total is a plain 1-row aggregate attached
+    to the 3-row K relation (BNLJ_ALLOWED metadata attach), not a
+    whole-vocabulary window."""
     docs = spread(table(spark, sf_dir, "documents"))
     counts = (
         docs.select(
@@ -3318,23 +3334,22 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    total = counts.agg(F.sum("c").cast("bigint").alias("tokens_total"))
+    top = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        max(COVERAGE_KS)
+    )
     w_rank = Window.orderBy(F.col("c").desc(), F.col("token").asc())
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = (
-        counts.withColumn("r", F.row_number().over(w_rank))
-        .withColumn("cum", F.sum("c").over(w_cum))
-        .withColumn("total", F.sum("c").over(w_all))
+    ranked = top.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "cum", F.sum("c").over(w_cum)
     )
     ks = ", ".join(str(k) for k in COVERAGE_KS)
     return (
         ranked.withColumn("k", F.explode(F.expr(f"array({ks})")))
         .filter(F.col("r") <= F.col("k"))
         .groupBy("k")
-        .agg(
-            F.max("cum").cast("bigint").alias("tokens_covered"),
-            F.max("total").cast("bigint").alias("tokens_total"),
-        )
+        .agg(F.max("cum").cast("bigint").alias("tokens_covered"))
+        .join(F.broadcast(total))
         .selectExpr(
             "CAST(k AS BIGINT) AS k",
             "tokens_covered",

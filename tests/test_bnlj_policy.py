@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "attach (both sides are single-row aggregates of 256-register sketches)",
     "corpus_saturation_curve": "1-row doc_id-bounds attach for decile "
     "range-bucketing (replaced the eager collect, r9)",
+    "vocab_coverage_curve": "1-row corpus-token-total attach onto the "
+    "3-row K relation (replaced the full-vocabulary total window, r9)",
 }
 
 
