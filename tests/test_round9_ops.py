@@ -1,0 +1,136 @@
+"""Planted-scenario tests for the round-9 operators: perceptual dHash
+near-dup over real decoded media (re-encoded PNG collides, distinct image
+does not), and the lane-agreement pin that makes the driver's SQL gate
+transitively cover the Python decode lane (both lanes share ONE hash
+definition — dhash_bands)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sap_sql_engine_spark.operators import multimodal
+from sap_sql_engine_spark.operators.multimodal import (
+    DHASH_THRESHOLD,
+    dhash_bands,
+    sql_dhash_bands,
+)
+from test_pipeline_operators import _media_df, _png_encode
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def _hamming(a, b):
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def _gradient_rows(w, h, flip=False):
+    """RGB gradient: luminance rises left->right, top->bottom (or the
+    reverse) — a smooth signal with a distinctive dHash."""
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = (x * 7 + y * 11) % 256
+            if flip:
+                v = 255 - v
+            row += bytes([v, v, v])
+        rows.append(bytes(row))
+    return rows
+
+
+def test_media_dhash_png_reencode_collides(spark):
+    """THE perceptual property: the same pixels re-encoded with different
+    scanline filters (different bytes, different md5 — an exact-hash dedup
+    misses it) produce the IDENTICAL dHash; a different image lands far
+    beyond the near-dup threshold."""
+    rows = _gradient_rows(16, 16)
+    png_a = _png_encode(16, 16, 2, rows, filters=[0] * 16)
+    png_a2 = _png_encode(16, 16, 2, rows, filters=[1, 2, 3, 4] * 4)
+    png_b = _png_encode(16, 16, 2, _gradient_rows(16, 16, flip=True),
+                        filters=[0] * 16)
+    assert png_a != png_a2  # genuinely different byte streams
+    out = {
+        r.media_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in multimodal.media_dhash(
+            _media_df(spark, [png_a, png_a2, png_b])
+        ).collect()
+    }
+    assert out[0] == out[1], "re-encoded duplicate must collide at dist 0"
+    assert _hamming(out[0], out[2]) > DHASH_THRESHOLD, (
+        "distinct image must not be a near-dup"
+    )
+
+
+def test_media_dhash_sql_lane_matches_python_lane(spark, tmp_path):
+    """Lane agreement: the JVM-side SQL lane the driver gate verifies and
+    the mapInPandas decode lane compute the SAME bands for the same
+    code-point signal — so the DuckDB gate transitively pins the decode
+    lane's hash definition."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaZ",
+    ]
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    sql_lane = {
+        (r.media_id, r.band_no): r.band_val
+        for r in sql_dhash_bands(docs.select("doc_id", "text")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = dhash_bands([ord(c) for c in t])
+        got = [sql_lane[(i, k)] for k in range(4)]
+        assert got == expected, f"lane mismatch on doc {i}"
+
+
+def test_media_dhash_short_signal_dropped(spark):
+    """A payload shorter than DHASH_CELLS carries no 64-bit structure:
+    both lanes drop it rather than hash garbage."""
+    assert dhash_bands([1, 2, 3]) is None
+    out = multimodal.media_dhash(
+        _media_df(spark, [b"tiny payload"])
+    ).collect()
+    assert out == []
+
+
+def test_media_dhash_planted_neardup_pair(spark, tmp_path):
+    """End-to-end pairs query on a planted corpus: a one-character edit
+    of a long text is a near-dup (tiny signal perturbation), a reversed
+    text is not, and the report histogram agrees with the pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    edited = base.replace("lazy", "hazy", 1)  # one char, one cell nudged
+    rows = [
+        (1, base, "en", "src", len(base)),
+        (2, edited, "en", "src", len(edited)),
+        (3, base[::-1], "en", "src", len(base)),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    exp_dist = _hamming(
+        dhash_bands([ord(c) for c in base]),
+        dhash_bands([ord(c) for c in edited]),
+    )
+    assert exp_dist <= DHASH_THRESHOLD, "fixture must be a true near-dup"
+    pairs = [
+        (r.media_id_a, r.media_id_b, r.hamming_dist)
+        for r in multimodal.q_media_dhash_neardup_pairs(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert pairs == [(1, 2, exp_dist)]
+    report = {
+        r.hamming_dist: (r.n_pairs, r.is_neardup)
+        for r in multimodal.q_media_dhash_report(spark, str(tmp_path)).collect()
+    }
+    assert report.get(exp_dist, (0, 0))[0] >= 1
+    assert report[exp_dist][1] == 1
+    under = sum(n for d, (n, flag) in report.items() if flag == 1)
+    assert under == len(pairs)
