@@ -246,12 +246,142 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_detokenize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip gate: decode(encode(w)) == w for EVERY word
+    in the trained vocabulary, proven in-engine (the invariant-gate
+    pattern of moments_merge_check / hll_merge_check, for the tokenizer).
+
+    decode = split the trained symbol string on the separator encoding —
+    the SAME split the apply path uses — and re-concatenate the symbols.
+    A corrupted merge replace (the bug class the SEP-wrapping exists to
+    prevent: suffix matches, shared boundaries) would surface here as a
+    round-trip mismatch or an empty symbol; both counts are pinned to 0
+    by the oracle gate on the full corpus vocabulary, not a sample.
+
+    Scale shape: one pass over the cached Heaps-bounded vocabulary
+    relation; everything is map-side string algebra plus one global
+    aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _train(docs, N_MERGES)
+    checked = vocab.select(
+        "w",
+        "cnt",
+        F.expr(
+            "split(trim(BOTH chr(31) FROM symstr), chr(31) || chr(31))"
+        ).alias("sy"),
+    ).select(
+        "cnt",
+        F.expr("size(sy)").cast("bigint").alias("n_sym"),
+        F.expr("CASE WHEN array_join(sy, '') = w THEN 0 ELSE 1 END").alias(
+            "rt_fail"
+        ),
+        F.expr("CASE WHEN exists(sy, s -> s = '') THEN 1 ELSE 0 END").alias(
+            "empty_sym"
+        ),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        F.sum("rt_fail").cast("bigint").alias("n_roundtrip_fail"),
+        F.sum("empty_sym").cast("bigint").alias("n_empty_symbols"),
+        F.sum("n_sym").cast("bigint").alias("vocab_tokens"),
+        F.sum(F.col("n_sym") * F.col("cnt")).cast("bigint").alias(
+            "corpus_tokens"
+        ),
+        F.sum("cnt").cast("bigint").alias("corpus_words"),
+    )
+
+
+ORACLE_BPE_DETOKENIZE = rf"""
+WITH {_bpe_ctes()},
+checked AS (
+  SELECT w, cnt,
+         string_split(trim(symstr, chr(31)), chr(31) || chr(31)) AS sy
+  FROM w{N_MERGES}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+       CAST(sum(CASE WHEN array_to_string(sy, '') = w THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_roundtrip_fail,
+       CAST(sum(CASE WHEN len(list_filter(sy, s -> s = '')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_symbols,
+       CAST(sum(len(sy)) AS BIGINT) AS vocab_tokens,
+       CAST(sum(len(sy) * cnt) AS BIGINT) AS corpus_tokens,
+       CAST(sum(cnt) AS BIGINT) AS corpus_words
+FROM checked
+"""
+
+
+def q_bpe_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed gate: the balanced-shard deal of docs_shard_assignment
+    run on the TRAINED BPE token counts instead of the whitespace proxy —
+    the accounting a pre-training packer actually budgets by (reference
+    point: docs_shard_assignment's longest-processing-time deal; the
+    token counts come from q_bpe_token_counts' train-then-join plan).
+
+    Scale shape: the BPE apply (vocab join + doc aggregation) feeds
+    with_global_rank's range exchange; the deal is a modulo on the rank;
+    accounting is one 8-group aggregation. No single-partition window."""
+    from .ranks import with_global_rank
+
+    sized = q_bpe_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").alias("token_count")
+    ).withColumn("neg_tokens", -F.col("token_count"))
+    ranked = with_global_rank(sized, "neg_tokens", "doc_id")
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("rn") - 1) % N_SHARDS).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("token_sum"),
+            F.max("token_count").cast("bigint").alias("max_doc_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+N_SHARDS = 8  # mirrors textanalysis.N_SHARDS (import would be circular-ish)
+
+ORACLE_BPE_SHARD_ASSIGNMENT = rf"""
+WITH {_bpe_ctes()},
+vocab AS (
+  SELECT w,
+         CAST(len(string_split(trim(symstr, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_sym
+  FROM w{N_MERGES}
+),
+stream AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+),
+sized AS (
+  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS token_count
+  FROM stream JOIN vocab USING (w)
+  WHERE w != ''
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY token_count DESC, doc_id) AS rn
+  FROM sized
+)
+SELECT CAST((rn - 1) % {N_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(token_count) AS BIGINT) AS token_sum,
+       CAST(max(token_count) AS BIGINT) AS max_doc_tokens
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "bpe_merge_training": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_detokenize_check": q_bpe_detokenize_check,
+    "bpe_shard_assignment": q_bpe_shard_assignment,
 }
 
 ORACLES = {
     "bpe_merge_training": ORACLE_BPE_MERGES,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
+    "bpe_detokenize_check": ORACLE_BPE_DETOKENIZE,
+    "bpe_shard_assignment": ORACLE_BPE_SHARD_ASSIGNMENT,
 }
