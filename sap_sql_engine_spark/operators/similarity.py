@@ -1254,7 +1254,16 @@ def q_ann_ivf_fitted(
     re-derives the entire chain (Lloyd rounds included), so the gate
     hashes training AND serving as one composition."""
     emb, cent, assign = _kmeans_loop(spark, sf_dir)
-    assigned = assign(cent)
+    return _ivf_fitted_serve(emb, cent, assign(cent), qid)
+
+
+def _ivf_fitted_serve(
+    emb: DataFrame, cent: DataFrame, assigned: DataFrame, qid: int
+) -> DataFrame:
+    """Fitted-IVF serving path (probe-cell selection + exact cosine
+    re-rank) against an already-fitted codebook — shared by
+    q_ann_ivf_fitted and the staleness report, which serves several
+    probes off ONE fit instead of re-running Lloyd per probe."""
     qd = (
         emb.filter(F.col("vec_id") == qid)
         .crossJoin(F.broadcast(cent))
@@ -1489,6 +1498,107 @@ def _oracle_recall() -> str:
 
 
 ORACLE_ANN_RECALL = _oracle_recall()
+
+
+def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness report — the retrain trigger every embedding
+    pipeline needs: the corpus grows but the offline-trained IVF codebook
+    (the frozen ``ivf_centroids`` literals) does not. Compare recall@k of
+    the STALE index against a codebook REFIT on the current corpus
+    (``_kmeans_loop``, the kmeans_embedding_fit recurrence) over the same
+    probe set and the same exact brute-force truth. A widening
+    ``recall_gap_bp`` is the signal to retrain; near-zero means the stale
+    index still serves. Honest numbers, like ann_recall_report: whatever
+    the gap IS, the gate hashes it.
+
+    Scale shape: ONE featurization pass (shared with the exact and stale
+    legs), ONE Lloyd fit (refit legs serve off the same cached fit), and
+    per (probe, leg) only broadcast probes against the assigned corpus;
+    leg totals are tagged 1-row aggregates UNIONed then folded with one
+    conditional aggregation — no 1-row joins, no bnlj."""
+    feat = _featurize(spark, sf_dir)
+    emb, cent, assign = _kmeans_loop(spark, sf_dir)
+    assigned = assign(cent)
+    legs = []
+    for qid in ANN_RECALL_PROBES:
+        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
+            "vec_id"
+        )
+        stale = q_ann_ivf(spark, sf_dir, qid=qid, feat=feat).select("vec_id")
+        refit = _ivf_fitted_serve(emb, cent, assigned, qid).select("vec_id")
+        for tag, df in (("stale", stale), ("refit", refit)):
+            legs.append(
+                exact.join(df, "vec_id")
+                .agg(F.count(F.lit(1)).alias("h"))
+                .select(F.lit(tag).alias("tag"), "h")
+            )
+    allh = legs[0]
+    for leg in legs[1:]:
+        allh = allh.unionByName(leg)
+    n = TOPK * len(ANN_RECALL_PROBES)
+    return (
+        allh.agg(
+            F.sum(F.when(F.col("tag") == "stale", F.col("h"))).alias("sh"),
+            F.sum(F.when(F.col("tag") == "refit", F.col("h"))).alias("rh"),
+        )
+        .selectExpr(
+            f"CAST({TOPK} AS INT) AS k",
+            f"CAST({len(ANN_RECALL_PROBES)} AS INT) AS n_probes",
+            "CAST(sh AS BIGINT) AS stale_hits",
+            "CAST(rh AS BIGINT) AS refit_hits",
+            f"CAST(sh * 10000 DIV {n} AS BIGINT) AS stale_recall_bp",
+            f"CAST(rh * 10000 DIV {n} AS BIGINT) AS refit_recall_bp",
+            f"CAST(rh * 10000 DIV {n} - sh * 10000 DIV {n} AS BIGINT)"
+            " AS recall_gap_bp",
+        )
+    )
+
+
+def _oracle_staleness() -> str:
+    ctes = [_kmeans_ctes()]
+    stale_hits, refit_hits = [], []
+    for pi, qid in enumerate(ANN_RECALL_PROBES):
+        ctes.append(f"sx_{pi} AS ({_oracle_bruteforce(qid)})")
+        ctes.append(f"stale_{pi} AS ({_oracle_ivf(qid)})")
+        ctes.append(
+            f"""rprobes_{pi} AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY {_KM_DIST_U}, c.cid) AS rn
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = {qid}) e,
+         c{KM_ITERS} c
+  ) WHERE rn <= {KM_N_PROBE}
+),
+refit_{pi} AS (
+  SELECT a.vec_id
+  FROM final a, (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}) q
+  WHERE a.vec_id != {qid} AND a.cid IN (SELECT cid FROM rprobes_{pi})
+  ORDER BY round({_o_cos("a.embedding", "qe")}, 6) DESC, a.vec_id ASC
+  LIMIT {TOPK}
+)"""
+        )
+        stale_hits.append(
+            f"(SELECT count(*) FROM sx_{pi} e JOIN stale_{pi} c ON e.vec_id = c.vec_id)"
+        )
+        refit_hits.append(
+            f"(SELECT count(*) FROM sx_{pi} e JOIN refit_{pi} c ON e.vec_id = c.vec_id)"
+        )
+    n = TOPK * len(ANN_RECALL_PROBES)
+    sh = " + ".join(stale_hits)
+    rh = " + ".join(refit_hits)
+    cte_sql = ",\n".join(ctes)
+    return f"""WITH {cte_sql}
+SELECT CAST({TOPK} AS INT) AS k,
+       CAST({len(ANN_RECALL_PROBES)} AS INT) AS n_probes,
+       CAST({sh} AS BIGINT) AS stale_hits,
+       CAST({rh} AS BIGINT) AS refit_hits,
+       CAST(({sh}) * 10000 // {n} AS BIGINT) AS stale_recall_bp,
+       CAST(({rh}) * 10000 // {n} AS BIGINT) AS refit_recall_bp,
+       CAST(({rh}) * 10000 // {n} - ({sh}) * 10000 // {n} AS BIGINT)
+         AS recall_gap_bp
+"""
+
+
+ORACLE_ANN_STALENESS = _oracle_staleness()
 
 
 # ---------------------------------------------------------------------------
@@ -1918,6 +2028,7 @@ QUERIES = {
     "embedding_outlier": q_embedding_outlier,
     "embedding_rp_reduce": q_embedding_rp_reduce,
     "ann_recall_report": q_ann_recall_report,
+    "ann_staleness_report": q_ann_staleness_report,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
 }
@@ -1938,6 +2049,7 @@ ORACLES = {
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
     "ann_recall_report": ORACLE_ANN_RECALL,
+    "ann_staleness_report": ORACLE_ANN_STALENESS,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "embedding_knn_accuracy": ORACLE_EMBEDDING_KNN,
 }

@@ -38,6 +38,9 @@ BNLJ_ALLOWED = {
     "ann_pq_adc": "codebook (K x subspaces) broadcast probe",
     "embedding_rp_reduce": "1-row distortion-calibration attach",
     "ann_recall_report": "fixed 3-query eval sample probed against each index",
+    "ann_staleness_report": "fixed 3-query eval sample probed against the "
+    "stale and refit codebooks (K-row centroid broadcasts + 1-row query "
+    "probes, the recall_report class)",
     "ann_lsh_multiprobe": "1-row query-vector probe (hamming-1 bucket fanout)",
     "embedding_knn_accuracy": "fixed leave-one-out eval sample broadcast",
     "quantile_histogram_check": "1-row total/estimate attaches on ~100-bin relation",
