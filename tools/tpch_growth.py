@@ -43,6 +43,11 @@ QUERIES = {
     "top_customers_by_spend": relational.QUERIES["top_customers_by_spend"],
     "three_way_match": relational.QUERIES["three_way_match"],
     "suppliers_kept_waiting": relational.QUERIES["suppliers_kept_waiting"],
+    # r8 heavyweights (r8 verdict item 5): ABC's rank pass must stay range-
+    # partitioned and FIFO's cumulative-interval join must grow with
+    # supply+demand pairs, not quadratically
+    "parts_abc_classification": relational.QUERIES["parts_abc_classification"],
+    "fifo_return_reallocation": relational.QUERIES["fifo_return_reallocation"],
 }
 
 
