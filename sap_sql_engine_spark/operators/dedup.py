@@ -2159,7 +2159,96 @@ ORDER BY size_class
 """
 
 
+# ---------------------------------------------------------------------------
+# normalization-ladder dedup: how many MORE duplicates each normalization
+# stage reveals — the audit you run BEFORE choosing a dedup fingerprint.
+# raw -> casefold -> whitespace-collapse (== fingerprint_col, the
+# dedup_exact stage) -> alphanumeric-only. Each stage is a deterministic
+# function of the previous stage's normalized STRING, so distinct counts
+# are monotone non-increasing by construction and the marginal column
+# attributes every extra duplicate to exactly one normalization decision.
+
+_NORM_S2 = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+_NORM_S3 = (
+    f"trim(regexp_replace(regexp_replace({_NORM_S2}, '[^a-z0-9 ]', ' '),"
+    " ' +', ' '))"
+)
+
+
+def q_dedup_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per normalization stage: distinct docs, duplicates, and the
+    duplicates NEWLY revealed by that stage (vs the previous one).
+
+    Scale shape: ONE corpus scan emits all four fingerprints via stack
+    (a 4x row multiplier of 32-char hashes, not of the text), one
+    (stage)-keyed aggregation with map-side distinct combine; the lag
+    window runs on the 4-row stage relation."""
+    docs = table(spark, sf_dir, "documents")
+    stages = docs.selectExpr(
+        "stack(4, "
+        "0, 'raw', md5(text), "
+        "1, 'casefold', md5(lower(text)), "
+        f"2, 'whitespace', md5({_NORM_S2}), "
+        f"3, 'alnum', md5({_NORM_S3})"
+        ") AS (stage, stage_name, h)"
+    )
+    agg = stages.groupBy("stage", "stage_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+    )
+    w = Window.orderBy("stage")  # 4-row stage relation
+    return (
+        agg.withColumn("n_dups", F.col("n_docs") - F.col("n_distinct"))
+        .withColumn(
+            "new_dups_vs_prev",
+            F.col("n_dups") - F.coalesce(F.lag("n_dups").over(w), F.lit(0)),
+        )
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "stage_name",
+            "n_docs",
+            "n_distinct",
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+            F.col("new_dups_vs_prev").cast("bigint").alias("new_dups_vs_prev"),
+        )
+        .orderBy("stage")
+    )
+
+
+_O_NORM_S2 = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_O_NORM_S3 = (
+    f"trim(regexp_replace(regexp_replace({_O_NORM_S2}, '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+ORACLE_NORMALIZATION_LADDER = f"""
+WITH stages AS (
+  SELECT 0 AS stage, 'raw' AS stage_name, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT 1, 'casefold', md5(lower(text)) FROM documents
+  UNION ALL
+  SELECT 2, 'whitespace', md5({_O_NORM_S2}) FROM documents
+  UNION ALL
+  SELECT 3, 'alnum', md5({_O_NORM_S3}) FROM documents
+),
+agg AS (
+  SELECT stage, stage_name,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+  FROM stages GROUP BY 1, 2
+)
+SELECT CAST(stage AS INT) AS stage, stage_name, n_docs, n_distinct,
+       CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
+       CAST((n_docs - n_distinct)
+            - coalesce(lag(n_docs - n_distinct) OVER (ORDER BY stage), 0)
+        AS BIGINT) AS new_dups_vs_prev
+FROM agg
+ORDER BY stage
+"""
+
+
 QUERIES = {
+    "dedup_normalization_ladder": q_dedup_normalization_ladder,
     "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "dedup_hamming_histogram": q_dedup_hamming_histogram,
     "simhash_bit_balance": q_simhash_bit_balance,
@@ -2185,6 +2274,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_normalization_ladder": ORACLE_NORMALIZATION_LADDER,
     "dedup_cluster_histogram": ORACLE_CLUSTER_HISTOGRAM,
     "dedup_hamming_histogram": ORACLE_HAMMING_HISTOGRAM,
     "simhash_bit_balance": ORACLE_SIMHASH_BIT_BALANCE,

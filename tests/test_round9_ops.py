@@ -102,6 +102,33 @@ def test_media_dhash_short_signal_dropped(spark):
     assert out == []
 
 
+def test_dedup_normalization_ladder_planted(spark, tmp_path):
+    """Each ladder stage reveals exactly its own duplicate class: an
+    exact dup at stage 0, a case-only twin at stage 1, a whitespace-only
+    twin at stage 2, a punctuation-only twin at stage 3."""
+    from sap_sql_engine_spark.operators import dedup
+
+    rows = [
+        (1, "hello world one", "en", "s", 15),
+        (2, "hello world one", "en", "s", 15),      # exact dup (stage 0)
+        (3, "Hello World ONE", "en", "s", 15),      # case twin (stage 1)
+        (4, "hello   world \t one", "en", "s", 19), # whitespace twin (2)
+        (5, "hello, world: one!", "en", "s", 18),   # punct twin (stage 3)
+        (6, "completely different text", "en", "s", 25),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.stage: (r.stage_name, r.n_distinct, r.n_dups, r.new_dups_vs_prev)
+        for r in dedup.q_dedup_normalization_ladder(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0] == ("raw", 5, 1, 1)
+    assert out[1] == ("casefold", 4, 2, 1)
+    assert out[2] == ("whitespace", 3, 3, 1)
+    assert out[3] == ("alnum", 2, 4, 1)
+
+
 def test_media_dhash_planted_neardup_pair(spark, tmp_path):
     """End-to-end pairs query on a planted corpus: a one-character edit
     of a long text is a near-dup (tiny signal perturbation), a reversed
