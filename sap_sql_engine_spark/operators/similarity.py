@@ -1602,6 +1602,174 @@ ORACLE_ANN_STALENESS = _oracle_staleness()
 
 
 # ---------------------------------------------------------------------------
+# embedding anisotropy: top eigenvalue of the (uncentered) second-moment
+# matrix via bounded power iteration — the whitening/anisotropy metric
+# (a high top-eigen share means embedding mass concentrates on one
+# direction, degrading cosine contrast; the classic signal to whiten or
+# re-train). Fourth member of the bounded-iteration family (PageRank,
+# Lloyd, BPE merges): the matrix is exact integers, every iterate is
+# re-quantized to an integer grid, so the recurrence is bit-replicable
+# and the DuckDB oracle unrolls it as CTEs.
+
+EIG_Q = 1_000_000  # component quantization (outlier/kmeans convention)
+EIG_ITERS = 3  # bounded power-iteration rounds (estimate, stated as such)
+
+
+def q_embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigen share of the embedding second-moment matrix, estimated
+    by EIG_ITERS integer-quantized power-iteration rounds.
+
+    Exactness: components quantize once to EIG_Q micro units; S_ij sums
+    their products in DECIMAL(38,0) (the oracle's HUGEINT headroom); each
+    iterate renormalizes by the L-infinity norm with integer division and
+    re-quantizes to the micro grid, so both engines walk the identical
+    orbit. Emitted shares are integral bp quotients (Rayleigh quotient
+    over trace; the top component's mass share of the final iterate).
+
+    Scale shape: the ONLY corpus-sized work is one (i, j)-keyed
+    aggregation over the double-exploded components — 4096 groups with
+    map-side combine (a 64x64 matrix never materializes anywhere bigger
+    than 4096 rows); the power iteration itself runs entirely on the
+    cached 4096-row matrix and 64-row vectors (bounded windows);
+    the scalar legs fold through ONE tagged union + conditional
+    aggregation, no 1-row joins."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    qexpr = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {EIG_Q})"
+        " AS BIGINT))"
+    )
+    comps = emb.selectExpr(f"posexplode({qexpr}) AS (i, qi)", f"{qexpr} AS qa")
+    pairs = comps.selectExpr("i", "qi", "posexplode(qa) AS (j, qj)")
+    s_mat = cache_eager(
+        pairs.groupBy("i", "j").agg(
+            F.expr("sum(CAST(qi AS DECIMAL(38,0)) * qj)").alias("s")
+        )
+    )
+    spark_sess = emb.sparkSession
+    v = spark_sess.range(DIM).selectExpr(
+        "CAST(id AS INT) AS pos", f"CAST({EIG_Q} AS DECIMAL(38,0)) AS v"
+    )
+    w_all = Window.partitionBy()  # 64-row bounded relations only
+    for _ in range(EIG_ITERS):
+        w = (
+            s_mat.join(v, s_mat["j"] == v["pos"])
+            .groupBy("i")
+            .agg(F.expr("sum(s * v)").alias("w"))
+        )
+        v = (
+            w.withColumn("mx", F.max(F.abs(F.col("w"))).over(w_all))
+            .selectExpr(
+                "CAST(i AS INT) AS pos",
+                f"CAST(w * {EIG_Q} DIV nullif(mx, 0) AS DECIMAL(38,0)) AS v",
+            )
+        )
+    vi = v.toDF("pos_i", "vi")
+    vj = v.toDF("pos_j", "vj")
+    num = (
+        s_mat.join(vi, s_mat["i"] == vi["pos_i"])
+        .join(vj, s_mat["j"] == vj["pos_j"])
+        .agg(F.expr("sum(vi * s * vj)").alias("val"))
+        .selectExpr("'num' AS tag", "val")
+    )
+    den = v.agg(F.expr("sum(v * v)").alias("val")).selectExpr(
+        "'den' AS tag", "val"
+    )
+    trace = (
+        s_mat.filter(F.col("i") == F.col("j"))
+        .agg(F.expr("sum(s)").alias("val"))
+        .selectExpr("'trace' AS tag", "val")
+    )
+    top = (
+        v.orderBy(F.abs(F.col("v")).desc(), "pos")
+        .limit(1)
+        .selectExpr(
+            "stack(2, 'vtop', CAST(pos AS DECIMAL(38,0)),"
+            " 'vtopsq', v * v) AS (tag, val)"
+        )
+    )
+    nvecs = emb.agg(F.count(F.lit(1)).alias("val")).selectExpr(
+        "'n' AS tag", "CAST(val AS DECIMAL(38,0)) AS val"
+    )
+    folded = (
+        num.unionByName(den)
+        .unionByName(trace)
+        .unionByName(top)
+        .unionByName(nvecs)
+        .agg(
+            *[
+                F.max(F.when(F.col("tag") == t, F.col("val"))).alias(t)
+                for t in ("num", "den", "trace", "vtop", "vtopsq", "n")
+            ]
+        )
+    )
+    return folded.selectExpr(
+        "CAST(n AS BIGINT) AS n_vecs",
+        f"CAST({EIG_ITERS} AS INT) AS n_iters",
+        "CAST(vtop AS INT) AS top_component",
+        "CAST(vtopsq * 10000 DIV nullif(den, 0) AS BIGINT)"
+        " AS top_component_share_bp",
+        "CAST(num * 10000 DIV nullif(den * trace, 0) AS BIGINT)"
+        " AS eigen_share_bp",
+    )
+
+
+def _oracle_top_eigen() -> str:
+    ctes = [
+        f"""qc AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {EIG_Q}) AS BIGINT) AS qi
+  FROM embeddings, range(0, {DIM}) t(i)
+)""",
+        """s AS (
+  SELECT a.i AS i, a_j.i AS j,
+         CAST(sum(CAST(a.qi AS HUGEINT) * a_j.qi) AS HUGEINT) AS s
+  FROM qc a JOIN qc a_j ON a.vec_id = a_j.vec_id
+  GROUP BY 1, 2
+)""",
+        f"""v0 AS (
+  SELECT CAST(i AS INT) AS pos, CAST({EIG_Q} AS HUGEINT) AS v
+  FROM range(0, {DIM}) t(i)
+)""",
+    ]
+    for it in range(1, EIG_ITERS + 1):
+        ctes.append(
+            f"""w{it} AS (
+  SELECT s.i AS pos, CAST(sum(s.s * v.v) AS HUGEINT) AS w
+  FROM s JOIN v{it - 1} v ON s.j = v.pos GROUP BY 1
+),
+v{it} AS (
+  SELECT pos,
+         CAST(w * {EIG_Q} // nullif((SELECT max(abs(w)) FROM w{it}), 0)
+              AS HUGEINT) AS v
+  FROM w{it}
+)"""
+        )
+    vn = f"v{EIG_ITERS}"
+    cte_sql = ",\n".join(ctes)
+    return f"""WITH {cte_sql},
+num AS (
+  SELECT CAST(sum(vi.v * s.s * vj.v) AS HUGEINT) AS val
+  FROM s JOIN {vn} vi ON s.i = vi.pos JOIN {vn} vj ON s.j = vj.pos
+),
+den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS val FROM {vn}),
+tr AS (SELECT CAST(sum(s) AS HUGEINT) AS val FROM s WHERE i = j),
+top AS (SELECT pos, v FROM {vn} ORDER BY abs(v) DESC, pos LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       CAST({EIG_ITERS} AS INT) AS n_iters,
+       CAST((SELECT pos FROM top) AS INT) AS top_component,
+       CAST((SELECT v * v FROM top) * 10000
+            // nullif((SELECT val FROM den), 0) AS BIGINT)
+         AS top_component_share_bp,
+       CAST((SELECT val FROM num) * 10000
+            // nullif((SELECT val FROM den) * (SELECT val FROM tr), 0)
+        AS BIGINT) AS eigen_share_bp
+"""
+
+
+ORACLE_TOP_EIGEN = _oracle_top_eigen()
+
+
+# ---------------------------------------------------------------------------
 # label-centroid similarity: the embedding-space complement to
 # source_kl_divergence's lexical domain shift — how close two label
 # clusters sit in embedding space. A near-1 pair means the labels are
@@ -2029,6 +2197,7 @@ QUERIES = {
     "embedding_rp_reduce": q_embedding_rp_reduce,
     "ann_recall_report": q_ann_recall_report,
     "ann_staleness_report": q_ann_staleness_report,
+    "embedding_top_eigen": q_embedding_top_eigen,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
 }
@@ -2050,6 +2219,7 @@ ORACLES = {
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
     "ann_recall_report": ORACLE_ANN_RECALL,
     "ann_staleness_report": ORACLE_ANN_STALENESS,
+    "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "embedding_knn_accuracy": ORACLE_EMBEDDING_KNN,
 }

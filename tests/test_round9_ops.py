@@ -129,6 +129,27 @@ def test_dedup_normalization_ladder_planted(spark, tmp_path):
     assert out[3] == ("alnum", 2, 4, 1)
 
 
+def test_embedding_top_eigen_planted_axis(spark, tmp_path):
+    """A corpus whose vectors all lie on ONE axis is perfectly
+    anisotropic: the power iteration must lock onto that component with
+    a 100% top-component share and a 100% eigen share."""
+    from sap_sql_engine_spark.operators import similarity
+
+    rows = [
+        (0, [0.0, 0.5, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, -0.25, 0.0, 0.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = [
+        tuple(r)
+        for r in similarity.q_embedding_top_eigen(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(3, similarity.EIG_ITERS, 1, 10000, 10000)]
+
+
 def test_media_dhash_planted_neardup_pair(spark, tmp_path):
     """End-to-end pairs query on a planted corpus: a one-character edit
     of a long text is a near-dup (tiny signal perturbation), a reversed
