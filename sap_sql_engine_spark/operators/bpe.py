@@ -340,6 +340,78 @@ def q_bpe_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — THE multilingual fairness
+    metric: a language whose words split into many more tokens than the
+    corpus average pays more context budget per sentence and trains on
+    fewer effective documents. Reports per lang: word/token volume,
+    fertility (tokens per word, permille) and compression (chars per
+    token, milli) under the TRAINED merges.
+
+    Scale shape: identical to q_bpe_token_counts (vocab-side train, one
+    stream-vocab join) with the aggregation keyed by lang instead of
+    doc — still one corpus-sized join and one small-group aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _train(docs, N_MERGES)
+    per_word = vocab.select(
+        "w",
+        F.expr(
+            "size(split(trim(BOTH chr(31) FROM symstr), chr(31) || chr(31)))"
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    stream = spread(docs).select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        stream.join(per_word, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "CAST(n_tokens * 1000 DIV n_words AS BIGINT)"
+            " AS fertility_permille",
+            "CAST(n_chars * 1000 DIV n_tokens AS BIGINT)"
+            " AS chars_per_token_milli",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BPE_FERTILITY = rf"""
+WITH {{ctes}},
+vocab AS (
+  SELECT w,
+         CAST(len(string_split(trim(symstr, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_sym
+  FROM w{{n}}
+),
+stream AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(n_sym) AS BIGINT) * 1000 // count(*) AS BIGINT)
+         AS fertility_permille,
+       CAST(CAST(sum(length(w)) AS BIGINT) * 1000
+            // CAST(sum(n_sym) AS BIGINT) AS BIGINT)
+         AS chars_per_token_milli
+FROM stream JOIN vocab USING (w)
+WHERE w != ''
+GROUP BY lang
+ORDER BY lang
+""".format(ctes=_bpe_ctes(), n=N_MERGES)
+
+
 N_SHARDS = 8  # mirrors textanalysis.N_SHARDS (import would be circular-ish)
 
 ORACLE_BPE_SHARD_ASSIGNMENT = rf"""
@@ -377,6 +449,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "bpe_detokenize_check": q_bpe_detokenize_check,
     "bpe_shard_assignment": q_bpe_shard_assignment,
+    "bpe_fertility_by_lang": q_bpe_fertility_by_lang,
 }
 
 ORACLES = {
@@ -384,4 +457,5 @@ ORACLES = {
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "bpe_detokenize_check": ORACLE_BPE_DETOKENIZE,
     "bpe_shard_assignment": ORACLE_BPE_SHARD_ASSIGNMENT,
+    "bpe_fertility_by_lang": ORACLE_BPE_FERTILITY,
 }
