@@ -1769,6 +1769,64 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
 ORACLE_TOP_EIGEN = _oracle_top_eigen()
 
 
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance of the frozen IVF codebook: per cell, the
+    vector count, corpus share (bp), and load factor (milli; 1000 =
+    perfectly balanced). IVF latency is governed by the FATTEST probed
+    list — a cell with load factor 3000 makes every probe that touches it
+    3x the balanced cost, and is the practical retrain/split trigger next
+    to ann_staleness_report's recall gap.
+
+    Scale shape: the shared _featurize pass already carries list_id; this
+    is ONE cell-keyed count (N_LISTS groups, map-side combined) plus
+    window math on the N_LISTS-row relation."""
+    feat = _featurize(spark, sf_dir)
+    cells = feat.groupBy(F.col("list_id").cast("bigint").alias("list_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    w_all = Window.partitionBy()  # N_LISTS-row bounded relation
+    return (
+        cells.withColumn("total", F.sum("n_vecs").over(w_all))
+        .selectExpr(
+            "list_id",
+            "n_vecs",
+            "CAST(n_vecs * 10000 DIV total AS BIGINT) AS share_bp",
+            f"CAST(n_vecs * {N_LISTS} * 1000 DIV total AS BIGINT)"
+            " AS load_factor_milli",
+        )
+        .orderBy("list_id")
+    )
+
+
+def _oracle_cell_balance() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+assigned AS (
+  SELECT vec_id,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+  FROM embeddings, cent
+),
+cells AS (
+  SELECT CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id,
+         CAST(count(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY 1
+)
+SELECT list_id, n_vecs,
+       CAST(n_vecs * 10000 // sum(n_vecs) OVER () AS BIGINT) AS share_bp,
+       CAST(n_vecs * {N_LISTS} * 1000 // sum(n_vecs) OVER () AS BIGINT)
+         AS load_factor_milli
+FROM cells
+ORDER BY list_id
+"""
+
+
+ORACLE_IVF_CELL_BALANCE = _oracle_cell_balance()
+
+
 # ---------------------------------------------------------------------------
 # label-centroid similarity: the embedding-space complement to
 # source_kl_divergence's lexical domain shift — how close two label
@@ -2198,6 +2256,7 @@ QUERIES = {
     "ann_recall_report": q_ann_recall_report,
     "ann_staleness_report": q_ann_staleness_report,
     "embedding_top_eigen": q_embedding_top_eigen,
+    "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
 }
@@ -2220,6 +2279,7 @@ ORACLES = {
     "ann_recall_report": ORACLE_ANN_RECALL,
     "ann_staleness_report": ORACLE_ANN_STALENESS,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
+    "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "embedding_knn_accuracy": ORACLE_EMBEDDING_KNN,
 }

@@ -2008,6 +2008,42 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming sketch maintenance: the HLL register relation AS a streaming
+# aggregate — mergeable summaries in motion
+
+
+def streaming_hll_registers(spark: SparkSession, sf_dir: str):
+    """Maintain the integer HLL register sketch (search.hll_registers —
+    the same sketch the batch gates prove mergeable) as a STREAMING
+    aggregate over the event stream: per (event_type, bucket) the running
+    max rho of hashed user ids. max is associative/commutative, so
+    Structured Streaming's incremental state IS the sketch merge — each
+    micro-batch max-merges its registers into the store, and the final
+    table must equal the batch registers over the same rows (the twin
+    test asserts exact register equality, stream == batch).
+
+    Scale posture: state is bounded at |event_types| x 256 registers
+    regardless of event volume — the whole point of sketching a
+    distinct-count in a stream. Complete output mode re-emits the small
+    register relation; a production sink would upsert it as the serving
+    sketch."""
+    from ..operators.search import hll_registers
+
+    stream = _event_stream(spark, sf_dir)
+    toks = stream.select(
+        F.col("event_type").alias("source"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    return (
+        hll_registers(toks)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_hll_stream")
+        .start()
+    )
+
+
 QUERIES = {
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,

@@ -102,6 +102,36 @@ def test_media_dhash_short_signal_dropped(spark):
     assert out == []
 
 
+def test_streaming_hll_registers_match_batch(spark, sf_dir):
+    """Mergeable summaries in motion: the HLL register relation
+    maintained as a streaming max-aggregate equals the batch registers
+    over the same events — register-for-register, not just the final
+    estimate."""
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.operators.search import hll_registers
+    from sap_sql_engine_spark.streaming import events as se
+
+    q = se.streaming_hll_registers(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+        stream_regs = {
+            (r.source, r.bucket): r.r
+            for r in spark.table("events_hll_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch_toks = se.table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    batch_regs = {
+        (r.source, r.bucket): r.r for r in hll_registers(batch_toks).collect()
+    }
+    assert stream_regs == batch_regs
+    assert len(batch_regs) > 0
+
+
 def test_dedup_normalization_ladder_planted(spark, tmp_path):
     """Each ladder stage reveals exactly its own duplicate class: an
     exact dup at stage 0, a case-only twin at stage 1, a whitespace-only
