@@ -64,6 +64,15 @@ HEADLINE = [
     "embedding_matryoshka_report",
     "parts_abc_classification",
     "events_interarrival_percentiles",
+    # r9 additions: the new nontrivial plans under the guard — relational
+    # dhash banding, the two-phase top-K rewrites, trained-tokenizer
+    # composition, power iteration
+    "media_dhash_report",
+    "vocab_oov_report",
+    "bpe_shard_assignment",
+    "embedding_top_eigen",
+    "dedup_normalization_ladder",
+    "ann_staleness_report",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",

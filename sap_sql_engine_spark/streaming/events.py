@@ -2009,6 +2009,102 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# event-time lateness histogram: the watermark-tuning readout. Streaming
+# jobs pick their watermark delay from the observed out-of-order profile;
+# this query IS that profile — how many events arrive with an event time
+# behind the per-user running maximum (event_id = arrival order, the same
+# convention every streaming twin here uses), and by how much.
+
+LATENESS_CLASSES = (
+    (0, "in_order"),
+    (1, "late_1s"),
+    (10, "late_10s"),
+    (60, "late_60s"),
+    (600, "late_600s"),
+)
+
+
+def q_events_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per lateness class: event count and corpus share (bp). Lateness =
+    per-user running-max event time (over arrival order) minus the
+    event's own time, exact integer microseconds; classes are <=1s,
+    <=10s, <=60s, <=600s and the over-600s tail ('late_inf'), plus
+    'in_order' for events at or ahead of the running max. Read off the
+    smallest class whose cumulative share clears your completeness SLO
+    and that is your ``withWatermark`` delay.
+
+    Scale shape: ONE user-keyed sort window (the sessionize exchange,
+    arrival-ordered) and one bounded-class aggregation."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("late_us")
+    )
+    cls = "CASE WHEN late_us IS NULL OR late_us <= 0 THEN 'in_order' "
+    for secs, name in LATENESS_CLASSES[1:]:
+        cls += f"WHEN late_us <= {secs * 1_000_000} THEN '{name}' "
+    cls += "ELSE 'late_inf' END"
+    order = {name: i for i, (_, name) in enumerate(LATENESS_CLASSES)}
+    order["late_inf"] = len(LATENESS_CLASSES)
+    ord_case = "CASE " + " ".join(
+        f"WHEN lateness_class = '{n}' THEN {i}" for n, i in order.items()
+    ) + " END"
+    w_all = W.partitionBy()  # 6-row class relation
+    return (
+        late.selectExpr(f"{cls} AS lateness_class")
+        .groupBy("lateness_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn("total", F.sum("n_events").over(w_all))
+        .selectExpr(
+            f"CAST({ord_case} AS INT) AS class_order",
+            "lateness_class",
+            "n_events",
+            "CAST(n_events * 10000 DIV total AS BIGINT) AS share_bp",
+        )
+        .orderBy("class_order")
+    )
+
+
+def _oracle_lateness() -> str:
+    cls = "CASE WHEN late_us IS NULL OR late_us <= 0 THEN 'in_order' "
+    for secs, name in LATENESS_CLASSES[1:]:
+        cls += f"WHEN late_us <= {secs * 1_000_000} THEN '{name}' "
+    cls += "ELSE 'late_inf' END"
+    order = {name: i for i, (_, name) in enumerate(LATENESS_CLASSES)}
+    order["late_inf"] = len(LATENESS_CLASSES)
+    ord_case = "CASE " + " ".join(
+        f"WHEN lateness_class = '{n}' THEN {i}" for n, i in order.items()
+    ) + " END"
+    return f"""
+WITH late AS (
+  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         - epoch_us(ts) AS late_us
+  FROM events
+),
+classed AS (
+  SELECT {cls} AS lateness_class, count(*) AS n_events
+  FROM late GROUP BY 1
+)
+SELECT CAST({ord_case} AS INT) AS class_order,
+       lateness_class,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events * 10000 // sum(n_events) OVER () AS BIGINT) AS share_bp
+FROM classed
+ORDER BY class_order
+"""
+
+
+ORACLE_LATENESS_HISTOGRAM = _oracle_lateness()
+
+
+# ---------------------------------------------------------------------------
 # streaming sketch maintenance: the HLL register relation AS a streaming
 # aggregate — mergeable summaries in motion
 
@@ -2045,6 +2141,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str):
 
 
 QUERIES = {
+    "events_lateness_histogram": q_events_lateness_histogram,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2069,6 +2166,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,

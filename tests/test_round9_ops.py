@@ -102,6 +102,44 @@ def test_media_dhash_short_signal_dropped(spark):
     assert out == []
 
 
+def test_events_lateness_histogram_planted(spark, tmp_path):
+    """Out-of-order classes pin: per-user running max over ARRIVAL order
+    (event_id), exact boundary inclusion (lateness == class bound stays
+    in the class), cross-user isolation."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta
+    rows = [
+        # user 1 arrival order: 12:00, then 11:59:59.5 (0.5s late ->
+        # late_1s), then 11:59:00 (exactly 60s behind the running max ->
+        # late_60s boundary), then 12:01 (in order again)
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 - s(seconds=0.5), 1, "view", 1.0, None),
+        (3, t0 - s(seconds=60), 1, "view", 1.0, None),
+        (4, t0 + s(minutes=1), 1, "view", 1.0, None),
+        # user 2: strictly increasing -> all in order (no cross-user max)
+        (5, t0 - s(hours=1), 2, "click", 1.0, None),
+        (6, t0 - s(minutes=30), 2, "click", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.lateness_class: (r.class_order, r.n_events, r.share_bp)
+        for r in ev.q_events_lateness_histogram(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "in_order": (0, 4, 6666),
+        "late_1s": (1, 1, 1666),
+        "late_60s": (3, 1, 1666),
+    }
+
+
 def test_streaming_hll_registers_match_batch(spark, sf_dir):
     """Mergeable summaries in motion: the HLL register relation
     maintained as a streaming max-aggregate equals the batch registers
