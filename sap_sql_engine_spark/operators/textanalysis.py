@@ -1624,6 +1624,83 @@ FROM cleaned
 
 
 # ---------------------------------------------------------------------------
+# per-domain document cap: every web pipeline caps documents per domain so
+# one crawl-heavy site cannot dominate the mixture (the CommonCrawl
+# "domain cap" rule). Deterministic: the kept set is the K smallest
+# md5(doc_id) per source — reproducible on any engine, any partitioning.
+
+DOMAIN_CAP = 40
+
+
+def q_docs_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the DOMAIN_CAP deterministic cap: total
+    docs, kept, dropped, and an order-insensitive bit_xor checksum of the
+    kept doc_ids (shard_manifest's integrity recipe) so the gate verifies
+    the SELECTION, not just the counts.
+
+    Scale shape: one source-keyed sort window (rank by hash) and one
+    source aggregation. The production writer applies ``rn <= cap`` as a
+    filter — which Spark plans as WindowGroupLimit (partial top-K per
+    partition before the shuffle); this accounting query keeps the full
+    ranks because it must also count the dropped side."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("rn") <= DOMAIN_CAP).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                f"bit_xor(CASE WHEN rn <= {DOMAIN_CAP} THEN "
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT) ELSE 0 END)"
+            ).alias("kept_checksum"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_kept",
+            "CAST(n_docs - n_kept AS BIGINT) AS n_dropped",
+            f"CAST({DOMAIN_CAP} AS BIGINT) AS cap",
+            "kept_checksum",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_CAPPED = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST({DOMAIN_CAP} AS BIGINT) AS cap,
+       bit_xor(CASE WHEN rn <= {DOMAIN_CAP} THEN
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT)
+               ELSE 0 END) AS kept_checksum
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # balanced training-shard assignment
 
 N_SHARDS = 8
@@ -3770,6 +3847,7 @@ QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "text_lm_score": q_text_lm_score,
     "docs_shard_assignment": q_docs_shard_assignment,
+    "docs_capped_per_source": q_docs_capped_per_source,
     "text_clean_normalize": q_text_clean_normalize,
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
@@ -3817,6 +3895,7 @@ ORACLES = {
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
+    "docs_capped_per_source": ORACLE_DOCS_CAPPED,
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
