@@ -27,6 +27,40 @@ WORDS = st.lists(
 )
 
 
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=65,  # DHASH_CELLS: below this both lanes drop the row
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_dhash_sql_lane_equals_python_lane_property(spark, texts):
+    """Cross-lane property on arbitrary printable signals: the relational
+    SQL dHash (what the driver gate verifies) and the pure-Python
+    definition (what the PNG/WAV decode lane runs) agree band-for-band."""
+    from sap_sql_engine_spark.operators.multimodal import (
+        dhash_bands,
+        sql_dhash_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.media_id, r.band_no): r.band_val
+        for r in sql_dhash_bands(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = dhash_bands([ord(c) for c in t])
+        assert [got[(i, k)] for k in range(4)] == expected, (i, t)
+
+
 @settings(**SETTINGS)
 @given(words=WORDS)
 def test_bpe_roundtrip_decode_encode_identity(spark, tmp_path_factory, words):
