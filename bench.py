@@ -19,12 +19,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import dedup, relational, similarity, textanalysis
+from sap_sql_engine_spark.operators import (
+    bpe,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textanalysis,
+)
 from sap_sql_engine_spark.session import get_spark
 from sap_sql_engine_spark.streaming import events
 
 _REGISTRY: dict = {}
-for mod in (relational, textanalysis, dedup, similarity, events):
+for mod in (relational, textanalysis, dedup, similarity, events, multimodal, bpe):
     _REGISTRY.update(mod.QUERIES)
 
 HEADLINE = [

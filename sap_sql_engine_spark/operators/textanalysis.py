@@ -2094,10 +2094,12 @@ def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = stc.groupBy("token").agg(F.sum("c").alias("gc"))
     top = g.orderBy(F.col("gc").desc(), "token").limit(max(VOCAB_KS))
+    # constant partition key: <= max(K) rows by construction (see
+    # vocab_coverage_curve for the rationale)
     rank = top.select(
         "token",
         F.row_number()
-        .over(Window.orderBy(F.col("gc").desc(), "token"))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.col("gc").desc(), "token"))
         .alias("r"),
     )
     ks = F.explode(
@@ -3396,15 +3398,15 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable. All-integer: covered * 1000 DIV total.
 
     Scale shape (two-phase top-K, r9): one token count aggregation (the
-    corpus-sized shuffle), then ``orderBy().limit(maxK)`` — which plans
-    as a parallel TakeOrderedAndProject (partial top-K per partition,
-    NO single-partition sort of the 1e8+-row web-scale vocabulary) —
-    and the rank/cumulative windows run on the <= maxK-row survivor
-    relation. The corpus token total is a plain 1-row aggregate attached
-    to the 3-row K relation (BNLJ_ALLOWED metadata attach), not a
-    whole-vocabulary window."""
+    corpus-sized shuffle) feeds a cached vocabulary-count relation; each
+    K point is then ``orderBy().limit(K)`` — a parallel
+    TakeOrderedAndProject (partial top-K per partition, NO
+    single-partition sort and NO window at all over the 1e8+-row
+    web-scale vocabulary) — followed by a 1-row sum. The corpus token
+    total is a plain 1-row aggregate attached to the 3-row K relation
+    (BNLJ_ALLOWED metadata attach)."""
     docs = spread(table(spark, sf_dir, "documents"))
-    counts = (
+    counts = cache_eager(
         docs.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
         )
@@ -3412,21 +3414,18 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = counts.agg(F.sum("c").cast("bigint").alias("tokens_total"))
-    top = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
-        max(COVERAGE_KS)
-    )
-    w_rank = Window.orderBy(F.col("c").desc(), F.col("token").asc())
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = top.withColumn("r", F.row_number().over(w_rank)).withColumn(
-        "cum", F.sum("c").over(w_cum)
-    )
-    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    legs = [
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k)
+        .agg(F.sum("c").cast("bigint").alias("tokens_covered"))
+        .selectExpr(f"CAST({k} AS BIGINT) AS k", "tokens_covered")
+        for k in COVERAGE_KS
+    ]
+    curve = legs[0]
+    for leg in legs[1:]:
+        curve = curve.unionByName(leg)
     return (
-        ranked.withColumn("k", F.explode(F.expr(f"array({ks})")))
-        .filter(F.col("r") <= F.col("k"))
-        .groupBy("k")
-        .agg(F.max("cum").cast("bigint").alias("tokens_covered"))
-        .join(F.broadcast(total))
+        curve.join(F.broadcast(total))
         .selectExpr(
             "CAST(k AS BIGINT) AS k",
             "tokens_covered",

@@ -161,9 +161,17 @@ def test_bench_headline_all_registered_and_line_fits_capture():
     import __spark_entry__ as entry
     from bench import HEADLINE
 
+    import bench
+
     qs = entry.queries()
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"bench names not registered: {missing}"
+    # and bench's OWN module registry must resolve every headline name
+    # (r9: media_dhash_report was registered in the driver contract but
+    # bench._REGISTRY lacked the multimodal module — KeyError at bench
+    # time, caught here instead)
+    unresolvable = [n for n in HEADLINE if n not in bench._REGISTRY]
+    assert not unresolvable, f"bench registry cannot run: {unresolvable}"
     assert len(set(HEADLINE)) == len(HEADLINE), "duplicate bench entries"
     worst = json.dumps(
         {
