@@ -3406,6 +3406,10 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is a plain 1-row aggregate attached to the 3-row K relation
     (BNLJ_ALLOWED metadata attach)."""
     docs = spread(table(spark, sf_dir, "documents"))
+    # the vocabulary-count relation feeds FOUR consumers (the total and
+    # one top-K leg per K point) — cache it once; the corpus is tokenized
+    # and shuffled exactly once, and every consumer reads the Heaps-
+    # bounded cache (the same lifetime discipline as the BPE word cache)
     counts = cache_eager(
         docs.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
