@@ -2009,6 +2009,66 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# semi-structured schema inventory: which JSON keys actually occur in the
+# props column, per event type — the schema-drift audit run before
+# promoting a JSON payload to typed columns (a producer adding/renaming a
+# key shows up here as a new inventory row, not a silent NULL lane).
+
+
+def q_events_props_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, prop_key): row count and share of the type's
+    events; rows whose props do not parse inventory under the
+    '<malformed>' key so the audit is total (nothing silently skipped).
+
+    Scale shape: one map-side json_object_keys explode + one small-group
+    aggregation (keys x types groups); the per-type total rides a
+    type-partitioned window on the bounded inventory relation."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "coalesce(json_object_keys(props), array('<malformed>'))"
+            )
+        ).alias("prop_key"),
+    )
+    w_type = W.partitionBy("event_type")
+    return (
+        keyed.groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("tot", F.sum("n_rows").over(w_type))
+        .selectExpr(
+            "event_type",
+            "prop_key",
+            "n_rows",
+            "CAST(n_rows * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+ORACLE_PROPS_KEY_INVENTORY = """
+WITH keyed AS (
+  SELECT event_type,
+         unnest(CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                     THEN json_keys(props)
+                     ELSE ['<malformed>'] END) AS prop_key
+  FROM events
+),
+inv AS (
+  SELECT event_type, prop_key, count(*) AS n_rows
+  FROM keyed GROUP BY 1, 2
+)
+SELECT event_type, prop_key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 10000 // sum(n_rows) OVER (PARTITION BY event_type)
+        AS BIGINT) AS share_bp
+FROM inv
+ORDER BY event_type, prop_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # event-time lateness histogram: the watermark-tuning readout. Streaming
 # jobs pick their watermark delay from the observed out-of-order profile;
 # this query IS that profile — how many events arrive with an event time
@@ -2141,6 +2201,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str):
 
 
 QUERIES = {
+    "events_props_key_inventory": q_events_props_key_inventory,
     "events_lateness_histogram": q_events_lateness_histogram,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
@@ -2166,6 +2227,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,

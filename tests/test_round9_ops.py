@@ -140,6 +140,39 @@ def test_events_lateness_histogram_planted(spark, tmp_path):
     }
 
 
+def test_events_props_key_inventory_planted(spark, tmp_path):
+    """Key inventory is TOTAL: objects inventory their keys, while
+    malformed JSON, arrays, and scalar JSON all land under '<malformed>'
+    (valid JSON that is not an object has no keys to promote)."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 1.0, '{"k": 1}'),
+        (2, t0, 1, "a", 1.0, '{"k": 2, "v": 3}'),
+        (3, t0, 1, "a", 1.0, "{not json"),
+        (4, t0, 1, "a", 1.0, "[1, 2]"),
+        (5, t0, 1, "b", 1.0, '"scalar"'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.event_type, r.prop_key): (r.n_rows, r.share_bp)
+        for r in ev.q_events_props_key_inventory(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("a", "k"): (2, 4000),
+        ("a", "v"): (1, 2000),
+        ("a", "<malformed>"): (2, 4000),
+        ("b", "<malformed>"): (1, 10000),
+    }
+
+
 def test_streaming_hll_registers_match_batch(spark, sf_dir):
     """Mergeable summaries in motion: the HLL register relation
     maintained as a streaming max-aggregate equals the batch registers
