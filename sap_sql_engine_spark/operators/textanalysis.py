@@ -1624,6 +1624,96 @@ FROM cleaned
 
 
 # ---------------------------------------------------------------------------
+# readability: Flesch reading-ease per source from exact integer counts
+# (words, sentence-ending punctuation runs, vowel groups as the syllable
+# proxy — the standard regex approximation). The only float math is the
+# closed-form Flesch formula over exact-integer ratios (FLOATS.md class C:
+# IEEE division/multiply/subtract on exactly-represented integers, floored
+# once to milli units — bit-identical on both engines).
+
+
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease (milli units): corpus-level
+    words/sentence and syllables/word ratios from summed exact counts.
+    The quality-filter companion to text_quality_score — a source whose
+    ease drifts far negative is boilerplate/code, far positive is
+    fragment noise.
+
+    Scale shape: pure map-side regexp counts + one source aggregation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "source",
+        F.expr(
+            r"size(filter(split(trim(text), '\\s+'), w -> w != ''))"
+        ).cast("bigint").alias("w"),
+        # readability convention: a text with no terminal punctuation is
+        # ONE sentence (fragment), not zero — keeps the ratio total
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("bigint").alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_sentences"),
+            F.sum("v").cast("bigint").alias("n_vowel_groups"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_vowel_groups",
+            # 206.835 - 1.015*(W/S) - 84.6*(V/W), milli-floored; emitted
+            # as DOUBLE on both legs because a word-free source is NULL
+            # (nullable BIGINT pairs as float64 in the driver's pandas
+            # compare — the precision_bp dtype precedent)
+            "CAST(floor((206.835"
+            " - 1.015 * (CAST(n_words AS DOUBLE)"
+            "            / CAST(n_sentences AS DOUBLE))"
+            " - 84.6 * (CAST(n_vowel_groups AS DOUBLE)"
+            "           / CAST(nullif(n_words, 0) AS DOUBLE))) * 1000)"
+            " AS DOUBLE) AS flesch_milli",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_READABILITY = r"""
+WITH counted AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> w != '')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS v
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences,
+         CAST(sum(v) AS BIGINT) AS n_vowel_groups
+  FROM counted GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_sentences, n_vowel_groups,
+       CAST(floor((206.835
+         - 1.015 * (CAST(n_words AS DOUBLE)
+                    / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_vowel_groups AS DOUBLE)
+                   / CAST(nullif(n_words, 0) AS DOUBLE))) * 1000)
+        AS DOUBLE) AS flesch_milli
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-domain document cap: every web pipeline caps documents per domain so
 # one crawl-heavy site cannot dominate the mixture (the CommonCrawl
 # "domain cap" rule). Deterministic: the kept set is the K smallest
@@ -3851,6 +3941,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "docs_shard_assignment": q_docs_shard_assignment,
     "docs_capped_per_source": q_docs_capped_per_source,
+    "docs_readability": q_docs_readability,
     "text_clean_normalize": q_text_clean_normalize,
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
@@ -3899,6 +3990,7 @@ ORACLES = {
     "text_lm_score": ORACLE_TEXT_LM_SCORE,
     "docs_shard_assignment": ORACLE_DOCS_SHARD_ASSIGNMENT,
     "docs_capped_per_source": ORACLE_DOCS_CAPPED,
+    "docs_readability": ORACLE_DOCS_READABILITY,
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
