@@ -330,12 +330,152 @@ FROM scalars
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted label propagation (synchronous LPA) — the third classic graph
+# kernel: community detection over the undirected trade graph. Each round
+# every node adopts the label carrying the MOST incident edge weight among
+# its neighbors (ties -> smallest label, a total order), so the recurrence
+# is integer-exact and the oracle unrolls it as CTEs like PageRank.
+
+LPA_ITERS = 3
+
+
+def lpa_loop(nodes: DataFrame, edges_sym: DataFrame, iterations: int) -> DataFrame:
+    """Synchronous weighted LPA kernel, factored for planted-graph tests:
+    ``nodes`` is (node), ``edges_sym`` is the SYMMETRIC self-loop-free
+    (src, dst, w) relation; returns (node, lab). Isolated nodes keep
+    their own label. Per-iteration renamed join keys — the pagerank_loop
+    lineage lesson."""
+    labels = nodes.select("node", F.col("node").cast("bigint").alias("lab"))
+    for it in range(iterations):
+        lb = labels.select(
+            F.col("node").alias(f"__n{it}"), F.col("lab").alias(f"__l{it}")
+        )
+        scores = (
+            edges_sym.join(F.broadcast(lb), edges_sym["src"] == F.col(f"__n{it}"))
+            .groupBy("dst", f"__l{it}")
+            .agg(F.sum("w").alias("s"))
+        )
+        from pyspark.sql import Window
+
+        w_pick = Window.partitionBy("dst").orderBy(
+            F.col("s").desc(), F.col(f"__l{it}")
+        )
+        winner = (
+            scores.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("dst").alias(f"__w{it}"),
+                F.col(f"__l{it}").alias("wlab"),
+            )
+        )
+        labels = labels.join(
+            F.broadcast(winner), labels["node"] == F.col(f"__w{it}"), "left"
+        ).select("node", F.coalesce("wlab", "lab").alias("lab"))
+    return labels
+
+
+def q_trade_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA_ITERS rounds of weighted label propagation over the undirected
+    nation trade graph; per final community: member count and the sorted
+    member list (deterministic by the sorted array_join).
+
+    Scale shape: identical posture to PageRank — the edge relation is
+    <= |nations|^2 built once from the facts and cached; each round is a
+    broadcast of the |V|-row label relation into the edges, one
+    (dst, label) aggregation, one bounded per-node pick window. At
+    web-scale graphs the label relation shuffles on the join key instead
+    of broadcasting (docstring contract shared with pagerank_loop)."""
+    edges = cache_eager(
+        _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    )
+    sym = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nations = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    labels = lpa_loop(nations.select("node"), sym, LPA_ITERS)
+    return (
+        nations.join(F.broadcast(labels), "node")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr("array_join(array_sort(collect_list(n_name)), ',')").alias(
+                "members"
+            ),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+def _oracle_lpa() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        iters.append(
+            f"""l{i} AS (
+  SELECT n.node, COALESCE(w.wlab, p.lab) AS lab
+  FROM nodes n
+  JOIN {prev} p ON n.node = p.node
+  LEFT JOIN (
+    SELECT dst, lab AS wlab FROM (
+      SELECT e.dst, p2.lab, sum(e.w) AS s,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY sum(e.w) DESC, p2.lab) AS rn
+      FROM sym e JOIN {prev} p2 ON e.src = p2.node
+      GROUP BY e.dst, p2.lab
+    ) WHERE rn = 1
+  ) w ON n.node = w.dst
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey != s_nationkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY 1, 2
+),
+nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+{",".join(iters)}
+SELECT p.lab AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       array_to_string(list_sort(list(n.n_name)), ',') AS members
+FROM nodes n JOIN {prev} p ON n.node = p.node
+GROUP BY p.lab
+ORDER BY n_members DESC, community
+"""
+
+
+ORACLE_TRADE_LPA = _oracle_lpa()
+
+
 QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
+    "trade_lpa_communities": q_trade_lpa_communities,
 }
 
 ORACLES = {
     "nation_trade_pagerank": ORACLE_NATION_TRADE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
+    "trade_lpa_communities": ORACLE_TRADE_LPA,
 }

@@ -140,6 +140,28 @@ def test_events_lateness_histogram_planted(spark, tmp_path):
     }
 
 
+def test_lpa_planted_two_cliques_and_bridge(spark):
+    """Weighted LPA pins: two weight-10 triangles joined by a weight-1
+    bridge resolve to two communities (the bridge never outweighs the
+    clique), ties break to the smallest label, and an isolated node
+    keeps its own label."""
+    from sap_sql_engine_spark.operators.graph import LPA_ITERS, lpa_loop
+
+    und = [
+        (1, 2, 10), (1, 3, 10), (2, 3, 10),
+        (4, 5, 10), (4, 6, 10), (5, 6, 10),
+        (3, 4, 1),
+    ]
+    sym = spark.createDataFrame(
+        und + [(b, a, w) for a, b, w in und], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    labels = {
+        r.node: r.lab for r in lpa_loop(nodes, sym, LPA_ITERS).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
 def test_events_props_key_inventory_planted(spark, tmp_path):
     """Key inventory is TOTAL: objects inventory their keys, while
     malformed JSON, arrays, and scalar JSON all land under '<malformed>'
