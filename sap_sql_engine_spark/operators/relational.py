@@ -3353,6 +3353,76 @@ ORDER BY decile
 # answers to "how did March look").
 
 
+def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly order revenue: per
+    calendar month (1..12), the mean ratio-to-trend across years, where
+    trend is the 12-month moving average (5 preceding .. 6 following,
+    partial at the series edges — both engines window the identical
+    frame). A month with index > 1000 milli sells above its local trend
+    — the seasonality read every demand forecast starts from.
+
+    Exactness: revenue sums in exact cents; trend = window sum DIV
+    window count (integral); ratio and the cross-year mean are integral
+    milli quotients — no float anywhere.
+
+    Scale shape: ONE order-date aggregation over the pruned orders scan
+    (map-side combined to <= |months| groups); all window/ratio math
+    runs on the bounded month relation (~84 rows at any sf — the
+    calendar does not grow with the corpus, an adjudicated bounded
+    window)."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.expr(
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    )
+    w = W.orderBy("ym").rowsBetween(-5, 6)  # bounded calendar relation
+    ratios = (
+        monthly.withColumn("tsum", F.sum("cents").over(w))
+        .withColumn("tcnt", F.count(F.lit(1)).over(w))
+        .selectExpr(
+            "CAST(substring(ym, 6, 2) AS INT) AS month",
+            "CAST(cents * 1000 DIV (tsum DIV tcnt) AS BIGINT) AS ratio_milli",
+        )
+    )
+    return (
+        ratios.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_years"),
+            F.expr("CAST(sum(ratio_milli) DIV count(1) AS BIGINT)").alias(
+                "seasonal_index_milli"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY_SEASONALITY = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ratios AS (
+  SELECT CAST(substr(ym, 6, 2) AS INT) AS month,
+         CAST(cents * 1000 // (CAST(sum(cents) OVER w AS BIGINT)
+              // count(*) OVER w) AS BIGINT) AS ratio_milli
+  FROM monthly
+  WINDOW w AS (ORDER BY ym ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_years,
+       CAST(CAST(sum(ratio_milli) AS BIGINT) // count(*) AS BIGINT)
+         AS seasonal_index_milli
+FROM ratios
+GROUP BY month
+ORDER BY month
+"""
+
+
 def q_monthly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled 1995 monthly revenue of urgent high-value orders per
     region. The 12-month spine is generated from date literals
@@ -4005,6 +4075,7 @@ QUERIES = {
     "running_balance": q_running_balance,
     "revenue_mom_delta": q_revenue_mom_delta,
     "monthly_revenue_spine": q_monthly_revenue_spine,
+    "monthly_seasonality": q_monthly_seasonality,
     "part_skyline_frontier": q_part_skyline_frontier,
     "fifo_return_reallocation": q_fifo_return_reallocation,
     "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
@@ -4076,6 +4147,7 @@ ORACLES = {
     "running_balance": ORACLE_RUNNING_BALANCE,
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
+    "monthly_seasonality": ORACLE_MONTHLY_SEASONALITY,
     "part_skyline_frontier": ORACLE_PART_SKYLINE,
     "fifo_return_reallocation": ORACLE_FIFO_REALLOCATION,
     "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
