@@ -2009,6 +2009,96 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# funnel latency: not just WHETHER users convert (q_events_funnel) but HOW
+# LONG signup -> first purchase takes — the time-to-convert distribution
+# product teams act on.
+
+
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row time-to-convert report: users who signed up, users who
+    purchased after signup, and p50/p90 signup->first-purchase latency in
+    seconds over the converted population.
+
+    Gap math is exact integer microseconds (the interarrival-percentiles
+    convention: the only float ops are the IEEE division and Spark's
+    interpolating ``percentile`` on exactly-represented integers).
+
+    Scale shape: one user-partitioned window pass (the funnel's
+    exchange) collapsed to a per-user row, then a single global
+    aggregation."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    pw = W.partitionBy("user_id")
+    step = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.min(F.when(F.col("event_type") == "signup", us)).over(pw).alias(
+            "s_ts"
+        ),
+    )
+    per_user = (
+        step.withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("s_ts")),
+                    F.col("ts_us"),
+                )
+            ).over(pw),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("s_ts").alias("s_ts"),
+            F.max(F.col("p_ts") - F.col("s_ts")).alias("gap_us"),
+        )
+        .filter(F.col("s_ts").isNotNull())
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signed_up"),
+        F.sum(F.col("gap_us").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.round(
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5D)") / 1_000_000.0, 2
+        ).alias("p50_s"),
+        F.round(
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.9D)") / 1_000_000.0, 2
+        ).alias("p90_s"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH step AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS s_ts
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+),
+per_user AS (
+  SELECT user_id, max(s_ts) AS s_ts,
+         min(CASE WHEN event_type = 'purchase' AND ts_us > s_ts
+                  THEN ts_us END) - max(s_ts) AS gap_us
+  FROM step
+  GROUP BY user_id
+  HAVING max(s_ts) IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_signed_up,
+       CAST(sum(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 2)
+         AS p50_s,
+       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0, 2)
+         AS p90_s
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
 # semi-structured schema inventory: which JSON keys actually occur in the
 # props column, per event type — the schema-drift audit run before
 # promoting a JSON payload to typed columns (a producer adding/renaming a
@@ -2202,6 +2292,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str):
 
 QUERIES = {
     "events_props_key_inventory": q_events_props_key_inventory,
+    "events_funnel_latency": q_events_funnel_latency,
     "events_lateness_histogram": q_events_lateness_histogram,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
@@ -2228,6 +2319,7 @@ QUERIES = {
 
 ORACLES = {
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,
+    "events_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
