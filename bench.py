@@ -22,16 +22,32 @@ from sap_sql_engine_spark import cachereg
 from sap_sql_engine_spark.operators import (
     bpe,
     dedup,
+    govqueries,
+    graph,
     multimodal,
     relational,
     similarity,
+    skew,
     textanalysis,
 )
 from sap_sql_engine_spark.session import get_spark
 from sap_sql_engine_spark.streaming import events
 
+# every registry module the driver contract aggregates — keeps HEADLINE
+# free to reference any gated query (contract test pins resolvability)
 _REGISTRY: dict = {}
-for mod in (relational, textanalysis, dedup, similarity, events, multimodal, bpe):
+for mod in (
+    relational,
+    textanalysis,
+    dedup,
+    similarity,
+    events,
+    multimodal,
+    bpe,
+    graph,
+    govqueries,
+    skew,
+):
     _REGISTRY.update(mod.QUERIES)
 
 HEADLINE = [
@@ -80,6 +96,9 @@ HEADLINE = [
     "embedding_top_eigen",
     "dedup_normalization_ladder",
     "ann_staleness_report",
+    "trade_lpa_communities",
+    "monthly_seasonality",
+    "events_funnel_latency",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
