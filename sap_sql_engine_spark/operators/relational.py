@@ -3353,6 +3353,81 @@ ORDER BY decile
 # answers to "how did March look").
 
 
+def q_monthly_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month open-order backlog as a DELTA STREAM: each order
+    contributes +1 at its order month and -1 at its last-shipment month;
+    the cumulative sum over months IS the count of orders started on or
+    before M and fully shipped after M. This is the scale-correct form
+    of interval counting — a point-in-interval join (orders x months)
+    grows as facts x spine, while the delta stream is two rows per order
+    aggregated to the bounded calendar grain before any window.
+
+    Scale shape: one per-order max-shipdate aggregation (order-keyed,
+    map-side combined), a 2-row-per-order delta explode collapsed to
+    <= |months| groups, and the cumulative window on the ~84-row
+    calendar relation (bounded, the seasonality adjudication)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    deltas = spans.selectExpr(
+        "explode(array("
+        "struct(date_format(o_orderdate, 'yyyy-MM') AS ym,"
+        " 1 AS started, 0 AS shipped),"
+        "struct(date_format(ship_end, 'yyyy-MM') AS ym,"
+        " 0 AS started, 1 AS shipped))) AS d"
+    ).select("d.ym", "d.started", "d.shipped")
+    monthly = deltas.groupBy("ym").agg(
+        F.sum("started").cast("bigint").alias("n_started"),
+        F.sum("shipped").cast("bigint").alias("n_shipped"),
+    )
+    w_cum = W.orderBy("ym").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        monthly.withColumn(
+            "backlog_eom",
+            F.sum(F.col("n_started") - F.col("n_shipped")).over(w_cum),
+        )
+        .selectExpr(
+            "ym AS month",
+            "n_started",
+            "n_shipped",
+            "CAST(backlog_eom AS BIGINT) AS backlog_eom",
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY_BACKLOG = """
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate, max(l.l_shipdate) AS ship_end
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, 1 AS started, 0 AS shipped
+  FROM spans
+  UNION ALL
+  SELECT strftime(ship_end, '%Y-%m') AS ym, 0 AS started, 1 AS shipped
+  FROM spans
+),
+monthly AS (
+  SELECT ym,
+         CAST(sum(started) AS BIGINT) AS n_started,
+         CAST(sum(shipped) AS BIGINT) AS n_shipped
+  FROM deltas GROUP BY 1
+)
+SELECT ym AS month, n_started, n_shipped,
+       CAST(sum(n_started - n_shipped)
+            OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog_eom
+FROM monthly
+ORDER BY month
+"""
+
+
 def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition of monthly order revenue: per
     calendar month (1..12), the mean ratio-to-trend across years, where
@@ -4076,6 +4151,7 @@ QUERIES = {
     "revenue_mom_delta": q_revenue_mom_delta,
     "monthly_revenue_spine": q_monthly_revenue_spine,
     "monthly_seasonality": q_monthly_seasonality,
+    "monthly_order_backlog": q_monthly_order_backlog,
     "part_skyline_frontier": q_part_skyline_frontier,
     "fifo_return_reallocation": q_fifo_return_reallocation,
     "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
@@ -4148,6 +4224,7 @@ ORACLES = {
     "revenue_mom_delta": ORACLE_REVENUE_MOM,
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
     "monthly_seasonality": ORACLE_MONTHLY_SEASONALITY,
+    "monthly_order_backlog": ORACLE_MONTHLY_BACKLOG,
     "part_skyline_frontier": ORACLE_PART_SKYLINE,
     "fifo_return_reallocation": ORACLE_FIFO_REALLOCATION,
     "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
