@@ -140,6 +140,47 @@ def test_events_lateness_histogram_planted(spark, tmp_path):
     }
 
 
+def test_monthly_order_backlog_planted(spark, tmp_path):
+    """Delta-stream interval counting pins: an order shipped in its own
+    start month nets zero end-of-month backlog; a spanning order counts
+    in every intervening month; the last shipment (not the first)
+    closes the order."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.operators import relational
+
+    d = dt.date
+    orders = [
+        (1, d(2024, 1, 10)),  # ships across Jan..Mar (last ship Mar)
+        (2, d(2024, 1, 5)),   # ships within Jan -> net 0 at Jan EOM
+        (3, d(2024, 2, 1)),   # ships in Apr
+    ]
+    lines = [
+        (1, d(2024, 1, 20)),
+        (1, d(2024, 3, 15)),  # LAST shipment closes order 1 in Mar
+        (2, d(2024, 1, 25)),
+        (3, d(2024, 4, 2)),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.month: (r.n_started, r.n_shipped, r.backlog_eom)
+        for r in relational.q_monthly_order_backlog(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "2024-01": (2, 1, 1),  # order 1 open, order 2 net zero
+        "2024-02": (1, 0, 2),  # orders 1 and 3 open
+        "2024-03": (0, 1, 1),  # order 1 closes on its LAST shipment
+        "2024-04": (0, 1, 0),  # order 3 closes
+    }
+
+
 def test_lpa_planted_two_cliques_and_bridge(spark):
     """Weighted LPA pins: two weight-10 triangles joined by a weight-1
     bridge resolve to two communities (the bridge never outweighs the
