@@ -3353,6 +3353,86 @@ ORDER BY decile
 # answers to "how did March look").
 
 
+SHIP_SLA_DAYS = 30
+
+
+def q_nation_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier nation: share of lineitems shipped within the
+    SHIP_SLA_DAYS order-to-ship SLA (basis points) and the mean overrun
+    of SLA-missing lines in milli-days — the OTIF-style SCM KPI next to
+    suppliers_kept_waiting's Q21 blame query. (This corpus carries no
+    commit/receipt dates — Q4/Q12/Q21 use the same stand-in convention —
+    so the SLA is order-date-to-ship-date.)
+
+    All-integer: datediff is exact days, shares and means are integral
+    bp/milli quotients with nullif for a nation with zero late lines.
+
+    Scale shape: one lineitem scan joined to orders on the order key
+    (fact-to-fact, AQE decides) and to the broadcast supplier/nation
+    dims, aggregated to 25 groups with map-side combine."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum((lag <= SHIP_SLA_DAYS).cast("bigint"))
+            .cast("bigint")
+            .alias("n_on_time"),
+            F.sum(
+                F.when(lag > SHIP_SLA_DAYS, lag - SHIP_SLA_DAYS).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overrun_days_total"),
+        )
+        .selectExpr(
+            "nation",
+            "n_lines",
+            "n_on_time",
+            "CAST(n_on_time * 10000 DIV n_lines AS BIGINT) AS on_time_bp",
+            "CAST(overrun_days_total * 1000"
+            " DIV nullif(n_lines - n_on_time, 0) AS BIGINT)"
+            " AS avg_overrun_days_milli",
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_NATION_DELIVERY = f"""
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          <= {SHIP_SLA_DAYS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          <= {SHIP_SLA_DAYS} THEN 1 ELSE 0 END)
+            * 10000 // count(*) AS BIGINT) AS on_time_bp,
+       CAST(CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                               > {SHIP_SLA_DAYS}
+                     THEN datediff('day', o_orderdate, l_shipdate)
+                          - {SHIP_SLA_DAYS}
+                     ELSE 0 END) AS BIGINT) * 1000
+            // nullif(count(*)
+                      - sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                                      <= {SHIP_SLA_DAYS} THEN 1 ELSE 0 END), 0)
+        AS BIGINT) AS avg_overrun_days_milli
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
 def q_monthly_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-of-month open-order backlog as a DELTA STREAM: each order
     contributes +1 at its order month and -1 at its last-shipment month;
@@ -4152,6 +4232,7 @@ QUERIES = {
     "monthly_revenue_spine": q_monthly_revenue_spine,
     "monthly_seasonality": q_monthly_seasonality,
     "monthly_order_backlog": q_monthly_order_backlog,
+    "nation_delivery_performance": q_nation_delivery_performance,
     "part_skyline_frontier": q_part_skyline_frontier,
     "fifo_return_reallocation": q_fifo_return_reallocation,
     "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
@@ -4225,6 +4306,7 @@ ORACLES = {
     "monthly_revenue_spine": ORACLE_MONTHLY_SPINE,
     "monthly_seasonality": ORACLE_MONTHLY_SEASONALITY,
     "monthly_order_backlog": ORACLE_MONTHLY_BACKLOG,
+    "nation_delivery_performance": ORACLE_NATION_DELIVERY,
     "part_skyline_frontier": ORACLE_PART_SKYLINE,
     "fifo_return_reallocation": ORACLE_FIFO_REALLOCATION,
     "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
