@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sap_sql_engine_spark.operators import (
     bpe,
+    classifier,
     dedup,
     govqueries,
     graph,
@@ -39,6 +40,7 @@ _MODULES = (
     dedup,
     graph,
     bpe,
+    classifier,
     similarity,
     search,
     multimodal,

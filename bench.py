@@ -21,11 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sap_sql_engine_spark import cachereg
 from sap_sql_engine_spark.operators import (
     bpe,
+    classifier,
     dedup,
     govqueries,
     graph,
     multimodal,
     relational,
+    search,
     similarity,
     skew,
     textanalysis,
@@ -47,6 +49,8 @@ for mod in (
     graph,
     govqueries,
     skew,
+    search,
+    classifier,
 ):
     _REGISTRY.update(mod.QUERIES)
 

@@ -412,7 +412,11 @@ ORDER BY lang
 """.format(ctes=_bpe_ctes(), n=N_MERGES)
 
 
-N_SHARDS = 8  # mirrors textanalysis.N_SHARDS (import would be circular-ish)
+# Single source of truth for the shard count: bpe_shard_assignment and
+# docs_shard_assignment must deal the same number of shards (ADVICE r9 —
+# a comment-only link lets the two drift). textanalysis does not import
+# bpe, so this import is acyclic.
+from .textanalysis import N_SHARDS  # noqa: E402
 
 ORACLE_BPE_SHARD_ASSIGNMENT = rf"""
 WITH {_bpe_ctes()},

@@ -1,0 +1,370 @@
+"""On-engine trained classifiers — the fifth bounded-iteration family
+member (after PageRank, Lloyd, BPE merges, LPA, power iteration): a
+logistic-regression quality classifier trained by bounded full-batch
+gradient steps entirely inside the engine, in integer-quantized micro
+units, so the DuckDB oracle unrolls the exact training recurrence as CTEs
+and the gate hashes TRAINING and EVALUATION as one composition.
+
+The reference has no ML surface (its scope is NL->SQL over a semantic
+model, reference ``sap_sql_engine.py``); this is the
+training-data-pipeline counterpart the mandate adds: the fastText/logreg
+style quality-classifier loop every corpus-curation pipeline runs
+(featurize -> fit -> held-out eval -> threshold), expressed Spark-first.
+
+Exactness recipe (the Lloyd/top-eigen conventions):
+
+- features quantize ONCE to micro units (integers; truncating division,
+  identical on both engines — Spark ``DIV`` and DuckDB ``//`` both
+  truncate toward zero, measured for embedding_top_eigen);
+- the link is the HARD sigmoid ``clamp(1/2 + z/4, 0, 1)`` — the standard
+  quantization-exact surrogate (piecewise-linear, so every probability is
+  an integer micro value and the recurrence is bit-replicable; a
+  transcendental exp() would leave the orbit hostage to libm ulps);
+- gradients accumulate in DECIMAL(38,0) (oracle: HUGEINT) and re-quantize
+  to the micro grid per step, so both engines walk the identical orbit.
+
+Honesty: on this synthetic corpus the label (``lang``) is INDEPENDENT of
+the text (the generator assigns languages to spark-vocabulary documents
+at random — measured: per-lang marker densities are flat), so the fitted
+model converges to the majority-class predictor and held-out accuracy
+sits near the base rate. That is the correct answer for this corpus and
+the gate hashes it as-is — the same honest-numbers convention as the
+near-zero single-probe LSH recall. The planted linearly-separable pytest
+corpus proves the trainer learns (10000 bp) when signal exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cachereg import cache_eager
+from ..sources.loader import spread, table
+
+LOGREG_M = 1_000_000  # micro-unit quantization (Lloyd/eigen convention)
+LOGREG_ITERS = 6  # bounded full-batch gradient steps
+LOGREG_LR = 4  # integer learning-rate multiplier
+LOGREG_LEN_CAP = 200  # token-count feature saturates here
+HELDOUT_MOD = 5  # doc_id % 5 == 0 -> held-out (deterministic split)
+
+# the quality-signal feature set (quality_score_from's ingredients):
+# stopword density, alphabetic ratio, capped length — plus the bias.
+# Same regex text works verbatim in Java regex and DuckDB RE2.
+_STOP_RE = r"\b(the|and|of|to|a|in|is|it)\b"
+
+
+def _featurize(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, held, x0..x3) with every feature an exact BIGINT micro
+    value: x0 = bias (1.0), x1 = stopword density, x2 = alpha ratio,
+    x3 = capped token count. One narrow map over the scan."""
+    t = F.trim(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        (F.col("doc_id") % HELDOUT_MOD == 0).cast("int").alias("held"),
+        F.regexp_count(F.lower(t), F.lit(_STOP_RE))
+        .cast("bigint")
+        .alias("stop"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("bigint").alias("alpha"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.size(F.split(t, r"\s+")).cast("bigint").alias("toks"),
+    )
+    m = LOGREG_M
+    return base.selectExpr(
+        "doc_id",
+        "y",
+        "held",
+        f"CAST({m} AS BIGINT) AS x0",
+        f"stop * {m} DIV toks AS x1",
+        f"alpha * {m} DIV greatest(n_chars, 1) AS x2",
+        f"least(toks, {LOGREG_LEN_CAP}) * {m} DIV {LOGREG_LEN_CAP} AS x3",
+    )
+
+
+_Z_EXPR = f"(w0*x0 + w1*x1 + w2*x2 + w3*x3) DIV {LOGREG_M}"
+
+
+def _fit(docs: DataFrame) -> DataFrame:
+    """Featurize + train: returns the cached feature relation with the
+    fitted 1-row weight vector broadcast-attached (columns w0..w3 next to
+    doc_id/y/held/x0..x3) — the shared trunk of the report and the
+    threshold sweep.
+
+    Recurrence per step (all integer): z = (w.x) DIV M; p = clamp(M/2 +
+    z DIV 4, 0, M); err = p - y*M; g_j = sum(err * x_j) DIV (n_train*M)
+    in DECIMAL(38,0); w_j -= LR * g_j.
+
+    Scale shape: ONE cached featurize pass; each of the 6 bounded steps
+    is one map-side-combined aggregation over the cached training
+    relation with the 1-row weight vector broadcast onto it (the Lloyd
+    round shape — BNLJ_ALLOWED bounded probe). At 100 TB the per-step
+    aggregation collapses further by grouping on the quantized feature
+    vector (sufficient statistics bounded by the feature grid), exactly
+    as the oracle's `train` relation would."""
+    m = LOGREG_M
+    feats = cache_eager(_featurize(docs))
+    train = feats.filter(F.col("held") == 0)
+    n_train = train.count()  # driver scalar probe (bm25/tfidf convention)
+    spark = docs.sparkSession
+    w = spark.range(1).selectExpr(
+        *[f"CAST(0 AS BIGINT) AS w{j}" for j in range(4)]
+    )
+    z_expr = _Z_EXPR
+    for _ in range(LOGREG_ITERS):
+        scored = train.crossJoin(F.broadcast(w)).selectExpr(
+            "w0",
+            "w1",
+            "w2",
+            "w3",
+            "x0",
+            "x1",
+            "x2",
+            "x3",
+            f"least(greatest({m // 2} + ({z_expr}) DIV 4, 0), {m})"
+            f" - y * {m} AS err",
+        )
+        w = cache_eager(
+            scored.groupBy("w0", "w1", "w2", "w3")
+            .agg(
+                *[
+                    F.expr(f"sum(CAST(err AS DECIMAL(38,0)) * x{j})").alias(
+                        f"g{j}"
+                    )
+                    for j in range(4)
+                ]
+            )
+            .selectExpr(
+                *[
+                    f"CAST(w{j} - {LOGREG_LR} * CAST(g{j} DIV {n_train * m}"
+                    f" AS BIGINT) AS BIGINT) AS w{j}"
+                    for j in range(4)
+                ]
+            )
+        )
+    return feats.crossJoin(F.broadcast(w))
+
+
+def logreg_fit_report(docs: DataFrame) -> DataFrame:
+    """Train (see :func:`_fit`) and emit a 1-row report: split sizes, the
+    fitted weights (micro units), and train/held-out accuracy in basis
+    points. Prediction = (w.x) DIV M > 0; the final scoring pass is one
+    aggregation over the weight-attached feature relation."""
+    scored_all = _fit(docs).selectExpr(
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+        "held",
+        "y",
+        f"CASE WHEN {_Z_EXPR} > 0 THEN 1 ELSE 0 END AS pred",
+    )
+    return (
+        scored_all.groupBy("w0", "w1", "w2", "w3")
+        .agg(
+            F.expr("sum(CASE WHEN held = 0 THEN 1 ELSE 0 END)").alias("ntr"),
+            F.expr("sum(CASE WHEN held = 1 THEN 1 ELSE 0 END)").alias("nhe"),
+            F.expr(
+                "sum(CASE WHEN held = 0 AND pred = y THEN 1 ELSE 0 END)"
+            ).alias("htr"),
+            F.expr(
+                "sum(CASE WHEN held = 1 AND pred = y THEN 1 ELSE 0 END)"
+            ).alias("hhe"),
+        )
+        .selectExpr(
+            "CAST(ntr AS BIGINT) AS n_train",
+            "CAST(nhe AS BIGINT) AS n_heldout",
+            "CAST(w0 AS BIGINT) AS w_bias",
+            "CAST(w1 AS BIGINT) AS w_stop",
+            "CAST(w2 AS BIGINT) AS w_alpha",
+            "CAST(w3 AS BIGINT) AS w_len",
+            "CAST(htr * 10000 DIV ntr AS BIGINT) AS train_acc_bp",
+            "CAST(hhe * 10000 DIV nhe AS BIGINT) AS heldout_acc_bp",
+        )
+    )
+
+
+def q_logreg_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine logistic-regression quality classifier over the
+    documents table (target: lang == 'en' from the quality-signal
+    features) — training recurrence + held-out evaluation in one gated
+    composition. See module docstring for the honesty note: on this
+    corpus the label carries no text signal, so the report correctly
+    shows majority-class behavior."""
+    return logreg_fit_report(spread(table(spark, sf_dir, "documents")))
+
+
+# decision thresholds swept over the held-out margin z (micro units);
+# tau = 0 is the report's operating point
+LOGREG_THRESHOLDS = (-200_000, -100_000, -50_000, 0, 50_000, 100_000)
+
+
+def logreg_threshold_sweep(docs: DataFrame) -> DataFrame:
+    """Operating-point selection for the trained classifier: per decision
+    threshold tau, held-out confusion counts and precision/recall (bp) —
+    the curve a curation pipeline reads to pick its keep/drop cut. A tau
+    with zero predicted positives reports the precision sentinel -1
+    (undefined, kept non-null BIGINT); recall's denominator is the
+    held-out positive count (>= 1 on any corpus with a positive class).
+
+    Scale shape: the :func:`_fit` trunk plus ONE scoring aggregation —
+    the |thresholds|-way fan-out is a literal explode on the scored rows
+    (map-side), grouped into |thresholds| rows."""
+    taus = ", ".join(str(t) for t in LOGREG_THRESHOLDS)
+    scored = (
+        _fit(docs)
+        .filter(F.col("held") == 1)
+        .selectExpr("y", f"{_Z_EXPR} AS z")
+        .selectExpr("y", "z", f"explode(array({taus})) AS thr_micro")
+    )
+    return (
+        scored.groupBy("thr_micro")
+        .agg(
+            F.expr("sum(CASE WHEN z > thr_micro THEN 1 ELSE 0 END)").alias(
+                "npp"
+            ),
+            F.expr(
+                "sum(CASE WHEN z > thr_micro AND y = 1 THEN 1 ELSE 0 END)"
+            ).alias("tp"),
+            F.expr("sum(y)").alias("pos"),
+        )
+        .selectExpr(
+            "CAST(thr_micro AS BIGINT) AS thr_micro",
+            "CAST(npp AS BIGINT) AS n_pred_pos",
+            "CAST(tp AS BIGINT) AS tp",
+            "CAST(coalesce(tp * 10000 DIV nullif(npp, 0), -1) AS BIGINT)"
+            " AS precision_bp",
+            "CAST(tp * 10000 DIV greatest(pos, 1) AS BIGINT) AS recall_bp",
+        )
+        .orderBy("thr_micro")
+    )
+
+
+def q_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall operating points of the on-engine classifier over
+    the documents corpus (train + sweep in one gated composition)."""
+    return logreg_threshold_sweep(spread(table(spark, sf_dir, "documents")))
+
+
+def _oracle_fit_ctes() -> str:
+    m = LOGREG_M
+    ctes = [
+        rf"""feats AS (
+  SELECT doc_id,
+         CAST(lang = 'en' AS BIGINT) AS y,
+         CAST(doc_id % {HELDOUT_MOD} = 0 AS INT) AS held,
+         CAST({m} AS BIGINT) AS x0,
+         CAST(len(regexp_extract_all(lower(trim(text)), '{_STOP_RE}'))
+              * {m} // len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS x1,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))
+              * {m} // greatest(length(trim(text)), 1) AS BIGINT) AS x2,
+         CAST(least(len(regexp_split_to_array(trim(text), '\s+')),
+                    {LOGREG_LEN_CAP}) * {m} // {LOGREG_LEN_CAP}
+              AS BIGINT) AS x3
+  FROM documents
+)""",
+        "train AS (SELECT * FROM feats WHERE held = 0)",
+        "n AS (SELECT count(*) AS n_train FROM train)",
+        "w0_ AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(4))
+        + ")",
+    ]
+    z = f"(w.w0*t.x0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3) // {m}"
+    for it in range(1, LOGREG_ITERS + 1):
+        grads = ", ".join(
+            f"CAST(w{j} - {LOGREG_LR} * CAST(sum(CAST(err AS HUGEINT) * x{j})"
+            f" // ((SELECT n_train FROM n) * {m}) AS BIGINT) AS BIGINT) AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"""s{it} AS (
+  SELECT w.w0, w.w1, w.w2, w.w3, t.x0, t.x1, t.x2, t.x3,
+         least(greatest({m // 2} + ({z}) // 4, 0), {m}) - t.y * {m} AS err
+  FROM train t, w{it - 1}_ w
+),
+w{it}_ AS (
+  SELECT {grads} FROM s{it} GROUP BY w0, w1, w2, w3
+)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+_ORACLE_ZF = (
+    f"(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // {LOGREG_M}"
+)
+
+
+def _oracle_logreg() -> str:
+    return (
+        _oracle_fit_ctes()
+        + f""",
+scored AS (
+  SELECT w.w0, w.w1, w.w2, w.w3, f.held, f.y,
+         CASE WHEN {_ORACLE_ZF} > 0 THEN 1 ELSE 0 END AS pred
+  FROM feats f, w{LOGREG_ITERS}_ w
+)
+SELECT CAST(sum(CASE WHEN held = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout,
+       CAST(w0 AS BIGINT) AS w_bias,
+       CAST(w1 AS BIGINT) AS w_stop,
+       CAST(w2 AS BIGINT) AS w_alpha,
+       CAST(w3 AS BIGINT) AS w_len,
+       CAST(sum(CASE WHEN held = 0 AND pred = y THEN 1 ELSE 0 END) * 10000
+            // sum(CASE WHEN held = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_acc_bp,
+       CAST(sum(CASE WHEN held = 1 AND pred = y THEN 1 ELSE 0 END) * 10000
+            // sum(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS heldout_acc_bp
+FROM scored
+GROUP BY w0, w1, w2, w3
+"""
+    )
+
+
+ORACLE_LOGREG_QUALITY = _oracle_logreg()
+
+
+def _oracle_threshold_sweep() -> str:
+    taus = ", ".join(f"({t})" for t in LOGREG_THRESHOLDS)
+    return (
+        _oracle_fit_ctes()
+        + f""",
+scored AS (
+  SELECT f.y, {_ORACLE_ZF} AS z
+  FROM feats f, w{LOGREG_ITERS}_ w
+  WHERE f.held = 1
+),
+fan AS (
+  SELECT s.y, s.z, t.thr_micro
+  FROM scored s CROSS JOIN (VALUES {taus}) t(thr_micro)
+)
+SELECT CAST(thr_micro AS BIGINT) AS thr_micro,
+       CAST(sum(CASE WHEN z > thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_pos,
+       CAST(sum(CASE WHEN z > thr_micro AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN z > thr_micro AND y = 1 THEN 1 ELSE 0 END)
+                     * 10000
+                     // nullif(sum(CASE WHEN z > thr_micro THEN 1 ELSE 0 END),
+                               0), -1) AS BIGINT) AS precision_bp,
+       CAST(sum(CASE WHEN z > thr_micro AND y = 1 THEN 1 ELSE 0 END) * 10000
+            // greatest(sum(y), 1) AS BIGINT) AS recall_bp
+FROM fan
+GROUP BY thr_micro
+ORDER BY thr_micro
+"""
+    )
+
+
+ORACLE_LOGREG_THRESHOLD_SWEEP = _oracle_threshold_sweep()
+
+
+QUERIES = {
+    "logreg_quality_report": q_logreg_quality_report,
+    "logreg_threshold_sweep": q_logreg_threshold_sweep,
+}
+
+ORACLES = {
+    "logreg_quality_report": ORACLE_LOGREG_QUALITY,
+    "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
+}

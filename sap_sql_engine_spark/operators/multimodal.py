@@ -124,16 +124,31 @@ def _norm_hist(hist: list[float]) -> list[float]:
     return [round(h / total, 6) for h in hist]
 
 
-def _wav_features(buf: bytes) -> list[float]:
-    """Real audio decode, stdlib-only: PCM samples -> normalized amplitude
-    histogram over FEATURE_DIM bins."""
+def _wav_samples(buf: bytes) -> tuple[list[int], int]:
+    """Decode WAV PCM to CENTERED signed samples + the sample width.
+
+    8-bit WAV is unsigned offset-binary per the RIFF spec (0..255, silence
+    at 128) — unpacking it signed ('b') wraps samples >= 128 negative and
+    distorts every downstream feature (the ADVICE r9 finding). Width 1 is
+    therefore unpacked 'B' then centered by -128 so all widths share the
+    signed ``[-2^(8w-1), 2^(8w-1))`` range; 16/32-bit PCM is already
+    signed two's-complement little-endian."""
     with wave.open(io.BytesIO(buf)) as w:
         width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
-    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+    fmt = {1: "B", 2: "h", 4: "i"}.get(width)
     if fmt is None:
         raise NotImplementedError(f"unsupported WAV sample width {width}")
     samples = struct.unpack(f"<{len(raw) // width}{fmt}", raw)
+    if width == 1:
+        samples = tuple(s - 128 for s in samples)
+    return list(samples), width
+
+
+def _wav_features(buf: bytes) -> list[float]:
+    """Real audio decode, stdlib-only: PCM samples -> normalized amplitude
+    histogram over FEATURE_DIM bins."""
+    samples, width = _wav_samples(buf)
     hist = [0.0] * FEATURE_DIM
     maxv = float(2 ** (8 * width - 1))
     for s in samples:
@@ -678,17 +693,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
                         img = Image.open(io.BytesIO(buf)).convert("L")
                         vals = list(img.getdata())
                 elif _is_wav(buf):
-                    with wave.open(io.BytesIO(buf)) as w:
-                        width = w.getsampwidth()
-                        raw = w.readframes(w.getnframes())
-                    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
-                    if fmt is None:
-                        raise NotImplementedError(
-                            f"unsupported WAV sample width {width}"
-                        )
-                    vals = list(
-                        struct.unpack(f"<{len(raw) // width}{fmt}", raw)
-                    )
+                    vals, _ = _wav_samples(buf)  # centered; 8-bit unsigned fix
                 else:
                     vals = [ord(c) for c in buf.decode("utf-8")]
                 bands = dhash_bands(vals)
@@ -739,12 +744,13 @@ def sql_dhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).agg(F.expr("CAST(sum(shiftleft(bit, CAST(i % 16 AS INT))) AS BIGINT)").alias("band_val"))
 
 
-def _dhash_candidate_distances(docs: DataFrame) -> DataFrame:
+def _banded_hamming_distances(bandsx: DataFrame) -> DataFrame:
     """Banded-candidate pair distances (media_id_a, media_id_b,
-    hamming_dist) shared by the pairs and report queries: ONE (band_no,
-    band_val) equi-join for candidates — never an all-pairs cross — then
-    a per-pair re-join of the 4-row band vectors summing xor popcounts."""
-    bandsx = sql_dhash_bands(docs)
+    hamming_dist) over any (media_id, band_no, band_val) relation —
+    shared by the dHash (4x16-bit) and audio-envelope (4x8-bit) lanes:
+    ONE (band_no, band_val) equi-join for candidates — never an all-pairs
+    cross — then a per-pair re-join of the band vectors summing xor
+    popcounts."""
     a, b = bandsx.alias("a"), bandsx.alias("b")
     cand = (
         a.join(
@@ -771,6 +777,12 @@ def _dhash_candidate_distances(docs: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def _dhash_candidate_distances(docs: DataFrame) -> DataFrame:
+    """dHash banded-candidate pair distances (see
+    :func:`_banded_hamming_distances` for the shared join shape)."""
+    return _banded_hamming_distances(sql_dhash_bands(docs))
 
 
 def q_media_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,10 +901,235 @@ FROM pairdist GROUP BY 1 ORDER BY 1
 )
 
 
+# ---------------------------------------------------------------------------
+# audio near-dup: chromaprint-style banded energy-envelope fingerprint.
+# A real audio fingerprinter frames the PCM, summarizes each frame, and
+# hashes the FRAME-TO-FRAME DELTAS so the print survives re-encoding
+# (requantization rescales amplitudes but preserves the envelope's ups and
+# downs). This is that recipe with the cheapest frame summary that stays
+# integer-exact cross-engine: per-frame L1 energy (sum of |sample|), one
+# bit per adjacent-frame comparison — the temporal analogue of dHash's
+# spatial gradient bits — then pigeonhole banding exactly like the image
+# lane. No FFT: a chroma/spectral frame summary needs transcendental
+# transforms the oracle could not replicate bit-for-bit; the energy
+# envelope is the honest SQL-exact member of the same family.
+
+AFP_FRAME = 4  # samples per envelope frame
+AFP_BITS = 32  # fingerprint bits (adjacent-frame comparisons)
+AFP_FRAMES = AFP_BITS + 1
+AFP_BANDS = 4  # 4 x 8-bit bands
+AFP_BAND_BITS = AFP_BITS // AFP_BANDS
+AFP_MIN_LEN = AFP_FRAME * AFP_FRAMES  # 132 samples
+# pigeonhole: hamming <= 3 over 4 bands forces >= 1 exactly-equal band,
+# so the (band_no, band_val) equi-join has guaranteed recall at the
+# threshold — the same regime as the image dHash lane
+AFP_THRESHOLD = 3
+
+
+def audio_envelope_bands(samples: list[int]) -> list[int] | None:
+    """Energy-envelope fingerprint of a PCM signal, as AFP_BANDS band
+    values: frame f = samples [AFP_FRAME*f, AFP_FRAME*(f+1)), energy =
+    sum(|s|), bit f = (e_f > e_{f+1}), bands = 8-bit slices. Uses the
+    fixed-length PREFIX (first AFP_MIN_LEN samples) — the audio-native
+    convention is fixed frame DURATION, so two encodings of the same
+    waveform align frame-for-frame regardless of total length; returns
+    None below AFP_MIN_LEN (no 32-bit structure; documented drop, both
+    lanes agree)."""
+    if len(samples) < AFP_MIN_LEN:
+        return None
+    e = [
+        sum(abs(s) for s in samples[AFP_FRAME * f : AFP_FRAME * (f + 1)])
+        for f in range(AFP_FRAMES)
+    ]
+    bits = [1 if e[f] > e[f + 1] else 0 for f in range(AFP_BITS)]
+    return [
+        sum(bits[AFP_BAND_BITS * k + j] << j for j in range(AFP_BAND_BITS))
+        for k in range(AFP_BANDS)
+    ]
+
+
+def media_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-media audio-envelope fingerprint bands over the REAL decoded
+    signal: WAV PCM amplitudes via :func:`_wav_samples` (8-bit unsigned
+    handled correctly — the ADVICE r9 fix), UTF-8 code points for
+    text/unknown payloads (the shared signal-model convention the dHash
+    lane uses, which is what pins this Python lane band-for-band to the
+    gated SQL lane). Arrow-batched mapInPandas; short/empty payloads are
+    dropped (no 32-bit structure, no print)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "b0", "b1", "b2", "b3"]
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content) if content is not None else b""
+                if not buf:
+                    continue
+                if _is_wav(buf):
+                    vals, _ = _wav_samples(buf)
+                else:
+                    vals = [ord(c) for c in buf.decode("utf-8")]
+                bands = audio_envelope_bands(vals)
+                if bands is None:
+                    continue
+                rows.append(dict(zip(cols, [mid, *bands])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{k}", T.LongType(), False) for k in range(AFP_BANDS)]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def sql_audio_envelope_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The code-point audio-envelope lane in relational form — (media_id,
+    band_no, band_val), bit-for-bit the audio_envelope_bands() definition
+    over each text's code points. Same relational shape as
+    sql_dhash_bands (see its docstring for why NOT a nested array
+    program): posexplode the prefix code points, groupBy (media, frame)
+    with map-side combine (33 frame energies per media leave the map
+    side, not the signal), a lead() window bounded at 33 rows per media,
+    groupBy (media, band)."""
+    chars = (
+        docs.filter(F.length("text") >= AFP_MIN_LEN)
+        .selectExpr(
+            f"CAST({id_col} AS BIGINT) AS media_id",
+            "posexplode(transform(split(text, ''),"
+            " c -> CAST(ascii(c) AS BIGINT))) AS (pos, code)",
+        )
+        .filter(F.col("pos") < AFP_MIN_LEN)
+    )
+    frames = chars.groupBy(
+        "media_id", F.expr(f"pos DIV {AFP_FRAME}").alias("f")
+    ).agg(F.expr("sum(abs(code))").alias("e"))
+    w = Window.partitionBy("media_id").orderBy("f")  # <= 33 rows per media
+    bits = frames.withColumn(
+        "bit",
+        F.when(F.col("e") > F.lead("e").over(w), 1).otherwise(0).cast("bigint"),
+    ).filter(F.col("f") < AFP_BITS)
+    return bits.groupBy(
+        "media_id", F.expr(f"CAST(f DIV {AFP_BAND_BITS} AS INT)").alias("band_no")
+    ).agg(
+        F.expr(
+            f"CAST(sum(shiftleft(bit, CAST(f % {AFP_BAND_BITS} AS INT)))"
+            " AS BIGINT)"
+        ).alias("band_val")
+    )
+
+
+def q_media_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: envelope-fingerprint bands, pigeonhole
+    banding, hamming <= AFP_THRESHOLD. Like the image dHash lane, the
+    result on this corpus is whatever it honestly is (random 32-bit
+    prints collide at hamming <= 3 with p ~ 5.7e-6); the planted pytest
+    corpus proves the match path — the same waveform re-encoded 16-bit ->
+    8-bit fingerprints to the SAME bands — through the identical
+    operator.
+
+    Scale shape: identical to media_dhash_neardup_pairs (one exploded-
+    prefix aggregation, bounded windows, one (band_no, band_val)
+    equi-join). 8-bit bands mean bucket sizes grow with corpus/256 per
+    band; at 100 TB you widen the print (64/128-bit, 16-bit bands) —
+    the same knob as the dHash/simhash lanes, documented not hidden."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _banded_hamming_distances(sql_audio_envelope_bands(docs))
+        .filter(F.col("hamming_dist") <= AFP_THRESHOLD)
+        .orderBy("media_id_a", "media_id_b")
+    )
+
+
+def q_media_audio_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance spectrum of the audio-envelope banded candidates — the
+    threshold-tuning report for the audio lane (the dhash_report twin)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _banded_hamming_distances(sql_audio_envelope_bands(docs))
+        .groupBy("hamming_dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .selectExpr(
+            "hamming_dist",
+            "n_pairs",
+            f"CAST(CASE WHEN hamming_dist <= {AFP_THRESHOLD} THEN 1 ELSE 0"
+            " END AS BIGINT) AS is_neardup",
+        )
+        .orderBy("hamming_dist")
+    )
+
+
+def _afp_pairdist_cte() -> str:
+    """Shared oracle CTE chain ending in pairdist — the DuckDB mirror of
+    _banded_hamming_distances(sql_audio_envelope_bands(...))."""
+    return f"""
+WITH sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         list_transform(regexp_split_to_array(substr(text, 1, {AFP_MIN_LEN}), ''),
+                        ch -> CAST(unicode(ch) AS BIGINT)) AS vals
+  FROM documents WHERE length(text) >= {AFP_MIN_LEN}
+),
+chars AS (
+  SELECT media_id, unnest(range(0, {AFP_MIN_LEN})) AS pos, unnest(vals) AS code
+  FROM sig
+),
+frames AS (
+  SELECT media_id, pos // {AFP_FRAME} AS f, CAST(sum(abs(code)) AS BIGINT) AS e
+  FROM chars GROUP BY 1, 2
+),
+bits AS (
+  SELECT media_id, f,
+         CASE WHEN e > lead(e) OVER (PARTITION BY media_id ORDER BY f)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM frames
+),
+bands AS (
+  SELECT media_id, CAST(f // {AFP_BAND_BITS} AS INT) AS band_no,
+         CAST(sum(bit << CAST(f % {AFP_BAND_BITS} AS INT)) AS BIGINT) AS band_val
+  FROM bits WHERE f < {AFP_BITS} GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+),
+pairdist AS (
+  SELECT cd.media_id_a, cd.media_id_b,
+         CAST(sum(bit_count(xor(ea.band_val, eb.band_val))) AS BIGINT)
+           AS hamming_dist
+  FROM cand cd
+  JOIN bands ea ON ea.media_id = cd.media_id_a
+  JOIN bands eb ON eb.media_id = cd.media_id_b AND eb.band_no = ea.band_no
+  GROUP BY 1, 2
+)"""
+
+
+ORACLE_MEDIA_AUDIO_NEARDUP = (
+    _afp_pairdist_cte()
+    + f"""
+SELECT media_id_a, media_id_b, hamming_dist
+FROM pairdist WHERE hamming_dist <= {AFP_THRESHOLD}
+ORDER BY 1, 2
+"""
+)
+
+ORACLE_MEDIA_AUDIO_FP_REPORT = (
+    _afp_pairdist_cte()
+    + f"""
+SELECT hamming_dist, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN hamming_dist <= {AFP_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_neardup
+FROM pairdist GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "media_dhash_neardup_pairs": q_media_dhash_neardup_pairs,
     "media_dhash_report": q_media_dhash_report,
+    "media_audio_neardup_pairs": q_media_audio_neardup_pairs,
+    "media_audio_fp_report": q_media_audio_fp_report,
     "multimodal_byte_features": q_multimodal_byte_features,
     "source_permille_norm": q_source_permille,
     "arrow_byte_lengths": q_arrow_byte_lengths,
@@ -902,6 +1139,8 @@ ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
     "media_dhash_neardup_pairs": ORACLE_MEDIA_DHASH_NEARDUP,
     "media_dhash_report": ORACLE_MEDIA_DHASH_REPORT,
+    "media_audio_neardup_pairs": ORACLE_MEDIA_AUDIO_NEARDUP,
+    "media_audio_fp_report": ORACLE_MEDIA_AUDIO_FP_REPORT,
     "multimodal_byte_features": ORACLE_MULTIMODAL_BYTE_FEATURES,
     "source_permille_norm": ORACLE_SOURCE_PERMILLE,
     "arrow_byte_lengths": ORACLE_ARROW_BYTE_LENGTHS,

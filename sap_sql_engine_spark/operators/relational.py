@@ -3289,11 +3289,12 @@ def q_customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend") * -1).alias("neg_spend"),
         F.expr("CAST(spend * 100 AS BIGINT)").alias("cents"),
     )
-    ranked = with_global_rank(per_cust, "neg_spend", "o_custkey", rank_col="__r")
-    n = ranked.count()
+    ranked = with_global_rank(
+        per_cust, "neg_spend", "o_custkey", rank_col="__r", total_col="__n"
+    )  # N rides the rank pass's metadata collect — no second count() job
     deciles = (
         ranked.withColumn(
-            "decile", F.expr(f"CAST((__r - 1) * 10 DIV {n} + 1 AS BIGINT)")
+            "decile", F.expr("CAST((__r - 1) * 10 DIV __n + 1 AS BIGINT)")
         )
         .groupBy("decile")
         .agg(

@@ -1105,8 +1105,133 @@ FROM one, exact
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical (BM25) and
+# semantic (fitted-IVF ANN) rankers — the standard serving pattern for RAG
+# and training-data curation (Cormack et al., SIGIR'09: fused score =
+# sum over rankers of 1/(k + rank), robust to incomparable score scales
+# because it only consumes RANKS). Both input rankers are themselves
+# oracle-gated queries, composed unchanged; the fusion is integer-quantized
+# (micro units, integer division) with deterministic tie-breaks so the
+# DuckDB oracle re-derives both rank lists AND the fusion bit-for-bit.
+
+RRF_K = 60  # the standard RRF damping constant
+RRF_Q = 1_000_000  # micro quantization: score term = RRF_Q DIV (RRF_K + rank)
+HYBRID_LEX_K = 20  # lexical candidate-list depth
+HYBRID_TOPN = 10  # fused results emitted
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Fuse two 1-based rank lists — ``lex (doc_id, lr)`` and ``sem
+    (vec_id, sr)`` — by reciprocal-rank fusion: full-outer join on id (a
+    doc may appear in either list alone; absence contributes 0, emitted
+    as the rank-0 sentinel so every output column stays non-null BIGINT),
+    fused score = sum of ``RRF_Q DIV (RRF_K + rank)`` in exact micro
+    units, final rank by (score desc, doc_id) over the bounded (<=
+    |lex|+|sem| rows) union. Factored out of q_hybrid_search_rrf so the
+    planted test can fuse hand-built rank lists."""
+    fused = lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer").select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+        F.coalesce(F.col("lr"), F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce(F.col("sr"), F.lit(0)).cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(F.expr(f"{RRF_Q} DIV ({RRF_K} + lr)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_Q} DIV ({RRF_K} + sr)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+    )
+    # bounded relation (candidate lists only) — constant-key window is the
+    # adjudicated two-phase top-K convention (vocab_oov_report)
+    w0 = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("hybrid_rank", F.row_number().over(w0).cast("bigint"))
+        .filter(F.col("hybrid_rank") <= HYBRID_TOPN)
+        .orderBy("hybrid_rank")
+    )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + ANN retrieval via reciprocal-rank fusion.
+
+    Lexical leg: the gated ``bm25_search`` scores (probe BM25_QUERY),
+    top-HYBRID_LEX_K by (bm25 desc, doc_id) — ``orderBy().limit()`` is a
+    parallel TakeOrderedAndProject, then ranks assigned on the bounded
+    survivors. Semantic leg: the gated ``ann_ivf_fitted`` top-K (the
+    on-engine-trained IVF serving path; probe = QUERY_VEC_ID's embedding,
+    under the corpus convention vec_id == doc_id), ranked by (cosine
+    desc, vec_id). Fusion: :func:`rrf_fuse`.
+
+    Scale shape: each leg keeps its own gated plan (BM25 filters the
+    token stream to the query's terms before any shuffle; IVF probes 2
+    cells of the assigned corpus); the fusion itself only ever touches
+    the two bounded candidate lists."""
+    from .similarity import q_ann_ivf_fitted
+
+    w0 = Window.partitionBy(F.lit(0))
+    lex = (
+        q_bm25_search(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_LEX_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(w0.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("lr"),
+        )
+    )
+    sem = q_ann_ivf_fitted(spark, sf_dir).select(
+        "vec_id",
+        F.row_number()
+        .over(w0.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("sr"),
+    )
+    return rrf_fuse(lex, sem)
+
+
+def _oracle_hybrid_rrf() -> str:
+    from .similarity import ORACLE_ANN_IVF_FITTED
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+  FROM ({ORACLE_BM25}) t
+  ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_LEX_K}
+),
+sem AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS sr
+  FROM ({ORACLE_ANN_IVF_FITTED}) t
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+         coalesce(l.lr, 0) AS lex_rank,
+         coalesce(s.sr, 0) AS sem_rank,
+         coalesce({RRF_Q} // ({RRF_K} + l.lr), 0)
+           + coalesce({RRF_Q} // ({RRF_K} + s.sr), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(hybrid_rank AS BIGINT) AS hybrid_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS hybrid_rank
+  FROM fused
+)
+WHERE hybrid_rank <= {HYBRID_TOPN}
+ORDER BY hybrid_rank
+"""
+
+
+ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
+
+
 QUERIES = {
     "hll_intersection_estimate": q_hll_intersection_estimate,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quantile_histogram_check": q_quantile_histogram_check,
     "bm25_search": q_bm25_search,
@@ -1119,6 +1244,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "tfidf_top_terms": ORACLE_TFIDF,
     "quantile_histogram_check": ORACLE_QUANTILE_HIST,
     "bm25_search": ORACLE_BM25,

@@ -1512,17 +1512,22 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap IS, the gate hashes it.
 
     Scale shape: ONE featurization pass (shared with the exact and stale
-    legs), ONE Lloyd fit (refit legs serve off the same cached fit), and
-    per (probe, leg) only broadcast probes against the assigned corpus;
+    legs), ONE Lloyd fit, ONE cached assignment pass (refit legs read the
+    cache instead of re-running the assign cross-join per probe), and the
+    per-probe exact brute-force top-K is cache_eager'd (a <=TOPK-row
+    relation) so the two joins that consume it (stale, refit) do not each
+    re-traverse the corpus — 6 corpus-sized top-K traversals fold to 3;
     leg totals are tagged 1-row aggregates UNIONed then folded with one
     conditional aggregation — no 1-row joins, no bnlj."""
     feat = _featurize(spark, sf_dir)
     emb, cent, assign = _kmeans_loop(spark, sf_dir)
-    assigned = assign(cent)
+    assigned = cache_eager(assign(cent))
     legs = []
     for qid in ANN_RECALL_PROBES:
-        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
-            "vec_id"
+        exact = cache_eager(
+            q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
+                "vec_id"
+            )
         )
         stale = q_ann_ivf(spark, sf_dir, qid=qid, feat=feat).select("vec_id")
         refit = _ivf_fitted_serve(emb, cent, assigned, qid).select("vec_id")

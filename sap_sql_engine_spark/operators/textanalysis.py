@@ -3903,7 +3903,94 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# alpha-smoothed (temperature) mixture weights: the multilingual-sampling
+# recipe (XLM/mBERT-style): sampling probability proportional to
+# share^alpha with alpha = 0.5 flattens the source distribution so
+# low-resource domains are upsampled without drowning the head. The
+# sqrt makes this the ONE operator here allowed a non-rational function:
+# IEEE-754 sqrt is CORRECTLY ROUNDED (unlike exp/ln's ulp wobble), so
+# floor(sqrt(exact-int ratio) * 1e6) is bit-identical on both engines.
+
+MIX_ALPHA_NOTE = "alpha = 0.5 (square-root smoothing)"
+
+
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: token count, raw corpus share (bp), the alpha=0.5
+    smoothed weight (micro), the normalized sampling probability (bp),
+    and the up/down-weighting factor vs raw share (permille; >1000 =
+    upsampled) — the table a mixture-weighted training run is configured
+    from, next to corpus_mix_report's raw shares.
+
+    Scale shape: ONE (source)-keyed aggregation over the token counts
+    (map-side size() — no explode); every window runs on the bounded
+    |sources|-row relation (the calendar-spine adjudication class)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("tokens"))
+    )
+    w_all = Window.partitionBy()  # |sources|-row bounded relation only
+    return (
+        per.withColumn("total", F.sum("tokens").over(w_all))
+        .withColumn(
+            "w_micro",
+            F.expr(
+                "CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total AS"
+                " DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn("wsum", F.sum("w_micro").over(w_all))
+        .selectExpr(
+            "source",
+            "tokens",
+            "CAST(tokens * 10000 DIV total AS BIGINT) AS share_bp",
+            "w_micro AS temp_weight_micro",
+            "CAST(w_micro * 10000 DIV wsum AS BIGINT) AS sample_bp",
+            # greatest() guard: a source can round to 0 bp share while its
+            # smoothed weight cannot — keeps the column non-null BIGINT
+            "CAST(w_micro * 10000 DIV wsum * 1000"
+            " DIV greatest(tokens * 10000 DIV total, 1) AS BIGINT)"
+            " AS boost_permille",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_MIXTURE = r"""
+WITH toks AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+per AS (SELECT source, CAST(sum(t) AS BIGINT) AS tokens FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
+w AS (
+  SELECT source, tokens, total,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS w_micro
+  FROM per, tot
+),
+ws AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum FROM w)
+SELECT source, tokens,
+       CAST(tokens * 10000 // total AS BIGINT) AS share_bp,
+       w_micro AS temp_weight_micro,
+       CAST(w_micro * 10000 // wsum AS BIGINT) AS sample_bp,
+       CAST(w_micro * 10000 // wsum * 1000
+            // greatest(tokens * 10000 // total, 1) AS BIGINT)
+         AS boost_permille
+FROM w, ws
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "source_mixture_weights": q_source_mixture_weights,
     "docs_length_quality_spearman": q_docs_length_quality_spearman,
     "token_burstiness_report": q_token_burstiness_report,
     "corpus_saturation_curve": q_corpus_saturation_curve,
@@ -3953,6 +4040,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
     "docs_length_quality_spearman": ORACLE_SPEARMAN,
     "token_burstiness_report": ORACLE_BURSTINESS,
     "corpus_saturation_curve": ORACLE_SATURATION,

@@ -2108,7 +2108,10 @@ FROM per_user
 def q_events_props_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, prop_key): row count and share of the type's
     events; rows whose props do not parse inventory under the
-    '<malformed>' key so the audit is total (nothing silently skipped).
+    '<malformed>' key, and rows whose props is a VALID but EMPTY object
+    ('{}' — zero keys, which a bare explode would silently drop from
+    n_rows and the share denominator) inventory under '<empty>', so the
+    audit is total (nothing silently skipped; the ADVICE r9 finding).
 
     Scale shape: one map-side json_object_keys explode + one small-group
     aggregation (keys x types groups); the per-type total rides a
@@ -2118,7 +2121,11 @@ def q_events_props_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.explode(
             F.expr(
-                "coalesce(json_object_keys(props), array('<malformed>'))"
+                "CASE WHEN json_object_keys(props) IS NULL"
+                " THEN array('<malformed>')"
+                " WHEN size(json_object_keys(props)) = 0"
+                " THEN array('<empty>')"
+                " ELSE json_object_keys(props) END"
             )
         ).alias("prop_key"),
     )
@@ -2140,9 +2147,10 @@ def q_events_props_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PROPS_KEY_INVENTORY = """
 WITH keyed AS (
   SELECT event_type,
-         unnest(CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
-                     THEN json_keys(props)
-                     ELSE ['<malformed>'] END) AS prop_key
+         unnest(CASE WHEN NOT (json_valid(props) AND json_type(props) = 'OBJECT')
+                     THEN ['<malformed>']
+                     WHEN len(json_keys(props)) = 0 THEN ['<empty>']
+                     ELSE json_keys(props) END) AS prop_key
   FROM events
 ),
 inv AS (

@@ -60,6 +60,12 @@ BNLJ_ALLOWED = {
     "range-bucketing (replaced the eager collect, r9)",
     "vocab_coverage_curve": "1-row corpus-token-total attach onto the "
     "3-row K relation (replaced the full-vocabulary total window, r9)",
+    "logreg_quality_report": "1-row weight-vector broadcast per bounded "
+    "gradient step + the final scoring attach (the Lloyd-round class)",
+    "logreg_threshold_sweep": "the same 1-row weight-vector broadcasts "
+    "(shared _fit trunk) + the scoring attach",
+    "hybrid_search_rrf": "inherits ann_ivf_fitted's K-row trained-codebook "
+    "broadcast probes (the semantic leg, composed unchanged)",
 }
 
 

@@ -1,0 +1,202 @@
+"""Planted-scenario tests for the round-10 operators: the hard-sigmoid
+logistic trainer learns a linearly separable corpus to 10000 bp, hybrid
+RRF ranks the jointly-supported document above each single ranker's
+winner, 8-bit WAV decodes as unsigned offset-binary (the ADVICE r9 fix),
+and the audio envelope fingerprint survives re-encoding (16-bit -> 8-bit
+requantization) while distinct waveforms separate."""
+
+import io
+import struct
+import sys
+import wave
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sap_sql_engine_spark.operators import classifier, multimodal
+from sap_sql_engine_spark.operators.multimodal import (
+    AFP_MIN_LEN,
+    AFP_THRESHOLD,
+    audio_envelope_bands,
+    sql_audio_envelope_bands,
+)
+from sap_sql_engine_spark.operators.search import rrf_fuse
+from test_pipeline_operators import _media_df
+
+
+# ---------------------------------------------------------------------------
+# logistic trainer: planted linearly-separable corpus
+
+
+def test_logreg_planted_separable_scores_10000bp(spark):
+    """A corpus where the label IS the stopword-density feature (en docs
+    all stopwords, de docs none) must train to perfect accuracy on BOTH
+    splits within the bounded LOGREG_ITERS steps — the proof the
+    integer-quantized recurrence learns when signal exists (the gated
+    corpus honestly cannot be learned; see the module docstring)."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "the of to in is it and a", "en"))
+        else:
+            rows.append((i, "xxq yyq zzq wwq vvq uuq ttq ssq", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = classifier.logreg_fit_report(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_train == 32 and r.n_heldout == 8
+    assert r.train_acc_bp == 10000
+    assert r.heldout_acc_bp == 10000
+    assert r.w_stop > 0  # the separating feature carries positive weight
+
+
+def test_logreg_threshold_sweep_planted(spark):
+    """On the separable corpus the tau=0 operating point is perfect
+    (precision = recall = 10000 bp); an absurdly high tau predicts
+    nothing and reports the -1 precision sentinel with recall 0."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "the of to in is it and a", "en"))
+        else:
+            rows.append((i, "xxq yyq zzq wwq vvq uuq ttq ssq", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.thr_micro: r for r in classifier.logreg_threshold_sweep(docs).collect()}
+    assert out[0].precision_bp == 10000 and out[0].recall_bp == 10000
+    hi = out[max(out)]
+    if hi.n_pred_pos == 0:  # the planted margin may still clear 100k micro
+        assert hi.precision_bp == -1 and hi.recall_bp == 0
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF: the fused list beats each single ranker
+
+
+def test_hybrid_rrf_beats_single_rankers(spark):
+    """The RRF property the fusion exists for: a document ranked 3rd
+    lexically and 2nd semantically outranks both single-ranker winners
+    (each supported by only one list) in the fused order."""
+    lex = spark.createDataFrame(
+        [(1, 1), (3, 2), (100, 3), (4, 4)], "doc_id long, lr int"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (100, 2), (5, 3), (6, 4)], "vec_id long, sr int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(lex, sem).collect()}
+    top = out[100]
+    assert top.hybrid_rank == 1  # beats lex winner (doc 1) and sem winner (doc 2)
+    assert top.lex_rank == 3 and top.sem_rank == 2
+    # RRF_Q DIV (RRF_K + r): 1e6//63 + 1e6//62
+    assert top.rrf_micro == 1_000_000 // 63 + 1_000_000 // 62
+    # single-list docs carry the rank-0 sentinel on the missing side and
+    # tie at 1e6//61, broken by doc_id
+    assert out[1].sem_rank == 0 and out[2].lex_rank == 0
+    assert out[1].hybrid_rank == 2 and out[2].hybrid_rank == 3
+
+
+# ---------------------------------------------------------------------------
+# 8-bit WAV: unsigned offset-binary decode (ADVICE r9)
+
+
+def _wav_bytes_8bit(samples_unsigned, framerate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples_unsigned)}B", *samples_unsigned))
+    return buf.getvalue()
+
+
+def test_wav_8bit_decodes_unsigned_offset_binary(spark):
+    """8-bit WAV samples are unsigned offset-binary (0..255, silence at
+    128): byte 224 must decode to +96 (bin 14 of the amplitude
+    histogram), byte 32 to -96 (bin 2). Under the old signed-'b' decode,
+    224 wrapped to -32 (bin 6) — the ADVICE r9 distortion."""
+    samples, width = multimodal._wav_samples(
+        _wav_bytes_8bit([224] * 4 + [32] * 4)
+    )
+    assert width == 1
+    assert samples == [96] * 4 + [-96] * 4
+    wav = _wav_bytes_8bit([224] * 200 + [32] * 200)
+    out = multimodal.decode_features(_media_df(spark, [wav])).collect()
+    feats = out[0].features
+    # (96/128+1)/2*16 = 14; (-96/128+1)/2*16 = 2
+    assert feats[14] == pytest.approx(0.5)
+    assert feats[2] == pytest.approx(0.5)
+    assert feats[6] == 0.0  # where the signed-wrap bug used to land byte 224
+
+
+# ---------------------------------------------------------------------------
+# audio envelope fingerprint: re-encode collides, distinct separates,
+# lanes agree
+
+
+def _envelope_waveform(loud_on_even, n_frames=40, frame=4):
+    """Alternating loud/quiet frames — a distinctive energy envelope.
+    Returns centered sample amplitudes in [-100, 100]."""
+    samples = []
+    for f in range(n_frames):
+        loud = (f % 2 == 0) == loud_on_even
+        amp = 100 if loud else 30
+        for i in range(frame):
+            samples.append(amp if i % 2 == 0 else -amp)
+    return samples
+
+
+def _wav_bytes_16bit(samples, framerate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_reencode_neardup_collides(spark):
+    """THE fingerprint property: the same waveform re-encoded 16-bit ->
+    8-bit (different bytes, different scale — exact dedup misses it)
+    produces IDENTICAL envelope bands (hamming 0 <= threshold); the
+    inverted envelope lands far beyond the threshold."""
+    base = _envelope_waveform(loud_on_even=True)
+    wav16 = _wav_bytes_16bit([s * 256 for s in base])
+    wav8 = _wav_bytes_8bit([128 + s for s in base])
+    wav_other = _wav_bytes_16bit(
+        [s * 256 for s in _envelope_waveform(loud_on_even=False)]
+    )
+    out = {
+        r.media_id: [r.b0, r.b1, r.b2, r.b3]
+        for r in multimodal.media_audio_fingerprint(
+            _media_df(spark, [wav16, wav8, wav_other])
+        ).collect()
+    }
+    assert out[0] == out[1], "re-encoded duplicate must fingerprint identically"
+    dist = sum(bin(a ^ b).count("1") for a, b in zip(out[0], out[2]))
+    assert dist > AFP_THRESHOLD, f"distinct waveform too close (hamming {dist})"
+
+
+def test_audio_sql_lane_matches_python_lane(spark, sf_dir):
+    """Lane-agreement pin (the dHash pattern): the gated SQL lane and the
+    Python decode lane share ONE fingerprint definition, so the driver's
+    oracle gate transitively covers the Python lane. Compared band-for-
+    band over the real corpus docs long enough to fingerprint."""
+    from sap_sql_engine_spark.sources.loader import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    sql_bands = {}
+    for r in sql_audio_envelope_bands(docs).collect():
+        sql_bands.setdefault(r.media_id, {})[r.band_no] = r.band_val
+    rows = docs.collect()
+    checked = 0
+    for row in rows:
+        py = audio_envelope_bands([ord(c) for c in row.text])
+        if py is None:
+            assert row.doc_id not in sql_bands  # both lanes drop short docs
+            continue
+        got = [sql_bands[row.doc_id][k] for k in range(4)]
+        assert got == py, f"doc {row.doc_id}: SQL {got} != python {py}"
+        checked += 1
+    assert checked >= 10  # the corpus genuinely exercises the lane pin
+    assert len(rows) - checked >= 1  # and the short-doc drop path

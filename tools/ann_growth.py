@@ -1,0 +1,123 @@
+"""ANN-surface growth stress — measures how the embedding-corpus queries
+scale when the vector corpus grows past the bench scale.
+
+    python tools/ann_growth.py [factor ...]     # default: 1 5 10
+
+For each factor k the sf0.1 embeddings table is replicated k times with a
+per-replica vec_id offset (replica 0 keeps the original ids, so the fixed
+probe set and the kmeans seed vectors exist at every factor). Vector
+VALUES are kept as-is: what this harness times is the corpus-sized work —
+featurization, assignment, per-probe candidate scans, the Lloyd rounds —
+all of which scale with row count regardless of vector content; result
+contents shift with the corpus (k co-located copies of each vector) and
+"result_rows" records them for reference, the growth signal is sec.
+
+Prints one JSON line per (query, factor) and persists the run to
+tools/ann_growth_results.json (same shape as tpch_growth_results.json) —
+tools/explain_audit.py renders SCALE.md's ANN growth section from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sap_sql_engine_spark import cachereg
+from sap_sql_engine_spark.operators import similarity
+from sap_sql_engine_spark.session import get_spark
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = {
+    # r9 suite max (r9 verdict items 1+6): ONE featurize pass, ONE Lloyd
+    # fit, ONE cached assignment, cached per-probe exact top-K — k× vectors
+    # should cost ~k× on those passes and nothing extra per leg
+    "ann_staleness_report": similarity.QUERIES["ann_staleness_report"],
+    "ann_recall_report": similarity.QUERIES["ann_recall_report"],
+}
+
+
+def build_scaled_corpus(spark, factor: int, dst_dir: str) -> int:
+    base = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    parts = []
+    for k in range(factor):
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{dst_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{dst_dir}/embeddings.parquet").count()
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    spark = get_spark("ann-growth")
+    results = []
+    for factor in factors:
+        tmp = tempfile.mkdtemp(prefix=f"ann_growth_{factor}x_")
+        try:
+            n_rows = build_scaled_corpus(spark, factor, tmp)
+            for name, fn in QUERIES.items():
+                times, out_rows = [], None
+                for _ in range(2):
+                    t0 = time.time()
+                    out_rows = fn(spark, tmp).count()
+                    times.append(round(time.time() - t0, 3))
+                    cachereg.release()
+                    spark.catalog.clearCache()
+                rec = {
+                    "query": name,
+                    "factor": factor,
+                    "fact_rows": n_rows,
+                    "result_rows": out_rows,
+                    "sec": min(times),
+                    "passes": times,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    base = {r["query"]: r for r in results if r["factor"] == factors[0]}
+    summaries = []
+    for r in results:
+        b = base[r["query"]]
+        if r is b:
+            continue
+        kx = r["factor"] / b["factor"]
+        s = {
+            "summary": r["query"],
+            "scale_up": kx,
+            "time_ratio": round(r["sec"] / b["sec"], 2),
+            "linear_bound": kx,
+        }
+        summaries.append(s)
+        print(json.dumps(s), flush=True)
+    out = {
+        "base_sf_dir": BASE_SF_DIR,
+        "harness": "tools/ann_growth.py " + " ".join(str(f) for f in factors),
+        "rows": results,
+        "summaries": summaries,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ann_growth_results.json"
+    )
+    json.dump(out, open(path, "w"), indent=1)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

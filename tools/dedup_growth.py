@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import dedup, textanalysis
+from sap_sql_engine_spark.operators import dedup, multimodal, textanalysis
 from sap_sql_engine_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +47,13 @@ QUERIES = {
     # KN is two bigram aggregations — both should track the linear bound)
     "text_winnowing": textanalysis.QUERIES["text_winnowing"],
     "kn_bigram_smoothing": textanalysis.QUERIES["kn_bigram_smoothing"],
+    # r9/r10 perceptual lanes (r9 verdict item 6): the hash pass is one
+    # exploded-position aggregation (linear); the banded candidate join is
+    # the part to watch — 16-bit dHash bands keep buckets ~corpus/65536,
+    # the 8-bit audio bands ~corpus/256 (the documented widen-the-print
+    # knob; "pairs" records candidate classes, the growth signal is sec)
+    "media_dhash_report": multimodal.QUERIES["media_dhash_report"],
+    "media_audio_fp_report": multimodal.QUERIES["media_audio_fp_report"],
 }
 
 

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import relational
+from sap_sql_engine_spark.operators import graph, relational
 from sap_sql_engine_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,6 +48,11 @@ QUERIES = {
     # supply+demand pairs, not quadratically
     "parts_abc_classification": relational.QUERIES["parts_abc_classification"],
     "fifo_return_reallocation": relational.QUERIES["fifo_return_reallocation"],
+    # r9 heavyweight (r9 verdict item 6): LPA's corpus-sized work is the
+    # one edge aggregation over lineitem x orders; the 5 label rounds run
+    # on the bounded <=|nations|^2 cached edge relation, so k× facts
+    # should cost ~k× on the edge build and nothing on the rounds
+    "trade_lpa_communities": graph.QUERIES["trade_lpa_communities"],
 }
 
 
