@@ -103,13 +103,21 @@ HEADLINE = [
     "trade_lpa_communities",
     "monthly_seasonality",
     "events_funnel_latency",
+    # r10 additions: hybrid fusion (two gated rankers composed), the
+    # on-engine trainer, the audio fingerprint lane, the probe sweep
+    "hybrid_search_rrf",
+    "logreg_quality_report",
+    "media_audio_fp_report",
+    "ann_ivf_probe_sweep",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",
     "token_pmi_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_quality_score",
+    # text_quality_score dropped r10: a pure-map plan with no shuffle —
+    # zero regression surface — and the 54-name line overflowed the
+    # driver's 2000-char capture (the r7 lesson, caught by the contract)
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
     "events_sessionize",

@@ -84,11 +84,10 @@ def _featurize(docs: DataFrame) -> DataFrame:
 _Z_EXPR = f"(w0*x0 + w1*x1 + w2*x2 + w3*x3) DIV {LOGREG_M}"
 
 
-def _fit(docs: DataFrame) -> DataFrame:
-    """Featurize + train: returns the cached feature relation with the
-    fitted 1-row weight vector broadcast-attached (columns w0..w3 next to
-    doc_id/y/held/x0..x3) — the shared trunk of the report and the
-    threshold sweep.
+def _fit(docs: DataFrame):
+    """Featurize + train: returns ``(feats, w)`` — the cached feature
+    relation and the fitted 1-row weight vector (w0..w3) — the shared
+    trunk of the report, the threshold sweep, and the streaming scorer.
 
     Recurrence per step (all integer): z = (w.x) DIV M; p = clamp(M/2 +
     z DIV 4, 0, M); err = p - y*M; g_j = sum(err * x_j) DIV (n_train*M)
@@ -141,7 +140,7 @@ def _fit(docs: DataFrame) -> DataFrame:
                 ]
             )
         )
-    return feats.crossJoin(F.broadcast(w))
+    return feats, w
 
 
 def logreg_fit_report(docs: DataFrame) -> DataFrame:
@@ -149,7 +148,8 @@ def logreg_fit_report(docs: DataFrame) -> DataFrame:
     fitted weights (micro units), and train/held-out accuracy in basis
     points. Prediction = (w.x) DIV M > 0; the final scoring pass is one
     aggregation over the weight-attached feature relation."""
-    scored_all = _fit(docs).selectExpr(
+    feats, w = _fit(docs)
+    scored_all = feats.crossJoin(F.broadcast(w)).selectExpr(
         "w0",
         "w1",
         "w2",
@@ -210,8 +210,9 @@ def logreg_threshold_sweep(docs: DataFrame) -> DataFrame:
     the |thresholds|-way fan-out is a literal explode on the scored rows
     (map-side), grouped into |thresholds| rows."""
     taus = ", ".join(str(t) for t in LOGREG_THRESHOLDS)
+    feats, w = _fit(docs)
     scored = (
-        _fit(docs)
+        feats.crossJoin(F.broadcast(w))
         .filter(F.col("held") == 1)
         .selectExpr("y", f"{_Z_EXPR} AS z")
         .selectExpr("y", "z", f"explode(array({taus})) AS thr_micro")
@@ -243,6 +244,58 @@ def q_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall operating points of the on-engine classifier over
     the documents corpus (train + sweep in one gated composition)."""
     return logreg_threshold_sweep(spread(table(spark, sf_dir, "documents")))
+
+
+def streaming_logreg_score(spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str):
+    """Train-offline / serve-online: the corpus trains the weights ONCE
+    batch-side (:func:`_fit`, the gated recurrence), then JSONL document
+    drops are featurized and scored per micro-batch with the broadcast
+    1-row weight vector via ``foreachBatch`` appends — the
+    streaming_ann_probe production split, on the classifier. The twin
+    test asserts stream scores == batch scores on the same rows.
+
+    Scale posture: the model is a 4-number relation (broadcast is free);
+    each micro-batch pays exactly one featurize map + one broadcast
+    attach — latency independent of corpus size."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..sources.ingest import CORRUPT_COL, stream_jsonl
+
+    _feats, w = _fit(spread(table(spark, sf_dir, "documents")))
+    wrow = cache_eager(w)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    stream = (
+        stream_jsonl(spark, drop_dir, schema)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+
+    def score(batch_df, _epoch):
+        if batch_df.isEmpty():
+            return
+        batch_scores(batch_df, wrow).write.mode("append").parquet(out_dir)
+
+    return stream.writeStream.foreachBatch(score).start()
+
+
+def batch_scores(docs: DataFrame, w: DataFrame) -> DataFrame:
+    """(doc_id, z_micro, pred) under an already-fitted weight relation —
+    the serving unit shared by the streaming scorer and its batch twin."""
+    return (
+        _featurize(docs)
+        .crossJoin(F.broadcast(w))
+        .selectExpr(
+            "doc_id",
+            f"CAST({_Z_EXPR} AS BIGINT) AS z_micro",
+            f"CAST(CASE WHEN {_Z_EXPR} > 0 THEN 1 ELSE 0 END AS INT) AS pred",
+        )
+    )
 
 
 def _oracle_fit_ctes() -> str:

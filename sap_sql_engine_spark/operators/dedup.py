@@ -1195,6 +1195,87 @@ def q_dedup_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (dedup discounting): instead of dropping near-dup
+    non-representatives, give every doc sampling weight 1/cluster_size
+    (micro units, truncating division — a 3-clique carries 3x333333
+    micro, the documented sub-unit remainder) so each unique content
+    contributes ~unit mass to the training mix — the alternative policy
+    to keep-one that modern pipelines prefer when near-dups differ in
+    quality. Per-source accounting: docs, clustered docs, retained
+    effective mass, and the retention rate in bp.
+
+    Composition of the gated ``dedup_neardup_clusters`` (jaccard pairs ->
+    connected components) left-joined onto the corpus — the oracle
+    re-derives the whole chain through its literal recursive-CTE
+    components, so the gate hashes the composed policy end-to-end.
+
+    Scale shape: the pair/component work is the (already sub-quadratic)
+    cluster chain; the weighting itself is one left join (no broadcast
+    hint — the clustered set is fact-sized on a web corpus, AQE decides)
+    and one source-keyed aggregation."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = q_dedup_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_size"
+    )
+    weighted = docs.join(clusters, "doc_id", "left").selectExpr(
+        "source",
+        "CASE WHEN cluster_size IS NULL THEN 0 ELSE 1 END AS clustered",
+        "coalesce(1000000 DIV cluster_size, 1000000) AS w_micro",
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("clustered").cast("bigint").alias("n_clustered"),
+            F.sum("w_micro").cast("bigint").alias("effective_mass_micro"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_clustered",
+            "effective_mass_micro",
+            "CAST(effective_mass_micro DIV (n_docs * 100) AS BIGINT)"
+            " AS mass_retained_bp",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_SOFT_WEIGHTS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM comp
+),
+weighted AS (
+  SELECT d.source,
+         CASE WHEN s.cluster_size IS NULL THEN 0 ELSE 1 END AS clustered,
+         coalesce(1000000 // s.cluster_size, 1000000) AS w_micro
+  FROM documents d LEFT JOIN sized s USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(clustered) AS BIGINT) AS n_clustered,
+       CAST(sum(w_micro) AS BIGINT) AS effective_mass_micro,
+       CAST(sum(w_micro) // (count(*) * 100) AS BIGINT) AS mass_retained_bp
+FROM weighted
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware representative selection: per near-dup cluster keep
     the HIGHEST-quality member (tiebreak: smallest doc_id) instead of the
@@ -2265,6 +2346,7 @@ QUERIES = {
     "dedup_semantic_verify": q_dedup_semantic_verify,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
+    "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
     "docs_leakage_free_split": q_docs_leakage_free_split,
@@ -2291,6 +2373,7 @@ ORACLES = {
     "dedup_semantic_verify": _oracle_semantic_verify(),
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
+    "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "docs_leakage_free_split": ORACLE_LEAKAGE_FREE_SPLIT,

@@ -915,11 +915,16 @@ FROM pairdist GROUP BY 1 ORDER BY 1
 # envelope is the honest SQL-exact member of the same family.
 
 AFP_FRAME = 4  # samples per envelope frame
-AFP_BITS = 32  # fingerprint bits (adjacent-frame comparisons)
+# 64 print bits / 4 x 16-bit bands — the dHash regime. The first cut used
+# 32 bits / 8-bit bands; the growth harness measured the candidate join
+# going quadratic at 5x corpus (256-value buckets fill up), exactly the
+# documented widen-the-print knob — so the print was widened and the
+# harness re-run. 16-bit bands keep buckets ~corpus/65536 per band.
+AFP_BITS = 64  # fingerprint bits (adjacent-frame comparisons)
 AFP_FRAMES = AFP_BITS + 1
-AFP_BANDS = 4  # 4 x 8-bit bands
+AFP_BANDS = 4
 AFP_BAND_BITS = AFP_BITS // AFP_BANDS
-AFP_MIN_LEN = AFP_FRAME * AFP_FRAMES  # 132 samples
+AFP_MIN_LEN = AFP_FRAME * AFP_FRAMES  # 260 samples
 # pigeonhole: hamming <= 3 over 4 bands forces >= 1 exactly-equal band,
 # so the (band_no, band_val) equi-join has guaranteed recall at the
 # threshold — the same regime as the image dHash lane
@@ -1021,17 +1026,17 @@ def sql_audio_envelope_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFra
 def q_media_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs: envelope-fingerprint bands, pigeonhole
     banding, hamming <= AFP_THRESHOLD. Like the image dHash lane, the
-    result on this corpus is whatever it honestly is (random 32-bit
-    prints collide at hamming <= 3 with p ~ 5.7e-6); the planted pytest
-    corpus proves the match path — the same waveform re-encoded 16-bit ->
-    8-bit fingerprints to the SAME bands — through the identical
-    operator.
+    result on this corpus is whatever it honestly is (random 64-bit
+    prints collide at hamming <= 3 with p ~ 2e-15; any reported pair is
+    a genuine envelope match); the planted pytest corpus proves the
+    match path — the same waveform re-encoded 16-bit -> 8-bit
+    fingerprints to the SAME bands — through the identical operator.
 
     Scale shape: identical to media_dhash_neardup_pairs (one exploded-
     prefix aggregation, bounded windows, one (band_no, band_val)
-    equi-join). 8-bit bands mean bucket sizes grow with corpus/256 per
-    band; at 100 TB you widen the print (64/128-bit, 16-bit bands) —
-    the same knob as the dHash/simhash lanes, documented not hidden."""
+    equi-join with ~corpus/65536 bucket sizes per band — the 32-bit/
+    8-bit-band first cut measurably went quadratic at 5x corpus in the
+    growth harness and was widened, see the constants block)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         _banded_hamming_distances(sql_audio_envelope_bands(docs))

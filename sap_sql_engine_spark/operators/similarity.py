@@ -657,7 +657,7 @@ def streaming_ann_probe(
     return stream.writeStream.foreachBatch(probe).start()
 
 
-def _oracle_ivf(qid: int = QUERY_VEC_ID) -> str:
+def _oracle_ivf(qid: int = QUERY_VEC_ID, n_probe: int = N_PROBE) -> str:
     cent = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
     ) + "]"
@@ -679,7 +679,7 @@ probe AS (
   SELECT CAST(j AS BIGINT) AS pid
   FROM q, range(1, {N_LISTS + 1}) t(j)
   ORDER BY qd[j], j
-  LIMIT {N_PROBE}
+  LIMIT {n_probe}
 )
 SELECT a.vec_id, a.list_id,
        round({_o_cos("a.embedding", "qe")}, 6) AS cosine
@@ -1606,6 +1606,94 @@ SELECT CAST({TOPK} AS INT) AS k,
 ORACLE_ANN_STALENESS = _oracle_staleness()
 
 
+# IVF probe-count operating points: the recall-vs-scan-fraction curve an
+# ANN deployment reads to pick n_probe (the latency knob) — the serving-
+# side sibling of logreg_threshold_sweep's precision/recall curve.
+IVF_PROBE_SWEEP = (1, 2, 4)
+
+
+def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the frozen-codebook IVF at each probe count in
+    IVF_PROBE_SWEEP, over the fixed ANN_RECALL_PROBES eval set, next to
+    the corpus fraction each setting scans (bp of lists probed) — pick
+    the smallest n_probe whose recall clears the SLO and that is your
+    serving config.
+
+    Scale shape: ONE featurization pass shared by every leg (exact,
+    and all probe-count candidates read ``feat``'s cached assignment);
+    the per-probe exact top-K is cache_eager'd (<=TOPK rows) so the
+    |sweep| joins that consume it do not re-traverse the corpus — the
+    ann_staleness_report cache-share shape."""
+    feat = _featurize(spark, sf_dir)
+    legs = []
+    for qid in ANN_RECALL_PROBES:
+        exact = cache_eager(
+            q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
+                "vec_id"
+            )
+        )
+        for np_ in IVF_PROBE_SWEEP:
+            cand = q_ann_ivf(
+                spark, sf_dir, n_probe=np_, qid=qid, feat=feat
+            ).select("vec_id")
+            legs.append(
+                exact.join(cand, "vec_id")
+                .agg(F.count(F.lit(1)).alias("h"))
+                .select(F.lit(np_).cast("int").alias("n_probe"), "h")
+            )
+    allh = legs[0]
+    for leg in legs[1:]:
+        allh = allh.unionByName(leg)
+    n = TOPK * len(ANN_RECALL_PROBES)
+    return (
+        allh.groupBy("n_probe")
+        .agg(F.sum("h").alias("hits_total"))
+        .selectExpr(
+            "n_probe",
+            f"CAST({TOPK} AS INT) AS k",
+            f"CAST({len(ANN_RECALL_PROBES)} AS INT) AS n_eval_probes",
+            "CAST(hits_total AS BIGINT) AS hits_total",
+            f"CAST(hits_total * 10000 DIV {n} AS BIGINT) AS recall_bp",
+            f"CAST(n_probe * 10000 DIV {N_LISTS} AS BIGINT)"
+            " AS scanned_lists_bp",
+        )
+        .orderBy("n_probe")
+    )
+
+
+def _oracle_ivf_probe_sweep() -> str:
+    n = TOPK * len(ANN_RECALL_PROBES)
+    ctes, rows = [], []
+    for pi, qid in enumerate(ANN_RECALL_PROBES):
+        ctes.append(f"px_{pi} AS ({_oracle_bruteforce(qid)})")
+        for np_ in IVF_PROBE_SWEEP:
+            ctes.append(f"ivf_{pi}_{np_} AS ({_oracle_ivf(qid, n_probe=np_)})")
+    for np_ in IVF_PROBE_SWEEP:
+        hit_sum = " + ".join(
+            f"(SELECT count(*) FROM px_{pi} e JOIN ivf_{pi}_{np_} c"
+            " ON e.vec_id = c.vec_id)"
+            for pi in range(len(ANN_RECALL_PROBES))
+        )
+        rows.append(
+            f"""SELECT CAST({np_} AS INT) AS n_probe,
+       CAST({TOPK} AS INT) AS k,
+       CAST({len(ANN_RECALL_PROBES)} AS INT) AS n_eval_probes,
+       CAST({hit_sum} AS BIGINT) AS hits_total,
+       CAST(({hit_sum}) * 10000 // {n} AS BIGINT) AS recall_bp,
+       CAST({np_} * 10000 // {N_LISTS} AS BIGINT) AS scanned_lists_bp"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY n_probe"
+    )
+
+
+ORACLE_ANN_IVF_PROBE_SWEEP = _oracle_ivf_probe_sweep()
+
+
 # ---------------------------------------------------------------------------
 # embedding anisotropy: top eigenvalue of the (uncentered) second-moment
 # matrix via bounded power iteration — the whitening/anisotropy metric
@@ -2260,6 +2348,7 @@ QUERIES = {
     "embedding_rp_reduce": q_embedding_rp_reduce,
     "ann_recall_report": q_ann_recall_report,
     "ann_staleness_report": q_ann_staleness_report,
+    "ann_ivf_probe_sweep": q_ann_ivf_probe_sweep,
     "embedding_top_eigen": q_embedding_top_eigen,
     "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2283,6 +2372,7 @@ ORACLES = {
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,
     "ann_recall_report": ORACLE_ANN_RECALL,
     "ann_staleness_report": ORACLE_ANN_STALENESS,
+    "ann_ivf_probe_sweep": ORACLE_ANN_IVF_PROBE_SWEEP,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,

@@ -2262,6 +2262,139 @@ ORDER BY class_order
 ORACLE_LATENESS_HISTOGRAM = _oracle_lateness()
 
 
+# completeness SLOs the watermark recommendation answers for
+WATERMARK_SLOS_BP = (9500, 9900, 9990)
+
+
+def _lateness_delay_case(col: str = "lateness_class") -> str:
+    """Class name -> the watermark delay (seconds) that admits it;
+    late_inf maps to the -1 sentinel (no finite delay covers the tail)."""
+    arms = " ".join(
+        f"WHEN '{name}' THEN {secs}" for secs, name in LATENESS_CLASSES
+    )
+    return f"CASE {col} {arms} ELSE -1 END"
+
+
+def q_events_watermark_recommendation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lateness histogram made actionable: per completeness SLO, the
+    smallest ``withWatermark`` delay whose cumulative event share clears
+    it, plus the share actually achieved at that delay. delay -1 = the
+    SLO is only reachable by admitting the over-600s tail (no finite
+    tracked delay suffices). This is the number an engineer would
+    otherwise read off events_lateness_histogram by hand.
+
+    Exactness: cumulative shares are integral bp quotients of exact
+    counts (cum_n * 10000 DIV total), never sums of rounded per-class
+    shares; the per-SLO pick is min_by/arg_min over the bounded class
+    relation (<= 6 rows; the adjudicated bounded-window class).
+
+    Scale shape: the histogram's ONE user-keyed sort window + bounded-
+    class aggregation, then pure algebra on <= 6 x |SLOs| rows."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "late_us"
+        )
+    )
+    cls = "CASE WHEN late_us IS NULL OR late_us <= 0 THEN 'in_order' "
+    for secs, name in LATENESS_CLASSES[1:]:
+        cls += f"WHEN late_us <= {secs * 1_000_000} THEN '{name}' "
+    cls += "ELSE 'late_inf' END"
+    w_all = W.partitionBy()  # <= 6-row class relation
+    w_cum = W.orderBy("delay_ord").rowsBetween(W.unboundedPreceding, 0)
+    slos = ", ".join(str(s) for s in WATERMARK_SLOS_BP)
+    cum = (
+        late.selectExpr(f"{cls} AS lateness_class")
+        .groupBy("lateness_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        # order classes by admitting delay, tail (-1) last via the trick
+        # of sorting on (delay == -1, delay)
+        .selectExpr(
+            "lateness_class",
+            "n_events",
+            f"CAST({_lateness_delay_case()} AS BIGINT) AS delay_s",
+        )
+        .withColumn(
+            "delay_ord",
+            F.expr("CASE WHEN delay_s = -1 THEN 9223372036854775807 ELSE delay_s END"),
+        )
+        .withColumn("cum_n", F.sum("n_events").over(w_cum))
+        .withColumn("total", F.sum("n_events").over(w_all))
+        .selectExpr(
+            "delay_s",
+            "delay_ord",
+            "CAST(cum_n * 10000 DIV total AS BIGINT) AS cum_bp",
+        )
+    )
+    return (
+        cum.selectExpr("*", f"explode(array({slos})) AS slo_bp")
+        .filter(F.col("cum_bp") >= F.col("slo_bp"))
+        .groupBy("slo_bp")
+        .agg(
+            F.expr("min_by(delay_s, delay_ord)").alias("d"),
+            F.expr("min_by(cum_bp, delay_ord)").alias("a"),
+        )
+        .selectExpr(
+            "CAST(slo_bp AS BIGINT) AS slo_bp",
+            "CAST(d AS BIGINT) AS recommended_delay_s",
+            "CAST(a AS BIGINT) AS achieved_share_bp",
+        )
+        .orderBy("slo_bp")
+    )
+
+
+def _oracle_watermark_recommendation() -> str:
+    cls = "CASE WHEN late_us IS NULL OR late_us <= 0 THEN 'in_order' "
+    for secs, name in LATENESS_CLASSES[1:]:
+        cls += f"WHEN late_us <= {secs * 1_000_000} THEN '{name}' "
+    cls += "ELSE 'late_inf' END"
+    slos = ", ".join(f"({s})" for s in WATERMARK_SLOS_BP)
+    return f"""
+WITH late AS (
+  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         - epoch_us(ts) AS late_us
+  FROM events
+),
+classed AS (
+  SELECT {cls} AS lateness_class, count(*) AS n_events
+  FROM late GROUP BY 1
+),
+delayed AS (
+  SELECT CAST({_lateness_delay_case()} AS BIGINT) AS delay_s,
+         CASE WHEN {_lateness_delay_case()} = -1
+              THEN 9223372036854775807
+              ELSE CAST({_lateness_delay_case()} AS BIGINT) END AS delay_ord,
+         n_events
+  FROM classed
+),
+cum AS (
+  SELECT delay_s, delay_ord,
+         CAST(sum(n_events) OVER (ORDER BY delay_ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+              // sum(n_events) OVER () AS BIGINT) AS cum_bp
+  FROM delayed
+)
+SELECT CAST(slo_bp AS BIGINT) AS slo_bp,
+       CAST(arg_min(delay_s, delay_ord) AS BIGINT) AS recommended_delay_s,
+       CAST(arg_min(cum_bp, delay_ord) AS BIGINT) AS achieved_share_bp
+FROM cum CROSS JOIN (VALUES {slos}) t(slo_bp)
+WHERE cum_bp >= slo_bp
+GROUP BY slo_bp
+ORDER BY slo_bp
+"""
+
+
+ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
+
+
 # ---------------------------------------------------------------------------
 # streaming sketch maintenance: the HLL register relation AS a streaming
 # aggregate — mergeable summaries in motion
@@ -2302,6 +2435,7 @@ QUERIES = {
     "events_props_key_inventory": q_events_props_key_inventory,
     "events_funnel_latency": q_events_funnel_latency,
     "events_lateness_histogram": q_events_lateness_histogram,
+    "events_watermark_recommendation": q_events_watermark_recommendation,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2329,6 +2463,7 @@ ORACLES = {
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,
     "events_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
+    "events_watermark_recommendation": ORACLE_WATERMARK_RECOMMENDATION,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,

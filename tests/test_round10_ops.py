@@ -14,7 +14,7 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-from sap_sql_engine_spark.operators import classifier, multimodal
+from sap_sql_engine_spark.operators import classifier, dedup, multimodal, similarity
 from sap_sql_engine_spark.operators.multimodal import (
     AFP_MIN_LEN,
     AFP_THRESHOLD,
@@ -133,7 +133,7 @@ def test_wav_8bit_decodes_unsigned_offset_binary(spark):
 # lanes agree
 
 
-def _envelope_waveform(loud_on_even, n_frames=40, frame=4):
+def _envelope_waveform(loud_on_even, n_frames=70, frame=4):
     """Alternating loud/quiet frames — a distinctive energy envelope.
     Returns centered sample amplitudes in [-100, 100]."""
     samples = []
@@ -175,6 +175,78 @@ def test_audio_reencode_neardup_collides(spark):
     assert out[0] == out[1], "re-encoded duplicate must fingerprint identically"
     dist = sum(bin(a ^ b).count("1") for a, b in zip(out[0], out[2]))
     assert dist > AFP_THRESHOLD, f"distinct waveform too close (hamming {dist})"
+
+
+def test_streaming_logreg_score_matches_batch(spark, sf_dir, tmp_path):
+    """Train-offline/serve-online twin: docs streamed in two JSONL drops
+    are scored per micro-batch with the batch-trained weights; the
+    accumulated (doc_id, z_micro, pred) rows equal the batch scorer
+    exactly on the same rows."""
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.sources.loader import spread, table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    sample = docs.filter(F.col("doc_id") < 20)
+    drop_dir = str(tmp_path / "docdrops")
+    out_dir = str(tmp_path / "scores")
+
+    sample.filter(F.col("doc_id") < 10).write.mode("append").json(drop_dir)
+    q = classifier.streaming_logreg_score(spark, sf_dir, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+        sample.filter(F.col("doc_id") >= 10).write.mode("append").json(drop_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.doc_id, r.z_micro, r.pred)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    _feats, w = classifier._fit(spread(docs))
+    want = sorted(
+        (r.doc_id, r.z_micro, r.pred)
+        for r in classifier.batch_scores(sample, w).collect()
+    )
+    assert got == want
+    assert len(got) == 20
+
+
+def test_dedup_soft_weights_planted(spark, tmp_path):
+    """A 3-clique of identical docs plus a singleton: the clique carries
+    3 x (1e6 DIV 3) micro, the singleton a full 1e6 — mass retained =
+    1999999/4000000 = 4999 bp (the truncating-division remainder is the
+    documented sub-unit loss)."""
+    text_dup = " ".join(f"tok{i}" for i in range(20))
+    text_uniq = " ".join(f"other{i}" for i in range(20))
+    rows = [
+        (1, text_dup, "en", "s", len(text_dup)),
+        (2, text_dup, "en", "s", len(text_dup)),
+        (3, text_dup, "en", "s", len(text_dup)),
+        (4, text_uniq, "en", "s", len(text_uniq)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.q_dedup_soft_weights(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 4 and r.n_clustered == 3
+    assert r.effective_mass_micro == 3 * (1_000_000 // 3) + 1_000_000
+    assert r.mass_retained_bp == r.effective_mass_micro // 400
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """Recall must be non-decreasing in n_probe (each setting's probed
+    cells are a superset of the previous), and the scanned-lists share is
+    the exact n_probe/N_LISTS quotient."""
+    rows = {r.n_probe: r for r in similarity.q_ann_ivf_probe_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(similarity.IVF_PROBE_SWEEP)
+    recalls = [rows[p].recall_bp for p in sorted(rows)]
+    assert recalls == sorted(recalls)
+    for p, r in rows.items():
+        assert r.scanned_lists_bp == p * 10000 // similarity.N_LISTS
 
 
 def test_audio_sql_lane_matches_python_lane(spark, sf_dir):
