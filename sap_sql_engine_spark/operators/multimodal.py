@@ -996,14 +996,13 @@ def sql_audio_envelope_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFra
     with map-side combine (33 frame energies per media leave the map
     side, not the signal), a lead() window bounded at 33 rows per media,
     groupBy (media, band)."""
-    chars = (
-        docs.filter(F.length("text") >= AFP_MIN_LEN)
-        .selectExpr(
-            f"CAST({id_col} AS BIGINT) AS media_id",
-            "posexplode(transform(split(text, ''),"
-            " c -> CAST(ascii(c) AS BIGINT))) AS (pos, code)",
-        )
-        .filter(F.col("pos") < AFP_MIN_LEN)
+    chars = docs.filter(F.length("text") >= AFP_MIN_LEN).selectExpr(
+        f"CAST({id_col} AS BIGINT) AS media_id",
+        # substring BEFORE the explode: the prefix bound belongs in the
+        # map expression, not as a filter on the exploded stream (which
+        # would still materialize every character of every document)
+        f"posexplode(transform(split(substr(text, 1, {AFP_MIN_LEN}), ''),"
+        " c -> CAST(ascii(c) AS BIGINT))) AS (pos, code)",
     )
     frames = chars.groupBy(
         "media_id", F.expr(f"pos DIV {AFP_FRAME}").alias("f")
