@@ -102,9 +102,25 @@ def _fit(docs: DataFrame):
     as the oracle's `train` relation would."""
     m = LOGREG_M
     feats = cache_eager(_featurize(docs))
+    return _fit_on(feats, docs.sparkSession)
+
+
+def _fit_on(feats: DataFrame, spark: SparkSession, mask=(1, 1, 1, 1)):
+    """Training loop over an already-cached feature relation. ``mask``
+    zeroes ablated feature columns (x_j * 0 => that weight's gradient is
+    identically 0 and z never sees the feature — exactly dropping it),
+    which is how logreg_ablation_report trains the drop-one variants off
+    ONE shared featurize pass."""
+    m = LOGREG_M
+    if mask != (1, 1, 1, 1):
+        feats = feats.selectExpr(
+            "doc_id",
+            "y",
+            "held",
+            *[f"CAST(x{j} * {mask[j]} AS BIGINT) AS x{j}" for j in range(4)],
+        )
     train = feats.filter(F.col("held") == 0)
     n_train = train.count()  # driver scalar probe (bm25/tfidf convention)
-    spark = docs.sparkSession
     w = spark.range(1).selectExpr(
         *[f"CAST(0 AS BIGINT) AS w{j}" for j in range(4)]
     )
@@ -246,6 +262,77 @@ def q_logreg_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_threshold_sweep(spread(table(spark, sf_dir, "documents")))
 
 
+# drop-one-feature ablations (the bias x0 is never ablated)
+LOGREG_ABLATIONS = (
+    ("full", (1, 1, 1, 1)),
+    ("no_stop", (1, 0, 1, 1)),
+    ("no_alpha", (1, 1, 0, 1)),
+    ("no_len", (1, 1, 1, 0)),
+)
+
+
+def logreg_ablation_report(docs: DataFrame) -> DataFrame:
+    """Drop-one-feature ablation — the dashboard docs_feature_matrix's
+    docstring promises: train the full model and each 3-feature variant
+    (feature zeroed, so its gradient and contribution to z are
+    identically 0) off ONE shared featurize pass, and report held-out
+    accuracy per variant with the delta vs the full model. The feature
+    whose removal costs the most accuracy is the one carrying the
+    signal (the planted test drops the separating feature and watches
+    accuracy collapse; on the gated corpus all deltas are honestly ~0
+    because no feature carries lang signal).
+
+    Scale shape: one cached featurize pass; each ablation is the
+    bounded _fit_on recurrence (Lloyd-round class); leg accuracies are
+    tagged 1-row aggregates UNIONed and folded with a bounded window."""
+    spark = docs.sparkSession
+    base = cache_eager(_featurize(docs))
+    legs = []
+    hit = (
+        f"CASE WHEN (CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END"
+    )
+    for name, mask in LOGREG_ABLATIONS:
+        feats, w = _fit_on(base, spark, mask=mask)
+        legs.append(
+            feats.crossJoin(F.broadcast(w))
+            .filter(F.col("held") == 1)
+            .agg(
+                F.expr(f"sum({hit})").alias("hits"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .selectExpr(
+                f"'{name}' AS ablation",
+                "CAST(hits * 10000 DIV n AS BIGINT) AS heldout_acc_bp",
+            )
+        )
+    allr = legs[0]
+    for leg in legs[1:]:
+        allr = allr.unionByName(leg)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # 4-row ablation relation
+    return (
+        allr.withColumn(
+            "full_acc",
+            F.expr(
+                "max(CASE WHEN ablation = 'full' THEN heldout_acc_bp END)"
+            ).over(w_all),
+        )
+        .selectExpr(
+            "ablation",
+            "heldout_acc_bp",
+            "CAST(heldout_acc_bp - full_acc AS BIGINT) AS delta_bp",
+        )
+        .orderBy("ablation")
+    )
+
+
+def q_logreg_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-ablation accuracy deltas of the on-engine classifier."""
+    return logreg_ablation_report(spread(table(spark, sf_dir, "documents")))
+
+
 def streaming_logreg_score(spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str):
     """Train-offline / serve-online: the corpus trains the weights ONCE
     batch-side (:func:`_fit`, the gated recurrence), then JSONL document
@@ -298,10 +385,9 @@ def batch_scores(docs: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
-def _oracle_fit_ctes() -> str:
+def _oracle_feats_cte() -> str:
     m = LOGREG_M
-    ctes = [
-        rf"""feats AS (
+    return rf"""feats AS (
   SELECT doc_id,
          CAST(lang = 'en' AS BIGINT) AS y,
          CAST(doc_id % {HELDOUT_MOD} = 0 AS INT) AS held,
@@ -315,31 +401,48 @@ def _oracle_fit_ctes() -> str:
                     {LOGREG_LEN_CAP}) * {m} // {LOGREG_LEN_CAP}
               AS BIGINT) AS x3
   FROM documents
-)""",
+)"""
+
+
+def _oracle_fit_ctes() -> str:
+    ctes = [
+        _oracle_feats_cte(),
         "train AS (SELECT * FROM feats WHERE held = 0)",
         "n AS (SELECT count(*) AS n_train FROM train)",
         "w0_ AS (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(4))
         + ")",
     ]
+    ctes.extend(_oracle_steps("train", ""))
+    return "WITH " + ",\n".join(ctes)
+
+
+def _oracle_steps(train_rel: str, pfx: str) -> list:
+    """The unrolled gradient-step CTEs over ``train_rel`` with CTE names
+    prefixed (``w{it}{pfx}_`` etc.) — shared by the single-model oracles
+    (pfx='', names unchanged) and the per-ablation chains. Note the w0
+    seed is emitted by _oracle_fit_ctes for pfx='' and by the ablation
+    builder otherwise."""
+    m = LOGREG_M
     z = f"(w.w0*t.x0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3) // {m}"
+    out = []
     for it in range(1, LOGREG_ITERS + 1):
         grads = ", ".join(
             f"CAST(w{j} - {LOGREG_LR} * CAST(sum(CAST(err AS HUGEINT) * x{j})"
             f" // ((SELECT n_train FROM n) * {m}) AS BIGINT) AS BIGINT) AS w{j}"
             for j in range(4)
         )
-        ctes.append(
-            f"""s{it} AS (
+        out.append(
+            f"""s{it}{pfx} AS (
   SELECT w.w0, w.w1, w.w2, w.w3, t.x0, t.x1, t.x2, t.x3,
          least(greatest({m // 2} + ({z}) // 4, 0), {m}) - t.y * {m} AS err
-  FROM train t, w{it - 1}_ w
+  FROM {train_rel} t, w{it - 1}{pfx}_ w
 ),
-w{it}_ AS (
-  SELECT {grads} FROM s{it} GROUP BY w0, w1, w2, w3
+w{it}{pfx}_ AS (
+  SELECT {grads} FROM s{it}{pfx} GROUP BY w0, w1, w2, w3
 )"""
         )
-    return "WITH " + ",\n".join(ctes)
+    return out
 
 
 _ORACLE_ZF = (
@@ -412,12 +515,67 @@ ORDER BY thr_micro
 ORACLE_LOGREG_THRESHOLD_SWEEP = _oracle_threshold_sweep()
 
 
+def _oracle_ablation() -> str:
+    ctes = [_oracle_feats_cte()]
+    ctes.append("train AS (SELECT * FROM feats WHERE held = 0)")
+    ctes.append("n AS (SELECT count(*) AS n_train FROM train)")
+    accs = []
+    for name, mask in LOGREG_ABLATIONS:
+        pfx = f"_{name}"
+        ctes.append(
+            f"""f{pfx} AS (
+  SELECT doc_id, y, held,
+         {", ".join(f"CAST(x{j} * {mask[j]} AS BIGINT) AS x{j}" for j in range(4))}
+  FROM feats
+)"""
+        )
+        ctes.append(f"t{pfx} AS (SELECT * FROM f{pfx} WHERE held = 0)")
+        ctes.append(
+            f"w0{pfx}_ AS (SELECT "
+            + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(4))
+            + ")"
+        )
+        ctes.extend(_oracle_steps(f"t{pfx}", pfx))
+        zf = (
+            f"(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // {LOGREG_M}"
+        )
+        ctes.append(
+            f"""acc{pfx} AS (
+  SELECT '{name}' AS ablation,
+         CAST(sum(CASE WHEN (CASE WHEN {zf} > 0 THEN 1 ELSE 0 END) = f.y
+                       THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+           AS heldout_acc_bp
+  FROM f{pfx} f, w{LOGREG_ITERS}{pfx}_ w
+  WHERE f.held = 1
+)"""
+        )
+        accs.append(f"SELECT * FROM acc{pfx}")
+    union = "\nUNION ALL ".join(accs)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT ablation, heldout_acc_bp,
+       CAST(heldout_acc_bp
+            - max(CASE WHEN ablation = 'full' THEN heldout_acc_bp END)
+              OVER () AS BIGINT) AS delta_bp
+FROM ({union})
+ORDER BY ablation
+"""
+    )
+
+
+ORACLE_LOGREG_ABLATION = _oracle_ablation()
+
+
 QUERIES = {
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
+    "logreg_ablation_report": q_logreg_ablation_report,
 }
 
 ORACLES = {
     "logreg_quality_report": ORACLE_LOGREG_QUALITY,
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
+    "logreg_ablation_report": ORACLE_LOGREG_ABLATION,
 }

@@ -1891,6 +1891,101 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic md5 split for the incremental-ingest shape: vectors with
+# bucket < INDEX_SPLIT_PCT form the standing index, the rest arrive as
+# the "new batch" (the dedup_incremental / split_leakage convention)
+INDEX_SPLIT_PCT = 80
+_VEC_BUCKET_SPARK = (
+    "pmod(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT), 100)"
+)
+_VEC_BUCKET_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100)"
+)
+
+
+def q_ann_index_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: a new vector batch (deterministic
+    md5 split of the corpus, the dedup_incremental convention) is
+    assigned to the FROZEN cells without retraining, and per cell the
+    report shows standing size, arrivals, growth (bp of the standing
+    list), the batch's own cell distribution, and the post-ingest load
+    factor — how real IVF deployments absorb continuous ingestion
+    between the retrains that ann_staleness_report triggers. A cell
+    whose growth far outruns its peers is drifting data; its post-ingest
+    load factor is the probe-latency cost of NOT retraining yet.
+
+    Scale shape: ONE shared featurization pass (list_id precomputed),
+    one map-side split flag, one N_LISTS-group aggregation; all window
+    math on the bounded cell relation."""
+    feat = _featurize(spark, sf_dir)
+    tagged = feat.selectExpr(
+        "CAST(list_id AS BIGINT) AS list_id",
+        f"CASE WHEN {_VEC_BUCKET_SPARK} < {INDEX_SPLIT_PCT} THEN 0 ELSE 1"
+        " END AS is_new",
+    )
+    w_all = Window.partitionBy()  # N_LISTS-row bounded relation
+    return (
+        tagged.groupBy("list_id")
+        .agg(
+            F.expr("sum(1 - is_new)").cast("bigint").alias("n_standing"),
+            F.expr("sum(is_new)").cast("bigint").alias("n_new"),
+        )
+        .withColumn("tot_new", F.sum("n_new").over(w_all))
+        .withColumn("tot_all", F.sum(F.expr("n_standing + n_new")).over(w_all))
+        .selectExpr(
+            "list_id",
+            "n_standing",
+            "n_new",
+            "CAST(n_new * 10000 DIV greatest(tot_new, 1) AS BIGINT)"
+            " AS batch_share_bp",
+            "CAST(n_new * 10000 DIV greatest(n_standing, 1) AS BIGINT)"
+            " AS growth_bp",
+            f"CAST((n_standing + n_new) * {N_LISTS} * 1000 DIV tot_all"
+            " AS BIGINT) AS load_after_milli",
+        )
+        .orderBy("list_id")
+    )
+
+
+def _oracle_index_delta() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+assigned AS (
+  SELECT vec_id,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+  FROM embeddings, cent
+),
+tagged AS (
+  SELECT CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id,
+         CASE WHEN {_VEC_BUCKET_DUCK} < {INDEX_SPLIT_PCT} THEN 0 ELSE 1 END AS is_new
+  FROM assigned
+),
+cells AS (
+  SELECT list_id,
+         CAST(sum(1 - is_new) AS BIGINT) AS n_standing,
+         CAST(sum(is_new) AS BIGINT) AS n_new
+  FROM tagged GROUP BY 1
+)
+SELECT list_id, n_standing, n_new,
+       CAST(n_new * 10000 // greatest(sum(n_new) OVER (), 1) AS BIGINT)
+         AS batch_share_bp,
+       CAST(n_new * 10000 // greatest(n_standing, 1) AS BIGINT) AS growth_bp,
+       CAST((n_standing + n_new) * {N_LISTS} * 1000
+            // sum(n_standing + n_new) OVER () AS BIGINT) AS load_after_milli
+FROM cells
+ORDER BY list_id
+"""
+
+
+ORACLE_ANN_INDEX_DELTA = _oracle_index_delta()
+
+
 def _oracle_cell_balance() -> str:
     cent = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
@@ -2349,6 +2444,7 @@ QUERIES = {
     "ann_recall_report": q_ann_recall_report,
     "ann_staleness_report": q_ann_staleness_report,
     "ann_ivf_probe_sweep": q_ann_ivf_probe_sweep,
+    "ann_index_delta_report": q_ann_index_delta_report,
     "embedding_top_eigen": q_embedding_top_eigen,
     "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2373,6 +2469,7 @@ ORACLES = {
     "ann_recall_report": ORACLE_ANN_RECALL,
     "ann_staleness_report": ORACLE_ANN_STALENESS,
     "ann_ivf_probe_sweep": ORACLE_ANN_IVF_PROBE_SWEEP,
+    "ann_index_delta_report": ORACLE_ANN_INDEX_DELTA,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,

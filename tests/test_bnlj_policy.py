@@ -66,6 +66,8 @@ BNLJ_ALLOWED = {
     "gradient step + the final scoring attach (the Lloyd-round class)",
     "logreg_threshold_sweep": "the same 1-row weight-vector broadcasts "
     "(shared _fit trunk) + the scoring attach",
+    "logreg_ablation_report": "4 ablation fits x the same bounded 1-row "
+    "weight-vector broadcasts off one shared featurize pass",
     "hybrid_search_rrf": "inherits ann_ivf_fitted's K-row trained-codebook "
     "broadcast probes (the semantic leg, composed unchanged)",
 }

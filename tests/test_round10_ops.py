@@ -177,6 +177,25 @@ def test_audio_reencode_neardup_collides(spark):
     assert dist > AFP_THRESHOLD, f"distinct waveform too close (hamming {dist})"
 
 
+def test_logreg_ablation_planted(spark):
+    """Drop-one ablation on the separable corpus: removing the stopword
+    feature (the ONLY signal) collapses held-out accuracy to ~chance,
+    while removing the non-informative features leaves it perfect."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "the of to in is it and a", "en"))
+        else:
+            rows.append((i, "xxq yyq zzq wwq vvq uuq ttq ssq", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.ablation: r for r in classifier.logreg_ablation_report(docs).collect()}
+    assert out["full"].heldout_acc_bp == 10000 and out["full"].delta_bp == 0
+    assert out["no_alpha"].heldout_acc_bp == 10000
+    assert out["no_len"].heldout_acc_bp == 10000
+    assert out["no_stop"].heldout_acc_bp <= 6000  # signal gone -> ~chance
+    assert out["no_stop"].delta_bp <= -4000
+
+
 def test_streaming_logreg_score_matches_batch(spark, sf_dir, tmp_path):
     """Train-offline/serve-online twin: docs streamed in two JSONL drops
     are scored per micro-batch with the batch-trained weights; the
@@ -247,6 +266,22 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     assert recalls == sorted(recalls)
     for p, r in rows.items():
         assert r.scanned_lists_bp == p * 10000 // similarity.N_LISTS
+
+
+def test_ann_index_delta_accounting(spark, sf_dir):
+    """The delta report's accounting must close: standing + new counts
+    cover the whole corpus, batch shares are a (truncating) partition of
+    10000 bp, and post-ingest load factors average 1000 milli."""
+    rows = similarity.q_ann_index_delta_report(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_standing + r.n_new for r in rows) == n_corpus
+    tot_new = sum(r.n_new for r in rows)
+    assert 0 < tot_new < n_corpus  # the md5 split genuinely splits
+    share_sum = sum(r.batch_share_bp for r in rows)
+    assert 10000 - len(rows) <= share_sum <= 10000  # truncation only
+    wsum = sum((r.n_standing + r.n_new) * r.load_after_milli for r in rows)
+    # weighted mean of load factors is ~1000 milli by construction
+    assert abs(wsum / n_corpus - 1000) < 100
 
 
 def test_audio_sql_lane_matches_python_lane(spark, sf_dir):
