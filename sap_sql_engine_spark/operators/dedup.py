@@ -1276,6 +1276,72 @@ ORDER BY source
 """
 
 
+def q_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pair counts per
+    (source, source) cell, canonicalized so source_a <= source_b — the
+    provenance matrix a curation team reads to find domains that
+    syndicate each other's content (off-diagonal mass) vs domains that
+    re-post internally (diagonal mass). Composes the gated n-gram
+    Jaccard pair relation with two source lookups; share is per-cell bp
+    of all near-dup pairs.
+
+    Scale shape: the pair work is the existing banded/df-capped chain;
+    attribution is two doc_id-keyed joins (no broadcast hints — doc_id
+    lookup relations are corpus-sized at web scale, AQE decides) and a
+    |sources|^2-bounded aggregation; the share window runs there."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = jaccard_pairs(table(spark, sf_dir, "documents")).select("doc1", "doc2")
+    a = docs.toDF("doc1", "s1")
+    b = docs.toDF("doc2", "s2")
+    w_all = Window.partitionBy()  # <= |sources|^2 bounded relation
+    return (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .selectExpr(
+            "least(s1, s2) AS source_a",
+            "greatest(s1, s2) AS source_b",
+            "CASE WHEN s1 = s2 THEN 0 ELSE 1 END AS cross_source",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("cross_source").cast("int").alias("is_cross_source"),
+        )
+        .withColumn("tot", F.sum("n_pairs").over(w_all))
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "is_cross_source",
+            "CAST(n_pairs * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_DEDUP_MATRIX = f"""
+WITH pairs AS ({ORACLE_NGRAM_JACCARD}),
+attributed AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b,
+         CASE WHEN a.source = b.source THEN 0 ELSE 1 END AS cross_source
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.doc1
+  JOIN documents b ON b.doc_id = p.doc2
+),
+cells AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(max(cross_source) AS INT) AS is_cross_source
+  FROM attributed GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs, is_cross_source,
+       CAST(n_pairs * 10000 // sum(n_pairs) OVER () AS BIGINT) AS share_bp
+FROM cells
+ORDER BY source_a, source_b
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware representative selection: per near-dup cluster keep
     the HIGHEST-quality member (tiebreak: smallest doc_id) instead of the
@@ -2347,6 +2413,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
     "dedup_soft_weights": q_dedup_soft_weights,
+    "source_dedup_matrix": q_source_dedup_matrix,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
     "docs_leakage_free_split": q_docs_leakage_free_split,
@@ -2374,6 +2441,7 @@ ORACLES = {
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
+    "source_dedup_matrix": ORACLE_SOURCE_DEDUP_MATRIX,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "docs_leakage_free_split": ORACLE_LEAKAGE_FREE_SPLIT,

@@ -31,6 +31,61 @@ from pyspark.sql import functions as F
 from ..cachereg import cache_eager
 
 
+def with_global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str,
+    sum_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Return ``df`` (cached, range-partitioned by ``order_cols``) with a
+    BIGINT ``sum_col`` equal to the INCLUSIVE running sum of
+    ``value_col`` over the global ``order_cols`` order — with no global
+    window. Same machinery as :func:`with_global_rank`: one range
+    exchange, a PER-PARTITION window (each range slice cumsums in
+    parallel), and a metadata-sized per-partition total collect turned
+    into a literal offset map. Range partition i holds keys strictly
+    below partition i+1's, so offset[pid] + local running sum IS the
+    global prefix sum.
+
+    ``total_col``: optionally attach the global value total (known
+    driver-side from the same metadata collect) as a literal column."""
+    part = cache_eager(
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    sums = {
+        row["__pid"]: row["s"]
+        for row in part.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    }  # one row per partition — metadata, not data
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    offset_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = part.withColumn(
+        sum_col,
+        (
+            offset_map[F.col("__pid")]
+            + F.sum(F.col(value_col).cast("bigint")).over(w_local)
+        ).cast("bigint"),
+    ).drop("__pid")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("bigint"))
+    return out
+
+
 def with_global_rank(
     df: DataFrame,
     *order_cols: str,

@@ -3989,8 +3989,107 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# data selection under a token budget: rank the corpus by quality, admit
+# greedily until the budget fills — the "what quality cutoff does a 50%
+# token budget buy" question every curation run answers before training.
+
+BUDGET_PCTS = (25, 50, 75)
+
+
+def q_docs_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per token-budget (pct of corpus tokens): how many of the
+    highest-quality docs fit, the tokens actually admitted, the quality
+    score at the cutoff (the operational keep-threshold), and the
+    budget fill rate (bp; <10000 because the marginal doc rarely lands
+    exactly on the boundary).
+
+    Scale shape: the global quality ranking carries NO global window —
+    ``with_global_prefix_sum`` (ranks.py) range-partitions on the sort
+    key and cumsums each slice in parallel, turning per-partition totals
+    (a metadata-sized collect) into literal offsets, exactly the
+    zipWithIndex recipe with_global_rank uses for ranks. The budget
+    fan-out is a 3-literal explode; the final aggregation has
+    |budgets| groups."""
+    from .ranks import with_global_prefix_sum
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    qs = quality_score_from(docs).select("doc_id", "quality_score")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("t"),
+    )
+    per = qs.join(toks, "doc_id").select(
+        "doc_id",
+        "quality_score",
+        (F.col("quality_score") * -1).alias("negq"),
+        "t",
+    )
+    cum = with_global_prefix_sum(
+        per, "t", "negq", "doc_id", sum_col="cum_t", total_col="tot_t"
+    )
+    pcts = ", ".join(str(p) for p in BUDGET_PCTS)
+    fan = cum.selectExpr(
+        "quality_score", "cum_t", "tot_t", f"explode(array({pcts})) AS budget_pct"
+    ).filter(F.expr("cum_t <= tot_t * budget_pct DIV 100"))
+    return (
+        fan.groupBy("budget_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.max("cum_t").cast("bigint").alias("tokens_kept"),
+            F.min("quality_score").alias("cutoff_quality"),
+            F.max("tot_t").alias("tot_t"),
+        )
+        .selectExpr(
+            "CAST(budget_pct AS INT) AS budget_pct",
+            "n_docs_kept",
+            "tokens_kept",
+            "cutoff_quality",
+            "CAST(tokens_kept * 10000"
+            " DIV greatest(tot_t * budget_pct DIV 100, 1) AS BIGINT)"
+            " AS fill_bp",
+        )
+        .orderBy("budget_pct")
+    )
+
+
+ORACLE_TOKEN_BUDGET = rf"""
+WITH q AS ({ORACLE_QUALITY_SCORE}),
+toks AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+),
+per AS (
+  SELECT q.doc_id, q.quality_score, toks.t
+  FROM q JOIN toks USING (doc_id)
+),
+cum AS (
+  SELECT quality_score,
+         sum(t) OVER (ORDER BY quality_score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_t,
+         sum(t) OVER () AS tot_t
+  FROM per
+),
+fan AS (
+  SELECT * FROM cum CROSS JOIN (VALUES {", ".join(f"({p})" for p in BUDGET_PCTS)}) b(budget_pct)
+  WHERE cum_t <= tot_t * budget_pct // 100
+)
+SELECT CAST(budget_pct AS INT) AS budget_pct,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(max(cum_t) AS BIGINT) AS tokens_kept,
+       min(quality_score) AS cutoff_quality,
+       CAST(max(cum_t) * 10000
+            // greatest(max(tot_t) * budget_pct // 100, 1) AS BIGINT)
+         AS fill_bp
+FROM fan
+GROUP BY budget_pct
+ORDER BY budget_pct
+"""
+
+
 QUERIES = {
     "source_mixture_weights": q_source_mixture_weights,
+    "docs_token_budget_report": q_docs_token_budget_report,
     "docs_length_quality_spearman": q_docs_length_quality_spearman,
     "token_burstiness_report": q_token_burstiness_report,
     "corpus_saturation_curve": q_corpus_saturation_curve,
@@ -4041,6 +4140,7 @@ QUERIES = {
 
 ORACLES = {
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
+    "docs_token_budget_report": ORACLE_TOKEN_BUDGET,
     "docs_length_quality_spearman": ORACLE_SPEARMAN,
     "token_burstiness_report": ORACLE_BURSTINESS,
     "corpus_saturation_curve": ORACLE_SATURATION,

@@ -2395,6 +2395,75 @@ ORDER BY slo_bp
 ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
 
 
+# sessionization gap-parameter sweep: the 30-min default is a convention,
+# not a law — this is the tuning table that justifies (or overturns) it
+SESSION_GAP_SWEEP = (300, 900, SESSION_GAP_SECONDS, 3600)
+
+
+def q_events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate inactivity gap: session count and mean events per
+    session (milli) — how session structure responds to the gap
+    parameter (too small shatters real visits, too large merges distinct
+    ones; the knee of this curve is the defensible choice). The 1800 s
+    row is exactly events_sessionize's session population.
+
+    Scale shape: ONE user-keyed sort window computes each event's
+    predecessor gap (the sessionize exchange); the sweep is a literal
+    explode over the gap candidates and a |sweep|-group aggregation —
+    the parameter never re-runs the corpus pass."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select((us - F.lag(us).over(w)).alias("gap_us"))
+    gs = ", ".join(str(g) for g in SESSION_GAP_SWEEP)
+    return (
+        gaps.selectExpr("gap_us", f"explode(array({gs})) AS gap_s")
+        .groupBy("gap_s")
+        .agg(
+            # CAST first: gap_s arrives as INT32 from the literal explode
+            # and 3600 * 1e6 overflows it (silent wrap in non-ANSI Spark,
+            # hard error in DuckDB — caught by the gate)
+            F.expr(
+                "sum(CASE WHEN gap_us IS NULL"
+                " OR gap_us > CAST(gap_s AS BIGINT) * 1000000"
+                " THEN 1 ELSE 0 END)"
+            ).alias("ns"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .selectExpr(
+            "CAST(gap_s AS BIGINT) AS gap_s",
+            "CAST(ns AS BIGINT) AS n_sessions",
+            "CAST(ne AS BIGINT) AS n_events",
+            "CAST(ne * 1000 DIV ns AS BIGINT) AS events_per_session_milli",
+        )
+        .orderBy("gap_s")
+    )
+
+
+ORACLE_SESSION_GAP_SWEEP = f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+fan AS (
+  SELECT gap_us, gap_s
+  FROM gaps CROSS JOIN (VALUES {", ".join(f"({g})" for g in SESSION_GAP_SWEEP)}) t(gap_s)
+)
+SELECT CAST(gap_s AS BIGINT) AS gap_s,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) * 1000
+            // sum(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT)
+         AS events_per_session_milli
+FROM fan
+GROUP BY gap_s
+ORDER BY gap_s
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming sketch maintenance: the HLL register relation AS a streaming
 # aggregate — mergeable summaries in motion
@@ -2436,6 +2505,7 @@ QUERIES = {
     "events_funnel_latency": q_events_funnel_latency,
     "events_lateness_histogram": q_events_lateness_histogram,
     "events_watermark_recommendation": q_events_watermark_recommendation,
+    "events_session_gap_sweep": q_events_session_gap_sweep,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2464,6 +2534,7 @@ ORACLES = {
     "events_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
     "events_watermark_recommendation": ORACLE_WATERMARK_RECOMMENDATION,
+    "events_session_gap_sweep": ORACLE_SESSION_GAP_SWEEP,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,

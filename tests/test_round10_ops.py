@@ -268,6 +268,22 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
         assert r.scanned_lists_bp == p * 10000 // similarity.N_LISTS
 
 
+def test_session_gap_sweep_consistent_with_sessionize(spark, sf_dir):
+    """The sweep's SESSION_GAP_SECONDS row must count exactly the
+    sessions q_events_sessionize builds, and session counts must be
+    monotonically non-increasing in the gap (a bigger gap can only
+    merge sessions)."""
+    from sap_sql_engine_spark.streaming import events as ev
+
+    rows = {r.gap_s: r for r in ev.q_events_session_gap_sweep(spark, sf_dir).collect()}
+    counts = [rows[g].n_sessions for g in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    sess_total = sum(
+        r.session_count for r in ev.q_events_sessionize(spark, sf_dir).collect()
+    )
+    assert rows[ev.SESSION_GAP_SECONDS].n_sessions == sess_total
+
+
 def test_ann_index_delta_accounting(spark, sf_dir):
     """The delta report's accounting must close: standing + new counts
     cover the whole corpus, batch shares are a (truncating) partition of

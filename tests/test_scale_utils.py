@@ -121,3 +121,34 @@ def test_global_rank_matches_window_row_number(spark):
     }
     cachereg.release()
     assert got == want
+
+
+def test_global_prefix_sum_matches_window_cumsum(spark):
+    # property: the offset-stitch running sum over MANY range partitions
+    # equals sum() OVER (ORDER BY ...) on a single global window — same
+    # skewed/duplicated key regime as the rank property above
+    from pyspark.sql import Window
+
+    from sap_sql_engine_spark import cachereg
+    from sap_sql_engine_spark.operators.ranks import with_global_prefix_sum
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") * 37 % 101).cast("string"))
+        .withColumn("v", (F.col("id") % 13 + 1).cast("bigint"))
+        .repartition(16)
+    )
+    got = {
+        r.id: (r.cum, r.tot)
+        for r in with_global_prefix_sum(
+            df, "v", "k", "id", sum_col="cum", total_col="tot"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    total = df.agg(F.sum("v")).first()[0]
+    want = {
+        r.id: (r.cum, total)
+        for r in df.withColumn("cum", F.sum("v").over(w).cast("bigint")).collect()
+    }
+    cachereg.release()
+    assert got == want
