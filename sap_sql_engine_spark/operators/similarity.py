@@ -1257,6 +1257,67 @@ def q_ann_ivf_fitted(
     return _ivf_fitted_serve(emb, cent, assign(cent), qid)
 
 
+def _ivf_fitted_serve_batch(
+    emb: DataFrame, cent: DataFrame, assigned: DataFrame, probes
+) -> DataFrame:
+    """Fitted-IVF serving for a BATCH of probe ids in one probe join —
+    (query_id, vec_id) per-query top-K under the fitted codebook, the
+    ivf_probe_batch shape against on-engine centroids instead of the
+    frozen literals. Same cell selection (quantized distance, cid tie)
+    and re-rank tie order as the single-probe _ivf_fitted_serve."""
+    d2u = (
+        F.floor(
+            F.expr(
+                "aggregate(zip_with(embedding, centroid, "
+                "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+                "0D, (acc, v) -> acc + v)"
+            )
+            * KM_Q
+        )
+        .cast("bigint")
+        .alias("d2u")
+    )
+    qd = (
+        emb.filter(F.col("vec_id").isin(list(probes)))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cid",
+            d2u,
+        )
+    )
+    pr = (
+        qd.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2u", "cid")
+            ),
+        )
+        .filter(F.col("rn") <= KM_N_PROBE)
+        .select("query_id", "qe", F.col("cid").alias("probe_cid"))
+    )
+    cand = assigned.join(
+        F.broadcast(pr),
+        (F.col("cid") == F.col("probe_cid"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+
+
 def _ivf_fitted_serve(
     emb: DataFrame, cent: DataFrame, assigned: DataFrame, qid: int
 ) -> DataFrame:
@@ -1500,6 +1561,35 @@ def _oracle_recall() -> str:
 ORACLE_ANN_RECALL = _oracle_recall()
 
 
+def _exact_topk_batch(feat: DataFrame, probes) -> DataFrame:
+    """Cached (query_id, vec_id) exact brute-force top-K for a BATCH of
+    probe ids in ONE corpus pass: broadcast cross of the |probes|-row
+    query relation, per-query rank window. Identical per-query results
+    (same tie order) as q_ann_bruteforce_topk run per probe; shared by
+    the staleness report and the probe sweep so neither pays a
+    corpus-sized pass per probe."""
+    qb = feat.filter(F.col("vec_id").isin(list(probes))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+    )
+    return cache_eager(
+        feat.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "vec_id")
+    )
+
+
 def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-staleness report — the retrain trigger every embedding
     pipeline needs: the corpus grows but the offline-trained IVF codebook
@@ -1511,32 +1601,30 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     index still serves. Honest numbers, like ann_recall_report: whatever
     the gap IS, the gate hashes it.
 
-    Scale shape: ONE featurization pass (shared with the exact and stale
-    legs), ONE Lloyd fit, ONE cached assignment pass (refit legs read the
-    cache instead of re-running the assign cross-join per probe), and the
-    per-probe exact brute-force top-K is cache_eager'd (a <=TOPK-row
-    relation) so the two joins that consume it (stale, refit) do not each
-    re-traverse the corpus — 6 corpus-sized top-K traversals fold to 3;
-    leg totals are tagged 1-row aggregates UNIONed then folded with one
-    conditional aggregation — no 1-row joins, no bnlj."""
+    Scale shape (r10, fully batched): ONE featurization pass, ONE Lloyd
+    fit, ONE cached assignment pass, and the probe set served BATCHED —
+    the exact truth is one _exact_topk_batch pass (cached, 3*TOPK rows),
+    the stale leg is ONE ivf_probe_batch call over the frozen codebook,
+    the refit leg ONE _ivf_fitted_serve_batch call over the fitted one.
+    Three corpus-sized candidate passes total where the r9 form paid 6
+    per-probe top-K traversals; leg totals are tagged 1-row aggregates
+    UNIONed then folded with one conditional aggregation."""
     feat = _featurize(spark, sf_dir)
     emb, cent, assign = _kmeans_loop(spark, sf_dir)
     assigned = cache_eager(assign(cent))
+    exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
+    queries = feat.filter(
+        F.col("vec_id").isin(list(ANN_RECALL_PROBES))
+    ).select("vec_id", "embedding")
+    stale = ivf_probe_batch(feat, queries).select("query_id", "vec_id")
+    refit = _ivf_fitted_serve_batch(emb, cent, assigned, ANN_RECALL_PROBES)
     legs = []
-    for qid in ANN_RECALL_PROBES:
-        exact = cache_eager(
-            q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
-                "vec_id"
-            )
+    for tag, df in (("stale", stale), ("refit", refit)):
+        legs.append(
+            exact.join(df, ["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("h"))
+            .select(F.lit(tag).alias("tag"), "h")
         )
-        stale = q_ann_ivf(spark, sf_dir, qid=qid, feat=feat).select("vec_id")
-        refit = _ivf_fitted_serve(emb, cent, assigned, qid).select("vec_id")
-        for tag, df in (("stale", stale), ("refit", refit)):
-            legs.append(
-                exact.join(df, "vec_id")
-                .agg(F.count(F.lit(1)).alias("h"))
-                .select(F.lit(tag).alias("tag"), "h")
-            )
     allh = legs[0]
     for leg in legs[1:]:
         allh = allh.unionByName(leg)
@@ -1619,28 +1707,27 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest n_probe whose recall clears the SLO and that is your
     serving config.
 
-    Scale shape: ONE featurization pass shared by every leg (exact,
-    and all probe-count candidates read ``feat``'s cached assignment);
-    the per-probe exact top-K is cache_eager'd (<=TOPK rows) so the
-    |sweep| joins that consume it do not re-traverse the corpus — the
-    ann_staleness_report cache-share shape."""
+    Scale shape: ONE featurization pass shared by every leg, the probe
+    set served BATCHED — the exact truth is one broadcast cross of the
+    3-row query relation with a per-query top-K window (cache_eager'd,
+    3*TOPK rows), and each probe count is ONE ivf_probe_batch call (the
+    streaming serving unit) instead of a per-(probe, count) leg — 4
+    corpus-sized passes total where the naive form pays 12."""
     feat = _featurize(spark, sf_dir)
+    exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
+    queries = feat.filter(
+        F.col("vec_id").isin(list(ANN_RECALL_PROBES))
+    ).select("vec_id", "embedding")
     legs = []
-    for qid in ANN_RECALL_PROBES:
-        exact = cache_eager(
-            q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
-                "vec_id"
-            )
+    for np_ in IVF_PROBE_SWEEP:
+        cand = ivf_probe_batch(feat, queries, n_probe=np_).select(
+            "query_id", "vec_id"
         )
-        for np_ in IVF_PROBE_SWEEP:
-            cand = q_ann_ivf(
-                spark, sf_dir, n_probe=np_, qid=qid, feat=feat
-            ).select("vec_id")
-            legs.append(
-                exact.join(cand, "vec_id")
-                .agg(F.count(F.lit(1)).alias("h"))
-                .select(F.lit(np_).cast("int").alias("n_probe"), "h")
-            )
+        legs.append(
+            exact.join(cand, ["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("h"))
+            .select(F.lit(np_).cast("int").alias("n_probe"), "h")
+        )
     allh = legs[0]
     for leg in legs[1:]:
         allh = allh.unionByName(leg)
