@@ -1487,13 +1487,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurized ONCE — embedding + LSH signature + IVF assignment + PQ
     codes in a single cached map pass — and all 15 legs (5 indexes x 3
     probes) read that relation: at 100 TB this is the difference between
-    1 corpus scan and 15."""
+    1 corpus scan and 15. The exact truth is the BATCHED
+    _exact_topk_batch pass (r10), so the 3 brute-force probes cost one
+    traversal, not three."""
     feat = _featurize(spark, sf_dir)
+    exact_all = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     per_index: dict[str, list] = {}
     for qid in ANN_RECALL_PROBES:
-        exact = q_ann_bruteforce_topk(spark, sf_dir, qid=qid, feat=feat).select(
-            "vec_id"
-        )
+        exact = exact_all.filter(F.col("query_id") == qid).select("vec_id")
         for name, df in (
             ("lsh_bucketed", q_ann_lsh_bucketed(spark, sf_dir, qid=qid, feat=feat)),
             (
