@@ -333,6 +333,61 @@ def q_logreg_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_ablation_report(spread(table(spark, sf_dir, "documents")))
 
 
+CALIB_BINS = 5  # reliability-diagram probability bins over [0, 1]
+
+
+def logreg_calibration_curve(docs: DataFrame) -> DataFrame:
+    """Reliability diagram of the trained classifier on the held-out
+    split: predicted probabilities (the hard-sigmoid p, exact micro
+    integers) bucketed into CALIB_BINS equal bins, per bin the count,
+    mean predicted probability (micro) and the empirical positive rate
+    (bp). A calibrated model tracks the diagonal (mean_p ~ pos_rate);
+    the gap column is the signed miscalibration. Bins a saturated model
+    never emits are absent (honest sparse rows, like every histogram
+    here).
+
+    Scale shape: the shared _fit trunk + ONE scoring aggregation into
+    <= CALIB_BINS groups."""
+    m = LOGREG_M
+    feats, w = _fit(docs)
+    p = f"least(greatest({m // 2} + ({_Z_EXPR}) DIV 4, 0), {m})"
+    scored = (
+        feats.crossJoin(F.broadcast(w))
+        .filter(F.col("held") == 1)
+        .selectExpr("y", f"{p} AS p_micro")
+        .selectExpr(
+            "y",
+            "p_micro",
+            # p = 1.0 lands in the top bin, not a phantom bin CALIB_BINS
+            f"least(CAST(p_micro * {CALIB_BINS} DIV {m} AS INT),"
+            f" {CALIB_BINS - 1}) AS bin",
+        )
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("sum(p_micro)").alias("sp"),
+            F.expr("sum(y)").alias("pos"),
+        )
+        .selectExpr(
+            "CAST(bin AS INT) AS bin",
+            "n",
+            "CAST(sp DIV n AS BIGINT) AS mean_p_micro",
+            "CAST(pos * 10000 DIV n AS BIGINT) AS pos_rate_bp",
+            # signed gap in bp: predicted (micro -> bp) minus empirical
+            "CAST(sp DIV n DIV 100 - pos * 10000 DIV n AS BIGINT)"
+            " AS calibration_gap_bp",
+        )
+        .orderBy("bin")
+    )
+
+
+def q_logreg_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out reliability diagram of the on-engine classifier."""
+    return logreg_calibration_curve(spread(table(spark, sf_dir, "documents")))
+
+
 def streaming_logreg_score(spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str):
     """Train-offline / serve-online: the corpus trains the weights ONCE
     batch-side (:func:`_fit`, the gated recurrence), then JSONL document
@@ -568,14 +623,49 @@ ORDER BY ablation
 ORACLE_LOGREG_ABLATION = _oracle_ablation()
 
 
+def _oracle_calibration() -> str:
+    m = LOGREG_M
+    zf = _ORACLE_ZF
+    p = f"least(greatest({m // 2} + ({zf}) // 4, 0), {m})"
+    return (
+        _oracle_fit_ctes()
+        + f""",
+scored AS (
+  SELECT f.y, {p} AS p_micro
+  FROM feats f, w{LOGREG_ITERS}_ w
+  WHERE f.held = 1
+),
+binned AS (
+  SELECT y, p_micro,
+         least(CAST(p_micro * {CALIB_BINS} // {m} AS INT), {CALIB_BINS - 1}) AS bin
+  FROM scored
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_p_micro,
+       CAST(sum(y) * 10000 // count(*) AS BIGINT) AS pos_rate_bp,
+       CAST(sum(p_micro) // count(*) // 100
+            - sum(y) * 10000 // count(*) AS BIGINT) AS calibration_gap_bp
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+    )
+
+
+ORACLE_LOGREG_CALIBRATION = _oracle_calibration()
+
+
 QUERIES = {
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
     "logreg_ablation_report": q_logreg_ablation_report,
+    "logreg_calibration_curve": q_logreg_calibration_curve,
 }
 
 ORACLES = {
     "logreg_quality_report": ORACLE_LOGREG_QUALITY,
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
     "logreg_ablation_report": ORACLE_LOGREG_ABLATION,
+    "logreg_calibration_curve": ORACLE_LOGREG_CALIBRATION,
 }

@@ -3347,6 +3347,94 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# gaps-and-islands on the relational side: customer purchase sprees —
+# runs of orders each within SPREE_GAP_DAYS of the previous one. The
+# events table has the sessionize/SCD2 island machinery; this is the
+# same recipe on the commerce fact, where the island SIZE distribution
+# (how bursty is purchasing) drives campaign timing and CLV models.
+
+SPREE_GAP_DAYS = 30
+_SPREE_GAP_US = SPREE_GAP_DAYS * 86_400 * 1_000_000
+
+
+def q_customer_order_sprees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spree-size histogram: per island size (orders in a spree), the
+    spree count and total revenue in exact cents. Gap math is integer
+    microseconds (the sessionize convention); equal timestamps always
+    extend the running island regardless of tie order, so the histogram
+    is permutation-stable.
+
+    Scale shape: ONE customer-keyed sort window serves both the island
+    flag and the island id (the SCD2 exchange-reuse pattern), one
+    (customer, island) aggregation, then a bounded regroup by island
+    size."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate arrives TIMESTAMP_NTZ; session tz is UTC so the LTZ cast
+    # is instant-preserving (the events._normalize_ts convention)
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = orders.withColumn(
+        "new_spree",
+        F.when(gap.isNull() | (gap > _SPREE_GAP_US), 1).otherwise(0),
+    )
+    per_spree = (
+        flagged.withColumn(
+            "sid", F.sum("new_spree").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("o_custkey", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                f"CAST(sum(CAST(o_totalprice AS {DEC}) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        per_spree.groupBy(F.col("n_orders").cast("bigint").alias("spree_orders"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sprees"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("spree_orders")
+    )
+
+
+ORACLE_ORDER_SPREES = f"""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         epoch_us(o_orderdate) AS us,
+         CASE WHEN lag(epoch_us(o_orderdate)) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   IS NULL
+              OR epoch_us(o_orderdate)
+                 - lag(epoch_us(o_orderdate)) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 > {_SPREE_GAP_US}
+              THEN 1 ELSE 0 END AS new_spree
+  FROM orders
+),
+sid AS (
+  SELECT o_custkey, o_totalprice,
+         sum(new_spree) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT o_custkey, sid, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM sid GROUP BY 1, 2
+)
+SELECT CAST(n_orders AS BIGINT) AS spree_orders,
+       CAST(count(*) AS BIGINT) AS n_sprees,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # calendar-spine gap fill: the generated-dimension pattern every reporting
 # layer needs — a month x region spine built from literals (no scan), left-
 # joined by the sparse fact so empty cells surface as explicit zeros
@@ -4238,6 +4326,7 @@ QUERIES = {
     "fifo_return_reallocation": q_fifo_return_reallocation,
     "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
     "customer_revenue_pareto": q_customer_revenue_pareto,
+    "customer_order_sprees": q_customer_order_sprees,
     "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
@@ -4312,6 +4401,7 @@ ORACLES = {
     "fifo_return_reallocation": ORACLE_FIFO_REALLOCATION,
     "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
     "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
+    "customer_order_sprees": ORACLE_ORDER_SPREES,
     "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,

@@ -68,6 +68,8 @@ BNLJ_ALLOWED = {
     "(shared _fit trunk) + the scoring attach",
     "logreg_ablation_report": "4 ablation fits x the same bounded 1-row "
     "weight-vector broadcasts off one shared featurize pass",
+    "logreg_calibration_curve": "the shared _fit trunk's 1-row "
+    "weight-vector broadcasts + the scoring attach",
     "hybrid_search_rrf": "inherits ann_ivf_fitted's K-row trained-codebook "
     "broadcast probes (the semantic leg, composed unchanged)",
 }

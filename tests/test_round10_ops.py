@@ -196,6 +196,24 @@ def test_logreg_ablation_planted(spark):
     assert out["no_stop"].delta_bp <= -4000
 
 
+def test_logreg_calibration_planted(spark):
+    """On the separable corpus the model saturates: held-out rows land
+    only in the extreme bins, each perfectly calibrated (positives in
+    the top bin at pos_rate 10000, negatives in the bottom at 0)."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "the of to in is it and a", "en"))
+        else:
+            rows.append((i, "xxq yyq zzq wwq vvq uuq ttq ssq", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.bin: r for r in classifier.logreg_calibration_curve(docs).collect()}
+    assert set(out) == {0, classifier.CALIB_BINS - 1}
+    lo, hi = out[0], out[classifier.CALIB_BINS - 1]
+    assert lo.pos_rate_bp == 0 and hi.pos_rate_bp == 10000
+    assert lo.n + hi.n == 8  # the whole held-out split, nothing dropped
+
+
 def test_streaming_logreg_score_matches_batch(spark, sf_dir, tmp_path):
     """Train-offline/serve-online twin: docs streamed in two JSONL drops
     are scored per micro-batch with the batch-trained weights; the
@@ -230,6 +248,33 @@ def test_streaming_logreg_score_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert len(got) == 20
+
+
+def test_order_sprees_planted(spark, tmp_path):
+    """Planted islands: customer 1 places 3 orders within the gap, then
+    one far later (one 3-spree + one singleton); customer 2 places one
+    order — histogram: two 1-sprees, one 3-spree, exact cents."""
+    from datetime import datetime
+
+    from sap_sql_engine_spark.operators import relational
+
+    rows = [
+        (1, 1, "O", 10.00, datetime(1995, 1, 1), "1-URGENT"),
+        (2, 1, "O", 20.00, datetime(1995, 1, 15), "1-URGENT"),
+        (3, 1, "O", 30.00, datetime(1995, 2, 10), "1-URGENT"),
+        (4, 1, "O", 40.00, datetime(1999, 1, 1), "1-URGENT"),
+        (5, 2, "O", 50.00, datetime(1995, 1, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.spree_orders: r for r in relational.q_customer_order_sprees(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out[1].n_sprees == 2 and out[1].revenue_cents == 9000
+    assert out[3].n_sprees == 1 and out[3].revenue_cents == 6000
 
 
 def test_dedup_soft_weights_planted(spark, tmp_path):
