@@ -608,7 +608,11 @@ def ivf_probe_batch(
             F.col("cosine").desc(), F.col("vec_id").asc()
         )
     )
-    return cand.withColumn("rn", rn).filter(F.col("rn") <= topk).drop("rn")
+    # rank kept: free for consumers that need prefix recall (recall@k),
+    # ignored by the top-k-set consumers
+    return (
+        cand.withColumn("rank", rn).filter(F.col("rank") <= topk)
+    )
 
 
 def streaming_ann_probe(
@@ -1562,13 +1566,15 @@ def _oracle_recall() -> str:
 ORACLE_ANN_RECALL = _oracle_recall()
 
 
-def _exact_topk_batch(feat: DataFrame, probes) -> DataFrame:
-    """Cached (query_id, vec_id) exact brute-force top-K for a BATCH of
-    probe ids in ONE corpus pass: broadcast cross of the |probes|-row
-    query relation, per-query rank window. Identical per-query results
-    (same tie order) as q_ann_bruteforce_topk run per probe; shared by
-    the staleness report and the probe sweep so neither pays a
-    corpus-sized pass per probe."""
+def _exact_topk_batch(
+    feat: DataFrame, probes, keep_rank: bool = False
+) -> DataFrame:
+    """Cached (query_id, vec_id[, rank]) exact brute-force top-K for a
+    BATCH of probe ids in ONE corpus pass: broadcast cross of the
+    |probes|-row query relation, per-query rank window. Identical
+    per-query results (same tie order) as q_ann_bruteforce_topk run per
+    probe; shared by the staleness report, the probe sweep and the
+    recall@k curve so none pays a corpus-sized pass per probe."""
     qb = feat.filter(F.col("vec_id").isin(list(probes))).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1577,6 +1583,7 @@ def _exact_topk_batch(feat: DataFrame, probes) -> DataFrame:
             F.col("cosine").desc(), F.col("vec_id").asc()
         )
     )
+    cols = ["query_id", "vec_id"] + (["rank"] if keep_rank else [])
     return cache_eager(
         feat.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1585,9 +1592,9 @@ def _exact_topk_batch(feat: DataFrame, probes) -> DataFrame:
             "vec_id",
             F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
         )
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= TOPK)
-        .select("query_id", "vec_id")
+        .withColumn("rank", rn)
+        .filter(F.col("rank") <= TOPK)
+        .select(*cols)
     )
 
 
@@ -1780,6 +1787,96 @@ def _oracle_ivf_probe_sweep() -> str:
 
 
 ORACLE_ANN_IVF_PROBE_SWEEP = _oracle_ivf_probe_sweep()
+
+
+# recall@k curve: the K dimension of the same operating surface the
+# probe sweep covers on the n_probe dimension
+K_CURVE = (1, 5, TOPK)
+
+
+def q_ann_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the frozen-codebook IVF at k = 1/5/10 over the eval
+    probe set — "does the index get the TOP hit right" (k=1, what a
+    RAG top-passage consumer cares about) vs "does it get the
+    neighborhood right" (k=10, what dedup cares about). Prefix recall:
+    hits@k = |exact top-k ∩ candidate top-k| per probe.
+
+    Scale shape: the batched serving passes (ONE exact truth pass with
+    ranks kept, ONE ivf_probe_batch call whose per-query rank is already
+    computed), one join on (query, vec), and a literal k fan-out over
+    the joined <= 3*TOPK-row relation."""
+    feat = _featurize(spark, sf_dir)
+    exact = _exact_topk_batch(feat, ANN_RECALL_PROBES, keep_rank=True)
+    queries = feat.filter(
+        F.col("vec_id").isin(list(ANN_RECALL_PROBES))
+    ).select("vec_id", "embedding")
+    cand = ivf_probe_batch(feat, queries).select(
+        "query_id", "vec_id", F.col("rank").alias("crank")
+    )
+    ks = ", ".join(str(k) for k in K_CURVE)
+    joined = exact.join(cand, ["query_id", "vec_id"]).select("rank", "crank")
+    n_probes = len(ANN_RECALL_PROBES)
+    return (
+        joined.selectExpr("rank", "crank", f"explode(array({ks})) AS k")
+        .groupBy("k")
+        .agg(
+            F.expr("sum(CASE WHEN rank <= k AND crank <= k THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("hits_total")
+        )
+        .selectExpr(
+            "CAST(k AS INT) AS k",
+            f"CAST({n_probes} AS INT) AS n_eval_probes",
+            "hits_total",
+            f"CAST(hits_total * 10000 DIV (k * {n_probes}) AS BIGINT)"
+            " AS recall_bp",
+        )
+        .orderBy("k")
+    )
+
+
+def _oracle_recall_at_k() -> str:
+    n_probes = len(ANN_RECALL_PROBES)
+    ctes = []
+    for pi, qid in enumerate(ANN_RECALL_PROBES):
+        ctes.append(
+            f"""kx_{pi} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM ({_oracle_bruteforce(qid)}) t
+)"""
+        )
+        ctes.append(
+            f"""kc_{pi} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS crank
+  FROM ({_oracle_ivf(qid)}) t
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT e.rank, c.crank FROM kx_{pi} e JOIN kc_{pi} c"
+        " ON e.vec_id = c.vec_id"
+        for pi in range(n_probes)
+    )
+    ks = ", ".join(f"({k})" for k in K_CURVE)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+joined AS ({union}),
+fan AS (SELECT rank, crank, k FROM joined CROSS JOIN (VALUES {ks}) t(k))
+SELECT CAST(k AS INT) AS k,
+       CAST({n_probes} AS INT) AS n_eval_probes,
+       CAST(sum(CASE WHEN rank <= k AND crank <= k THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_total,
+       CAST(sum(CASE WHEN rank <= k AND crank <= k THEN 1 ELSE 0 END) * 10000
+            // (k * {n_probes}) AS BIGINT) AS recall_bp
+FROM fan
+GROUP BY k
+ORDER BY k
+"""
+    )
+
+
+ORACLE_ANN_RECALL_AT_K = _oracle_recall_at_k()
 
 
 # ---------------------------------------------------------------------------
@@ -2533,6 +2630,7 @@ QUERIES = {
     "ann_staleness_report": q_ann_staleness_report,
     "ann_ivf_probe_sweep": q_ann_ivf_probe_sweep,
     "ann_index_delta_report": q_ann_index_delta_report,
+    "ann_recall_at_k_curve": q_ann_recall_at_k_curve,
     "embedding_top_eigen": q_embedding_top_eigen,
     "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2558,6 +2656,7 @@ ORACLES = {
     "ann_staleness_report": ORACLE_ANN_STALENESS,
     "ann_ivf_probe_sweep": ORACLE_ANN_IVF_PROBE_SWEEP,
     "ann_index_delta_report": ORACLE_ANN_INDEX_DELTA,
+    "ann_recall_at_k_curve": ORACLE_ANN_RECALL_AT_K,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "ann_lsh_multiprobe": "1-row query-vector probe (hamming-1 bucket fanout)",
     "ann_ivf_probe_sweep": "fixed 3-query eval sample probed at each probe "
     "count (1-row query probes, the recall_report class)",
+    "ann_recall_at_k_curve": "the same batched 3-query eval probes "
+    "(exact truth cross + one ivf_probe_batch)",
     "embedding_knn_accuracy": "fixed leave-one-out eval sample broadcast",
     "quantile_histogram_check": "1-row total/estimate attaches on ~100-bin relation",
     "hll_merge_check": "1-row merged-vs-direct register comparison",
