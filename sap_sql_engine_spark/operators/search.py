@@ -1153,21 +1153,10 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
-def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid BM25 + ANN retrieval via reciprocal-rank fusion.
-
-    Lexical leg: the gated ``bm25_search`` scores (probe BM25_QUERY),
-    top-HYBRID_LEX_K by (bm25 desc, doc_id) — ``orderBy().limit()`` is a
-    parallel TakeOrderedAndProject, then ranks assigned on the bounded
-    survivors. Semantic leg: the gated ``ann_ivf_fitted`` top-K (the
-    on-engine-trained IVF serving path; probe = QUERY_VEC_ID's embedding,
-    under the corpus convention vec_id == doc_id), ranked by (cosine
-    desc, vec_id). Fusion: :func:`rrf_fuse`.
-
-    Scale shape: each leg keeps its own gated plan (BM25 filters the
-    token stream to the query's terms before any shuffle; IVF probes 2
-    cells of the assigned corpus); the fusion itself only ever touches
-    the two bounded candidate lists."""
+def _hybrid_rank_lists(spark: SparkSession, sf_dir: str):
+    """The two gated rankers' bounded rank lists — lex (doc_id, lr) from
+    bm25_search top-HYBRID_LEX_K, sem (vec_id, sr) from ann_ivf_fitted —
+    shared by the fusion query and the RRF-k sensitivity sweep."""
     from .similarity import q_ann_ivf_fitted
 
     w0 = Window.partitionBy(F.lit(0))
@@ -1188,7 +1177,130 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w0.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
         .alias("sr"),
     )
+    return lex, sem
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + ANN retrieval via reciprocal-rank fusion.
+
+    Lexical leg: the gated ``bm25_search`` scores (probe BM25_QUERY),
+    top-HYBRID_LEX_K by (bm25 desc, doc_id) — ``orderBy().limit()`` is a
+    parallel TakeOrderedAndProject, then ranks assigned on the bounded
+    survivors. Semantic leg: the gated ``ann_ivf_fitted`` top-K (the
+    on-engine-trained IVF serving path; probe = QUERY_VEC_ID's embedding,
+    under the corpus convention vec_id == doc_id), ranked by (cosine
+    desc, vec_id). Fusion: :func:`rrf_fuse`.
+
+    Scale shape: each leg keeps its own gated plan (BM25 filters the
+    token stream to the query's terms before any shuffle; IVF probes 2
+    cells of the assigned corpus); the fusion itself only ever touches
+    the two bounded candidate lists."""
+    lex, sem = _hybrid_rank_lists(spark, sf_dir)
     return rrf_fuse(lex, sem)
+
+
+RRF_K_SWEEP = (10, RRF_K, 200)
+
+
+def q_hybrid_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity of the fused ranking to the RRF damping constant: per
+    candidate k, the fused winner and how much of the default-k (60)
+    top-HYBRID_TOPN list survives. A low k lets a single high rank
+    dominate (lexical-winner-take-all), a high k blends toward list
+    membership; a stable top-1/large overlap across the sweep means the
+    fusion — not the constant — is doing the work.
+
+    Scale shape: BOTH rankers run once (the same bounded lists the
+    fusion query uses); the sweep re-scores the <=30-row fused relation
+    per k — pure bounded algebra."""
+    lex, sem = _hybrid_rank_lists(spark, sf_dir)
+    fused = lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer").select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+        F.coalesce(F.col("lr"), F.lit(0)).cast("bigint").alias("lr"),
+        F.coalesce(F.col("sr"), F.lit(0)).cast("bigint").alias("sr"),
+    )
+    cached = cache_eager(fused)  # <= HYBRID_LEX_K + TOPK rows
+    ks = ", ".join(str(k) for k in RRF_K_SWEEP)
+    scored = cached.selectExpr(
+        "doc_id", "lr", "sr", f"explode(array({ks})) AS rrf_k"
+    ).selectExpr(
+        "rrf_k",
+        "doc_id",
+        f"CASE WHEN lr > 0 THEN {RRF_Q} DIV (rrf_k + lr) ELSE 0 END"
+        f" + CASE WHEN sr > 0 THEN {RRF_Q} DIV (rrf_k + sr) ELSE 0 END"
+        " AS rrf_micro",
+    )
+    w_k = Window.partitionBy("rrf_k").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("hr", F.row_number().over(w_k))
+    topn = ranked.filter(F.col("hr") <= HYBRID_TOPN)
+    base = topn.filter(F.col("rrf_k") == RRF_K).select(
+        F.col("doc_id").alias("bdoc")
+    )
+    return (
+        topn.join(F.broadcast(base), topn["doc_id"] == base["bdoc"], "left")
+        .groupBy("rrf_k")
+        .agg(
+            F.expr("min_by(doc_id, hr)").alias("top1"),
+            F.expr("sum(CASE WHEN bdoc IS NULL THEN 0 ELSE 1 END)").alias(
+                "ov"
+            ),
+        )
+        .selectExpr(
+            "CAST(rrf_k AS BIGINT) AS rrf_k",
+            "CAST(top1 AS BIGINT) AS top1_doc_id",
+            f"CAST(ov AS BIGINT) AS overlap_with_default_top{HYBRID_TOPN}",
+        )
+        .orderBy("rrf_k")
+    )
+
+
+def _oracle_rrf_k_sweep() -> str:
+    from .similarity import ORACLE_ANN_IVF_FITTED
+
+    ks = ", ".join(f"({k})" for k in RRF_K_SWEEP)
+    return f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+  FROM ({ORACLE_BM25}) t
+  ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_LEX_K}
+),
+sem AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS sr
+  FROM ({ORACLE_ANN_IVF_FITTED}) t
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+         coalesce(l.lr, 0) AS lr, coalesce(s.sr, 0) AS sr
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+),
+scored AS (
+  SELECT k.rrf_k, f.doc_id,
+         CASE WHEN lr > 0 THEN {RRF_Q} // (rrf_k + lr) ELSE 0 END
+           + CASE WHEN sr > 0 THEN {RRF_Q} // (rrf_k + sr) ELSE 0 END
+           AS rrf_micro
+  FROM fused f CROSS JOIN (VALUES {ks}) k(rrf_k)
+),
+ranked AS (
+  SELECT rrf_k, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY rrf_k
+                            ORDER BY rrf_micro DESC, doc_id) AS hr
+  FROM scored
+),
+topn AS (SELECT * FROM ranked WHERE hr <= {HYBRID_TOPN}),
+base AS (SELECT doc_id AS bdoc FROM topn WHERE rrf_k = {RRF_K})
+SELECT CAST(t.rrf_k AS BIGINT) AS rrf_k,
+       CAST(arg_min(t.doc_id, t.hr) AS BIGINT) AS top1_doc_id,
+       CAST(sum(CASE WHEN b.bdoc IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS overlap_with_default_top{HYBRID_TOPN}
+FROM topn t LEFT JOIN base b ON t.doc_id = b.bdoc
+GROUP BY t.rrf_k
+ORDER BY t.rrf_k
+"""
+
+
+ORACLE_HYBRID_RRF_K_SWEEP = _oracle_rrf_k_sweep()
 
 
 def _oracle_hybrid_rrf() -> str:
@@ -1232,6 +1344,7 @@ ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
 QUERIES = {
     "hll_intersection_estimate": q_hll_intersection_estimate,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "hybrid_rrf_k_sweep": q_hybrid_rrf_k_sweep,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quantile_histogram_check": q_quantile_histogram_check,
     "bm25_search": q_bm25_search,
@@ -1245,6 +1358,7 @@ QUERIES = {
 
 ORACLES = {
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
+    "hybrid_rrf_k_sweep": ORACLE_HYBRID_RRF_K_SWEEP,
     "tfidf_top_terms": ORACLE_TFIDF,
     "quantile_histogram_check": ORACLE_QUANTILE_HIST,
     "bm25_search": ORACLE_BM25,

@@ -74,6 +74,8 @@ BNLJ_ALLOWED = {
     "weight-vector broadcasts + the scoring attach",
     "hybrid_search_rrf": "inherits ann_ivf_fitted's K-row trained-codebook "
     "broadcast probes (the semantic leg, composed unchanged)",
+    "hybrid_rrf_k_sweep": "the same inherited semantic-leg probes + a "
+    "<=30-row default-list broadcast onto the bounded fused relation",
 }
 
 

@@ -196,6 +196,23 @@ def test_logreg_ablation_planted(spark):
     assert out["no_stop"].delta_bp <= -4000
 
 
+def test_rrf_k_sweep_consistent_with_hybrid(spark, sf_dir):
+    """The default-k row must be self-consistent: overlap with itself is
+    the full top-N and its winner is exactly hybrid_search_rrf's rank-1."""
+    from sap_sql_engine_spark.operators import search
+
+    rows = {r.rrf_k: r for r in search.q_hybrid_rrf_k_sweep(spark, sf_dir).collect()}
+    default = rows[search.RRF_K]
+    assert getattr(default, f"overlap_with_default_top{search.HYBRID_TOPN}") == search.HYBRID_TOPN
+    hybrid_top1 = (
+        search.q_hybrid_search_rrf(spark, sf_dir)
+        .filter("hybrid_rank = 1")
+        .collect()[0]
+        .doc_id
+    )
+    assert default.top1_doc_id == hybrid_top1
+
+
 def test_logreg_calibration_planted(spark):
     """On the separable corpus the model saturates: held-out rows land
     only in the extreme bins, each perfectly calibrated (positives in
