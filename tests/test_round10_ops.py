@@ -362,6 +362,33 @@ def test_ann_index_delta_accounting(spark, sf_dir):
     assert abs(wsum / n_corpus - 1000) < 100
 
 
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """Real ingestion on-ramp: WAV/PNG/junk files on disk read through
+    Spark's binaryFile source into MEDIA_SCHEMA with JVM-side magic-byte
+    sniffing, then flow through the decode operators end-to-end."""
+    from test_pipeline_operators import _png_encode, _wav_bytes
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    (media_dir / "a.wav").write_bytes(_wav_bytes([8192, -8192] * 200))
+    rows16 = [bytes(bytearray([(x * 7) % 256] * 48)) for x in range(16)]
+    (media_dir / "b.png").write_bytes(
+        _png_encode(16, 16, 2, rows16, filters=[0] * 16)
+    )
+    (media_dir / "c.bin").write_bytes(b"not media at all")
+    got = {
+        r.meta.format: r
+        for r in multimodal.read_media_dir(spark, str(media_dir)).collect()
+    }
+    assert set(got) == {"audio/wav", "image/png", "application/octet-stream"}
+    assert len({r.media_id for r in got.values()}) == 3  # distinct ids
+    # the ingested WAV decodes through the same feature operator
+    feats = multimodal.decode_features(
+        multimodal.read_media_dir(spark, str(media_dir), glob="*.wav")
+    ).collect()
+    assert len(feats) == 1 and feats[0].features[10] == pytest.approx(0.5)
+
+
 def test_audio_sql_lane_matches_python_lane(spark, sf_dir):
     """Lane-agreement pin (the dHash pattern): the gated SQL lane and the
     Python decode lane share ONE fingerprint definition, so the driver's
