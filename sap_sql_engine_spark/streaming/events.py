@@ -2395,6 +2395,67 @@ ORDER BY slo_bp
 ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
 
 
+# seasonal-naive forecast baseline: predict hour h by hour h-24. Every
+# capacity/alerting forecast is judged against this baseline — if a model
+# cannot beat same-hour-yesterday, it is not a model. WAPE (weighted
+# absolute percentage error) keeps the metric integral and robust to
+# near-zero hours (per-hour MAPE explodes on them; WAPE's denominator is
+# the total volume).
+
+
+def q_events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row forecastability report: hourly event counts scored
+    against the 24h-lagged seasonal-naive prediction — hours scored
+    (both h and h-24 observed), total absolute error, total actual
+    volume, and WAPE in integral bp. A high WAPE means the corpus's
+    hourly load is NOT same-hour-yesterday-shaped and a real forecast
+    model has room; near zero means the naive baseline already serves.
+
+    Scale shape: one hour-keyed aggregation over the scan (map-side
+    combined), then a self-join of the bounded hourly relation on the
+    exact shifted hour (no window over the raw stream)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    prev = hourly.select(
+        F.expr("h + INTERVAL 24 HOURS").alias("h"), F.col("c").alias("c_prev")
+    )
+    return (
+        hourly.join(prev, "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours_scored"),
+            F.sum(F.expr("abs(c - c_prev)")).cast("bigint").alias("abs_err_total"),
+            F.sum("c").cast("bigint").alias("actual_total"),
+        )
+        .selectExpr(
+            "n_hours_scored",
+            "abs_err_total",
+            "actual_total",
+            "CAST(abs_err_total * 10000 DIV greatest(actual_total, 1)"
+            " AS BIGINT) AS wape_bp",
+        )
+    )
+
+
+ORACLE_SEASONAL_NAIVE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+joined AS (
+  SELECT a.c, b.c AS c_prev
+  FROM hourly a JOIN hourly b ON a.h = b.h + INTERVAL 24 HOURS
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hours_scored,
+       CAST(sum(abs(c - c_prev)) AS BIGINT) AS abs_err_total,
+       CAST(sum(c) AS BIGINT) AS actual_total,
+       CAST(sum(abs(c - c_prev)) * 10000 // greatest(sum(c), 1) AS BIGINT)
+         AS wape_bp
+FROM joined
+"""
+
+
 # sessionization gap-parameter sweep: the 30-min default is a convention,
 # not a law — this is the tuning table that justifies (or overturns) it
 SESSION_GAP_SWEEP = (300, 900, SESSION_GAP_SECONDS, 3600)
@@ -2506,6 +2567,7 @@ QUERIES = {
     "events_lateness_histogram": q_events_lateness_histogram,
     "events_watermark_recommendation": q_events_watermark_recommendation,
     "events_session_gap_sweep": q_events_session_gap_sweep,
+    "events_seasonal_naive_error": q_events_seasonal_naive_error,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2535,6 +2597,7 @@ ORACLES = {
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,
     "events_watermark_recommendation": ORACLE_WATERMARK_RECOMMENDATION,
     "events_session_gap_sweep": ORACLE_SESSION_GAP_SWEEP,
+    "events_seasonal_naive_error": ORACLE_SEASONAL_NAIVE,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,

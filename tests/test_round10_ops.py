@@ -346,6 +346,39 @@ def test_session_gap_sweep_consistent_with_sessionize(spark, sf_dir):
     assert rows[ev.SESSION_GAP_SECONDS].n_sessions == sess_total
 
 
+def test_seasonal_naive_error_planted(spark, tmp_path):
+    """Two identical days score WAPE 0; a third day with hour 0 doubled
+    (4 vs 2 events) scores exactly |4-2|*10000 DIV (4+3) over its two
+    scored hours."""
+    from datetime import datetime
+
+    from sap_sql_engine_spark.streaming import events as ev
+
+    rows = []
+    # day 1 and day 2: hours 0 and 1 with 2 and 3 events each
+    for day in (1, 2):
+        for hour, n in ((0, 2), (1, 3)):
+            for i in range(n):
+                rows.append((len(rows), datetime(2024, 1, day, hour, i),))
+    spark.createDataFrame(rows, "event_id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    r = ev.q_events_seasonal_naive_error(spark, str(tmp_path)).collect()[0]
+    assert r.n_hours_scored == 2 and r.wape_bp == 0
+
+    for i in range(4):  # day 3: hour 0 doubles, hour 1 holds
+        rows.append((len(rows), datetime(2024, 1, 3, 0, i)))
+    for i in range(3):
+        rows.append((len(rows), datetime(2024, 1, 3, 1, i)))
+    spark.createDataFrame(rows, "event_id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    r = ev.q_events_seasonal_naive_error(spark, str(tmp_path)).collect()[0]
+    assert r.n_hours_scored == 4
+    assert r.abs_err_total == 2 and r.actual_total == 12
+    assert r.wape_bp == 2 * 10000 // 12
+
+
 def test_ann_index_delta_accounting(spark, sf_dir):
     """The delta report's accounting must close: standing + new counts
     cover the whole corpus, batch shares are a (truncating) partition of
