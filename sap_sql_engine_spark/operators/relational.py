@@ -3347,6 +3347,68 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# supply-chain sourcing risk: how much revenue rides on single-sourced
+# parts. The SCM counterpart of the HHI concentration report — HHI says
+# a market is concentrated; this says WHICH exposure class the money
+# sits in (1 supplier = no failover).
+
+
+def q_parts_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier-count class (distinct suppliers that ever shipped the
+    part): part count, exact cent revenue, and each class's share of all
+    revenue (bp). The n_suppliers = 1 row is the single-source exposure
+    a procurement team works down.
+
+    Scale shape: one (part)-keyed aggregation over lineitem (COUNT
+    DISTINCT supplier collapses map-side per part), one bounded regroup
+    by supplier-count class; the share window runs there."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.expr(
+            f"CAST(sum(CAST(l_extendedprice AS {DEC}) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    w_all = W.partitionBy()  # bounded class relation
+    return (
+        per_part.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .withColumn("tot", F.sum("revenue_cents").over(w_all))
+        .selectExpr(
+            "n_suppliers",
+            "n_parts",
+            "revenue_cents",
+            "CAST(revenue_cents * 10000 DIV tot AS BIGINT) AS revenue_share_bp",
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+ORACLE_SOURCING_RISK = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+classes AS (
+  SELECT n_suppliers,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM per_part GROUP BY 1
+)
+SELECT n_suppliers, n_parts, revenue_cents,
+       CAST(revenue_cents * 10000 // sum(revenue_cents) OVER () AS BIGINT)
+         AS revenue_share_bp
+FROM classes
+ORDER BY n_suppliers
+"""
+
+
+# ---------------------------------------------------------------------------
 # gaps-and-islands on the relational side: customer purchase sprees —
 # runs of orders each within SPREE_GAP_DAYS of the previous one. The
 # events table has the sessionize/SCD2 island machinery; this is the
@@ -4327,6 +4389,7 @@ QUERIES = {
     "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "customer_order_sprees": q_customer_order_sprees,
+    "parts_sourcing_risk": q_parts_sourcing_risk,
     "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
@@ -4402,6 +4465,7 @@ ORACLES = {
     "part_name_fuzzy_pairs": ORACLE_PART_FUZZY,
     "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
     "customer_order_sprees": ORACLE_ORDER_SPREES,
+    "parts_sourcing_risk": ORACLE_SOURCING_RISK,
     "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,

@@ -1879,6 +1879,172 @@ ORDER BY k
 ORACLE_ANN_RECALL_AT_K = _oracle_recall_at_k()
 
 
+# vector-QA norm audit: L2 norms in milli units, bucketed. The first
+# thing to check before ANY cosine machinery: unnormalized vectors make
+# dot-product shortcuts wrong and centroid math scale-dominated.
+NORM_BUCKET_MILLI = 100  # bucket width (0.1 in norm units)
+
+
+def q_embedding_norm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus: per NORM_BUCKET_MILLI
+    bucket, vector count and corpus share (bp), plus the bucket's min/max
+    norm in milli — the is-this-corpus-normalized audit read before
+    trusting cosine shortcuts (a normalized corpus collapses to one
+    bucket at 1000 milli; spread means normalize first).
+
+    Exactness: the norm is sqrt of the fixed-order self-dot fold — both
+    ops IEEE-correctly-rounded (the class B family) — floored once to
+    milli integers; everything after is integer.
+
+    Scale shape: one map pass over the scan, one bounded-bucket
+    aggregation; the share window runs on the <= |buckets| relation."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    norm_milli = F.floor(F.sqrt(_dots("embedding", "embedding")) * 1000).cast(
+        "bigint"
+    )
+    w_all = Window.partitionBy()  # bounded bucket relation
+    return (
+        emb.select(norm_milli.alias("nm"))
+        .groupBy(
+            F.expr(f"nm DIV {NORM_BUCKET_MILLI} * {NORM_BUCKET_MILLI}").alias(
+                "bucket_milli"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("nm").cast("bigint").alias("min_norm_milli"),
+            F.max("nm").cast("bigint").alias("max_norm_milli"),
+        )
+        .withColumn("tot", F.sum("n_vecs").over(w_all))
+        .selectExpr(
+            "CAST(bucket_milli AS BIGINT) AS bucket_milli",
+            "n_vecs",
+            "min_norm_milli",
+            "max_norm_milli",
+            "CAST(n_vecs * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("bucket_milli")
+    )
+
+
+# embedding drift between deterministic md5 halves: the vector-space twin
+# of source_psi_drift's lexical drift check — per label, the L2 distance
+# between the two halves' centroids (micro). Near-zero = the halves are
+# exchangeable (no drift); a label whose halves' centroids separate is
+# the embedding-space drift alarm.
+DRIFT_Q = 1_000_000
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: vector counts in each md5 half and the L2 distance
+    between the halves' exact integer-quantized centroids, in micro
+    units. Labels missing a half are dropped (documented — a centroid of
+    nothing has no drift to measure).
+
+    Exactness: per-(label, pos) the two halves' component means are
+    exact rationals (BIGINT quantized sums / counts); their difference
+    is floored ONCE to micro per position, the squared sum accumulates
+    in BIGINT (associative), and the final sqrt is IEEE-exact.
+
+    Scale shape: ONE exploded-component aggregation with map-side
+    combine (|labels| x DIM groups); everything after runs on that
+    bounded relation."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    half = F.expr(
+        "CASE WHEN pmod(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT), 100) < 50 THEN 0 ELSE 1 END"
+    )
+    ex = emb.select(
+        "label", half.alias("h"), F.posexplode("embedding").alias("pos", "val")
+    )
+    q = f"CAST(floor(CAST(val AS DOUBLE) * {DRIFT_Q}) AS BIGINT)"
+    comp = ex.groupBy("label", "pos").agg(
+        F.expr(f"sum(CASE WHEN h = 0 THEN {q} END)").alias("sqa"),
+        F.expr("sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)").alias("cnta"),
+        F.expr(f"sum(CASE WHEN h = 1 THEN {q} END)").alias("sqb"),
+        F.expr("sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)").alias("cntb"),
+    )
+    diff = comp.filter("cnta > 0 AND cntb > 0").selectExpr(
+        "label",
+        "cnta",
+        "cntb",
+        f"CAST(floor((CAST(sqa AS DOUBLE) / (CAST(cnta AS DOUBLE) * {DRIFT_Q})"
+        f" - CAST(sqb AS DOUBLE) / (CAST(cntb AS DOUBLE) * {DRIFT_Q}))"
+        f" * {DRIFT_Q}) AS BIGINT) AS dm",
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.min("cnta").cast("bigint").alias("n_half_a"),
+            F.min("cntb").cast("bigint").alias("n_half_b"),
+            F.expr("sum(dm * dm)").alias("s2"),
+        )
+        .selectExpr(
+            "CAST(label AS INT) AS label",
+            "n_half_a",
+            "n_half_b",
+            "CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT)"
+            " AS centroid_drift_micro",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_CENTROID_DRIFT = f"""
+WITH ex AS (
+  SELECT label,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100) < 50 THEN 0 ELSE 1 END AS h,
+         i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_Q}) AS BIGINT) AS q
+  FROM embeddings, range(1, {DIM + 1}) t(i)
+),
+comp AS (
+  SELECT label, pos,
+         CAST(sum(CASE WHEN h = 0 THEN q END) AS BIGINT) AS sqa,
+         sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS cnta,
+         CAST(sum(CASE WHEN h = 1 THEN q END) AS BIGINT) AS sqb,
+         sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS cntb
+  FROM ex GROUP BY 1, 2
+),
+diff AS (
+  SELECT label, cnta, cntb,
+         CAST(floor((CAST(sqa AS DOUBLE) / (CAST(cnta AS DOUBLE) * {DRIFT_Q})
+                     - CAST(sqb AS DOUBLE) / (CAST(cntb AS DOUBLE) * {DRIFT_Q}))
+                    * {DRIFT_Q}) AS BIGINT) AS dm
+  FROM comp WHERE cnta > 0 AND cntb > 0
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(min(cnta) AS BIGINT) AS n_half_a,
+       CAST(min(cntb) AS BIGINT) AS n_half_b,
+       CAST(floor(sqrt(CAST(sum(dm * dm) AS DOUBLE))) AS BIGINT)
+         AS centroid_drift_micro
+FROM diff
+GROUP BY label
+ORDER BY label
+"""
+
+
+ORACLE_NORM_DISTRIBUTION = f"""
+WITH norms AS (
+  SELECT CAST(floor(sqrt({_o_dot("embedding", "embedding")}) * 1000) AS BIGINT) AS nm
+  FROM embeddings
+),
+buckets AS (
+  SELECT nm // {NORM_BUCKET_MILLI} * {NORM_BUCKET_MILLI} AS bucket_milli,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(min(nm) AS BIGINT) AS min_norm_milli,
+         CAST(max(nm) AS BIGINT) AS max_norm_milli
+  FROM norms GROUP BY 1
+)
+SELECT CAST(bucket_milli AS BIGINT) AS bucket_milli,
+       n_vecs, min_norm_milli, max_norm_milli,
+       CAST(n_vecs * 10000 // sum(n_vecs) OVER () AS BIGINT) AS share_bp
+FROM buckets
+ORDER BY bucket_milli
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding anisotropy: top eigenvalue of the (uncentered) second-moment
 # matrix via bounded power iteration — the whitening/anisotropy metric
@@ -2631,6 +2797,8 @@ QUERIES = {
     "ann_ivf_probe_sweep": q_ann_ivf_probe_sweep,
     "ann_index_delta_report": q_ann_index_delta_report,
     "ann_recall_at_k_curve": q_ann_recall_at_k_curve,
+    "embedding_norm_distribution": q_embedding_norm_distribution,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
     "embedding_top_eigen": q_embedding_top_eigen,
     "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2657,6 +2825,8 @@ ORACLES = {
     "ann_ivf_probe_sweep": ORACLE_ANN_IVF_PROBE_SWEEP,
     "ann_index_delta_report": ORACLE_ANN_INDEX_DELTA,
     "ann_recall_at_k_curve": ORACLE_ANN_RECALL_AT_K,
+    "embedding_norm_distribution": ORACLE_NORM_DISTRIBUTION,
+    "embedding_centroid_drift": ORACLE_CENTROID_DRIFT,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,

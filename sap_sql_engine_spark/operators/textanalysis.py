@@ -4087,9 +4087,70 @@ ORDER BY budget_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# token-length histogram: the tokenizer-sizing diagnostic next to the
+# fertility and vocab-coverage reports — how long the whitespace tokens a
+# subword model must cover actually are, by types and by occurrences.
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per token character length: distinct token types, total
+    occurrences, and the occurrence share (bp). A long types-tail with a
+    short occurrence mass is the classic Zipf shape a BPE vocab exploits;
+    mass at long lengths means byte-fallback pressure.
+
+    Scale shape: ONE (token)-keyed aggregation over the corpus scan
+    (map-side combined); the length regroup and share window run on the
+    vocabulary-bounded relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()  # bounded length-class relation
+    return (
+        tf.groupBy(F.length("token").cast("bigint").alias("token_len"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+        )
+        .withColumn("tot", F.sum("n_occurrences").over(w_all))
+        .selectExpr(
+            "token_len",
+            "n_types",
+            "n_occurrences",
+            "CAST(n_occurrences * 10000 DIV tot AS BIGINT) AS occ_share_bp",
+        )
+        .orderBy("token_len")
+    )
+
+
+ORACLE_TOKEN_LENGTH_HISTOGRAM = r"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token != ''
+),
+tf AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+classes AS (
+  SELECT CAST(length(token) AS BIGINT) AS token_len,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_occurrences
+  FROM tf GROUP BY 1
+)
+SELECT token_len, n_types, n_occurrences,
+       CAST(n_occurrences * 10000 // sum(n_occurrences) OVER () AS BIGINT)
+         AS occ_share_bp
+FROM classes
+ORDER BY token_len
+"""
+
+
 QUERIES = {
     "source_mixture_weights": q_source_mixture_weights,
     "docs_token_budget_report": q_docs_token_budget_report,
+    "token_length_histogram": q_token_length_histogram,
     "docs_length_quality_spearman": q_docs_length_quality_spearman,
     "token_burstiness_report": q_token_burstiness_report,
     "corpus_saturation_curve": q_corpus_saturation_curve,
@@ -4141,6 +4202,7 @@ QUERIES = {
 ORACLES = {
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
     "docs_token_budget_report": ORACLE_TOKEN_BUDGET,
+    "token_length_histogram": ORACLE_TOKEN_LENGTH_HISTOGRAM,
     "docs_length_quality_spearman": ORACLE_SPEARMAN,
     "token_burstiness_report": ORACLE_BURSTINESS,
     "corpus_saturation_curve": ORACLE_SATURATION,

@@ -395,6 +395,66 @@ def test_ann_index_delta_accounting(spark, sf_dir):
     assert abs(wsum / n_corpus - 1000) < 100
 
 
+def test_embedding_centroid_drift_planted(spark, tmp_path):
+    """Planted exchangeable halves: every vector of a label identical =>
+    both half centroids coincide => drift exactly 0; a label whose two
+    halves sit at different constants drifts by exactly |a-b|*sqrt(D)
+    micro (all components differ equally)."""
+    import math
+
+    rows = []
+    # label 0: all vectors identical (need both md5 halves populated)
+    for i in range(20):
+        rows.append((i, [0.5] * 64, 0))
+    # label 1: value depends on the SAME md5 half split the query uses
+    for i in range(20, 40):
+        h = int(hashlib_bucket(i) < 50)
+        rows.append((i, [0.25 if h else 0.75] * 64, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.label: r for r in similarity.q_embedding_centroid_drift(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out[0].centroid_drift_micro == 0
+    want = int(math.floor(math.sqrt(64 * 500_000**2)))
+    assert abs(out[1].centroid_drift_micro - want) <= 64  # per-pos floor slack
+
+
+def hashlib_bucket(vec_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(vec_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def test_parts_sourcing_risk_accounting(spark, sf_dir):
+    """Risk classes partition the part population and the revenue."""
+    from sap_sql_engine_spark.operators import relational
+    from sap_sql_engine_spark.sources.loader import table
+
+    rows = relational.q_parts_sourcing_risk(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    share = sum(r.revenue_share_bp for r in rows)
+    assert 10000 - len(rows) <= share <= 10000  # truncation only
+
+
+def test_token_length_histogram_consistent(spark, sf_dir):
+    """Types and occurrences must reconcile with the raw token stream."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+    from sap_sql_engine_spark.sources.loader import table
+
+    rows = ta.q_token_length_histogram(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        r"explode(split(trim(text), '\\s+')) AS token"
+    ).filter("token != ''")
+    assert sum(r.n_occurrences for r in rows) == toks.count()
+    assert sum(r.n_types for r in rows) == toks.distinct().count()
+    assert all(r.token_len > 0 for r in rows)
+
+
 def test_read_media_dir_binary_file_source(spark, tmp_path):
     """Real ingestion on-ramp: WAV/PNG/junk files on disk read through
     Spark's binaryFile source into MEDIA_SCHEMA with JVM-side magic-byte
