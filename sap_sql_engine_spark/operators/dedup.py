@@ -1276,6 +1276,83 @@ ORDER BY source
 """
 
 
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit for the MinHash sketch: pairs found by
+    BOTH the exact n-gram Jaccard chain and the LSH candidates, bucketed
+    by true Jaccard decile, with mean true value, mean estimate, and the
+    mean absolute estimation error (bp) per bucket. This is how you
+    learn whether N_MINHASH components suffice at your operating
+    threshold — lsh_recall_report says what the index FINDS; this says
+    how well what it finds is SCORED (expected |err| ~ sqrt(j(1-j)/N)).
+
+    Determinism: both inputs are class-A doubles that are bit-identical
+    across engines, so per-pair floor quantization of the difference is
+    stable; bucket means are integral BIGINT quotients.
+
+    Scale shape: composes the two gated pair relations unchanged (each
+    sub-quadratic); the calibration join is pair-keyed and the bucket
+    relation is <= 10 rows."""
+    docs = table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs).select("doc1", "doc2", "jaccard")
+    est = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc1", "doc2", "est_jaccard"
+    )
+    j = exact.join(est, ["doc1", "doc2"])
+    return (
+        j.selectExpr(
+            "least(CAST(floor(jaccard * 10) AS INT), 9) AS j_decile",
+            "CAST(floor(jaccard * 10000) AS BIGINT) AS t_bp",
+            "CAST(floor(est_jaccard * 10000) AS BIGINT) AS e_bp",
+            "CAST(floor(abs(est_jaccard - jaccard) * 10000) AS BIGINT)"
+            " AS err_bp",
+        )
+        .groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("sum(t_bp)").alias("st"),
+            F.expr("sum(e_bp)").alias("se"),
+            F.expr("sum(err_bp)").alias("serr"),
+        )
+        .selectExpr(
+            "j_decile",
+            "n_pairs",
+            "CAST(st DIV n_pairs AS BIGINT) AS mean_true_bp",
+            "CAST(se DIV n_pairs AS BIGINT) AS mean_est_bp",
+            "CAST(serr DIV n_pairs AS BIGINT) AS mean_abs_err_bp",
+        )
+        .orderBy("j_decile")
+    )
+
+
+def _oracle_minhash_calibration() -> str:
+    return f"""
+WITH exact AS ({ORACLE_NGRAM_JACCARD}),
+est AS ({ORACLE_MINHASH_LSH}),
+j AS (
+  SELECT e.jaccard, m.est_jaccard
+  FROM exact e JOIN est m ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+),
+rows_ AS (
+  SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS j_decile,
+         CAST(floor(jaccard * 10000) AS BIGINT) AS t_bp,
+         CAST(floor(est_jaccard * 10000) AS BIGINT) AS e_bp,
+         CAST(floor(abs(est_jaccard - jaccard) * 10000) AS BIGINT) AS err_bp
+  FROM j
+)
+SELECT j_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(t_bp) // count(*) AS BIGINT) AS mean_true_bp,
+       CAST(sum(e_bp) // count(*) AS BIGINT) AS mean_est_bp,
+       CAST(sum(err_bp) // count(*) AS BIGINT) AS mean_abs_err_bp
+FROM rows_
+GROUP BY j_decile
+ORDER BY j_decile
+"""
+
+
+ORACLE_MINHASH_CALIBRATION = _oracle_minhash_calibration()
+
+
 def q_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE duplication comes from: near-dup pair counts per
     (source, source) cell, canonicalized so source_a <= source_b — the
@@ -2414,6 +2491,7 @@ QUERIES = {
     "dedup_neardup_survivors": q_dedup_neardup_survivors,
     "dedup_soft_weights": q_dedup_soft_weights,
     "source_dedup_matrix": q_source_dedup_matrix,
+    "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
     "docs_leakage_free_split": q_docs_leakage_free_split,
@@ -2442,6 +2520,7 @@ ORACLES = {
     "dedup_neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
     "source_dedup_matrix": ORACLE_SOURCE_DEDUP_MATRIX,
+    "dedup_minhash_calibration": ORACLE_MINHASH_CALIBRATION,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "docs_leakage_free_split": ORACLE_LEAKAGE_FREE_SPLIT,

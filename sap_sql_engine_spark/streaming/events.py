@@ -2395,6 +2395,100 @@ ORDER BY slo_bp
 ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
 
 
+# within-session event-type co-occurrence: which actions happen in the
+# SAME visit more often than chance — the market-basket recipe (support +
+# lift) with sessions as baskets and event types as items, next to
+# parts_copurchase's order-basket original.
+
+
+def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: sessions containing both (support) and lift
+    vs independence (support * n_sessions / (c1 * c2), >1 = the actions
+    co-occur beyond chance). Sessions are the gated sessionize islands
+    (SESSION_GAP_SECONDS).
+
+    Scale shape: the ONE user-keyed sessionize window, a distinct to the
+    (session, type) grain, a session-keyed equi-self-join bounded by
+    |types-per-session|^2 (types are a small enum — never cartesian),
+    and |types|-row broadcast counts for the lift denominator."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sid = ev.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    items = sid.select("user_id", "sid", "event_type").distinct()
+    n_sessions = items.select("user_id", "sid").distinct().count()
+    tc = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    c1 = tc.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("c1"))
+    c2 = tc.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("c2"))
+    lift = (F.col("support") * F.lit(n_sessions)) / (F.col("c1") * F.col("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "type_a")
+        .join(F.broadcast(c2), "type_b")
+        .select("type_a", "type_b", "support", F.round(lift, 4).alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_TYPE_COOCCURRENCE = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                 > {SESSION_GAP_SECONDS * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+items AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
+n AS (SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, sid FROM items)),
+tc AS (SELECT event_type, count(*) AS cnt FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, support,
+       round(support * 1.0 * (SELECT n_sessions FROM n)
+             / (c1.cnt * c2.cnt), 4) AS lift
+FROM pairs
+JOIN tc c1 ON c1.event_type = type_a
+JOIN tc c2 ON c2.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 # seasonal-naive forecast baseline: predict hour h by hour h-24. Every
 # capacity/alerting forecast is judged against this baseline — if a model
 # cannot beat same-hour-yesterday, it is not a model. WAPE (weighted
@@ -2568,6 +2662,7 @@ QUERIES = {
     "events_watermark_recommendation": q_events_watermark_recommendation,
     "events_session_gap_sweep": q_events_session_gap_sweep,
     "events_seasonal_naive_error": q_events_seasonal_naive_error,
+    "events_type_cooccurrence": q_events_type_cooccurrence,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2598,6 +2693,7 @@ ORACLES = {
     "events_watermark_recommendation": ORACLE_WATERMARK_RECOMMENDATION,
     "events_session_gap_sweep": ORACLE_SESSION_GAP_SWEEP,
     "events_seasonal_naive_error": ORACLE_SEASONAL_NAIVE,
+    "events_type_cooccurrence": ORACLE_TYPE_COOCCURRENCE,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,
