@@ -3347,6 +3347,66 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# repeat-purchase cohort rate: per first-order-month cohort, how many
+# customers ever came back — the retention KPI on the commerce fact (the
+# revenue-free sibling of customer_cohort_ltv, and the relational twin of
+# events_retention_cohorts).
+
+
+def q_customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per first-order-month cohort: customers, repeat customers (2+
+    lifetime orders), repeat rate (bp), and mean lifetime orders
+    (milli). All-integer; cohort month as an ISO yyyy-MM string.
+
+    Scale shape: one customer-keyed aggregation over orders (first
+    month + lifetime count in the same pass), one bounded regroup by
+    cohort month."""
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        per_cust.groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_repeat"),
+            F.sum("n_orders").cast("bigint").alias("orders_total"),
+        )
+        .selectExpr(
+            "cohort_month",
+            "n_customers",
+            "n_repeat",
+            "CAST(n_repeat * 10000 DIV n_customers AS BIGINT) AS repeat_bp",
+            "CAST(orders_total * 1000 DIV n_customers AS BIGINT)"
+            " AS mean_orders_milli",
+        )
+        .orderBy("cohort_month")
+    )
+
+
+ORACLE_REPEAT_RATE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         strftime(min(o_orderdate), '%Y-%m') AS cohort_month,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT cohort_month,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS repeat_bp,
+       CAST(sum(n_orders) * 1000 // count(*) AS BIGINT) AS mean_orders_milli
+FROM per_cust
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # supply-chain sourcing risk: how much revenue rides on single-sourced
 # parts. The SCM counterpart of the HHI concentration report — HHI says
 # a market is concentrated; this says WHICH exposure class the money
@@ -4390,6 +4450,7 @@ QUERIES = {
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "customer_order_sprees": q_customer_order_sprees,
     "parts_sourcing_risk": q_parts_sourcing_risk,
+    "customer_repeat_rate": q_customer_repeat_rate,
     "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
@@ -4466,6 +4527,7 @@ ORACLES = {
     "customer_revenue_pareto": ORACLE_REVENUE_PARETO,
     "customer_order_sprees": ORACLE_ORDER_SPREES,
     "parts_sourcing_risk": ORACLE_SOURCING_RISK,
+    "customer_repeat_rate": ORACLE_REPEAT_RATE,
     "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,

@@ -2395,6 +2395,61 @@ ORDER BY slo_bp
 ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
 
 
+# weekday x hour load profile: the capacity-planning heatmap (when does
+# traffic actually arrive). Day-of-week is computed ARITHMETICALLY from
+# epoch days ((days + 4) % 7, 0 = Sunday — 1970-01-01 was a Thursday)
+# because the engines' dayofweek() builtins disagree on origin and range;
+# integer arithmetic on epoch microseconds is exact on both.
+
+
+def q_events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (day-of-week, hour-of-day) cell: event count and corpus share
+    (bp) — the 7x24 load heatmap behind autoscaling schedules and
+    maintenance windows. dow 0 = Sunday (arithmetic convention above),
+    hour in UTC.
+
+    Scale shape: one map-side (dow, hour) derivation from epoch
+    microseconds, one bounded 168-cell aggregation; the share window
+    runs there."""
+    ev = _events(spark, sf_dir)
+    cells = ev.selectExpr(
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7 AS dow",
+        "unix_micros(ts) % 86400000000 DIV 3600000000 AS hour",
+    )
+    w_all = W.partitionBy()  # <= 168-cell relation
+    return (
+        cells.groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn("tot", F.sum("n_events").over(w_all))
+        .selectExpr(
+            "CAST(dow AS BIGINT) AS dow",
+            "CAST(hour AS BIGINT) AS hour",
+            "n_events",
+            "CAST(n_events * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+ORACLE_WEEKDAY_HOUR_PROFILE = """
+WITH cells AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         epoch_us(ts) % 86400000000 // 3600000000 AS hour
+  FROM events
+),
+agg AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(hour AS BIGINT) AS hour,
+       n_events,
+       CAST(n_events * 10000 // sum(n_events) OVER () AS BIGINT) AS share_bp
+FROM agg
+ORDER BY dow, hour
+"""
+
+
 # within-session event-type co-occurrence: which actions happen in the
 # SAME visit more often than chance — the market-basket recipe (support +
 # lift) with sessions as baskets and event types as items, next to
@@ -2663,6 +2718,7 @@ QUERIES = {
     "events_session_gap_sweep": q_events_session_gap_sweep,
     "events_seasonal_naive_error": q_events_seasonal_naive_error,
     "events_type_cooccurrence": q_events_type_cooccurrence,
+    "events_weekday_hour_profile": q_events_weekday_hour_profile,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2694,6 +2750,7 @@ ORACLES = {
     "events_session_gap_sweep": ORACLE_SESSION_GAP_SWEEP,
     "events_seasonal_naive_error": ORACLE_SEASONAL_NAIVE,
     "events_type_cooccurrence": ORACLE_TYPE_COOCCURRENCE,
+    "events_weekday_hour_profile": ORACLE_WEEKDAY_HOUR_PROFILE,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,
