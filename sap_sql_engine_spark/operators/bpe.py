@@ -58,10 +58,15 @@ N_MERGES = 6
 SEP = chr(31)  # ASCII unit separator; never occurs in whitespace-split tokens
 
 
-def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+def _train(
+    docs: DataFrame, n_merges: int, snapshots: dict | None = None
+) -> tuple[list, DataFrame]:
     """Run the merge loop; returns (one-row merge DataFrames, the final
     (w, symstr, cnt) vocabulary state) so both the training report and
-    the token-count apply share one implementation."""
+    the token-count apply share one implementation. ``snapshots``: a
+    dict whose keys are checkpoint merge-ranks — filled in place with
+    the (lazy, off-the-cached-base) vocabulary state after that many
+    merges, for the compression curve."""
     toks = spread(docs).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
@@ -86,6 +91,8 @@ def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
         "ELSE array() END, "
         "j -> struct(element_at(sy, j) AS s1, element_at(sy, j + 1) AS s2))"
     )
+    if snapshots is not None and 0 in snapshots:
+        snapshots[0] = words
     merges: list[tuple] = []
     for it in range(1, n_merges + 1):
         pairs = (
@@ -122,6 +129,8 @@ def _train(docs: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
         words = words.withColumn(
             "symstr", F.replace(F.col("symstr"), F.lit(pat), F.lit(rep))
         )
+        if snapshots is not None and it in snapshots:
+            snapshots[it] = words
     return merges, words
 
 
@@ -448,8 +457,107 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# compression curve: corpus tokens vs merge count — the vocab-sizing curve
+# a tokenizer team reads to pick N_MERGES (each checkpoint's saving is the
+# marginal utility of more vocabulary). Entirely vocabulary-side: the
+# (word, cnt) relation already carries corpus occurrence weights, so NO
+# corpus re-join per checkpoint.
+
+BPE_CHECKPOINTS = (0, N_MERGES // 2, N_MERGES)
+
+
+def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per merge-count checkpoint: vocabulary size (distinct words),
+    corpus token total under that many trained merges, corpus chars,
+    chars-per-token (milli, the compression ratio), and tokens saved vs
+    the unmerged baseline (bp). ONE training run captures the state at
+    each checkpoint (the snapshots hook on the shared loop).
+
+    Scale shape: the single corpus tokenization pass the trainer already
+    pays; each checkpoint leg is one aggregation over the Heaps-bounded
+    cached vocabulary relation; the cross-checkpoint fold is a window on
+    the |checkpoints|-row relation."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    snaps: dict = {k: None for k in BPE_CHECKPOINTS}
+    _train(docs, N_MERGES, snapshots=snaps)
+    legs = []
+    for k in BPE_CHECKPOINTS:
+        legs.append(
+            snaps[k]
+            .selectExpr(
+                f"CAST({k} AS INT) AS merge_rank",
+                "cnt",
+                "CAST(size(split(trim(BOTH chr(31) FROM symstr),"
+                " chr(31) || chr(31))) AS BIGINT) AS ntok",
+                "CAST(length(w) AS BIGINT) AS nchr",
+            )
+            .groupBy("merge_rank")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("vocab_words"),
+                F.expr("sum(cnt * ntok)").cast("bigint").alias("corpus_tokens"),
+                F.expr("sum(cnt * nchr)").cast("bigint").alias("corpus_chars"),
+            )
+        )
+    allr = legs[0]
+    for leg in legs[1:]:
+        allr = allr.unionByName(leg)
+    w_all = Window.partitionBy()  # |checkpoints|-row bounded relation
+    return (
+        allr.withColumn(
+            "t0",
+            F.expr(
+                "max(CASE WHEN merge_rank = 0 THEN corpus_tokens END)"
+            ).over(w_all),
+        )
+        .selectExpr(
+            "merge_rank",
+            "vocab_words",
+            "corpus_tokens",
+            "corpus_chars",
+            "CAST(corpus_chars * 1000 DIV corpus_tokens AS BIGINT)"
+            " AS chars_per_token_milli",
+            "CAST((t0 - corpus_tokens) * 10000 DIV t0 AS BIGINT)"
+            " AS tokens_saved_bp",
+        )
+        .orderBy("merge_rank")
+    )
+
+
+def _oracle_compression_curve() -> str:
+    legs = "\nUNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS merge_rank,
+       CAST(count(*) AS BIGINT) AS vocab_words,
+       CAST(sum(cnt * len(string_split(trim(symstr, chr(31)),
+                                       chr(31) || chr(31)))) AS BIGINT)
+         AS corpus_tokens,
+       CAST(sum(cnt * length(w)) AS BIGINT) AS corpus_chars
+FROM w{k}"""
+        for k in BPE_CHECKPOINTS
+    )
+    return f"""
+WITH {_bpe_ctes()},
+ck AS ({legs})
+SELECT merge_rank, vocab_words, corpus_tokens, corpus_chars,
+       CAST(corpus_chars * 1000 // corpus_tokens AS BIGINT)
+         AS chars_per_token_milli,
+       CAST((max(CASE WHEN merge_rank = 0 THEN corpus_tokens END) OVER ()
+             - corpus_tokens) * 10000
+            // max(CASE WHEN merge_rank = 0 THEN corpus_tokens END) OVER ()
+            AS BIGINT) AS tokens_saved_bp
+FROM ck
+ORDER BY merge_rank
+"""
+
+
+ORACLE_BPE_COMPRESSION = _oracle_compression_curve()
+
+
 QUERIES = {
     "bpe_merge_training": q_bpe_merges,
+    "bpe_compression_curve": q_bpe_compression_curve,
     "bpe_token_counts": q_bpe_token_counts,
     "bpe_detokenize_check": q_bpe_detokenize_check,
     "bpe_shard_assignment": q_bpe_shard_assignment,
@@ -458,6 +566,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_merge_training": ORACLE_BPE_MERGES,
+    "bpe_compression_curve": ORACLE_BPE_COMPRESSION,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "bpe_detokenize_check": ORACLE_BPE_DETOKENIZE,
     "bpe_shard_assignment": ORACLE_BPE_SHARD_ASSIGNMENT,

@@ -395,6 +395,24 @@ def test_ann_index_delta_accounting(spark, sf_dir):
     assert abs(wsum / n_corpus - 1000) < 100
 
 
+def test_bpe_compression_curve_invariants(spark, sf_dir):
+    """Checkpoint 0 is the character baseline (every symbol 1 char =>
+    tokens == chars, ratio exactly 1000 milli, saved 0 bp); merges can
+    only shrink the token total, never the char total."""
+    from sap_sql_engine_spark.operators import bpe
+
+    rows = {r.merge_rank: r for r in bpe.q_bpe_compression_curve(
+        spark, sf_dir
+    ).collect()}
+    base = rows[0]
+    assert base.corpus_tokens == base.corpus_chars
+    assert base.chars_per_token_milli == 1000 and base.tokens_saved_bp == 0
+    toks = [rows[k].corpus_tokens for k in sorted(rows)]
+    assert toks == sorted(toks, reverse=True)
+    assert len({rows[k].corpus_chars for k in rows}) == 1  # chars invariant
+    assert rows[bpe.N_MERGES].tokens_saved_bp > 0  # merges genuinely save
+
+
 def test_embedding_centroid_drift_planted(spark, tmp_path):
     """Planted exchangeable halves: every vector of a label identical =>
     both half centroids coincide => drift exactly 0; a label whose two
