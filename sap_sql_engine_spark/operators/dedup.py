@@ -1276,6 +1276,72 @@ ORDER BY source
 """
 
 
+# upward sweep from the operating threshold (the embedding_threshold_sweep
+# convention: at JACCARD_THRESHOLD the pair set is complete — the gate
+# proves it against brute force — so tighter cutoffs are pure filters)
+JACCARD_SWEEP_BP = (5000, 6000, 7000, 8000, 9000)
+
+
+def q_dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair and affected-doc counts at each Jaccard cutoff upward of the
+    operating threshold — the dedup-aggressiveness tuning curve (how many
+    docs a stricter near-dup definition would stop touching). Thresholds
+    compare on round-to-nearest bp of the 4dp-rounded jaccard (exact for
+    4dp inputs; identical on both engines).
+
+    Scale shape: ONE pass over the (already sub-quadratic) gated pair
+    relation fanned by the literal thresholds; the affected-doc count is
+    a distinct over the <= 2*|pairs| x |sweep| exploded relation."""
+    pairs = jaccard_pairs(table(spark, sf_dir, "documents")).select(
+        "doc1", "doc2", "jaccard"
+    )
+    thrs = ", ".join(str(t) for t in JACCARD_SWEEP_BP)
+    tall = pairs.selectExpr(
+        "doc1",
+        "doc2",
+        "CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j_bp",
+        f"explode(array({thrs})) AS thr_bp",
+    ).filter(F.col("j_bp") >= F.col("thr_bp"))
+    np_ = tall.groupBy("thr_bp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        tall.selectExpr("thr_bp", "explode(array(doc1, doc2)) AS d")
+        .distinct()
+        .groupBy("thr_bp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        np_.join(nd, "thr_bp")
+        .selectExpr(
+            "CAST(thr_bp AS BIGINT) AS thr_bp", "n_pairs", "n_docs_affected"
+        )
+        .orderBy("thr_bp")
+    )
+
+
+ORACLE_JACCARD_SWEEP = f"""
+WITH pairs AS ({ORACLE_NGRAM_JACCARD}),
+tall AS (
+  SELECT doc1, doc2,
+         CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j_bp, thr_bp
+  FROM pairs CROSS JOIN (VALUES {", ".join(f"({t})" for t in JACCARD_SWEEP_BP)}) t(thr_bp)
+  WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= thr_bp
+),
+np AS (SELECT thr_bp, CAST(count(*) AS BIGINT) AS n_pairs FROM tall GROUP BY 1),
+nd AS (
+  SELECT thr_bp, CAST(count(*) AS BIGINT) AS n_docs_affected FROM (
+    SELECT DISTINCT thr_bp, d FROM (
+      SELECT thr_bp, unnest([doc1, doc2]) AS d FROM tall
+    )
+  ) GROUP BY 1
+)
+SELECT CAST(np.thr_bp AS BIGINT) AS thr_bp, n_pairs, n_docs_affected
+FROM np JOIN nd ON np.thr_bp = nd.thr_bp
+ORDER BY thr_bp
+"""
+
+
 def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-calibration audit for the MinHash sketch: pairs found by
     BOTH the exact n-gram Jaccard chain and the LSH candidates, bucketed
@@ -2492,6 +2558,7 @@ QUERIES = {
     "dedup_soft_weights": q_dedup_soft_weights,
     "source_dedup_matrix": q_source_dedup_matrix,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
+    "dedup_jaccard_threshold_sweep": q_dedup_jaccard_threshold_sweep,
     "dedup_keep_best": q_dedup_keep_best,
     "split_leakage_report": q_split_leakage_report,
     "docs_leakage_free_split": q_docs_leakage_free_split,
@@ -2521,6 +2588,7 @@ ORACLES = {
     "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
     "source_dedup_matrix": ORACLE_SOURCE_DEDUP_MATRIX,
     "dedup_minhash_calibration": ORACLE_MINHASH_CALIBRATION,
+    "dedup_jaccard_threshold_sweep": ORACLE_JACCARD_SWEEP,
     "dedup_keep_best": _oracle_keep_best(),
     "split_leakage_report": ORACLE_SPLIT_LEAKAGE,
     "docs_leakage_free_split": ORACLE_LEAKAGE_FREE_SPLIT,

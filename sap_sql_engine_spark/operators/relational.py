@@ -3347,6 +3347,77 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# supplier delivery-reliability ranking: which suppliers are ERRATIC, not
+# just slow. nation_delivery_performance reports SLA means per nation;
+# procurement escalates on per-supplier VARIANCE — a supplier with a fine
+# mean but a huge spread is the one that breaks planning.
+
+DELIVERY_TOP_N = 10
+
+
+def q_supplier_delivery_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-DELIVERY_TOP_N most-erratic suppliers by population variance
+    of order-to-ship latency (exact integer days; variance in milli
+    day^2 via the closed form (n*ssq - s^2) * 1000 DIV n^2 on exact
+    BIGINT sufficient statistics — the z_score/moments recipe), with
+    line count and mean latency (milli days) alongside.
+
+    Scale shape: one lineitem-orders key join (fact-fact, shuffles on
+    orderkey), one supplier-keyed aggregation to sufficient statistics,
+    TakeOrderedAndProject for the top-N."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).selectExpr(
+        "l_suppkey",
+        "(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+        " DIV 86400000000 AS lat_days",
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("lat_days").cast("bigint").alias("s"),
+            F.expr("sum(lat_days * lat_days)").cast("bigint").alias("ssq"),
+        )
+        .selectExpr(
+            "l_suppkey",
+            "n_lines",
+            "CAST(s * 1000 DIV n_lines AS BIGINT) AS mean_lat_milli_days",
+            "CAST((n_lines * ssq - s * s) * 1000 DIV (n_lines * n_lines)"
+            " AS BIGINT) AS var_milli_days2",
+        )
+        .orderBy(F.col("var_milli_days2").desc(), F.col("l_suppkey").asc())
+        .limit(DELIVERY_TOP_N)
+    )
+
+
+ORACLE_DELIVERY_VARIANCE = f"""
+WITH lat AS (
+  SELECT l_suppkey,
+         (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+stats AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(lat_days) AS BIGINT) AS s,
+         CAST(sum(lat_days * lat_days) AS BIGINT) AS ssq
+  FROM lat GROUP BY 1
+)
+SELECT l_suppkey, n_lines,
+       CAST(s * 1000 // n_lines AS BIGINT) AS mean_lat_milli_days,
+       CAST((n_lines * ssq - s * s) * 1000 // (n_lines * n_lines) AS BIGINT)
+         AS var_milli_days2
+FROM stats
+ORDER BY var_milli_days2 DESC, l_suppkey ASC
+LIMIT {DELIVERY_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # repeat-purchase cohort rate: per first-order-month cohort, how many
 # customers ever came back — the retention KPI on the commerce fact (the
 # revenue-free sibling of customer_cohort_ltv, and the relational twin of
@@ -4451,6 +4522,7 @@ QUERIES = {
     "customer_order_sprees": q_customer_order_sprees,
     "parts_sourcing_risk": q_parts_sourcing_risk,
     "customer_repeat_rate": q_customer_repeat_rate,
+    "supplier_delivery_variance": q_supplier_delivery_variance,
     "dq_benford_amounts": q_dq_benford_amounts,
     "recursive_line_chain_native": q_recursive_line_chain_native,
     "parts_copurchase": q_parts_copurchase,
@@ -4528,6 +4600,7 @@ ORACLES = {
     "customer_order_sprees": ORACLE_ORDER_SPREES,
     "parts_sourcing_risk": ORACLE_SOURCING_RISK,
     "customer_repeat_rate": ORACLE_REPEAT_RATE,
+    "supplier_delivery_variance": ORACLE_DELIVERY_VARIANCE,
     "dq_benford_amounts": ORACLE_DQ_BENFORD,
     "recursive_line_chain_native": ORACLE_RECURSIVE,
     "parts_copurchase": ORACLE_PARTS_COPURCHASE,
