@@ -4147,10 +4147,80 @@ ORDER BY token_len
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus hygiene ladder: how many docs are degenerate BEFORE any quality
+# model runs — the cheap structural classes every ingest pipeline counts
+# first (empty, whitespace-only, single-token, short, dominated by
+# non-alpha). Mutually exclusive classes by first match, so the ladder
+# partitions the corpus and the counts reconcile exactly.
+
+HYGIENE_SHORT_TOKENS = 5
+
+
+def q_docs_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hygiene class (first match wins): doc count and corpus share
+    (bp). Classes: empty (zero chars), whitespace_only, single_token,
+    short (< HYGIENE_SHORT_TOKENS tokens), low_alpha (alpha ratio under
+    half), clean. The class counts partition the corpus — a reconciled
+    intake funnel, not overlapping flags.
+
+    Scale shape: one narrow map over the scan, one bounded-class
+    aggregation; the share window runs on the <= 6-row relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    cls = (
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty' "
+        "WHEN length(trim(text)) = 0 THEN 'whitespace_only' "
+        "WHEN size(split(trim(text), '\\\\s+')) = 1 THEN 'single_token' "
+        f"WHEN size(split(trim(text), '\\\\s+')) < {HYGIENE_SHORT_TOKENS}"
+        " THEN 'short' "
+        "WHEN length(regexp_replace(trim(text), '[^A-Za-z]', '')) * 2"
+        " < length(trim(text)) THEN 'low_alpha' "
+        "ELSE 'clean' END"
+    )
+    w_all = Window.partitionBy()  # <= 6-row class relation
+    return (
+        docs.selectExpr(f"{cls} AS hygiene_class")
+        .groupBy("hygiene_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("tot", F.sum("n_docs").over(w_all))
+        .selectExpr(
+            "hygiene_class",
+            "n_docs",
+            "CAST(n_docs * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("hygiene_class")
+    )
+
+
+ORACLE_HYGIENE_REPORT = rf"""
+WITH classed AS (
+  SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+              WHEN length(trim(text)) = 0 THEN 'whitespace_only'
+              WHEN len(regexp_split_to_array(trim(text), '\s+')) = 1
+                THEN 'single_token'
+              WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                   < {HYGIENE_SHORT_TOKENS} THEN 'short'
+              WHEN length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) * 2
+                   < length(trim(text)) THEN 'low_alpha'
+              ELSE 'clean' END AS hygiene_class
+  FROM documents
+),
+agg AS (
+  SELECT hygiene_class, CAST(count(*) AS BIGINT) AS n_docs
+  FROM classed GROUP BY 1
+)
+SELECT hygiene_class, n_docs,
+       CAST(n_docs * 10000 // sum(n_docs) OVER () AS BIGINT) AS share_bp
+FROM agg
+ORDER BY hygiene_class
+"""
+
+
 QUERIES = {
     "source_mixture_weights": q_source_mixture_weights,
     "docs_token_budget_report": q_docs_token_budget_report,
     "token_length_histogram": q_token_length_histogram,
+    "docs_hygiene_report": q_docs_hygiene_report,
     "docs_length_quality_spearman": q_docs_length_quality_spearman,
     "token_burstiness_report": q_token_burstiness_report,
     "corpus_saturation_curve": q_corpus_saturation_curve,
@@ -4203,6 +4273,7 @@ ORACLES = {
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
     "docs_token_budget_report": ORACLE_TOKEN_BUDGET,
     "token_length_histogram": ORACLE_TOKEN_LENGTH_HISTOGRAM,
+    "docs_hygiene_report": ORACLE_HYGIENE_REPORT,
     "docs_length_quality_spearman": ORACLE_SPEARMAN,
     "token_burstiness_report": ORACLE_BURSTINESS,
     "corpus_saturation_curve": ORACLE_SATURATION,

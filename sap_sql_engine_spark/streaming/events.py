@@ -2395,6 +2395,69 @@ ORDER BY slo_bp
 ORACLE_WATERMARK_RECOMMENDATION = _oracle_watermark_recommendation()
 
 
+# bot/burst detection: superhuman per-minute event rates. Rate limiting
+# and abuse triage both start from "what is the fastest any user ever
+# hit us" — the per-user peak minute, ranked.
+
+BURST_TOP_N = 10
+
+
+def q_events_burst_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BURST_TOP_N users by their PEAK events-in-one-minute (exact
+    epoch-minute buckets), with their total events and the peak's share
+    of their activity (bp) — a user whose peak minute carries most of
+    their history is a burst (bot/replay), not a heavy user.
+
+    Scale shape: one (user, minute) aggregation with map-side combine,
+    one user-keyed max_by regroup, TakeOrderedAndProject for the
+    top-N."""
+    ev = _events(spark, sf_dir)
+    per_min = ev.selectExpr(
+        "user_id", "unix_micros(ts) DIV 60000000 AS minute"
+    ).groupBy("user_id", "minute").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.max("c").cast("bigint").alias("peak_minute_events"),
+            F.sum("c").cast("bigint").alias("total_events"),
+        )
+        .selectExpr(
+            "user_id",
+            "peak_minute_events",
+            "total_events",
+            "CAST(peak_minute_events * 10000 DIV total_events AS BIGINT)"
+            " AS peak_share_bp",
+        )
+        .orderBy(
+            F.col("peak_minute_events").desc(), F.col("user_id").asc()
+        )
+        .limit(BURST_TOP_N)
+    )
+
+
+ORACLE_BURST_REPORT = f"""
+WITH per_min AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(max(c) AS BIGINT) AS peak_minute_events,
+         CAST(sum(c) AS BIGINT) AS total_events
+  FROM per_min GROUP BY 1
+)
+SELECT user_id, peak_minute_events, total_events,
+       CAST(peak_minute_events * 10000 // total_events AS BIGINT)
+         AS peak_share_bp
+FROM per_user
+ORDER BY peak_minute_events DESC, user_id ASC
+LIMIT {BURST_TOP_N}
+"""
+
+
 # weekday x hour load profile: the capacity-planning heatmap (when does
 # traffic actually arrive). Day-of-week is computed ARITHMETICALLY from
 # epoch days ((days + 4) % 7, 0 = Sunday — 1970-01-01 was a Thursday)
@@ -2719,6 +2782,7 @@ QUERIES = {
     "events_seasonal_naive_error": q_events_seasonal_naive_error,
     "events_type_cooccurrence": q_events_type_cooccurrence,
     "events_weekday_hour_profile": q_events_weekday_hour_profile,
+    "events_burst_report": q_events_burst_report,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2751,6 +2815,7 @@ ORACLES = {
     "events_seasonal_naive_error": ORACLE_SEASONAL_NAIVE,
     "events_type_cooccurrence": ORACLE_TYPE_COOCCURRENCE,
     "events_weekday_hour_profile": ORACLE_WEEKDAY_HOUR_PROFILE,
+    "events_burst_report": ORACLE_BURST_REPORT,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,
