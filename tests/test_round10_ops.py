@@ -395,6 +395,33 @@ def test_ann_index_delta_accounting(spark, sf_dir):
     assert abs(wsum / n_corpus - 1000) < 100
 
 
+def test_hygiene_report_partitions_corpus(spark, sf_dir):
+    """The hygiene classes are mutually exclusive by construction, so
+    their counts must sum to the corpus size and shares to ~10000 bp."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+    from sap_sql_engine_spark.sources.loader import table
+
+    rows = ta.q_docs_hygiene_report(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    share = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) <= share <= 10000
+
+
+def test_burst_report_ordering_and_bounds(spark, sf_dir):
+    """Peak <= total per user; rows ranked by peak desc with user-id
+    ties resolved ascending; the peak share is an exact bp quotient."""
+    from sap_sql_engine_spark.streaming import events as ev
+
+    rows = ev.q_events_burst_report(spark, sf_dir).collect()
+    assert 0 < len(rows) <= ev.BURST_TOP_N
+    keys = [(-r.peak_minute_events, r.user_id) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.peak_minute_events <= r.total_events
+        assert r.peak_share_bp == r.peak_minute_events * 10000 // r.total_events
+
+
 def test_bpe_compression_curve_invariants(spark, sf_dir):
     """Checkpoint 0 is the character baseline (every symbol 1 char =>
     tokens == chars, ratio exactly 1000 milli, saved 0 bp); merges can
