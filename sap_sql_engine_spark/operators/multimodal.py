@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cachereg import cache_eager
 from ..sources.loader import table
 
 MEDIA_SCHEMA = T.StructType(
@@ -756,32 +757,54 @@ def sql_dhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The code-point dHash lane in relational form — (media_id, band_no,
     band_val), bit-for-bit the dhash_bands() definition.
 
-    Deliberately NOT a nested array program: a transform-of-aggregates
-    expression tree re-inlines the cells array into all 64 bit terms under
-    Catalyst's project collapse (measured: codegen blowup, minutes at
-    sf0.001). The relational form — posexplode code points, groupBy
-    (media, cell) with map-side combine, a lead() window bounded at 65
-    rows per media, groupBy (media, band) — keeps every expression linear
-    and every shuffle key-partitioned."""
-    chars = (
-        docs.filter(F.length("text") >= DHASH_CELLS)
+    Three shapes were measured. (1) A transform-of-aggregates array
+    program re-inlines the cells array into all 64 bit terms under
+    Catalyst's project collapse (codegen blowup, minutes at sf0.001).
+    (2) Per-CHARACTER posexplode + groupBy (media, cell) pays a
+    row-per-character Generate and a corpus-sized partial aggregation —
+    the r9/r10 shape, 5.0s at sf0.1. (3, shipped r11) Per-CELL
+    posexplode: 65 rows per media, each computing its cell's floor-mean
+    from a SUBSTRING slice (cell i covers positions [i*n DIV 65 rounded
+    up, ...) — the exact floor-boundary inverse of pos*65 DIV n), so the
+    character work stays inside one array-aggregate expression per cell
+    with NO per-char rows and NO pre-window shuffle (2.0s at sf0.1; the
+    substring trick the audio lane's prefix bound already uses). The
+    lead() window and band regroup are unchanged — bounded at 65 rows
+    per media."""
+    c = DHASH_CELLS
+    cells = (
+        docs.filter(F.length("text") >= c)
         .selectExpr(
             f"CAST({id_col} AS BIGINT) AS media_id",
             "length(text) AS n",
-            "posexplode(transform(split(text, ''),"
-            " c -> CAST(ascii(c) AS BIGINT))) AS (pos, code)",
+            "text",
+            f"posexplode(sequence(0, {c - 1})) AS (i, k)",
+        )
+        .selectExpr(
+            "media_id",
+            "i",
+            # cell i's half-open position range [lo, hi): pos*c DIV n == i
+            # iff i*n <= pos*c < (i+1)*n, i.e. pos in [ceil(i*n/c),
+            # ceil((i+1)*n/c)) — ceil via (x + c - 1) DIV c
+            f"(i * n + {c - 1}) DIV {c} AS lo",
+            f"((i + 1) * n + {c - 1}) DIV {c} AS hi",
+            "text",
+        )
+        .selectExpr(
+            "media_id",
+            "i",
+            "aggregate(transform(split(substr(text, CAST(lo + 1 AS INT),"
+            " CAST(hi - lo AS INT)), ''), ch -> CAST(ascii(ch) AS BIGINT)),"
+            " 0L, (a, v) -> a + v) DIV (hi - lo) AS cell",
         )
     )
-    cells = chars.groupBy(
-        "media_id", F.expr(f"pos * {DHASH_CELLS} DIV n").alias("i")
-    ).agg(F.expr("sum(code) DIV count(1)").alias("cell"))
     w = Window.partitionBy("media_id").orderBy("i")  # <= 65 rows per media
     bits = cells.withColumn(
         "bit",
         F.when(F.col("cell") > F.lead("cell").over(w), 1)
         .otherwise(0)
         .cast("bigint"),
-    ).filter(F.col("i") < DHASH_CELLS - 1)
+    ).filter(F.col("i") < c - 1)
     return bits.groupBy(
         "media_id", F.expr("CAST(i DIV 16 AS INT)").alias("band_no")
     ).agg(F.expr("CAST(sum(shiftleft(bit, CAST(i % 16 AS INT))) AS BIGINT)").alias("band_val"))
@@ -790,10 +813,19 @@ def sql_dhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _banded_hamming_distances(bandsx: DataFrame) -> DataFrame:
     """Banded-candidate pair distances (media_id_a, media_id_b,
     hamming_dist) over any (media_id, band_no, band_val) relation —
-    shared by the dHash (4x16-bit) and audio-envelope (4x8-bit) lanes:
+    shared by the dHash and audio-envelope lanes (both 4x16-bit bands
+    since the r10 widen):
     ONE (band_no, band_val) equi-join for candidates — never an all-pairs
     cross — then a per-pair re-join of the band vectors summing xor
-    popcounts."""
+    popcounts.
+
+    The bands relation is consumed by THREE plan branches (both sides of
+    the candidate self-join plus the distance re-join), so it is cached
+    eagerly — without the cache the whole fingerprint chain (posexplode →
+    cells → bits → bands) recomputes per branch (measured: the r10 dHash
+    report paid the corpus explode 4x; the cache is |media| x 4 rows —
+    metadata-sized next to the exploded signal)."""
+    bandsx = cache_eager(bandsx)
     a, b = bandsx.alias("a"), bandsx.alias("b")
     cand = (
         a.join(
@@ -977,12 +1009,12 @@ AFP_THRESHOLD = 3
 def audio_envelope_bands(samples: list[int]) -> list[int] | None:
     """Energy-envelope fingerprint of a PCM signal, as AFP_BANDS band
     values: frame f = samples [AFP_FRAME*f, AFP_FRAME*(f+1)), energy =
-    sum(|s|), bit f = (e_f > e_{f+1}), bands = 8-bit slices. Uses the
-    fixed-length PREFIX (first AFP_MIN_LEN samples) — the audio-native
-    convention is fixed frame DURATION, so two encodings of the same
-    waveform align frame-for-frame regardless of total length; returns
-    None below AFP_MIN_LEN (no 32-bit structure; documented drop, both
-    lanes agree)."""
+    sum(|s|), bit f = (e_f > e_{f+1}), bands = AFP_BAND_BITS-bit (16-bit)
+    slices. Uses the fixed-length PREFIX (first AFP_MIN_LEN samples) —
+    the audio-native convention is fixed frame DURATION, so two encodings
+    of the same waveform align frame-for-frame regardless of total
+    length; returns None below AFP_MIN_LEN (no AFP_BITS-bit structure;
+    documented drop, both lanes agree)."""
     if len(samples) < AFP_MIN_LEN:
         return None
     e = [

@@ -3358,9 +3358,10 @@ DELIVERY_TOP_N = 10
 def q_supplier_delivery_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-DELIVERY_TOP_N most-erratic suppliers by population variance
     of order-to-ship latency (exact integer days; variance in milli
-    day^2 via the closed form (n*ssq - s^2) * 1000 DIV n^2 on exact
-    BIGINT sufficient statistics — the z_score/moments recipe), with
-    line count and mean latency (milli days) alongside.
+    day^2 via the closed form (n*ssq - s^2) * 1000 DIV n^2 — BIGINT
+    sufficient statistics, closed form accumulated in DECIMAL(38,0) /
+    HUGEINT so it cannot wrap at large SF — the z_score/moments recipe),
+    with line count and mean latency (milli days) alongside.
 
     Scale shape: one lineitem-orders key join (fact-fact, shuffles on
     orderkey), one supplier-keyed aggregation to sufficient statistics,
@@ -3386,7 +3387,13 @@ def q_supplier_delivery_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "n_lines",
             "CAST(s * 1000 DIV n_lines AS BIGINT) AS mean_lat_milli_days",
-            "CAST((n_lines * ssq - s * s) * 1000 DIV (n_lines * n_lines)"
+            # closed form accumulated in DECIMAL(38,0) (oracle: HUGEINT):
+            # n*ssq and s*s pass ~9e18 once a supplier has ~8e5+ lines
+            # (large SF), where non-ANSI BIGINT would wrap silently while
+            # DuckDB errors — the classifier's gradient convention
+            "CAST((CAST(n_lines AS DECIMAL(38,0)) * ssq"
+            " - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+            " DIV (CAST(n_lines AS DECIMAL(38,0)) * n_lines)"
             " AS BIGINT) AS var_milli_days2",
         )
         .orderBy(F.col("var_milli_days2").desc(), F.col("l_suppkey").asc())
@@ -3409,7 +3416,8 @@ stats AS (
 )
 SELECT l_suppkey, n_lines,
        CAST(s * 1000 // n_lines AS BIGINT) AS mean_lat_milli_days,
-       CAST((n_lines * ssq - s * s) * 1000 // (n_lines * n_lines) AS BIGINT)
+       CAST((CAST(n_lines AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s) * 1000
+            // (CAST(n_lines AS HUGEINT) * n_lines) AS BIGINT)
          AS var_milli_days2
 FROM stats
 ORDER BY var_milli_days2 DESC, l_suppkey ASC

@@ -565,8 +565,10 @@ def ivf_probe_batch(
     n_probe: int = N_PROBE,
     topk: int = TOPK,
 ) -> DataFrame:
-    """(query_id, vec_id, list_id, cosine) — per-query IVF top-k for a
-    BATCH of query vectors against a pre-assigned corpus.
+    """(query_id, vec_id, list_id, cosine, rank) — per-query IVF top-k
+    for a BATCH of query vectors against a pre-assigned corpus (``rank``
+    is the 1-based per-query position, kept for prefix-recall consumers;
+    the streaming sink drops it to preserve its original on-disk schema).
 
     The serving unit of an ANN index: the corpus-side cell assignment is
     built once (a persisted artifact at scale; an eager cache in the
@@ -654,9 +656,12 @@ def streaming_ann_probe(
     def probe(batch_df, _epoch):
         if batch_df.isEmpty():
             return
-        ivf_probe_batch(assigned, batch_df).write.mode("append").parquet(
-            out_dir
-        )
+        # rank dropped: out_dir's on-disk schema predates the rank column
+        # (ADVICE r10) — appending the widened schema would leave mixed
+        # parquet footers in pre-existing directories
+        ivf_probe_batch(assigned, batch_df).drop("rank").write.mode(
+            "append"
+        ).parquet(out_dir)
 
     return stream.writeStream.foreachBatch(probe).start()
 

@@ -534,7 +534,14 @@ def test_audio_sql_lane_matches_python_lane(spark, sf_dir):
     band over the real corpus docs long enough to fingerprint."""
     from sap_sql_engine_spark.sources.loader import table
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    # deterministic sample: LIMIT without ORDER BY may pick different rows
+    # in the two jobs below (ADVICE r10) — a key-range filter picks the
+    # same 50 docs in both
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 50")
+    )
     sql_bands = {}
     for r in sql_audio_envelope_bands(docs).collect():
         sql_bands.setdefault(r.media_id, {})[r.band_no] = r.band_val
