@@ -1184,3 +1184,83 @@ def test_dsir_scoring_plan_single_scan_no_bnlj(spark, sf_dir):
     assert names.count("FileSourceScanExec") == 1, names
     assert "BroadcastNestedLoopJoinExec" not in names
     assert "InMemoryTableScanExec" in names
+
+
+def test_streaming_burst_minutes_matches_batch(spark, tmp_path):
+    """Stream == batch for the burst/abuse report: per-minute counts
+    arrive as FINALIZED watermarked 1-minute windows in the parquet sink
+    (each window emits exactly once when the watermark passes its end);
+    burst_from_minutes over the sink equals the identical regroup over a
+    batch per-minute aggregation of the same dropped rows. A crash is
+    simulated between the drops (commit marker deleted -> epoch 0
+    REPLAYS on restart): the file-sink metadata log must skip the
+    already-committed epoch, never double-counting a minute."""
+    import datetime as dt
+    import os
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "minutes")
+
+    def drop(rows):
+        spark.createDataFrame(
+            [
+                (u, "click", dt.datetime(2024, 3, 1, h, m, s), 1.0)
+                for (u, h, m, s) in rows
+            ],
+            "user_id long, event_type string, ts timestamp, value double",
+        ).write.mode("append").json(drop_dir)
+
+    # user 1 bursts (4 events inside minute 10:00), users 2/3 are spread
+    d1 = [(1, 10, 0, 1), (1, 10, 0, 20), (1, 10, 0, 40), (1, 10, 0, 59),
+          (2, 10, 0, 30), (2, 10, 2, 0)]
+    d2 = [(2, 10, 4, 0), (1, 10, 5, 0), (3, 10, 5, 30), (3, 10, 5, 45)]
+    # sentinel: pushes the watermark (2 min delay) past every real
+    # minute so all 6 real windows finalize; its OWN 11:00 window stays
+    # open forever and must not reach the sink
+    flush = [(99, 11, 0, 0)]
+
+    drop(d1)
+    q = ev.streaming_burst_minutes(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # crash-replay: offsets/0 survives, commits/0 doesn't -> the restart
+    # re-executes epoch 0 against the sink's already-written metadata log
+    for marker in ("0", ".0.crc"):
+        os.remove(os.path.join(out_dir + "_ckpt", "commits", marker))
+    drop(d2 + flush)
+    q = ev.streaming_burst_minutes(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink = spark.read.parquet(out_dir)
+    # exactly the 6 real (user, minute) windows, 10 events total — the
+    # sentinel's open window absent, the replayed epoch not double-counted
+    minutes = {(r.user_id, r.minute): r.c for r in sink.collect()}
+    assert len(minutes) == 6
+    assert sum(minutes.values()) == 10
+    assert 99 not in {u for (u, _) in minutes}
+
+    got = [tuple(r) for r in ev.burst_from_minutes(sink).collect()]
+    batch_ev = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 3, 1, h, m, s))
+            for (u, h, m, s) in d1 + d2
+        ],
+        "user_id long, ts timestamp",
+    )
+    per_min = (
+        batch_ev.selectExpr(
+            "user_id", "unix_micros(ts) DIV 60000000 AS minute"
+        )
+        .groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    want = [tuple(r) for r in ev.burst_from_minutes(per_min).collect()]
+    assert got == want
+    # the planted burst ranks first: peak 4 of its 5 events in one
+    # minute, share 8000 bp
+    assert got[0] == (1, 4, 5, 8000)
