@@ -143,14 +143,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term scores quantize to BIGINT before the per-doc sum so the
     cross-row float add is associative (hash-stable on any plan)."""
     docs = table(spark, sf_dir, "documents")
+    terms = list(BM25_QUERY)
+    toks = _tokens(docs).filter(F.col("token").isin(terms))
+    return _bm25_scored(docs, toks)
+
+
+def _bm25_scored(docs: DataFrame, toks: DataFrame) -> DataFrame:
+    """BM25 scoring over an already term-filtered token stream ``toks`` —
+    the body shared by the fixed-tuple probe (q_bm25_search) and the
+    raw-query-string serving path (q_bm25_raw_query)."""
     stats = docs.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")).alias("sdl"),
     ).first()
     n_docs, sum_dl = int(stats["n"]), int(stats["sdl"])
     avgdl = sum_dl / n_docs  # exact-int division == SQL CAST/CAST division
-    terms = list(BM25_QUERY)
-    toks = _tokens(docs).filter(F.col("token").isin(terms))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # df from the tf relation (one row per doc,term): a narrow regroup of
     # the already-aggregated residue, not a second pass over the stream
@@ -207,6 +214,73 @@ GROUP BY tf.doc_id
 
 
 ORACLE_BM25 = _oracle_bm25()
+
+
+# ---------------------------------------------------------------------------
+# out-of-corpus serving: a RAW query string through the BM25 leg. The fixed
+# BM25_QUERY tuple is a pre-tokenized probe compiled into the plan; real
+# serving receives a STRING and the engine tokenizes it — same whitespace
+# tokenizer as the corpus — then the term filter is a broadcast semi-join
+# against the derived term relation instead of a literal IN list.
+
+BM25_RAW_QUERY_STR = "fast hash join beats a slow sort merge"
+
+
+def q_bm25_raw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of a raw query STRING over the corpus — the serving
+    path: the query text is tokenized ON-ENGINE (explode(split(...)) on a
+    constructed 1-row relation, the corpus tokenizer verbatim, distinct
+    to collapse repeated terms), and the corpus token stream is filtered
+    by a broadcast LEFT SEMI join against that bounded term relation.
+    Scoring is :func:`_bm25_scored`, byte-identical to the gated
+    q_bm25_search body.
+
+    Scale shape: same as q_bm25_search — the semi-join's broadcast side
+    is |query terms| rows, so the token stream still collapses to the
+    query's postings lists before any shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    qterms = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lit(BM25_RAW_QUERY_STR)), r"\s+")
+            ).alias("token")
+        )
+        .distinct()
+    )
+    toks = _tokens(docs).join(F.broadcast(qterms), "token", "left_semi")
+    return _bm25_scored(docs, toks)
+
+
+def _oracle_bm25_raw() -> str:
+    return f"""
+WITH g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM documents),
+qterms AS (SELECT DISTINCT unnest(regexp_split_to_array(trim('{BM25_RAW_QUERY_STR}'), '\\s+')) AS token),
+toks AS (SELECT doc_id, token FROM ({_O_TOKENS}) t
+         WHERE token IN (SELECT token FROM qterms)),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+       FROM documents)
+SELECT tf.doc_id,
+       count(*) AS matched_terms,
+       round(CAST(sum(CAST(floor(
+           ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * ({BM25_K1} + 1)) /
+              (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / g.avgdl)))
+           * {BM25_Q}) AS BIGINT)) AS BIGINT) / CAST({BM25_Q} AS DOUBLE), 6) AS bm25
+FROM tf
+JOIN df USING (token)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN g
+GROUP BY tf.doc_id
+"""
+
+
+ORACLE_BM25_RAW = _oracle_bm25_raw()
 
 
 # ---------------------------------------------------------------------------
@@ -1341,10 +1415,92 @@ ORDER BY hybrid_rank
 ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
 
 
+# ---------------------------------------------------------------------------
+# out-of-corpus hybrid serving: the full RAG query shape — a raw query
+# STRING through the BM25 leg and a literal out-of-corpus query VECTOR
+# through the IVF leg, fused by the same integer RRF. The corpus-member
+# hybrid (q_hybrid_search_rrf) grades the fusion against known rankers;
+# this one is the fusion a serving endpoint actually answers.
+
+
+def q_hybrid_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for a NOVEL query: lexical leg =
+    :func:`q_bm25_raw_query` (raw string BM25_RAW_QUERY_STR, tokenized
+    on-engine) top-HYBRID_LEX_K; semantic leg =
+    ``ann_query_vector_topk`` (literal vector OOC_QUERY_VEC, not a row
+    of ``embeddings``) top-K under the frozen IVF codebook; fusion =
+    :func:`rrf_fuse` (vec_id == doc_id corpus convention).
+
+    Scale shape: each leg keeps its own gated serving plan (postings-
+    list residue / N_PROBE cells); the fusion only touches the two
+    bounded candidate lists."""
+    from .similarity import q_ann_query_vector_topk
+
+    w0 = Window.partitionBy(F.lit(0))
+    lex = (
+        q_bm25_raw_query(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_LEX_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(w0.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("lr"),
+        )
+    )
+    sem = q_ann_query_vector_topk(spark, sf_dir).select(
+        "vec_id",
+        F.row_number()
+        .over(w0.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("sr"),
+    )
+    return rrf_fuse(lex, sem)
+
+
+def _oracle_hybrid_query() -> str:
+    from .similarity import ORACLE_ANN_QUERY_VECTOR
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+  FROM ({ORACLE_BM25_RAW}) t
+  ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_LEX_K}
+),
+sem AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS sr
+  FROM ({ORACLE_ANN_QUERY_VECTOR}) t
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+         coalesce(l.lr, 0) AS lex_rank,
+         coalesce(s.sr, 0) AS sem_rank,
+         coalesce({RRF_Q} // ({RRF_K} + l.lr), 0)
+           + coalesce({RRF_Q} // ({RRF_K} + s.sr), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(hybrid_rank AS BIGINT) AS hybrid_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS hybrid_rank
+  FROM fused
+)
+WHERE hybrid_rank <= {HYBRID_TOPN}
+ORDER BY hybrid_rank
+"""
+
+
+ORACLE_HYBRID_QUERY = _oracle_hybrid_query()
+
+
 QUERIES = {
     "hll_intersection_estimate": q_hll_intersection_estimate,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "hybrid_rrf_k_sweep": q_hybrid_rrf_k_sweep,
+    "bm25_raw_query": q_bm25_raw_query,
+    "hybrid_query_search": q_hybrid_query_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quantile_histogram_check": q_quantile_histogram_check,
     "bm25_search": q_bm25_search,
@@ -1359,6 +1515,8 @@ QUERIES = {
 ORACLES = {
     "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "hybrid_rrf_k_sweep": ORACLE_HYBRID_RRF_K_SWEEP,
+    "bm25_raw_query": ORACLE_BM25_RAW,
+    "hybrid_query_search": ORACLE_HYBRID_QUERY,
     "tfidf_top_terms": ORACLE_TFIDF,
     "quantile_histogram_check": ORACLE_QUANTILE_HIST,
     "bm25_search": ORACLE_BM25,

@@ -508,6 +508,20 @@ def _ivf_dist_expr() -> str:
     )
 
 
+def _probe_ids_expr(n_probe: int) -> str:
+    """Probe-set expression over a row carrying ``d`` (distances to every
+    frozen centroid): cell ids sorted by centroid distance, ties by id,
+    first n_probe — shared by the corpus-member, batch, and out-of-corpus
+    serving paths."""
+    return (
+        f"transform(slice(array_sort(sequence(1, {N_LISTS}), (l, r) -> "
+        "CASE WHEN element_at(d, l) < element_at(d, r) THEN -1 "
+        "WHEN element_at(d, l) > element_at(d, r) THEN 1 "
+        "WHEN l < r THEN -1 ELSE 1 END), "
+        f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
+    )
+
+
 def q_ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -533,15 +547,8 @@ def q_ann_ivf(
         assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
             "list_id", F.expr("array_position(d, array_min(d))")
         )
-    # single query row: its embedding + the probe set (cell ids sorted by
-    # centroid distance, ties by id, first n_probe)
-    probe_expr = (
-        f"transform(slice(array_sort(sequence(1, {N_LISTS}), (l, r) -> "
-        "CASE WHEN element_at(d, l) < element_at(d, r) THEN -1 "
-        "WHEN element_at(d, l) > element_at(d, r) THEN 1 "
-        "WHEN l < r THEN -1 ELSE 1 END), "
-        f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
-    )
+    # single query row: its embedding + the probe set
+    probe_expr = _probe_ids_expr(n_probe)
     q = (
         assigned.filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qe"), F.expr(probe_expr).alias("probe_ids"))
@@ -578,13 +585,7 @@ def ivf_probe_batch(
     ranking is a window over the probed candidates only (never the
     corpus), with the batch path's exact (cosine desc, vec_id) tie
     order."""
-    probe_expr = (
-        f"transform(slice(array_sort(sequence(1, {N_LISTS}), (l, r) -> "
-        "CASE WHEN element_at(d, l) < element_at(d, r) THEN -1 "
-        "WHEN element_at(d, l) > element_at(d, r) THEN 1 "
-        "WHEN l < r THEN -1 ELSE 1 END), "
-        f"1, {int(n_probe)}), x -> CAST(x AS BIGINT))"
-    )
+    probe_expr = _probe_ids_expr(n_probe)
     q = (
         queries.withColumn("d", F.expr(_ivf_dist_expr()))
         .select(
@@ -700,6 +701,114 @@ LIMIT {TOPK}
 
 
 ORACLE_ANN_IVF = _oracle_ivf()
+
+
+# ---------------------------------------------------------------------------
+# out-of-corpus serving: a NOVEL literal query vector through the IVF index.
+#
+# Every other gated probe is a corpus member (filter vec_id == qid) — that
+# EVALUATES an index; real serving USES one: the query arrives from outside
+# (a user embedding, a fresh document) and is never a row of the indexed
+# relation. The vector is a deterministic md5-derived literal (the
+# hyperplane/centroid convention) with components k/1024 — exact binary
+# fractions, so the Spark literal and the DuckDB literal parse to identical
+# doubles and every downstream IEEE op agrees bit-for-bit.
+
+
+def _ooc_query_vec() -> list[float]:
+    out = []
+    for i in range(DIM):
+        h = int(hashlib.md5(f"ooc-query-{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2049 - 1024) / 1024.0)
+    return out
+
+
+OOC_QUERY_VEC = _ooc_query_vec()
+
+
+def _ooc_vec_literal_spark() -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in OOC_QUERY_VEC) + ")"
+
+
+def _ooc_vec_literal_duck() -> str:
+    return "[" + ", ".join(repr(v) for v in OOC_QUERY_VEC) + "]"
+
+
+def q_ann_query_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k for an OUT-OF-CORPUS literal query vector — the serving
+    path: cell assignment over the standing corpus, probe-cell selection
+    and exact cosine re-rank for a query that is NOT a row of
+    ``embeddings`` (no ``vec_id`` filter anywhere; the probe row is built
+    from the literal and broadcast-attached exactly like the allowlisted
+    1-row corpus probes).
+
+    Scale shape: identical to q_ann_ivf — the corpus pays one narrow
+    assignment map; the query pays its own centroid distances on a
+    single constructed row; the candidate join touches N_PROBE/N_LISTS
+    of the corpus."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
+    )
+    q = (
+        spark.range(1)
+        .select(F.expr(_ooc_vec_literal_spark()).alias("embedding"))
+        .withColumn("d", F.expr(_ivf_dist_expr()))
+        .select(
+            F.col("embedding").alias("qe"),
+            F.expr(_probe_ids_expr(N_PROBE)).alias("probe_ids"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(q), F.expr("array_contains(probe_ids, list_id)"))
+        .select(
+            "vec_id",
+            "list_id",
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _oracle_query_vector() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+labeled AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
+  FROM (
+    SELECT vec_id, embedding,
+           list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+             (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+    FROM embeddings, cent
+  )
+),
+q AS (
+  SELECT qe,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (qe[i] - c[i]) * (qe[i] - c[i])))) AS qd
+  FROM (SELECT {_ooc_vec_literal_duck()} AS qe), cent
+),
+probe AS (
+  SELECT CAST(j AS BIGINT) AS pid
+  FROM q, range(1, {N_LISTS + 1}) t(j)
+  ORDER BY qd[j], j
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, a.list_id,
+       round({_o_cos("a.embedding", "qe")}, 6) AS cosine
+FROM labeled a, q
+WHERE a.list_id IN (SELECT pid FROM probe)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_ANN_QUERY_VECTOR = _oracle_query_vector()
 
 
 # ---------------------------------------------------------------------------
@@ -2794,6 +2903,7 @@ QUERIES = {
     "ann_ivf_fitted": q_ann_ivf_fitted,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_query_vector_topk": q_ann_query_vector_topk,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
     "embedding_rp_reduce": q_embedding_rp_reduce,
@@ -2822,6 +2932,7 @@ ORACLES = {
     "ann_ivf_fitted": ORACLE_ANN_IVF_FITTED,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_query_vector_topk": ORACLE_ANN_QUERY_VECTOR,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,

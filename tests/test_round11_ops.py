@@ -1,0 +1,92 @@
+"""Round-11 operator tests: out-of-corpus serving probes (the literal
+query vector through the IVF index, the raw query string through the BM25
+leg, and their RRF fusion) — the serving paths, as opposed to the
+corpus-member probes that only EVALUATE the indexes."""
+
+import pytest
+
+from sap_sql_engine_spark.operators import search as sr
+from sap_sql_engine_spark.operators import similarity as sim
+
+
+def test_ooc_query_vector_is_genuinely_novel(spark, sf_dir):
+    """The literal probe is NOT a corpus row, and its serving result is
+    not any corpus-member probe's result: the top-K neighbor set differs
+    from q_ann_ivf's for every gated corpus probe id (QUERY_VEC_ID and
+    both recall probes). This is the difference between using an index
+    and evaluating one — a corpus-member probe can only ever re-find
+    what the index already contains."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    assert all(
+        [float(x) for x in r.embedding] != sim.OOC_QUERY_VEC for r in emb
+    )
+    ooc = {r.vec_id for r in sim.q_ann_query_vector_topk(spark, sf_dir).collect()}
+    assert len(ooc) == sim.TOPK
+    for qid in (sim.QUERY_VEC_ID, *sim.ANN_RECALL_PROBES):
+        member = {r.vec_id for r in sim.q_ann_ivf(spark, sf_dir, qid=qid).collect()}
+        assert member != ooc, f"novel probe's neighbors equal probe {qid}'s"
+
+
+def test_ooc_query_vector_components_are_exact_binary_fractions():
+    """Cross-engine determinism precondition: every component is k/1024,
+    so the decimal literal both engines parse is the exact double and no
+    rounding can diverge between the Spark and DuckDB legs."""
+    for v in sim.OOC_QUERY_VEC:
+        assert v * 1024 == int(v * 1024)
+        assert -1.0 <= v <= 1.0
+    # and it is not the zero vector / not degenerate
+    assert sum(abs(v) for v in sim.OOC_QUERY_VEC) > 1.0
+
+
+def test_bm25_raw_query_planted_corpus(spark, tmp_path):
+    """The raw string is tokenized ON-ENGINE with the corpus tokenizer:
+    matched_terms counts exactly the query terms present in each doc,
+    an out-of-vocabulary query term ('beats' here) matches nothing, a
+    stopword-ish single-char term ('a') matches like any other token,
+    and a doc sharing no term is absent."""
+    rows = [
+        (1, "fast hash join x", "en", "srcA", 16),
+        (2, "slow sort merge merge y", "en", "srcA", 23),
+        (3, "nothing here indeed", "en", "srcA", 19),
+        (4, "a a a", "en", "srcA", 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.matched_terms, r.bm25)
+        for r in sr.q_bm25_raw_query(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 4}  # doc 3 shares no term -> absent
+    assert got[1][0] == 3  # fast, hash, join
+    assert got[2][0] == 3  # slow, sort, merge (merge tf=2, counted once)
+    assert got[4][0] == 1  # the raw query's 'a'
+    assert all(score > 0 for (_, score) in got.values())
+
+
+def test_hybrid_query_search_fuses_the_two_serving_legs(spark, sf_dir):
+    """The novel-query fusion differs from the corpus-member fusion (a
+    different query must retrieve differently), and its rank columns are
+    exactly the two serving legs' rank lists: every fused row's lex_rank
+    matches the raw-BM25 top list and its sem_rank matches the literal-
+    vector ANN list (0 = the absent-from-leg sentinel)."""
+    fused = sr.q_hybrid_query_search(spark, sf_dir).collect()
+    assert [r.hybrid_rank for r in fused] == list(range(1, sr.HYBRID_TOPN + 1))
+    member = [r.doc_id for r in sr.q_hybrid_search_rrf(spark, sf_dir).collect()]
+    assert [r.doc_id for r in fused] != member
+
+    lex_rows = (
+        sr.q_bm25_raw_query(spark, sf_dir)
+        .orderBy("bm25", ascending=False)
+        .collect()
+    )
+    lex_sorted = sorted(lex_rows, key=lambda r: (-r.bm25, r.doc_id))
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex_sorted[: sr.HYBRID_LEX_K])}
+    sem_rows = sim.q_ann_query_vector_topk(spark, sf_dir).collect()
+    sem_sorted = sorted(sem_rows, key=lambda r: (-r.cosine, r.vec_id))
+    sem_rank = {r.vec_id: i + 1 for i, r in enumerate(sem_sorted)}
+    for r in fused:
+        assert r.lex_rank == lex_rank.get(r.doc_id, 0)
+        assert r.sem_rank == sem_rank.get(r.doc_id, 0)
+        assert r.lex_rank > 0 or r.sem_rank > 0  # came from at least one leg
