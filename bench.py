@@ -125,6 +125,33 @@ HEADLINE = [
 ]
 
 
+def _prev_round_times() -> dict[str, float]:
+    """Per-query timings from the newest driver ``BENCH_r*.json`` — the
+    round-over-round base for the >1.3x third-pass rule. The driver file
+    wraps the bench line inside its captured stdout tail; extract the
+    last contract-shaped JSON line from it. Empty dict when no prior
+    round exists or the tail is unparseable (r07's overflow)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return {}
+    try:
+        tail = json.load(open(best[1])).get("tail", "")
+        start = tail.rfind('{"metric": "headline_suite_total"')
+        if start < 0:
+            return {}
+        obj, _ = json.JSONDecoder().raw_decode(tail[start:])
+        return obj.get("queries", {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -159,6 +186,31 @@ def main() -> None:
         cachereg.release()
         spark.catalog.clearCache()
 
+    # Third pass for round-over-round movers (r10 verdict item 7): a
+    # min-of-2 that still moved >1.3x vs the previous round's number is
+    # either a real regression or host steal that hit BOTH passes; one
+    # more pass separates them mechanically, and the sidecar records all
+    # raw passes + which queries were flagged so the next verdict can
+    # tell the two apart without guessing.
+    prev = _prev_round_times()
+    flagged = sorted(
+        name
+        for name in HEADLINE
+        if name in prev
+        and prev[name] > 0
+        and min(passes[name]) > 0
+        and max(min(passes[name]) / prev[name], prev[name] / min(passes[name]))
+        > 1.3
+    )
+    for name in flagged:
+        fn = _REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        passes[name].append(round(time.time() - t0, 3))
+    if flagged:
+        cachereg.release()
+        spark.catalog.clearCache()
+
     times = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(times.values()), 3)
     # Raw per-pass timings + methodology go to a SIDE FILE: the driver
@@ -173,7 +225,14 @@ def main() -> None:
         json.dump(
             {
                 "passes": passes,
-                "methodology": "per-query min of 2 timed passes (single-pass in r01/r02)",
+                "methodology": (
+                    "per-query min of 2 timed passes (single-pass in "
+                    "r01/r02); since r11, a 3rd pass for any query whose "
+                    "min-of-2 moved >1.3x vs the previous round's BENCH "
+                    "file (host-steal discriminator)"
+                ),
+                "third_pass_flagged": flagged,
+                "prev_round_base": {n: prev[n] for n in flagged},
                 "sf": sf,
             },
             f,

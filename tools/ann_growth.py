@@ -1,16 +1,20 @@
-"""ANN-surface growth stress — measures how the embedding-corpus queries
-scale when the vector corpus grows past the bench scale.
+"""ANN/serving-surface growth stress — measures how the embedding- and
+document-corpus serving queries scale when the corpus grows past the
+bench scale.
 
     python tools/ann_growth.py [factor ...]     # default: 1 5 10
 
-For each factor k the sf0.1 embeddings table is replicated k times with a
-per-replica vec_id offset (replica 0 keeps the original ids, so the fixed
-probe set and the kmeans seed vectors exist at every factor). Vector
-VALUES are kept as-is: what this harness times is the corpus-sized work —
-featurization, assignment, per-probe candidate scans, the Lloyd rounds —
-all of which scale with row count regardless of vector content; result
-contents shift with the corpus (k co-located copies of each vector) and
-"result_rows" records them for reference, the growth signal is sec.
+For each factor k the sf0.1 embeddings AND documents tables are
+replicated k times with a per-replica id offset — the SAME offset for
+both, preserving the vec_id == doc_id convention the hybrid fusion joins
+on (replica 0 keeps the original ids, so the fixed probe set and the
+kmeans seed vectors exist at every factor). Row VALUES are kept as-is:
+what this harness times is the corpus-sized work — featurization,
+assignment, per-probe candidate scans, the Lloyd rounds, the BM25
+postings residue, the classifier's gradient aggregations — all of which
+scale with row count regardless of content; result contents shift with
+the corpus (k co-located copies of each row) and "result_rows" records
+them for reference, the growth signal is sec.
 
 Prints one JSON line per (query, factor) and persists the run to
 tools/ann_growth_results.json (same shape as tpch_growth_results.json) —
@@ -31,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import similarity
+from sap_sql_engine_spark.operators import classifier, search, similarity
 from sap_sql_engine_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,25 +46,38 @@ QUERIES = {
     # should cost ~k× on those passes and nothing extra per leg
     "ann_staleness_report": similarity.QUERIES["ann_staleness_report"],
     "ann_recall_report": similarity.QUERIES["ann_recall_report"],
+    # r10 heavies (r10 verdict item 2): the probe sweep re-uses one fit +
+    # the batched serve per setting; the hybrid runs each leg's gated plan
+    # once; the classifier is one cached featurize + 6 bounded
+    # aggregations — all should track corpus size linearly
+    "ann_ivf_probe_sweep": similarity.QUERIES["ann_ivf_probe_sweep"],
+    "hybrid_search_rrf": search.QUERIES["hybrid_search_rrf"],
+    "logreg_quality_report": classifier.QUERIES["logreg_quality_report"],
 }
 
+ID_OFFSET = 10_000_000
 
-def build_scaled_corpus(spark, factor: int, dst_dir: str) -> int:
-    base = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
-    parts = []
-    for k in range(factor):
-        parts.append(
+
+def build_scaled_corpus(spark, factor: int, dst_dir: str) -> dict[str, int]:
+    """Replicate embeddings AND documents k times with the SAME
+    per-replica id offset (vec_id == doc_id convention preserved for the
+    hybrid fusion's id join)."""
+    counts = {}
+    for tbl, id_col in (("embeddings", "vec_id"), ("documents", "doc_id")):
+        base = spark.read.parquet(f"{BASE_SF_DIR}/{tbl}.parquet")
+        others = [c for c in base.columns if c != id_col]
+        parts = [
             base.select(
-                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
-                "embedding",
-                "label",
+                (F.col(id_col) + F.lit(k * ID_OFFSET)).alias(id_col), *others
             )
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    df.write.mode("overwrite").parquet(f"{dst_dir}/embeddings.parquet")
-    return spark.read.parquet(f"{dst_dir}/embeddings.parquet").count()
+            for k in range(factor)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{dst_dir}/{tbl}.parquet")
+        counts[tbl] = spark.read.parquet(f"{dst_dir}/{tbl}.parquet").count()
+    return counts
 
 
 def main() -> None:
@@ -70,7 +87,7 @@ def main() -> None:
     for factor in factors:
         tmp = tempfile.mkdtemp(prefix=f"ann_growth_{factor}x_")
         try:
-            n_rows = build_scaled_corpus(spark, factor, tmp)
+            counts = build_scaled_corpus(spark, factor, tmp)
             for name, fn in QUERIES.items():
                 times, out_rows = [], None
                 for _ in range(2):
@@ -82,7 +99,8 @@ def main() -> None:
                 rec = {
                     "query": name,
                     "factor": factor,
-                    "fact_rows": n_rows,
+                    "fact_rows": counts["embeddings"],
+                    "doc_rows": counts["documents"],
                     "result_rows": out_rows,
                     "sec": min(times),
                     "passes": times,
