@@ -657,6 +657,90 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_probe_from_wide(wide_c, batch)
 
 
+# --- out-of-corpus serving: a literal novel TEXT probed against the index.
+# q_dedup_incremental's batch is still corpus rows (source slice src19); a
+# real admission endpoint receives a STRING that exists nowhere in the
+# corpus and asks "is this a near-duplicate of anything we hold?" — the
+# same question decontamination asks about an incoming benchmark prompt.
+# Probe doc_id 0 is a sentinel (the probe is not a corpus row).
+
+DEDUP_QUERY_TEXT = (
+    "fast hash join over a sorted merge window beats a slow full scan "
+    "of the big table when the filter hits the partition key"
+)
+
+
+def q_dedup_query_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-band matches of a LITERAL out-of-corpus text against the
+    standing corpus signatures — the dedup index's serving path
+    (:func:`incremental_probe_from_wide` verbatim, the same unit the
+    drop-folder streaming twin runs per micro-batch): the literal is
+    shingled and signed ON-ENGINE on a constructed 1-row relation, its
+    band relation broadcasts, the corpus never re-pairs.
+
+    On this corpus the result is honestly EMPTY (a banded match needs a
+    near-identical signature; the probe is novel text) — the planted
+    pytest corpus proves the match path (an exact-copy corpus doc matches
+    at est_jaccard 1.0, an unrelated doc does not) through the identical
+    operator, the media_dhash_neardup_pairs precedent."""
+    docs = table(spark, sf_dir, "documents")
+    wide_c = cache_eager(_minhash_wide_from(docs))
+    probe = spark.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS doc_id", f"'{DEDUP_QUERY_TEXT}' AS text"
+    )
+    return (
+        incremental_probe_from_wide(wide_c, probe)
+        .select("corpus_doc", "est_jaccard")
+        .orderBy("corpus_doc")
+    )
+
+
+def _oracle_query_text_probe() -> str:
+    rpb = N_MINHASH // N_BANDS
+    return rf"""
+WITH probe_sh AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')) - 1, 1)),
+                i -> regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i+1] || ' ' ||
+                     regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i+2])) AS shingle
+),
+probe_sig AS (
+  SELECT perm,
+         min((a * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + b) % {_MERSENNE}) AS minhash
+  FROM probe_sh, (VALUES {_PERM_VALUES}) AS perms(perm, a, b)
+  GROUP BY perm
+),
+corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
+probe_bands AS (
+  SELECT CAST((perm - 1) // {rpb} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM probe_sig GROUP BY 1
+),
+corpus_bands AS (
+  SELECT doc_id, CAST((perm - 1) // {rpb} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM corpus_sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS corpus_doc
+  FROM corpus_bands c JOIN probe_bands p
+    ON c.band = p.band AND c.sig = p.sig
+)
+SELECT corpus_doc,
+       round(sum(CASE WHEN s.minhash = q.minhash THEN 1 ELSE 0 END) * 1.0
+             / {N_MINHASH}, 4) AS est_jaccard
+FROM cand
+JOIN corpus_sig s ON s.doc_id = corpus_doc
+JOIN probe_sig q ON q.perm = s.perm
+GROUP BY corpus_doc
+ORDER BY corpus_doc
+"""
+
+
+ORACLE_DEDUP_QUERY_TEXT_PROBE = _oracle_query_text_probe()
+
+
 def streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str
 ):
@@ -2550,6 +2634,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_query_text_probe": q_dedup_query_text_probe,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -2580,6 +2665,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_sorted_neighborhood": ORACLE_SNM,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_query_text_probe": ORACLE_DEDUP_QUERY_TEXT_PROBE,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

@@ -90,3 +90,39 @@ def test_hybrid_query_search_fuses_the_two_serving_legs(spark, sf_dir):
         assert r.lex_rank == lex_rank.get(r.doc_id, 0)
         assert r.sem_rank == sem_rank.get(r.doc_id, 0)
         assert r.lex_rank > 0 or r.sem_rank > 0  # came from at least one leg
+
+
+def test_dedup_query_text_probe_planted(spark, tmp_path):
+    """The match path of the out-of-corpus dedup probe: an exact-copy
+    corpus doc shares every band and scores est_jaccard 1.0; an
+    unrelated doc never becomes a candidate."""
+    from sap_sql_engine_spark.operators import dedup
+
+    probe = dedup.DEDUP_QUERY_TEXT
+    other = "completely unrelated words about nothing shared at all here"
+    rows = [
+        (10, probe, "en", "srcA", len(probe)),
+        (11, other, "en", "srcA", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r.corpus_doc, r.est_jaccard)
+        for r in dedup.q_dedup_query_text_probe(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(10, 1.0)]
+
+
+def test_dedup_query_text_is_genuinely_novel(spark, sf_dir):
+    """The literal probe text is not a corpus row (the serving premise),
+    and the gate corpus honestly yields no banded match for it."""
+    from sap_sql_engine_spark.operators import dedup
+
+    texts = {
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert dedup.DEDUP_QUERY_TEXT not in texts
+    assert dedup.q_dedup_query_text_probe(spark, sf_dir).count() == 0
