@@ -741,6 +741,64 @@ ORDER BY corpus_doc
 ORACLE_DEDUP_QUERY_TEXT_PROBE = _oracle_query_text_probe()
 
 
+# --- index health: band-bucket occupancy. The r10 audio lane measured its
+# candidate join going QUADRATIC when 8-bit band buckets filled up at 5x
+# corpus — this report is that failure mode as a standing observable:
+# per band, how many buckets exist, how big the worst one is, and the
+# exact candidate-pair cost the next dedup run will pay (sum s*(s-1)/2).
+# Watch candidate_pairs outgrow n_docs and you widen the print BEFORE the
+# join blows up, not after.
+
+
+def q_dedup_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LSH band: bucket count, worst bucket size, and the exact
+    candidate-pair bound the (band, sig) equi-join will generate — the
+    capacity-planning report for every banded index in the repo (MinHash
+    here; the dHash/audio lanes share the failure mode).
+
+    Scale shape: one signature pass (the persisted artifact at scale),
+    one (band, sig) aggregation with map-side combine, one bounded
+    N_BANDS-row regroup."""
+    docs = table(spark, sf_dir, "documents")
+    bands = _bands_of(_minhash_wide_from(docs))
+    occ = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("s").cast("bigint").alias("max_bucket_size"),
+            F.expr("CAST(sum(s * (s - 1) DIV 2) AS BIGINT)").alias(
+                "candidate_pairs"
+            ),
+        )
+        .selectExpr(
+            "CAST(band AS BIGINT) AS band",
+            "n_buckets",
+            "max_bucket_size",
+            "candidate_pairs",
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_DEDUP_BAND_OCCUPANCY = rf"""
+WITH corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
+corpus_bands AS (
+  SELECT doc_id, CAST((perm - 1) // {N_MINHASH // N_BANDS} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM corpus_sig GROUP BY 1, 2
+),
+occ AS (
+  SELECT band, sig, count(*) AS s FROM corpus_bands GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(s) AS BIGINT) AS max_bucket_size,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM occ GROUP BY band ORDER BY band
+"""
+
+
 def streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str
 ):
@@ -2635,6 +2693,7 @@ QUERIES = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_incremental": q_dedup_incremental,
     "dedup_query_text_probe": q_dedup_query_text_probe,
+    "dedup_band_occupancy": q_dedup_band_occupancy,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -2666,6 +2725,7 @@ ORACLES = {
     "dedup_sorted_neighborhood": ORACLE_SNM,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_query_text_probe": ORACLE_DEDUP_QUERY_TEXT_PROBE,
+    "dedup_band_occupancy": ORACLE_DEDUP_BAND_OCCUPANCY,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

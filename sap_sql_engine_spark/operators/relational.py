@@ -1836,6 +1836,102 @@ GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
+# RFM migration: how customers MOVE between monetary quartiles across two
+# halves of the history — the segment-transition matrix marketing reads
+# next to the static RFM snapshot (who upgraded, who lapsed, who is new).
+# Quartile 0 is the absent-from-period sentinel (new in the second half /
+# churned after the first).
+
+RFM_MIGRATION_SPLIT = "1995-06-17"  # TPC-H order dates span 1992..1998
+
+
+def q_customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quartile transition matrix between the pre- and
+    post-RFM_MIGRATION_SPLIT halves of the order history: per
+    (m_before, m_after) cell, the customer count. Quartiles use the
+    customer_rfm_segments recipe ((rank-1)*4 DIV n + 1 over
+    with_global_rank — no ntile, no global window); 0 = not active in
+    that half.
+
+    Scale shape: ONE conditional aggregation over orders yields both
+    halves' spends per customer; each half's quartile is a range
+    exchange over the customer-level relation; the matrix is a <=25-row
+    regroup."""
+    from ..cachereg import cache_eager
+    from .ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    split = F.lit(RFM_MIGRATION_SPLIT).cast("date")
+    od = F.col("o_orderdate").cast("date")
+    per_cust = cache_eager(
+        orders.groupBy("o_custkey").agg(
+            F.sum(
+                F.when(od < split, F.col("o_totalprice").cast(DEC))
+            ).alias("spend1"),
+            F.sum(
+                F.when(od >= split, F.col("o_totalprice").cast(DEC))
+            ).alias("spend2"),
+        )
+    )
+
+    def mscore(col: str, out: str) -> DataFrame:
+        side = per_cust.filter(F.col(col).isNotNull()).select("o_custkey", col)
+        ranked = with_global_rank(
+            side, col, "o_custkey", rank_col="__r", total_col="__n"
+        )
+        return ranked.selectExpr(
+            "o_custkey", f"CAST((__r - 1) * 4 DIV __n + 1 AS BIGINT) AS {out}"
+        )
+
+    return (
+        per_cust.select("o_custkey")
+        .join(mscore("spend1", "m_before"), "o_custkey", "left")
+        .join(mscore("spend2", "m_after"), "o_custkey", "left")
+        .selectExpr(
+            "coalesce(m_before, 0) AS m_before",
+            "coalesce(m_after, 0) AS m_after",
+        )
+        .groupBy("m_before", "m_after")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("m_before", "m_after")
+    )
+
+
+ORACLE_CUSTOMER_RFM_MIGRATION = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{RFM_MIGRATION_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS spend1,
+         sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{RFM_MIGRATION_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS spend2
+  FROM orders GROUP BY 1
+),
+n1 AS (SELECT count(*) AS n FROM per_cust WHERE spend1 IS NOT NULL),
+n2 AS (SELECT count(*) AS n FROM per_cust WHERE spend2 IS NOT NULL),
+m1 AS (
+  SELECT o_custkey,
+         CAST((row_number() OVER (ORDER BY spend1, o_custkey) - 1) * 4
+              // (SELECT n FROM n1) + 1 AS BIGINT) AS m_before
+  FROM per_cust WHERE spend1 IS NOT NULL
+),
+m2 AS (
+  SELECT o_custkey,
+         CAST((row_number() OVER (ORDER BY spend2, o_custkey) - 1) * 4
+              // (SELECT n FROM n2) + 1 AS BIGINT) AS m_after
+  FROM per_cust WHERE spend2 IS NOT NULL
+)
+SELECT coalesce(m_before, 0) AS m_before,
+       coalesce(m_after, 0) AS m_after,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust p
+LEFT JOIN m1 USING (o_custkey)
+LEFT JOIN m2 USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # customer cohort lifetime value (the revenue twin of events retention)
 
 
@@ -3426,6 +3522,160 @@ LIMIT {DELIVERY_TOP_N}
 
 
 # ---------------------------------------------------------------------------
+# priority ship-latency percentiles: the logistics SLA table — does an
+# URGENT order actually ship faster, and by how much at the tail? Same
+# exact-integer-days + interpolating-percentile recipe as
+# events_interarrival_percentiles, keyed on the 5-priority dimension
+# (the synthetic lineitem carries no shipmode/receiptdate — see
+# q_ship_priority_classes' stand-in note).
+
+
+def q_priority_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: line count and p50/p90/p99 order-to-ship
+    latency days (interpolated percentile over exact integer days,
+    2 dp).
+
+    Scale shape: one orderkey join (the fact-fact shuffle every latency
+    metric pays), one map-side day derivation, one 5-group percentile
+    aggregation."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).selectExpr(
+        "o_orderpriority",
+        "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+        " DIV 86400000000 AS DOUBLE) AS d",
+    )
+    agg = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("percentile(d, array(0.5D, 0.9D, 0.99D))").alias("p"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_lines",
+        F.round(F.element_at(F.col("p"), 1), 2).alias("p50_days"),
+        F.round(F.element_at(F.col("p"), 2), 2).alias("p90_days"),
+        F.round(F.element_at(F.col("p"), 3), 2).alias("p99_days"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_PRIORITY_SHIP_LATENCY = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+              // 86400000000 AS DOUBLE) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(d, 0.5), 2) AS p50_days,
+       round(quantile_cont(d, 0.9), 2) AS p90_days,
+       round(quantile_cont(d, 0.99), 2) AS p99_days
+FROM lat
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-size histogram: the lines-per-order distribution — the shape the
+# order-processing capacity model and every per-order cost estimate start
+# from (TPC-H orders carry 1..7 lines; a real marketplace's long tail is
+# exactly what this surfaces).
+
+
+def q_order_line_count_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per lines-per-order class: order count and corpus share (bp).
+
+    Scale shape: one orderkey-keyed count with map-side combine, one
+    bounded regroup; the share window runs on the <=|max lines| class
+    relation."""
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    w_all = W.partitionBy()  # bounded class relation (1..7 at TPC-H)
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn("tot", F.sum("n_orders").over(w_all))
+        .selectExpr(
+            "CAST(n_lines AS BIGINT) AS n_lines",
+            "n_orders",
+            "CAST(n_orders * 10000 DIV tot AS BIGINT) AS share_bp",
+        )
+        .orderBy("n_lines")
+    )
+
+
+ORACLE_ORDER_LINE_COUNT_HIST = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+),
+hist AS (
+  SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+  FROM per_order GROUP BY 1
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       n_orders,
+       CAST(n_orders * 10000 // sum(n_orders) OVER () AS BIGINT) AS share_bp
+FROM hist
+ORDER BY n_lines
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand return rates: which brands come back — the supplier-quality signal
+# behind returned_item_report's revenue view (that one ranks customers on
+# returned revenue; this one ranks the product dimension on return share).
+
+
+def q_brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part brand: shipped lines, returned lines (l_returnflag 'R'),
+    and the return rate in basis points.
+
+    Scale shape: one fact-dim join (part broadcasts at any realistic
+    dimension size), one 25-group conditional aggregation — return
+    counting rides the same pass as line counting."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_returned"),
+        )
+        .selectExpr(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            "CAST(n_returned * 10000 DIV n_lines AS BIGINT) AS return_bp",
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_RETURN_RATES = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS return_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # repeat-purchase cohort rate: per first-order-month cohort, how many
 # customers ever came back — the retention KPI on the commerce fact (the
 # revenue-free sibling of customer_cohort_ltv, and the relational twin of
@@ -4537,6 +4787,10 @@ QUERIES = {
     "dq_orders_checks": q_dq_orders_checks,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "customer_rfm_migration": q_customer_rfm_migration,
+    "priority_ship_latency": q_priority_ship_latency,
+    "order_line_count_histogram": q_order_line_count_histogram,
+    "brand_return_rates": q_brand_return_rates,
     "promo_part_suppliers": q_promo_part_suppliers,
     "suppliers_kept_waiting": q_suppliers_kept_waiting,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -4615,6 +4869,10 @@ ORACLES = {
     "dq_orders_checks": ORACLE_DQ_ORDERS,
     "customer_cohort_ltv": ORACLE_CUSTOMER_COHORT_LTV,
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
+    "customer_rfm_migration": ORACLE_CUSTOMER_RFM_MIGRATION,
+    "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
+    "order_line_count_histogram": ORACLE_ORDER_LINE_COUNT_HIST,
+    "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
     "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,
     "suppliers_kept_waiting": ORACLE_SUPPLIERS_KEPT_WAITING,
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY,

@@ -2891,7 +2891,124 @@ ORDER BY 1
 ORACLE_MATRYOSHKA = _oracle_matryoshka()
 
 
+# ---------------------------------------------------------------------------
+# scalar-quantization bit sweep: the storage-vs-fidelity operating curve.
+# embedding_sq8_error grades ONE design point (8 bits); real index sizing
+# asks where the knee is — 4 bits halve the store again but at what error?
+# Same per-dim min/max calibration and half-up floor as SQ8, swept over
+# the bit widths, integer-quantized errors so every sum is order-free.
+
+SQ_SWEEP_BITS = (4, 6, 8)
+
+
+def q_embedding_quantization_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per bit width (4/6/8): value count, total squared reconstruction
+    error (1e-12 units), and the per-value mean (1e-12 units) — the
+    curve that picks the scalar quantizer for the 100 TB vector store.
+
+    Scale shape: ONE posexplode pass; the 64-row per-dim calibration
+    broadcasts back; the 3-way bit sweep is a map-side explode of the
+    bounded settings array; one 3-group regroup."""
+    vals = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "vf"))
+        .select("pos", F.col("vf").cast("double").alias("v"))
+    )
+    rng = vals.groupBy("pos").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    bits_arr = ", ".join(str(b) for b in SQ_SWEEP_BITS)
+    swept = (
+        vals.join(F.broadcast(rng), "pos")
+        .selectExpr(
+            "v", "vmin", "vmax", f"explode(array({bits_arr})) AS bits"
+        )
+        .selectExpr(
+            "bits",
+            "v",
+            "vmin",
+            "vmax",
+            "CAST(shiftleft(1, bits) - 1 AS DOUBLE) AS levels",
+        )
+    )
+    q = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.floor(
+            ((F.col("v") - F.col("vmin")) * F.col("levels"))
+            / (F.col("vmax") - F.col("vmin"))
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    deq = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.col("vmin")
+        + (F.col("q").cast("double") * (F.col("vmax") - F.col("vmin")))
+        / F.col("levels"),
+    ).otherwise(F.col("vmin"))
+    err = (F.col("v") - F.col("deq")) * (F.col("v") - F.col("deq"))
+    return (
+        swept.withColumn("q", q)
+        .withColumn("deq", deq)
+        .withColumn(
+            "qerr_e12", F.floor(err * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+        )
+        .groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+            F.sum("qerr_e12").cast("bigint").alias("sse_e12"),
+        )
+        .selectExpr(
+            "CAST(bits AS BIGINT) AS bits",
+            "n_vals",
+            "sse_e12",
+            "CAST(sse_e12 DIV n_vals AS BIGINT) AS mse_e12",
+        )
+        .orderBy("bits")
+    )
+
+
+def _oracle_quantization_sweep() -> str:
+    bits_vals = ", ".join(f"({b})" for b in SQ_SWEEP_BITS)
+    return f"""
+WITH vals AS (
+  SELECT p AS pos, CAST(embedding[p] AS DOUBLE) AS v
+  FROM embeddings, range(1, {DIM + 1}) t(p)
+),
+rng AS (SELECT pos, min(v) AS vmin, max(v) AS vmax FROM vals GROUP BY 1),
+swept AS (
+  SELECT b.bits, v.v, r.vmin, r.vmax,
+         CAST((1 << b.bits) - 1 AS DOUBLE) AS levels
+  FROM vals v JOIN rng r USING (pos), (VALUES {bits_vals}) b(bits)
+),
+erred AS (
+  SELECT bits,
+         CAST(floor((v - deq) * (v - deq) * 1e12 + 0.5) AS BIGINT) AS qerr_e12
+  FROM (
+    SELECT bits, v, vmin,
+           CASE WHEN vmax > vmin
+                THEN vmin + (floor((v - vmin) * levels / (vmax - vmin) + 0.5)
+                             * (vmax - vmin)) / levels
+                ELSE vmin END AS deq
+    FROM swept
+  )
+)
+SELECT CAST(bits AS BIGINT) AS bits,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(qerr_e12) AS BIGINT) AS sse_e12,
+       CAST(sum(qerr_e12) // count(*) AS BIGINT) AS mse_e12
+FROM erred
+GROUP BY bits
+ORDER BY bits
+"""
+
+
+ORACLE_QUANTIZATION_SWEEP = _oracle_quantization_sweep()
+
+
 QUERIES = {
+    "embedding_quantization_sweep": q_embedding_quantization_sweep,
     "embedding_matryoshka_report": q_embedding_matryoshka_report,
     "embedding_sq8_error": q_embedding_sq8_error,
     "embedding_threshold_sweep": q_embedding_threshold_sweep,
@@ -2921,6 +3038,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_quantization_sweep": ORACLE_QUANTIZATION_SWEEP,
     "embedding_matryoshka_report": ORACLE_MATRYOSHKA,
     "embedding_sq8_error": ORACLE_EMBEDDING_SQ8,
     "embedding_threshold_sweep": _oracle_threshold_sweep(),

@@ -4216,7 +4216,81 @@ ORDER BY hygiene_class
 """
 
 
+# ---------------------------------------------------------------------------
+# char-class profile: the composition diagnostic quality filters are tuned
+# against — what share of each source's bytes is letters vs digits vs
+# whitespace vs other. A source whose digit share spikes is tables/logs,
+# not prose; the hygiene ladder's low_alpha gate is one threshold on this
+# distribution, the profile is the whole distribution.
+
+
+def q_docs_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: total chars and the letters/digits/whitespace/other
+    permille split. Counts come from length-difference after class
+    removal (one regexp pass per class, all map-side); permille is
+    integer sum*1000 DIV total.
+
+    Scale shape: pure map + one source-keyed aggregation with map-side
+    combine — no joins, no windows."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    per = docs.selectExpr(
+        "source",
+        "CAST(length(text) AS BIGINT) AS n",
+        "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', ''))"
+        " AS BIGINT) AS letters",
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', ''))"
+        " AS BIGINT) AS digits",
+        "CAST(length(text) - length(regexp_replace(text, '\\\\s', ''))"
+        " AS BIGINT) AS spaces",
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_chars"),
+            F.sum("letters").cast("bigint").alias("l"),
+            F.sum("digits").cast("bigint").alias("d"),
+            F.sum("spaces").cast("bigint").alias("s"),
+        )
+        .selectExpr(
+            "source",
+            "n_chars",
+            "CAST(l * 1000 DIV n_chars AS BIGINT) AS letters_pm",
+            "CAST(d * 1000 DIV n_chars AS BIGINT) AS digits_pm",
+            "CAST(s * 1000 DIV n_chars AS BIGINT) AS space_pm",
+            "CAST((n_chars - l - d - s) * 1000 DIV n_chars AS BIGINT)"
+            " AS other_pm",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CHARCLASS_PROFILE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+              AS BIGINT) AS spaces
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(letters) * 1000 // sum(n) AS BIGINT) AS letters_pm,
+       CAST(sum(digits) * 1000 // sum(n) AS BIGINT) AS digits_pm,
+       CAST(sum(spaces) * 1000 // sum(n) AS BIGINT) AS space_pm,
+       CAST((sum(n) - sum(letters) - sum(digits) - sum(spaces)) * 1000
+            // sum(n) AS BIGINT) AS other_pm
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "docs_charclass_profile": q_docs_charclass_profile,
     "source_mixture_weights": q_source_mixture_weights,
     "docs_token_budget_report": q_docs_token_budget_report,
     "token_length_histogram": q_token_length_histogram,
@@ -4270,6 +4344,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_charclass_profile": ORACLE_CHARCLASS_PROFILE,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
     "docs_token_budget_report": ORACLE_TOKEN_BUDGET,
     "token_length_histogram": ORACLE_TOKEN_LENGTH_HISTOGRAM,

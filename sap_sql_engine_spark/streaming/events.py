@@ -2510,6 +2510,152 @@ LIMIT {BURST_TOP_N}
 """
 
 
+# user lifecycle ledger: per epoch-week, how many users were active, how
+# many appeared for the FIRST time (acquisition), and how many were seen
+# for the LAST time (churn as observed at corpus end — the standard
+# retrospective definition). Weeks are integer epoch-day DIV 7 — no
+# calendar-function drift between engines.
+
+
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per epoch-week: active users, new users (first-ever event this
+    week), churned users (last-ever event this week). The growth
+    accounting identity every product review starts from.
+
+    Scale shape: ONE (user, week) distinct over the stream (map-side
+    combine), then a user-keyed min/max regroup and three bounded
+    week-keyed aggregations joined on the <=|weeks| relation."""
+    ev = _events(spark, sf_dir)
+    uw = (
+        ev.selectExpr(
+            "user_id", "unix_micros(ts) DIV 86400000000 DIV 7 AS week"
+        )
+        .distinct()
+    )
+    from ..cachereg import cache_eager
+
+    uw = cache_eager(uw)
+    active = uw.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    per_user = uw.groupBy("user_id").agg(
+        F.min("week").alias("first_week"), F.max("week").alias("last_week")
+    )
+    new = per_user.groupBy(F.col("first_week").alias("week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    churn = per_user.groupBy(F.col("last_week").alias("week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_churned")
+    )
+    return (
+        active.join(new, "week", "left")
+        .join(churn, "week", "left")
+        .selectExpr(
+            "CAST(week AS BIGINT) AS week",
+            "n_active",
+            "coalesce(n_new, 0) AS n_new",
+            "coalesce(n_churned, 0) AS n_churned",
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_USER_LIFECYCLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week
+  FROM events
+),
+active AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active FROM uw GROUP BY 1),
+per_user AS (
+  SELECT user_id, min(week) AS first_week, max(week) AS last_week
+  FROM uw GROUP BY 1
+),
+new_u AS (SELECT first_week AS week, CAST(count(*) AS BIGINT) AS n_new
+          FROM per_user GROUP BY 1),
+churn_u AS (SELECT last_week AS week, CAST(count(*) AS BIGINT) AS n_churned
+            FROM per_user GROUP BY 1)
+SELECT CAST(a.week AS BIGINT) AS week,
+       a.n_active,
+       coalesce(n.n_new, 0) AS n_new,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM active a
+LEFT JOIN new_u n ON n.week = a.week
+LEFT JOIN churn_u c ON c.week = a.week
+ORDER BY week
+"""
+
+
+def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per epoch-week: weekly active users, average daily actives
+    (milli — sum of per-day distinct users over active days), and the
+    DAU/WAU stickiness ratio in basis points — the engagement-depth KPI
+    (how much of the weekly audience shows up on a given day). All
+    integer: stickiness_bp = sum_daily * 10000 DIV (active_days * wau).
+
+    Scale shape: ONE (user, day) distinct over the stream, then a
+    per-day count, a per-week user distinct-regroup, and a bounded
+    week-level join."""
+    ev = _events(spark, sf_dir)
+    ud = (
+        ev.selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+        .distinct()
+    )
+    from ..cachereg import cache_eager
+
+    ud = cache_eager(ud)
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("du")
+    )
+    weekly_daily = daily.groupBy(F.expr("day DIV 7").alias("week")).agg(
+        F.sum("du").cast("bigint").alias("sum_daily"),
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+    )
+    wau = (
+        ud.selectExpr("user_id", "day DIV 7 AS week")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return (
+        weekly_daily.join(wau, "week")
+        .selectExpr(
+            "CAST(week AS BIGINT) AS week",
+            "wau",
+            "active_days",
+            "CAST(sum_daily * 1000 DIV active_days AS BIGINT) AS avg_dau_milli",
+            "CAST(sum_daily * 10000 DIV (active_days * wau) AS BIGINT)"
+            " AS stickiness_bp",
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_DAU_WAU_STICKINESS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS du FROM ud GROUP BY 1),
+weekly_daily AS (
+  SELECT day // 7 AS week,
+         CAST(sum(du) AS BIGINT) AS sum_daily,
+         CAST(count(*) AS BIGINT) AS active_days
+  FROM daily GROUP BY 1
+),
+wau AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT user_id, day // 7 AS week FROM ud) GROUP BY 1
+)
+SELECT CAST(w.week AS BIGINT) AS week,
+       wau.wau,
+       w.active_days,
+       CAST(w.sum_daily * 1000 // w.active_days AS BIGINT) AS avg_dau_milli,
+       CAST(w.sum_daily * 10000 // (w.active_days * wau.wau) AS BIGINT)
+         AS stickiness_bp
+FROM weekly_daily w JOIN wau ON wau.week = w.week
+ORDER BY week
+"""
+
+
 # weekday x hour load profile: the capacity-planning heatmap (when does
 # traffic actually arrive). Day-of-week is computed ARITHMETICALLY from
 # epoch days ((days + 4) % 7, 0 = Sunday — 1970-01-01 was a Thursday)
@@ -2835,6 +2981,8 @@ QUERIES = {
     "events_type_cooccurrence": q_events_type_cooccurrence,
     "events_weekday_hour_profile": q_events_weekday_hour_profile,
     "events_burst_report": q_events_burst_report,
+    "events_user_lifecycle": q_events_user_lifecycle,
+    "events_dau_wau_stickiness": q_events_dau_wau_stickiness,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
     "events_state_drift": q_events_state_drift,
@@ -2868,6 +3016,8 @@ ORACLES = {
     "events_type_cooccurrence": ORACLE_TYPE_COOCCURRENCE,
     "events_weekday_hour_profile": ORACLE_WEEKDAY_HOUR_PROFILE,
     "events_burst_report": ORACLE_BURST_REPORT,
+    "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
+    "events_dau_wau_stickiness": ORACLE_DAU_WAU_STICKINESS,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,
     "events_state_drift": ORACLE_STATE_DRIFT,

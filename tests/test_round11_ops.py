@@ -126,3 +126,147 @@ def test_dedup_query_text_is_genuinely_novel(spark, sf_dir):
     }
     assert dedup.DEDUP_QUERY_TEXT not in texts
     assert dedup.q_dedup_query_text_probe(spark, sf_dir).count() == 0
+
+
+def test_dedup_band_occupancy_planted(spark, tmp_path):
+    """Three identical docs collapse into one size-3 bucket per band
+    (candidate_pairs = 3 = 3*2/2), the distinct doc sits alone — the
+    occupancy report prices the candidate join exactly."""
+    from sap_sql_engine_spark.operators import dedup
+
+    twin = "the quick brown fox jumps over the lazy dog again and again"
+    other = "entirely different content with no shared shingles anywhere listed"
+    rows = [(i, twin, "en", "srcA", len(twin)) for i in range(3)]
+    rows.append((9, other, "en", "srcA", len(other)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.band: (r.n_buckets, r.max_bucket_size, r.candidate_pairs)
+        for r in dedup.q_dedup_band_occupancy(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for band, (n_buckets, max_size, pairs) in got.items():
+        assert n_buckets == 2
+        assert max_size == 3
+        assert pairs == 3  # sum s*(s-1)/2 = 3 + 0
+
+
+def test_customer_rfm_migration_planted(spark, tmp_path):
+    """Hand-checked 4-customer matrix: one churned (0 after), one new
+    (0 before), one low-low, one top-top."""
+    from sap_sql_engine_spark.operators import relational
+
+    split = relational.RFM_MIGRATION_SPLIT
+    rows = [
+        (1, 1, "O", 100.0, "1994-01-01", "3-MEDIUM"),   # before only
+        (2, 2, "O", 80.0, "1996-01-01", "3-MEDIUM"),    # after only
+        (3, 3, "O", 50.0, "1994-02-01", "3-MEDIUM"),    # both, low
+        (4, 3, "O", 60.0, "1996-02-01", "3-MEDIUM"),
+        (5, 4, "O", 200.0, "1994-03-01", "3-MEDIUM"),   # both, top
+        (6, 4, "O", 300.0, "1996-03-01", "3-MEDIUM"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r.m_before, r.m_after): r.n_customers
+        for r in relational.q_customer_rfm_migration(spark, str(tmp_path)).collect()
+    }
+    # before ranks (asc spend 50,100,200 -> q 1,2,3); after (60,80,300 -> 1,2,3)
+    assert got == {(2, 0): 1, (0, 2): 1, (1, 1): 1, (3, 3): 1}
+
+
+def test_events_user_lifecycle_accounting_identity(spark, sf_dir):
+    """Every user is new exactly once and churned exactly once; actives
+    bound both; the first active week's actives are all new."""
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = se.q_events_user_lifecycle(spark, sf_dir).collect()
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == total_users
+    assert sum(r.n_churned for r in rows) == total_users
+    assert all(r.n_active >= max(r.n_new, r.n_churned) for r in rows)
+    assert rows[0].n_active == rows[0].n_new  # week 1: everyone is new
+
+
+def test_events_dau_wau_stickiness_bounds(spark, sf_dir):
+    """DAU <= WAU per week, so stickiness lands in (0, 10000]; the
+    milli-average reconciles with the bound."""
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = se.q_events_dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.stickiness_bp <= 10000
+        assert r.avg_dau_milli <= r.wau * 1000
+        assert 1 <= r.active_days <= 7
+
+
+def test_priority_ship_latency_monotone_tail(spark, sf_dir):
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_priority_ship_latency(spark, sf_dir).collect()
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == li_count
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days
+
+
+def test_order_line_count_histogram_reconciles(spark, sf_dir):
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_order_line_count_histogram(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
+    assert sum(r.n_orders for r in rows) == li.select("l_orderkey").distinct().count()
+    assert sum(r.share_bp for r in rows) <= 10000  # floor division
+
+
+def test_brand_return_rates_bounds(spark, sf_dir):
+    from sap_sql_engine_spark.operators import relational
+
+    rows = relational.q_brand_return_rates(spark, sf_dir).collect()
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == li_count
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_lines
+        assert 0 <= r.return_bp <= 10000
+
+
+def test_docs_charclass_profile_planted(spark, tmp_path):
+    """Hand-checked permille split: 'ab 12!' = 2 letters, 2 digits,
+    1 space, 1 other over 6 chars."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    rows = [(1, "ab 12!", "en", "srcA", 6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = ta.q_docs_charclass_profile(spark, str(tmp_path)).collect()[0]
+    assert (r.source, r.n_chars) == ("srcA", 6)
+    assert (r.letters_pm, r.digits_pm, r.space_pm, r.other_pm) == (
+        333, 333, 166, 166
+    )
+
+
+def test_embedding_quantization_sweep_error_monotone(spark, sf_dir):
+    """More bits, strictly less error; every setting sees every value."""
+    from sap_sql_engine_spark.operators import similarity as sim2
+
+    rows = sim2.q_embedding_quantization_sweep(spark, sf_dir).collect()
+    assert [r.bits for r in rows] == [4, 6, 8]
+    assert len({r.n_vals for r in rows}) == 1
+    assert rows[0].sse_e12 > rows[1].sse_e12 > rows[2].sse_e12 > 0
