@@ -781,6 +781,57 @@ def q_dedup_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- prefix-duplicate clusters: docs that open identically (shared
+# boilerplate headers, templated openings, crawl mirrors that diverge
+# after the masthead). Cheaper than any similarity pass — one exact
+# groupBy on a fixed-length prefix key — and the standard FIRST cut a
+# crawl-dedup pipeline runs before MinHash ever sees the data.
+
+PREFIX_DUP_LEN = 24
+PREFIX_DUP_TOP_N = 20
+
+
+def q_docs_prefix_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PREFIX_DUP_TOP_N prefix-duplicate clusters: docs sharing an
+    identical PREFIX_DUP_LEN-char opening, with the cluster size and how
+    many DISTINCT full texts it contains (1 = exact dups wearing the
+    same header; >1 = true prefix-only boilerplate).
+
+    Scale shape: one map-side substring + md5, one prefix-keyed
+    aggregation with map-side combine, TakeOrderedAndProject for the
+    top-N. The prefix md5 (not the prefix) is the emitted key, so the
+    output schema is fixed-width regardless of PREFIX_DUP_LEN."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") >= PREFIX_DUP_LEN)
+        .selectExpr(
+            f"md5(substr(text, 1, {PREFIX_DUP_LEN})) AS prefix_md5",
+            "md5(text) AS full_md5",
+        )
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("full_md5").cast("bigint").alias("n_distinct_texts"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.col("cluster_size").desc(), F.col("prefix_md5").asc())
+        .limit(PREFIX_DUP_TOP_N)
+    )
+
+
+ORACLE_PREFIX_DUP_CLUSTERS = f"""
+SELECT md5(substr(text, 1, {PREFIX_DUP_LEN})) AS prefix_md5,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+WHERE length(text) >= {PREFIX_DUP_LEN}
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY cluster_size DESC, prefix_md5 ASC
+LIMIT {PREFIX_DUP_TOP_N}
+"""
+
+
 ORACLE_DEDUP_BAND_OCCUPANCY = rf"""
 WITH corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
 corpus_bands AS (
@@ -2694,6 +2745,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_query_text_probe": q_dedup_query_text_probe,
     "dedup_band_occupancy": q_dedup_band_occupancy,
+    "docs_prefix_dup_clusters": q_docs_prefix_dup_clusters,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -2726,6 +2778,7 @@ ORACLES = {
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_query_text_probe": ORACLE_DEDUP_QUERY_TEXT_PROBE,
     "dedup_band_occupancy": ORACLE_DEDUP_BAND_OCCUPANCY,
+    "docs_prefix_dup_clusters": ORACLE_PREFIX_DUP_CLUSTERS,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

@@ -3676,6 +3676,65 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# purchase cadence: percentiles of the gap between a customer's
+# consecutive orders — the replenishment-cycle distribution inventory and
+# win-back campaigns are timed against (the commerce twin of
+# events_interarrival_percentiles).
+
+
+def q_reorder_interval_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row report: customers with 2+ orders, gap count, and
+    p50/p90/p99 days between consecutive orders of the same customer
+    (interpolated percentile over exact integer days, 2 dp).
+
+    Scale shape: one customer-keyed sort window for the lag (the
+    sessionize exchange on the much-smaller orders fact), one global
+    percentile aggregation over the gap relation."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .select(
+            "o_custkey", F.col("gap_days").cast("double").alias("g")
+        )
+    )
+    return gaps.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_repeat_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(g, 0.5D)"), 2).alias("p50_days"),
+        F.round(F.expr("percentile(g, 0.9D)"), 2).alias("p90_days"),
+        F.round(F.expr("percentile(g, 0.99D)"), 2).alias("p99_days"),
+    )
+
+
+ORACLE_REORDER_INTERVAL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - lag(CAST(o_orderdate AS DATE))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              AS DOUBLE) AS g
+  FROM orders
+)
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(g, 0.5), 2) AS p50_days,
+       round(quantile_cont(g, 0.9), 2) AS p90_days,
+       round(quantile_cont(g, 0.99), 2) AS p99_days
+FROM gaps
+WHERE g IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # repeat-purchase cohort rate: per first-order-month cohort, how many
 # customers ever came back — the retention KPI on the commerce fact (the
 # revenue-free sibling of customer_cohort_ltv, and the relational twin of
@@ -4789,6 +4848,7 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "customer_rfm_migration": q_customer_rfm_migration,
     "priority_ship_latency": q_priority_ship_latency,
+    "reorder_interval_percentiles": q_reorder_interval_percentiles,
     "order_line_count_histogram": q_order_line_count_histogram,
     "brand_return_rates": q_brand_return_rates,
     "promo_part_suppliers": q_promo_part_suppliers,
@@ -4871,6 +4931,7 @@ ORACLES = {
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
     "customer_rfm_migration": ORACLE_CUSTOMER_RFM_MIGRATION,
     "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
+    "reorder_interval_percentiles": ORACLE_REORDER_INTERVAL,
     "order_line_count_histogram": ORACLE_ORDER_LINE_COUNT_HIST,
     "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
     "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,

@@ -270,3 +270,51 @@ def test_embedding_quantization_sweep_error_monotone(spark, sf_dir):
     assert [r.bits for r in rows] == [4, 6, 8]
     assert len({r.n_vals for r in rows}) == 1
     assert rows[0].sse_e12 > rows[1].sse_e12 > rows[2].sse_e12 > 0
+
+
+def test_docs_prefix_dup_clusters_planted(spark, tmp_path):
+    """Exact dups share prefix AND full hash (n_distinct 1); boilerplate
+    headers share only the prefix (n_distinct = cluster size); unique
+    openers never appear."""
+    from sap_sql_engine_spark.operators import dedup
+
+    head = "x" * dedup.PREFIX_DUP_LEN
+    rows = [
+        (1, head + " tail one", "en", "srcA", 40),
+        (2, head + " tail two", "en", "srcA", 40),
+        (3, "y" * dedup.PREFIX_DUP_LEN + " same", "en", "srcA", 40),
+        (4, "y" * dedup.PREFIX_DUP_LEN + " same", "en", "srcA", 40),
+        (5, "unique opener here that is long enough", "en", "srcA", 39),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.cluster_size, r.n_distinct_texts)
+        for r in dedup.q_docs_prefix_dup_clusters(spark, str(tmp_path)).collect()
+    )
+    assert got == [(2, 1), (2, 2)]  # exact-dup pair and prefix-only pair
+
+
+def test_reorder_interval_percentiles_planted(spark, tmp_path):
+    """Hand-checked gaps: one customer ordering on days 0/10/30 yields
+    gaps (10, 20); a single-order customer contributes nothing."""
+    from sap_sql_engine_spark.operators import relational
+
+    rows = [
+        (1, 1, "O", 10.0, "1994-01-01", "3-MEDIUM"),
+        (2, 1, "O", 10.0, "1994-01-11", "3-MEDIUM"),
+        (3, 1, "O", 10.0, "1994-01-31", "3-MEDIUM"),
+        (4, 2, "O", 10.0, "1994-06-01", "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = relational.q_reorder_interval_percentiles(spark, str(tmp_path)).collect()[0]
+    assert (r.n_repeat_customers, r.n_gaps) == (1, 2)
+    assert (r.p50_days, r.p90_days, r.p99_days) == (15.0, 19.0, 19.9)
