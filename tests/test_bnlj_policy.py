@@ -76,6 +76,10 @@ BNLJ_ALLOWED = {
     "broadcast probes (the semantic leg, composed unchanged)",
     "hybrid_rrf_k_sweep": "the same inherited semantic-leg probes + a "
     "<=30-row default-list broadcast onto the bounded fused relation",
+    "ann_query_vector_topk": "1-row literal out-of-corpus query probe "
+    "(array_contains cell-membership join, the ann_ivf class)",
+    "hybrid_query_search": "inherits ann_query_vector_topk's 1-row "
+    "literal probe (the semantic leg, composed unchanged)",
 }
 
 
