@@ -109,6 +109,15 @@ HEADLINE = [
     "logreg_quality_report",
     "media_audio_fp_report",
     "ann_ivf_probe_sweep",
+    # r11 additions: the out-of-corpus serving paths (corpus signing +
+    # literal probe; the two-leg novel-query fusion) and the index-health
+    # occupancy report (signature pass + band aggregation).
+    # embedding_quantization_sweep stays out only for the 1900-char line
+    # budget (its explode-pass shape is already covered by
+    # embedding_sq8_error); 57 names measured 1910 chars worst-case.
+    "dedup_query_text_probe",
+    "hybrid_query_search",
+    "dedup_band_occupancy",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",

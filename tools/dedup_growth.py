@@ -54,6 +54,11 @@ QUERIES = {
     # knob; "pairs" records candidate classes, the growth signal is sec)
     "media_dhash_report": multimodal.QUERIES["media_dhash_report"],
     "media_audio_fp_report": multimodal.QUERIES["media_audio_fp_report"],
+    # r11: the serving probe (corpus signs once, the 1-row literal probe
+    # is constant work — should track the signing pass linearly) and the
+    # occupancy report (one signature pass + one (band, sig) aggregation)
+    "dedup_query_text_probe": dedup.QUERIES["dedup_query_text_probe"],
+    "dedup_band_occupancy": dedup.QUERIES["dedup_band_occupancy"],
 }
 
 
