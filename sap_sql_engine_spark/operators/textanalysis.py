@@ -4192,6 +4192,85 @@ def q_docs_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- inspection pack: K deterministic sample docs per hygiene class for
+# the human-QA loop (the counts say HOW MANY are degenerate; reviewers
+# need to SEE a few of each to trust the classifier). "Random" is the
+# md5 of the doc id — reproducible across engines and runs, uncorrelated
+# with ingestion order.
+
+INSPECTION_PER_CLASS = 3
+
+
+def q_docs_sample_inspection_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per hygiene class: the INSPECTION_PER_CLASS sample docs with the
+    smallest md5(doc_id) — a deterministic pseudo-random pick.
+
+    Scale shape: the per-class top-K is the TWO-PHASE rewrite (the
+    vocab_oov_report convention): phase 1 keeps K per (class, salt)
+    partition — every partition bounded at |class|/32 — and phase 2
+    ranks only the <= classes x 32 x K survivors, so no window ever
+    sees an unbounded partition. The salt is engine-local (Spark hash):
+    it only shards phase 1; the final top-K per class is salt-invariant,
+    which is why the oracle needs no salt at all."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    cls = (
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty' "
+        "WHEN length(trim(text)) = 0 THEN 'whitespace_only' "
+        "WHEN size(split(trim(text), '\\\\s+')) = 1 THEN 'single_token' "
+        f"WHEN size(split(trim(text), '\\\\s+')) < {HYGIENE_SHORT_TOKENS}"
+        " THEN 'short' "
+        "WHEN length(regexp_replace(trim(text), '[^A-Za-z]', '')) * 2"
+        " < length(trim(text)) THEN 'low_alpha' "
+        "ELSE 'clean' END"
+    )
+    classed = docs.selectExpr(
+        "doc_id",
+        f"{cls} AS hygiene_class",
+        "md5(CAST(doc_id AS STRING)) AS mk",
+        "CAST(pmod(hash(doc_id), 32) AS INT) AS salt",
+    )
+    w1 = Window.partitionBy("hygiene_class", "salt").orderBy("mk", "doc_id")
+    survivors = classed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= INSPECTION_PER_CLASS
+    )
+    w2 = Window.partitionBy("hygiene_class").orderBy("mk", "doc_id")
+    return (
+        survivors.withColumn("pick", F.row_number().over(w2))
+        .filter(F.col("pick") <= INSPECTION_PER_CLASS)
+        .selectExpr("hygiene_class", "CAST(pick AS BIGINT) AS pick", "doc_id")
+        .orderBy("hygiene_class", "pick")
+    )
+
+
+ORACLE_INSPECTION_PACK = rf"""
+WITH classed AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+              WHEN length(trim(text)) = 0 THEN 'whitespace_only'
+              WHEN len(regexp_split_to_array(trim(text), '\s+')) = 1
+                THEN 'single_token'
+              WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                   < {HYGIENE_SHORT_TOKENS} THEN 'short'
+              WHEN length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) * 2
+                   < length(trim(text)) THEN 'low_alpha'
+              ELSE 'clean' END AS hygiene_class,
+         md5(CAST(doc_id AS VARCHAR)) AS mk
+  FROM documents
+)
+SELECT hygiene_class, CAST(pick AS BIGINT) AS pick, doc_id
+FROM (
+  SELECT hygiene_class, doc_id,
+         row_number() OVER (PARTITION BY hygiene_class ORDER BY mk, doc_id)
+           AS pick
+  FROM classed
+)
+WHERE pick <= {INSPECTION_PER_CLASS}
+ORDER BY hygiene_class, pick
+"""
+
+
 ORACLE_HYGIENE_REPORT = rf"""
 WITH classed AS (
   SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
@@ -4291,6 +4370,7 @@ ORDER BY source
 
 QUERIES = {
     "docs_charclass_profile": q_docs_charclass_profile,
+    "docs_sample_inspection_pack": q_docs_sample_inspection_pack,
     "source_mixture_weights": q_source_mixture_weights,
     "docs_token_budget_report": q_docs_token_budget_report,
     "token_length_histogram": q_token_length_histogram,
@@ -4345,6 +4425,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_charclass_profile": ORACLE_CHARCLASS_PROFILE,
+    "docs_sample_inspection_pack": ORACLE_INSPECTION_PACK,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,
     "docs_token_budget_report": ORACLE_TOKEN_BUDGET,
     "token_length_histogram": ORACLE_TOKEN_LENGTH_HISTOGRAM,

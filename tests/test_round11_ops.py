@@ -318,3 +318,39 @@ def test_reorder_interval_percentiles_planted(spark, tmp_path):
     r = relational.q_reorder_interval_percentiles(spark, str(tmp_path)).collect()[0]
     assert (r.n_repeat_customers, r.n_gaps) == (1, 2)
     assert (r.p50_days, r.p90_days, r.p99_days) == (15.0, 19.0, 19.9)
+
+
+def test_docs_sample_inspection_pack_planted(spark, tmp_path):
+    """Every hygiene class yields its md5-smallest picks; a class with
+    more docs than INSPECTION_PER_CLASS is cut to exactly K, and the
+    two-phase (salted) top-K equals the direct python ranking."""
+    import hashlib
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    clean = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "", "en", "srcA", 0),                  # empty
+        (2, "   ", "en", "srcA", 3),               # whitespace_only
+        (3, "word", "en", "srcA", 4),              # single_token
+        (4, "a b c", "en", "srcA", 5),             # short
+        (5, "1 2 3 4 5 6 7 8 9 0 1 2", "en", "srcA", 23),  # low_alpha
+    ] + [(10 + i, clean, "en", "srcA", len(clean)) for i in range(8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {}
+    for r in ta.q_docs_sample_inspection_pack(spark, str(tmp_path)).collect():
+        got.setdefault(r.hygiene_class, []).append((r.pick, r.doc_id))
+    assert set(got) == {
+        "empty", "whitespace_only", "single_token", "short", "low_alpha",
+        "clean",
+    }
+    for cls in ("empty", "whitespace_only", "single_token", "short", "low_alpha"):
+        assert len(got[cls]) == 1
+    assert len(got["clean"]) == ta.INSPECTION_PER_CLASS
+    want_clean = sorted(
+        range(10, 18), key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
+    )[: ta.INSPECTION_PER_CLASS]
+    assert [d for (_, d) in sorted(got["clean"])] == want_clean
