@@ -388,6 +388,78 @@ def q_logreg_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_calibration_curve(spread(table(spark, sf_dir, "documents")))
 
 
+# k-fold cross-validation: the report/ablation legs all reuse ONE fixed
+# held-out fifth; CV rotates the evaluation fold so every doc is scored
+# by a model that never saw it — the variance estimate (spread across
+# folds) is what tells you whether the single held-out number is luck.
+
+CV_FOLDS = 3
+
+
+def logreg_cv_report(docs: DataFrame) -> DataFrame:
+    """Per fold (doc_id % CV_FOLDS): eval-row count and accuracy of the
+    model trained on the OTHER folds, plus the cross-fold mean and
+    max-min spread (both bp, attached to every row so the relation is
+    self-contained). A small spread = the classifier's quality estimate
+    is stable under resampling; the honesty note in the module docstring
+    applies (majority-class behavior on this corpus, so all folds sit
+    near the base rate — which IS the stable answer).
+
+    Scale shape: ONE cached featurize pass; each fold re-labels ``held``
+    map-side and runs the bounded _fit_on recurrence (Lloyd-round
+    class); fold accuracies are 1-row aggregates UNIONed; mean/spread
+    windows run on the CV_FOLDS-row relation."""
+    spark = docs.sparkSession
+    base = cache_eager(_featurize(docs))
+    hit = (
+        f"CASE WHEN (CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END"
+    )
+    legs = []
+    for k in range(CV_FOLDS):
+        refolded = base.selectExpr(
+            "doc_id",
+            "y",
+            f"CAST(doc_id % {CV_FOLDS} = {k} AS INT) AS held",
+            "x0",
+            "x1",
+            "x2",
+            "x3",
+        )
+        feats, w = _fit_on(refolded, spark)
+        legs.append(
+            feats.crossJoin(F.broadcast(w))
+            .filter(F.col("held") == 1)
+            .agg(
+                F.expr(f"sum({hit})").alias("hits"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .selectExpr(
+                f"CAST({k} AS BIGINT) AS fold",
+                "CAST(n AS BIGINT) AS n_eval",
+                "CAST(hits * 10000 DIV n AS BIGINT) AS fold_acc_bp",
+            )
+        )
+    allr = legs[0]
+    for leg in legs[1:]:
+        allr = allr.unionByName(leg)
+    # constant-key windows over the CV_FOLDS-row relation only
+    return allr.selectExpr(
+        "fold",
+        "n_eval",
+        "fold_acc_bp",
+        f"CAST(sum(fold_acc_bp) OVER () DIV {CV_FOLDS} AS BIGINT)"
+        " AS mean_acc_bp",
+        "CAST(max(fold_acc_bp) OVER () - min(fold_acc_bp) OVER () AS BIGINT)"
+        " AS spread_bp",
+    ).orderBy("fold")
+
+
+def q_logreg_cv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validated accuracy of the on-engine classifier."""
+    return logreg_cv_report(spread(table(spark, sf_dir, "documents")))
+
+
 def streaming_logreg_score(spark: SparkSession, sf_dir: str, drop_dir: str, out_dir: str):
     """Train-offline / serve-online: the corpus trains the weights ONCE
     batch-side (:func:`_fit`, the gated recurrence), then JSONL document
@@ -472,19 +544,20 @@ def _oracle_fit_ctes() -> str:
     return "WITH " + ",\n".join(ctes)
 
 
-def _oracle_steps(train_rel: str, pfx: str) -> list:
+def _oracle_steps(train_rel: str, pfx: str, n_rel: str = "n") -> list:
     """The unrolled gradient-step CTEs over ``train_rel`` with CTE names
     prefixed (``w{it}{pfx}_`` etc.) — shared by the single-model oracles
-    (pfx='', names unchanged) and the per-ablation chains. Note the w0
-    seed is emitted by _oracle_fit_ctes for pfx='' and by the ablation
-    builder otherwise."""
+    (pfx='', names unchanged), the per-ablation chains, and the CV folds
+    (which pass their own ``n_rel`` because each fold's train count
+    differs). Note the w0 seed is emitted by _oracle_fit_ctes for pfx=''
+    and by the ablation/CV builders otherwise."""
     m = LOGREG_M
     z = f"(w.w0*t.x0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3) // {m}"
     out = []
     for it in range(1, LOGREG_ITERS + 1):
         grads = ", ".join(
             f"CAST(w{j} - {LOGREG_LR} * CAST(sum(CAST(err AS HUGEINT) * x{j})"
-            f" // ((SELECT n_train FROM n) * {m}) AS BIGINT) AS BIGINT) AS w{j}"
+            f" // ((SELECT n_train FROM {n_rel}) * {m}) AS BIGINT) AS BIGINT) AS w{j}"
             for j in range(4)
         )
         out.append(
@@ -656,11 +729,58 @@ ORDER BY bin
 ORACLE_LOGREG_CALIBRATION = _oracle_calibration()
 
 
+def _oracle_cv() -> str:
+    ctes = [_oracle_feats_cte()]
+    accs = []
+    for k in range(CV_FOLDS):
+        pfx = f"_cv{k}"
+        ctes.append(
+            f"t{pfx} AS (SELECT * FROM feats WHERE doc_id % {CV_FOLDS} != {k})"
+        )
+        ctes.append(f"n{pfx} AS (SELECT count(*) AS n_train FROM t{pfx})")
+        ctes.append(
+            f"w0{pfx}_ AS (SELECT "
+            + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(4))
+            + ")"
+        )
+        ctes.extend(_oracle_steps(f"t{pfx}", pfx, n_rel=f"n{pfx}"))
+        zf = f"(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // {LOGREG_M}"
+        ctes.append(
+            f"""acc{pfx} AS (
+  SELECT CAST({k} AS BIGINT) AS fold,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN (CASE WHEN {zf} > 0 THEN 1 ELSE 0 END) = f.y
+                       THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+           AS fold_acc_bp
+  FROM feats f, w{LOGREG_ITERS}{pfx}_ w
+  WHERE f.doc_id % {CV_FOLDS} = {k}
+)"""
+        )
+        accs.append(f"SELECT * FROM acc{pfx}")
+    union = "\nUNION ALL ".join(accs)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT fold, n_eval, fold_acc_bp,
+       CAST(sum(fold_acc_bp) OVER () // {CV_FOLDS} AS BIGINT) AS mean_acc_bp,
+       CAST(max(fold_acc_bp) OVER () - min(fold_acc_bp) OVER () AS BIGINT)
+         AS spread_bp
+FROM ({union})
+ORDER BY fold
+"""
+    )
+
+
+ORACLE_LOGREG_CV = _oracle_cv()
+
+
 QUERIES = {
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
     "logreg_ablation_report": q_logreg_ablation_report,
     "logreg_calibration_curve": q_logreg_calibration_curve,
+    "logreg_cv_report": q_logreg_cv_report,
 }
 
 ORACLES = {
@@ -668,4 +788,5 @@ ORACLES = {
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
     "logreg_ablation_report": ORACLE_LOGREG_ABLATION,
     "logreg_calibration_curve": ORACLE_LOGREG_CALIBRATION,
+    "logreg_cv_report": ORACLE_LOGREG_CV,
 }

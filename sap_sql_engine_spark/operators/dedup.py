@@ -832,6 +832,110 @@ LIMIT {PREFIX_DUP_TOP_N}
 """
 
 
+# --- band-width design sweep: the same occupancy/candidate-cost numbers
+# ACROSS candidate band geometries (2/4/8 rows per band over the same 16
+# minhashes). Wider bands (more rows per band) = fewer, stricter buckets
+# = fewer candidates but lower recall; this is the design table you read
+# BEFORE fixing (r, b) — the quantitative form of the banding_recall
+# trade the similarity module documents analytically.
+
+BAND_WIDTH_SWEEP = (2, 4, 8)  # rows per band; 16 perms -> 8/4/2 bands
+
+
+def q_dedup_band_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per rows-per-band setting: band count, bucket count, worst bucket,
+    and the exact candidate-pair cost — the (r, b) design table over ONE
+    signature pass.
+
+    Scale shape: one MinHash aggregation (the persisted artifact), then
+    per setting a map-side band concat + one (setting, band, sig)
+    aggregation; the sweep unions three bounded-width relations of one
+    row per (doc, band)."""
+    docs = table(spark, sf_dir, "documents")
+    wide = cache_eager(_minhash_wide_from(docs))
+    per_setting = []
+    for rpb in BAND_WIDTH_SWEEP:
+        n_bands = N_MINHASH // rpb
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rpb + i}").cast("string")
+                        for i in range(1, rpb + 1)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+        per_setting.append(
+            wide.select(
+                F.lit(rpb).alias("rows_per_band"),
+                "doc_id",
+                F.explode(F.array(*band_structs)).alias("bs"),
+            ).select(
+                "rows_per_band",
+                "doc_id",
+                F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"),
+            )
+        )
+    bands = per_setting[0]
+    for p in per_setting[1:]:
+        bands = bands.unionByName(p)
+    occ = bands.groupBy("rows_per_band", "band", "sig").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return (
+        occ.groupBy("rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("s").cast("bigint").alias("max_bucket_size"),
+            F.expr("CAST(sum(s * (s - 1) DIV 2) AS BIGINT)").alias(
+                "candidate_pairs"
+            ),
+        )
+        .selectExpr(
+            "CAST(rows_per_band AS BIGINT) AS rows_per_band",
+            f"CAST({N_MINHASH} DIV rows_per_band AS BIGINT) AS n_bands",
+            "n_buckets",
+            "max_bucket_size",
+            "candidate_pairs",
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+def _oracle_band_width_sweep() -> str:
+    rpbs = ", ".join(f"({r})" for r in BAND_WIDTH_SWEEP)
+    return rf"""
+WITH corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
+bands AS (
+  SELECT w.rpb AS rows_per_band, doc_id,
+         CAST((perm - 1) // w.rpb AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM corpus_sig, (VALUES {rpbs}) w(rpb)
+  GROUP BY 1, 2, 3
+),
+occ AS (
+  SELECT rows_per_band, band, sig, count(*) AS s
+  FROM bands GROUP BY 1, 2, 3
+)
+SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST({N_MINHASH} // rows_per_band AS BIGINT) AS n_bands,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(s) AS BIGINT) AS max_bucket_size,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM occ
+GROUP BY rows_per_band
+ORDER BY rows_per_band
+"""
+
+
+ORACLE_DEDUP_BAND_WIDTH_SWEEP = _oracle_band_width_sweep()
+
+
 ORACLE_DEDUP_BAND_OCCUPANCY = rf"""
 WITH corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
 corpus_bands AS (
@@ -2746,6 +2850,7 @@ QUERIES = {
     "dedup_query_text_probe": q_dedup_query_text_probe,
     "dedup_band_occupancy": q_dedup_band_occupancy,
     "docs_prefix_dup_clusters": q_docs_prefix_dup_clusters,
+    "dedup_band_width_sweep": q_dedup_band_width_sweep,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -2779,6 +2884,7 @@ ORACLES = {
     "dedup_query_text_probe": ORACLE_DEDUP_QUERY_TEXT_PROBE,
     "dedup_band_occupancy": ORACLE_DEDUP_BAND_OCCUPANCY,
     "docs_prefix_dup_clusters": ORACLE_PREFIX_DUP_CLUSTERS,
+    "dedup_band_width_sweep": ORACLE_DEDUP_BAND_WIDTH_SWEEP,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),
