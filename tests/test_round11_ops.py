@@ -354,3 +354,46 @@ def test_docs_sample_inspection_pack_planted(spark, tmp_path):
         range(10, 18), key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
     )[: ta.INSPECTION_PER_CLASS]
     assert [d for (_, d) in sorted(got["clean"])] == want_clean
+
+
+def test_logreg_cv_report_planted_separable(spark):
+    """On the linearly separable corpus every fold's model learns the
+    signal from the other folds: all folds at 10000 bp, spread 0, and
+    the folds partition the corpus exactly."""
+    from sap_sql_engine_spark.operators import classifier
+
+    rows = []
+    for i in range(42):
+        if i % 2 == 0:
+            rows.append((i, "the of to in is it and a", "en"))
+        else:
+            rows.append((i, "xxq yyq zzq wwq vvq uuq ttq ssq", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = classifier.logreg_cv_report(docs).collect()
+    assert [r.fold for r in out] == [0, 1, 2]
+    assert sum(r.n_eval for r in out) == 42
+    for r in out:
+        assert r.fold_acc_bp == 10000
+        assert r.mean_acc_bp == 10000
+        assert r.spread_bp == 0
+
+
+def test_dedup_band_width_sweep_monotone(spark, sf_dir):
+    """Wider bands are strictly stricter: candidate pairs shrink (or at
+    worst hold) as rows-per-band doubles, bucket counts grow with band
+    splits, and the 4-rows-per-band row reconciles exactly with the
+    single-geometry occupancy report."""
+    from sap_sql_engine_spark.operators import dedup
+
+    rows = {r.rows_per_band: r for r in
+            dedup.q_dedup_band_width_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_bands == 8 and rows[4].n_bands == 4 and rows[8].n_bands == 2
+    assert (
+        rows[2].candidate_pairs
+        >= rows[4].candidate_pairs
+        >= rows[8].candidate_pairs
+    )
+    occ = dedup.q_dedup_band_occupancy(spark, sf_dir).collect()
+    assert rows[4].candidate_pairs == sum(r.candidate_pairs for r in occ)
+    assert rows[4].n_buckets == sum(r.n_buckets for r in occ)
