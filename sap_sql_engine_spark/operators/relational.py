@@ -3676,6 +3676,90 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# per-customer spend trend: least-squares slope of order value over the
+# order-month index — the expansion/contraction signal account teams rank
+# by. The per-entity regression at scale is ONE aggregation to sufficient
+# statistics (n, Σx, Σy, Σxy, Σx²) and a closed-form slope per key — no
+# windows, no per-entity iteration; the z_score/variance family's recipe
+# applied to regression.
+
+TREND_TOP_N = 10
+TREND_MIN_ORDERS = 3
+
+
+def q_customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TREND_TOP_N fastest-growing customers by exact least-squares
+    slope of order value (milli-cents per month) over the order-month
+    index. Customers need TREND_MIN_ORDERS+ orders in 2+ distinct months
+    (the slope denominator is 0 otherwise). Closed form accumulates in
+    DECIMAL(38,0) (oracle: HUGEINT) — the supplier_delivery_variance
+    convention.
+
+    Scale shape: one customer-keyed aggregation over orders to the five
+    sufficient statistics, TakeOrderedAndProject for the top-N."""
+    orders = table(spark, sf_dir, "orders")
+    pts = orders.selectExpr(
+        "o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS y",
+    )
+    agg = pts.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("sum(x * x)").cast("bigint").alias("sxx"),
+        F.expr("sum(y * x)").alias("sxy"),
+    )
+    return (
+        agg.selectExpr(
+            "o_custkey",
+            "n AS n_orders",
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+            " AS num",
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            " AS den",
+        )
+        .filter(f"n_orders >= {TREND_MIN_ORDERS} AND den != 0")
+        .selectExpr(
+            "o_custkey",
+            "n_orders",
+            "CAST(num * 1000 DIV den AS BIGINT) AS slope_milli_cents",
+        )
+        .orderBy(F.col("slope_milli_cents").desc(), F.col("o_custkey").asc())
+        .limit(TREND_TOP_N)
+    )
+
+
+ORACLE_CUSTOMER_SPEND_TREND = f"""
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(y) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(y * x) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT o_custkey,
+       n AS n_orders,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS slope_milli_cents
+FROM agg
+WHERE n >= {TREND_MIN_ORDERS}
+  AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx != 0
+ORDER BY slope_milli_cents DESC, o_custkey ASC
+LIMIT {TREND_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # purchase cadence: percentiles of the gap between a customer's
 # consecutive orders — the replenishment-cycle distribution inventory and
 # win-back campaigns are timed against (the commerce twin of
@@ -4849,6 +4933,7 @@ QUERIES = {
     "customer_rfm_migration": q_customer_rfm_migration,
     "priority_ship_latency": q_priority_ship_latency,
     "reorder_interval_percentiles": q_reorder_interval_percentiles,
+    "customer_spend_trend": q_customer_spend_trend,
     "order_line_count_histogram": q_order_line_count_histogram,
     "brand_return_rates": q_brand_return_rates,
     "promo_part_suppliers": q_promo_part_suppliers,
@@ -4932,6 +5017,7 @@ ORACLES = {
     "customer_rfm_migration": ORACLE_CUSTOMER_RFM_MIGRATION,
     "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
     "reorder_interval_percentiles": ORACLE_REORDER_INTERVAL,
+    "customer_spend_trend": ORACLE_CUSTOMER_SPEND_TREND,
     "order_line_count_histogram": ORACLE_ORDER_LINE_COUNT_HIST,
     "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
     "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,

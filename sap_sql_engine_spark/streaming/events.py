@@ -2656,6 +2656,98 @@ ORDER BY week
 """
 
 
+# hourly autocorrelation: does this hour's load predict the next hour's
+# (lag 1), tomorrow's same hour (lag 24), next week's (lag 168)? The
+# time-series diagnostic behind every traffic forecast — computed as
+# exact Pearson correlation over the BOUNDED hourly-count relation
+# (~|hours| rows), integer sufficient statistics, one IEEE sqrt at the
+# output boundary (the quantity_price_corr recipe).
+
+AUTOCORR_LAGS = (1, 24, 168)
+
+
+def q_events_hourly_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per lag (hours): pair count and the Pearson autocorrelation of
+    hourly event counts, 6 dp. Pairs are hours where both h and h+lag
+    saw events (identical join semantics on both engines).
+
+    Scale shape: ONE stream-sized aggregation to hourly counts (map-side
+    combine); the lag fan-out, self-join, and correlation all run on the
+    bounded hourly relation."""
+    from ..cachereg import cache_eager
+
+    ev = _events(spark, sf_dir)
+    hourly = cache_eager(
+        ev.selectExpr("unix_micros(ts) DIV 3600000000 AS h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lags = ", ".join(str(lag) for lag in AUTOCORR_LAGS)
+    a = hourly.selectExpr("h", "c AS x", f"explode(array({lags})) AS lag")
+    b = hourly.selectExpr("h AS hb", "c AS y")
+    pairs = a.join(b, F.expr("hb = h + lag")).select("lag", "x", "y")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("sum(x * x)").alias("sxx"),
+        F.expr("sum(y * y)").alias("syy"),
+        F.expr("sum(x * y)").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return (
+        agg.select(
+            F.col("lag").cast("bigint").alias("lag_hours"),
+            F.col("n").alias("n_pairs"),
+            F.round(num / den, 6).alias("autocorr"),
+        )
+        .orderBy("lag_hours")
+    )
+
+
+def _oracle_hourly_autocorr() -> str:
+    lags = ", ".join(f"({lag})" for lag in AUTOCORR_LAGS)
+    return f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM hourly a
+  CROSS JOIN (VALUES {lags}) l(lag)
+  JOIN hourly b ON b.h = a.h + l.lag
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours,
+       n AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr
+FROM agg
+ORDER BY lag_hours
+"""
+
+
+ORACLE_HOURLY_AUTOCORR = _oracle_hourly_autocorr()
+
+
 # weekday x hour load profile: the capacity-planning heatmap (when does
 # traffic actually arrive). Day-of-week is computed ARITHMETICALLY from
 # epoch days ((days + 4) % 7, 0 = Sunday — 1970-01-01 was a Thursday)
@@ -2982,6 +3074,7 @@ QUERIES = {
     "events_weekday_hour_profile": q_events_weekday_hour_profile,
     "events_burst_report": q_events_burst_report,
     "events_user_lifecycle": q_events_user_lifecycle,
+    "events_hourly_autocorrelation": q_events_hourly_autocorrelation,
     "events_dau_wau_stickiness": q_events_dau_wau_stickiness,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
@@ -3017,6 +3110,7 @@ ORACLES = {
     "events_weekday_hour_profile": ORACLE_WEEKDAY_HOUR_PROFILE,
     "events_burst_report": ORACLE_BURST_REPORT,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
+    "events_hourly_autocorrelation": ORACLE_HOURLY_AUTOCORR,
     "events_dau_wau_stickiness": ORACLE_DAU_WAU_STICKINESS,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,

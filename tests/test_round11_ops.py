@@ -397,3 +397,68 @@ def test_dedup_band_width_sweep_monotone(spark, sf_dir):
     occ = dedup.q_dedup_band_occupancy(spark, sf_dir).collect()
     assert rows[4].candidate_pairs == sum(r.candidate_pairs for r in occ)
     assert rows[4].n_buckets == sum(r.n_buckets for r in occ)
+
+
+def test_customer_spend_trend_planted(spark, tmp_path):
+    """Hand-checked slope: 100/200/300 over consecutive months is
+    exactly 10000 cents/month (1e7 milli-cents); a flat customer slopes
+    0; 1-2-order and single-month customers are excluded."""
+    from sap_sql_engine_spark.operators import relational
+
+    rows = [
+        (1, 1, "O", 100.0, "1994-01-15", "3-MEDIUM"),
+        (2, 1, "O", 200.0, "1994-02-15", "3-MEDIUM"),
+        (3, 1, "O", 300.0, "1994-03-15", "3-MEDIUM"),
+        (4, 2, "O", 50.0, "1994-01-01", "3-MEDIUM"),
+        (5, 2, "O", 50.0, "1994-02-01", "3-MEDIUM"),
+        (6, 2, "O", 50.0, "1994-03-01", "3-MEDIUM"),
+        (7, 3, "O", 10.0, "1994-01-01", "3-MEDIUM"),  # only 1 order
+        (8, 4, "O", 10.0, "1994-01-01", "3-MEDIUM"),  # same-month pair
+        (9, 4, "O", 20.0, "1994-01-02", "3-MEDIUM"),
+        (10, 4, "O", 30.0, "1994-01-03", "3-MEDIUM"),  # den = 0
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        (r.o_custkey, r.n_orders, r.slope_milli_cents)
+        for r in relational.q_customer_spend_trend(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 3, 10_000_000), (2, 3, 0)]
+
+
+def test_events_hourly_autocorrelation_planted(spark, tmp_path):
+    """A perfectly alternating hourly load (1, 2, 1, 2, ...) has
+    autocorrelation -1 at lag 1 (odd) and +1 at lags 24 and 168
+    (even)."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for h in range(200):
+        for k in range((h % 2) + 1):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 7, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.lag_hours: (r.n_pairs, r.autocorr)
+        for r in se.q_events_hourly_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (199, -1.0)
+    assert got[24] == (176, 1.0)
+    assert got[168] == (32, 1.0)
