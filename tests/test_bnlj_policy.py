@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     "<=30-row default-list broadcast onto the bounded fused relation",
     "ann_query_vector_topk": "1-row literal out-of-corpus query probe "
     "(array_contains cell-membership join, the ann_ivf class)",
+    "logreg_cv_report": "3 CV folds x the same bounded 1-row "
+    "weight-vector broadcasts per gradient step (the logreg/Lloyd class) "
+    "+ each fold's scoring attach",
     "hybrid_query_search": "inherits ann_query_vector_topk's 1-row "
     "literal probe (the semantic leg, composed unchanged)",
 }
