@@ -3676,6 +3676,217 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# account-balance risk profile per market segment: how much of each
+# segment is in arrears (negative balance) and what the typical balance
+# is — the receivables-risk slice of the customer dimension (Q22 uses the
+# global positive average; this is the full per-segment ledger view).
+
+
+def q_customer_acctbal_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per market segment: customers, negative-balance customers and
+    their share (bp), and the mean/min/max balance in exact cents.
+
+    Scale shape: one map-side cents derivation, one 5-group aggregation
+    with map-side combine."""
+    cust = table(spark, sf_dir, "customer")
+    per = cust.selectExpr(
+        "c_mktsegment",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    return (
+        per.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum("cents").cast("bigint").alias("sc"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .selectExpr(
+            "c_mktsegment",
+            "n_customers",
+            "n_negative",
+            "CAST(n_negative * 10000 DIV n_customers AS BIGINT)"
+            " AS negative_bp",
+            "CAST(sc DIV n_customers AS BIGINT) AS mean_cents",
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ACCTBAL_BY_SEGMENT = """
+WITH per AS (
+  SELECT c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS negative_bp,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM per
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier balance extremes per nation: the treasury view of the supplier
+# dimension — who holds the largest credit and the deepest arrears in each
+# nation, with deterministic (cents, suppkey) tie-breaks on both engines.
+
+
+def q_supplier_acctbal_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per nation: supplier count, the richest and poorest suppliers by
+    account balance (exact cents; ties to the lower suppkey), and the
+    spread.
+
+    Scale shape: one broadcast dim join, two nation-keyed windows over
+    the supplier relation (each partition = one nation's suppliers),
+    one bounded regroup."""
+    sup = table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        "CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    w_top = W.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), F.col("s_suppkey").asc()
+    )
+    w_bot = W.partitionBy("n_name").orderBy(
+        F.col("cents").asc(), F.col("s_suppkey").asc()
+    )
+    ranked = j.select(
+        "n_name",
+        "s_suppkey",
+        "cents",
+        F.row_number().over(w_top).alias("rt"),
+        F.row_number().over(w_bot).alias("rb"),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.expr("max(CASE WHEN rt = 1 THEN s_suppkey END)")
+            .cast("bigint")
+            .alias("richest_suppkey"),
+            F.expr("max(CASE WHEN rt = 1 THEN cents END)")
+            .cast("bigint")
+            .alias("richest_cents"),
+            F.expr("max(CASE WHEN rb = 1 THEN s_suppkey END)")
+            .cast("bigint")
+            .alias("poorest_suppkey"),
+            F.expr("max(CASE WHEN rb = 1 THEN cents END)")
+            .cast("bigint")
+            .alias("poorest_cents"),
+        )
+        .selectExpr(
+            "n_name",
+            "n_suppliers",
+            "richest_suppkey",
+            "richest_cents",
+            "poorest_suppkey",
+            "poorest_cents",
+            "CAST(richest_cents - poorest_cents AS BIGINT) AS spread_cents",
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_SUPPLIER_ACCTBAL_EXTREMES = """
+WITH j AS (
+  SELECT n_name, s_suppkey,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT n_name, s_suppkey, cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cents DESC, s_suppkey) AS rt,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cents ASC, s_suppkey) AS rb
+  FROM j
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(CASE WHEN rt = 1 THEN s_suppkey END) AS BIGINT)
+         AS richest_suppkey,
+       CAST(max(CASE WHEN rt = 1 THEN cents END) AS BIGINT) AS richest_cents,
+       CAST(max(CASE WHEN rb = 1 THEN s_suppkey END) AS BIGINT)
+         AS poorest_suppkey,
+       CAST(max(CASE WHEN rb = 1 THEN cents END) AS BIGINT) AS poorest_cents,
+       CAST(max(CASE WHEN rt = 1 THEN cents END)
+            - max(CASE WHEN rb = 1 THEN cents END) AS BIGINT) AS spread_cents
+FROM ranked
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# retail-price vs size curve: does a bigger part cost more — the product
+# dimension's pricing-structure profile (catalog QA: a size class whose
+# price band collapses is a data or listing error).
+
+
+def q_part_price_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part size: part count and mean/min/max retail price in exact
+    cents. One map-side cents derivation, one |sizes|-group aggregation."""
+    part = table(spark, sf_dir, "part").selectExpr(
+        "p_size",
+        "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    return (
+        part.groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("sc"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .selectExpr(
+            "CAST(p_size AS BIGINT) AS p_size",
+            "n_parts",
+            "CAST(sc DIV n_parts AS BIGINT) AS mean_cents",
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("p_size")
+    )
+
+
+ORACLE_PART_PRICE_SIZE_CURVE = """
+WITH per AS (
+  SELECT p_size,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+)
+SELECT CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM per
+GROUP BY p_size
+ORDER BY p_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-customer spend trend: least-squares slope of order value over the
 # order-month index — the expansion/contraction signal account teams rank
 # by. The per-entity regression at scale is ONE aggregation to sufficient
@@ -4934,6 +5145,9 @@ QUERIES = {
     "priority_ship_latency": q_priority_ship_latency,
     "reorder_interval_percentiles": q_reorder_interval_percentiles,
     "customer_spend_trend": q_customer_spend_trend,
+    "customer_acctbal_by_segment": q_customer_acctbal_by_segment,
+    "supplier_acctbal_extremes": q_supplier_acctbal_extremes,
+    "part_price_size_curve": q_part_price_size_curve,
     "order_line_count_histogram": q_order_line_count_histogram,
     "brand_return_rates": q_brand_return_rates,
     "promo_part_suppliers": q_promo_part_suppliers,
@@ -5018,6 +5232,9 @@ ORACLES = {
     "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
     "reorder_interval_percentiles": ORACLE_REORDER_INTERVAL,
     "customer_spend_trend": ORACLE_CUSTOMER_SPEND_TREND,
+    "customer_acctbal_by_segment": ORACLE_ACCTBAL_BY_SEGMENT,
+    "supplier_acctbal_extremes": ORACLE_SUPPLIER_ACCTBAL_EXTREMES,
+    "part_price_size_curve": ORACLE_PART_PRICE_SIZE_CURVE,
     "order_line_count_histogram": ORACLE_ORDER_LINE_COUNT_HIST,
     "brand_return_rates": ORACLE_BRAND_RETURN_RATES,
     "promo_part_suppliers": ORACLE_PROMO_PART_SUPPLIERS,

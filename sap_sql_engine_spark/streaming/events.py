@@ -2656,6 +2656,54 @@ ORDER BY week
 """
 
 
+# per-type event-value percentiles: the monetization distribution behind
+# events_hourly_rollup's value_sum — medians and tails per action type.
+# Values quantize to integer cents (floor(v*100 + 0.5)) BEFORE the
+# interpolating percentile so the percentile runs on exactly-represented
+# integers (the repo's percentile class).
+
+
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: event count and p50/p90/p99 of the value column
+    in cents (half-up integer cents; interpolated percentile, emitted
+    2 dp).
+
+    Scale shape: one map-side cents derivation, one |types|-group
+    percentile aggregation."""
+    ev = _events(spark, sf_dir)
+    cents = ev.selectExpr(
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS DOUBLE) AS c",
+    )
+    agg = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("percentile(c, array(0.5D, 0.9D, 0.99D))").alias("p"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.element_at(F.col("p"), 1), 2).alias("p50_cents"),
+        F.round(F.element_at(F.col("p"), 2), 2).alias("p90_cents"),
+        F.round(F.element_at(F.col("p"), 3), 2).alias("p99_cents"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_VALUE_PERCENTILES = """
+WITH cents AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS DOUBLE) AS c
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(c, 0.5), 2) AS p50_cents,
+       round(quantile_cont(c, 0.9), 2) AS p90_cents,
+       round(quantile_cont(c, 0.99), 2) AS p99_cents
+FROM cents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # hourly autocorrelation: does this hour's load predict the next hour's
 # (lag 1), tomorrow's same hour (lag 24), next week's (lag 168)? The
 # time-series diagnostic behind every traffic forecast — computed as
@@ -3075,6 +3123,7 @@ QUERIES = {
     "events_burst_report": q_events_burst_report,
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_hourly_autocorrelation": q_events_hourly_autocorrelation,
+    "events_value_percentiles": q_events_value_percentiles,
     "events_dau_wau_stickiness": q_events_dau_wau_stickiness,
     "events_interarrival_percentiles": q_events_interarrival_percentiles,
     "events_hour_uniformity": q_events_hour_uniformity,
@@ -3111,6 +3160,7 @@ ORACLES = {
     "events_burst_report": ORACLE_BURST_REPORT,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_hourly_autocorrelation": ORACLE_HOURLY_AUTOCORR,
+    "events_value_percentiles": ORACLE_EVENTS_VALUE_PERCENTILES,
     "events_dau_wau_stickiness": ORACLE_DAU_WAU_STICKINESS,
     "events_interarrival_percentiles": ORACLE_INTERARRIVAL,
     "events_hour_uniformity": ORACLE_HOUR_UNIFORMITY,

@@ -462,3 +462,37 @@ def test_events_hourly_autocorrelation_planted(spark, tmp_path):
     assert got[1] == (199, -1.0)
     assert got[24] == (176, 1.0)
     assert got[168] == (32, 1.0)
+
+
+def test_dimension_profile_queries_reconcile(spark, sf_dir):
+    """The four dimension/value profiles reconcile with their base
+    tables and keep their internal orderings (min <= mean <= max,
+    monotone percentiles, extremes ordered)."""
+    from sap_sql_engine_spark.operators import relational
+    from sap_sql_engine_spark.streaming import events as se
+
+    seg = relational.q_customer_acctbal_by_segment(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_customers for r in seg) == n_cust
+    for r in seg:
+        assert 0 <= r.negative_bp <= 10000
+        assert r.min_cents <= r.mean_cents <= r.max_cents
+
+    ext = relational.q_supplier_acctbal_extremes(spark, sf_dir).collect()
+    n_sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert sum(r.n_suppliers for r in ext) == n_sup
+    for r in ext:
+        assert r.richest_cents >= r.poorest_cents
+        assert r.spread_cents == r.richest_cents - r.poorest_cents
+
+    curve = relational.q_part_price_size_curve(spark, sf_dir).collect()
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert sum(r.n_parts for r in curve) == n_parts
+    for r in curve:
+        assert r.min_cents <= r.mean_cents <= r.max_cents
+
+    vp = se.q_events_value_percentiles(spark, sf_dir).collect()
+    n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in vp) == n_ev
+    for r in vp:
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
