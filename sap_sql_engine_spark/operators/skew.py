@@ -276,12 +276,93 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# join-key skew report: the diagnostic you read BEFORE reaching for
+# salted_join or trusting AQE — how concentrated is the fact table on its
+# join key? skew_ratio = max-key rows / mean-key rows (milli): ~1000 means
+# uniform; double digits x 1000 means one reducer owns the join.
+
+
+def q_partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew profile of lineitem's part-side join key: key count,
+    total rows, mean rows/key (milli), p99 and max rows/key, the
+    heaviest key (ties to the lowest key), and the max/mean skew ratio
+    (milli).
+
+    Scale shape: one key-keyed count with map-side combine (the same
+    aggregation any stats collector runs), then two passes over the
+    cached key-count relation — a 1-row global aggregate and the
+    max-key tie-break filter joined back broadcast."""
+    from ..cachereg import cache_eager
+    from ..sources.loader import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    per_key = cache_eager(
+        li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    glob = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.expr("percentile(CAST(cnt AS DOUBLE), 0.99D)").alias("p99d"),
+    )
+    heavy = (
+        per_key.join(
+            F.broadcast(glob.select("max_cnt")),
+            per_key["cnt"] == F.col("max_cnt"),
+        )
+        .agg(F.min("l_partkey").cast("bigint").alias("heaviest_key"))
+    )
+    return (
+        glob.crossJoin(F.broadcast(heavy))  # 1-row x 1-row scalar attach
+        .selectExpr(
+            "n_keys",
+            "n_rows",
+            "CAST(n_rows * 1000 DIV n_keys AS BIGINT) AS mean_cnt_milli",
+            "CAST(round(p99d, 2) AS DOUBLE) AS p99_cnt",
+            "max_cnt",
+            "heaviest_key",
+            "CAST(max_cnt * n_keys * 1000 DIV n_rows AS BIGINT)"
+            " AS skew_ratio_milli",
+        )
+    )
+
+
+ORACLE_PARTKEY_SKEW = """
+WITH per_key AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99d
+  FROM per_key
+),
+heavy AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS heaviest_key
+  FROM per_key, gstats WHERE cnt = max_cnt
+)
+SELECT n_keys,
+       n_rows,
+       CAST(n_rows * 1000 // n_keys AS BIGINT) AS mean_cnt_milli,
+       CAST(round(p99d, 2) AS DOUBLE) AS p99_cnt,
+       max_cnt,
+       heaviest_key,
+       CAST(max_cnt * n_keys * 1000 // n_rows AS BIGINT) AS skew_ratio_milli
+FROM gstats, heavy
+"""
+
+
 QUERIES = {
     "salted_segment_revenue": q_salted_segment_revenue,
     "zorder_layout_stats": q_zorder_layout_stats,
+    "partkey_skew_report": q_partkey_skew_report,
 }
 
 ORACLES = {
     "salted_segment_revenue": ORACLE_SALTED_SEGMENT_REVENUE,
     "zorder_layout_stats": ORACLE_ZORDER_LAYOUT,
+    "partkey_skew_report": ORACLE_PARTKEY_SKEW,
 }

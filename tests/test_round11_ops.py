@@ -496,3 +496,23 @@ def test_dimension_profile_queries_reconcile(spark, sf_dir):
     assert sum(r.n_events for r in vp) == n_ev
     for r in vp:
         assert r.p50_cents <= r.p90_cents <= r.p99_cents
+
+
+def test_partkey_skew_report_identities(spark, sf_dir):
+    """The skew profile reconciles with the fact table: keys x mean =
+    rows (floor), the heaviest key really has max_cnt rows, and the
+    synthetic uniform corpus shows a modest ratio."""
+    from sap_sql_engine_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    r = skew.q_partkey_skew_report(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert r.n_rows == li.count()
+    assert r.n_keys == li.select("l_partkey").distinct().count()
+    actual_max = (
+        li.groupBy("l_partkey").count().agg(F.max("count")).first()[0]
+    )
+    assert r.max_cnt == actual_max
+    heavy_cnt = li.filter(F.col("l_partkey") == r.heaviest_key).count()
+    assert heavy_cnt == r.max_cnt
+    assert r.skew_ratio_milli >= 1000  # max >= mean always
