@@ -741,6 +741,93 @@ ORDER BY corpus_doc
 ORACLE_DEDUP_QUERY_TEXT_PROBE = _oracle_query_text_probe()
 
 
+# --- dup-rate x quality interaction: ARE the near-duplicates the junk?
+# The curation question behind aggressive dedup budgets — if duplication
+# concentrates in the low-quality deciles, dedup and quality filtering
+# overlap and the combined yield is better than either alone predicts.
+# Composes two gated relations (MinHash-banded membership + the
+# quality_expr deciles) into a 10-row interaction report.
+
+
+def q_dup_rate_by_quality_decile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per quality decile (1 = worst, 10 = best; (rank-1)*10 DIV n + 1
+    over with_global_rank — no ntile, no global window): doc count,
+    docs that are a member of ANY MinHash-banded candidate pair, and the
+    membership share (bp).
+
+    Scale shape: the gated minhash pair plan runs once (its banded join,
+    never all-pairs); membership is a distinct over the bounded pair
+    relation, broadcast back onto the deciled docs; deciles are one
+    range exchange over (doc_id, quality)."""
+    from .ranks import with_global_rank
+    from .textanalysis import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_expr().alias("q"))
+    ranked = with_global_rank(
+        scored, "q", "doc_id", rank_col="__r", total_col="__n"
+    )
+    deciled = ranked.selectExpr(
+        "doc_id", "CAST((__r - 1) * 10 DIV __n + 1 AS BIGINT) AS decile"
+    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    members = (
+        pairs.selectExpr("doc1 AS doc_id")
+        .unionByName(pairs.selectExpr("doc2 AS doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        deciled.join(F.broadcast(members), "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(coalesce(is_dup, 0))").cast("bigint").alias("n_dup"),
+        )
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "n_dup",
+            "CAST(n_dup * 10000 DIV n_docs AS BIGINT) AS dup_bp",
+        )
+        .orderBy("decile")
+    )
+
+
+def _oracle_dup_rate_by_quality() -> str:
+    from .textanalysis import O_QUALITY_EXPR
+
+    return f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH}),
+members AS (
+  SELECT doc1 AS doc_id FROM pairs UNION SELECT doc2 FROM pairs
+),
+scored AS (
+  SELECT doc_id, {O_QUALITY_EXPR} AS q FROM documents
+),
+deciled AS (
+  SELECT doc_id,
+         CAST((row_number() OVER (ORDER BY q, doc_id) - 1) * 10
+              // (SELECT count(*) FROM scored) + 1 AS BIGINT) AS decile
+  FROM scored
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) * 10000
+            // count(*) AS BIGINT) AS dup_bp
+FROM deciled d LEFT JOIN members m USING (doc_id)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+ORACLE_DUP_RATE_BY_QUALITY = _oracle_dup_rate_by_quality()
+
+
 # --- index health: band-bucket occupancy. The r10 audio lane measured its
 # candidate join going QUADRATIC when 8-bit band buckets filled up at 5x
 # corpus — this report is that failure mode as a standing observable:
@@ -2851,6 +2938,7 @@ QUERIES = {
     "dedup_band_occupancy": q_dedup_band_occupancy,
     "docs_prefix_dup_clusters": q_docs_prefix_dup_clusters,
     "dedup_band_width_sweep": q_dedup_band_width_sweep,
+    "dup_rate_by_quality_decile": q_dup_rate_by_quality_decile,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "corpus_contamination": q_corpus_contamination,
     "dedup_semantic_verify": q_dedup_semantic_verify,
@@ -2885,6 +2973,7 @@ ORACLES = {
     "dedup_band_occupancy": ORACLE_DEDUP_BAND_OCCUPANCY,
     "docs_prefix_dup_clusters": ORACLE_PREFIX_DUP_CLUSTERS,
     "dedup_band_width_sweep": ORACLE_DEDUP_BAND_WIDTH_SWEEP,
+    "dup_rate_by_quality_decile": ORACLE_DUP_RATE_BY_QUALITY,
     "dedup_neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "corpus_contamination": ORACLE_CONTAMINATION,
     "dedup_semantic_verify": _oracle_semantic_verify(),

@@ -516,3 +516,21 @@ def test_partkey_skew_report_identities(spark, sf_dir):
     heavy_cnt = li.filter(F.col("l_partkey") == r.heaviest_key).count()
     assert heavy_cnt == r.max_cnt
     assert r.skew_ratio_milli >= 1000  # max >= mean always
+
+
+def test_dup_rate_by_quality_decile_partitions_corpus(spark, sf_dir):
+    """Deciles partition the corpus; dup membership never exceeds the
+    decile size; total membership equals the distinct doc set of the
+    gated MinHash pair relation."""
+    from sap_sql_engine_spark.operators import dedup
+
+    rows = dedup.q_dup_rate_by_quality_decile(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert [r.decile for r in rows] == sorted(r.decile for r in rows)
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_docs
+        assert 0 <= r.dup_bp <= 10000
+    pairs = dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    members = {p.doc1 for p in pairs} | {p.doc2 for p in pairs}
+    assert sum(r.n_dup for r in rows) == len(members)
