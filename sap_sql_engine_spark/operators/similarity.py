@@ -880,6 +880,157 @@ FROM embeddings e JOIN cent_arr c ON e.label = c.label
 
 
 # ---------------------------------------------------------------------------
+# class-separation report: the Fisher-style embedding-space health check —
+# per label, how tight the class is (mean distance to its own exact
+# centroid) vs how far the nearest competing centroid sits. A separation
+# ratio near (or under) 1000 milli means the classes overlap and any
+# label-conditioned consumer (centroid-sim QA, the label-KNN eval) is
+# operating on noise. Same exact integer-quantized centroids as
+# q_embedding_outlier; per-row distances quantize to micro BEFORE the
+# cross-row mean so every aggregate is order-free.
+
+
+def q_embedding_separation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per label: vector count, mean distance to own centroid (micro),
+    the nearest OTHER label and its centroid distance (micro; ties to
+    the lexicographically first label), and the between/within
+    separation ratio (milli).
+
+    Scale shape: one posexplode aggregation to |labels| x DIM centroid
+    stats, the corpus pass is a broadcast join + map (the outlier
+    shape); the centroid-pair cross and nearest-competitor window run on
+    the |labels|-row relation — metadata, not data."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum(
+            F.expr(f"CAST(floor(CAST(val AS DOUBLE) * {OUTLIER_Q}) AS BIGINT)")
+        ).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cent_arr = cache_eager(
+        cent.groupBy("label").agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(pos, sq, cnt))), "
+                f"s -> CAST(s.sq AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * {OUTLIER_Q}))"
+            ).alias("centroid")
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, centroid, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    within = (
+        emb.join(F.broadcast(cent_arr), "label")
+        .withColumn(
+            "d_micro",
+            F.floor(F.sqrt(dist) * F.lit(1_000_000)).cast("bigint"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("d_micro").cast("bigint").alias("sd"),
+        )
+        .selectExpr(
+            "label", "n_vecs", "CAST(sd DIV n_vecs AS BIGINT) AS within_mean_micro"
+        )
+    )
+    a = cent_arr.selectExpr("label", "centroid AS ca")
+    b = cent_arr.selectExpr("label AS other_label", "centroid AS cb")
+    cd = F.expr(
+        "aggregate(zip_with(ca, cb, (x, c) -> (x - c) * (x - c)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, F.expr("label != other_label"))
+        .withColumn(
+            "b_micro", F.floor(F.sqrt(cd) * F.lit(1_000_000)).cast("bigint")
+        )
+        .select("label", "other_label", "b_micro")
+    )
+    w = Window.partitionBy("label").orderBy("b_micro", "other_label")
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("other_label").alias("nearest_label"),
+            F.col("b_micro").alias("between_min_micro"),
+        )
+    )
+    return (
+        within.join(nearest, "label")
+        .selectExpr(
+            "label",
+            "n_vecs",
+            "within_mean_micro",
+            "nearest_label",
+            "between_min_micro",
+            "CAST(between_min_micro * 1000 DIV within_mean_micro AS BIGINT)"
+            " AS separation_milli",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_SEPARATION = f"""
+WITH ex AS (
+  SELECT label, i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {OUTLIER_Q}) AS BIGINT) AS q
+  FROM embeddings, range(1, {DIM + 1}) t(i)
+),
+cent AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+  FROM ex GROUP BY label, pos
+),
+cent_arr AS (
+  SELECT label,
+         list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * {OUTLIER_Q}) ORDER BY pos) AS centroid
+  FROM cent GROUP BY label
+),
+within AS (
+  SELECT e.label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(floor(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> (CAST(embedding[i] AS DOUBLE) - centroid[i])
+                 * (CAST(embedding[i] AS DOUBLE) - centroid[i])))) * 1000000)
+              AS BIGINT)) AS BIGINT) AS sd
+  FROM embeddings e JOIN cent_arr c ON e.label = c.label
+  GROUP BY e.label
+),
+pairs AS (
+  SELECT a.label, b.label AS other_label,
+         CAST(floor(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> (a.centroid[i] - b.centroid[i])
+                 * (a.centroid[i] - b.centroid[i])))) * 1000000)
+              AS BIGINT) AS b_micro
+  FROM cent_arr a JOIN cent_arr b ON a.label != b.label
+),
+nearest AS (
+  SELECT label, other_label AS nearest_label, b_micro AS between_min_micro
+  FROM (
+    SELECT label, other_label, b_micro,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY b_micro, other_label) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT w.label,
+       w.n_vecs,
+       CAST(w.sd // w.n_vecs AS BIGINT) AS within_mean_micro,
+       n.nearest_label,
+       n.between_min_micro,
+       CAST(n.between_min_micro * 1000 // (w.sd // w.n_vecs) AS BIGINT)
+         AS separation_milli
+FROM within w JOIN nearest n ON w.label = n.label
+ORDER BY w.label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization: encode + asymmetric-distance (ADC) top-k.
 #
 # PQ is the memory arm of IVF-PQ: each vector compresses to PQ_M 4-bit codes
@@ -3021,6 +3172,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_query_vector_topk": q_ann_query_vector_topk,
+    "embedding_separation_report": q_embedding_separation_report,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
     "embedding_rp_reduce": q_embedding_rp_reduce,
@@ -3051,6 +3203,7 @@ ORACLES = {
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_query_vector_topk": ORACLE_ANN_QUERY_VECTOR,
+    "embedding_separation_report": ORACLE_EMBEDDING_SEPARATION,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,
     "embedding_rp_reduce": ORACLE_EMBEDDING_RP,

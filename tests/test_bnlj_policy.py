@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "logreg_cv_report": "3 CV folds x the same bounded 1-row "
     "weight-vector broadcasts per gradient step (the logreg/Lloyd class) "
     "+ each fold's scoring attach",
+    "embedding_separation_report": "per-label centroid cross "
+    "(|labels|^2, metadata-sized — the source_overlap_minhash class)",
     "hybrid_query_search": "inherits ann_query_vector_topk's 1-row "
     "literal probe (the semantic leg, composed unchanged)",
 }

@@ -534,3 +534,43 @@ def test_dup_rate_by_quality_decile_partitions_corpus(spark, sf_dir):
     pairs = dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
     members = {p.doc1 for p in pairs} | {p.doc2 for p in pairs}
     assert sum(r.n_dup for r in rows) == len(members)
+
+
+def test_embedding_separation_report_planted(spark, tmp_path):
+    """Two tight, well-separated planted clusters: within-mean ~0 (all
+    members at the centroid), nearest label is the other one both ways,
+    and separation is enormous. A third spread-out label has nonzero
+    within-mean."""
+    import pyspark.sql.types as T
+
+    from sap_sql_engine_spark.operators import similarity as sim2
+
+    def vec(base, jitter=0.0):
+        return [float(base + (jitter if i == 0 else 0.0)) for i in range(sim2.DIM)]
+
+    rows = (
+        [(i, vec(0.0), "a") for i in range(4)]
+        + [(10 + i, vec(1.0), "b") for i in range(4)]
+        + [(20, vec(5.0, -0.5), "c"), (21, vec(5.0, 0.5), "c")]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.label: r
+        for r in sim2.q_embedding_separation_report(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].within_mean_micro == 0
+    assert got["a"].nearest_label == "b"
+    assert got["b"].nearest_label == "a"
+    # |a-b| centroid distance = 1 in every dim -> sqrt(64) = 8
+    assert got["a"].between_min_micro == 8_000_000
+    assert got["c"].within_mean_micro == 500_000  # each member 0.5 off dim 0
