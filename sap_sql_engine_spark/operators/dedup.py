@@ -758,9 +758,11 @@ def q_dup_rate_by_quality_decile(
     membership share (bp).
 
     Scale shape: the gated minhash pair plan runs once (its banded join,
-    never all-pairs); membership is a distinct over the bounded pair
-    relation, broadcast back onto the deciled docs; deciles are one
-    range exchange over (doc_id, quality)."""
+    never all-pairs); membership is a distinct over the pair relation
+    joined back on doc_id — a plain key join, NOT a broadcast, because
+    on a duplicate-heavy corpus the member set scales with the corpus
+    (AQE still broadcasts it when small); deciles are one range exchange
+    over (doc_id, quality)."""
     from .ranks import with_global_rank
     from .textanalysis import quality_expr
 
@@ -780,7 +782,7 @@ def q_dup_rate_by_quality_decile(
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        deciled.join(F.broadcast(members), "doc_id", "left")
+        deciled.join(members, "doc_id", "left")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
