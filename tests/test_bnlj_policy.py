@@ -85,6 +85,9 @@ BNLJ_ALLOWED = {
     "(|labels|^2, metadata-sized — the source_overlap_minhash class)",
     "hybrid_query_search": "inherits ann_query_vector_topk's 1-row "
     "literal probe (the semantic leg, composed unchanged)",
+    "partkey_skew_report": "1-row global-stats x 1-row heaviest-key "
+    "scalar attach (both sides single-row aggregates of the cached "
+    "key-count relation)",
 }
 
 
