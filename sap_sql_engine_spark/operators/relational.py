@@ -3971,6 +3971,70 @@ LIMIT {TREND_TOP_N}
 
 
 # ---------------------------------------------------------------------------
+# ship-latency survival curve: the complement-of-CDF at a fixed day grid.
+# priority_ship_latency answers "how long do the p50/p90/p99 lines take";
+# the survival form answers the SLA question "what fraction of lines is
+# STILL unshipped after 7/30/60/90/120 days" — the curve an operations
+# dashboard plots and the discrete-time survival-analysis primitive
+# (S(d) = P[latency > d]), exact integer permille per grid point.
+
+SURV_GRID = (7, 30, 60, 90, 120)
+
+
+def q_orders_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: line count, max latency days, and the
+    survival permille (lines with order-to-ship latency > d, per
+    thousand) at each SURV_GRID day mark. All-integer: counts and
+    integer DIV against the positive line count (FLOATS.md class D).
+
+    Scale shape: ONE orderkey fact-fact join (the same shuffle
+    priority_ship_latency pays), then one 5-group conditional
+    aggregation — the whole survival curve is map-side-combinable
+    conditional counts, no window, no percentile sort."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).selectExpr(
+        "o_orderpriority",
+        "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+        " DIV 86400000000 AS BIGINT) AS d",
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.max("d").cast("bigint").alias("max_days"),
+    ] + [
+        F.expr(
+            f"CAST(sum(CASE WHEN d > {g} THEN 1 ELSE 0 END) * 1000 "
+            f"DIV count(*) AS BIGINT)"
+        ).alias(f"surv{g}_permille")
+        for g in SURV_GRID
+    ]
+    return lat.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+
+
+ORACLE_ORDERS_SHIP_SURVIVAL = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(max(d) AS BIGINT) AS max_days,
+""" + ",\n".join(
+    f"       CAST(sum(CASE WHEN d > {g} THEN 1 ELSE 0 END) * 1000"
+    f" // count(*) AS BIGINT) AS surv{g}_permille"
+    for g in SURV_GRID
+) + """
+FROM lat
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # purchase cadence: percentiles of the gap between a customer's
 # consecutive orders — the replenishment-cycle distribution inventory and
 # win-back campaigns are timed against (the commerce twin of
@@ -5143,6 +5207,7 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "customer_rfm_migration": q_customer_rfm_migration,
     "priority_ship_latency": q_priority_ship_latency,
+    "orders_ship_survival": q_orders_ship_survival,
     "reorder_interval_percentiles": q_reorder_interval_percentiles,
     "customer_spend_trend": q_customer_spend_trend,
     "customer_acctbal_by_segment": q_customer_acctbal_by_segment,
@@ -5230,6 +5295,7 @@ ORACLES = {
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM,
     "customer_rfm_migration": ORACLE_CUSTOMER_RFM_MIGRATION,
     "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
+    "orders_ship_survival": ORACLE_ORDERS_SHIP_SURVIVAL,
     "reorder_interval_percentiles": ORACLE_REORDER_INTERVAL,
     "customer_spend_trend": ORACLE_CUSTOMER_SPEND_TREND,
     "customer_acctbal_by_segment": ORACLE_ACCTBAL_BY_SEGMENT,

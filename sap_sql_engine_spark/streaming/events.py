@@ -3111,7 +3111,330 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# incremental view maintenance: the daily rollup maintained as
+# base-rollup + delta-rollup MERGE, reconciled against an independent
+# full recompute. At 100 TB the full recompute never runs in production —
+# the base rollup is a materialized table computed once, each new
+# ingest partition contributes only its own delta aggregation, and the
+# merge is a same-key (day, type) fold. This query IS the audit job that
+# certifies the incremental path: it runs all three legs and reports,
+# per event type, whether merged == full cell-for-cell.
+
+# mid-day cut: real ingest batches are not day-aligned, so the cut
+# splits one calendar day across base and delta — the merge then has to
+# genuinely FOLD overlapping (day, type) keys, not just union disjoint
+# ones (days_both > 0 is part of what the gate verifies).
+IVM_CUT = "2024-01-21 12:00:00"
+
+
+def q_rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: day coverage of the base (< IVM_CUT) and delta
+    (>= IVM_CUT) daily rollups, the merged totals, the independently
+    recomputed full totals, and the count of (day, type) cells where the
+    merged rollup disagrees with the recompute (0 when IVM holds —
+    asserted by the gate, not assumed).
+
+    Money cells quantize to exact integer cents (DECIMAL(18,2) * 100 AS
+    BIGINT) BEFORE any cross-row sum, so base + delta == full is exact
+    integer arithmetic — no float accumulation order can break the
+    reconciliation (FLOATS.md class A).
+
+    Scale shape: the base and delta legs are each one (day, type)-keyed
+    aggregation — in production they run as separate jobs at different
+    times, which is why the merge is a full-outer join rather than one
+    FILTER-clause aggregation (a single-scan form would verify nothing:
+    merged == full would hold by arithmetic identity). Both rollup
+    relations and the recompute share the (day, type) key, so the two
+    reconcile joins are over day x type bounded relations — metadata
+    next to the fact scans. The final regroup is |types|-sized."""
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "ts",
+    )
+    cut = F.lit(IVM_CUT).cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("cents").cast("bigint").alias("c_b"),
+        )
+    )
+    delta = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_d"),
+            F.sum("cents").cast("bigint").alias("c_d"),
+        )
+    )
+    merged = base.join(delta, ["day", "event_type"], "full_outer").select(
+        "day",
+        "event_type",
+        (F.col("n_b").isNotNull()).cast("bigint").alias("in_base"),
+        (F.col("n_d").isNotNull()).cast("bigint").alias("in_delta"),
+        (F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_m"),
+        (F.coalesce(F.col("c_b"), F.lit(0)) + F.coalesce(F.col("c_d"), F.lit(0)))
+        .cast("bigint")
+        .alias("c_m"),
+    )
+    full = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("cents").cast("bigint").alias("c_f"),
+    )
+    recon = merged.join(full, ["day", "event_type"], "full_outer")
+    return (
+        recon.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                ((F.col("in_base") == 1) & (F.col("in_delta") == 0)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("days_base_only"),
+            F.sum(
+                ((F.col("in_base") == 0) & (F.col("in_delta") == 1)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("days_delta_only"),
+            F.sum(
+                ((F.col("in_base") == 1) & (F.col("in_delta") == 1)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("days_both"),
+            F.sum("n_m").cast("bigint").alias("events_merged"),
+            F.sum("n_f").cast("bigint").alias("events_full"),
+            F.sum("c_m").cast("bigint").alias("cents_merged"),
+            F.sum("c_f").cast("bigint").alias("cents_full"),
+            F.sum(
+                (
+                    F.col("n_m").isNull()
+                    | F.col("n_f").isNull()
+                    | (F.col("n_m") != F.col("n_f"))
+                    | (F.col("c_m") != F.col("c_f"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("mismatch_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ROLLUP_INCREMENTAL_MERGE = f"""
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ts
+  FROM events
+),
+base AS (
+  SELECT day, event_type,
+         CAST(count(*) AS BIGINT) AS n_b, CAST(sum(cents) AS BIGINT) AS c_b
+  FROM ev WHERE ts < TIMESTAMP '{IVM_CUT}' GROUP BY 1, 2
+),
+delta AS (
+  SELECT day, event_type,
+         CAST(count(*) AS BIGINT) AS n_d, CAST(sum(cents) AS BIGINT) AS c_d
+  FROM ev WHERE ts >= TIMESTAMP '{IVM_CUT}' GROUP BY 1, 2
+),
+merged AS (
+  SELECT COALESCE(base.day, delta.day) AS day,
+         COALESCE(base.event_type, delta.event_type) AS event_type,
+         CAST(base.n_b IS NOT NULL AS BIGINT) AS in_base,
+         CAST(delta.n_d IS NOT NULL AS BIGINT) AS in_delta,
+         CAST(COALESCE(n_b, 0) + COALESCE(n_d, 0) AS BIGINT) AS n_m,
+         CAST(COALESCE(c_b, 0) + COALESCE(c_d, 0) AS BIGINT) AS c_m
+  FROM base FULL OUTER JOIN delta
+    ON base.day = delta.day AND base.event_type = delta.event_type
+),
+fullr AS (
+  SELECT day, event_type,
+         CAST(count(*) AS BIGINT) AS n_f, CAST(sum(cents) AS BIGINT) AS c_f
+  FROM ev GROUP BY 1, 2
+),
+recon AS (
+  SELECT COALESCE(merged.event_type, fullr.event_type) AS event_type,
+         in_base, in_delta, n_m, c_m, n_f, c_f
+  FROM merged FULL OUTER JOIN fullr
+    ON merged.day = fullr.day AND merged.event_type = fullr.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CAST(in_base = 1 AND in_delta = 0 AS BIGINT)) AS BIGINT)
+         AS days_base_only,
+       CAST(sum(CAST(in_base = 0 AND in_delta = 1 AS BIGINT)) AS BIGINT)
+         AS days_delta_only,
+       CAST(sum(CAST(in_base = 1 AND in_delta = 1 AS BIGINT)) AS BIGINT)
+         AS days_both,
+       CAST(sum(n_m) AS BIGINT) AS events_merged,
+       CAST(sum(n_f) AS BIGINT) AS events_full,
+       CAST(sum(c_m) AS BIGINT) AS cents_merged,
+       CAST(sum(c_f) AS BIGINT) AS cents_full,
+       CAST(sum(CAST(n_m IS NULL OR n_f IS NULL OR n_m != n_f
+                     OR c_m != c_f AS BIGINT)) AS BIGINT) AS mismatch_days
+FROM recon
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint: WHERE did the traffic level shift? events_anomaly_hours
+# flags individual outlier hours (trailing z-score) and source_psi_drift
+# compares two fixed snapshots; CUSUM is the classic at-most-one-change
+# locator between them — the cumulative sum of deviations from the GLOBAL
+# mean, whose peak |value| sits exactly at the level-shift day (deviations
+# are one-signed before the shift and the other sign after, so |S_d| is
+# maximal at the boundary — Page 1954 / the AMOC estimator). All-integer:
+# counts scale by 1000 against an integer milli-reference, so the
+# cumulative sums are exact on both engines.
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: the CUSUM-estimated changepoint day of the daily
+    event count series. Reference level = GLOBAL mean daily count
+    (milli-events, integer DIV); cusum_d = sum_{i<=d}(c_i * 1000 -
+    ref_milli); the changepoint is the day with max |cusum| (ties ->
+    earliest day), restricted to days with a non-empty post segment.
+    Reports the pre/post mean daily counts (milli) around the cut — the
+    before/after levels the detector found.
+
+    Scale shape: one day-keyed count aggregation compacts the fact table
+    to the BOUNDED daily relation (|days| rows — the adjudicated
+    bounded-relation window class); the ordered rank/cumsum window, the
+    1-row ref attach, the TakeOrderedAndProject changepoint pick, and
+    the 1-row changepoint attach all run on that metadata-sized
+    relation. Divisions only ever see positive operands, so Spark DIV
+    and DuckDB // agree."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_ord = W.orderBy("day")
+    ranked = daily.select(
+        "day",
+        "c",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    glob = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("CAST(sum(c) * 1000 DIV count(*) AS BIGINT)").alias(
+            "ref_milli"
+        ),
+    )
+    scored = ranked.crossJoin(F.broadcast(glob)).select(
+        "day",
+        "c",
+        "rn",
+        "cum",
+        "n_days",
+        "ref_milli",
+        F.expr("abs(cum * 1000 - rn * ref_milli)").cast("bigint").alias(
+            "abs_cusum_milli"
+        ),
+    )
+    cp = (
+        scored.filter(F.col("rn") < F.col("n_days"))
+        .orderBy(F.col("abs_cusum_milli").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("rn").alias("cp_rn"),
+            F.col("abs_cusum_milli").alias("max_abs_cusum_milli"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(cp)).groupBy(
+        "changepoint_day", "max_abs_cusum_milli"
+    ).agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.max("ref_milli").cast("bigint").alias("ref_milli"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn <= cp_rn THEN c END) * 1000 "
+            "DIV max(cp_rn) AS BIGINT)"
+        ).alias("pre_mean_milli"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn > cp_rn THEN c END) * 1000 "
+            "DIV (max(n_days) - max(cp_rn)) AS BIGINT)"
+        ).alias("post_mean_milli"),
+    ).select(
+        "n_days",
+        "ref_milli",
+        "changepoint_day",
+        "max_abs_cusum_milli",
+        "pre_mean_milli",
+        "post_mean_milli",
+    )
+
+
+ORACLE_EVENTS_CUSUM = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT day, c,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+         CAST(sum(c) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM daily
+),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) * 1000 // count(*) AS BIGINT) AS ref_milli
+  FROM ranked
+),
+scored AS (
+  SELECT day, c, rn, cum, n_days, ref_milli,
+         CAST(abs(cum * 1000 - rn * ref_milli) AS BIGINT) AS abs_cusum_milli
+  FROM ranked, gstats
+),
+cp AS (
+  SELECT day AS changepoint_day, rn AS cp_rn,
+         abs_cusum_milli AS max_abs_cusum_milli
+  FROM scored WHERE rn < n_days
+  ORDER BY abs_cusum_milli DESC, day ASC LIMIT 1
+)
+SELECT max(n_days) AS n_days,
+       max(ref_milli) AS ref_milli,
+       changepoint_day,
+       max_abs_cusum_milli,
+       CAST(sum(CASE WHEN rn <= cp_rn THEN c END) * 1000
+            // max(cp_rn) AS BIGINT) AS pre_mean_milli,
+       CAST(sum(CASE WHEN rn > cp_rn THEN c END) * 1000
+            // (max(n_days) - max(cp_rn)) AS BIGINT) AS post_mean_milli
+FROM scored, cp
+GROUP BY changepoint_day, max_abs_cusum_milli
+"""
+
+
 QUERIES = {
+    "rollup_incremental_merge": q_rollup_incremental_merge,
+    "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
     "events_funnel_latency": q_events_funnel_latency,
     "events_lateness_histogram": q_events_lateness_histogram,
@@ -3149,6 +3472,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
+    "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,
     "events_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "events_lateness_histogram": ORACLE_LATENESS_HISTOGRAM,

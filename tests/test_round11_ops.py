@@ -574,3 +574,140 @@ def test_embedding_separation_report_planted(spark, tmp_path):
     # |a-b| centroid distance = 1 in every dim -> sqrt(64) = 8
     assert got["a"].between_min_micro == 8_000_000
     assert got["c"].within_mean_micro == 500_000  # each member 0.5 off dim 0
+
+
+def test_rollup_incremental_merge_planted(spark, tmp_path):
+    """Hand-built IVM reconcile: a base-only day, a day SPLIT by the
+    mid-day IVM_CUT (so the merge folds overlapping keys, not just
+    disjoint unions), and a delta-only day — merged == full exactly,
+    mismatch_days 0, and the day-coverage columns land as computed."""
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = [
+        # click: base-only day (Jan 17)
+        (0, "2024-01-17 10:00:00", 1, "click", 1.00, "{}"),
+        (1, "2024-01-17 11:00:00", 2, "click", 2.00, "{}"),
+        # click: Jan 21 split by the 12:00 cut -> in base AND delta
+        (2, "2024-01-21 10:00:00", 3, "click", 3.00, "{}"),
+        (3, "2024-01-21 13:00:00", 4, "click", 4.00, "{}"),
+        # click: delta-only day (Jan 22)
+        (4, "2024-01-22 09:00:00", 5, "click", 5.00, "{}"),
+        # view: delta-only day
+        (5, "2024-01-21 14:00:00", 6, "view", 1.50, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in se.q_rollup_incremental_merge(spark, str(tmp_path)).collect()
+    }
+    click = got["click"]
+    assert (
+        click.n_days, click.days_base_only, click.days_delta_only,
+        click.days_both,
+    ) == (3, 1, 1, 1)
+    assert (click.events_merged, click.events_full) == (5, 5)
+    assert (click.cents_merged, click.cents_full) == (1500, 1500)
+    assert click.mismatch_days == 0
+    view = got["view"]
+    assert (
+        view.n_days, view.days_base_only, view.days_delta_only,
+        view.days_both, view.events_merged, view.cents_merged,
+        view.mismatch_days,
+    ) == (1, 0, 1, 0, 1, 150, 0)
+
+
+def test_events_cusum_changepoint_planted(spark, tmp_path):
+    """A clean level shift (2 events/day for 10 days, then 5/day for
+    10 days) peaks |CUSUM| exactly at the last pre-shift day: global
+    mean 3.5/day, cusum day 10 = 20*1000 - 10*3500 = -15000, and the
+    pre/post means recover the two planted levels exactly."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    for day in range(20):
+        for k in range(2 if day < 10 else 5):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, minutes=k), 7,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = se.q_events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_days == 20
+    assert r.ref_milli == 3500
+    assert r.changepoint_day == "2024-03-10"
+    assert r.max_abs_cusum_milli == 15000
+    assert r.pre_mean_milli == 2000
+    assert r.post_mean_milli == 5000
+
+
+def test_orders_ship_survival_planted(spark, tmp_path):
+    """Hand-computed survival grid: latencies 5/40/100 days give
+    666/666/333/333/0 permille at the 7/30/60/90/120 marks (integer
+    DIV), and a single d=8 line survives only the 7-day mark."""
+    from sap_sql_engine_spark.operators import relational
+
+    orders = [
+        (1, "1-URGENT", "2024-01-01"),
+        (2, "2-HIGH", "2024-02-01"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_orderdate string"
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines = [
+        (1, "2024-01-06"),   # d = 5
+        (1, "2024-02-10"),   # d = 40
+        (1, "2024-04-10"),   # d = 100
+        (2, "2024-02-09"),   # d = 8
+    ]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS DATE) AS l_shipdate"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.o_orderpriority: r
+        for r in relational.q_orders_ship_survival(spark, str(tmp_path)).collect()
+    }
+    u = got["1-URGENT"]
+    assert (u.n_lines, u.max_days) == (3, 100)
+    assert (
+        u.surv7_permille, u.surv30_permille, u.surv60_permille,
+        u.surv90_permille, u.surv120_permille,
+    ) == (666, 666, 333, 333, 0)
+    h = got["2-HIGH"]
+    assert (h.n_lines, h.max_days) == (1, 8)
+    assert (h.surv7_permille, h.surv30_permille) == (1000, 0)
+
+
+def test_orders_ship_survival_monotone(spark, sf_dir):
+    """On the real corpus the survival curve is non-increasing across
+    the day grid and bounded by [0, 1000] permille."""
+    from sap_sql_engine_spark.operators import relational
+
+    for r in relational.q_orders_ship_survival(spark, sf_dir).collect():
+        curve = [
+            r.surv7_permille, r.surv30_permille, r.surv60_permille,
+            r.surv90_permille, r.surv120_permille,
+        ]
+        assert all(1000 >= a >= b >= 0 for a, b in zip(curve, curve[1:]))
