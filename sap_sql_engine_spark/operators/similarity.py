@@ -812,6 +812,165 @@ ORACLE_ANN_QUERY_VECTOR = _oracle_query_vector()
 
 
 # ---------------------------------------------------------------------------
+# filtered ANN serving: top-K *among rows matching a metadata predicate*.
+# Real vector serving is almost never unfiltered ("nearest docs in
+# English", "nearest products in stock"); the two industry strategies
+# trade recall against index reuse:
+#   prefilter  — apply the predicate first, search only survivors
+#                (exact here: the filtered ground truth);
+#   postfilter — run the UNfiltered index probe, over-fetch EXPAND x K
+#                candidates, then filter (reuses the index untouched but
+#                can come up short when the predicate is selective — the
+#                classic filtered-ANN failure mode).
+# This query serves the out-of-corpus literal probe BOTH ways so the gap
+# is observable as data (missing ranks / differing ids), not prose.
+
+FILT_LABEL = 3
+FILT_EXPAND = 3
+
+
+def q_ann_filtered_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-K for the out-of-corpus query vector, label ==
+    FILT_LABEL, answered by both strategies: rows are (strategy, rank,
+    vec_id, label, cosine) with 'prefilter_exact' the filtered exact
+    truth and 'postfilter_ivf' the frozen-codebook IVF probe over-fetched
+    to TOPK*FILT_EXPAND global candidates before the label filter (may
+    emit < TOPK rows — that shortfall is the finding).
+
+    Scale shape: the prefilter leg is a predicate-pushed scan (the label
+    filter reaches the parquet reader) + exact cosine against the 1-row
+    broadcast probe; the postfilter leg reuses q_ann_query_vector_topk's
+    plan (narrow assignment map, N_PROBE/N_LISTS candidate join) with
+    the filter applied to the <= TOPK*EXPAND-row candidate list. The
+    rank window runs on the bounded union of the two top lists."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = (
+        spark.range(1)
+        .select(F.expr(_ooc_vec_literal_spark()).alias("embedding"))
+        .withColumn("d", F.expr(_ivf_dist_expr()))
+        .select(
+            F.col("embedding").alias("qe"),
+            F.expr(_probe_ids_expr(N_PROBE)).alias("probe_ids"),
+        )
+    )
+    pre = (
+        emb.filter(F.col("label") == FILT_LABEL)
+        .crossJoin(F.broadcast(q.select("qe")))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+        .withColumn("strategy", F.lit("prefilter_exact"))
+    )
+    assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
+    )
+    cand_top = (
+        assigned.join(
+            F.broadcast(q), F.expr("array_contains(probe_ids, list_id)")
+        )
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK * FILT_EXPAND)
+    )
+    post = (
+        cand_top.filter(F.col("label") == FILT_LABEL)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+        .withColumn("strategy", F.lit("postfilter_ivf"))
+    )
+    both = pre.unionByName(post)
+    w = Window.partitionBy("strategy").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        both.select(
+            "strategy",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "vec_id",
+            "label",
+            "cosine",
+        )
+        .orderBy("strategy", "rank")
+    )
+
+
+def _oracle_filtered_query() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+labeled AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+             (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+    FROM embeddings, cent
+  )
+),
+q AS (
+  SELECT qe,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (qe[i] - c[i]) * (qe[i] - c[i])))) AS qd
+  FROM (SELECT {_ooc_vec_literal_duck()} AS qe), cent
+),
+probe AS (
+  SELECT CAST(j AS BIGINT) AS pid
+  FROM q, range(1, {N_LISTS + 1}) t(j)
+  ORDER BY qd[j], j
+  LIMIT {N_PROBE}
+),
+pre AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         round({_o_cos("embedding", "qe")}, 6) AS cosine
+  FROM embeddings, q
+  WHERE label = {FILT_LABEL}
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT {TOPK}
+),
+cand_top AS (
+  SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+         round({_o_cos("a.embedding", "qe")}, 6) AS cosine
+  FROM labeled a, q
+  WHERE a.list_id IN (SELECT pid FROM probe)
+  ORDER BY cosine DESC, a.vec_id ASC
+  LIMIT {TOPK * FILT_EXPAND}
+),
+post AS (
+  SELECT vec_id, label, cosine
+  FROM cand_top
+  WHERE label = {FILT_LABEL}
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT {TOPK}
+),
+unioned AS (
+  SELECT 'prefilter_exact' AS strategy, vec_id, label, cosine FROM pre
+  UNION ALL
+  SELECT 'postfilter_ivf' AS strategy, vec_id, label, cosine FROM post
+)
+SELECT strategy,
+       CAST(row_number() OVER (PARTITION BY strategy
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, label, cosine
+FROM unioned
+ORDER BY strategy, rank
+"""
+
+
+ORACLE_ANN_FILTERED_QUERY = _oracle_filtered_query()
+
+
+# ---------------------------------------------------------------------------
 # embedding outlier score: L2 distance to the label centroid
 #
 # The standard embedding-space QA pass (mislabeled/corrupted vectors sit far
@@ -3172,6 +3331,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_query_vector_topk": q_ann_query_vector_topk,
+    "ann_filtered_query_topk": q_ann_filtered_query_topk,
     "embedding_separation_report": q_embedding_separation_report,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
@@ -3203,6 +3363,7 @@ ORACLES = {
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_query_vector_topk": ORACLE_ANN_QUERY_VECTOR,
+    "ann_filtered_query_topk": ORACLE_ANN_FILTERED_QUERY,
     "embedding_separation_report": ORACLE_EMBEDDING_SEPARATION,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,

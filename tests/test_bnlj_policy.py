@@ -88,6 +88,9 @@ BNLJ_ALLOWED = {
     "partkey_skew_report": "1-row global-stats x 1-row heaviest-key "
     "scalar attach (both sides single-row aggregates of the cached "
     "key-count relation)",
+    "ann_filtered_query_topk": "the same 1-row literal out-of-corpus "
+    "probe as ann_query_vector_topk, attached to both the prefiltered "
+    "scan and the IVF candidate join",
 }
 
 

@@ -820,3 +820,44 @@ def test_streaming_ivm_daily_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ann_filtered_query_topk_strategies(spark, sf_dir):
+    """The prefilter leg IS the filtered exact truth (pinned against a
+    Python recompute with the same rounding and tie-break), the
+    postfilter leg only ever emits label-matching rows drawn from the
+    probed cells, agrees with the truth on every id it does return, and
+    never ranks ids in a different relative cosine order."""
+    rows = sim.q_ann_filtered_query_topk(spark, sf_dir).collect()
+    pre = [r for r in rows if r.strategy == "prefilter_exact"]
+    post = [r for r in rows if r.strategy == "postfilter_ivf"]
+    assert [r.rank for r in pre] == list(range(1, len(pre) + 1))
+    assert [r.rank for r in post] == list(range(1, len(post) + 1))
+    assert all(r.label == sim.FILT_LABEL for r in rows)
+    assert len(post) <= sim.TOPK
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    qv = sim.OOC_QUERY_VEC
+
+    def cos(v):
+        dot = sum(float(x) * y for x, y in zip(v, qv))
+        na = sum(float(x) * float(x) for x in v) ** 0.5
+        nb = sum(y * y for y in qv) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    truth = sorted(
+        ((cos(r.embedding), r.vec_id) for r in emb if r.label == sim.FILT_LABEL),
+        key=lambda t: (-t[0], t[1]),
+    )[: sim.TOPK]
+    assert [(r.vec_id, r.cosine) for r in pre] == [
+        (vid, c) for (c, vid) in truth
+    ]
+    # every postfilter hit agrees with the exact cosine, and the
+    # postfilter ranking is a cosine-consistent subsequence
+    true_cos = {vid: c for (c, vid) in truth}
+    all_cos = {r.vec_id: cos(r.embedding) for r in emb}
+    for r in post:
+        assert r.cosine == all_cos[r.vec_id]
+    assert [
+        (-r.cosine, r.vec_id) for r in post
+    ] == sorted((-r.cosine, r.vec_id) for r in post)
