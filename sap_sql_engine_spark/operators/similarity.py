@@ -1337,6 +1337,111 @@ ORACLE_ANN_PQ = _oracle_pq()
 
 
 # ---------------------------------------------------------------------------
+# PQ codebook health: per-subspace code occupancy. ivf_cell_balance
+# watches the coarse quantizer; this is the same observable one level
+# down — a subspace whose vectors pile onto few codes quantizes badly
+# (high ADC distortion) and signals a stale/undertrained sub-codebook.
+# The reconstruction-error twin is embedding_sq8_error; this one is the
+# OCCUPANCY report an index operator alerts on.
+
+
+def q_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per PQ subspace: codes used (of PQ_K), total encoded vectors,
+    min/max code load, the most-loaded code (0-based, ties -> lowest
+    id, matching pq_code display), and max-load vs the uniform load in
+    milli (PQ_K * max_load / n — 1000 = perfectly balanced).
+
+    Scale shape: encode is the same zero-shuffle map pass q_ann_pq_adc
+    pays (at ingest, once); the explode emits PQ_M small ints per row
+    ahead of one (m, code)-keyed count with map-side combine, and every
+    downstream relation is bounded by PQ_M x PQ_K (<= 128 rows)."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    sub = emb.select(
+        F.posexplode(F.expr(_pq_codes_expr())).alias("m", "code")
+    )
+    per = sub.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    stats = per.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.min("cnt").cast("bigint").alias("min_load"),
+        F.max("cnt").cast("bigint").alias("max_load"),
+    )
+    heavy = (
+        per.join(stats.select("m", "max_load"), "m")
+        .filter(F.col("cnt") == F.col("max_load"))
+        .groupBy("m")
+        .agg(F.min("code").cast("bigint").alias("top_code1"))
+    )
+    return (
+        stats.join(heavy, "m")
+        .selectExpr(
+            "CAST(m AS BIGINT) AS subspace",
+            "codes_used",
+            "n_vecs",
+            "min_load",
+            "max_load",
+            "CAST(top_code1 - 1 AS BIGINT) AS top_code",
+            f"CAST(max_load * {PQ_K} * 1000 DIV n_vecs AS BIGINT)"
+            " AS skew_vs_uniform_milli",
+        )
+        .orderBy("subspace")
+    )
+
+
+def _oracle_pq_balance() -> str:
+    books = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in book
+        ) + "]"
+        for book in CODEBOOKS
+    ) + "]"
+    sub_d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i -> "
+        f"(CAST(embedding[(m) * {PQ_SUBDIM} + i] AS DOUBLE) - c[i]) * "
+        f"(CAST(embedding[(m) * {PQ_SUBDIM} + i] AS DOUBLE) - c[i])))"
+    )
+    x_d2 = f"list_transform(cb[m + 1], c -> {sub_d2})"
+    return f"""
+WITH books AS (SELECT {books} AS cb),
+coded AS (
+  SELECT list_transform(range(0, {PQ_M}), m ->
+           list_position({x_d2}, list_min({x_d2}))) AS codes
+  FROM embeddings, books
+),
+sub AS (
+  SELECT CAST(m AS BIGINT) AS m, codes[m + 1] AS code
+  FROM coded, range(0, {PQ_M}) t(m)
+),
+per AS (
+  SELECT m, code, CAST(count(*) AS BIGINT) AS cnt FROM sub GROUP BY 1, 2
+),
+stats AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS codes_used,
+         CAST(sum(cnt) AS BIGINT) AS n_vecs,
+         CAST(min(cnt) AS BIGINT) AS min_load,
+         CAST(max(cnt) AS BIGINT) AS max_load
+  FROM per GROUP BY 1
+),
+heavy AS (
+  SELECT per.m, CAST(min(code) AS BIGINT) AS top_code1
+  FROM per JOIN stats ON per.m = stats.m AND per.cnt = stats.max_load
+  GROUP BY 1
+)
+SELECT stats.m AS subspace, codes_used, n_vecs, min_load, max_load,
+       CAST(top_code1 - 1 AS BIGINT) AS top_code,
+       CAST(max_load * {PQ_K} * 1000 // n_vecs AS BIGINT)
+         AS skew_vs_uniform_milli
+FROM stats JOIN heavy ON stats.m = heavy.m
+ORDER BY 1
+"""
+
+
+ORACLE_PQ_CODE_BALANCE = _oracle_pq_balance()
+
+
+# ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random projection: distance-preserving reduction
 
 RP_DIM = 32  # 64 -> 32: 2x compression, pairwise-cosine distortion ~1/sqrt(32)
@@ -3332,6 +3437,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_query_vector_topk": q_ann_query_vector_topk,
     "ann_filtered_query_topk": q_ann_filtered_query_topk,
+    "pq_code_balance": q_pq_code_balance,
     "embedding_separation_report": q_embedding_separation_report,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
@@ -3364,6 +3470,7 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_query_vector_topk": ORACLE_ANN_QUERY_VECTOR,
     "ann_filtered_query_topk": ORACLE_ANN_FILTERED_QUERY,
+    "pq_code_balance": ORACLE_PQ_CODE_BALANCE,
     "embedding_separation_report": ORACLE_EMBEDDING_SEPARATION,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,

@@ -861,3 +861,38 @@ def test_ann_filtered_query_topk_strategies(spark, sf_dir):
     assert [
         (-r.cosine, r.vec_id) for r in post
     ] == sorted((-r.cosine, r.vec_id) for r in post)
+
+
+def test_pq_code_balance_planted(spark, tmp_path):
+    """Vectors planted ON codebook centroids encode with distance 0 to
+    known codes: two copies of every subspace's row-0 centroid and one
+    of row 1 give loads {code0: 2, code1: 1} in every subspace —
+    codes_used 2, top_code 0, skew 2*16*1000 DIV 3 = 10666."""
+    v_row0 = [w for book in sim.CODEBOOKS for w in book[0]]
+    v_row1 = [w for book in sim.CODEBOOKS for w in book[1]]
+    rows = [(1, v_row0, 0), (2, v_row0, 0), (3, v_row1, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = sim.q_pq_code_balance(spark, str(tmp_path)).collect()
+    assert len(got) == sim.PQ_M
+    for r in got:
+        assert (
+            r.codes_used, r.n_vecs, r.min_load, r.max_load, r.top_code,
+            r.skew_vs_uniform_milli,
+        ) == (2, 3, 1, 2, 0, 10666)
+
+
+def test_pq_code_balance_identities(spark, sf_dir):
+    """Corpus invariants: one row per subspace, every row accounts for
+    every vector, codes_used <= PQ_K, and the skew ratio is >= 1000
+    (max load can never undercut the uniform load)."""
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = sim.q_pq_code_balance(spark, sf_dir).collect()
+    assert [r.subspace for r in rows] == list(range(sim.PQ_M))
+    for r in rows:
+        assert r.n_vecs == n
+        assert 1 <= r.codes_used <= sim.PQ_K
+        assert r.min_load <= r.max_load
+        assert 0 <= r.top_code < sim.PQ_K
+        assert r.skew_vs_uniform_milli >= 1000

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from sap_sql_engine_spark import cachereg
 from sap_sql_engine_spark.operators import graph, relational
 from sap_sql_engine_spark.session import get_spark
+from sap_sql_engine_spark.streaming import events as streaming_events
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -53,6 +54,19 @@ QUERIES = {
     # on the bounded <=|nations|^2 cached edge relation, so k× facts
     # should cost ~k× on the edge build and nothing on the rounds
     "trade_lpa_communities": graph.QUERIES["trade_lpa_communities"],
+    # r11 additions: the survival curve pays the same fact-fact orderkey
+    # join as the latency percentiles; the IVM reconcile pays three
+    # events scans (base/delta/full) whose rollup joins stay bounded at
+    # days x types; CUSUM compacts the fact table to the bounded daily
+    # relation in one aggregation, so k× facts should cost ~k× on that
+    # single pass and nothing on the windowed tail
+    "orders_ship_survival": relational.QUERIES["orders_ship_survival"],
+    "rollup_incremental_merge": streaming_events.QUERIES[
+        "rollup_incremental_merge"
+    ],
+    "events_cusum_changepoint": streaming_events.QUERIES[
+        "events_cusum_changepoint"
+    ],
 }
 
 
@@ -83,6 +97,24 @@ def build_scaled_warehouse(spark, factor: int, dst_dir: str) -> int:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
         n_facts += spark.read.parquet(f"{dst_dir}/{t}.parquet").count()
+    # events: replicate with event_id offsets; ts normalized to plain
+    # TIMESTAMP micros on read (the queries' _normalize_ts passes it
+    # through unchanged), user/type columns kept so per-user and
+    # per-type densities grow k× — the real ingest-growth shape
+    base_ev = streaming_events._events(spark, BASE_SF_DIR)
+    ev_parts = []
+    for k in range(factor):
+        ev_parts.append(
+            base_ev.select(
+                (F.col("event_id") + F.lit(k * KEY_STRIDE)).alias("event_id"),
+                "ts", "user_id", "event_type", "value", "props",
+            )
+        )
+    ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev = ev.unionByName(p)
+    ev.write.mode("overwrite").parquet(f"{dst_dir}/events.parquet")
+    n_facts += spark.read.parquet(f"{dst_dir}/events.parquet").count()
     return n_facts
 
 
