@@ -3496,7 +3496,110 @@ GROUP BY changepoint_day, max_abs_cusum_milli
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B experiment readout: the two-proportion lift report every product
+# experiment ends in. Arms are a deterministic hash of the unit of
+# randomization (user_id parity here — at 100 TB you'd bucket a salted
+# hash, same shape); the metric is click -> later purchase conversion.
+# The z statistic is emitted as z^2 in milli, derived in EXACT integer
+# arithmetic: z^2 = (cA*nB - cB*nA)^2 * N / (nA*nB*C*(N-C)) — every
+# factor is a count, so both engines agree bit-for-bit with the
+# DECIMAL(38,0)/HUGEINT accumulation convention (FLOATS.md class D; no
+# sqrt, no float division anywhere).
+
+
+def q_events_ab_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row A/B report: per arm the exposed users (>= 1 click),
+    converters (a purchase strictly after their first click), exact
+    conversion permille, the lift in permille points, and the pooled
+    two-proportion z^2 in milli (z^2 >= 3841 ~ p < 0.05 two-sided).
+
+    Scale shape: ONE user-keyed aggregation computes first-click and
+    last-purchase per user (map-side combined), the arm regroup is
+    2 rows, and the final report is a 1-row x 1-row fold of the two
+    arm rows via conditional aggregation — no joins at all."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("min(ts) FILTER (WHERE event_type = 'click')").alias("fc"),
+        F.expr("max(ts) FILTER (WHERE event_type = 'purchase')").alias("lp"),
+    )
+    arms = (
+        per_user.filter(F.col("fc").isNotNull())
+        .selectExpr(
+            "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm",
+            "CASE WHEN lp IS NOT NULL AND lp > fc THEN 1 ELSE 0 END AS conv",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("c"),
+        )
+    )
+    return arms.agg(
+        F.expr("sum(n) FILTER (WHERE arm = 'A')").cast("bigint").alias("na"),
+        F.expr("sum(c) FILTER (WHERE arm = 'A')").cast("bigint").alias("ca"),
+        F.expr("sum(n) FILTER (WHERE arm = 'B')").cast("bigint").alias("nb"),
+        F.expr("sum(c) FILTER (WHERE arm = 'B')").cast("bigint").alias("cb"),
+    ).selectExpr(
+        "na AS exposed_a",
+        "ca AS converted_a",
+        "nb AS exposed_b",
+        "cb AS converted_b",
+        "CAST(ca * 1000 DIV na AS BIGINT) AS conv_a_permille",
+        "CAST(cb * 1000 DIV nb AS BIGINT) AS conv_b_permille",
+        "CAST(ca * 1000 DIV na - cb * 1000 DIV nb AS BIGINT)"
+        " AS lift_permille",
+        "CAST(CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN 0 "
+        "ELSE CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na END "
+        "* CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN 0 "
+        "ELSE CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na END "
+        "* (na + nb) * 1000 DIV "
+        "GREATEST(CAST(na AS DECIMAL(38,0)) * nb * (ca + cb) * (na + nb - ca - cb), 1) "
+        "AS BIGINT) AS z2_milli",
+    )
+
+
+ORACLE_EVENTS_AB_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'click') AS fc,
+         max(ts) FILTER (WHERE event_type = 'purchase') AS lp
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lp IS NOT NULL AND lp > fc THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM per_user WHERE fc IS NOT NULL GROUP BY 1
+),
+folded AS (
+  SELECT CAST(sum(n) FILTER (WHERE arm = 'A') AS BIGINT) AS na,
+         CAST(sum(c) FILTER (WHERE arm = 'A') AS BIGINT) AS ca,
+         CAST(sum(n) FILTER (WHERE arm = 'B') AS BIGINT) AS nb,
+         CAST(sum(c) FILTER (WHERE arm = 'B') AS BIGINT) AS cb
+  FROM arms
+)
+SELECT na AS exposed_a,
+       ca AS converted_a,
+       nb AS exposed_b,
+       cb AS converted_b,
+       CAST(ca * 1000 // na AS BIGINT) AS conv_a_permille,
+       CAST(cb * 1000 // nb AS BIGINT) AS conv_b_permille,
+       CAST(ca * 1000 // na - cb * 1000 // nb AS BIGINT) AS lift_permille,
+       CAST(CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN 0
+            ELSE CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na END
+            * CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN 0
+            ELSE CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na END
+            * (na + nb) * 1000 //
+            GREATEST(CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb), 1)
+            AS BIGINT) AS z2_milli
+FROM folded
+"""
+
+
 QUERIES = {
+    "events_ab_lift_report": q_events_ab_lift_report,
     "rollup_incremental_merge": q_rollup_incremental_merge,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
@@ -3536,6 +3639,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
     "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,

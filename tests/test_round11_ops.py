@@ -896,3 +896,35 @@ def test_pq_code_balance_identities(spark, sf_dir):
         assert r.min_load <= r.max_load
         assert 0 <= r.top_code < sim.PQ_K
         assert r.skew_vs_uniform_milli >= 1000
+
+
+def test_events_ab_lift_report_planted(spark, tmp_path):
+    """Hand-computed two-proportion readout: arm A (even user_ids)
+    converts 2/2, arm B 0/2 — one B user's purchase PRECEDES its first
+    click (ordering matters), a purchase-only user is never exposed.
+    z^2 = (2*2-0*2)^2 * 4 * 1000 / (2*2*2*(4-2)) = 4000 milli (z = 2)."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    t = lambda h: dt.datetime(2024, 3, 1, h)
+    rows = [
+        # arm A converters
+        (0, t(1), 2, "click", 1.0, "{}"), (1, t(2), 2, "purchase", 9.0, "{}"),
+        (2, t(1), 4, "click", 1.0, "{}"), (3, t(3), 4, "purchase", 9.0, "{}"),
+        # arm B: purchase BEFORE the first click -> not a conversion
+        (4, t(2), 1, "click", 1.0, "{}"), (5, t(1), 1, "purchase", 9.0, "{}"),
+        # arm B: click only
+        (6, t(1), 3, "click", 1.0, "{}"),
+        # never clicked -> not exposed, excluded from both arms
+        (7, t(1), 6, "purchase", 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = se.q_events_ab_lift_report(spark, str(tmp_path)).collect()[0]
+    assert (r.exposed_a, r.converted_a, r.exposed_b, r.converted_b) == (2, 2, 2, 0)
+    assert (r.conv_a_permille, r.conv_b_permille, r.lift_permille) == (1000, 0, 1000)
+    assert r.z2_milli == 4000
