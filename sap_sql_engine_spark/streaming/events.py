@@ -3598,8 +3598,101 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing: the classic two-parameter
+# forecaster between the naive baselines (events_seasonal_naive_error)
+# and a real model. The recurrence is inherently sequential — the
+# engine-honest shape is ONE day-keyed compaction of the fact table,
+# then a strictly-ordered fold over the BOUNDED daily array (Spark
+# ``aggregate`` HOF == DuckDB recursive CTE, identical op order).
+# alpha = beta = 1/2 keeps every level/trend value an exact dyadic
+# rational (multiplying by 0.5 and adding doubles of bounded fraction
+# depth is exact at this magnitude), so the fold is deterministic
+# cross-engine even before the milli quantization (FLOATS.md class B —
+# and stronger: the state stays exactly representable).
+
+
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: Holt's linear-trend smoothing (alpha = beta =
+    0.5) over the daily event counts — final level/trend, the one-step
+    forecast for the next day, and the in-sample one-step-ahead SSE
+    (all milli, floor-quantized at the output boundary). Init: level =
+    x2, trend = x2 - x1; iterate t = 3..n with pred = l + b, err = x_t
+    - pred, l' = x_t/2 + (l+b)/2, b' = (l'-l)/2 + b/2.
+
+    Scale shape: the fact table compacts to the bounded |days| relation
+    in one map-side-combined aggregation; the ordered collect and the
+    sequential fold run on that metadata-sized array (the adjudicated
+    bounded-relation class). No shuffle grows with the corpus."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    arr = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))), "
+            "s -> CAST(s.c AS DOUBLE))"
+        ).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    lp = "(acc.l + acc.b)"
+    lnew = f"(0.5D * x + 0.5D * {lp})"
+    fold = (
+        f"aggregate(slice(a, 3, CAST(greatest(n_days - 2, 0) AS INT)), "
+        f"named_struct('l', element_at(a, 2), "
+        f"'b', element_at(a, 2) - element_at(a, 1), 'sse', 0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lnew}, "
+        f"'b', 0.5D * ({lnew} - acc.l) + 0.5D * acc.b, "
+        f"'sse', acc.sse + (x - {lp}) * (x - {lp})))"
+    )
+    return arr.withColumn("st", F.expr(fold)).selectExpr(
+        "n_days",
+        "CAST(floor(st.l * 1000) AS BIGINT) AS level_milli",
+        "CAST(floor(st.b * 1000) AS BIGINT) AS trend_milli",
+        "CAST(floor((st.l + st.b) * 1000) AS BIGINT) AS forecast_next_milli",
+        "CAST(floor(st.sse * 1000) AS BIGINT) AS sse_milli",
+    )
+
+
+ORACLE_EVENTS_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+         CAST(c AS DOUBLE) AS x
+  FROM daily
+),
+it AS (
+  SELECT CAST(2 AS BIGINT) AS t,
+         (SELECT x FROM ranked WHERE rn = 2) AS l,
+         (SELECT x FROM ranked WHERE rn = 2)
+           - (SELECT x FROM ranked WHERE rn = 1) AS b,
+         CAST(0 AS DOUBLE) AS sse
+  UNION ALL
+  SELECT it.t + 1,
+         0.5 * r.x + 0.5 * (it.l + it.b),
+         0.5 * ((0.5 * r.x + 0.5 * (it.l + it.b)) - it.l) + 0.5 * it.b,
+         it.sse + (r.x - (it.l + it.b)) * (r.x - (it.l + it.b))
+  FROM it JOIN ranked r ON r.rn = it.t + 1
+)
+SELECT (SELECT max(rn) FROM ranked) AS n_days,
+       CAST(floor(l * 1000) AS BIGINT) AS level_milli,
+       CAST(floor(b * 1000) AS BIGINT) AS trend_milli,
+       CAST(floor((l + b) * 1000) AS BIGINT) AS forecast_next_milli,
+       CAST(floor(sse * 1000) AS BIGINT) AS sse_milli
+FROM it WHERE t = (SELECT max(rn) FROM ranked)
+"""
+
+
 QUERIES = {
     "events_ab_lift_report": q_events_ab_lift_report,
+    "events_holt_forecast": q_events_holt_forecast,
     "rollup_incremental_merge": q_rollup_incremental_merge,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
@@ -3640,6 +3733,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
+    "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
     "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,

@@ -928,3 +928,45 @@ def test_events_ab_lift_report_planted(spark, tmp_path):
     assert (r.exposed_a, r.converted_a, r.exposed_b, r.converted_b) == (2, 2, 2, 0)
     assert (r.conv_a_permille, r.conv_b_permille, r.lift_permille) == (1000, 0, 1000)
     assert r.z2_milli == 4000
+
+
+def test_events_holt_forecast_planted(spark, tmp_path):
+    """Hand-run recurrence: daily counts [10, 12, 20] -> init l=12 b=2;
+    step: pred 14, err 6 (sse 36), l'=17, b'=3.5 -> report 17000/3500/
+    20500/36000 milli. A perfectly linear series in a second fixture
+    tracks with zero error."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    def write(counts, path):
+        rows = []
+        eid = 0
+        for d, c in enumerate(counts):
+            for k in range(c):
+                rows.append(
+                    (eid, dt.datetime(2024, 3, 1 + d, 6, k), 1, "click",
+                     1.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    write([10, 12, 20], tmp_path)
+    r = se.q_events_holt_forecast(spark, str(tmp_path)).collect()[0]
+    assert (
+        r.n_days, r.level_milli, r.trend_milli, r.forecast_next_milli,
+        r.sse_milli,
+    ) == (3, 17000, 3500, 20500, 36000)
+
+    lin = tmp_path / "lin"
+    lin.mkdir()
+    write([10, 12, 14, 16], lin)
+    r = se.q_events_holt_forecast(spark, str(lin)).collect()[0]
+    assert (
+        r.n_days, r.level_milli, r.trend_milli, r.forecast_next_milli,
+        r.sse_milli,
+    ) == (4, 16000, 2000, 18000, 0)

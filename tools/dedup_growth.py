@@ -59,6 +59,11 @@ QUERIES = {
     # occupancy report (one signature pass + one (band, sig) aggregation)
     "dedup_query_text_probe": dedup.QUERIES["dedup_query_text_probe"],
     "dedup_band_occupancy": dedup.QUERIES["dedup_band_occupancy"],
+    # r11 second wave: the dedup x quality interaction — one banded
+    # membership pass + the quality featurize, joined on the doc key;
+    # output stays 10 decile rows, so "pairs" is constant and the
+    # growth signal is sec against the kx corpus
+    "dup_rate_by_quality_decile": dedup.QUERIES["dup_rate_by_quality_decile"],
 }
 
 
