@@ -87,7 +87,8 @@ HEADLINE = [
     "text_winnowing",
     "events_transition_matrix",
     "events_state_drift",
-    "supplier_herfindahl",
+    # supplier_herfindahl dropped r11 (line budget): its share-of-total
+    # concentration shape recurs in part_supplier_concentration
     "vocab_coverage_curve",
     "embedding_matryoshka_report",
     "parts_abc_classification",
@@ -102,7 +103,9 @@ HEADLINE = [
     "dedup_normalization_ladder",
     "ann_staleness_report",
     "trade_lpa_communities",
-    "monthly_seasonality",
+    # monthly_seasonality dropped r11 (line budget): a sub-0.3s
+    # month-bucket aggregation whose shape recurs in revenue_by_region's
+    # grouped-agg plan and the spine entries that already left
     "events_funnel_latency",
     # r10 additions: hybrid fusion (two gated rankers composed), the
     # on-engine trainer, the audio fingerprint lane, the probe sweep
@@ -119,6 +122,11 @@ HEADLINE = [
     "dedup_query_text_probe",
     "hybrid_query_search",
     "dedup_band_occupancy",
+    # r11 third wave: the IVM reconcile (three rollup legs + two bounded
+    # merge joins) and the filtered serving probe (predicate-pushed
+    # prefilter + over-fetched postfilter off one assignment map)
+    "rollup_incremental_merge",
+    "ann_filtered_query_topk",
     # pipeline operators
     "dedup_ngram_jaccard",
     "dsir_importance",

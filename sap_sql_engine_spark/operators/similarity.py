@@ -812,6 +812,147 @@ ORACLE_ANN_QUERY_VECTOR = _oracle_query_vector()
 
 
 # ---------------------------------------------------------------------------
+# batched out-of-corpus serving: a serving endpoint rarely answers one
+# query at a time — it drains a micro-batch of novel queries against the
+# standing index in ONE plan, so the corpus assignment map is scanned
+# once for the whole batch instead of once per query. Query 0 is exactly
+# OOC_QUERY_VEC (the single-query path's literal), so the batch plan's
+# result is pinned to the single-query plan's result by test.
+
+OOC_BATCH = 3
+
+
+def _ooc_batch_vec(q: int) -> list[float]:
+    """Deterministic literal query vectors; q = 0 reproduces
+    OOC_QUERY_VEC exactly (same md5 stream), q >= 1 derives disjoint
+    streams. Same exact-binary-fraction grid (k/1024) as the single
+    probe, so the decimal literals parse to identical doubles on both
+    engines."""
+    if q == 0:
+        return list(OOC_QUERY_VEC)
+    out = []
+    for i in range(DIM):
+        h = int(
+            hashlib.md5(f"ooc-query-b{q}-{i}".encode()).hexdigest()[:8], 16
+        )
+        out.append((h % 2049 - 1024) / 1024.0)
+    return out
+
+
+def q_ann_query_vector_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF top-K for a BATCH of OOC_BATCH out-of-corpus literal query
+    vectors in one plan: (query_no, rank, vec_id, list_id, cosine). The
+    corpus pays ONE assignment map for the whole batch; each query's
+    centroid distances and probe set are computed on its own row of the
+    3-row broadcast probe relation; the candidate join fans each corpus
+    row out only to the queries probing its cell.
+
+    Scale shape: this is the serving-throughput form of
+    q_ann_query_vector_topk — per-query work shrinks to its share of
+    one shared candidate join plus a per-query top-K window over the
+    bounded candidate slice (the _ivf_fitted_serve_batch shape)."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
+    )
+    probe_lit = "array(" + ", ".join(
+        f"named_struct('query_no', CAST({q} AS BIGINT), "
+        "'embedding', array("
+        + ", ".join(f"{v!r}D" for v in _ooc_batch_vec(q))
+        + "))"
+        for q in range(OOC_BATCH)
+    ) + ")"
+    q = (
+        spark.range(1)
+        .select(F.explode(F.expr(probe_lit)).alias("p"))
+        .select("p.query_no", F.col("p.embedding").alias("embedding"))
+        .withColumn("d", F.expr(_ivf_dist_expr()))
+        .select(
+            "query_no",
+            F.col("embedding").alias("qe"),
+            F.expr(_probe_ids_expr(N_PROBE)).alias("probe_ids"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q), F.expr("array_contains(probe_ids, list_id)")
+    ).select(
+        "query_no",
+        "vec_id",
+        "list_id",
+        F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_no").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_no", "rank", "vec_id", "list_id", "cosine")
+        .orderBy("query_no", "rank")
+    )
+
+
+def _oracle_batch_query_vector() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    probes = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({q} AS BIGINT) AS query_no, ["
+        + ", ".join(repr(v) for v in _ooc_batch_vec(q))
+        + "] AS qe"
+        for q in range(OOC_BATCH)
+    )
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+labeled AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
+  FROM (
+    SELECT vec_id, embedding,
+           list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+             (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+    FROM embeddings, cent
+  )
+),
+probes AS (
+{probes}
+),
+q AS (
+  SELECT query_no, qe,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (qe[i] - c[i]) * (qe[i] - c[i])))) AS qd
+  FROM probes, cent
+),
+probe_ids AS (
+  SELECT query_no, CAST(j AS BIGINT) AS pid,
+         row_number() OVER (PARTITION BY query_no ORDER BY qd[j], j) AS pr
+  FROM q, range(1, {N_LISTS + 1}) t(j)
+),
+cand AS (
+  SELECT q.query_no, a.vec_id, a.list_id,
+         round({_o_cos("a.embedding", "qe")}, 6) AS cosine
+  FROM labeled a, q
+  WHERE a.list_id IN (
+    SELECT pid FROM probe_ids p
+    WHERE p.query_no = q.query_no AND p.pr <= {N_PROBE}
+  )
+)
+SELECT query_no,
+       CAST(row_number() OVER (PARTITION BY query_no
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, list_id, cosine
+FROM cand
+QUALIFY rank <= {TOPK}
+ORDER BY query_no, rank
+"""
+
+
+ORACLE_ANN_QUERY_VECTOR_BATCH = _oracle_batch_query_vector()
+
+
+# ---------------------------------------------------------------------------
 # filtered ANN serving: top-K *among rows matching a metadata predicate*.
 # Real vector serving is almost never unfiltered ("nearest docs in
 # English", "nearest products in stock"); the two industry strategies
@@ -3438,6 +3579,7 @@ QUERIES = {
     "ann_query_vector_topk": q_ann_query_vector_topk,
     "ann_filtered_query_topk": q_ann_filtered_query_topk,
     "pq_code_balance": q_pq_code_balance,
+    "ann_query_vector_batch_topk": q_ann_query_vector_batch_topk,
     "embedding_separation_report": q_embedding_separation_report,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
@@ -3471,6 +3613,7 @@ ORACLES = {
     "ann_query_vector_topk": ORACLE_ANN_QUERY_VECTOR,
     "ann_filtered_query_topk": ORACLE_ANN_FILTERED_QUERY,
     "pq_code_balance": ORACLE_PQ_CODE_BALANCE,
+    "ann_query_vector_batch_topk": ORACLE_ANN_QUERY_VECTOR_BATCH,
     "embedding_separation_report": ORACLE_EMBEDDING_SEPARATION,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,

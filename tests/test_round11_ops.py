@@ -970,3 +970,30 @@ def test_events_holt_forecast_planted(spark, tmp_path):
         r.n_days, r.level_milli, r.trend_milli, r.forecast_next_milli,
         r.sse_milli,
     ) == (4, 16000, 2000, 18000, 0)
+
+
+def test_ann_query_vector_batch_matches_single_and_diverges(spark, sf_dir):
+    """Query 0 of the batch IS the single-query literal (same md5
+    stream), so the shared-scan batch plan must reproduce
+    q_ann_query_vector_topk's list exactly; the other two queries are
+    distinct streams and must retrieve differently (otherwise the batch
+    proves nothing). Allowlist hygiene: every batch vector stays on the
+    exact k/1024 binary-fraction grid."""
+    batch = sim.q_ann_query_vector_batch_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_no, []).append((r.rank, r.vec_id, r.cosine))
+    assert set(by_q) == set(range(sim.OOC_BATCH))
+    single = [
+        (i + 1, r.vec_id, r.cosine)
+        for i, r in enumerate(
+            sim.q_ann_query_vector_topk(spark, sf_dir).collect()
+        )
+    ]
+    assert sorted(by_q[0]) == sorted(single)
+    ids = [tuple(v for (_, v, _) in sorted(by_q[q])) for q in range(sim.OOC_BATCH)]
+    assert len(set(ids)) > 1
+    for q in range(sim.OOC_BATCH):
+        for v in sim._ooc_batch_vec(q):
+            assert v * 1024 == int(v * 1024)
+    assert sim._ooc_batch_vec(0) == sim.OOC_QUERY_VEC
