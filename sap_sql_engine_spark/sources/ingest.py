@@ -204,3 +204,56 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     good = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return good, bad
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: a long-lived parquet dataset accretes columns as the
+# producer evolves (v1 drops lack the columns v2 added). Spark's default
+# read picks ONE footer's schema — whichever file it samples — so v2
+# columns can silently vanish from a mixed directory depending on file
+# order. The evolution-safe read merges every footer's schema; the fill
+# report then makes the evolution VISIBLE (which columns are sparse and
+# since-when is the first question a pipeline owner asks).
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with footer-schema merging — the only correct way to
+    scan a directory whose files were written under different schema
+    versions. Columns absent from a file surface as NULL for its rows
+    (never dropped, never misaligned: parquet matches by column NAME).
+
+    At 100 TB, mergeSchema's cost is a metadata pass over footers (one
+    driver-side merge), not a data pass — cheap insurance against the
+    silent-column-loss failure mode. Type CONFLICTS (same name, widened
+    type) still fail loudly, which is correct: widening needs an explicit
+    migration, not a guess."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def schema_fill_report(df: DataFrame) -> DataFrame:
+    """Per-column fill rate of an evolved dataset: (column, n_rows,
+    n_filled, fill_permille), ordered by column name. One aggregation
+    pass (every count is map-side combinable); the report relation is
+    bounded by the column count."""
+    cols = sorted(df.columns)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            F.count(F.col(c)).cast("bigint").alias(f"__f_{c}")
+            for c in cols
+        ],
+    )
+    stacked = agg.selectExpr(
+        "__n",
+        "stack("
+        + str(len(cols))
+        + ", "
+        + ", ".join(f"'{c}', __f_{c}" for c in cols)
+        + ") AS (column_name, n_filled)",
+    )
+    return stacked.selectExpr(
+        "column_name",
+        "__n AS n_rows",
+        "n_filled",
+        "CAST(n_filled * 1000 DIV __n AS BIGINT) AS fill_permille",
+    ).orderBy("column_name")

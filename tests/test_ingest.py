@@ -241,3 +241,37 @@ def test_avro_lane_gated_or_roundtrips(spark, sf_dir, tmp_path):
             ingest.write_avro(pq, path)
         with pytest.raises(RuntimeError, match="spark-avro"):
             ingest.read_avro(spark, path)
+
+
+def test_schema_evolution_merge_and_fill_report(spark, tmp_path):
+    """Two producer versions write the same directory (v2 adds a
+    column); the evolution-safe read surfaces the union schema with v1
+    rows NULL in the new column, and the fill report quantifies the
+    evolution. The default read's footer-sampling hazard is documented
+    behavior — this test pins the SAFE path, not the hazard's file
+    order."""
+    from sap_sql_engine_spark.sources import ingest
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id long, name string, score long"
+    ).write.mode("append").parquet(out)
+
+    df = ingest.read_evolving(spark, out)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None),
+                    3: ("c", 30), 4: ("d", 40)}
+
+    rep = {
+        r.column_name: (r.n_rows, r.n_filled, r.fill_permille)
+        for r in ingest.schema_fill_report(df).collect()
+    }
+    assert rep == {
+        "id": (4, 4, 1000),
+        "name": (4, 4, 1000),
+        "score": (4, 2, 500),
+    }
