@@ -3971,6 +3971,85 @@ LIMIT {TREND_TOP_N}
 
 
 # ---------------------------------------------------------------------------
+# ranking under uncertainty: sorting suppliers by raw return-free rate
+# lets a 3-line supplier at 3/3 outrank a 500-line supplier at 99% —
+# the small-sample fallacy every naive leaderboard commits. The Wilson
+# score interval's LOWER bound (Wilson 1927; the canonical "how not to
+# sort by average rating" fix) discounts thin evidence: rank by what the
+# rate is AT LEAST, at 95% confidence. The bound is a closed form of
+# + - * / sqrt over exact integer counts and shared literals, evaluated
+# with the identical expression tree on both engines (FLOATS.md class B),
+# rounded to 1e-6 at the output boundary.
+
+WILSON_Z = "1.959964"  # two-sided 95%; same literal in both engines
+WILSON_MIN_LINES = 20
+WILSON_TOP_N = 20
+
+
+def q_supplier_reliability_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-WILSON_TOP_N suppliers by the Wilson lower bound of their
+    return-free line rate (l_returnflag != 'R'), with the raw permille
+    alongside so the small-sample discount is visible. Suppliers need
+    WILSON_MIN_LINES+ lines; ties break to the lower suppkey.
+
+    Scale shape: one lineitem scan, one suppkey-keyed count aggregation
+    (map-side combined), the closed form on the per-supplier row,
+    TakeOrderedAndProject for the top-N."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_returnflag") != "R").cast("bigint").alias("ok"),
+    )
+    agg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("k"),
+    )
+    # {z}D: Spark parses a bare decimal literal as DECIMAL, not DOUBLE —
+    # the D suffix keeps every op in the tree a pure-double IEEE op,
+    # matching DuckDB's double evaluation bit-for-bit
+    z = WILSON_Z + "D"
+    wilson = (
+        f"((CAST(k AS DOUBLE) / n + {z} * {z} / (2D * n) "
+        f"- {z} * sqrt((CAST(k AS DOUBLE) / n) * (1D - CAST(k AS DOUBLE) / n) / n "
+        f"+ {z} * {z} / (4D * n * n))) / (1D + {z} * {z} / n))"
+    )
+    return (
+        agg.filter(F.col("n") >= WILSON_MIN_LINES)
+        .selectExpr(
+            "l_suppkey",
+            "n AS n_lines",
+            "CAST(k * 1000 DIV n AS BIGINT) AS ok_permille",
+            f"round({wilson}, 6) AS wilson_lb",
+        )
+        .orderBy(F.col("wilson_lb").desc(), F.col("l_suppkey").asc())
+        .limit(WILSON_TOP_N)
+    )
+
+
+ORACLE_SUPPLIER_RELIABILITY = f"""
+WITH agg AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey,
+       n AS n_lines,
+       CAST(k * 1000 // n AS BIGINT) AS ok_permille,
+       round(((CAST(k AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+         - {WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+         + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+         / (1 + {WILSON_Z} * {WILSON_Z} / n)), 6) AS wilson_lb
+FROM agg
+WHERE n >= {WILSON_MIN_LINES}
+ORDER BY wilson_lb DESC, l_suppkey ASC
+LIMIT {WILSON_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ship-latency survival curve: the complement-of-CDF at a fixed day grid.
 # priority_ship_latency answers "how long do the p50/p90/p99 lines take";
 # the survival form answers the SLA question "what fraction of lines is
@@ -5208,6 +5287,7 @@ QUERIES = {
     "customer_rfm_migration": q_customer_rfm_migration,
     "priority_ship_latency": q_priority_ship_latency,
     "orders_ship_survival": q_orders_ship_survival,
+    "supplier_reliability_ranking": q_supplier_reliability_ranking,
     "reorder_interval_percentiles": q_reorder_interval_percentiles,
     "customer_spend_trend": q_customer_spend_trend,
     "customer_acctbal_by_segment": q_customer_acctbal_by_segment,
@@ -5296,6 +5376,7 @@ ORACLES = {
     "customer_rfm_migration": ORACLE_CUSTOMER_RFM_MIGRATION,
     "priority_ship_latency": ORACLE_PRIORITY_SHIP_LATENCY,
     "orders_ship_survival": ORACLE_ORDERS_SHIP_SURVIVAL,
+    "supplier_reliability_ranking": ORACLE_SUPPLIER_RELIABILITY,
     "reorder_interval_percentiles": ORACLE_REORDER_INTERVAL,
     "customer_spend_trend": ORACLE_CUSTOMER_SPEND_TREND,
     "customer_acctbal_by_segment": ORACLE_ACCTBAL_BY_SEGMENT,

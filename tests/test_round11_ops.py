@@ -997,3 +997,37 @@ def test_ann_query_vector_batch_matches_single_and_diverges(spark, sf_dir):
         for v in sim._ooc_batch_vec(q):
             assert v * 1024 == int(v * 1024)
     assert sim._ooc_batch_vec(0) == sim.OOC_QUERY_VEC
+
+
+def test_supplier_reliability_wilson_discounts_thin_evidence(spark, tmp_path):
+    """The leaderboard fix the query exists for: a 25/25 perfect-record
+    supplier ranks BELOW a 392/400 supplier once the Wilson lower bound
+    discounts the thin evidence (raw permille says the opposite); a
+    5-line supplier is excluded by the floor. Values match a Python
+    recompute of the identical closed form."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = (
+        [(1, "N")] * 25
+        + [(2, "N")] * 392 + [(2, "R")] * 8
+        + [(3, "N")] * 5
+    )
+    spark.createDataFrame(
+        rows, "l_suppkey long, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = rel.q_supplier_reliability_ranking(spark, str(tmp_path)).collect()
+    assert [r.l_suppkey for r in got] == [2, 1]  # Wilson flips the raw order
+    assert got[0].ok_permille == 980 and got[1].ok_permille == 1000
+
+    z = float(rel.WILSON_Z)
+
+    def wilson(k, n):
+        p = k / n
+        return (p + z * z / (2 * n)
+                - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+            / (1 + z * z / n)
+
+    assert abs(got[0].wilson_lb - wilson(392, 400)) < 5e-7
+    assert abs(got[1].wilson_lb - wilson(25, 25)) < 5e-7

@@ -53,6 +53,18 @@ QUERIES = {
     "ann_ivf_probe_sweep": similarity.QUERIES["ann_ivf_probe_sweep"],
     "hybrid_search_rrf": search.QUERIES["hybrid_search_rrf"],
     "logreg_quality_report": classifier.QUERIES["logreg_quality_report"],
+    # r11: the CV report is 3 fold-chains off ONE cached featurize pass
+    # (the heaviest classifier entry); the separation report is one
+    # per-label centroid aggregation + a |labels|^2 metadata cross; the
+    # batched OOC serve pays one assignment map for the whole batch —
+    # all should track corpus size linearly
+    "logreg_cv_report": classifier.QUERIES["logreg_cv_report"],
+    "embedding_separation_report": similarity.QUERIES[
+        "embedding_separation_report"
+    ],
+    "ann_query_vector_batch_topk": similarity.QUERIES[
+        "ann_query_vector_batch_topk"
+    ],
 }
 
 ID_OFFSET = 10_000_000
