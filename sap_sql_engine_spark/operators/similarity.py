@@ -1043,6 +1043,125 @@ def q_ann_filtered_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_filter_selectivity_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The postfilter design curve: for EVERY label, how much of a
+    filtered top-TOPK request the postfilter strategy could actually
+    serve from the same over-fetched candidate list (TOPK*FILT_EXPAND
+    global candidates of the out-of-corpus probe). Columns: label,
+    n_label (the predicate's selectivity in rows), cand_hits (label
+    rows inside the global candidate list), served (min(cand_hits,
+    TOPK)), shortfall (TOPK - served). The single-label report
+    (q_ann_filtered_query_topk) shows one point; this is the whole
+    curve an index designer reads before choosing EXPAND or switching
+    to prefilter.
+
+    Scale shape: ONE assignment map + ONE candidate join + ONE top-
+    (TOPK*EXPAND) cut — shared across all labels; the per-label regroup
+    runs on the bounded candidate list, the label counts on a
+    predicate-pushed 2-column scan."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = (
+        spark.range(1)
+        .select(F.expr(_ooc_vec_literal_spark()).alias("embedding"))
+        .withColumn("d", F.expr(_ivf_dist_expr()))
+        .select(
+            F.col("embedding").alias("qe"),
+            F.expr(_probe_ids_expr(N_PROBE)).alias("probe_ids"),
+        )
+    )
+    assigned = emb.withColumn("d", F.expr(_ivf_dist_expr())).withColumn(
+        "list_id", F.expr("array_position(d, array_min(d))")
+    )
+    cand_top = (
+        assigned.join(
+            F.broadcast(q), F.expr("array_contains(probe_ids, list_id)")
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.round(_cosine("embedding", "qe"), 6).alias("cosine"),
+            "vec_id",
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK * FILT_EXPAND)
+    )
+    hits = cand_top.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cand_hits")
+    )
+    sizes = emb.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    )
+    return (
+        sizes.join(hits, "label", "left_outer")
+        .selectExpr(
+            "label",
+            "n_label",
+            "COALESCE(cand_hits, 0) AS cand_hits",
+            f"LEAST(COALESCE(cand_hits, 0), {TOPK}) AS served",
+            f"{TOPK} - LEAST(COALESCE(cand_hits, 0), {TOPK}) AS shortfall",
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_selectivity_curve() -> str:
+    cent = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
+    ) + "]"
+    return f"""
+WITH cent AS (SELECT {cent} AS cs),
+labeled AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_position(d, list_min(d)) AS BIGINT) AS list_id
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+             (CAST(embedding[i] AS DOUBLE) - c[i]) * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS d
+    FROM embeddings, cent
+  )
+),
+q AS (
+  SELECT qe,
+         list_transform(cs, c -> list_sum(list_transform(range(1, {DIM + 1}), i ->
+           (qe[i] - c[i]) * (qe[i] - c[i])))) AS qd
+  FROM (SELECT {_ooc_vec_literal_duck()} AS qe), cent
+),
+probe AS (
+  SELECT CAST(j AS BIGINT) AS pid
+  FROM q, range(1, {N_LISTS + 1}) t(j)
+  ORDER BY qd[j], j
+  LIMIT {N_PROBE}
+),
+cand_top AS (
+  SELECT CAST(a.label AS BIGINT) AS label,
+         round({_o_cos("a.embedding", "qe")}, 6) AS cosine, a.vec_id
+  FROM labeled a, q
+  WHERE a.list_id IN (SELECT pid FROM probe)
+  ORDER BY cosine DESC, a.vec_id ASC
+  LIMIT {TOPK * FILT_EXPAND}
+),
+hits AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS cand_hits
+  FROM cand_top GROUP BY 1
+),
+sizes AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_label
+  FROM embeddings GROUP BY 1
+)
+SELECT sizes.label,
+       n_label,
+       COALESCE(cand_hits, 0) AS cand_hits,
+       LEAST(COALESCE(cand_hits, 0), {TOPK}) AS served,
+       {TOPK} - LEAST(COALESCE(cand_hits, 0), {TOPK}) AS shortfall
+FROM sizes LEFT OUTER JOIN hits ON sizes.label = hits.label
+ORDER BY 1
+"""
+
+
+ORACLE_ANN_FILTER_SELECTIVITY = _oracle_selectivity_curve()
+
+
 def _oracle_filtered_query() -> str:
     cent = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in CENTROIDS
@@ -3580,6 +3699,7 @@ QUERIES = {
     "ann_filtered_query_topk": q_ann_filtered_query_topk,
     "pq_code_balance": q_pq_code_balance,
     "ann_query_vector_batch_topk": q_ann_query_vector_batch_topk,
+    "ann_filter_selectivity_curve": q_ann_filter_selectivity_curve,
     "embedding_separation_report": q_embedding_separation_report,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_outlier": q_embedding_outlier,
@@ -3614,6 +3734,7 @@ ORACLES = {
     "ann_filtered_query_topk": ORACLE_ANN_FILTERED_QUERY,
     "pq_code_balance": ORACLE_PQ_CODE_BALANCE,
     "ann_query_vector_batch_topk": ORACLE_ANN_QUERY_VECTOR_BATCH,
+    "ann_filter_selectivity_curve": ORACLE_ANN_FILTER_SELECTIVITY,
     "embedding_separation_report": ORACLE_EMBEDDING_SEPARATION,
     "ann_pq_adc": ORACLE_ANN_PQ,
     "embedding_outlier": ORACLE_EMBEDDING_OUTLIER,

@@ -1031,3 +1031,26 @@ def test_supplier_reliability_wilson_discounts_thin_evidence(spark, tmp_path):
 
     assert abs(got[0].wilson_lb - wilson(392, 400)) < 5e-7
     assert abs(got[1].wilson_lb - wilson(25, 25)) < 5e-7
+
+
+def test_ann_filter_selectivity_curve_reconciles(spark, sf_dir):
+    """The curve reconciles with its parts: cand_hits sums to the
+    candidate-list size (TOPK*EXPAND when the corpus has enough probed
+    rows), label sizes sum to the corpus, the FILT_LABEL row agrees
+    with q_ann_filtered_query_topk's postfilter leg, and served/
+    shortfall obey their clamps."""
+    rows = {r.label: r for r in
+            sim.q_ann_filter_selectivity_curve(spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_label for r in rows.values()) == n
+    total_hits = sum(r.cand_hits for r in rows.values())
+    assert total_hits <= sim.TOPK * sim.FILT_EXPAND
+    post = [
+        r for r in sim.q_ann_filtered_query_topk(spark, sf_dir).collect()
+        if r.strategy == "postfilter_ivf"
+    ]
+    flt = rows[sim.FILT_LABEL]
+    assert flt.served == min(len(post), sim.TOPK) == len(post)
+    for r in rows.values():
+        assert r.served == min(r.cand_hits, sim.TOPK)
+        assert r.shortfall == sim.TOPK - r.served
