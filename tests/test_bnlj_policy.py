@@ -91,6 +91,14 @@ BNLJ_ALLOWED = {
     "ann_filtered_query_topk": "the same 1-row literal out-of-corpus "
     "probe as ann_query_vector_topk, attached to both the prefiltered "
     "scan and the IVF candidate join",
+    "ann_query_vector_batch_topk": "OOC_BATCH-row (3) literal probe "
+    "relation broadcast onto the shared assignment map (the "
+    "ann_query_vector_topk class, batched)",
+    "ann_filter_selectivity_curve": "the same 1-row literal probe "
+    "attached to the shared candidate join",
+    "events_cusum_changepoint": "1-row ref/n-days attach + 1-row "
+    "changepoint attach, both onto the BOUNDED daily relation "
+    "(|days| rows; the partkey_skew_report scalar-attach class)",
 }
 
 
