@@ -775,7 +775,211 @@ ORDER BY fold
 ORACLE_LOGREG_CV = _oracle_cv()
 
 
+# ---------------------------------------------------------------------------
+# AdaBoost over decision stumps — the ensemble member of the classifier
+# family, and the sixth bounded-iteration family member. The discrete
+# AdaBoost loop stays ALL-integer by using the rational-reweighting
+# form: round weights are exact integers (DECIMAL(38,0) / HUGEINT),
+# the weighted error is an exact fraction e/d, and the update multiplies
+# correctly-classified weights by e and misclassified by (d - e) —
+# the Freund-Schapire beta = e/(d-e) update cleared of its denominator,
+# so both engines walk the identical orbit with no exp()/ln() anywhere.
+# The reported ensemble is the UNIFORM-vote majority of the ADA_ROUNDS
+# stumps (a weighted vote needs ln-alphas — transcendental; the uniform
+# vote keeps the whole report FLOATS.md class D and is standard for
+# equal-ish round errors). Weight magnitudes are bounded by
+# n^(2^ROUNDS+...) < n^7; for n <= ~2e5 train rows that sits inside
+# DECIMAL(38,0) — beyond that, renormalize per round with the same
+# truncating DIV on both engines (documented knob, not needed at gate
+# scales).
+
+ADA_ROUNDS = 3
+ADA_THR_STEP = 100_000  # candidate thresholds: 0.1..0.9 in micro units
+ADA_N_THR = 9
+
+
+def _ada_h(feat: int, thr: int, pol: int) -> str:
+    """Stump prediction expression (SQL, works on both engines):
+    polarity 1 predicts class 1 above the threshold, polarity 0 below
+    or equal."""
+    col = f"x{feat}"
+    return (
+        f"CASE WHEN {col} > {thr} THEN 1 ELSE 0 END"
+        if pol == 1
+        else f"CASE WHEN {col} <= {thr} THEN 1 ELSE 0 END"
+    )
+
+
+def q_adaboost_stump_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per boosting round: the chosen stump (feature index 1..3,
+    threshold in micro units, polarity), its weighted error in micro,
+    and (repeated on every row) the uniform-vote ensemble's train and
+    held-out accuracy in basis points.
+
+    Each round: ONE candidate-grid aggregation over the cached weighted
+    training relation (the 54-row feature x threshold x polarity grid is
+    broadcast; partial aggregation is map-side), a BOUNDED 1-row best
+    pick (the bpe limit(1).collect() precedent), then a map-side weight
+    update with the winning stump folded as literals. Ties break to the
+    lexicographically first (error, feature, threshold, polarity).
+    Honesty: on this corpus the label is independent of the text (see
+    module docstring), so round errors hover near half and the vote
+    near the base rate — the gate hashes that honest answer; the
+    planted separable pytest corpus proves the loop drives error down
+    and the vote up when signal exists."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    feats = cache_eager(_featurize(docs))
+    grid = [
+        (f, k * ADA_THR_STEP, p)
+        for f in (1, 2, 3)
+        for k in range(1, ADA_N_THR + 1)
+        for p in (1, 0)
+    ]
+    cand = spark.createDataFrame(grid, "feat int, thr long, pol int")
+    w = feats.filter(F.col("held") == 0).selectExpr(
+        "doc_id", "y", "x1", "x2", "x3", "CAST(1 AS DECIMAL(38,0)) AS w"
+    )
+    stumps: list[tuple[int, int, int, int, int]] = []
+    for t in range(1, ADA_ROUNDS + 1):
+        w = cache_eager(w)
+        scored = w.crossJoin(F.broadcast(cand)).selectExpr(
+            "feat",
+            "thr",
+            "pol",
+            "w",
+            "y",
+            "CASE WHEN (pol = 1 AND (CASE WHEN feat = 1 THEN x1 "
+            "WHEN feat = 2 THEN x2 ELSE x3 END) > thr) "
+            "OR (pol = 0 AND (CASE WHEN feat = 1 THEN x1 "
+            "WHEN feat = 2 THEN x2 ELSE x3 END) <= thr) "
+            "THEN 1 ELSE 0 END AS h",
+        )
+        agg = scored.groupBy("feat", "thr", "pol").agg(
+            F.expr(
+                "sum(CASE WHEN h != y THEN w ELSE CAST(0 AS DECIMAL(38,0))"
+                " END)"
+            ).alias("e"),
+            F.expr("sum(w)").alias("d"),
+        )
+        best = (
+            agg.orderBy("e", "feat", "thr", "pol").limit(1).collect()[0]
+        )  # bounded 1-row pick per round (bpe precedent)
+        e_raw, d = int(best.e), int(best.d)
+        e = max(e_raw, 1)
+        feat, thr, pol = int(best.feat), int(best.thr), int(best.pol)
+        stumps.append((t, feat, thr, pol, e_raw * 1_000_000 // d))
+        h = _ada_h(feat, thr, pol)
+        w = w.selectExpr(
+            "doc_id",
+            "y",
+            "x1",
+            "x2",
+            "x3",
+            f"CAST(w * CASE WHEN ({h}) = y THEN {e} ELSE {d - e} END"
+            " AS DECIMAL(38,0)) AS w",
+        )
+    votes = " + ".join(f"({_ada_h(f, th, p)})" for (_, f, th, p, _) in stumps)
+    majority = (ADA_ROUNDS // 2) + 1
+    ens = feats.selectExpr(
+        "held",
+        "y",
+        f"CASE WHEN ({votes}) >= {majority} THEN 1 ELSE 0 END AS pred",
+    ).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN held = 0 AND pred = y THEN 1 ELSE 0 END)"
+            " * 10000 DIV sum(CASE WHEN held = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("ensemble_train_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN held = 1 AND pred = y THEN 1 ELSE 0 END)"
+            " * 10000 DIV sum(CASE WHEN held = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("ensemble_held_bp"),
+    )
+    rounds = spark.createDataFrame(
+        stumps,
+        "round bigint, feature bigint, threshold_micro bigint,"
+        " polarity bigint, werr_micro bigint",
+    )
+    return rounds.crossJoin(F.broadcast(ens)).orderBy("round")
+
+
+def _oracle_adaboost() -> str:
+    grid = (
+        f"cand AS (SELECT f.f AS feat, k.k * {ADA_THR_STEP} AS thr, "
+        "p.p AS pol FROM range(1, 4) f(f), "
+        f"range(1, {ADA_N_THR + 1}) k(k), range(0, 2) p(p))"
+    )
+    hexp = (
+        "CASE WHEN (pol = 1 AND (CASE WHEN feat = 1 THEN x1 "
+        "WHEN feat = 2 THEN x2 ELSE x3 END) > thr) "
+        "OR (pol = 0 AND (CASE WHEN feat = 1 THEN x1 "
+        "WHEN feat = 2 THEN x2 ELSE x3 END) <= thr) THEN 1 ELSE 0 END"
+    )
+
+    def best_h(pfx: str) -> str:
+        return (
+            f"CASE WHEN ({pfx}.pol = 1 AND (CASE WHEN {pfx}.feat = 1 THEN x1 "
+            f"WHEN {pfx}.feat = 2 THEN x2 ELSE x3 END) > {pfx}.thr) "
+            f"OR ({pfx}.pol = 0 AND (CASE WHEN {pfx}.feat = 1 THEN x1 "
+            f"WHEN {pfx}.feat = 2 THEN x2 ELSE x3 END) <= {pfx}.thr) "
+            "THEN 1 ELSE 0 END"
+        )
+
+    ctes = [
+        _oracle_feats_cte(),
+        grid,
+        "w1 AS (SELECT doc_id, y, x1, x2, x3, CAST(1 AS HUGEINT) AS w "
+        "FROM feats WHERE held = 0)",
+    ]
+    for t in range(1, ADA_ROUNDS + 1):
+        ctes.append(
+            f"agg{t} AS (SELECT feat, thr, pol, "
+            f"sum(CASE WHEN ({hexp}) != y THEN w ELSE CAST(0 AS HUGEINT) END) AS e, "
+            f"sum(w) AS d FROM w{t}, cand GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"best{t} AS (SELECT feat, thr, pol, e, d, "
+            "greatest(e, 1) AS eg "
+            f"FROM agg{t} ORDER BY e, feat, thr, pol LIMIT 1)"
+        )
+        if t < ADA_ROUNDS:
+            ctes.append(
+                f"w{t + 1} AS (SELECT doc_id, y, x1, x2, x3, "
+                f"CAST(w * CASE WHEN ({best_h(f'best{t}')}) = y THEN eg "
+                f"ELSE d - eg END AS HUGEINT) AS w FROM w{t}, best{t})"
+            )
+    majority = (ADA_ROUNDS // 2) + 1
+    votes = " + ".join(f"({best_h(f'best{t}')})" for t in range(1, ADA_ROUNDS + 1))
+    ctes.append(
+        f"ens AS (SELECT CAST(sum(CASE WHEN held = 0 AND pred = y THEN 1 "
+        "ELSE 0 END) * 10000 // sum(CASE WHEN held = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS ensemble_train_bp, "
+        "CAST(sum(CASE WHEN held = 1 AND pred = y THEN 1 ELSE 0 END) "
+        "* 10000 // sum(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS ensemble_held_bp FROM (SELECT held, y, "
+        f"CASE WHEN ({votes}) >= {majority} THEN 1 ELSE 0 END AS pred "
+        f"FROM feats, best1, best2, best3))"
+    )
+    rounds_sql = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, CAST(feat AS BIGINT) AS feature, "
+        f"CAST(thr AS BIGINT) AS threshold_micro, CAST(pol AS BIGINT) AS polarity, "
+        f"CAST(e * 1000000 // d AS BIGINT) AS werr_micro FROM best{t}"
+        for t in range(1, ADA_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT r.*, ensemble_train_bp, ensemble_held_bp "
+        f"FROM ({rounds_sql}) r, ens ORDER BY round"
+    )
+
+
+ORACLE_ADABOOST = _oracle_adaboost()
+
+
 QUERIES = {
+    "adaboost_stump_report": q_adaboost_stump_report,
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
     "logreg_ablation_report": q_logreg_ablation_report,
@@ -784,6 +988,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adaboost_stump_report": ORACLE_ADABOOST,
     "logreg_quality_report": ORACLE_LOGREG_QUALITY,
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
     "logreg_ablation_report": ORACLE_LOGREG_ABLATION,

@@ -99,6 +99,9 @@ BNLJ_ALLOWED = {
     "events_cusum_changepoint": "1-row ref/n-days attach + 1-row "
     "changepoint attach, both onto the BOUNDED daily relation "
     "(|days| rows; the partkey_skew_report scalar-attach class)",
+    "adaboost_stump_report": "54-row candidate-grid broadcast per "
+    "bounded boosting round (the Lloyd/logreg bounded-probe class) + "
+    "the 1-row ensemble-accuracy attach onto the 3-row rounds relation",
 }
 
 

@@ -1054,3 +1054,27 @@ def test_ann_filter_selectivity_curve_reconciles(spark, sf_dir):
     for r in rows.values():
         assert r.served == min(r.cand_hits, sim.TOPK)
         assert r.shortfall == sim.TOPK - r.served
+
+
+def test_adaboost_stump_report_planted_separable(spark, tmp_path):
+    """On a separable corpus (en docs all stopwords -> x1 = 1e6, others
+    x1 = 0) every round picks the lexicographically-first zero-error
+    stump (feature 1, threshold 100000, polarity 1; the e=0 guard makes
+    the weight update a no-op so the pick repeats), and the uniform
+    vote scores 10000 bp on both splits."""
+    from sap_sql_engine_spark.operators import classifier as cl
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, "the and of to the and of to", "en", "srcA", 28))
+        rows.append((2 * i + 1, "zz qq ww rr zz qq ww rr", "fr", "srcA", 23))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = cl.q_adaboost_stump_report(spark, str(tmp_path)).collect()
+    assert len(got) == cl.ADA_ROUNDS
+    for r in got:
+        assert (r.feature, r.threshold_micro, r.polarity) == (1, 100000, 1)
+        assert r.werr_micro == 0
+        assert r.ensemble_train_bp == 10000
+        assert r.ensemble_held_bp == 10000
