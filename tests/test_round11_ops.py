@@ -1078,3 +1078,40 @@ def test_adaboost_stump_report_planted_separable(spark, tmp_path):
         assert r.werr_micro == 0
         assert r.ensemble_train_bp == 10000
         assert r.ensemble_held_bp == 10000
+
+
+def test_adaboost_reweighting_noise_floor(spark, tmp_path):
+    """Hand-run reweighting orbit on a noisy corpus (6 clean + 2
+    mislabeled train docs): round 1 picks the x1 stump at weighted
+    error 2/8 (250000 micro) and multiplies correct weights by 2,
+    misclassified by 6; rounds 2-3 then sit exactly at the 12/24 noise
+    floor (500000 micro) where the lexicographic tie-break flips
+    polarity — the uniform vote lands at the hand-computed 2500 bp
+    train / 0 bp held. Every number is the exact integer orbit, so
+    this pins the reweighting path end-to-end."""
+    from sap_sql_engine_spark.operators import classifier as cl
+
+    A = "the the the the"   # x1 = 1e6 (all stopwords)
+    B = "zz zz zz zz"       # x1 = 0
+    rows = [
+        (1, A, "en", "s", 15), (2, A, "en", "s", 15), (3, A, "en", "s", 15),
+        (6, B, "fr", "s", 11), (7, B, "fr", "s", 11), (8, B, "fr", "s", 11),
+        (4, B, "en", "s", 11),   # noise: label en, B text
+        (9, A, "fr", "s", 15),   # noise: label fr, A text
+        (5, A, "en", "s", 15),   # held (doc_id % 5 == 0)
+        (10, B, "fr", "s", 11),  # held
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = cl.q_adaboost_stump_report(spark, str(tmp_path)).collect()
+    assert [
+        (r.round, r.feature, r.threshold_micro, r.polarity, r.werr_micro)
+        for r in got
+    ] == [
+        (1, 1, 100000, 1, 250000),
+        (2, 1, 100000, 0, 500000),
+        (3, 1, 100000, 0, 500000),
+    ]
+    assert got[0].ensemble_train_bp == 2500
+    assert got[0].ensemble_held_bp == 0
