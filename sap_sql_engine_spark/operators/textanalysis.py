@@ -1097,6 +1097,93 @@ FROM coin WHERE u_exact < quality_score
 """
 
 
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing: the frequency-of-frequencies table and
+# the adjusted counts r* = (r+1) N_{r+1} / N_r — the classic estimator of
+# how much probability mass belongs to UNSEEN tokens (p0 = N_1 / N), the
+# number an LM builder checks before choosing a smoothing scheme (raw GT
+# on the dense low-r bands; the Gale-Sampson SGT ln-fit is deliberately
+# avoided — ln would put the cells in FLOATS.md class C, while this form
+# is all-integer class D). Complements kn_bigram_smoothing (which fixes
+# the discount) and zipf_slope_fit (the shape of the same tail).
+
+GT_MAX_R = 10
+
+
+def q_token_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows r = 1..GT_MAX_R: token types seen exactly r times (n_r),
+    types seen r+1 times, the Good-Turing adjusted count r* in milli
+    ((r+1) * N_{r+1} * 1000 DIV N_r), and (repeated) the corpus totals:
+    token count and the unseen-mass estimate N_1/N in permille.
+
+    Scale shape: one token explode + (token)-keyed count (the vocabulary
+    shuffle every LM statistic pays, map-side combined), one regroup of
+    the vocabulary relation to the frequency-of-frequencies table
+    (bounded by |distinct counts|), then bounded self-join + 1-row
+    totals attach on that metadata-sized relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).filter("t != ''")
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    fof = cache_eager(
+        vocab.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    )
+    glob = fof.agg(
+        F.expr("CAST(sum(r * n_r) AS BIGINT)").alias("total_tokens"),
+        F.expr("CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT)").alias(
+            "n1"
+        ),
+    )
+    nxt = fof.selectExpr("r - 1 AS r", "n_r AS n_r_plus_1")
+    return (
+        fof.filter(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r", "left_outer")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "r",
+            "n_r",
+            "COALESCE(n_r_plus_1, 0) AS n_r_plus_1",
+            "CAST((r + 1) * COALESCE(n_r_plus_1, 0) * 1000 DIV n_r"
+            " AS BIGINT) AS r_star_milli",
+            "total_tokens",
+            "CAST(n1 * 1000 DIV total_tokens AS BIGINT)"
+            " AS unseen_mass_permille",
+        )
+        .orderBy("r")
+    )
+
+
+ORACLE_TOKEN_GOOD_TURING = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS r FROM tok WHERE t != '' GROUP BY 1
+),
+fof AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM vocab GROUP BY 1
+),
+gstats AS (
+  SELECT CAST(sum(r * n_r) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+  FROM fof
+),
+nxt AS (SELECT r - 1 AS r, n_r AS n_r_plus_1 FROM fof)
+SELECT fof.r,
+       n_r,
+       COALESCE(n_r_plus_1, 0) AS n_r_plus_1,
+       CAST((fof.r + 1) * COALESCE(n_r_plus_1, 0) * 1000 // n_r AS BIGINT)
+         AS r_star_milli,
+       total_tokens,
+       CAST(n1 * 1000 // total_tokens AS BIGINT) AS unseen_mass_permille
+FROM fof LEFT OUTER JOIN nxt ON fof.r = nxt.r, gstats
+WHERE fof.r <= {GT_MAX_R}
+ORDER BY 1
+"""
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) over
     the token frequency spectrum — the companion diagnostic to
@@ -4417,6 +4504,7 @@ QUERIES = {
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
     "zipf_slope_fit": q_zipf_slope,
+    "token_good_turing": q_token_good_turing,
     "dataset_card": q_dataset_card,
     "source_kl_divergence": q_source_kl_divergence,
     "docs_feature_matrix": q_docs_feature_matrix,
@@ -4472,6 +4560,7 @@ ORACLES = {
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
+    "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
     "dataset_card": ORACLE_DATASET_CARD,
     "source_kl_divergence": ORACLE_SOURCE_KL,
     "docs_feature_matrix": _oracle_feature_matrix(),

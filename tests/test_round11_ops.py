@@ -1115,3 +1115,26 @@ def test_adaboost_reweighting_noise_floor(spark, tmp_path):
     ]
     assert got[0].ensemble_train_bp == 2500
     assert got[0].ensemble_held_bp == 0
+
+
+def test_token_good_turing_planted(spark, tmp_path):
+    """Hand-counted frequency-of-frequencies: tokens x(1) y(1) z(2)
+    w(3) give N1=2, N2=1, N3=1, total 7 -> r*(1) = 2*1*1000//2 = 1000,
+    r*(2) = 3*1*1000//1 = 3000, r*(3) = 0 (no N4), unseen mass
+    2000//7 = 285 permille."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    rows = [
+        (1, "x z w", "en", "s", 5),
+        (2, "y z w", "en", "s", 5),
+        (3, "w", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in ta.q_token_good_turing(spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, 2, 1, 1000, 7, 285),
+        (2, 1, 1, 3000, 7, 285),
+        (3, 1, 0, 0, 7, 285),
+    ]
