@@ -262,6 +262,125 @@ WHERE round(shared * 1.0 / (p1.n + p2.n - shared), 4) >= {JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# asymmetric containment (Broder's resemblance vs CONTAINMENT): a short
+# doc pasted inside a long one scores LOW symmetric Jaccard (the union is
+# dominated by the long doc) and symmetric dedup keeps both; containment
+# of the smaller shingle set in the larger exposes exactly that
+# quote/subset duplication. Same hashed-shingle, df-capped,
+# single-exchange recipe as jaccard_pairs — only the score and the
+# threshold differ, and the pair is emitted ORIENTED (small ⊂ big).
+
+CONTAINMENT_PERMILLE = 800
+
+
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented near-containment pairs: (doc_small, doc_big) where the
+    smaller doc's distinct word-3-gram set is >= CONTAINMENT_PERMILLE/1000
+    inside the bigger's, with the symmetric jaccard_permille alongside —
+    the contrast column shows which pairs symmetric dedup would have
+    missed. Integer permille everywhere (FLOATS.md class D).
+
+    Scale shape: identical to jaccard_pairs (hashed 60-bit shingles, df
+    cap as a literal predicate, ONE full-volume exchange, broadcast
+    per-doc sizes under the 10M-doc stats threshold); shared <=
+    min(n1, n2) structurally, so the divisor is never zero and the
+    permille never exceeds 1000."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar probe (parquet metadata)
+    cap = max(DF_CAP_MIN, math.ceil(n_docs * DF_CAP_FRACTION))
+    sh = (
+        _hashed_shingles_from(docs)
+        .repartition("sh")
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= F.lit(int(cap)))
+        .select("doc_id", "sh")
+        .cache()
+    )
+    track(sh)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if n_docs <= 10_000_000:
+        per_doc = F.broadcast(per_doc)
+    else:
+        sh.count()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    p1 = per_doc.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    p2 = per_doc.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(p1, "doc1")
+        .join(p2, "doc2")
+        .selectExpr(
+            "CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS doc_small",
+            "CASE WHEN n1 <= n2 THEN doc2 ELSE doc1 END AS doc_big",
+            "CAST(least(n1, n2) AS BIGINT) AS n_small",
+            "CAST(greatest(n1, n2) AS BIGINT) AS n_big",
+            "CAST(shared AS BIGINT) AS shared",
+            "CAST(shared * 1000 DIV least(n1, n2) AS BIGINT)"
+            " AS containment_permille",
+            "CAST(shared * 1000 DIV (n1 + n2 - shared) AS BIGINT)"
+            " AS jaccard_permille",
+        )
+        .filter(F.col("containment_permille") >= CONTAINMENT_PERMILLE)
+        .orderBy(
+            F.col("containment_permille").desc(), "doc_small", "doc_big"
+        )
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = rf"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({_ORACLE_SHINGLES}) g
+),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dfs AS (SELECT sh, count(*) AS df FROM sh_all GROUP BY sh),
+sh AS (
+  SELECT s.doc_id, s.sh
+  FROM sh_all s JOIN dfs USING (sh), tot
+  WHERE df <= greatest({DF_CAP_MIN}, ceil(n_docs * {DF_CAP_FRACTION}))
+),
+per_doc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN n1 <= n2 THEN doc1 ELSE doc2 END AS doc_small,
+         CASE WHEN n1 <= n2 THEN doc2 ELSE doc1 END AS doc_big,
+         CAST(least(n1, n2) AS BIGINT) AS n_small,
+         CAST(greatest(n1, n2) AS BIGINT) AS n_big,
+         CAST(shared AS BIGINT) AS shared,
+         CAST(shared * 1000 // least(n1, n2) AS BIGINT)
+           AS containment_permille,
+         CAST(shared * 1000 // (n1 + n2 - shared) AS BIGINT)
+           AS jaccard_permille
+  FROM (
+    SELECT doc1, doc2, shared, p1.n AS n1, p2.n AS n2
+    FROM inter
+    JOIN per_doc p1 ON p1.doc_id = doc1
+    JOIN per_doc p2 ON p2.doc_id = doc2
+  )
+)
+SELECT * FROM scored
+WHERE containment_permille >= {CONTAINMENT_PERMILLE}
+ORDER BY containment_permille DESC, doc_small, doc_big
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 
@@ -2931,6 +3050,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment_pairs": q_dedup_containment_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "dedup_simhash": q_dedup_simhash,
@@ -2966,6 +3086,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_lsh_recall_report": ORACLE_LSH_RECALL,
     "dedup_simhash": ORACLE_SIMHASH,

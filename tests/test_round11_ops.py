@@ -1138,3 +1138,24 @@ def test_token_good_turing_planted(spark, tmp_path):
         (2, 1, 1, 3000, 7, 285),
         (3, 1, 0, 0, 7, 285),
     ]
+
+
+def test_dedup_containment_pairs_planted(spark, tmp_path):
+    """A doc pasted verbatim at the head of a longer doc: containment of
+    the smaller shingle set is exactly 1000 permille while symmetric
+    Jaccard is only 500 — the subset-duplication case jaccard-threshold
+    dedup (>= 0.5... just at the edge here, generally below) under-ranks.
+    An unrelated doc never pairs."""
+    from sap_sql_engine_spark.operators import dedup
+
+    a = "w1 w2 w3 w4 w5 w6"                      # 4 distinct 3-grams
+    b = a + " w7 w8 w9 w10"                      # 8 3-grams, contains a's 4
+    other = "q1 q2 q3 q4 q5 q6 q7"
+    rows = [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)),
+            (3, other, "en", "s", len(other))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in
+           dedup.q_dedup_containment_pairs(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 4, 8, 4, 1000, 500)]
