@@ -3690,9 +3690,148 @@ FROM it WHERE t = (SELECT max(rn) FROM ranked)
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov steady state: where does the session chain settle? The
+# transition matrix says what follows what; its stationary distribution
+# says what share of a long session a user spends in each state — the
+# engagement mix product teams actually plan against. Computed as
+# MARKOV_POWER_STEPS exact-integer power steps (v <- v C over the raw
+# COUNT matrix, DECIMAL(38,0)/HUGEINT — unnormalized power iteration;
+# the permille normalization happens once at the output). Magnitude
+# bound: |v| <= |S| * T^steps, so with T transitions up to ~5e5 the
+# 38-digit grid holds at 6 steps; beyond that renormalize per step with
+# the same truncating DIV on both engines (documented knob, the
+# adaboost convention; not needed at gate scales). The empirical
+# incoming share sits alongside as the one-step comparison.
+
+MARKOV_POWER_STEPS = 6
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the power-iterated stationary share (permille,
+    after MARKOV_POWER_STEPS exact steps from the uniform vector) and
+    the one-step empirical incoming share — identical transition
+    derivation (user sort window + SESSION_GAP_SECONDS rule) as
+    events_transition_matrix, so the two reports reconcile.
+
+    Scale shape: the event stream pays the one sessionize exchange to
+    become the <=|types|^2 count matrix; every power step is a join +
+    regroup of two metadata-sized relations (|types| x |types|^2)."""
+    from ..cachereg import cache_eager
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    trans = cache_eager(
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("prev_type").isNotNull() & (F.col("gap_us") <= gap_us))
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("c"))
+    )
+    states = cache_eager(
+        trans.select(F.col("from_type").alias("s"))
+        .union(trans.select(F.col("to_type").alias("s")))
+        .distinct()
+    )
+    v = states.selectExpr("s", "CAST(1 AS DECIMAL(38,0)) AS w")
+    for _ in range(MARKOV_POWER_STEPS):
+        stepped = (
+            v.join(trans, v["s"] == trans["from_type"])
+            .groupBy(F.col("to_type").alias("s"))
+            .agg(F.expr("CAST(sum(w * c) AS DECIMAL(38,0))").alias("w"))
+        )
+        v = states.join(stepped, "s", "left_outer").selectExpr(
+            "s", "CAST(COALESCE(w, 0) AS DECIMAL(38,0)) AS w"
+        )
+    tot = v.agg(F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("t"))
+    cols = trans.groupBy(F.col("to_type").alias("s")).agg(
+        F.expr("CAST(sum(c) AS DECIMAL(38,0))").alias("nin")
+    )
+    tt = trans.agg(F.expr("CAST(sum(c) AS DECIMAL(38,0))").alias("tt"))
+    return (
+        v.join(cols, "s", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "s AS event_type",
+            "CAST(w * 1000 DIV GREATEST(t, 1) AS BIGINT)"
+            " AS stationary_permille",
+            "CAST(COALESCE(nin, 0) * 1000 DIV GREATEST(tt, 1) AS BIGINT)"
+            " AS incoming_share_permille",
+            "CAST(COALESCE(nin, 0) AS BIGINT) AS n_incoming",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_markov_stationary() -> str:
+    ctes = [
+        f"""seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM seq
+  WHERE prev_type IS NOT NULL AND gap_us <= {SESSION_GAP_SECONDS} * 1000000
+  GROUP BY 1, 2
+),
+states AS (
+  SELECT DISTINCT s FROM (
+    SELECT from_type AS s FROM trans UNION ALL SELECT to_type FROM trans
+  )
+),
+v0 AS (SELECT s, CAST(1 AS HUGEINT) AS w FROM states)"""
+    ]
+    for k in range(1, MARKOV_POWER_STEPS + 1):
+        ctes.append(
+            f"""v{k} AS (
+  SELECT states.s, CAST(COALESCE(x.w, 0) AS HUGEINT) AS w
+  FROM states LEFT JOIN (
+    SELECT to_type AS s, sum(v{k - 1}.w * c) AS w
+    FROM v{k - 1} JOIN trans ON v{k - 1}.s = trans.from_type
+    GROUP BY 1
+  ) x USING (s)
+)"""
+        )
+    n = MARKOV_POWER_STEPS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM v{n}),
+cols AS (SELECT to_type AS s, CAST(sum(c) AS HUGEINT) AS nin
+         FROM trans GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS HUGEINT) AS tt FROM trans)
+SELECT v{n}.s AS event_type,
+       CAST(v{n}.w * 1000 // GREATEST(t, 1) AS BIGINT)
+         AS stationary_permille,
+       CAST(COALESCE(nin, 0) * 1000 // GREATEST(tt, 1) AS BIGINT)
+         AS incoming_share_permille,
+       CAST(COALESCE(nin, 0) AS BIGINT) AS n_incoming
+FROM v{n} LEFT JOIN cols USING (s), tot, tt
+ORDER BY 1"""
+    )
+
+
+ORACLE_MARKOV_STATIONARY = _oracle_markov_stationary()
+
+
 QUERIES = {
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
+    "events_markov_stationary": q_events_markov_stationary,
     "rollup_incremental_merge": q_rollup_incremental_merge,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
@@ -3734,6 +3873,7 @@ QUERIES = {
 ORACLES = {
     "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
+    "events_markov_stationary": ORACLE_MARKOV_STATIONARY,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
     "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,

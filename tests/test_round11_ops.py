@@ -1159,3 +1159,31 @@ def test_dedup_containment_pairs_planted(spark, tmp_path):
     got = [tuple(r) for r in
            dedup.q_dedup_containment_pairs(spark, str(tmp_path)).collect()]
     assert got == [(1, 2, 4, 8, 4, 1000, 500)]
+
+
+def test_events_markov_stationary_planted(spark, tmp_path):
+    """Hand-run 6-step exact power iteration on the 2-state chain built
+    by the sequence click,view,view,click,view (A->B x2, B->B, B->A):
+    v walks (1,1)->(1,3)->(3,5)->(5,11)->(11,21)->(21,43)->(43,85),
+    total 128 -> stationary 335/664 permille; incoming shares 250/750
+    over the 4 transitions."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    seq = ["click", "view", "view", "click", "view"]
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 10, i), 7, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in
+           se.q_events_markov_stationary(spark, str(tmp_path)).collect()]
+    assert got == [
+        ("click", 335, 250, 1),
+        ("view", 664, 750, 3),
+    ]
