@@ -3828,10 +3828,121 @@ ORDER BY 1"""
 ORACLE_MARKOV_STATIONARY = _oracle_markov_stationary()
 
 
+# ---------------------------------------------------------------------------
+# session archetypes: the most common session SHAPES (the ordered
+# type-sequence), the behavioral summary between the transition matrix
+# (one step) and the stationary mix (infinite steps). Signatures are
+# truncated at ARCHETYPE_MAX_LEN types (+',...') so the group key stays
+# bounded no matter how long a bot session runs — the same guard a
+# production session-mining job needs.
+
+ARCHETYPE_TOP_N = 20
+ARCHETYPE_MAX_LEN = 8
+
+
+def q_events_session_archetypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-ARCHETYPE_TOP_N session type-sequences: signature (comma-
+    joined, truncated at ARCHETYPE_MAX_LEN), session count, share of
+    all sessions (permille), and mean session length (milli). Sessions
+    are the same SESSION_GAP_SECONDS windows as events_sessionize.
+
+    Scale shape: the sessionize exchange, one per-session ordered
+    collect (bounded by session length), one signature-keyed count with
+    map-side combine, TakeOrderedAndProject for the top-N; the 1-row
+    session-total attach is the allowlisted scalar class."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_sid = ev.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    seqs = with_sid.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, "
+            "event_type))), s -> s.event_type)"
+        ).alias("seq")
+    )
+    m = ARCHETYPE_MAX_LEN
+    sig = seqs.selectExpr(
+        f"CASE WHEN size(seq) > {m} THEN concat(concat_ws(',', "
+        f"slice(seq, 1, {m})), ',...') ELSE concat_ws(',', seq) END"
+        " AS signature",
+        "CAST(size(seq) AS BIGINT) AS l",
+    )
+    tot = sig.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("l").cast("bigint").alias("sum_len"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "signature",
+            "n_sessions",
+            "CAST(n_sessions * 1000 DIV n_total AS BIGINT)"
+            " AS share_permille",
+            "CAST(sum_len * 1000 DIV n_sessions AS BIGINT)"
+            " AS mean_len_milli",
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("signature").asc())
+        .limit(ARCHETYPE_TOP_N)
+    )
+
+
+ORACLE_SESSION_ARCHETYPES = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SECONDS * 1_000_000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+seqs AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM sid GROUP BY 1, 2
+),
+sig AS (
+  SELECT CASE WHEN len(seq) > {ARCHETYPE_MAX_LEN}
+              THEN array_to_string(seq[1:{ARCHETYPE_MAX_LEN}], ',') || ',...'
+              ELSE array_to_string(seq, ',') END AS signature,
+         CAST(len(seq) AS BIGINT) AS l
+  FROM seqs
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sig)
+SELECT signature,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) * 1000 // n_total AS BIGINT) AS share_permille,
+       CAST(sum(l) * 1000 // count(*) AS BIGINT) AS mean_len_milli
+FROM sig, tot
+GROUP BY signature, n_total
+ORDER BY n_sessions DESC, signature ASC
+LIMIT {ARCHETYPE_TOP_N}
+"""
+
+
 QUERIES = {
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
     "events_markov_stationary": q_events_markov_stationary,
+    "events_session_archetypes": q_events_session_archetypes,
     "rollup_incremental_merge": q_rollup_incremental_merge,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
@@ -3874,6 +3985,7 @@ ORACLES = {
     "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "events_markov_stationary": ORACLE_MARKOV_STATIONARY,
+    "events_session_archetypes": ORACLE_SESSION_ARCHETYPES,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
     "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,

@@ -1187,3 +1187,38 @@ def test_events_markov_stationary_planted(spark, tmp_path):
         ("click", 335, 250, 1),
         ("view", 664, 750, 3),
     ]
+
+
+def test_events_session_archetypes_planted(spark, tmp_path):
+    """Three hand-built sessions: two identical 'click,view' sessions
+    (one split from the first by a > gap pause) and one 10-event bot
+    session whose signature truncates at ARCHETYPE_MAX_LEN with the
+    ',...' marker. Shares and mean lengths are exact integer grids."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    # user 1: session A (click, view), 40-min pause, session B (click, view)
+    for j, (off, t) in enumerate(
+        [(0, "click"), (1, "view"), (41, "click"), (42, "view")]
+    ):
+        rows.append((j, base + dt.timedelta(minutes=off), 1, t, 1.0, "{}"))
+    # user 2: one 10-event view-only bot session
+    for k in range(10):
+        rows.append(
+            (100 + k, base + dt.timedelta(minutes=k), 2, "view", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in
+           se.q_events_session_archetypes(spark, str(tmp_path)).collect()]
+    trunc = ",".join(["view"] * se.ARCHETYPE_MAX_LEN) + ",..."
+    assert got == [
+        ("click,view", 2, 666, 2000),
+        (trunc, 1, 333, 10000),
+    ]
