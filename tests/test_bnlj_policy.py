@@ -102,6 +102,12 @@ BNLJ_ALLOWED = {
     "adaboost_stump_report": "54-row candidate-grid broadcast per "
     "bounded boosting round (the Lloyd/logreg bounded-probe class) + "
     "the 1-row ensemble-accuracy attach onto the 3-row rounds relation",
+    "events_markov_stationary": "1-row stationary-total + 1-row "
+    "transition-total attaches onto the <=|types| vector relation",
+    "events_session_archetypes": "1-row session-total attach onto the "
+    "bounded signature relation",
+    "token_good_turing": "1-row corpus-totals attach onto the "
+    "frequency-of-frequencies relation (<= GT_MAX_R rows emitted)",
 }
 
 
