@@ -381,6 +381,115 @@ ORDER BY containment_permille DESC, doc_small, doc_big
 
 
 # ---------------------------------------------------------------------------
+# greedy submodular coverage: pick the K docs that together cover the
+# most distinct shingles — the facility-location / max-coverage
+# selection used to build small DIVERSE subsets (eval seeds, annotation
+# batches, dedup exemplars). Greedy is the canonical (1 - 1/e)
+# approximation; its per-step argmax is exactly a distributed
+# aggregation, so the loop is K bounded engine rounds (the bpe/adaboost
+# class), and the DuckDB oracle unrolls the identical K steps.
+
+COVERAGE_PACK_K = 5
+
+
+def q_docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows rank = 1..COVERAGE_PACK_K: the greedily chosen doc, its
+    marginal gain (new distinct shingles), the cumulative covered
+    count, and cumulative coverage of the whole corpus shingle universe
+    in permille. Ties break to the lower doc_id; a step with no
+    positive-gain doc ends the pack early (both engines emit the same
+    shorter pack).
+
+    Scale shape: per step ONE anti-join of the cached shingle relation
+    against the covered set (hash join on the 8-byte shingle key) + one
+    doc-keyed count with map-side combine + a bounded 1-row argmax
+    collect; the covered relation grows by at most one doc's shingles
+    per step."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _hashed_shingles_from(docs).select("doc_id", "sh").cache()
+    track(sh)
+    universe = sh.select("sh").distinct().count()  # scalar probe
+    covered = None
+    rows: list[tuple[int, int, int, int, int]] = []
+    cum = 0
+    for rank in range(1, COVERAGE_PACK_K + 1):
+        remaining = (
+            sh if covered is None else sh.join(covered, "sh", "left_anti")
+        )
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+            .orderBy(F.col("g").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )  # bounded 1-row argmax per step (bpe precedent)
+        if not best:
+            break
+        pick, gain = int(best[0].doc_id), int(best[0].g)
+        cum += gain
+        rows.append(
+            (rank, pick, gain, cum, cum * 1000 // max(universe, 1))
+        )
+        picked_sh = sh.filter(F.col("doc_id") == pick).select("sh")
+        covered = (
+            picked_sh
+            if covered is None
+            else covered.union(picked_sh).distinct()
+        )
+        from ..cachereg import cache_eager
+
+        covered = cache_eager(covered.distinct())
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "rank bigint, doc_id bigint, gain bigint, covered bigint,"
+        " coverage_permille bigint",
+    ).orderBy("rank")
+
+
+def _oracle_greedy_coverage() -> str:
+    ctes = [
+        f"""sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+  FROM ({_ORACLE_SHINGLES}) g
+),
+u AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS universe FROM sh)"""
+    ]
+    prev_cov = None
+    for k in range(1, COVERAGE_PACK_K + 1):
+        src = (
+            "sh"
+            if prev_cov is None
+            else f"(SELECT s.* FROM sh s ANTI JOIN {prev_cov} c"
+            " ON s.sh = c.sh)"
+        )
+        ctes.append(
+            f"pick{k} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g "
+            f"FROM {src} t{k} GROUP BY 1 ORDER BY g DESC, doc_id ASC LIMIT 1)"
+        )
+        cov_new = (
+            f"(SELECT sh FROM sh JOIN pick{k} USING (doc_id))"
+            if prev_cov is None
+            else f"(SELECT sh FROM {prev_cov} UNION "
+            f"SELECT sh FROM sh JOIN pick{k} USING (doc_id))"
+        )
+        ctes.append(f"cov{k} AS (SELECT DISTINCT sh FROM {cov_new} c{k})")
+        prev_cov = f"cov{k}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, "
+        f"g AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov{k}) AS covered, "
+        f"CAST((SELECT count(*) FROM cov{k}) * 1000 "
+        "// greatest(universe, 1) AS BIGINT) AS coverage_permille "
+        f"FROM pick{k}, u"
+        for k in range(1, COVERAGE_PACK_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({rows}) ORDER BY rank"
+
+
+ORACLE_GREEDY_COVERAGE = _oracle_greedy_coverage()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 
@@ -3051,6 +3160,7 @@ QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment_pairs": q_dedup_containment_pairs,
+    "docs_greedy_coverage": q_docs_greedy_coverage,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "dedup_simhash": q_dedup_simhash,
@@ -3087,6 +3197,7 @@ ORACLES = {
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "docs_greedy_coverage": ORACLE_GREEDY_COVERAGE,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_lsh_recall_report": ORACLE_LSH_RECALL,
     "dedup_simhash": ORACLE_SIMHASH,

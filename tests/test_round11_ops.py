@@ -1222,3 +1222,28 @@ def test_events_session_archetypes_planted(spark, tmp_path):
         ("click,view", 2, 666, 2000),
         (trunc, 1, 333, 10000),
     ]
+
+
+def test_docs_greedy_coverage_planted(spark, tmp_path):
+    """Hand-run greedy max-coverage: doc 1 has 4 distinct 3-grams,
+    doc 2 shares 2 of them and adds 2 new, doc 3 is a pure subset of
+    doc 1. Greedy picks doc 1 (gain 4, 666 permille of the 6-gram
+    universe), then doc 2 (marginal gain 2, full coverage); doc 3 has
+    zero marginal gain so the pack ends early at 2 rows — the
+    early-stop contract, identical on both engines."""
+    from sap_sql_engine_spark.operators import dedup
+
+    d1 = "w1 w2 w3 w4 w5 w6"            # grams: 123,234,345,456
+    d2 = "w3 w4 w5 w6 w7 w8"            # grams: 345,456,567,678 (2 new)
+    d3 = "w1 w2 w3 w4"                  # grams: 123,234 (subset of d1)
+    rows = [(1, d1, "en", "s", 17), (2, d2, "en", "s", 17),
+            (3, d3, "en", "s", 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in
+           dedup.q_docs_greedy_coverage(spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, 1, 4, 4, 666),
+        (2, 2, 2, 6, 1000),
+    ]
