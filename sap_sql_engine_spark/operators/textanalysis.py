@@ -1098,6 +1098,76 @@ FROM coin WHERE u_exact < quality_score
 
 
 # ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling WITHOUT replacement: the
+# one-pass, merge-friendly way to draw a K-doc quality-weighted sample
+# at any scale — each doc gets key u^(1/w) (equivalently ln(u)/w) and
+# the global top-K by key IS the weighted sample (Efraimidis & Spirakis
+# 2006). Bernoulli q_docs_weighted_sample draws each doc independently
+# (sample size varies); this draws EXACTLY K, the shape an eval-set or
+# annotation-batch builder needs. u is the same md5 coin as the
+# Bernoulli lane shifted to (0, 1] (h + 1, so ln never sees 0); the key
+# is quantized ONCE per row (floor to micro — the class-C single-ln
+# discipline), every comparison after that is integer.
+
+AES_TOP_K = 20
+
+
+def q_docs_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-AES_TOP_K weighted sample without replacement: rank, doc_id,
+    quality_score (the weight), and the quantized E-S key (micro).
+    Zero-weight docs are excluded (they cannot be drawn).
+
+    Scale shape: one map-side key derivation over the quality featurize,
+    TakeOrderedAndProject for the global top-K, a rank window only on
+    the bounded K-row result. The key property that matters at 100 TB:
+    top-K by key is MERGEABLE across partitions/shards — the same
+    reason the sketch family is."""
+    q = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    u = (
+        "((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) + 1) / 4294967296.0D)"
+    )
+    top = (
+        q.filter("quality_score > 0")
+        .selectExpr(
+            "doc_id",
+            "quality_score",
+            f"CAST(floor(ln({u}) / quality_score * 1000000.0D) AS BIGINT)"
+            " AS key_micro",
+        )
+        .orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+        .limit(AES_TOP_K)
+    )
+    w_rank = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        "doc_id",
+        "quality_score",
+        "key_micro",
+    ).orderBy("rank")
+
+
+ORACLE_WEIGHTED_TOPK_SAMPLE = f"""
+WITH q AS ({ORACLE_QUALITY_SCORE}),
+keyed AS (
+  SELECT doc_id, quality_score,
+         CAST(floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967296.0)
+              / quality_score * 1000000.0) AS BIGINT) AS key_micro
+  FROM q WHERE quality_score > 0
+),
+top AS (
+  SELECT * FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT {AES_TOP_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, quality_score, key_micro
+FROM top
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Good-Turing frequency smoothing: the frequency-of-frequencies table and
 # the adjusted counts r* = (r+1) N_{r+1} / N_r — the classic estimator of
 # how much probability mass belongs to UNSEEN tokens (p0 = N_1 / N), the
@@ -4505,6 +4575,7 @@ QUERIES = {
     "docs_vocab_growth": q_docs_vocab_growth,
     "zipf_slope_fit": q_zipf_slope,
     "token_good_turing": q_token_good_turing,
+    "docs_weighted_topk_sample": q_docs_weighted_topk_sample,
     "dataset_card": q_dataset_card,
     "source_kl_divergence": q_source_kl_divergence,
     "docs_feature_matrix": q_docs_feature_matrix,
@@ -4561,6 +4632,7 @@ ORACLES = {
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
+    "docs_weighted_topk_sample": ORACLE_WEIGHTED_TOPK_SAMPLE,
     "dataset_card": ORACLE_DATASET_CARD,
     "source_kl_divergence": ORACLE_SOURCE_KL,
     "docs_feature_matrix": _oracle_feature_matrix(),

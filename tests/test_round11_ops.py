@@ -1247,3 +1247,38 @@ def test_docs_greedy_coverage_planted(spark, tmp_path):
         (1, 1, 4, 4, 666),
         (2, 2, 2, 6, 1000),
     ]
+
+
+def test_docs_weighted_topk_sample_properties(spark, sf_dir):
+    """E-S sample invariants: exactly K rows, ranks 1..K, keys
+    non-increasing with the doc_id tie-break, every key within 1 micro
+    of a Python recompute of ln(u)/w (libm-tolerance — the class-C
+    margin), and the sample agrees with the Python top-K up to at most
+    one boundary doc."""
+    import math
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    got = ta.q_docs_weighted_topk_sample(spark, sf_dir).collect()
+    assert [r.rank for r in got] == list(range(1, ta.AES_TOP_K + 1))
+    keys = [(r.key_micro, -r.doc_id) for r in got]
+    assert keys == sorted(keys, reverse=True)
+    assert all(r.quality_score > 0 for r in got)
+
+    q = {
+        r.doc_id: r.quality_score
+        for r in ta.q_quality_score(spark, sf_dir).collect()
+        if r.quality_score > 0
+    }
+    import hashlib
+
+    def key(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return math.floor(
+            math.log((h + 1) / 4294967296.0) / q[doc_id] * 1_000_000
+        )
+
+    for r in got:
+        assert abs(r.key_micro - key(r.doc_id)) <= 1
+    py_top = sorted(q, key=lambda d: (-key(d), d))[: ta.AES_TOP_K]
+    assert len(set(py_top) ^ {r.doc_id for r in got}) <= 2
