@@ -3938,11 +3938,87 @@ LIMIT {ARCHETYPE_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Lorenz curve of user activity: the decile curve behind
+# events_power_users' Gini scalar — "the bottom 50% of users generate
+# X permille of events". Users are ranked ASCENDING by event count with
+# the with_global_rank primitive (range partition + offset stitch), so
+# no global window ever sees the user relation; the decile regroup and
+# the cumulative-share window run on the bounded 10-row curve.
+
+
+def q_events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per rank-decile of users (0 = least active): user count, events,
+    and the cumulative share of all events in permille — the Lorenz
+    curve as data. decile = (rank - 1) * 10 DIV n over the global
+    ascending (count, user_id) order.
+
+    Scale shape: one user-keyed count, one range-partitioned global
+    rank (ranks.py — the no-global-window primitive), a 10-row decile
+    regroup, and the cumulative window only over those 10 rows."""
+    from ..operators.ranks import with_global_rank
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = with_global_rank(
+        per_user, "c", "user_id", rank_col="rn", total_col="n"
+    )
+    agg = (
+        ranked.selectExpr("CAST((rn - 1) * 10 DIV n AS BIGINT) AS decile", "c")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("events"),
+        )
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()  # bounded: the 10-row curve relation
+    return (
+        agg.withColumn("cum_events", F.sum("events").over(w_cum))
+        .withColumn("total_events", F.sum("events").over(w_all))
+        .selectExpr(
+            "decile",
+            "n_users",
+            "events",
+            "CAST(cum_events * 1000 DIV total_events AS BIGINT)"
+            " AS cum_share_permille",
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LORENZ_DECILES = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM per_user
+),
+agg AS (
+  SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS events
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_users, events,
+       CAST(sum(events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000 // sum(events) OVER () AS BIGINT) AS cum_share_permille
+FROM agg
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
     "events_markov_stationary": q_events_markov_stationary,
     "events_session_archetypes": q_events_session_archetypes,
+    "events_lorenz_deciles": q_events_lorenz_deciles,
     "rollup_incremental_merge": q_rollup_incremental_merge,
     "events_cusum_changepoint": q_events_cusum_changepoint,
     "events_props_key_inventory": q_events_props_key_inventory,
@@ -3986,6 +4062,7 @@ ORACLES = {
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "events_markov_stationary": ORACLE_MARKOV_STATIONARY,
     "events_session_archetypes": ORACLE_SESSION_ARCHETYPES,
+    "events_lorenz_deciles": ORACLE_LORENZ_DECILES,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,
     "events_cusum_changepoint": ORACLE_EVENTS_CUSUM,
     "events_props_key_inventory": ORACLE_PROPS_KEY_INVENTORY,

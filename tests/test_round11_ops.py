@@ -1282,3 +1282,37 @@ def test_docs_weighted_topk_sample_properties(spark, sf_dir):
         assert abs(r.key_micro - key(r.doc_id)) <= 1
     py_top = sorted(q, key=lambda d: (-key(d), d))[: ta.AES_TOP_K]
     assert len(set(py_top) ^ {r.doc_id for r in got}) <= 2
+
+
+def test_events_lorenz_deciles_planted(spark, tmp_path):
+    """Hand-built 10-user corpus with counts 1..10 (user k fires k
+    events): each decile holds exactly one user, events k, and the
+    cumulative share is the exact triangular prefix k(k+1)/2 over 55
+    permille-floored. Curve invariants: convexity of cumulative shares
+    and a 1000-permille close."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for j in range(u):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1, 6, j), u, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in
+           se.q_events_lorenz_deciles(spark, str(tmp_path)).collect()]
+    want = [
+        (d, 1, d + 1, ((d + 1) * (d + 2) // 2) * 1000 // 55)
+        for d in range(10)
+    ]
+    assert got == want
+    shares = [g[3] for g in got]
+    assert shares == sorted(shares) and shares[-1] == 1000
