@@ -1,0 +1,171 @@
+"""Property-based tests for the round-11 continuation operators: the
+distributed implementations against pure-Python oracles over randomly
+generated inputs (derandomized, few examples — every example is a full
+Spark job). The DuckDB gate pins one corpus; these pin the ALGORITHMS
+over skew, ties, singletons, and degenerate shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.operators import textanalysis as ta
+from sap_sql_engine_spark.streaming import events as se
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_daily_events(spark, tmpdir, counts):
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    for day, c in enumerate(counts):
+        for k in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, minutes=k), 1, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmpdir / "events.parquet"))
+
+
+@given(counts=st.lists(st.integers(min_value=1, max_value=9), min_size=3, max_size=14))
+@settings(**SETTINGS)
+def test_cusum_changepoint_matches_python_fold(spark, tmp_path_factory, counts):
+    """The CUSUM report equals a direct Python evaluation of its own
+    definition: global-mean milli reference (truncating DIV), exact
+    integer cumulative sums, argmax |cusum| with the earliest-day tie
+    break over days with a non-empty post segment, and truncating-DIV
+    pre/post means."""
+    tmp = tmp_path_factory.mktemp("cusum")
+    _write_daily_events(spark, tmp, counts)
+    r = se.q_events_cusum_changepoint(spark, str(tmp)).collect()[0]
+
+    n = len(counts)
+    total = sum(counts)
+    ref = total * 1000 // n
+    cum = 0
+    best = None  # (abs_cusum, day_index)
+    cums = []
+    for i, c in enumerate(counts):
+        cum += c
+        a = abs(cum * 1000 - (i + 1) * ref)
+        cums.append(a)
+        if i + 1 < n and (best is None or a > best[0]):
+            best = (a, i)
+    cp = best[1]
+    pre = counts[: cp + 1]
+    post = counts[cp + 1:]
+    assert r.n_days == n
+    assert r.ref_milli == ref
+    assert r.changepoint_day == (
+        dt.date(2024, 3, 1) + dt.timedelta(days=cp)
+    ).isoformat()
+    assert r.max_abs_cusum_milli == best[0]
+    assert r.pre_mean_milli == sum(pre) * 1000 // len(pre)
+    assert r.post_mean_milli == sum(post) * 1000 // len(post)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_good_turing_matches_python_counts(spark, tmp_path_factory, toks):
+    """Frequency-of-frequencies, adjusted counts, and the unseen-mass
+    estimate all reproduce a direct Python count over an arbitrary
+    token multiset (emitted as one doc per token so doc structure
+    cannot matter)."""
+    tmp = tmp_path_factory.mktemp("gt")
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in enumerate(toks)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {r.r: r for r in ta.q_token_good_turing(spark, str(tmp)).collect()}
+
+    from collections import Counter
+
+    freq = Counter(toks)
+    fof = Counter(freq.values())
+    total = sum(toks.count(t) for t in set(toks))
+    n1 = fof.get(1, 0)
+    for r, n_r in fof.items():
+        if r > ta.GT_MAX_R:
+            continue
+        row = got[r]
+        n_r1 = fof.get(r + 1, 0)
+        assert row.n_r == n_r
+        assert row.n_r_plus_1 == n_r1
+        assert row.r_star_milli == (r + 1) * n_r1 * 1000 // n_r
+        assert row.total_tokens == total
+        assert row.unseen_mass_permille == n1 * 1000 // total
+    assert set(got) == {r for r in fof if r <= ta.GT_MAX_R}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_greedy_coverage_matches_python_greedy(spark, tmp_path_factory, docs):
+    """The K-round greedy pack equals a pure-Python greedy with the
+    identical tie rule (max gain, then lowest doc_id) and the identical
+    early stop (no positive-gain doc left)."""
+    tmp = tmp_path_factory.mktemp("cov")
+    rows = [
+        (i, " ".join(words), "en", "s", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = [tuple(r) for r in
+           dedup.q_docs_greedy_coverage(spark, str(tmp)).collect()]
+
+    sh = {
+        i: {" ".join(words[j:j + 3]) for j in range(max(len(words) - 2, 0))}
+        for i, words in enumerate(docs)
+    }
+    universe = set().union(*sh.values()) if sh else set()
+    covered: set = set()
+    want = []
+    cum = 0
+    for rank in range(1, dedup.COVERAGE_PACK_K + 1):
+        gains = {
+            d: len(s - covered) for d, s in sh.items() if len(s - covered) > 0
+        }
+        if not gains:
+            break
+        pick = min(gains, key=lambda d: (-gains[d], d))
+        g = gains[pick]
+        cum += g
+        covered |= sh[pick]
+        want.append(
+            (rank, pick, g, cum, cum * 1000 // max(len(universe), 1))
+        )
+    assert got == want
