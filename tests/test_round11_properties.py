@@ -169,3 +169,95 @@ def test_greedy_coverage_matches_python_greedy(spark, tmp_path_factory, docs):
             (rank, pick, g, cum, cum * 1000 // max(len(universe), 1))
         )
     assert got == want
+
+
+@given(
+    seq=st.lists(
+        st.sampled_from(["click", "view", "purchase"]), min_size=2, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_markov_stationary_matches_python_power(spark, tmp_path_factory, seq):
+    """The 6-step exact power orbit over an arbitrary single-user type
+    sequence equals a direct Python integer matrix iteration with the
+    same left-join-zero semantics for states without incoming mass."""
+    tmp = tmp_path_factory.mktemp("markov")
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 10, 0, 0) + dt.timedelta(seconds=30 * i),
+         7, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {r.event_type: r for r in
+           se.q_events_markov_stationary(spark, str(tmp)).collect()}
+
+    trans: dict[tuple[str, str], int] = {}
+    for a, b in zip(seq, seq[1:]):
+        trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({s for ab in trans for s in ab})
+    v = {s: 1 for s in states}
+    for _ in range(se.MARKOV_POWER_STEPS):
+        nxt = {s: 0 for s in states}
+        for (a, b), c in trans.items():
+            nxt[b] += v[a] * c
+        v = nxt
+    tot = sum(v.values())
+    tt = sum(trans.values())
+    nin = {s: sum(c for (a, b), c in trans.items() if b == s) for s in states}
+    assert set(got) == set(states)
+    for s in states:
+        assert got[s].stationary_permille == v[s] * 1000 // max(tot, 1)
+        assert got[s].incoming_share_permille == nin[s] * 1000 // max(tt, 1)
+        assert got[s].n_incoming == nin[s]
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH"]),
+            st.integers(min_value=0, max_value=130),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_ship_survival_matches_python(spark, tmp_path_factory, lines):
+    """The survival grid equals the direct Python complement-of-CDF with
+    truncating DIV, per priority, for arbitrary latency multisets
+    including boundary values exactly ON grid days."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("surv")
+    orders, items = [], []
+    for i, (prio, lat) in enumerate(lines):
+        orders.append((i, prio, "2024-01-01"))
+        items.append((i, (dt.date(2024, 1, 1) + dt.timedelta(days=lat)).isoformat()))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_orderdate string"
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        items, "l_orderkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS DATE) AS l_shipdate"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    got = {r.o_orderpriority: r for r in
+           rel.q_orders_ship_survival(spark, str(tmp)).collect()}
+    by_prio: dict[str, list[int]] = {}
+    for prio, lat in lines:
+        by_prio.setdefault(prio, []).append(lat)
+    assert set(got) == set(by_prio)
+    for prio, lats in by_prio.items():
+        r = got[prio]
+        assert r.n_lines == len(lats)
+        assert r.max_days == max(lats)
+        for g in rel.SURV_GRID:
+            want = sum(1 for x in lats if x > g) * 1000 // len(lats)
+            assert getattr(r, f"surv{g}_permille") == want
