@@ -959,7 +959,9 @@ def _oracle_adaboost() -> str:
         "* 10000 // sum(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT) "
         "AS ensemble_held_bp FROM (SELECT held, y, "
         f"CASE WHEN ({votes}) >= {majority} THEN 1 ELSE 0 END AS pred "
-        f"FROM feats, best1, best2, best3))"
+        f"FROM feats, "
+        + ", ".join(f"best{t}" for t in range(1, ADA_ROUNDS + 1))
+        + "))"
     )
     rounds_sql = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS round, CAST(feat AS BIGINT) AS feature, "

@@ -4027,6 +4027,12 @@ def q_supplier_reliability_ranking(
     )
 
 
+# _ZD: a bare decimal literal parses as DECIMAL in DuckDB too (z*z would
+# be exact-decimal there vs double*double in Spark) — the explicit DOUBLE
+# cast makes both engines run the SAME pure-double expression tree, so
+# the class-B invariant is structural, not a coincidence of this z value.
+_ZD = f"CAST({WILSON_Z} AS DOUBLE)"
+
 ORACLE_SUPPLIER_RELIABILITY = f"""
 WITH agg AS (
   SELECT l_suppkey,
@@ -4038,10 +4044,10 @@ WITH agg AS (
 SELECT l_suppkey,
        n AS n_lines,
        CAST(k * 1000 // n AS BIGINT) AS ok_permille,
-       round(((CAST(k AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
-         - {WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
-         + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
-         / (1 + {WILSON_Z} * {WILSON_Z} / n)), 6) AS wilson_lb
+       round(((CAST(k AS DOUBLE) / n + {_ZD} * {_ZD} / (2 * n)
+         - {_ZD} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+         + {_ZD} * {_ZD} / (4 * n * n)))
+         / (1 + {_ZD} * {_ZD} / n)), 6) AS wilson_lb
 FROM agg
 WHERE n >= {WILSON_MIN_LINES}
 ORDER BY wilson_lb DESC, l_suppkey ASC

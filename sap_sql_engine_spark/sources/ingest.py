@@ -236,20 +236,24 @@ def schema_fill_report(df: DataFrame) -> DataFrame:
     pass (every count is map-side combinable); the report relation is
     bounded by the column count."""
     cols = sorted(df.columns)
+    # typed Column expressions throughout (backtick-escaped input refs,
+    # positional __f_{i} aliases, F.lit for the stacked labels): column
+    # names with spaces, quotes, dots, or backticks survive intact
     agg = df.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         *[
-            F.count(F.col(c)).cast("bigint").alias(f"__f_{c}")
-            for c in cols
+            F.count(F.col("`" + c.replace("`", "``") + "`"))
+            .cast("bigint")
+            .alias(f"__f_{i}")
+            for i, c in enumerate(cols)
         ],
     )
-    stacked = agg.selectExpr(
-        "__n",
-        "stack("
-        + str(len(cols))
-        + ", "
-        + ", ".join(f"'{c}', __f_{c}" for c in cols)
-        + ") AS (column_name, n_filled)",
+    pairs: list = []
+    for i, c in enumerate(cols):
+        pairs += [F.lit(c), F.col(f"__f_{i}")]
+    stacked = agg.select(
+        F.col("__n"),
+        F.stack(F.lit(len(cols)), *pairs).alias("column_name", "n_filled"),
     )
     return stacked.selectExpr(
         "column_name",

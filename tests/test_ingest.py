@@ -275,3 +275,25 @@ def test_schema_evolution_merge_and_fill_report(spark, tmp_path):
         "name": (4, 4, 1000),
         "score": (4, 2, 500),
     }
+
+
+def test_schema_fill_report_hostile_column_names(spark, tmp_path):
+    """Column names with spaces, quotes, dots, and backticks flow through
+    the fill report unmangled — the report builds typed Column
+    expressions, so no identifier is ever re-parsed from a SQL string
+    (r12 advice item)."""
+    from sap_sql_engine_spark.sources import ingest
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "y")],
+        ["plain", "has space", "it's`odd`.name"],
+    )
+    rep = {
+        r.column_name: (r.n_rows, r.n_filled, r.fill_permille)
+        for r in ingest.schema_fill_report(df).collect()
+    }
+    assert rep == {
+        "plain": (2, 2, 1000),
+        "has space": (2, 1, 500),
+        "it's`odd`.name": (2, 1, 500),
+    }
