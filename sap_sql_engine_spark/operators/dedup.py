@@ -899,51 +899,65 @@ DEDUP_QUERY_TEXT = (
 
 
 def q_dedup_query_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-band matches of a LITERAL out-of-corpus text against the
+    """MinHash-band matches of a TWO-probe admission batch against the
     standing corpus signatures — the dedup index's serving path
     (:func:`incremental_probe_from_wide` verbatim, the same unit the
-    drop-folder streaming twin runs per micro-batch): the literal is
-    shingled and signed ON-ENGINE on a constructed 1-row relation, its
-    band relation broadcasts, the corpus never re-pairs.
-
-    On this corpus the result is honestly EMPTY (a banded match needs a
-    near-identical signature; the probe is novel text) — the planted
-    pytest corpus proves the match path (an exact-copy corpus doc matches
-    at est_jaccard 1.0, an unrelated doc does not) through the identical
-    operator, the media_dhash_neardup_pairs precedent."""
+    drop-folder streaming twin runs per micro-batch). Probe 1 is a
+    resubmission: the text of the lowest-doc_id corpus document, signed
+    fresh from the STRING (not joined by key), so it must band-match its
+    own corpus row at est_jaccard 1.0 — the gate hashes real match rows
+    at every scale (the r11 verdict's 0-row finding). Probe 2 is the
+    literal novel text, which honestly matches nothing; its absence from
+    the result (probe 1 rows only) pins the no-hit case in the same
+    hash. Both probe band relations broadcast; the corpus never
+    re-pairs. Signatures are per-document (no corpus statistics), so
+    signing the resubmitted string standalone reproduces the stored
+    signature bit-for-bit — that is the property a persisted band index
+    relies on."""
     docs = table(spark, sf_dir, "documents")
     wide_c = cache_eager(_minhash_wide_from(docs))
-    probe = spark.range(1).selectExpr(
-        "CAST(0 AS BIGINT) AS doc_id", f"'{DEDUP_QUERY_TEXT}' AS text"
+    resub = docs.orderBy("doc_id").limit(1).selectExpr(
+        "CAST(1 AS BIGINT) AS doc_id", "text"
+    )
+    novel = spark.range(1).selectExpr(
+        "CAST(2 AS BIGINT) AS doc_id", f"'{DEDUP_QUERY_TEXT}' AS text"
     )
     return (
-        incremental_probe_from_wide(wide_c, probe)
-        .select("corpus_doc", "est_jaccard")
-        .orderBy("corpus_doc")
+        incremental_probe_from_wide(wide_c, resub.unionByName(novel))
+        .selectExpr("new_doc AS probe_id", "corpus_doc", "est_jaccard")
+        .orderBy("probe_id", "corpus_doc")
     )
 
 
 def _oracle_query_text_probe() -> str:
     rpb = N_MINHASH // N_BANDS
     return rf"""
-WITH probe_sh AS (
-  SELECT DISTINCT
-         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')) - 1, 1)),
-                i -> regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i] || ' ' ||
-                     regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i+1] || ' ' ||
-                     regexp_split_to_array(trim('{DEDUP_QUERY_TEXT}'), '\s+')[i+2])) AS shingle
+WITH probes AS (
+  SELECT CAST(1 AS BIGINT) AS probe_id, text FROM (
+    SELECT text FROM documents ORDER BY doc_id LIMIT 1
+  )
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{DEDUP_QUERY_TEXT}'
+),
+probe_sh AS (
+  SELECT DISTINCT probe_id,
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+2])) AS shingle
+  FROM probes
 ),
 probe_sig AS (
-  SELECT perm,
+  SELECT probe_id, perm,
          min((a * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + b) % {_MERSENNE}) AS minhash
   FROM probe_sh, (VALUES {_PERM_VALUES}) AS perms(perm, a, b)
-  GROUP BY perm
+  GROUP BY probe_id, perm
 ),
 corpus_sig AS ({_ORACLE_MINHASH_SIGS}),
 probe_bands AS (
-  SELECT CAST((perm - 1) // {rpb} AS INT) AS band,
+  SELECT probe_id, CAST((perm - 1) // {rpb} AS INT) AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS sig
-  FROM probe_sig GROUP BY 1
+  FROM probe_sig GROUP BY 1, 2
 ),
 corpus_bands AS (
   SELECT doc_id, CAST((perm - 1) // {rpb} AS INT) AS band,
@@ -951,18 +965,18 @@ corpus_bands AS (
   FROM corpus_sig GROUP BY 1, 2
 ),
 cand AS (
-  SELECT DISTINCT c.doc_id AS corpus_doc
+  SELECT DISTINCT p.probe_id, c.doc_id AS corpus_doc
   FROM corpus_bands c JOIN probe_bands p
     ON c.band = p.band AND c.sig = p.sig
 )
-SELECT corpus_doc,
+SELECT cand.probe_id, corpus_doc,
        round(sum(CASE WHEN s.minhash = q.minhash THEN 1 ELSE 0 END) * 1.0
              / {N_MINHASH}, 4) AS est_jaccard
 FROM cand
 JOIN corpus_sig s ON s.doc_id = corpus_doc
-JOIN probe_sig q ON q.perm = s.perm
-GROUP BY corpus_doc
-ORDER BY corpus_doc
+JOIN probe_sig q ON q.perm = s.perm AND q.probe_id = cand.probe_id
+GROUP BY cand.probe_id, corpus_doc
+ORDER BY cand.probe_id, corpus_doc
 """
 
 

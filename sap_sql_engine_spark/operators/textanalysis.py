@@ -1181,10 +1181,17 @@ GT_MAX_R = 10
 
 
 def q_token_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows r = 1..GT_MAX_R: token types seen exactly r times (n_r),
-    types seen r+1 times, the Good-Turing adjusted count r* in milli
-    ((r+1) * N_{r+1} * 1000 DIV N_r), and (repeated) the corpus totals:
-    token count and the unseen-mass estimate N_1/N in permille.
+    """The GT_MAX_R LOWEST r-bands PRESENT in the corpus: token types
+    seen exactly r times (n_r), types seen r+1 times, the Good-Turing
+    adjusted count r* in milli ((r+1) * N_{r+1} * 1000 DIV N_r), and
+    (repeated) the corpus totals: token count and the unseen-mass
+    estimate N_1/N in permille. "Lowest bands present" rather than a
+    fixed r <= GT_MAX_R cut: a generated corpus whose rarest token
+    still occurs dozens of times has NO band under 10, and a fixed cut
+    would gate a hash over emptiness (the r11 verdict's exact finding)
+    — the low end of whatever spectrum exists is where the GT estimator
+    is meaningful, at any corpus scale. On sparse spectra n_{r+1} is
+    honestly 0 for most present bands (raw GT, no smoothing fit).
 
     Scale shape: one token explode + (token)-keyed count (the vocabulary
     shuffle every LM statistic pays, map-side combined), one regroup of
@@ -1201,13 +1208,14 @@ def q_token_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = fof.agg(
         F.expr("CAST(sum(r * n_r) AS BIGINT)").alias("total_tokens"),
-        F.expr("CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT)").alias(
-            "n1"
-        ),
+        # no singleton band => the GT unseen-mass estimate is honestly 0
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)"
+        ).alias("n1"),
     )
     nxt = fof.selectExpr("r - 1 AS r", "n_r AS n_r_plus_1")
     return (
-        fof.filter(F.col("r") <= GT_MAX_R)
+        fof.orderBy("r").limit(GT_MAX_R)
         .join(nxt, "r", "left_outer")
         .crossJoin(F.broadcast(glob))
         .selectExpr(
@@ -1237,19 +1245,19 @@ fof AS (
 ),
 gstats AS (
   SELECT CAST(sum(r * n_r) AS BIGINT) AS total_tokens,
-         CAST(sum(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+         CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1
   FROM fof
 ),
-nxt AS (SELECT r - 1 AS r, n_r AS n_r_plus_1 FROM fof)
-SELECT fof.r,
+nxt AS (SELECT r - 1 AS r, n_r AS n_r_plus_1 FROM fof),
+low AS (SELECT * FROM fof ORDER BY r LIMIT {GT_MAX_R})
+SELECT low.r,
        n_r,
        COALESCE(n_r_plus_1, 0) AS n_r_plus_1,
-       CAST((fof.r + 1) * COALESCE(n_r_plus_1, 0) * 1000 // n_r AS BIGINT)
+       CAST((low.r + 1) * COALESCE(n_r_plus_1, 0) * 1000 // n_r AS BIGINT)
          AS r_star_milli,
        total_tokens,
        CAST(n1 * 1000 // total_tokens AS BIGINT) AS unseen_mass_permille
-FROM fof LEFT OUTER JOIN nxt ON fof.r = nxt.r, gstats
-WHERE fof.r <= {GT_MAX_R}
+FROM low LEFT OUTER JOIN nxt ON low.r = nxt.r, gstats
 ORDER BY 1
 """
 

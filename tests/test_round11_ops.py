@@ -93,15 +93,17 @@ def test_hybrid_query_search_fuses_the_two_serving_legs(spark, sf_dir):
 
 
 def test_dedup_query_text_probe_planted(spark, tmp_path):
-    """The match path of the out-of-corpus dedup probe: an exact-copy
-    corpus doc shares every band and scores est_jaccard 1.0; an
-    unrelated doc never becomes a candidate."""
+    """Both probe legs on a planted corpus: the resubmission probe
+    (probe_id 1 = the lowest-doc_id text, re-signed from the string)
+    band-matches its own corpus row at est_jaccard 1.0; the novel
+    literal (probe_id 2, unrelated to every planted doc) matches
+    nothing — exactly one result row."""
     from sap_sql_engine_spark.operators import dedup
 
-    probe = dedup.DEDUP_QUERY_TEXT
+    a = "the quick brown fox jumps over the lazy dog again and again today"
     other = "completely unrelated words about nothing shared at all here"
     rows = [
-        (10, probe, "en", "srcA", len(probe)),
+        (10, a, "en", "srcA", len(a)),
         (11, other, "en", "srcA", len(other)),
     ]
     spark.createDataFrame(
@@ -109,23 +111,31 @@ def test_dedup_query_text_probe_planted(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
 
     got = [
-        (r.corpus_doc, r.est_jaccard)
+        (r.probe_id, r.corpus_doc, r.est_jaccard)
         for r in dedup.q_dedup_query_text_probe(spark, str(tmp_path)).collect()
     ]
-    assert got == [(10, 1.0)]
+    assert got == [(1, 10, 1.0)]
 
 
 def test_dedup_query_text_is_genuinely_novel(spark, sf_dir):
-    """The literal probe text is not a corpus row (the serving premise),
-    and the gate corpus honestly yields no banded match for it."""
+    """The literal probe text is not a corpus row (the serving premise):
+    the novel leg (probe_id 2) yields no banded match on the gate
+    corpus, while the resubmission leg (probe_id 1) proves the match
+    path by re-finding the lowest-doc_id document from its string at
+    est_jaccard 1.0."""
+    from pyspark.sql import functions as F
+
     from sap_sql_engine_spark.operators import dedup
 
-    texts = {
-        r.text
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
-    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r.text for r in docs.collect()}
     assert dedup.DEDUP_QUERY_TEXT not in texts
-    assert dedup.q_dedup_query_text_probe(spark, sf_dir).count() == 0
+    min_doc = docs.agg(F.min("doc_id")).first()[0]
+    res = dedup.q_dedup_query_text_probe(spark, sf_dir).collect()
+    assert [r for r in res if r.probe_id == 2] == []
+    assert (min_doc, 1.0) in {
+        (r.corpus_doc, r.est_jaccard) for r in res if r.probe_id == 1
+    }
 
 
 def test_dedup_band_occupancy_planted(spark, tmp_path):
