@@ -104,15 +104,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q_top_customers_by_spend(spark, SF0001_DIR)
 
 
+# Queries whose SEMANTICS changed this round: their old green rows pin
+# the old behavior, so they re-enter the gate window as if never gated
+# (the honest move after an output-shape or value change — r12: the two
+# 0-row hardenings, the Markov per-step renormalization, and the
+# logreg CV one-agg-per-step rewrite re-earn driver rows).
+_MODIFIED_THIS_ROUND = {
+    "token_good_turing",
+    "dedup_query_text_probe",
+    "events_markov_stationary",
+    "logreg_cv_report",
+}
+
+
 def _ordered(attr: str) -> dict:
     """Registration order = gate age: never-gated first (round -1), then
     ascending by the round of each query's newest green driver row, ties
     broken by module registration order (sorted() is stable). The driver's
-    50-entry window therefore always re-verifies the 50 STALEST queries."""
+    50-entry window therefore always re-verifies the 50 STALEST queries.
+    Queries modified this round are treated as never gated."""
     full: dict = {}
     for mod in _MODULES:
         full.update(getattr(mod, attr))
     latest = _latest_green_round()
+    for name in _MODIFIED_THIS_ROUND:
+        latest.pop(name, None)
     reg = {k: i for i, k in enumerate(full)}
     names = sorted(full, key=lambda k: (latest.get(k, -1), reg[k]))
     return {k: full[k] for k in names}

@@ -405,44 +405,90 @@ def logreg_cv_report(docs: DataFrame) -> DataFrame:
     applies (majority-class behavior on this corpus, so all folds sit
     near the base rate — which IS the stable answer).
 
-    Scale shape: ONE cached featurize pass; each fold re-labels ``held``
-    map-side and runs the bounded _fit_on recurrence (Lloyd-round
-    class); fold accuracies are 1-row aggregates UNIONed; mean/spread
+    Scale shape (r12 rewrite, the verdict's one-agg-per-step item): ONE
+    cached featurize pass tagged with fold ids; ALL folds train
+    simultaneously — the CV_FOLDS-row weight relation broadcasts onto
+    the feature relation (each row scores against the CV_FOLDS-1 models
+    whose training set contains it) and each gradient step is ONE
+    map-side-combined aggregation grouped by fold, so the serialized
+    job count is LOGREG_ITERS + 2 instead of CV_FOLDS * (ITERS + 2)
+    (6.24s -> ~1s at sf0.1). Per-fold math is unchanged from _fit_on
+    (same integer recurrence, n_train folded into the same aggregation
+    as count(*)), so the report values are identical; mean/spread
     windows run on the CV_FOLDS-row relation."""
     spark = docs.sparkSession
-    base = cache_eager(_featurize(docs))
-    hit = (
-        f"CASE WHEN (CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END) = y"
-        " THEN 1 ELSE 0 END"
-    )
-    legs = []
-    for k in range(CV_FOLDS):
-        refolded = base.selectExpr(
+    m = LOGREG_M
+    base = cache_eager(
+        _featurize(docs).selectExpr(
             "doc_id",
             "y",
-            f"CAST(doc_id % {CV_FOLDS} = {k} AS INT) AS held",
+            f"CAST(doc_id % {CV_FOLDS} AS INT) AS fold",
             "x0",
             "x1",
             "x2",
             "x3",
         )
-        feats, w = _fit_on(refolded, spark)
-        legs.append(
-            feats.crossJoin(F.broadcast(w))
-            .filter(F.col("held") == 1)
-            .agg(
-                F.expr(f"sum({hit})").alias("hits"),
-                F.count(F.lit(1)).alias("n"),
-            )
+    )
+    w = spark.range(CV_FOLDS).selectExpr(
+        "CAST(id AS INT) AS fold_k",
+        *[f"CAST(0 AS BIGINT) AS w{j}" for j in range(4)],
+    )
+    for _ in range(LOGREG_ITERS):
+        scored = (
+            base.crossJoin(F.broadcast(w))
+            .filter("fold != fold_k")
             .selectExpr(
-                f"CAST({k} AS BIGINT) AS fold",
-                "CAST(n AS BIGINT) AS n_eval",
-                "CAST(hits * 10000 DIV n AS BIGINT) AS fold_acc_bp",
+                "fold_k",
+                "w0",
+                "w1",
+                "w2",
+                "w3",
+                "x0",
+                "x1",
+                "x2",
+                "x3",
+                f"least(greatest({m // 2} + ({_Z_EXPR}) DIV 4, 0), {m})"
+                f" - y * {m} AS err",
             )
         )
-    allr = legs[0]
-    for leg in legs[1:]:
-        allr = allr.unionByName(leg)
+        w = cache_eager(
+            scored.groupBy("fold_k", "w0", "w1", "w2", "w3")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                *[
+                    F.expr(f"sum(CAST(err AS DECIMAL(38,0)) * x{j})").alias(
+                        f"g{j}"
+                    )
+                    for j in range(4)
+                ],
+            )
+            .selectExpr(
+                "fold_k",
+                *[
+                    f"CAST(w{j} - {LOGREG_LR} * CAST(g{j} DIV (n * {m})"
+                    f" AS BIGINT) AS BIGINT) AS w{j}"
+                    for j in range(4)
+                ],
+            )
+        )
+    hit = (
+        f"CASE WHEN (CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END) = y"
+        " THEN 1 ELSE 0 END"
+    )
+    allr = (
+        base.crossJoin(F.broadcast(w))
+        .filter("fold = fold_k")
+        .groupBy("fold_k")
+        .agg(
+            F.expr(f"sum({hit})").alias("hits"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "CAST(fold_k AS BIGINT) AS fold",
+            "CAST(n AS BIGINT) AS n_eval",
+            "CAST(hits * 10000 DIV n AS BIGINT) AS fold_acc_bp",
+        )
+    )
     # constant-key windows over the CV_FOLDS-row relation only
     return allr.selectExpr(
         "fold",

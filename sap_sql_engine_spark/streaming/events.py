@@ -3696,27 +3696,35 @@ FROM it WHERE t = (SELECT max(rn) FROM ranked)
 # says what share of a long session a user spends in each state — the
 # engagement mix product teams actually plan against. Computed as
 # MARKOV_POWER_STEPS exact-integer power steps (v <- v C over the raw
-# COUNT matrix, DECIMAL(38,0)/HUGEINT — unnormalized power iteration;
-# the permille normalization happens once at the output). Magnitude
-# bound: |v| <= |S| * T^steps, so with T transitions up to ~5e5 the
-# 38-digit grid holds at 6 steps; beyond that renormalize per step with
-# the same truncating DIV on both engines (documented knob, the
-# adaboost convention; not needed at gate scales). The empirical
+# COUNT matrix, DECIMAL(38,0)/HUGEINT) with PER-STEP RENORMALIZATION to
+# a fixed integer basis: after each step w' = w * BASIS DIV sum(w), the
+# same truncating DIV on both engines (the adaboost convention), so the
+# orbit is bit-identical yet the magnitude never compounds. Bound per
+# step: |w| <= BASIS (1e12) going in, so the raw stepped mass is at
+# most BASIS * T (T = total transitions) and the renormalizing sum at
+# most BASIS * T * |S| — DECIMAL(38,0)/HUGEINT holds to T ~ 1e24
+# transitions, i.e. any corpus (the r11 unnormalized form overflowed
+# the 38-digit grid past T ~ 5e5 at 6 steps; this IS that documented
+# knob, implemented). The truncation loses < |S| parts in 1e12 of mass
+# per step — invisible at the permille output grid. The empirical
 # incoming share sits alongside as the one-step comparison.
 
 MARKOV_POWER_STEPS = 6
+MARKOV_RENORM_BASIS = 10**12
 
 
 def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: the power-iterated stationary share (permille,
-    after MARKOV_POWER_STEPS exact steps from the uniform vector) and
+    after MARKOV_POWER_STEPS exact steps from the uniform vector, each
+    step renormalized to MARKOV_RENORM_BASIS with truncating DIV) and
     the one-step empirical incoming share — identical transition
     derivation (user sort window + SESSION_GAP_SECONDS rule) as
     events_transition_matrix, so the two reports reconcile.
 
     Scale shape: the event stream pays the one sessionize exchange to
     become the <=|types|^2 count matrix; every power step is a join +
-    regroup of two metadata-sized relations (|types| x |types|^2)."""
+    regroup of two metadata-sized relations (|types| x |types|^2) plus
+    a 1-row renormalizing sum on the bounded |types| vector."""
     from ..cachereg import cache_eager
 
     ev = _events(spark, sf_dir)
@@ -3747,8 +3755,19 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("to_type").alias("s"))
             .agg(F.expr("CAST(sum(w * c) AS DECIMAL(38,0))").alias("w"))
         )
-        v = states.join(stepped, "s", "left_outer").selectExpr(
+        raw = states.join(stepped, "s", "left_outer").selectExpr(
             "s", "CAST(COALESCE(w, 0) AS DECIMAL(38,0)) AS w"
+        )
+        # per-step renormalization to the fixed basis: one 1-row sum on
+        # the bounded |S| relation, broadcast back — magnitude never
+        # compounds (see the bound note above)
+        step_tot = raw.agg(
+            F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("st")
+        )
+        v = raw.crossJoin(F.broadcast(step_tot)).selectExpr(
+            "s",
+            f"CAST(w * {MARKOV_RENORM_BASIS} DIV GREATEST(st, 1)"
+            " AS DECIMAL(38,0)) AS w",
         )
     tot = v.agg(F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("t"))
     cols = trans.groupBy(F.col("to_type").alias("s")).agg(
@@ -3796,13 +3815,18 @@ v0 AS (SELECT s, CAST(1 AS HUGEINT) AS w FROM states)"""
     ]
     for k in range(1, MARKOV_POWER_STEPS + 1):
         ctes.append(
-            f"""v{k} AS (
+            f"""r{k} AS (
   SELECT states.s, CAST(COALESCE(x.w, 0) AS HUGEINT) AS w
   FROM states LEFT JOIN (
     SELECT to_type AS s, sum(v{k - 1}.w * c) AS w
     FROM v{k - 1} JOIN trans ON v{k - 1}.s = trans.from_type
     GROUP BY 1
   ) x USING (s)
+),
+n{k} AS (SELECT CAST(sum(w) AS HUGEINT) AS st FROM r{k}),
+v{k} AS (
+  SELECT s, CAST(w * {MARKOV_RENORM_BASIS} // GREATEST(st, 1) AS HUGEINT) AS w
+  FROM r{k}, n{k}
 )"""
         )
     n = MARKOV_POWER_STEPS

@@ -1172,10 +1172,13 @@ def test_dedup_containment_pairs_planted(spark, tmp_path):
 
 
 def test_events_markov_stationary_planted(spark, tmp_path):
-    """Hand-run 6-step exact power iteration on the 2-state chain built
-    by the sequence click,view,view,click,view (A->B x2, B->B, B->A):
-    v walks (1,1)->(1,3)->(3,5)->(5,11)->(11,21)->(21,43)->(43,85),
-    total 128 -> stationary 335/664 permille; incoming shares 250/750
+    """Hand-run 6-step renormalized power iteration on the 2-state chain
+    built by the sequence click,view,view,click,view (A->B x2, B->B,
+    B->A). With per-step renormalization to 1e12 (r12) the orbit in
+    basis units walks click = 250e9 -> 375e9 -> 312.5e9 -> 343.75e9 ->
+    328.125e9 -> 335.9375e9 (raw step totals divide exactly here, so
+    no truncation fires) -> stationary 335/664 permille, identical to
+    the unnormalized r11 orbit (43/85 of 128); incoming shares 250/750
     over the 4 transitions."""
     import datetime as dt
 

@@ -183,7 +183,9 @@ def test_greedy_coverage_matches_python_greedy(spark, tmp_path_factory, docs):
 def test_markov_stationary_matches_python_power(spark, tmp_path_factory, seq):
     """The 6-step exact power orbit over an arbitrary single-user type
     sequence equals a direct Python integer matrix iteration with the
-    same left-join-zero semantics for states without incoming mass."""
+    same left-join-zero semantics for states without incoming mass and
+    the same per-step truncating renormalization to the fixed basis
+    (r12: the implemented overflow knob)."""
     tmp = tmp_path_factory.mktemp("markov")
     rows = [
         (i, dt.datetime(2024, 3, 1, 10, 0, 0) + dt.timedelta(seconds=30 * i),
@@ -207,7 +209,10 @@ def test_markov_stationary_matches_python_power(spark, tmp_path_factory, seq):
         nxt = {s: 0 for s in states}
         for (a, b), c in trans.items():
             nxt[b] += v[a] * c
-        v = nxt
+        st = sum(nxt.values())
+        v = {
+            s: nxt[s] * se.MARKOV_RENORM_BASIS // max(st, 1) for s in states
+        }
     tot = sum(v.values())
     tt = sum(trans.values())
     nin = {s: sum(c for (a, b), c in trans.items() if b == s) for s in states}
