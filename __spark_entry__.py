@@ -114,6 +114,12 @@ _MODIFIED_THIS_ROUND = {
     "dedup_query_text_probe",
     "events_markov_stationary",
     "logreg_cv_report",
+    # the perceptual lanes gained the heavy-hitter band-bucket cap (the
+    # degenerate-print fix the decorrelated growth harness forced)
+    "media_dhash_report",
+    "media_dhash_neardup_pairs",
+    "media_audio_fp_report",
+    "media_audio_neardup_pairs",
 }
 
 

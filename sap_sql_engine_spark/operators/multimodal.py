@@ -810,23 +810,55 @@ def sql_dhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).agg(F.expr("CAST(sum(shiftleft(bit, CAST(i % 16 AS INT))) AS BIGINT)").alias("band_val"))
 
 
+# Heavy-hitter band-bucket cap (r12). The r11 growth harness read the
+# audio lane at 7.4x time for 10x corpus and SCALE.md blamed replica
+# correlation; the r12 decorrelated-harness MEASUREMENT refuted that —
+# jittered replicas showed the identical blowup. The real cause: the
+# 1-bit adjacent-frame comparison print is DEGENERATE on oscillating
+# signals — thousands of unrelated docs land on the alternating prints
+# 0101...(21845)/1010...(43690), and one such bucket alone contributes
+# B(B-1)/2 ~ 5M candidate pairs at 10x. An over-popular bucket carries
+# no similarity evidence (it is the fingerprint's stop-word), so — the
+# dedup ladder's DF-cap precedent exactly — buckets larger than
+# max(BAND_CAP_MIN, n_media DIV BAND_CAP_DIVISOR) are dropped from
+# candidate generation. Recall honesty: a true near-dup pair whose ONLY
+# shared band is degenerate is lost; that is the standard LSH trade and
+# the planted match-path tests (distance-0 twins on non-degenerate
+# prints) still pass through the capped join.
+
+BAND_CAP_MIN = 32
+BAND_CAP_DIVISOR = 100  # cap = max(32, 1% of the media population)
+
+
 def _banded_hamming_distances(bandsx: DataFrame) -> DataFrame:
     """Banded-candidate pair distances (media_id_a, media_id_b,
     hamming_dist) over any (media_id, band_no, band_val) relation —
     shared by the dHash and audio-envelope lanes (both 4x16-bit bands
     since the r10 widen):
-    ONE (band_no, band_val) equi-join for candidates — never an all-pairs
+    ONE (band_no, band_val) equi-join for candidates over the
+    cap-filtered buckets (see BAND_CAP_MIN above) — never an all-pairs
     cross — then a per-pair re-join of the band vectors summing xor
     popcounts.
 
-    The bands relation is consumed by THREE plan branches (both sides of
-    the candidate self-join plus the distance re-join), so it is cached
-    eagerly — without the cache the whole fingerprint chain (posexplode →
-    cells → bits → bands) recomputes per branch (measured: the r10 dHash
-    report paid the corpus explode 4x; the cache is |media| x 4 rows —
-    metadata-sized next to the exploded signal)."""
+    The bands relation is consumed by FOUR plan branches (bucket sizes,
+    both sides of the candidate self-join, the distance re-join), so it
+    is cached eagerly — without the cache the whole fingerprint chain
+    (posexplode → cells → bits → bands) recomputes per branch (measured:
+    the r10 dHash report paid the corpus explode 4x; the cache is
+    |media| x 4 rows — metadata-sized next to the exploded signal). The
+    media count for the cap is a driver scalar probe off the cache (the
+    bm25/tfidf convention)."""
     bandsx = cache_eager(bandsx)
-    a, b = bandsx.alias("a"), bandsx.alias("b")
+    n_media = bandsx.select("media_id").distinct().count()
+    cap = max(BAND_CAP_MIN, n_media // BAND_CAP_DIVISOR)
+    ok = (
+        bandsx.groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= cap)
+        .select("band_no", "band_val")
+    )
+    small = bandsx.join(ok, ["band_no", "band_val"])
+    a, b = small.alias("a"), small.alias("b")
     cand = (
         a.join(
             b,
@@ -939,11 +971,16 @@ bands AS (
          CAST(sum(bit << CAST(i % 16 AS INT)) AS BIGINT) AS band_val
   FROM bits WHERE i < {c - 1} GROUP BY 1, 2
 ),
+nmedia AS (SELECT count(DISTINCT media_id) AS nm FROM bands),
+bsize AS (SELECT band_no, band_val, count(*) AS bs FROM bands GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
   FROM bands a JOIN bands b
     ON a.band_no = b.band_no AND a.band_val = b.band_val
    AND a.media_id < b.media_id
+  JOIN bsize s ON s.band_no = a.band_no AND s.band_val = a.band_val
+  CROSS JOIN nmedia
+  WHERE s.bs <= greatest({BAND_CAP_MIN}, nm // {BAND_CAP_DIVISOR})
 ),
 pairdist AS (
   SELECT cd.media_id_a, cd.media_id_b,
@@ -1166,11 +1203,16 @@ bands AS (
          CAST(sum(bit << CAST(f % {AFP_BAND_BITS} AS INT)) AS BIGINT) AS band_val
   FROM bits WHERE f < {AFP_BITS} GROUP BY 1, 2
 ),
+nmedia AS (SELECT count(DISTINCT media_id) AS nm FROM bands),
+bsize AS (SELECT band_no, band_val, count(*) AS bs FROM bands GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
   FROM bands a JOIN bands b
     ON a.band_no = b.band_no AND a.band_val = b.band_val
    AND a.media_id < b.media_id
+  JOIN bsize s ON s.band_no = a.band_no AND s.band_val = a.band_val
+  CROSS JOIN nmedia
+  WHERE s.bs <= greatest({BAND_CAP_MIN}, nm // {BAND_CAP_DIVISOR})
 ),
 pairdist AS (
   SELECT cd.media_id_a, cd.media_id_b,

@@ -5231,7 +5231,290 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# customer spend Gini: how unequal is revenue across the customer base?
+# The single-number companion to customer_revenue_pareto's curve — the
+# Gini coefficient over per-customer lifetime spend, computed from the
+# rank form G = (2 sum(i*x_i) - (n+1) sum(x)) / (n sum(x)) with x
+# ascending. Spend is exact integer CENTS (the money() DECIMAL lane *
+# 100), the rank comes from the range-exchange global-rank primitive
+# (no single-partition window), and the coefficient is one integral
+# quotient — plan-independent end to end.
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: customer count, total spend in cents, and the Gini
+    coefficient of per-customer spend in permille (0 = equal, ->1000 =
+    one customer is the book).
+
+    Scale shape: one orders aggregation to the per-customer relation,
+    the with_global_rank range exchange over it (each task ranks its
+    range slice), one final integer aggregation. Ties order by
+    (spend, custkey) on both engines."""
+    from .ranks import with_global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice") * 100).cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    ranked = with_global_rank(spend, "spend_cents", "o_custkey")
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr("CAST(sum(CAST(spend_cents AS DECIMAL(38,0)))"
+                   " AS DECIMAL(38,0))").alias("sx"),
+            F.expr(
+                "CAST(sum(CAST(rn AS DECIMAL(38,0)) * spend_cents)"
+                " AS DECIMAL(38,0))"
+            ).alias("six"),
+        )
+        .selectExpr(
+            "n_customers",
+            "CAST(sx AS BIGINT) AS total_spend_cents",
+            "CAST((2 * six - (n_customers + 1) * sx) * 1000"
+            " DIV nullif(n_customers * sx, 0) AS BIGINT) AS gini_permille",
+        )
+    )
+
+
+ORACLE_CUSTOMER_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT spend_cents,
+         CAST(row_number() OVER (ORDER BY spend_cents, o_custkey)
+              AS BIGINT) AS rn
+  FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(spend_cents AS HUGEINT)) AS BIGINT)
+         AS total_spend_cents,
+       CAST((2 * sum(CAST(rn AS HUGEINT) * spend_cents)
+             - (count(*) + 1) * sum(CAST(spend_cents AS HUGEINT))) * 1000
+            // nullif(count(*) * sum(CAST(spend_cents AS HUGEINT)), 0)
+            AS BIGINT) AS gini_permille
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# ship-latency-on-quantity OLS: do BIG lines ship slower? The slope of
+# order->ship latency (days) on line quantity, per order priority — the
+# fulfillment question behind priority_ship_latency's percentiles. Same
+# integer sufficient-statistics discipline as zipf_slope_fit (FLOATS.md
+# class D here — both variables are already integers, so not even the
+# ln quantization is needed): five DECIMAL(38,0) sums and one integral
+# quotient, associative on any plan.
+
+
+def q_ship_latency_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per o_orderpriority: line count, mean latency in milli-days, and
+    the OLS slope of latency on quantity in micro-days per unit.
+
+    Scale shape: the one lineitem-orders key shuffle every fulfillment
+    report pays, map-side-combined sufficient statistics, arithmetic on
+    the |priorities|-row relation."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    pts = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        "x",
+        F.datediff(F.col("ship_d"), F.col("order_d"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    stats = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))"
+        ).alias("sxx"),
+    )
+    return stats.selectExpr(
+        "o_orderpriority",
+        "CAST(n AS BIGINT) AS n_lines",
+        "CAST(sy * 1000 DIV n AS BIGINT) AS mean_latency_milli_days",
+        "CAST((n * sxy - sx * sy) * 1000000"
+        " DIV nullif(n * sxx - sx * sx, 0) AS BIGINT)"
+        " AS slope_micro_days_per_unit",
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_SHIP_LATENCY_QTY_OLS = """
+WITH pts AS (
+  SELECT o_orderpriority,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+stats AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(sy * 1000 // n AS BIGINT) AS mean_latency_milli_days,
+       CAST((n * sxy - sx * sy) * 1000000
+            // nullif(n * sxx - sx * sx, 0) AS BIGINT)
+         AS slope_micro_days_per_unit
+FROM stats
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# same-day repeat orders: the duplicate-payment screen. Multiple orders
+# by one customer on one date are the classic AP double-entry candidate
+# (the reference's open-item hygiene templates ask exactly this class of
+# question of BSEG/BKPF); the report lists each (customer, day) group
+# with its order count, total cents, and the orderkey span so an
+# auditor can pull the documents.
+
+
+def q_orders_same_day_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, order day, n_orders, total_cents, min/max orderkey)
+    for every customer-day with more than one order, busiest first.
+
+    Scale shape: ONE orders aggregation on the (custkey, day) grain
+    (map-side combined), HAVING on the aggregate — no join, no window;
+    output is the anomaly set only."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("order_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(money("o_totalprice") * 100)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .orderBy(
+            F.col("n_orders").desc(), "o_custkey", "order_day"
+        )
+    )
+
+
+ORACLE_ORDERS_SAME_DAY_REPEATS = """
+SELECT o_custkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+GROUP BY 1, 2
+HAVING count(*) > 1
+ORDER BY n_orders DESC, o_custkey, order_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# part-supplier bipartite degrees: how concentrated is the sourcing
+# graph? The degree histogram of BOTH sides of the observed
+# part-supplier relationship (distinct pairs from lineitem — the
+# testdata has no partsupp table, so the traded graph IS the sourcing
+# surface): single-sourced parts are supply risks
+# (parts_sourcing_risk's aggregate view, here as the full spectrum),
+# one-part suppliers are integration long-tail.
+
+
+def q_part_supplier_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(side, degree, n_keys): for side 'suppliers_per_part' how many
+    parts have exactly `degree` distinct suppliers, and symmetrically
+    for 'parts_per_supplier'.
+
+    Scale shape: one distinct-pair aggregation of lineitem (the edge
+    list, map-side combined), then two tiny regroups of the edge
+    relation — the histogram relation is bounded by the max degree."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = (
+        edges.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .selectExpr(
+            "'suppliers_per_part' AS side", "degree", "n_keys"
+        )
+    )
+    per_supp = (
+        edges.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .selectExpr(
+            "'parts_per_supplier' AS side", "degree", "n_keys"
+        )
+    )
+    return per_part.unionByName(per_supp).orderBy("side", "degree")
+
+
+ORACLE_PART_SUPPLIER_DEGREE_HISTOGRAM = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+pp AS (
+  SELECT 'suppliers_per_part' AS side, degree,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY 1)
+  GROUP BY 2
+),
+ps AS (
+  SELECT 'parts_per_supplier' AS side, degree,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY 1)
+  GROUP BY 2
+)
+SELECT * FROM pp UNION ALL SELECT * FROM ps
+ORDER BY side, degree
+"""
+
+
 QUERIES = {
+    "customer_spend_gini": q_customer_spend_gini,
+    "ship_latency_qty_ols": q_ship_latency_qty_ols,
+    "orders_same_day_repeats": q_orders_same_day_repeats,
+    "part_supplier_degree_histogram": q_part_supplier_degree_histogram,
     "parts_abc_classification": q_parts_abc_classification,
     "supplier_herfindahl": q_supplier_herfindahl,
     "pricing_summary": q_pricing_summary,
@@ -5321,6 +5604,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_spend_gini": ORACLE_CUSTOMER_SPEND_GINI,
+    "ship_latency_qty_ols": ORACLE_SHIP_LATENCY_QTY_OLS,
+    "orders_same_day_repeats": ORACLE_ORDERS_SAME_DAY_REPEATS,
+    "part_supplier_degree_histogram": ORACLE_PART_SUPPLIER_DEGREE_HISTOGRAM,
     "parts_abc_classification": ORACLE_PARTS_ABC,
     "supplier_herfindahl": ORACLE_SUPPLIER_HHI,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -4533,6 +4533,253 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Simpson diversity: how CONCENTRATED is each source's token mass?
+# lambda = sum c_i (c_i - 1) / (N (N - 1)) is the probability two tokens
+# drawn without replacement are the same type — the inverse view of the
+# entropy family (source_token_entropy), but ALL-INTEGER (FLOATS.md
+# class D: two exact sums and one integral quotient, no ln), so it is
+# the diversity number that needs no quantization discipline at all.
+# Templated/duplicated sources read high; natural text reads low.
+
+
+def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: token count, type count, the Simpson concentration
+    index in permille, and the heaviest type's share in permille (the
+    one-term upper bound a spot-checker compares against).
+
+    Scale shape: one token explode + (source, token) count (the
+    vocabulary shuffle every LM statistic pays, map-side combined), one
+    per-source regroup of the vocabulary relation — both aggregations
+    are exact integer sums, associative on any plan."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter("t != ''")
+    freqs = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        freqs.groupBy("source")
+        .agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_types"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DECIMAL(38,0))"
+            ).alias("same2"),
+            F.expr("CAST(max(c) AS BIGINT)").alias("maxc"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_types",
+            "CAST(same2 * 1000 DIV nullif(CAST(n_tokens AS DECIMAL(38,0))"
+            " * (n_tokens - 1), 0) AS BIGINT) AS simpson_permille",
+            "CAST(maxc * 1000 DIV n_tokens AS BIGINT) AS top_share_permille",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_SIMPSON_DIVERSITY = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+freqs AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE t != '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS same2,
+         CAST(max(c) AS BIGINT) AS maxc
+  FROM freqs GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST(same2 * 1000 // nullif(CAST(n_tokens AS HUGEINT)
+            * (n_tokens - 1), 0) AS BIGINT) AS simpson_permille,
+       CAST(maxc * 1000 // n_tokens AS BIGINT) AS top_share_permille
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chao1 richness: how many token types does each source REALLY have,
+# counting the ones not yet seen? chao1 = V + n1^2 / (2 n2) (Chao 1984;
+# the n2 = 0 fallback V + n1 (n1 - 1) / 2 is the standard
+# bias-corrected form) — the "how much vocabulary is left to crawl"
+# companion to docs_vocab_growth's Heaps curve and token_good_turing's
+# unseen-mass permille, off the SAME frequency-of-frequencies relation,
+# and like them all-integer (milli units, truncating DIV).
+
+
+def q_docs_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: observed type count, singleton and doubleton counts,
+    and the Chao1 richness estimate in milli.
+
+    Scale shape: the same (source, token) count as the diversity/zipf
+    family, then a per-source regroup bounded by the vocabulary — the
+    estimator itself is arithmetic on a |sources|-row relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter("t != ''")
+    freqs = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        freqs.groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_types"),
+            F.expr(
+                "CAST(COALESCE(sum(CASE WHEN c = 1 THEN 1 END), 0)"
+                " AS BIGINT)"
+            ).alias("n_singletons"),
+            F.expr(
+                "CAST(COALESCE(sum(CASE WHEN c = 2 THEN 1 END), 0)"
+                " AS BIGINT)"
+            ).alias("n_doubletons"),
+        )
+        .selectExpr(
+            "source",
+            "n_types",
+            "n_singletons",
+            "n_doubletons",
+            "CAST(n_types * 1000 + CASE WHEN n_doubletons > 0"
+            " THEN n_singletons * n_singletons * 1000 DIV (2 * n_doubletons)"
+            " ELSE n_singletons * (n_singletons - 1) * 1000 DIV 2 END"
+            " AS BIGINT) AS chao1_milli",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_CHAO1_RICHNESS = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+freqs AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE t != '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_singletons,
+         CAST(COALESCE(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT)
+           AS n_doubletons
+  FROM freqs GROUP BY source
+)
+SELECT source, n_types, n_singletons, n_doubletons,
+       CAST(n_types * 1000 + CASE WHEN n_doubletons > 0
+            THEN n_singletons * n_singletons * 1000 // (2 * n_doubletons)
+            ELSE n_singletons * (n_singletons - 1) * 1000 // 2 END
+            AS BIGINT) AS chao1_milli
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram novelty: what fraction of an INCOMING slice's word bigrams does
+# the standing corpus already contain? The n-gram decontamination /
+# novelty probe a curation pipeline runs on every candidate source
+# before mixing it in — high containment means the "new" data is mostly
+# restatement (or leaked benchmark), low containment means genuinely
+# novel text. Same incoming-slice convention as dedup_incremental
+# (source 'src19' models the arriving batch).
+
+NOVELTY_INCOMING_SOURCE = "src19"
+
+
+def q_token_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the incoming slice's distinct-bigram count, the standing
+    corpus's, the shared count, and containment in permille
+    (shared * 1000 DIV incoming).
+
+    Scale shape: one bigram explode per side (posexplode + self-zip via
+    lead-free token pairing inside the split array), two distinct
+    aggregations bounded by the bigram vocabulary, one vocabulary-keyed
+    join — never a doc-by-doc comparison. At 100 TB the corpus side is
+    a PERSISTED bigram set; only the incoming slice derives fresh."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    big = docs.select(
+        "source",
+        F.expr(
+            "explode(filter(zip_with(split(trim(text), '\\\\s+'),"
+            " slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text),"
+            " '\\\\s+'))), (a, b) -> concat(a, ' ', b)),"
+            " x -> x IS NOT NULL))"
+        ).alias("bg"),
+    )
+    inc = (
+        big.filter(F.col("source") == NOVELTY_INCOMING_SOURCE)
+        .select("bg")
+        .distinct()
+    )
+    corp = (
+        big.filter(F.col("source") != NOVELTY_INCOMING_SOURCE)
+        .select("bg")
+        .distinct()
+    )
+    shared = inc.join(corp, "bg")
+    return (
+        inc.agg(F.count(F.lit(1)).cast("bigint").alias("n_incoming"))
+        .crossJoin(
+            F.broadcast(
+                corp.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                shared.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_shared")
+                )
+            )
+        )
+        .selectExpr(
+            "n_incoming",
+            "n_corpus",
+            "n_shared",
+            "CAST(n_shared * 1000 DIV nullif(n_incoming, 0) AS BIGINT)"
+            " AS containment_permille",
+        )
+    )
+
+
+ORACLE_TOKEN_BIGRAM_NOVELTY = rf"""
+WITH big AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+1])) AS bg
+  FROM documents
+),
+inc AS (SELECT DISTINCT bg FROM big
+        WHERE source = '{NOVELTY_INCOMING_SOURCE}' AND bg IS NOT NULL),
+corp AS (SELECT DISTINCT bg FROM big
+         WHERE source != '{NOVELTY_INCOMING_SOURCE}' AND bg IS NOT NULL),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_incoming FROM inc),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM corp),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+       FROM inc JOIN corp USING (bg))
+SELECT n_incoming, n_corpus, n_shared,
+       CAST(n_shared * 1000 // nullif(n_incoming, 0) AS BIGINT)
+         AS containment_permille
+FROM ni, nc, ns
+"""
+
+
 QUERIES = {
     "docs_charclass_profile": q_docs_charclass_profile,
     "docs_sample_inspection_pack": q_docs_sample_inspection_pack,
@@ -4583,6 +4830,9 @@ QUERIES = {
     "docs_vocab_growth": q_docs_vocab_growth,
     "zipf_slope_fit": q_zipf_slope,
     "token_good_turing": q_token_good_turing,
+    "text_simpson_diversity": q_text_simpson_diversity,
+    "docs_chao1_richness": q_docs_chao1_richness,
+    "token_bigram_novelty": q_token_bigram_novelty,
     "docs_weighted_topk_sample": q_docs_weighted_topk_sample,
     "dataset_card": q_dataset_card,
     "source_kl_divergence": q_source_kl_divergence,
@@ -4640,6 +4890,9 @@ ORACLES = {
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
+    "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,
+    "docs_chao1_richness": ORACLE_DOCS_CHAO1_RICHNESS,
+    "token_bigram_novelty": ORACLE_TOKEN_BIGRAM_NOVELTY,
     "docs_weighted_topk_sample": ORACLE_WEIGHTED_TOPK_SAMPLE,
     "dataset_card": ORACLE_DATASET_CARD,
     "source_kl_divergence": ORACLE_SOURCE_KL,

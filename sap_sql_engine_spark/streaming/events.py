@@ -4037,10 +4037,261 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test: IS daily volume trending, nonparametrically?
+# S = sum over day pairs i<j of sign(c_j - c_i) — the rank-based trend
+# statistic that needs no distributional assumption and no float at all
+# (FLOATS.md class D: comparisons and integer sums only). Complements
+# events_holt_forecast (which fits a trend) by testing whether one is
+# even there, and events_cusum_changepoint (level SHIFT vs monotone
+# drift). |S| near n_pairs = strong monotone trend; near 0 = none.
+
+
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: day count, pair count, the Mann-Kendall S statistic,
+    the normalized trend in permille (S * 1000 DIV n_pairs), and the
+    direction label.
+
+    Scale shape: the fact table compacts to the bounded |days| relation
+    in one map-side-combined aggregation; the pairwise comparison is a
+    self-cross of that metadata-sized relation (|days|^2 pairs — ~130k
+    at a year of days, constant in the corpus), never of events."""
+    from ..cachereg import cache_eager
+
+    ev = _events(spark, sf_dir)
+    daily = cache_eager(
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    d1 = daily.selectExpr("day AS day1", "c AS c1")
+    d2 = daily.selectExpr("day AS day2", "c AS c2")
+    pairs = d1.join(F.broadcast(d2), F.col("day2") > F.col("day1"))
+    agg = pairs.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN c2 > c1 THEN 1 WHEN c2 < c1 THEN -1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("s_statistic"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    ndays = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return agg.crossJoin(F.broadcast(ndays)).selectExpr(
+        "n_days",
+        "n_pairs",
+        "s_statistic",
+        "CAST(s_statistic * 1000 DIV nullif(n_pairs, 0) AS BIGINT)"
+        " AS trend_permille",
+        "CASE WHEN s_statistic > 0 THEN 'rising' WHEN s_statistic < 0"
+        " THEN 'falling' ELSE 'flat' END AS direction",
+    )
+
+
+ORACLE_EVENTS_MANN_KENDALL = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN d2.c > d1.c THEN 1 WHEN d2.c < d1.c THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_statistic,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily d1 JOIN daily d2 ON d2.day > d1.day
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs, s_statistic,
+       CAST(s_statistic * 1000 // nullif(n_pairs, 0) AS BIGINT)
+         AS trend_permille,
+       CASE WHEN s_statistic > 0 THEN 'rising' WHEN s_statistic < 0
+            THEN 'falling' ELSE 'flat' END AS direction
+FROM pairs, nd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: is the day-over-day up/down sequence RANDOM,
+# or does volume move in streaks? Counts runs of consecutive same-sign
+# changes (ties dropped, the standard treatment) against the expected
+# run count 2 n_up n_down / (n_up + n_down) + 1 under exchangeability.
+# Fewer runs than expected = momentum/streakiness; more = oscillation
+# (e.g. a sawtooth batch schedule). All-integer except the expected
+# count, which is one integral quotient in milli.
+
+
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: up-day and down-day counts, observed runs, the expected
+    run count in milli, and observed*1000 - expected_milli (positive =
+    oscillating, negative = streaky).
+
+    Scale shape: the one daily compaction, then two lag windows on the
+    BOUNDED |days| relation (single-partition by construction — the
+    relation is metadata-sized, the adjudicated global-window class)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = W.orderBy("day")
+    dirs = (
+        daily.withColumn("prev_c", F.lag("c").over(w))
+        .filter(F.col("prev_c").isNotNull() & (F.col("c") != F.col("prev_c")))
+        .selectExpr(
+            "day", "CASE WHEN c > prev_c THEN 1 ELSE -1 END AS dir"
+        )
+    )
+    w2 = W.orderBy("day")
+    runs = dirs.withColumn("prev_dir", F.lag("dir").over(w2)).agg(
+        F.expr("CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_up"),
+        F.expr("CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_down"),
+        F.expr(
+            "CAST(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_runs"),
+    )
+    return runs.selectExpr(
+        "n_up",
+        "n_down",
+        "n_runs",
+        "CAST(2 * n_up * n_down * 1000 DIV nullif(n_up + n_down, 0) + 1000"
+        " AS BIGINT) AS expected_runs_milli",
+        "CAST(n_runs * 1000 - (2 * n_up * n_down * 1000"
+        " DIV nullif(n_up + n_down, 0) + 1000) AS BIGINT) AS gap_milli",
+    )
+
+
+ORACLE_EVENTS_RUNS_TEST = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+dirs AS (
+  SELECT day, CASE WHEN c > prev_c THEN 1 ELSE -1 END AS dir
+  FROM (SELECT day, c, lag(c) OVER (ORDER BY day) AS prev_c FROM daily)
+  WHERE prev_c IS NOT NULL AND c != prev_c
+),
+runs AS (
+  SELECT CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM (SELECT dir, lag(dir) OVER (ORDER BY day) AS prev_dir FROM dirs)
+)
+SELECT n_up, n_down, n_runs,
+       CAST(2 * n_up * n_down * 1000 // nullif(n_up + n_down, 0) + 1000
+            AS BIGINT) AS expected_runs_milli,
+       CAST(n_runs * 1000 - (2 * n_up * n_down * 1000
+            // nullif(n_up + n_down, 0) + 1000) AS BIGINT) AS gap_milli
+FROM runs
+"""
+
+
+# ---------------------------------------------------------------------------
+# transition entropy: how PREDICTABLE is what follows each event type?
+# H(next | from = f) in micro-nats per from-state — the per-state
+# uncertainty the transition matrix only shows as a row of shares, and
+# the quantity a session-prefetcher or UI-predictor actually budgets
+# against. Same session-gap transition derivation as
+# events_markov_stationary, so all three reports reconcile. Determinism
+# (FLOATS.md class C + A): ln is quantized ONCE per count value to
+# integer micro-nats (the zipf/kl discipline); H = ln(T_f) - sum(c *
+# ln(c)) / T_f becomes lnT_micro - (sum c*lnc_micro) DIV T_f, exact
+# integer arithmetic after the per-cell quantization.
+
+
+def q_events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per from_type: outgoing transition count, distinct next types,
+    and the conditional next-type entropy in micro-nats (0 =
+    deterministic next step; ln(|types|)*1e6 = uniform).
+
+    Scale shape: the one sessionize exchange to the <=|types|^2 count
+    matrix, then arithmetic on that metadata-sized relation."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("prev_type").isNotNull() & (F.col("gap_us") <= gap_us))
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = trans.selectExpr(
+        "from_type",
+        "c",
+        "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS lnc_micro",
+    )
+    per_from = cells.groupBy("from_type").agg(
+        F.expr("CAST(sum(c) AS BIGINT)").alias("t_f"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(38,0)) * lnc_micro)"
+            " AS DECIMAL(38,0))"
+        ).alias("clnc"),
+    )
+    return per_from.selectExpr(
+        "from_type",
+        "t_f AS n_transitions",
+        "n_next_types",
+        "CAST(CAST(floor(ln(CAST(t_f AS DOUBLE)) * 1000000) AS BIGINT)"
+        " - clnc DIV t_f AS BIGINT) AS entropy_micro_nats",
+    ).orderBy("from_type")
+
+
+ORACLE_EVENTS_TRANSITION_ENTROPY = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq
+  WHERE prev_type IS NOT NULL AND gap_us <= {SESSION_GAP_SECONDS} * 1000000
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT from_type, c,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lnc_micro
+  FROM trans
+),
+per_from AS (
+  SELECT from_type,
+         CAST(sum(c) AS BIGINT) AS t_f,
+         CAST(count(*) AS BIGINT) AS n_next_types,
+         CAST(sum(CAST(c AS HUGEINT) * lnc_micro) AS HUGEINT) AS clnc
+  FROM cells GROUP BY from_type
+)
+SELECT from_type,
+       t_f AS n_transitions,
+       n_next_types,
+       CAST(CAST(floor(ln(CAST(t_f AS DOUBLE)) * 1000000) AS BIGINT)
+            - clnc // t_f AS BIGINT) AS entropy_micro_nats
+FROM per_from
+ORDER BY from_type
+"""
+
+
 QUERIES = {
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
     "events_markov_stationary": q_events_markov_stationary,
+    "events_mann_kendall": q_events_mann_kendall,
+    "events_runs_test": q_events_runs_test,
+    "events_transition_entropy": q_events_transition_entropy,
     "events_session_archetypes": q_events_session_archetypes,
     "events_lorenz_deciles": q_events_lorenz_deciles,
     "rollup_incremental_merge": q_rollup_incremental_merge,
@@ -4085,6 +4336,9 @@ ORACLES = {
     "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "events_markov_stationary": ORACLE_MARKOV_STATIONARY,
+    "events_mann_kendall": ORACLE_EVENTS_MANN_KENDALL,
+    "events_runs_test": ORACLE_EVENTS_RUNS_TEST,
+    "events_transition_entropy": ORACLE_EVENTS_TRANSITION_ENTROPY,
     "events_session_archetypes": ORACLE_SESSION_ARCHETYPES,
     "events_lorenz_deciles": ORACLE_LORENZ_DECILES,
     "rollup_incremental_merge": ORACLE_ROLLUP_INCREMENTAL_MERGE,

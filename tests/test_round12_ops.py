@@ -1,0 +1,251 @@
+"""Planted-fixture tests for the round-12 operators.
+
+Each test hand-computes the expected integer grid on a corpus small
+enough to verify by eye, so a regression in any engine-side expression
+(not just a Spark/DuckDB disagreement) fails loudly.
+"""
+
+import datetime as dt
+
+import pytest
+
+from sap_sql_engine_spark.operators import relational as rel
+from sap_sql_engine_spark.operators import textanalysis as ta
+from sap_sql_engine_spark.streaming import events as se
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_text_simpson_diversity_planted(spark, tmp_path):
+    """srcA = 'a a a b' (N=4, V=2, sum c(c-1) = 6, lambda = 6/12 = 500
+    permille, top share 750); srcB = 'x y z' (all singletons, lambda 0,
+    top share 333)."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a a b", "en", "srcA", 7),
+            (2, "x y z", "en", "srcB", 5),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in ta.q_text_simpson_diversity(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("srcA", 4, 2, 500, 750),
+        ("srcB", 3, 3, 0, 333),
+    ]
+
+
+def test_docs_chao1_richness_planted(spark, tmp_path):
+    """srcA: counts a:1 b:1 c:2 -> V=3, n1=2, n2=1, chao1 = 3 + 4/2 = 5
+    (5000 milli). srcB: counts x:3 -> V=1, n1=0, n2=0, fallback term 0,
+    chao1 = 1000 milli."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c c", "en", "srcA", 7),
+            (2, "x x x", "en", "srcB", 5),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in ta.q_docs_chao1_richness(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("srcA", 3, 2, 1, 5000),
+        ("srcB", 1, 0, 0, 1000),
+    ]
+
+
+def test_token_bigram_novelty_planted(spark, tmp_path):
+    """Incoming src19 doc 'a b c d' has bigrams {ab, bc, cd}; the corpus
+    doc 'a b c x' holds {ab, bc, cx} -> shared 2 of 3 incoming =
+    666 permille containment."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c x", "en", "src0", 7),
+            (2, "a b c d", "en", ta.NOVELTY_INCOMING_SOURCE, 7),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in ta.q_token_bigram_novelty(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(3, 3, 2, 666)]
+
+
+def test_events_mann_kendall_planted(spark, tmp_path):
+    """Three days with counts 1, 2, 3 (one event day one, two day two,
+    three day three): all 3 pairs rise -> S = 3, trend 1000 permille,
+    direction rising."""
+    rows = []
+    eid = 0
+    for day, n in ((1, 1), (2, 2), (3, 3)):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 10, eid % 60), 7, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in se.q_events_mann_kendall(spark, str(tmp_path)).collect()]
+    assert got == [(3, 3, 3, 1000, "rising")]
+
+
+def test_events_runs_test_planted(spark, tmp_path):
+    """Daily counts 1,3,2,4 -> direction sequence +,-,+ = 3 runs; n_up=2,
+    n_down=1, expected = 2*2*1*1000/3 + 1000 = 2333 milli, gap = 667."""
+    rows = []
+    eid = 0
+    for day, n in ((1, 1), (2, 3), (3, 2), (4, 4)):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 9, eid % 60), 7, "view",
+                 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in se.q_events_runs_test(spark, str(tmp_path)).collect()]
+    assert got == [(2, 1, 3, 2333, 667)]
+
+
+def test_events_transition_entropy_planted(spark, tmp_path):
+    """One user, sequence a,b,a,c within one session: transitions
+    a->b, b->a, a->c. From 'a': counts {b:1, c:1}, T=2, H = ln(2) -
+    (1*0 + 1*0)/2 = 693147 micro-nats. From 'b': deterministic ->
+    entropy 0."""
+    seq = ["a", "b", "a", "c"]
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 10, 0) + dt.timedelta(seconds=30 * i),
+         7, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in se.q_events_transition_entropy(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("a", 2, 2, 693147), ("b", 1, 1, 0)]
+
+
+def test_customer_spend_gini_planted(spark, tmp_path):
+    """Two customers, spends 100.00 and 300.00 (cents 10000 / 30000):
+    rank form G = (2*(1*10000 + 2*30000) - 3*40000) / (2*40000) =
+    20000/80000 = 250 permille. Perfect equality sanity-checked too."""
+    rows = [
+        (1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 20, "O", 300.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_customer_spend_gini(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(2, 40000, 250)]
+
+
+def test_ship_latency_qty_ols_planted(spark, tmp_path):
+    """One priority, three lines: (qty, latency) = (1,2), (2,4), (3,6) —
+    a perfect slope of 2 days/unit = 2_000_000 micro; mean latency 4000
+    milli."""
+    orders = [
+        (k, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT")
+        for k in (1, 2, 3)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines = [
+        (k, 100 + k, 200 + k, 1, float(k), 10.0, 0.0, 0.0, "N", "O",
+         dt.datetime(2024, 1, 1) + dt.timedelta(days=2 * k))
+        for k in (1, 2, 3)
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_ship_latency_qty_ols(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("1-URGENT", 3, 4000, 2_000_000)]
+
+
+def test_orders_same_day_repeats_planted(spark, tmp_path):
+    """Customer 10 places two orders on 2024-01-05 (the flagged group);
+    customer 20's single order never surfaces."""
+    rows = [
+        (1, 10, "O", 100.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+        (2, 10, "O", 50.5, dt.datetime(2024, 1, 5), "2-HIGH"),
+        (3, 20, "O", 70.0, dt.datetime(2024, 1, 5), "3-MEDIUM"),
+        (4, 10, "O", 10.0, dt.datetime(2024, 1, 6), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_orders_same_day_repeats(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(10, "2024-01-05", 2, 15050, 1, 2)]
+
+
+def test_part_supplier_degree_histogram_planted(spark, tmp_path):
+    """Edges: part 1 from suppliers {7, 8}, part 2 from {7} (duplicate
+    lines collapse). Degrees: parts with 1 supplier = 1, with 2 = 1;
+    suppliers with 1 part = 1 (supp 8), with 2 parts = 1 (supp 7)."""
+    lines = [
+        (1, 1, 7), (2, 1, 7), (3, 1, 8), (4, 2, 7),
+    ]
+    spark.createDataFrame(
+        [
+            (k, p, s, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 2))
+            for k, p, s in lines
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_part_supplier_degree_histogram(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        ("parts_per_supplier", 1, 1),
+        ("parts_per_supplier", 2, 1),
+        ("suppliers_per_part", 1, 1),
+        ("suppliers_per_part", 2, 1),
+    ]

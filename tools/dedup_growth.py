@@ -67,6 +67,57 @@ QUERIES = {
 }
 
 
+PERCEPTUAL = ("media_dhash_report", "media_audio_fp_report")
+
+
+def build_decorrelated_corpus(spark, factor: int, dst_dir: str) -> int:
+    """The decorrelating variant for the PERCEPTUAL lanes (r11 verdict
+    item 5): same vocabulary-shift replication, plus each k>0 replica
+    doc gets a VARIABLE-length md5-derived jitter prefix (11..63 chars,
+    length keyed on (doc_id, k)). The envelope/dHash frames are fixed
+    char windows, so a non-4-multiple shift misaligns every downstream
+    frame — replicas of one base doc stop being perceptual
+    near-candidates of each other, modeling real 10× growth (new audio
+    is NOT a re-encoding of the old). A FIXED-length prefix would not
+    do it: all replicas would shift by the same frame count and keep
+    colliding with each other in the shifted bands."""
+    base = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
+    parts = []
+    for k in range(factor):
+        shifted = (
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(F.lit(f"{k}x"), t),
+                ),
+                " ",
+            )
+            if k > 0
+            else F.col("text")
+        )
+        jitter = F.expr(
+            f"substr(repeat(md5(concat(CAST(doc_id AS STRING), '_', "
+            f"'{k}')), 2), 1, "
+            f"11 + CAST(conv(substr(md5(concat('jl', CAST(doc_id AS "
+            f"STRING), '_', '{k}')), 1, 4), 16, 10) % 53 AS INT))"
+        )
+        rep = base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            (
+                F.concat(jitter, F.lit(" "), shifted) if k > 0 else shifted
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(rep)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet")
+    return spark.read.parquet(f"{dst_dir}/documents.parquet").count()
+
+
 def build_scaled_corpus(spark, factor: int, dst_dir: str) -> int:
     """documents.parquet replicated ``factor``× with disjoint vocabularies
     (token prefix + doc_id offset per replica). Returns the row count."""
@@ -118,6 +169,27 @@ def main() -> None:
                     "query": name,
                     "factor": factor,
                     "rows": n_rows,
+                    "pairs": pairs,
+                    "sec": min(times),
+                    "passes": times,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+            # decorrelated perceptual curve: same factor, jittered corpus
+            n_rows_d = build_decorrelated_corpus(spark, factor, tmp)
+            for name in PERCEPTUAL:
+                fn = QUERIES[name]
+                times, pairs = [], None
+                for _ in range(2):
+                    t0 = time.time()
+                    pairs = fn(spark, tmp).count()
+                    times.append(round(time.time() - t0, 3))
+                    cachereg.release()
+                    spark.catalog.clearCache()
+                rec = {
+                    "query": f"{name}[decorrelated]",
+                    "factor": factor,
+                    "rows": n_rows_d,
                     "pairs": pairs,
                     "sec": min(times),
                     "passes": times,
