@@ -3165,6 +3165,141 @@ ORDER BY stage
 """
 
 
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix filtering: the EXACT set-similarity join, as the
+# deterministic complement to MinHash (which is probabilistic) and the
+# all-pairs verify (which is quadratic). Under a global rare-token-first
+# order, two token SETS with Jaccard >= tau MUST share a token inside
+# their first |x| - ceil(tau |x|) + 1 tokens (Chaudhuri 2006 prefix
+# filter; Xiao 2008 PPJoin) — so candidates come from ONE equi-join on
+# prefix tokens (rare tokens by construction: tiny buckets, the inverse
+# of the LSH degenerate-bucket hazard), and only candidates pay the
+# exact verification join. Token-level (set-of-words), vs the shingle
+# ladder's 3-gram bags — catches reordered/shuffled duplication that
+# shingles break on.
+
+# tau = 0.95: this synthetic corpus draws docs from ONE shared template
+# vocabulary (~23 distinct tokens per doc, median cross-doc token
+# Jaccard ~0.6), so a web-scale tau of 0.6 would emit ~57% of ALL pairs
+# — the output would be the data's property, not the algorithm's. At
+# 0.95 the prefix is the 1-2 RAREST tokens per doc and the output is
+# the genuinely-near-identical set (~1.9k pairs at sf0.01).
+PPJ_TAU_PERMILLE = 950
+
+
+def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, n1, n2, shared, jaccard_permille) for every doc pair
+    with EXACT distinct-token Jaccard >= PPJ_TAU_PERMILLE/1000,
+    discovered via prefix filtering — no pair outside a shared prefix
+    token is ever materialized, and completeness is a theorem, not a
+    recall curve.
+
+    Scale shape: one distinct-token explode, a token-df aggregation, a
+    per-doc (df, token)-ordered rank window (per-doc partition — never
+    global), the prefix equi-join (bounded: prefix tokens are the
+    RAREST ~40% of each doc), then the exact-intersection verify join
+    over candidates only. Integer end to end (permille grid)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = cache_eager(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter("t != ''")
+        .distinct()
+    )
+    dfs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    ranked = cache_eager(
+        toks.join(dfs, "t")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .select("doc_id", "t", "pos", F.col("m").cast("bigint").alias("m"))
+    )
+    tau = PPJ_TAU_PERMILLE
+    # prefix length p = m - ceil(tau*m) + 1, all-integer ceil
+    prefix = ranked.filter(
+        F.expr(f"pos <= m - (({tau} * m + 999) DIV 1000) + 1")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    ta = ranked.select(F.col("doc_id").alias("doc1"), "t",
+                       F.col("m").alias("n1"))
+    tb = ranked.select(F.col("doc_id").alias("doc2"), "t",
+                       F.col("m").alias("n2"))
+    inter = (
+        cand.join(ta, "doc1")
+        .join(tb, ["doc2", "t"])
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        inter.selectExpr(
+            "doc1",
+            "doc2",
+            "n1",
+            "n2",
+            "shared",
+            "CAST(shared * 1000 DIV (n1 + n2 - shared) AS BIGINT)"
+            " AS jaccard_permille",
+        )
+        .filter(F.col("jaccard_permille") >= tau)
+        .orderBy("doc1", "doc2")
+    )
+
+
+ORACLE_DEDUP_PREFIX_FILTER = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t != ''
+),
+dfs AS (SELECT t, count(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df, t) AS pos,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+  FROM toks JOIN dfs USING (t)
+),
+prefix AS (
+  SELECT * FROM ranked
+  WHERE pos <= m - (({PPJ_TAU_PERMILLE} * m + 999) // 1000) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM prefix a JOIN prefix b ON a.t = b.t AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc1, doc2, ta.m AS n1, tb.m AS n2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM cand
+  JOIN ranked ta ON ta.doc_id = doc1
+  JOIN ranked tb ON tb.doc_id = doc2 AND tb.t = ta.t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2, n1, n2, shared,
+       CAST(shared * 1000 // (n1 + n2 - shared) AS BIGINT)
+         AS jaccard_permille
+FROM inter
+WHERE shared * 1000 // (n1 + n2 - shared) >= {PPJ_TAU_PERMILLE}
+ORDER BY doc1, doc2
+"""
+
+
 QUERIES = {
     "dedup_normalization_ladder": q_dedup_normalization_ladder,
     "dedup_cluster_histogram": q_dedup_cluster_histogram,
@@ -3181,6 +3316,7 @@ QUERIES = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "dedup_incremental": q_dedup_incremental,
     "dedup_query_text_probe": q_dedup_query_text_probe,
+    "dedup_prefix_filter_pairs": q_dedup_prefix_filter_pairs,
     "dedup_band_occupancy": q_dedup_band_occupancy,
     "docs_prefix_dup_clusters": q_docs_prefix_dup_clusters,
     "dedup_band_width_sweep": q_dedup_band_width_sweep,
@@ -3218,6 +3354,7 @@ ORACLES = {
     "dedup_sorted_neighborhood": ORACLE_SNM,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_query_text_probe": ORACLE_DEDUP_QUERY_TEXT_PROBE,
+    "dedup_prefix_filter_pairs": ORACLE_DEDUP_PREFIX_FILTER,
     "dedup_band_occupancy": ORACLE_DEDUP_BAND_OCCUPANCY,
     "docs_prefix_dup_clusters": ORACLE_PREFIX_DUP_CLUSTERS,
     "dedup_band_width_sweep": ORACLE_DEDUP_BAND_WIDTH_SWEEP,

@@ -5391,6 +5391,139 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# discount-quantity elasticity: does a deeper discount MOVE more units,
+# per brand? The OLS slope of line quantity on the discount rate (basis
+# points, the DEC4 rates lane made integer) — the pricing-team
+# counterpart of ship_latency_qty_ols, same FLOATS.md class-D
+# sufficient-statistics discipline: exact DECIMAL(38,0) sums, one
+# integral quotient, associative on any plan.
+
+
+def q_discount_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per p_brand: line count, mean discount in basis points, mean
+    quantity in milli-units, and the OLS slope of quantity on discount
+    in micro-units per basis point.
+
+    Scale shape: the lineitem-part key join (part broadcasts at dim
+    scale; at fact-fact scale it shuffles on the key), map-side-combined
+    sufficient statistics, arithmetic on the |brands|-row relation."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("p_brand", "x", "y")
+    stats = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("sxy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .alias("sxx"),
+    )
+    return stats.selectExpr(
+        "p_brand",
+        "CAST(n AS BIGINT) AS n_lines",
+        "CAST(sx DIV n AS BIGINT) AS mean_discount_bp",
+        "CAST(sy * 1000 DIV n AS BIGINT) AS mean_qty_milli",
+        "CAST((n * sxy - sx * sy) * 1000000"
+        " DIV nullif(n * sxx - sx * sx, 0) AS BIGINT)"
+        " AS slope_micro_units_per_bp",
+    ).orderBy("p_brand")
+
+
+ORACLE_DISCOUNT_QTY_ELASTICITY = """
+WITH pts AS (
+  SELECT p_brand,
+         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+stats AS (
+  SELECT p_brand,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(sx // n AS BIGINT) AS mean_discount_bp,
+       CAST(sy * 1000 // n AS BIGINT) AS mean_qty_milli,
+       CAST((n * sxy - sx * sy) * 1000000
+            // nullif(n * sxx - sx * sx, 0) AS BIGINT)
+         AS slope_micro_units_per_bp
+FROM stats
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday order profile: the operational heartbeat — order volume and
+# revenue by ISO weekday (1 = Monday), the orders-side twin of
+# events_weekday_hour_profile. Revenue stays in the exact DECIMAL cents
+# lane until the integer output grid.
+
+
+def q_orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ISO weekday: order count, revenue cents, mean order cents,
+    and the day's share of all orders in permille.
+
+    Scale shape: one orders aggregation onto a 7-row relation (map-side
+    combined); the share denominator is a constant-key window on those
+    7 rows only."""
+    orders = table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy(
+            (F.weekday(F.col("o_orderdate").cast("date")) + F.lit(1))
+            .cast("bigint")
+            .alias("weekday_iso")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(money("o_totalprice") * 100)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    return agg.selectExpr(
+        "weekday_iso",
+        "n_orders",
+        "revenue_cents",
+        "CAST(revenue_cents DIV n_orders AS BIGINT) AS mean_order_cents",
+        "CAST(n_orders * 1000 DIV sum(n_orders) OVER () AS BIGINT)"
+        " AS order_share_permille",
+    ).orderBy("weekday_iso")
+
+
+ORACLE_ORDERS_WEEKDAY_PROFILE = """
+WITH agg AS (
+  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS weekday_iso,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT weekday_iso, n_orders, revenue_cents,
+       CAST(revenue_cents // n_orders AS BIGINT) AS mean_order_cents,
+       CAST(n_orders * 1000 // sum(n_orders) OVER () AS BIGINT)
+         AS order_share_permille
+FROM agg
+ORDER BY weekday_iso
+"""
+
+
+# ---------------------------------------------------------------------------
 # same-day repeat orders: the duplicate-payment screen. Multiple orders
 # by one customer on one date are the classic AP double-entry candidate
 # (the reference's open-item hygiene templates ask exactly this class of
@@ -5513,6 +5646,8 @@ ORDER BY side, degree
 QUERIES = {
     "customer_spend_gini": q_customer_spend_gini,
     "ship_latency_qty_ols": q_ship_latency_qty_ols,
+    "discount_qty_elasticity": q_discount_qty_elasticity,
+    "orders_weekday_profile": q_orders_weekday_profile,
     "orders_same_day_repeats": q_orders_same_day_repeats,
     "part_supplier_degree_histogram": q_part_supplier_degree_histogram,
     "parts_abc_classification": q_parts_abc_classification,
@@ -5606,6 +5741,8 @@ QUERIES = {
 ORACLES = {
     "customer_spend_gini": ORACLE_CUSTOMER_SPEND_GINI,
     "ship_latency_qty_ols": ORACLE_SHIP_LATENCY_QTY_OLS,
+    "discount_qty_elasticity": ORACLE_DISCOUNT_QTY_ELASTICITY,
+    "orders_weekday_profile": ORACLE_ORDERS_WEEKDAY_PROFILE,
     "orders_same_day_repeats": ORACLE_ORDERS_SAME_DAY_REPEATS,
     "part_supplier_degree_histogram": ORACLE_PART_SUPPLIER_DEGREE_HISTOGRAM,
     "parts_abc_classification": ORACLE_PARTS_ABC,

@@ -4141,14 +4141,21 @@ def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w2 = W.orderBy("day")
+    # COALESCE: an all-ties (flat) series has an EMPTY direction relation
+    # — the counts are honestly 0, not NULL (expected/gap stay NULL via
+    # the nullif guard)
     runs = dirs.withColumn("prev_dir", F.lag("dir").over(w2)).agg(
-        F.expr("CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT)")
-        .alias("n_up"),
-        F.expr("CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT)")
-        .alias("n_down"),
         F.expr(
-            "CAST(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir"
-            " THEN 1 ELSE 0 END) AS BIGINT)"
+            "CAST(COALESCE(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("n_up"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("n_down"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT)"
         ).alias("n_runs"),
     )
     return runs.selectExpr(
@@ -4174,10 +4181,12 @@ dirs AS (
   WHERE prev_c IS NOT NULL AND c != prev_c
 ),
 runs AS (
-  SELECT CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
-         CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
-         CAST(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  SELECT CAST(COALESCE(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_up,
+         CAST(COALESCE(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_down,
+         CAST(COALESCE(sum(CASE WHEN prev_dir IS NULL OR dir != prev_dir
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
   FROM (SELECT dir, lag(dir) OVER (ORDER BY day) AS prev_dir FROM dirs)
 )
 SELECT n_up, n_down, n_runs,

@@ -109,6 +109,11 @@ BNLJ_ALLOWED = {
     "bounded signature relation",
     "token_good_turing": "1-row corpus-totals attach onto the "
     "frequency-of-frequencies relation (<= GT_MAX_R rows emitted)",
+    "events_mann_kendall": "non-equi day-pair self-cross of the BOUNDED "
+    "|days| daily relation (metadata-sized, constant in the corpus) + "
+    "the 1-row n_days attach",
+    "token_bigram_novelty": "two 1-row scalar attaches (corpus and "
+    "shared bigram counts) onto the 1-row incoming-count aggregate",
 }
 
 

@@ -249,3 +249,95 @@ def test_part_supplier_degree_histogram_planted(spark, tmp_path):
         ("suppliers_per_part", 1, 1),
         ("suppliers_per_part", 2, 1),
     ]
+
+
+def test_dedup_prefix_filter_pairs_planted(spark, tmp_path):
+    """Docs 1/2 share 19 of 20 distinct tokens (J = 19/21 = 904 — below
+    tau), docs 1/3 are an exact token-set permutation (J = 1000, found
+    via the shared rare-token prefix); doc 4 is disjoint and never
+    pairs. Completeness: the 1-3 pair MUST surface (prefix theorem),
+    planted so the prefix is the rarest token."""
+    from sap_sql_engine_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    perm = " ".join(f"w{i}" for i in reversed(range(20)))
+    near = " ".join(f"w{i}" for i in range(19)) + " odd1 odd2"
+    other = " ".join(f"q{i}" for i in range(20))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, near, "en", "s", len(near)),
+        (3, perm, "en", "s", len(perm)),
+        (4, other, "en", "s", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        tuple(r)
+        for r in dedup.q_dedup_prefix_filter_pairs(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(1, 3, 20, 20, 20, 1000)]
+
+
+def test_discount_qty_elasticity_planted(spark, tmp_path):
+    """One brand, three lines: (discount bp, qty) = (0,1), (500,2),
+    (1000,3) — perfect slope 2 units per 1000bp = 2000 micro-units/bp;
+    mean discount 500 bp, mean qty 2000 milli."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, "Brand#1", "T", 5, 10.0)],
+        "p_partkey long, p_brand string, p_type string, p_size int,"
+        " p_retailprice double",
+    ).selectExpr("p_partkey", "concat('P', p_partkey) AS p_name", "p_brand",
+                 "p_type", "p_size", "p_retailprice"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    lines = [
+        (k, 1, 7, 1, float(q), 10.0, d, 0.0, "N", "O",
+         dt.datetime(2024, 1, 2))
+        for k, (d, q) in enumerate([(0.0, 1), (0.05, 2), (0.10, 3)])
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_discount_qty_elasticity(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("Brand#1", 3, 500, 2000, 2000)]
+
+
+def test_orders_weekday_profile_planted(spark, tmp_path):
+    """2024-01-01 was a Monday: two Monday orders (100.00 + 50.00) and
+    one Tuesday order (70.00) land on iso weekdays 1 and 2 with exact
+    cents and shares 666/333."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 11, "O", 50.0, dt.datetime(2024, 1, 1), "2-HIGH"),
+        (3, 12, "O", 70.0, dt.datetime(2024, 1, 2), "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        tuple(r)
+        for r in rel.q_orders_weekday_profile(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 2, 15000, 7500, 666),
+        (2, 1, 7000, 7000, 333),
+    ]
