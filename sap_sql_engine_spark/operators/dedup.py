@@ -3185,6 +3185,7 @@ ORDER BY stage
 # 0.95 the prefix is the 1-2 RAREST tokens per doc and the output is
 # the genuinely-near-identical set (~1.9k pairs at sf0.01).
 PPJ_TAU_PERMILLE = 950
+PPJ_TOP_N = 100
 
 
 def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3257,7 +3258,15 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS jaccard_permille",
         )
         .filter(F.col("jaccard_permille") >= tau)
-        .orderBy("doc1", "doc2")
+        # bounded output: on THIS template corpus even tau=0.95 admits
+        # ~190k pairs at sf0.1 (the docs share one background
+        # vocabulary), so the report is the top-PPJ_TOP_N by similarity
+        # (TakeOrderedAndProject, deterministic ties) — the discovery
+        # plan underneath is unchanged and complete
+        .orderBy(
+            F.col("jaccard_permille").desc(), F.col("doc1"), F.col("doc2")
+        )
+        .limit(PPJ_TOP_N)
     )
 
 
@@ -3296,7 +3305,8 @@ SELECT doc1, doc2, n1, n2, shared,
          AS jaccard_permille
 FROM inter
 WHERE shared * 1000 // (n1 + n2 - shared) >= {PPJ_TAU_PERMILLE}
-ORDER BY doc1, doc2
+ORDER BY jaccard_permille DESC, doc1, doc2
+LIMIT {PPJ_TOP_N}
 """
 
 
