@@ -141,6 +141,10 @@ HEADLINE = [
     # / ann_recall-class entries that stay
     "events_sessionize",
     "events_hourly_rollup",
+    # r12 additions: the grouped-fold CV rewrite (regression guard for
+    # the one-agg-per-step shape) and the range-exchange rank plan
+    "logreg_cv_report",
+    "customer_spend_gini",
 ]
 
 

@@ -64,6 +64,12 @@ QUERIES = {
     # output stays 10 decile rows, so "pairs" is constant and the
     # growth signal is sec against the kx corpus
     "dup_rate_by_quality_decile": dedup.QUERIES["dup_rate_by_quality_decile"],
+    # r12: the exact prefix-filter join — the vocabulary-shift mutation
+    # is precisely its stress (replicas share NO tokens, so true pairs
+    # grow kx within replicas and the prefix join must not cross); the
+    # reported relation is top-100 so "pairs" is constant and the growth
+    # signal is sec
+    "dedup_prefix_filter_pairs": dedup.QUERIES["dedup_prefix_filter_pairs"],
 }
 
 
