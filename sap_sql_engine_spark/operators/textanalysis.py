@@ -4780,6 +4780,107 @@ FROM ni, nc, ns
 """
 
 
+# --- serving twin of token_bigram_novelty: a LITERAL query string probed
+# for bigram containment against the standing corpus — the per-prompt
+# decontamination check (is this benchmark question already in my
+# training data?), complementing dedup_query_text_probe's banded-minhash
+# admission check with an EXACT n-gram answer. Probe 1 re-derives from
+# the corpus (the lowest-doc_id text — guaranteed containment 1000 at
+# any scale, so the gate hashes real values); probe 2 is the novel
+# literal (honestly low containment).
+
+NOVELTY_QUERY_TEXT = (
+    "what is the capital of france and when was the eiffel tower built"
+)
+
+
+def q_novelty_query_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, n_probe_bigrams, n_shared, containment_permille) for
+    the two serving probes: a corpus resubmission (must read 1000) and
+    the novel literal.
+
+    Scale shape: the corpus bigram set derives once (at 100 TB: a
+    PERSISTED distinct-bigram relation, the same artifact
+    token_bigram_novelty's batch leg maintains); each probe contributes
+    a tiny bigram relation joined vocabulary-keyed against it."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    bg_expr = (
+        "explode(filter(zip_with(split(trim(text), '\\\\s+'),"
+        " slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text),"
+        " '\\\\s+'))), (a, b) -> concat(a, ' ', b)),"
+        " x -> x IS NOT NULL))"
+    )
+    corp = docs.select(F.expr(bg_expr).alias("bg")).distinct()
+    resub = docs.orderBy("doc_id").limit(1).selectExpr(
+        "CAST(1 AS BIGINT) AS probe_id", "text"
+    )
+    novel = spark.range(1).selectExpr(
+        "CAST(2 AS BIGINT) AS probe_id",
+        f"'{NOVELTY_QUERY_TEXT}' AS text",
+    )
+    probes = (
+        resub.unionByName(novel)
+        .selectExpr("probe_id", f"{bg_expr} AS bg")
+        .distinct()
+    )
+    hits = (
+        probes.join(corp.selectExpr("bg", "1 AS hit"), "bg", "left_outer")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe_bigrams"),
+            F.expr("CAST(COALESCE(sum(hit), 0) AS BIGINT)").alias(
+                "n_shared"
+            ),
+        )
+    )
+    return hits.selectExpr(
+        "probe_id",
+        "n_probe_bigrams",
+        "n_shared",
+        "CAST(n_shared * 1000 DIV n_probe_bigrams AS BIGINT)"
+        " AS containment_permille",
+    ).orderBy("probe_id")
+
+
+ORACLE_NOVELTY_QUERY_TEXT_PROBE = rf"""
+WITH corp AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+1])) AS bg
+  FROM documents
+),
+probes_raw AS (
+  SELECT CAST(1 AS BIGINT) AS probe_id, text FROM (
+    SELECT text FROM documents ORDER BY doc_id LIMIT 1
+  )
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{NOVELTY_QUERY_TEXT}'
+),
+probes AS (
+  SELECT DISTINCT probe_id,
+         unnest(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)),
+                i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                     regexp_split_to_array(trim(text), '\s+')[i+1])) AS bg
+  FROM probes_raw
+),
+hits AS (
+  SELECT probe_id,
+         CAST(count(*) AS BIGINT) AS n_probe_bigrams,
+         CAST(COALESCE(sum(CASE WHEN corp.bg IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_shared
+  FROM (SELECT * FROM probes WHERE bg IS NOT NULL) p
+  LEFT OUTER JOIN corp ON p.bg = corp.bg
+  GROUP BY 1
+)
+SELECT probe_id, n_probe_bigrams, n_shared,
+       CAST(n_shared * 1000 // n_probe_bigrams AS BIGINT)
+         AS containment_permille
+FROM hits
+ORDER BY probe_id
+"""
+
+
 QUERIES = {
     "docs_charclass_profile": q_docs_charclass_profile,
     "docs_sample_inspection_pack": q_docs_sample_inspection_pack,
@@ -4833,6 +4934,7 @@ QUERIES = {
     "text_simpson_diversity": q_text_simpson_diversity,
     "docs_chao1_richness": q_docs_chao1_richness,
     "token_bigram_novelty": q_token_bigram_novelty,
+    "novelty_query_text_probe": q_novelty_query_text_probe,
     "docs_weighted_topk_sample": q_docs_weighted_topk_sample,
     "dataset_card": q_dataset_card,
     "source_kl_divergence": q_source_kl_divergence,
@@ -4893,6 +4995,7 @@ ORACLES = {
     "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,
     "docs_chao1_richness": ORACLE_DOCS_CHAO1_RICHNESS,
     "token_bigram_novelty": ORACLE_TOKEN_BIGRAM_NOVELTY,
+    "novelty_query_text_probe": ORACLE_NOVELTY_QUERY_TEXT_PROBE,
     "docs_weighted_topk_sample": ORACLE_WEIGHTED_TOPK_SAMPLE,
     "dataset_card": ORACLE_DATASET_CARD,
     "source_kl_divergence": ORACLE_SOURCE_KL,

@@ -341,3 +341,35 @@ def test_orders_weekday_profile_planted(spark, tmp_path):
         (1, 2, 15000, 7500, 666),
         (2, 1, 7000, 7000, 333),
     ]
+
+
+def test_novelty_query_text_probe_planted(spark, tmp_path):
+    """Probe 1 (resubmission of the lowest-doc_id text 'a b c d':
+    bigrams ab,bc,cd) reads containment 1000; probe 2 (the novel
+    literal) shares nothing with the planted corpus -> 0."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d", "en", "src0", 7),
+            (2, "a b x y", "en", "src1", 7),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in ta.q_novelty_query_text_probe(spark, str(tmp_path)).collect()
+    ]
+    n_novel = len(ta.NOVELTY_QUERY_TEXT.split()) - 1
+    assert got == [(1, 3, 3, 1000), (2, n_novel, 0, 0)]
+
+
+def test_novelty_query_text_is_genuinely_novel(spark, sf_dir):
+    """The literal is not a corpus row, and its containment on the gate
+    corpus is honestly below the resubmission leg's 1000."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {r.text for r in docs.collect()}
+    assert ta.NOVELTY_QUERY_TEXT not in texts
+    got = {r.probe_id: r for r in
+           ta.q_novelty_query_text_probe(spark, sf_dir).collect()}
+    assert got[1].containment_permille == 1000
+    assert got[2].containment_permille < 1000
