@@ -123,6 +123,18 @@ _MODIFIED_THIS_ROUND = {
 }
 
 
+def _gate_age() -> dict:
+    """Per query: the round of its newest green driver row, with queries
+    modified this round REMOVED (their old green rows pin the old
+    behavior, so for ordering purposes they are never-gated again).
+    This is the ordering key _ordered sorts by; the contract test
+    asserts the same invariant against the same map."""
+    latest = _latest_green_round()
+    for name in _MODIFIED_THIS_ROUND:
+        latest.pop(name, None)
+    return latest
+
+
 def _ordered(attr: str) -> dict:
     """Registration order = gate age: never-gated first (round -1), then
     ascending by the round of each query's newest green driver row, ties
@@ -132,9 +144,7 @@ def _ordered(attr: str) -> dict:
     full: dict = {}
     for mod in _MODULES:
         full.update(getattr(mod, attr))
-    latest = _latest_green_round()
-    for name in _MODIFIED_THIS_ROUND:
-        latest.pop(name, None)
+    latest = _gate_age()
     reg = {k: i for i, k in enumerate(full)}
     names = sorted(full, key=lambda k: (latest.get(k, -1), reg[k]))
     return {k: full[k] for k in names}

@@ -140,11 +140,14 @@ HEADLINE = [
     # the exact-top-k and LSH shapes are embedded in ann_staleness_report
     # / ann_recall-class entries that stay
     "events_sessionize",
-    "events_hourly_rollup",
-    # r12 additions: the grouped-fold CV rewrite (regression guard for
-    # the one-agg-per-step shape) and the range-exchange rank plan
+    # events_hourly_rollup dropped r12 (line budget): its grouped
+    # time-bucket agg shape recurs in events_transition_matrix and the
+    # daily compactions inside the r11 time-series entries
+    # r12 addition: the grouped-fold CV rewrite (regression guard for
+    # the one-agg-per-step shape). customer_spend_gini stays out for the
+    # line budget — its range-exchange rank primitive is already
+    # exercised by bpe_shard_assignment's with_global_rank plan
     "logreg_cv_report",
-    "customer_spend_gini",
 ]
 
 

@@ -63,8 +63,11 @@ def test_gate_window_holds_the_stalest_queries():
     the queries whose newest green driver row is OLDEST — no query inside
     the window may have a fresher latest-green round than one outside it.
     Never-gated queries sort as round -1 (front), preserving the older
-    allocation invariant as a special case."""
-    latest = entry._latest_green_round()
+    allocation invariant as a special case. Gate age comes from
+    entry._gate_age(), which treats queries MODIFIED this round as
+    never-gated (their old green rows pin superseded behavior — the r12
+    re-gating convention), exactly as _ordered sorts them."""
+    latest = entry._gate_age()
     keys = list(entry.queries())
     window, outside = keys[:50], keys[50:]
     if not outside:
