@@ -67,6 +67,13 @@ QUERIES = {
     "events_cusum_changepoint": streaming_events.QUERIES[
         "events_cusum_changepoint"
     ],
+    # r12 additions: the two sufficient-statistics OLS joins (one
+    # fact-fact / one fact-dim key join + map-side-combined integer
+    # sums — kx facts should cost ~kx on the join, nothing downstream)
+    # and the rank-form Gini over the with_global_rank range exchange
+    "ship_latency_qty_ols": relational.QUERIES["ship_latency_qty_ols"],
+    "discount_qty_elasticity": relational.QUERIES["discount_qty_elasticity"],
+    "customer_spend_gini": relational.QUERIES["customer_spend_gini"],
 }
 
 
