@@ -1026,8 +1026,101 @@ def _oracle_adaboost() -> str:
 ORACLE_ADABOOST = _oracle_adaboost()
 
 
+# ---------------------------------------------------------------------------
+# classifier serving probe: a LITERAL text scored by the corpus-trained
+# model — the per-document admission decision a quality gate makes at
+# ingest (the dedup/novelty probes' sibling on the classifier lane, and
+# the batch shape of streaming_logreg_score's per-micro-batch unit).
+# Probe 1 re-derives from the corpus (the lowest-doc_id text scored
+# FROM THE STRING — must reproduce the batch scorer's z for that row
+# bit-for-bit, which the planted test asserts); probe 2 is the novel
+# literal.
+
+CLASSIFIER_QUERY_TEXT = (
+    "the quick brown fox jumps over the lazy dog and it runs far away "
+    "to a den in the woods"
+)
+
+
+def q_classifier_query_text_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(probe_id, z_micro, pred) for the two serving probes under the
+    corpus-trained weights: the raw margin in micro units and the
+    admission decision (z > 0).
+
+    Scale shape: the gated _fit recurrence trains once (at serving time
+    the weights are a persisted 1-row artifact); each probe is a 1-row
+    featurize + the broadcast weight attach — constant work per query
+    string."""
+    from ..sources.loader import spread, table
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    feats, w = _fit(docs)
+    resub = docs.orderBy("doc_id").limit(1).selectExpr(
+        "CAST(1 AS BIGINT) AS doc_id", "text", "'xx' AS lang"
+    )
+    novel = docs.sparkSession.range(1).selectExpr(
+        "CAST(2 AS BIGINT) AS doc_id",
+        f"'{CLASSIFIER_QUERY_TEXT}' AS text",
+        "'xx' AS lang",
+    )
+    pf = _featurize(resub.unionByName(novel)).select(
+        F.col("doc_id").alias("probe_id"), "x0", "x1", "x2", "x3"
+    )
+    return (
+        pf.crossJoin(F.broadcast(w))
+        .selectExpr(
+            "probe_id",
+            f"CAST({_Z_EXPR} AS BIGINT) AS z_micro",
+            f"CAST(CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS pred",
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _oracle_probe() -> str:
+    m = LOGREG_M
+    zf = _ORACLE_ZF
+    return (
+        _oracle_fit_ctes()
+        + rf""",
+probes_raw AS (
+  SELECT CAST(1 AS BIGINT) AS probe_id, text FROM (
+    SELECT text FROM documents ORDER BY doc_id LIMIT 1
+  )
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{CLASSIFIER_QUERY_TEXT}'
+),
+pf AS (
+  SELECT probe_id,
+         CAST({m} AS BIGINT) AS x0,
+         CAST(len(regexp_extract_all(lower(trim(text)), '{_STOP_RE}'))
+              * {m} // len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS x1,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))
+              * {m} // greatest(length(trim(text)), 1) AS BIGINT) AS x2,
+         CAST(least(len(regexp_split_to_array(trim(text), '\s+')),
+                    {LOGREG_LEN_CAP}) * {m} // {LOGREG_LEN_CAP}
+              AS BIGINT) AS x3
+  FROM probes_raw
+)
+SELECT probe_id,
+       CAST({zf} AS BIGINT) AS z_micro,
+       CAST(CASE WHEN {zf} > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM pf f, w{LOGREG_ITERS}_ w
+ORDER BY probe_id
+"""
+    )
+
+
+ORACLE_CLASSIFIER_QUERY_TEXT_PROBE = _oracle_probe()
+
+
 QUERIES = {
     "adaboost_stump_report": q_adaboost_stump_report,
+    "classifier_query_text_probe": q_classifier_query_text_probe,
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
     "logreg_ablation_report": q_logreg_ablation_report,
@@ -1037,6 +1130,7 @@ QUERIES = {
 
 ORACLES = {
     "adaboost_stump_report": ORACLE_ADABOOST,
+    "classifier_query_text_probe": ORACLE_CLASSIFIER_QUERY_TEXT_PROBE,
     "logreg_quality_report": ORACLE_LOGREG_QUALITY,
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
     "logreg_ablation_report": ORACLE_LOGREG_ABLATION,

@@ -5578,6 +5578,106 @@ ORDER BY n_orders DESC, o_custkey, order_day
 
 
 # ---------------------------------------------------------------------------
+# priority x order-size chi-square: are big orders more urgent? The
+# contingency-table independence test between o_orderpriority and the
+# order-size bucket (total cents in decimal bands), with the chi-square
+# contribution per cell in milli: chi2_cell = (O*N - R*C)^2 * 1000 DIV
+# (N * R * C) — an exact integral quotient per cell (quantization at
+# the cell boundary, the class-A/D recipe), summed over the bounded
+# |priorities| x |buckets| grid. A large statistic reads "priority is
+# not assigned independently of size" — the kind of schema-semantics
+# probe the reference's NL layer answers qualitatively, here as data.
+
+CHISQ_BUCKET_CENTS = 10_000_00  # 10k-dollar order-size bands, capped below
+
+CHISQ_MAX_BUCKET = 4
+
+
+def q_order_size_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (priority, size bucket) cell: observed count, the
+    independence-expected count in milli, and the cell's chi-square
+    contribution in milli; the grid total (the statistic) and N repeat
+    on every row so the relation is self-contained.
+
+    Scale shape: one orders aggregation onto the bounded grid, then the
+    margins and the statistic as constant-key windows on that grid."""
+    orders = table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        "o_orderpriority",
+        F.expr(
+            f"least(CAST(CAST(o_totalprice AS {DEC}) * 100 AS BIGINT)"
+            f" DIV {CHISQ_BUCKET_CENTS}, {CHISQ_MAX_BUCKET})"
+        )
+        .cast("bigint")
+        .alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    wp = W.partitionBy("o_orderpriority")
+    wb = W.partitionBy("size_bucket")
+    wall = W.partitionBy()
+    grid = cells.select(
+        "o_orderpriority",
+        "size_bucket",
+        "observed",
+        F.sum("observed").over(wp).cast("bigint").alias("r"),
+        F.sum("observed").over(wb).cast("bigint").alias("c"),
+        F.sum("observed").over(wall).cast("bigint").alias("n"),
+    )
+    contrib = (
+        "CAST((observed * n - r * c) AS DECIMAL(38,0))"
+        " * (observed * n - r * c) * 1000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * r * c)"
+    )
+    return (
+        grid.selectExpr(
+            "o_orderpriority",
+            "size_bucket",
+            "observed",
+            "CAST(CAST(r AS DECIMAL(38,0)) * c * 1000 DIV n AS BIGINT)"
+            " AS expected_milli",
+            f"CAST({contrib} AS BIGINT) AS chi2_cell_milli",
+            "n AS n_orders",
+        )
+        .withColumn(
+            "chi2_total_milli",
+            F.sum("chi2_cell_milli").over(wall).cast("bigint"),
+        )
+        .orderBy("o_orderpriority", "size_bucket")
+    )
+
+
+ORACLE_ORDER_SIZE_PRIORITY_CHISQ = f"""
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // {CHISQ_BUCKET_CENTS}, {CHISQ_MAX_BUCKET}) AS BIGINT)
+           AS size_bucket,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT o_orderpriority, size_bucket, observed,
+         CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS r,
+         CAST(sum(observed) OVER (PARTITION BY size_bucket) AS BIGINT) AS c,
+         CAST(sum(observed) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT o_orderpriority, size_bucket, observed,
+       CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS expected_milli,
+       CAST(CAST(observed * n - r * c AS HUGEINT)
+            * (observed * n - r * c) * 1000
+            // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_cell_milli,
+       n AS n_orders,
+       CAST(sum(CAST(CAST(observed * n - r * c AS HUGEINT)
+                     * (observed * n - r * c) * 1000
+                     // (CAST(n AS HUGEINT) * r * c) AS BIGINT))
+            OVER () AS BIGINT) AS chi2_total_milli
+FROM grid
+ORDER BY o_orderpriority, size_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # part-supplier bipartite degrees: how concentrated is the sourcing
 # graph? The degree histogram of BOTH sides of the observed
 # part-supplier relationship (distinct pairs from lineitem — the
@@ -5648,6 +5748,7 @@ QUERIES = {
     "ship_latency_qty_ols": q_ship_latency_qty_ols,
     "discount_qty_elasticity": q_discount_qty_elasticity,
     "orders_weekday_profile": q_orders_weekday_profile,
+    "order_size_priority_chisq": q_order_size_priority_chisq,
     "orders_same_day_repeats": q_orders_same_day_repeats,
     "part_supplier_degree_histogram": q_part_supplier_degree_histogram,
     "parts_abc_classification": q_parts_abc_classification,
@@ -5743,6 +5844,7 @@ ORACLES = {
     "ship_latency_qty_ols": ORACLE_SHIP_LATENCY_QTY_OLS,
     "discount_qty_elasticity": ORACLE_DISCOUNT_QTY_ELASTICITY,
     "orders_weekday_profile": ORACLE_ORDERS_WEEKDAY_PROFILE,
+    "order_size_priority_chisq": ORACLE_ORDER_SIZE_PRIORITY_CHISQ,
     "orders_same_day_repeats": ORACLE_ORDERS_SAME_DAY_REPEATS,
     "part_supplier_degree_histogram": ORACLE_PART_SUPPLIER_DEGREE_HISTOGRAM,
     "parts_abc_classification": ORACLE_PARTS_ABC,

@@ -3682,6 +3682,80 @@ ORDER BY bits
 ORACLE_QUANTIZATION_SWEEP = _oracle_quantization_sweep()
 
 
+# ---------------------------------------------------------------------------
+# per-dimension variance: which embedding dimensions carry signal? Dead
+# (near-constant) dims waste index bits — this report is what a PQ/SQ
+# designer reads before allocating subspaces (embedding_top_eigen gives
+# the top direction; this gives the axis-aligned budget). Exactness:
+# each cell quantizes ONCE to integer micro (floor, class A), then the
+# sufficient statistics are exact DECIMAL(38,0)/HUGEINT sums and the
+# variance is one integral quotient per dim.
+
+
+def q_embedding_dim_variance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per dimension (1-based): vector count, mean in micro, sample
+    variance in micro^2 units (DIV n*(n-1) form), and min/max micro —
+    ordered by variance descending so the dead dims read off the tail.
+
+    Scale shape: one posexplode pass over the scan (DIM rows per
+    vector) into a (dim)-keyed map-side-combined aggregation; the
+    output is the bounded DIM-row relation."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    cells = emb.selectExpr(
+        "posexplode(embedding) AS (pos, v)"
+    ).selectExpr(
+        "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vm",
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("s1"),
+        F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DECIMAL(38,0))")
+        .alias("s2"),
+        F.min("vm").cast("bigint").alias("min_micro"),
+        F.max("vm").cast("bigint").alias("max_micro"),
+    )
+    return stats.selectExpr(
+        "dim",
+        "CAST(n AS BIGINT) AS n_vecs",
+        "CAST(s1 DIV n AS BIGINT) AS mean_micro",
+        "CAST((n * s2 - s1 * s1) DIV nullif(n * (n - 1), 0) AS BIGINT)"
+        " AS var_micro2",
+        "min_micro",
+        "max_micro",
+    ).orderBy(F.col("var_micro2").desc(), F.col("dim"))
+
+
+ORACLE_EMBEDDING_DIM_VARIANCE = f"""
+WITH cells AS (
+  SELECT i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, {DIM + 1})) AS i)
+),
+stats AS (
+  SELECT dim,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(vm AS HUGEINT)) AS s1,
+         sum(CAST(vm AS HUGEINT) * vm) AS s2,
+         CAST(min(vm) AS BIGINT) AS min_micro,
+         CAST(max(vm) AS BIGINT) AS max_micro
+  FROM cells GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n AS BIGINT) AS n_vecs,
+       CAST(s1 // n AS BIGINT) AS mean_micro,
+       CAST((n * s2 - s1 * s1) // nullif(n * (n - 1), 0) AS BIGINT)
+         AS var_micro2,
+       min_micro,
+       max_micro
+FROM stats
+ORDER BY var_micro2 DESC, dim
+"""
+
+
 QUERIES = {
     "embedding_quantization_sweep": q_embedding_quantization_sweep,
     "embedding_matryoshka_report": q_embedding_matryoshka_report,
@@ -3710,6 +3784,7 @@ QUERIES = {
     "ann_index_delta_report": q_ann_index_delta_report,
     "ann_recall_at_k_curve": q_ann_recall_at_k_curve,
     "embedding_norm_distribution": q_embedding_norm_distribution,
+    "embedding_dim_variance_report": q_embedding_dim_variance_report,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "embedding_top_eigen": q_embedding_top_eigen,
     "ivf_cell_balance": q_ivf_cell_balance,
@@ -3745,6 +3820,7 @@ ORACLES = {
     "ann_index_delta_report": ORACLE_ANN_INDEX_DELTA,
     "ann_recall_at_k_curve": ORACLE_ANN_RECALL_AT_K,
     "embedding_norm_distribution": ORACLE_NORM_DISTRIBUTION,
+    "embedding_dim_variance_report": ORACLE_EMBEDDING_DIM_VARIANCE,
     "embedding_centroid_drift": ORACLE_CENTROID_DRIFT,
     "embedding_top_eigen": ORACLE_TOP_EIGEN,
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,

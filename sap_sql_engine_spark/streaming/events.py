@@ -4199,6 +4199,69 @@ FROM runs
 
 
 # ---------------------------------------------------------------------------
+# Poisson dispersion (Fano factor): is daily arrival volume Poisson-like
+# (VMR ~ 1), bursty/overdispersed (VMR >> 1 — campaign spikes, bot
+# storms), or suspiciously regular (VMR << 1 — synthetic or quota-fed
+# traffic)? The one-number arrival-process diagnostic next to the runs
+# test (serial structure) and Mann-Kendall (trend). All-integer
+# (FLOATS.md class D): VMR_milli = n*(n*S2 - S1^2)*1000 DIV
+# ((n-1)*S1*n) computed as exact sums — no mean subtraction, no float.
+
+
+def q_events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: day count, total events, mean daily count in milli, the
+    sample variance in milli, and the variance-to-mean ratio in milli
+    (1000 = Poisson-consistent).
+
+    Scale shape: one daily compaction (map-side combined), then exact
+    integer arithmetic on the 1-row sufficient statistics."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr("CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("s1"),
+        F.expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))")
+        .alias("s2"),
+    )
+    return stats.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(s1 AS BIGINT) AS total_events",
+        "CAST(s1 * 1000 DIV n AS BIGINT) AS mean_daily_milli",
+        "CAST((n * s2 - s1 * s1) * 1000 DIV nullif(n * (n - 1), 0)"
+        " AS BIGINT) AS variance_milli",
+        "CAST((n * s2 - s1 * s1) * 1000 DIV nullif((n - 1) * s1, 0)"
+        " AS BIGINT) AS vmr_milli",
+    )
+
+
+ORACLE_EVENTS_POISSON_DISPERSION = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(c AS HUGEINT)) AS s1,
+         sum(CAST(c AS HUGEINT) * c) AS s2
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s1 AS BIGINT) AS total_events,
+       CAST(s1 * 1000 // n AS BIGINT) AS mean_daily_milli,
+       CAST((n * s2 - s1 * s1) * 1000 // nullif(n * (n - 1), 0) AS BIGINT)
+         AS variance_milli,
+       CAST((n * s2 - s1 * s1) * 1000 // nullif((n - 1) * s1, 0) AS BIGINT)
+         AS vmr_milli
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # transition entropy: how PREDICTABLE is what follows each event type?
 # H(next | from = f) in micro-nats per from-state — the per-state
 # uncertainty the transition matrix only shows as a row of shares, and
@@ -4299,6 +4362,7 @@ QUERIES = {
     "events_holt_forecast": q_events_holt_forecast,
     "events_markov_stationary": q_events_markov_stationary,
     "events_mann_kendall": q_events_mann_kendall,
+    "events_poisson_dispersion": q_events_poisson_dispersion,
     "events_runs_test": q_events_runs_test,
     "events_transition_entropy": q_events_transition_entropy,
     "events_session_archetypes": q_events_session_archetypes,
@@ -4346,6 +4410,7 @@ ORACLES = {
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "events_markov_stationary": ORACLE_MARKOV_STATIONARY,
     "events_mann_kendall": ORACLE_EVENTS_MANN_KENDALL,
+    "events_poisson_dispersion": ORACLE_EVENTS_POISSON_DISPERSION,
     "events_runs_test": ORACLE_EVENTS_RUNS_TEST,
     "events_transition_entropy": ORACLE_EVENTS_TRANSITION_ENTROPY,
     "events_session_archetypes": ORACLE_SESSION_ARCHETYPES,

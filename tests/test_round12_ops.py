@@ -373,3 +373,110 @@ def test_novelty_query_text_is_genuinely_novel(spark, sf_dir):
            ta.q_novelty_query_text_probe(spark, sf_dir).collect()}
     assert got[1].containment_permille == 1000
     assert got[2].containment_permille < 1000
+
+
+def test_classifier_query_text_probe_planted(spark, tmp_path):
+    """Serving == batch: probe 1 (the lowest-doc_id text re-scored from
+    its STRING) must reproduce the batch scorer's decision for that
+    row bit-for-bit; probe 2 (the novel literal) gets a row with a
+    defined z and pred in {0, 1}. Corpus is the separable planted shape
+    so training moves the weights."""
+    from sap_sql_engine_spark.operators import classifier as cl
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            text = "the cat and the dog sat in the sun to rest a bit"
+            lang = "en"
+        else:
+            text = "zzz qqq 123 456 789 000 !!! ### $$$ %%%"
+            lang = "xx"
+        rows.append((i, text, lang, "s", len(text)))
+    _write_docs(spark, tmp_path, rows)
+    got = {r.probe_id: r for r in
+           cl.q_classifier_query_text_probe(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}
+    # batch scorer decision for doc 0 (the lowest doc_id)
+    feats, w = cl._fit(
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+    )
+    from pyspark.sql import functions as F
+
+    batch = (
+        feats.filter("doc_id = 0")
+        .crossJoin(F.broadcast(w))
+        .selectExpr(f"CAST({cl._Z_EXPR} AS BIGINT) AS z")
+        .first()
+    )
+    assert got[1].z_micro == batch.z
+    assert got[1].pred == int(batch.z > 0)
+    assert got[2].pred in (0, 1)
+
+
+def test_events_poisson_dispersion_planted(spark, tmp_path):
+    """Daily counts 1,2,3: n=3, S1=6, S2=14, mean 2000 milli, sample
+    variance (3*14-36)/(3*2)=1 -> 1000 milli, VMR (3*14-36)*1000/(2*6)
+    = 500 milli (underdispersed — a rising staircase is regular)."""
+    rows = []
+    eid = 0
+    for day, n in ((1, 1), (2, 2), (3, 3)):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 10, eid % 60), 7, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in
+           se.q_events_poisson_dispersion(spark, str(tmp_path)).collect()]
+    assert got == [(3, 6, 2000, 1000, 500)]
+
+
+def test_order_size_priority_chisq_planted(spark, tmp_path):
+    """A perfectly dependent 2x2 grid (priority A only small orders,
+    B only large): every cell's expected is half its margin product and
+    the statistic equals N*1000 milli (chi2 = N for perfect association
+    in a 2x2)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = []
+    k = 0
+    for pr, price, cnt in (
+        ("1-URGENT", 100.0, 2),      # bucket 0
+        ("2-HIGH", 20000.0, 2),      # bucket 2
+    ):
+        for _ in range(cnt):
+            rows.append((k, 10 + k, "O", price,
+                         dt.datetime(2024, 1, 1 + k), pr))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [tuple(r) for r in
+           rel.q_order_size_priority_chisq(spark, str(tmp_path)).collect()]
+    # each observed cell: O=2, r=2, c=2, n=4 -> expected 1000 milli,
+    # contribution (2*4-4)^2*1000/(4*2*2) = 1000 milli; total 2000
+    assert got == [
+        ("1-URGENT", 0, 2, 1000, 1000, 4, 2000),
+        ("2-HIGH", 2, 2, 1000, 1000, 4, 2000),
+    ]
+
+
+def test_embedding_dim_variance_planted(spark, tmp_path):
+    """Two 2-dim vectors (0.0, 1.0) and (0.0, 3.0): dim 1 is dead
+    (variance 0), dim 2 has mean 2e6 micro and sample variance
+    (2*1e13 - (4e6)^2)/(2*1) = 2e12 micro^2."""
+    from sap_sql_engine_spark.operators import similarity as sim
+
+    spark.createDataFrame(
+        [(1, [0.0, 1.0], 0), (2, [0.0, 3.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = [tuple(r) for r in
+           sim.q_embedding_dim_variance_report(spark, str(tmp_path)).collect()]
+    assert got == [
+        (2, 2, 2_000_000, 2_000_000_000_000, 1_000_000, 3_000_000),
+        (1, 2, 0, 0, 0, 0),
+    ]
