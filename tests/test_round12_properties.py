@@ -248,3 +248,50 @@ def test_prefix_filter_matches_python_allpairs(
                     inter * 1000 // union,
                 )
     assert got == want
+
+
+@given(
+    seq=st.lists(
+        st.sampled_from(["click", "view", "purchase"]), min_size=2,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_transition_entropy_matches_python_counts(
+    spark, tmp_path_factory, seq
+):
+    """Per-state conditional entropy reproduces a direct Python count
+    with the identical single-ln micro-nat quantization (floor once per
+    count value, integer arithmetic after)."""
+    import math
+
+    tmp = tmp_path_factory.mktemp("tent")
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 10, 0)
+         + dt.timedelta(seconds=30 * i), 7, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {r.from_type: r for r in
+           se.q_events_transition_entropy(spark, str(tmp)).collect()}
+
+    trans: dict[tuple[str, str], int] = {}
+    for a, b in zip(seq, seq[1:]):
+        trans[(a, b)] = trans.get((a, b), 0) + 1
+    froms = sorted({a for a, _ in trans})
+    assert set(got) == set(froms)
+    for f in froms:
+        cells = {b: c for (a, b), c in trans.items() if a == f}
+        t_f = sum(cells.values())
+        clnc = sum(
+            c * math.floor(math.log(c) * 1_000_000)
+            for c in cells.values()
+        )
+        want_h = math.floor(math.log(t_f) * 1_000_000) - clnc // t_f
+        assert got[f].n_transitions == t_f
+        assert got[f].n_next_types == len(cells)
+        assert got[f].entropy_micro_nats == want_h
