@@ -4047,24 +4047,15 @@ ORDER BY decile
 # drift). |S| near n_pairs = strong monotone trend; near 0 = none.
 
 
-def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: day count, pair count, the Mann-Kendall S statistic,
-    the normalized trend in permille (S * 1000 DIV n_pairs), and the
-    direction label.
-
-    Scale shape: the fact table compacts to the bounded |days| relation
-    in one map-side-combined aggregation; the pairwise comparison is a
-    self-cross of that metadata-sized relation (|days|^2 pairs — ~130k
-    at a year of days, constant in the corpus), never of events."""
+def trend_from_daily(daily: DataFrame) -> DataFrame:
+    """The Mann-Kendall report over ANY (day, c) relation — shared by
+    the batch query (which derives daily from the fact table) and the
+    streaming twin (which reruns it over the watermarked daily SINK,
+    the burst_from_minutes production split: stream maintains the
+    compaction, the statistics rerun on the bounded relation)."""
     from ..cachereg import cache_eager
 
-    ev = _events(spark, sf_dir)
-    daily = cache_eager(
-        ev.groupBy(
-            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-            .alias("day")
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    daily = cache_eager(daily)
     d1 = daily.selectExpr("day AS day1", "c AS c1")
     d2 = daily.selectExpr("day AS day2", "c AS c2")
     pairs = d1.join(F.broadcast(d2), F.col("day2") > F.col("day1"))
@@ -4084,6 +4075,60 @@ def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS trend_permille",
         "CASE WHEN s_statistic > 0 THEN 'rising' WHEN s_statistic < 0"
         " THEN 'falling' ELSE 'flat' END AS direction",
+    )
+
+
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: day count, pair count, the Mann-Kendall S statistic,
+    the normalized trend in permille (S * 1000 DIV n_pairs), and the
+    direction label.
+
+    Scale shape: the fact table compacts to the bounded |days| relation
+    in one map-side-combined aggregation; the pairwise comparison is a
+    self-cross of that metadata-sized relation (|days|^2 pairs — ~130k
+    at a year of days, constant in the corpus), never of events."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return trend_from_daily(daily)
+
+
+def streaming_daily_counts(
+    spark: SparkSession, drop_dir: str, out_dir: str, delay: str = "2 days"
+):
+    """Streaming half of the daily-trend family: per-day event counts as
+    a WATERMARKED tumbling-window aggregation over a JSONL drop folder,
+    append-mode parquet sink — each day window emits exactly once when
+    the watermark passes its end, so the sink IS the bounded (day, c)
+    relation the trend statistics (:func:`trend_from_daily`, the runs
+    test, the dispersion ratio) rerun over at any time without touching
+    the stream. Same production split as streaming_burst_minutes; same
+    crash-replay guarantee (the parquet file-sink metadata log absorbs
+    a replayed epoch). The twin test asserts stream == batch on the
+    identical dropped rows."""
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, value double"
+        )
+        .json(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window(F.col("ts"), "1 day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .selectExpr(
+            "date_format(window.start, 'yyyy-MM-dd') AS day",
+            "c",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
     )
 
 

@@ -480,3 +480,70 @@ def test_embedding_dim_variance_planted(spark, tmp_path):
         (2, 2, 2_000_000, 2_000_000_000_000, 1_000_000, 3_000_000),
         (1, 2, 0, 0, 0, 0),
     ]
+
+
+def test_streaming_daily_counts_matches_batch(spark, tmp_path):
+    """Stream == batch for the daily-trend family: day counts arrive as
+    FINALIZED watermarked 1-day windows in the parquet sink;
+    trend_from_daily over the sink equals the identical statistic over
+    a batch daily aggregation of the same dropped rows. A crash is
+    simulated between the drops (commit marker deleted -> epoch 0
+    REPLAYS on restart): the file-sink metadata log must skip the
+    already-committed epoch, never double-counting a day."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "daily")
+
+    def drop(rows):
+        spark.createDataFrame(
+            [
+                (u, "click", dt.datetime(2024, 3, d, h), 1.0)
+                for (u, d, h) in rows
+            ],
+            "user_id long, event_type string, ts timestamp, value double",
+        ).write.mode("append").json(drop_dir)
+
+    # daily counts 1, 3, 2 over March 1-3 (pairs +1 +1 -1 -> S = +1)
+    d1 = [(1, 1, 9), (1, 2, 9), (2, 2, 10), (3, 2, 11)]
+    d2 = [(1, 3, 9), (2, 3, 15)]
+    # sentinel: pushes the watermark (2 day delay) past every real day;
+    # its OWN window stays open and must not reach the sink
+    flush = [(99, 20, 0)]
+
+    drop(d1)
+    q = se.streaming_daily_counts(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    for marker in ("0", ".0.crc"):
+        os.remove(os.path.join(out_dir + "_ckpt", "commits", marker))
+    drop(d2 + flush)
+    q = se.streaming_daily_counts(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink = spark.read.parquet(out_dir)
+    days = {r.day: r.c for r in sink.collect()}
+    assert days == {"2024-03-01": 1, "2024-03-02": 3, "2024-03-03": 2}
+
+    got = [tuple(r) for r in se.trend_from_daily(sink).collect()]
+    batch_daily = (
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, d, h),) for (_, d, h) in d1 + d2],
+            "ts timestamp",
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    want = [tuple(r) for r in se.trend_from_daily(batch_daily).collect()]
+    assert got == want
+    assert got == [(3, 3, 1, 333, "rising")]
