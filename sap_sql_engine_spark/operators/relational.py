@@ -5622,9 +5622,15 @@ def q_order_size_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").over(wb).cast("bigint").alias("c"),
         F.sum("observed").over(wall).cast("bigint").alias("n"),
     )
+    # cast observed/r to DECIMAL(38,0) BEFORE the n-scale multiply (the
+    # class-A cast-before-multiply convention): observed*n is n^2-scale,
+    # which overflows BIGINT past ~3e9 orders if multiplied first
+    diff = (
+        "(CAST(observed AS DECIMAL(38,0)) * n"
+        " - CAST(r AS DECIMAL(38,0)) * c)"
+    )
     contrib = (
-        "CAST((observed * n - r * c) AS DECIMAL(38,0))"
-        " * (observed * n - r * c) * 1000"
+        f"{diff} * {diff} * 1000"
         " DIV (CAST(n AS DECIMAL(38,0)) * r * c)"
     )
     return (
@@ -5664,12 +5670,14 @@ grid AS (
 )
 SELECT o_orderpriority, size_bucket, observed,
        CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS expected_milli,
-       CAST(CAST(observed * n - r * c AS HUGEINT)
-            * (observed * n - r * c) * 1000
+       CAST((CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * (CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000
             // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_cell_milli,
        n AS n_orders,
-       CAST(sum(CAST(CAST(observed * n - r * c AS HUGEINT)
-                     * (observed * n - r * c) * 1000
+       CAST(sum(CAST((CAST(observed AS HUGEINT) * n
+                      - CAST(r AS HUGEINT) * c)
+                     * (CAST(observed AS HUGEINT) * n
+                        - CAST(r AS HUGEINT) * c) * 1000
                      // (CAST(n AS HUGEINT) * r * c) AS BIGINT))
             OVER () AS BIGINT) AS chi2_total_milli
 FROM grid

@@ -3700,10 +3700,12 @@ FROM it WHERE t = (SELECT max(rn) FROM ranked)
 # a fixed integer basis: after each step w' = w * BASIS DIV sum(w), the
 # same truncating DIV on both engines (the adaboost convention), so the
 # orbit is bit-identical yet the magnitude never compounds. Bound per
-# step: |w| <= BASIS (1e12) going in, so the raw stepped mass is at
-# most BASIS * T (T = total transitions) and the renormalizing sum at
-# most BASIS * T * |S| — DECIMAL(38,0)/HUGEINT holds to T ~ 1e24
-# transitions, i.e. any corpus (the r11 unnormalized form overflowed
+# step: |w| <= BASIS (1e12) going in, so the raw stepped mass w' is at
+# most BASIS * T (T = total transitions); the BINDING intermediate is
+# the renormalization's w' * BASIS <= BASIS^2 * T = 1e24 * T, so
+# DECIMAL(38,0)/HUGEINT holds to T ~ 1e14 transitions — still any
+# realistic corpus, and both engines fail loudly (ANSI/DuckDB overflow)
+# rather than silently past it (the r11 unnormalized form overflowed
 # the 38-digit grid past T ~ 5e5 at 6 steps; this IS that documented
 # knob, implemented). The truncation loses < |S| parts in 1e12 of mass
 # per step — invisible at the permille output grid. The empirical

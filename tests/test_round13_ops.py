@@ -1,0 +1,118 @@
+"""Planted-fixture tests for the round-13 changes.
+
+Covers the frozen-weights serving twin (equality with the
+train-and-serve probe at the freeze scale), the re-ingested-asset twin
+leg of the perceptual near-dup gate, and the PPJoin filter/grouping
+rewrite's planted shape (the hypothesis property test in
+test_round13_properties / test_round12_properties carries the
+completeness theorem; these pin concrete values).
+"""
+
+import pytest
+
+from sap_sql_engine_spark.operators import classifier as cl
+from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.operators import multimodal as mm
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_frozen_probe_matches_train_and_serve_at_freeze_scale(spark):
+    """The frozen-weights probe must score the SAME query text to the
+    SAME margin as the train-and-serve probe when run at the scale the
+    weights were frozen from — the artifact IS that training run."""
+    from sap_sql_engine_spark.operators.logreg_weights import (
+        FROZEN_SF_DIR,
+        FROZEN_W,
+    )
+
+    frozen = {
+        r.probe_id: (r.z_micro, r.pred)
+        for r in cl.q_classifier_query_frozen_probe(
+            spark, FROZEN_SF_DIR
+        ).collect()
+    }
+    trained = {
+        r.probe_id: (r.z_micro, r.pred)
+        for r in cl.q_classifier_query_text_probe(
+            spark, FROZEN_SF_DIR
+        ).collect()
+    }
+    # trained probe_id 2 is the SAME literal query text the frozen lane
+    # scores as probe_id 1
+    assert frozen[1] == trained[2]
+    # and the frozen weights are the fit's exact integers
+    w = cl._fit(
+        __import__(
+            "sap_sql_engine_spark.sources.loader", fromlist=["table"]
+        ).table(spark, FROZEN_SF_DIR, "documents")
+    )[1].collect()[0]
+    assert (w.w0, w.w1, w.w2, w.w3) == FROZEN_W
+
+
+def test_frozen_probe_is_corpus_free(spark, tmp_path):
+    """The frozen probe must not scan the corpus: identical output for
+    ANY sf_dir, including an empty directory with no parquet at all."""
+    a = [tuple(r) for r in
+         cl.q_classifier_query_frozen_probe(spark, str(tmp_path)).collect()]
+    b = [tuple(r) for r in
+         cl.q_classifier_query_frozen_probe(
+             spark, "/root/testdata/sf0.001").collect()]
+    assert a == b and len(a) == 2
+    assert a[0][0] == 1 and a[1][0] == 2
+    assert a[0][1:] != a[1][1:]  # the two probes score differently
+
+
+def test_media_dhash_neardup_twin_surfaces_at_distance_zero(spark, tmp_path):
+    """The re-ingested asset (first hashable doc under media_id -1) must
+    pair with its original at hamming 0 even when the corpus itself has
+    no perceptual near-dups."""
+    base = "the quick brown fox jumps over the lazy dog " * 3  # >= 65 chars
+    other = "completely different signal content with other words " * 3
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, base, "en", "s", len(base)),
+            (20, other, "en", "s", len(other)),
+        ],
+    )
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming_dist
+        for r in mm.q_media_dhash_neardup_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got[(-1, 10)] == 0  # twin of doc 10 at distance 0
+    assert all(a == -1 or d <= mm.DHASH_THRESHOLD for (a, _), d in got.items())
+
+
+def test_prefix_filter_grouped_plan_planted(spark, tmp_path):
+    """Planted duplicate-set structure: docs 1/2/3 share one token SET
+    (order shuffled — token-level Jaccard 1000 where the shingle ladder
+    breaks), doc 4 is disjoint. Expected pairs: exactly the three
+    intra-group ones."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "delta gamma beta alpha", "en", "s", 22),
+            (3, "beta alpha delta gamma", "en", "s", 22),
+            (4, "epsilon zeta eta theta", "en", "s", 22),
+        ],
+    )
+    got = {
+        (r.doc1, r.doc2): (r.n1, r.n2, r.shared, r.jaccard_permille)
+        for r in dedup.q_dedup_prefix_filter_pairs(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (4, 4, 4, 1000),
+        (1, 3): (4, 4, 4, 1000),
+        (2, 3): (4, 4, 4, 1000),
+    }

@@ -337,7 +337,14 @@ def test_media_dhash_planted_neardup_pair(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     ]
-    assert pairs == [(1, 2, exp_dist)]
+    # r13: the query also serves the re-ingested asset (twin of doc 1
+    # under media_id -1), which pairs at distance 0 with everything doc
+    # 1 near-dups with — the corpus's own near-dup pair is unchanged
+    assert (1, 2, exp_dist) in pairs
+    assert (-1, 1, 0) in pairs  # the twin surfaces with its original
+    assert all(
+        a == -1 or (a, b, d) == (1, 2, exp_dist) for a, b, d in pairs
+    )
     report = {
         r.hamming_dist: (r.n_pairs, r.is_neardup)
         for r in multimodal.q_media_dhash_report(spark, str(tmp_path)).collect()
@@ -345,4 +352,5 @@ def test_media_dhash_planted_neardup_pair(spark, tmp_path):
     assert report.get(exp_dist, (0, 0))[0] >= 1
     assert report[exp_dist][1] == 1
     under = sum(n for d, (n, flag) in report.items() if flag == 1)
-    assert under == len(pairs)
+    # the report stays corpus-only; compare against the non-twin pairs
+    assert under == len([p for p in pairs if p[0] != -1])
