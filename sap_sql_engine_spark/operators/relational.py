@@ -5751,7 +5751,235 @@ ORDER BY side, degree
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: fraud/synthetic-data screens compare the
+# first-significant-digit distribution of a monetary column against
+# Benford's law, P(d) = log10(1 + 1/d). The expected permille values
+# are MATHEMATICAL CONSTANTS folded as integer literals (floor of
+# 1000*log10(1+1/d) — the frozen-artifact convention applied to a
+# closed form, so no engine ever evaluates a transcendental): on this
+# synthetic corpus prices are uniform-ish, so the deviations are LARGE
+# — the honest answer, hashed as-is (the flat-marker-density
+# convention).
+
+BENFORD_PERMILLE = (301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+
+def q_lineitem_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, observed, n_items, observed_permille, benford_permille,
+    abs_dev_permille) for first digits 1..9 of l_extendedprice in cents.
+    First digit via the STRING head of the BIGINT cents — identical,
+    locale-free rendering on both engines (no float log10).
+
+    Scale shape: one pushed-down single-column scan, a 9-row hash
+    aggregation with map-side combine, then window totals over the
+    9-row relation. Nothing after the map phase scales with data."""
+    li = table(spark, sf_dir, "lineitem")
+    bexpr = " ".join(
+        f"WHEN {d + 1} THEN {p}" for d, p in enumerate(BENFORD_PERMILLE)
+    )
+    digits = li.selectExpr(
+        "CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit"
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    return (
+        digits.withColumn(
+            "n_items",
+            F.sum("observed").over(W.partitionBy()).cast("bigint"),
+        )
+        .selectExpr(
+            "digit",
+            "observed",
+            "n_items",
+            "CAST(observed * 1000 DIV n_items AS BIGINT)"
+            " AS observed_permille",
+            f"CAST(CASE digit {bexpr} END AS BIGINT) AS benford_permille",
+            f"CAST(abs(observed * 1000 DIV n_items"
+            f" - CASE digit {bexpr} END) AS BIGINT) AS abs_dev_permille",
+        )
+        .orderBy("digit")
+    )
+
+
+def _oracle_benford() -> str:
+    bexpr = " ".join(
+        f"WHEN {d + 1} THEN {p}" for d, p in enumerate(BENFORD_PERMILLE)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT digit, observed, CAST(sum(observed) OVER () AS BIGINT) AS n_items
+  FROM digits
+)
+SELECT digit, observed, n_items,
+       CAST(observed * 1000 // n_items AS BIGINT) AS observed_permille,
+       CAST(CASE digit {bexpr} END AS BIGINT) AS benford_permille,
+       CAST(abs(observed * 1000 // n_items
+                - CASE digit {bexpr} END) AS BIGINT) AS abs_dev_permille
+FROM tot
+ORDER BY digit
+"""
+
+
+ORACLE_LINEITEM_BENFORD_DIGITS = _oracle_benford()
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across brands: does brand explain retail price? The
+# F-statistic from the sum-of-squares identity SST = SSB + SSW with
+# every term an exact integer in cents² (SSB = sum_g S_g²/n_g - S²/n,
+# computed with one truncating DIV per term, identical on both
+# engines) — the chi-square report's continuous-response sibling.
+
+ANOVA_SCALE = 1000  # milli grid for the F statistic
+
+
+def q_part_brand_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (k_brands, n_parts, ssb_cents2, ssw_cents2, f_milli) for
+    p_retailprice (cents) grouped by p_brand. All sums accumulate in
+    DECIMAL(38,0) (cents² at 1e10 scale per part; cast-before-multiply
+    throughout), divisions truncate identically on both engines.
+
+    Scale shape: one pushed-down two-column scan of part, a per-brand
+    aggregation (25 groups, map-side combined), then a single-row
+    reduce of the 25-row relation. Nothing post-map scales with data."""
+    part = table(spark, sf_dir, "part")
+    per_brand = (
+        part.selectExpr(
+            "p_brand",
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("sg"),
+            F.expr(
+                "sum(CAST(cents AS DECIMAL(38,0)) * cents)"
+            ).alias("sq"),
+        )
+    )
+    return per_brand.selectExpr(
+        "CAST(count(*) AS BIGINT) AS k",
+        "CAST(sum(ng) AS BIGINT) AS n",
+        "sum(sg * sg DIV ng) AS between_raw",
+        "sum(sg) AS s_all",
+        "sum(sq) AS sq_all",
+    ).selectExpr(
+        "k AS k_brands",
+        "n AS n_parts",
+        "CAST(between_raw - s_all * s_all DIV n AS BIGINT) AS ssb_cents2",
+        "CAST(sq_all - between_raw AS BIGINT) AS ssw_cents2",
+        f"CAST((between_raw - s_all * s_all DIV n) DIV (k - 1)"
+        f" * {ANOVA_SCALE} DIV ((sq_all - between_raw) DIV (n - k))"
+        " AS BIGINT) AS f_milli",
+    )
+
+
+ORACLE_PART_BRAND_PRICE_ANOVA = f"""
+WITH per_brand AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS ng,
+         sum(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS HUGEINT)) AS sg,
+         sum(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS HUGEINT)
+             * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS sq
+  FROM part GROUP BY 1
+),
+red AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum(sg * sg // ng) AS between_raw,
+         sum(sg) AS s_all,
+         sum(sq) AS sq_all
+  FROM per_brand
+)
+SELECT k AS k_brands,
+       n AS n_parts,
+       CAST(between_raw - s_all * s_all // n AS BIGINT) AS ssb_cents2,
+       CAST(sq_all - between_raw AS BIGINT) AS ssw_cents2,
+       CAST((between_raw - s_all * s_all // n) // (k - 1)
+            * {ANOVA_SCALE} // ((sq_all - between_raw) // (n - k))
+        AS BIGINT) AS f_milli
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Customer re-order cadence: the distribution of gaps between a
+# customer's consecutive orders, bucketed by week and capped — the
+# retention planner's histogram (repeat_rate's time-axis complement).
+
+GAP_BUCKET_DAYS = 7
+GAP_MAX_BUCKET = 52
+
+
+def q_customer_order_gap_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(gap_weeks, n_gaps, n_customers): how many consecutive-order
+    gaps land in each capped week bucket, and how many distinct
+    customers contribute one.
+
+    Scale shape: ONE shuffle by custkey for the lag window (date +
+    orderkey tiebreak, deterministic), then a bounded-bucket hash
+    aggregation — the histogram relation is <= 53 rows."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .selectExpr(
+            "o_custkey",
+            f"least(CAST(datediff(o_orderdate, prev_date) AS BIGINT)"
+            f" DIV {GAP_BUCKET_DAYS}, {GAP_MAX_BUCKET}) AS gap_weeks",
+        )
+    )
+    return (
+        gaps.groupBy("gap_weeks")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+        .orderBy("gap_weeks")
+    )
+
+
+ORACLE_CUSTOMER_ORDER_GAP_HISTOGRAM = f"""
+WITH raw AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS g
+  FROM orders
+),
+-- NULL g (a customer's first order) must drop BEFORE least():
+-- DuckDB's least() ignores NULL arguments instead of propagating
+gaps AS (
+  SELECT o_custkey, least(g // {GAP_BUCKET_DAYS}, {GAP_MAX_BUCKET})
+           AS gap_weeks
+  FROM raw WHERE g IS NOT NULL
+)
+SELECT gap_weeks, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM gaps
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "lineitem_benford_digits": q_lineitem_benford_digits,
+    "part_brand_price_anova": q_part_brand_price_anova,
+    "customer_order_gap_histogram": q_customer_order_gap_histogram,
     "customer_spend_gini": q_customer_spend_gini,
     "ship_latency_qty_ols": q_ship_latency_qty_ols,
     "discount_qty_elasticity": q_discount_qty_elasticity,
@@ -5848,6 +6076,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_benford_digits": ORACLE_LINEITEM_BENFORD_DIGITS,
+    "part_brand_price_anova": ORACLE_PART_BRAND_PRICE_ANOVA,
+    "customer_order_gap_histogram": ORACLE_CUSTOMER_ORDER_GAP_HISTOGRAM,
     "customer_spend_gini": ORACLE_CUSTOMER_SPEND_GINI,
     "ship_latency_qty_ols": ORACLE_SHIP_LATENCY_QTY_OLS,
     "discount_qty_elasticity": ORACLE_DISCOUNT_QTY_ELASTICITY,

@@ -4609,6 +4609,80 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Yule's K characteristic: the classic vocabulary-richness constant
+# K = 10^4 (sum_c c^2 V(c) - N) / N^2 (Yule 1944) — unlike type/token
+# ratios it is (asymptotically) length-invariant, so it compares
+# sources of very different sizes honestly. Exactly computable from the
+# same (source, token) frequency relation as Simpson/Chao1: S2 = sum of
+# squared type frequencies, K_milli = (S2 - N) * 10^7 DIV N^2, every
+# term DECIMAL(38,0)/HUGEINT with one truncating DIV.
+
+
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: token count N, type count V, the squared-frequency
+    sum S2, and Yule's K in milli units.
+
+    Scale shape: one token explode + (source, token) count (the
+    vocabulary shuffle, map-side combined), one per-source regroup of
+    the vocabulary relation — the statistic is arithmetic on a
+    |sources|-row relation."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter("t != ''")
+    freqs = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        freqs.groupBy("source")
+        .agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_types"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
+            ).alias("s2"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_types",
+            "CAST(s2 AS BIGINT) AS s2",
+            "CAST((s2 - n_tokens) * 10000000"
+            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+            " AS BIGINT) AS yule_k_milli",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_YULE_K = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+freqs AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE t != '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM freqs GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST(s2 AS BIGINT) AS s2,
+       CAST((s2 - n_tokens) * 10000000
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS yule_k_milli
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Chao1 richness: how many token types does each source REALLY have,
 # counting the ones not yet seen? chao1 = V + n1^2 / (2 n2) (Chao 1984;
 # the n2 = 0 fallback V + n1 (n1 - 1) / 2 is the standard
@@ -4932,6 +5006,7 @@ QUERIES = {
     "zipf_slope_fit": q_zipf_slope,
     "token_good_turing": q_token_good_turing,
     "text_simpson_diversity": q_text_simpson_diversity,
+    "text_yule_k": q_text_yule_k,
     "docs_chao1_richness": q_docs_chao1_richness,
     "token_bigram_novelty": q_token_bigram_novelty,
     "novelty_query_text_probe": q_novelty_query_text_probe,
@@ -4993,6 +5068,7 @@ ORACLES = {
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
     "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,
+    "text_yule_k": ORACLE_TEXT_YULE_K,
     "docs_chao1_richness": ORACLE_DOCS_CHAO1_RICHNESS,
     "token_bigram_novelty": ORACLE_TOKEN_BIGRAM_NOVELTY,
     "novelty_query_text_probe": ORACLE_NOVELTY_QUERY_TEXT_PROBE,

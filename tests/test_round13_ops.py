@@ -116,3 +116,110 @@ def test_prefix_filter_grouped_plan_planted(spark, tmp_path):
         (1, 3): (4, 4, 4, 1000),
         (2, 3): (4, 4, 4, 1000),
     }
+
+
+def test_lineitem_benford_digits_planted(spark, tmp_path):
+    """prices 1.00/2.50/19.99/0.55 -> cents 100/250/1999/55 -> digits
+    1,2,1,5; n=4: observed_permille 500/250/250, benford 301/176/79."""
+    spark.createDataFrame(
+        [(1, 1.00), (2, 2.50), (3, 19.99), (4, 0.55)],
+        "l_orderkey long, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from sap_sql_engine_spark.operators import relational as rel
+
+    got = [
+        tuple(r)
+        for r in rel.q_lineitem_benford_digits(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 2, 4, 500, 301, 199),
+        (2, 1, 4, 250, 176, 74),
+        (5, 1, 4, 250, 79, 171),
+    ]
+
+
+def test_part_brand_price_anova_planted(spark, tmp_path):
+    """brand A cents (100,200,300), brand B (400,500,600): ssb=135000,
+    ssw=40000, F = (135000/1)*1000 // (40000/4) = 13500 milli."""
+    spark.createDataFrame(
+        [
+            (1, "A", 1.00),
+            (2, "A", 2.00),
+            (3, "A", 3.00),
+            (4, "B", 4.00),
+            (5, "B", 5.00),
+            (6, "B", 6.00),
+        ],
+        "p_partkey long, p_brand string, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    from sap_sql_engine_spark.operators import relational as rel
+
+    got = [
+        tuple(r)
+        for r in rel.q_part_brand_price_anova(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(2, 6, 135000, 40000, 13500)]
+
+
+def test_customer_order_gap_histogram_planted(spark, tmp_path):
+    """cust 1: gaps 3d (bucket 0) and 7d (bucket 1); cust 2: one order,
+    no gap; cust 3: 400d gap -> capped bucket 52."""
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(days):
+        return d + dt.timedelta(days=days)
+
+    spark.createDataFrame(
+        [
+            (1, 1, ts(0)),
+            (2, 1, ts(3)),
+            (3, 1, ts(10)),
+            (4, 2, ts(5)),
+            (5, 3, ts(0)),
+            (6, 3, ts(400)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from sap_sql_engine_spark.operators import relational as rel
+
+    got = [
+        tuple(r)
+        for r in rel.q_customer_order_gap_histogram(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(0, 1, 1), (1, 1, 1), (52, 1, 1)]
+
+
+def test_text_yule_k_planted(spark, tmp_path):
+    """'a a a b': N=4, V=2, S2=10, K_milli=(10-4)*1e7//16=3750000."""
+    _write_docs(spark, tmp_path, [(1, "a a a b", "en", "s", 7)])
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    got = [
+        tuple(r) for r in ta.q_text_yule_k(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("s", 4, 2, 10, 3750000)]
+
+
+def test_dedup_set_signature_report_planted(spark, tmp_path):
+    """docs 1/2 share the token SET {a,b} (order+multiplicity differ),
+    doc 3 unique: one size-2 group (1 intra pair), one size-1 group."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b b", "en", "s", 5),
+            (2, "b a", "en", "s", 3),
+            (3, "c d", "en", "s", 3),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in dedup.q_dedup_set_signature_report(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(1, 1, 1, 0), (2, 1, 2, 1)]
