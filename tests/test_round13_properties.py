@@ -1,0 +1,219 @@
+"""Property-based tests for the round-13 operators: the distributed
+implementations against pure-Python oracles over randomly generated
+inputs (derandomized, few examples — every example is a full Spark
+job). The DuckDB gate pins one corpus; these pin the ALGORITHMS over
+skew, ties, singletons, and degenerate shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sap_sql_engine_spark.operators import dedup
+from sap_sql_engine_spark.operators import relational as rel
+from sap_sql_engine_spark.operators import textanalysis as ta
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=99999), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_benford_digits_match_python(spark, tmp_path_factory, cents):
+    """Digit histogram + permille grid reproduce a direct Python count
+    with identical truncating division."""
+    tmp = tmp_path_factory.mktemp("benford")
+    spark.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(cents)],
+        "l_orderkey long, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    got = {
+        r.digit: (r.observed, r.n_items, r.observed_permille,
+                  r.benford_permille, r.abs_dev_permille)
+        for r in rel.q_lineitem_benford_digits(spark, str(tmp)).collect()
+    }
+    counts = Counter(int(str(c)[0]) for c in cents)
+    n = len(cents)
+    want = {}
+    for d, obs in counts.items():
+        op = obs * 1000 // n
+        bp = rel.BENFORD_PERMILLE[d - 1]
+        want[d] = (obs, n, op, bp, abs(op - bp))
+    assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=10000),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_anova_matches_python(spark, tmp_path_factory, groups):
+    """SSB/SSW/F reproduce the integer sum-of-squares identity computed
+    directly in Python (same truncation points)."""
+    # degenerate guard: F needs n > k and SSW > 0 after truncation
+    rows, key = [], 0
+    for gi, vals in enumerate(groups):
+        for v in vals:
+            rows.append((key, f"B{gi}", v / 100.0))
+            key += 1
+    tmp = tmp_path_factory.mktemp("anova")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "part.parquet"))
+
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    if n <= k:
+        return
+    between_raw = sum(sum(g) ** 2 // len(g) for g in groups)
+    s_all = sum(sum(g) for g in groups)
+    sq_all = sum(v * v for g in groups for v in g)
+    ssb = between_raw - s_all * s_all // n
+    ssw = sq_all - between_raw
+    if ssw // (n - k) == 0:
+        return  # truncated within-variance of 0 -> division by zero
+    f_milli = ssb // (k - 1) * rel.ANOVA_SCALE // (ssw // (n - k))
+    got = [
+        tuple(r)
+        for r in rel.q_part_brand_price_anova(spark, str(tmp)).collect()
+    ]
+    assert got == [(k, n, ssb, ssw, f_milli)]
+
+
+@given(
+    gaps_per_cust=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=500), min_size=0, max_size=6
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_order_gap_histogram_matches_python(
+    spark, tmp_path_factory, gaps_per_cust
+):
+    """Bucketed gap histogram reproduces a direct Python lag over
+    per-customer order dates (including same-day zero gaps)."""
+    base = dt.datetime(2024, 1, 1)
+    rows, okey = [], 0
+    for ci, gaps in enumerate(gaps_per_cust):
+        day = 0
+        rows.append((okey, ci, base))
+        okey += 1
+        for g in gaps:
+            day += g
+            rows.append((okey, ci, base + dt.timedelta(days=day)))
+            okey += 1
+    tmp = tmp_path_factory.mktemp("gaps")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    want: dict[int, list] = {}
+    for ci, gaps in enumerate(gaps_per_cust):
+        for g in gaps:
+            b = min(g // rel.GAP_BUCKET_DAYS, rel.GAP_MAX_BUCKET)
+            want.setdefault(b, []).append(ci)
+    expected = {
+        b: (len(cs), len(set(cs))) for b, cs in want.items()
+    }
+    got = {
+        r.gap_weeks: (r.n_gaps, r.n_customers)
+        for r in rel.q_customer_order_gap_histogram(
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["u", "v", "w", "x", "y"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_yule_k_matches_python(spark, tmp_path_factory, docs):
+    """Yule's K milli value reproduces the direct frequency-spectrum
+    computation (single truncating division)."""
+    tmp = tmp_path_factory.mktemp("yule")
+    rows = [
+        (i + 1, " ".join(toks), "en", "s0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    counts = Counter(t for toks in docs for t in toks)
+    n = sum(counts.values())
+    v = len(counts)
+    s2 = sum(c * c for c in counts.values())
+    k_milli = (s2 - n) * 10_000_000 // (n * n)
+    got = [tuple(r) for r in ta.q_text_yule_k(spark, str(tmp)).collect()]
+    assert got == [("s0", n, v, s2, k_milli)]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_set_signature_report_matches_python(
+    spark, tmp_path_factory, docs
+):
+    """Group-size histogram reproduces a direct Python grouping by
+    frozen token set (multiplicity and order insensitive)."""
+    tmp = tmp_path_factory.mktemp("setsig")
+    rows = [
+        (i + 1, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    sizes = Counter(
+        Counter(frozenset(toks) for toks in docs).values()
+    )  # group_size -> n_groups
+    expected = {
+        gs: (ng, gs * ng, ng * (gs * (gs - 1) // 2))
+        for gs, ng in sizes.items()
+    }
+    got = {
+        r.group_size: (r.n_groups, r.n_docs, r.intra_pairs)
+        for r in dedup.q_dedup_set_signature_report(
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == expected
