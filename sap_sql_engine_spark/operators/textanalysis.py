@@ -1649,6 +1649,132 @@ ORDER BY s1, s2
 """
 
 
+# ---------------------------------------------------------------------------
+# Total-variation distance matrix: the EXACT companion to
+# source_kl_divergence. KL needs add-1 smoothing and a quantized ln;
+# TV(P,Q) = 1/2 sum_t |p_t - q_t| is a true metric, bounded in [0,1],
+# defined on disjoint supports, and PURE INTEGER here: multiply through
+# by Na*Nb and split the support three ways —
+#   sum_union |ca*Nb - cb*Na|
+#     = sum_shared |ca*Nb - cb*Na| + (Na - sum_shared ca)*Nb
+#       + (Nb - sum_shared cb)*Na
+# so one inner join on token plus per-source totals gives the exact
+# value; tokens appearing in only one source never need a row.
+
+
+def q_source_unigram_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_tokens_a, n_tokens_b, shared_types,
+    tv_permille) for every unordered source pair — 0 = identical token
+    distributions, 1000 = disjoint support. The mixing-weight planner's
+    distance matrix next to KL's directed divergence.
+
+    Scale shape: one (source, token) aggregation over the corpus scan,
+    a vocabulary-keyed self-join (bucket size <= |sources| per token),
+    a |sources|^2-row pair aggregation, and the metadata-sized pair
+    spine cross (BNLJ_ALLOWED class) so fully-disjoint pairs still
+    report tv = 1000. All arithmetic DECIMAL(38,0) with one truncating
+    DIV."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    freqs = cache_eager(
+        toks.groupBy("source", "t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    totals = freqs.groupBy("source").agg(
+        F.expr("CAST(sum(c) AS BIGINT)").alias("n")
+    )
+    fa = freqs.select(
+        F.col("source").alias("source_a"), "t", F.col("c").alias("ca")
+    )
+    fb = freqs.select(
+        F.col("source").alias("source_b"), "t", F.col("c").alias("cb")
+    )
+    ta_ = totals.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    tb_ = totals.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    shared = (
+        fa.join(fb, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(ta_, "source_a")
+        .join(tb_, "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("shared_types"),
+            F.expr(
+                "CAST(sum(abs(CAST(ca AS DECIMAL(38,0)) * nb"
+                " - CAST(cb AS DECIMAL(38,0)) * na)) AS DECIMAL(38,0))"
+            ).alias("d_shared"),
+            F.expr("CAST(sum(ca) AS BIGINT)").alias("sca"),
+            F.expr("CAST(sum(cb) AS BIGINT)").alias("scb"),
+        )
+    )
+    spine = ta_.crossJoin(tb_).filter(F.col("source_a") < F.col("source_b"))
+    return (
+        spine.join(shared, ["source_a", "source_b"], "left")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "na AS n_tokens_a",
+            "nb AS n_tokens_b",
+            "CAST(coalesce(shared_types, 0) AS BIGINT) AS shared_types",
+            "CAST((coalesce(d_shared, 0)"
+            " + CAST(na - coalesce(sca, 0) AS DECIMAL(38,0)) * nb"
+            " + CAST(nb - coalesce(scb, 0) AS DECIMAL(38,0)) * na) * 1000"
+            " DIV (CAST(2 AS DECIMAL(38,0)) * na * nb)"
+            " AS BIGINT) AS tv_permille",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_UNIGRAM_TV_MATRIX = r"""
+WITH freqs AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+  )
+  WHERE t != ''
+  GROUP BY source, t
+),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM freqs GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_types,
+         CAST(sum(abs(CAST(a.c AS HUGEINT) * tb.n
+                      - CAST(b.c AS HUGEINT) * ta.n)) AS HUGEINT)
+           AS d_shared,
+         CAST(sum(a.c) AS BIGINT) AS sca,
+         CAST(sum(b.c) AS BIGINT) AS scb
+  FROM freqs a
+  JOIN freqs b ON a.t = b.t AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT ta.source AS source_a, tb.source AS source_b,
+         ta.n AS na, tb.n AS nb
+  FROM totals ta JOIN totals tb ON ta.source < tb.source
+)
+SELECT source_a, source_b,
+       na AS n_tokens_a, nb AS n_tokens_b,
+       CAST(coalesce(shared_types, 0) AS BIGINT) AS shared_types,
+       CAST((coalesce(d_shared, 0)
+             + CAST(na - coalesce(sca, 0) AS HUGEINT) * nb
+             + CAST(nb - coalesce(scb, 0) AS HUGEINT) * na) * 1000
+            // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT) AS tv_permille
+FROM spine LEFT JOIN shared USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
 def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth per source: after each document (in
     doc_id order), the cumulative token volume and cumulative DISTINCT
@@ -5007,6 +5133,7 @@ QUERIES = {
     "token_good_turing": q_token_good_turing,
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_yule_k": q_text_yule_k,
+    "source_unigram_tv_matrix": q_source_unigram_tv_matrix,
     "docs_chao1_richness": q_docs_chao1_richness,
     "token_bigram_novelty": q_token_bigram_novelty,
     "novelty_query_text_probe": q_novelty_query_text_probe,
@@ -5069,6 +5196,7 @@ ORACLES = {
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
     "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,
     "text_yule_k": ORACLE_TEXT_YULE_K,
+    "source_unigram_tv_matrix": ORACLE_SOURCE_UNIGRAM_TV_MATRIX,
     "docs_chao1_richness": ORACLE_DOCS_CHAO1_RICHNESS,
     "token_bigram_novelty": ORACLE_TOKEN_BIGRAM_NOVELTY,
     "novelty_query_text_probe": ORACLE_NOVELTY_QUERY_TEXT_PROBE,

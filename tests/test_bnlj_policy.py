@@ -58,6 +58,9 @@ BNLJ_ALLOWED = {
     "monthly_revenue_spine": "12-month literal spine crossed with the "
     "|regions| dim (metadata-sized calendar cross)",
     "source_kl_divergence": "per-source distribution cross (|sources|^2, metadata-sized)",
+    "source_unigram_tv_matrix": "per-source totals pair spine "
+    "(|sources|^2, metadata-sized — lets disjoint-support pairs report "
+    "tv=1000)",
     "hll_intersection_estimate": "1-row pivoted-estimates x 1-row exact-twin "
     "attach (both sides are single-row aggregates of 256-register sketches)",
     "corpus_saturation_curve": "1-row doc_id-bounds attach for decile "

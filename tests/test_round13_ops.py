@@ -223,3 +223,31 @@ def test_dedup_set_signature_report_planted(spark, tmp_path):
         ).collect()
     ]
     assert got == [(1, 1, 1, 0), (2, 1, 2, 1)]
+
+
+def test_source_unigram_tv_matrix_planted(spark, tmp_path):
+    """srcA 'a a b' vs srcB 'a c': sum|p-q| = 1/6 + 1/3 + 1/2 = 1 ->
+    tv = 500 permille, 1 shared type. srcC disjoint 'z z' -> tv=1000
+    against both (the spine leg)."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a b", "en", "srcA", 5),
+            (2, "a c", "en", "srcB", 3),
+            (3, "z z", "en", "srcC", 3),
+        ],
+    )
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    got = {
+        (r.source_a, r.source_b): (
+            r.n_tokens_a, r.n_tokens_b, r.shared_types, r.tv_permille
+        )
+        for r in ta.q_source_unigram_tv_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): (3, 2, 1, 500),
+        ("srcA", "srcC"): (3, 2, 0, 1000),
+        ("srcB", "srcC"): (2, 2, 0, 1000),
+    }

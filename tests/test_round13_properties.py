@@ -217,3 +217,62 @@ def test_set_signature_report_matches_python(
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    corp=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_tv_matrix_matches_python(spark, tmp_path_factory, corp):
+    """TV permille reproduces the direct 1/2 sum |p - q| over the union
+    support computed in exact fractions then floor-quantized the same
+    way (multiply through by 2*Na*Nb before the single division)."""
+    tmp = tmp_path_factory.mktemp("tv")
+    rows = [
+        (i + 1, " ".join(toks), "en", src, len(" ".join(toks)))
+        for i, (src, toks) in enumerate(corp)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    per_src: dict[str, Counter] = {}
+    for src, toks in corp:
+        per_src.setdefault(src, Counter()).update(toks)
+    srcs = sorted(per_src)
+    expected = {}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = per_src[srcs[i]], per_src[srcs[j]]
+            na, nb = sum(a.values()), sum(b.values())
+            num = sum(
+                abs(a.get(t, 0) * nb - b.get(t, 0) * na)
+                for t in set(a) | set(b)
+            )
+            expected[(srcs[i], srcs[j])] = (
+                na,
+                nb,
+                len(set(a) & set(b)),
+                num * 1000 // (2 * na * nb),
+            )
+    from sap_sql_engine_spark.operators import textanalysis as ta2
+
+    got = {
+        (r.source_a, r.source_b): (
+            r.n_tokens_a, r.n_tokens_b, r.shared_types, r.tv_permille
+        )
+        for r in ta2.q_source_unigram_tv_matrix(spark, str(tmp)).collect()
+    }
+    assert got == expected
