@@ -117,6 +117,8 @@ BNLJ_ALLOWED = {
     "the 1-row n_days attach",
     "token_bigram_novelty": "two 1-row scalar attaches (corpus and "
     "shared bigram counts) onto the 1-row incoming-count aggregate",
+    "classifier_query_frozen_probe": "1-row frozen-weight attach onto the "
+    "2-row literal probe relation (zero corpus scans)",
     "classifier_query_text_probe": "the _fit trunk's 1-row weight-vector "
     "broadcasts (Lloyd class) + the same 1-row weights attached to the "
     "2-row probe featurize",
