@@ -468,14 +468,147 @@ ORDER BY n_members DESC, community
 ORACLE_TRADE_LPA = _oracle_lpa()
 
 
+# ---------------------------------------------------------------------------
+# k-core peeling: the classic graph-densification primitive (Seidman
+# 1983; distributed peeling per Montresor et al.). Round r recomputes
+# every node's degree on the CURRENT edge set and drops all nodes below
+# KCORE_K simultaneously (the synchronous peel — deterministic, no
+# ordering dependence), then drops incident edges. Bounded-iteration
+# contract (the PageRank/LPA/BPE convention): KCORE_ROUNDS synchronous
+# rounds, NOT run to fixpoint — the gate pins the round-profile prefix,
+# and the profile itself (how fast the graph collapses toward its
+# K-core) is the curve a data-density analyst reads. KCORE_K = 90 sits
+# at the co-purchase graph's median degree, so the peel genuinely
+# cascades at test scales instead of no-op'ing.
+
+KCORE_K = 90
+KCORE_ROUNDS = 4
+
+
+def _kcore_round_stats(e: DataFrame, r: int) -> DataFrame:
+    """1-row (round, n_nodes, n_edges) off the exploded endpoint view —
+    a global aggregate, so an empty edge set still yields the honest
+    zero row."""
+    return e.selectExpr("explode(array(p1, p2)) AS node").agg(
+        F.expr(f"CAST({r} AS BIGINT)").alias("round"),
+        F.countDistinct("node").cast("bigint").alias("n_nodes"),
+        F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_edges"),
+    )
+
+
+def q_copurchase_kcore_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(round, n_nodes, n_edges) for rounds 0..KCORE_ROUNDS of
+    synchronous k-core peeling (k = KCORE_K) over the part co-purchase
+    graph — round 0 is the raw graph; each later round keeps only edges
+    whose BOTH endpoints had degree >= k on the previous round's edge
+    set.
+
+    Scale shape: the basket-bounded pair self-join builds the edge
+    relation once (cached — the only corpus-sized work); each round is
+    one degree aggregation over the shrinking cached edge set plus two
+    semi-join attaches of the kept-node relation, and the report rows
+    are 1-row global aggregates. The iteration state is the edge set
+    itself, which only shrinks — never grows with rounds."""
+    li = cache_eager(
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    cur = cache_eager(
+        li.join(b2, (li.l_orderkey == b2.o2) & (li.l_partkey < b2.pk2))
+        .select(F.col("l_partkey").alias("p1"), F.col("pk2").alias("p2"))
+        .distinct()
+    )
+    return kcore_profile(cur, KCORE_K, KCORE_ROUNDS)
+
+
+def kcore_profile(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """The peeling kernel, factored for planted-graph tests (the
+    triangle_report convention): takes an undirected (p1, p2) edge list
+    with p1 < p2 (distinct, already cached), returns the round
+    profile."""
+    cur = edges
+    report = _kcore_round_stats(cur, 0)
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.selectExpr("explode(array(p1, p2)) AS node")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        cur = cache_eager(
+            cur.join(keep.withColumnRenamed("node", "p1"), "p1")
+            .join(keep.withColumnRenamed("node", "p2"), "p2")
+            .select("p1", "p2")
+        )
+        report = report.unionByName(_kcore_round_stats(cur, r))
+    return report.orderBy("round")
+
+
+def _oracle_kcore() -> str:
+    # AS MATERIALIZED: every e_r feeds its stats row, the next round's
+    # degree CTE (twice, via the UNION ALL), and the next edge filter —
+    # an inlining planner would re-expand the whole peel chain
+    # exponentially per reference
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2"
+        " FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)",
+    ]
+    stats = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,"
+        " CAST(count(*) // 2 AS BIGINT) AS n_edges FROM"
+        " (SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0)"
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""k{p} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT p1 AS node FROM e{p} UNION ALL SELECT p2 FROM e{p}
+    ) GROUP BY node
+  ) WHERE d >= {KCORE_K}
+)"""
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT p1, p2 FROM e{p}"
+            f" WHERE p1 IN (SELECT node FROM k{p})"
+            f" AND p2 IN (SELECT node FROM k{p}))"
+        )
+        stats.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            " CAST(count(DISTINCT node) AS BIGINT),"
+            f" CAST(count(*) // 2 AS BIGINT) FROM"
+            f" (SELECT p1 AS node FROM e{r} UNION ALL SELECT p2 FROM e{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(stats)
+        + "\nORDER BY round"
+    )
+
+
+ORACLE_COPURCHASE_KCORE = _oracle_kcore()
+
+
 QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
     "trade_lpa_communities": q_trade_lpa_communities,
+    "copurchase_kcore_profile": q_copurchase_kcore_profile,
 }
 
 ORACLES = {
     "nation_trade_pagerank": ORACLE_NATION_TRADE_PAGERANK,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "trade_lpa_communities": ORACLE_TRADE_LPA,
+    "copurchase_kcore_profile": ORACLE_COPURCHASE_KCORE,
 }

@@ -251,3 +251,40 @@ def test_source_unigram_tv_matrix_planted(spark, tmp_path):
         ("srcA", "srcC"): (3, 2, 0, 1000),
         ("srcB", "srcC"): (2, 2, 0, 1000),
     }
+
+
+def test_kcore_profile_kernel_planted(spark):
+    """Triangle 1-2-3 plus pendant 3-4 at k=2: round 1 peels node 4
+    (degree 1), the triangle is the stable 2-core thereafter."""
+    from sap_sql_engine_spark.cachereg import cache_eager
+    from sap_sql_engine_spark.operators import graph as g
+
+    edges = cache_eager(
+        spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "p1 long, p2 long"
+        )
+    )
+    got = [tuple(r) for r in g.kcore_profile(edges, 2, 4).collect()]
+    assert got == [
+        (0, 4, 4),
+        (1, 3, 3),
+        (2, 3, 3),
+        (3, 3, 3),
+        (4, 3, 3),
+    ]
+
+
+def test_kcore_full_query_collapses_sparse_fixture(spark, tmp_path):
+    """One 3-part basket: every co-purchase degree is 2 < KCORE_K=90, so
+    round 1 peels everything and the zero rows are honest (the
+    empty-edge-set global-aggregate path)."""
+    from sap_sql_engine_spark.operators import graph as g
+
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)], "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        tuple(r)
+        for r in g.q_copurchase_kcore_profile(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(0, 3, 3)] + [(r, 0, 0) for r in range(1, 5)]
