@@ -4809,6 +4809,115 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Bigram entropy rate: H(next token | token) per source in micro-nats —
+# the LM-adjacent predictability statistic (a near-zero rate means the
+# source is templated/boilerplate; natural text sits well above). The
+# events lane's transition-entropy recipe applied to the token stream:
+# H = (1/N) sum_w1 [ c(w1) ln c(w1) - sum_w2 c(w1,w2) ln c(w1,w2) ],
+# every ln floor-quantized ONCE per count value to integer micro-nats
+# (the zipf/transition-entropy class-C discipline), the weighted sums
+# exact in DECIMAL(38,0), one truncating DIV at the end.
+
+
+def q_text_bigram_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_bigrams, n_bigram_types, entropy_micro_nats) per
+    source: the conditional next-token entropy of the bigram stream.
+
+    Scale shape: ONE bigram extraction over one corpus scan (the
+    _bigram_lm stream, shared shape with the LM scorers), a
+    (source, w1, w2) count aggregation (map-side combined — the
+    bigram-TYPE grain, Heaps-sublinear), then regroups on the type
+    relation only."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    bigrams, _ = _bigram_lm(docs, "source")
+    c2 = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cells = c2.selectExpr(
+        "source",
+        "w1",
+        "c",
+        "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS lnc_micro",
+    )
+    per_w1 = cells.groupBy("source", "w1").agg(
+        F.expr("CAST(sum(c) AS BIGINT)").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(38,0)) * lnc_micro)"
+            " AS DECIMAL(38,0))"
+        ).alias("clnc"),
+    )
+    return (
+        per_w1.selectExpr(
+            "source",
+            "cf",
+            "n_types",
+            "CAST(cf AS DECIMAL(38,0))"
+            " * CAST(floor(ln(CAST(cf AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - clnc AS num",
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(sum(cf) AS BIGINT)").alias("n_bigrams"),
+            F.expr("CAST(sum(n_types) AS BIGINT)").alias("n_bigram_types"),
+            F.expr("CAST(sum(num) AS DECIMAL(38,0))").alias("num"),
+        )
+        .selectExpr(
+            "source",
+            "n_bigrams",
+            "n_bigram_types",
+            "CAST(num DIV n_bigrams AS BIGINT) AS entropy_micro_nats",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_BIGRAM_ENTROPY_RATE = r"""
+WITH toks AS (
+  SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+c2 AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM bigrams GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT source, w1, c,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lnc_micro
+  FROM c2
+),
+per_w1 AS (
+  SELECT source, w1,
+         CAST(sum(c) AS BIGINT) AS cf,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CAST(c AS HUGEINT) * lnc_micro) AS HUGEINT) AS clnc
+  FROM cells GROUP BY 1, 2
+),
+nums AS (
+  SELECT source, cf, n_types,
+         CAST(cf AS HUGEINT)
+           * CAST(floor(ln(CAST(cf AS DOUBLE)) * 1000000) AS BIGINT)
+           - clnc AS num
+  FROM per_w1
+)
+SELECT source,
+       CAST(sum(cf) AS BIGINT) AS n_bigrams,
+       CAST(sum(n_types) AS BIGINT) AS n_bigram_types,
+       CAST(sum(num) // sum(cf) AS BIGINT) AS entropy_micro_nats
+FROM nums GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Chao1 richness: how many token types does each source REALLY have,
 # counting the ones not yet seen? chao1 = V + n1^2 / (2 n2) (Chao 1984;
 # the n2 = 0 fallback V + n1 (n1 - 1) / 2 is the standard
@@ -5133,6 +5242,7 @@ QUERIES = {
     "token_good_turing": q_token_good_turing,
     "text_simpson_diversity": q_text_simpson_diversity,
     "text_yule_k": q_text_yule_k,
+    "text_bigram_entropy_rate": q_text_bigram_entropy_rate,
     "source_unigram_tv_matrix": q_source_unigram_tv_matrix,
     "docs_chao1_richness": q_docs_chao1_richness,
     "token_bigram_novelty": q_token_bigram_novelty,
@@ -5196,6 +5306,7 @@ ORACLES = {
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
     "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,
     "text_yule_k": ORACLE_TEXT_YULE_K,
+    "text_bigram_entropy_rate": ORACLE_TEXT_BIGRAM_ENTROPY_RATE,
     "source_unigram_tv_matrix": ORACLE_SOURCE_UNIGRAM_TV_MATRIX,
     "docs_chao1_richness": ORACLE_DOCS_CHAO1_RICHNESS,
     "token_bigram_novelty": ORACLE_TOKEN_BIGRAM_NOVELTY,

@@ -276,3 +276,53 @@ def test_tv_matrix_matches_python(spark, tmp_path_factory, corp):
         for r in ta2.q_source_unigram_tv_matrix(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["p", "q", "r"]), min_size=1, max_size=10
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_bigram_entropy_rate_matches_python(
+    spark, tmp_path_factory, docs
+):
+    """Conditional bigram entropy reproduces a direct Python count with
+    the identical single-ln micro-nat quantization (floor once per
+    count value, exact integer arithmetic after)."""
+    import math
+
+    tmp = tmp_path_factory.mktemp("bgent")
+    rows = [
+        (i + 1, " ".join(toks), "en", "s0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    c2: Counter = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    got = [
+        tuple(r)
+        for r in ta.q_text_bigram_entropy_rate(spark, str(tmp)).collect()
+    ]
+    if not c2:
+        assert got == []
+        return
+    lnq = lambda c: math.floor(math.log(c) * 1_000_000)
+    per_w1: dict = {}
+    for (a, b), c in c2.items():
+        cf, types, clnc = per_w1.get(a, (0, 0, 0))
+        per_w1[a] = (cf + c, types + 1, clnc + c * lnq(c))
+    n = sum(cf for cf, _, _ in per_w1.values())
+    ntypes = sum(t for _, t, _ in per_w1.values())
+    num = sum(cf * lnq(cf) - clnc for cf, _, clnc in per_w1.values())
+    assert got == [("s0", n, ntypes, num // n)]
