@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..cachereg import cache_eager
 from ..sources.loader import table
 
 SESSION_GAP_SECONDS = 1800  # 30 min
@@ -4404,7 +4405,130 @@ ORDER BY from_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Gapped sequential patterns: which ordered type-triples a < b < c (any
+# gaps allowed between them) occur in the most sessions — PrefixSpan's
+# support question restricted to length-3 patterns, answerable exactly
+# in relational algebra. Containment reduction (what keeps the join
+# small): a session contains a..b..c iff min_rn(a) < some rn(b) <
+# max_rn(c) — (<=) such a b gives a = the earliest a-occurrence and
+# c = the latest c-occurrence directly; (=>) any witnessing a < b < c
+# implies min_rn(a) <= rn_a < rn_b < rn_c <= max_rn(c). So the first
+# and last legs of the triple join collapse to one row per
+# (session, type) and only the middle leg scans raw occurrences.
+
+GTP_TOP = 20
+
+
+def q_events_gapped_triple_patterns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(t1, t2, t3, n_sessions): the GTP_TOP ordered type-triples by
+    distinct-session support under the standard gap sessionization —
+    the behavior-model miner next to events_session_archetypes (which
+    counts only CONTIGUOUS whole-session signatures; this counts
+    subsequences with arbitrary gaps).
+
+    Scale shape: the one sessionize exchange, a per-session rank
+    window, then all joins are equi-joins on the (user, session) key
+    with rank inequalities as residuals — co-partitioned after one
+    exchange, never a cross. The first/last legs are one row per
+    (session, type); the middle leg's fanout is bounded by session
+    length, and sessions are gap-bounded. TakeOrderedAndProject caps
+    the output."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_sid = ev.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    occ = cache_eager(
+        with_sid.select(
+            "user_id",
+            "session_seq",
+            F.col("event_type").alias("t"),
+            F.row_number().over(ws).alias("rn"),
+        )
+    )
+    keys = ["user_id", "session_seq"]
+    first = occ.groupBy(*keys, "t").agg(F.min("rn").alias("rn1"))
+    first = first.select(*keys, F.col("t").alias("t1"), "rn1")
+    last = occ.groupBy(*keys, "t").agg(F.max("rn").alias("rn3"))
+    last = last.select(*keys, F.col("t").alias("t3"), "rn3")
+    mid = occ.select(
+        *keys, F.col("t").alias("t2"), F.col("rn").alias("rn2")
+    )
+    trip = (
+        first.join(mid, keys)
+        .filter(F.col("rn2") > F.col("rn1"))
+        .join(last, keys)
+        .filter(F.col("rn3") > F.col("rn2"))
+        .select(*keys, "t1", "t2", "t3")
+        .distinct()
+    )
+    return (
+        trip.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "t1", "t2", "t3")
+        .limit(GTP_TOP)
+    )
+
+
+ORACLE_EVENTS_GAPPED_TRIPLE_PATTERNS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SECONDS * 1_000_000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+occ AS MATERIALIZED (
+  SELECT user_id, session_seq, event_type AS t,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sid
+),
+firsts AS (
+  SELECT user_id, session_seq, t AS t1, min(rn) AS rn1
+  FROM occ GROUP BY 1, 2, 3
+),
+lasts AS (
+  SELECT user_id, session_seq, t AS t3, max(rn) AS rn3
+  FROM occ GROUP BY 1, 2, 3
+),
+trip AS (
+  SELECT DISTINCT f.user_id, f.session_seq, f.t1, m.t AS t2, l.t3
+  FROM firsts f
+  JOIN occ m ON m.user_id = f.user_id AND m.session_seq = f.session_seq
+            AND m.rn > f.rn1
+  JOIN lasts l ON l.user_id = f.user_id AND l.session_seq = f.session_seq
+             AND l.rn3 > m.rn
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_sessions
+FROM trip
+GROUP BY 1, 2, 3
+ORDER BY n_sessions DESC, t1, t2, t3
+LIMIT {GTP_TOP}
+"""
+
+
 QUERIES = {
+    "events_gapped_triple_patterns": q_events_gapped_triple_patterns,
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
     "events_markov_stationary": q_events_markov_stationary,
@@ -4484,6 +4608,7 @@ ORACLES = {
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_daily_rollup": ORACLE_EVENTS_DAILY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_gapped_triple_patterns": ORACLE_EVENTS_GAPPED_TRIPLE_PATTERNS,
     "events_json_props": ORACLE_EVENTS_JSON,
     "events_json_props_variant": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,

@@ -288,3 +288,46 @@ def test_kcore_full_query_collapses_sparse_fixture(spark, tmp_path):
         for r in g.q_copurchase_kcore_profile(spark, str(tmp_path)).collect()
     ]
     assert got == [(0, 3, 3)] + [(r, 0, 0) for r in range(1, 5)]
+
+
+def test_gapped_triple_patterns_planted(spark, tmp_path):
+    """user 1 session [a,b,a,c]: contained ordered triples are
+    (a,b,a),(a,b,c),(a,a,c),(b,a,c); user 2 has TWO sessions each
+    [a,b,c] (separated by > the session gap), so (a,b,c) totals 3."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    for i, t in enumerate(["a", "b", "a", "c"]):
+        rows.append((i, base + dt.timedelta(seconds=30 * i), 1, t, 1.0, "{}"))
+    for s in range(2):
+        for i, t in enumerate(["a", "b", "c"]):
+            rows.append(
+                (
+                    100 + 10 * s + i,
+                    base + dt.timedelta(hours=2 * s, seconds=30 * i),
+                    2,
+                    t,
+                    1.0,
+                    "{}",
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.t1, r.t2, r.t3): r.n_sessions
+        for r in se.q_events_gapped_triple_patterns(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        ("a", "b", "a"): 1,
+        ("a", "b", "c"): 3,
+        ("a", "a", "c"): 1,
+        ("b", "a", "c"): 1,
+    }

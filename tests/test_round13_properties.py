@@ -326,3 +326,65 @@ def test_bigram_entropy_rate_matches_python(
     ntypes = sum(t for _, t, _ in per_w1.values())
     num = sum(cf * lnq(cf) - clnc for cf, _, clnc in per_w1.values())
     assert got == [("s0", n, ntypes, num // n)]
+
+
+@given(
+    sessions=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_gapped_triples_match_python_bruteforce(
+    spark, tmp_path_factory, sessions
+):
+    """Distinct-session triple support reproduces a brute-force Python
+    sweep over all i<j<k index triples (one user per list, events 30s
+    apart => one session each)."""
+    from sap_sql_engine_spark.streaming import events as se
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows, eid = [], 0
+    for u, types in enumerate(sessions):
+        for i, t in enumerate(types):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=30 * i), u, t, 1.0, "{}")
+            )
+            eid += 1
+    tmp = tmp_path_factory.mktemp("gtp")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    support: Counter = Counter()
+    for types in sessions:
+        trips = set()
+        n = len(types)
+        for i in range(n):
+            for j in range(i + 1, n):
+                for k in range(j + 1, n):
+                    trips.add((types[i], types[j], types[k]))
+        support.update(trips)
+    expected = dict(
+        sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : se.GTP_TOP
+        ]
+    )
+    got = {
+        (r.t1, r.t2, r.t3): r.n_sessions
+        for r in se.q_events_gapped_triple_patterns(spark, str(tmp)).collect()
+    }
+    # compare as dicts: the limit can cut ties differently only when
+    # there are more than GTP_TOP patterns, which these sizes cannot
+    # produce (3 types -> at most 27 patterns > GTP_TOP=20 is possible;
+    # guard by comparing the full support map when under the cap)
+    if len(support) <= se.GTP_TOP:
+        assert got == dict(support)
+    else:
+        assert all(support[k] == v for k, v in got.items())
+        assert len(got) == se.GTP_TOP
