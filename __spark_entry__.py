@@ -125,6 +125,11 @@ _MODIFIED_QUERIES = {
     # DECIMAL(38,0) BEFORE the n-scale multiply (identical values at
     # gate scale; overflow-safety change re-gated on principle)
     "order_size_priority_chisq",
+    # r13: the sf0.1 sweep caught the oracle's avg_lnq using plain //
+    # (truncation) against the Spark side's spelled-out floor — forms
+    # agree at sf0.01 (remainder 0) so old rows pinned identical
+    # values, but the oracle text changed; re-gated on principle
+    "kn_bigram_smoothing",
 }
 
 

@@ -3556,9 +3556,13 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_lnq",
             F.when(
                 F.col("category").isin("seen", "backoff"),
-                # FLOOR division on a negative sum: Spark DIV truncates
-                # toward zero while DuckDB // floors, so spell out the
-                # floor-div identity (the lm_perplexity_buckets recipe)
+                # FLOOR division on a negative sum: BOTH Spark DIV and
+                # DuckDB // truncate toward zero, so the floor-div
+                # identity must be spelled out on BOTH sides (the
+                # lm_perplexity_buckets recipe; the r13 sf0.1 sweep
+                # caught the oracle still using plain // — the forms
+                # agree only when the remainder is 0, which held at
+                # sf0.01 and masked the asymmetry for five rounds)
                 F.expr(
                     "CAST((sum_lnq - ((sum_lnq % n_bigrams + n_bigrams) "
                     "% n_bigrams)) DIV n_bigrams AS BIGINT)"
@@ -3612,8 +3616,15 @@ SELECT category,
             ELSE '4+' END AS count_band,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(coalesce(lnq, 0)) AS BIGINT) AS sum_lnq,
+       -- FLOOR identity, not plain //: the Spark side floors the
+       -- negative sum while DuckDB // truncates toward zero — they
+       -- agree only when the remainder is 0, which held at sf0.01 but
+       -- broke at sf0.1 (r13: 'seen'/'2-3' band, 1 micro-nat off).
+       -- Same spelled-out identity as the lm_perplexity_buckets oracle.
        CAST(CASE WHEN category IN ('seen', 'backoff')
-                 THEN sum(coalesce(lnq, 0)) // count(*) END AS BIGINT)
+                 THEN (sum(coalesce(lnq, 0))
+                       - ((sum(coalesce(lnq, 0)) % count(*) + count(*))
+                          % count(*))) // count(*) END AS BIGINT)
          AS avg_lnq
 FROM scored
 GROUP BY 1, 2
