@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sap_sql_engine_spark import cachereg
-from sap_sql_engine_spark.operators import bpe, classifier, dedup
+from sap_sql_engine_spark.operators import bpe, classifier, dedup, graph
 from sap_sql_engine_spark.session import get_spark
 from sap_sql_engine_spark.streaming import events as streaming_events
 from tools.dedup_growth import BASE_SF_DIR, build_scaled_corpus
@@ -56,6 +56,11 @@ EVENT_QUERIES = {
     "events_markov_stationary": streaming_events.QUERIES[
         "events_markov_stationary"
     ],
+}
+# r13: the sixth bounded-iteration heavy — synchronous k-core peeling
+# (KCORE_ROUNDS degree/filter rounds over the shrinking edge cache)
+LINEITEM_QUERIES = {
+    "copurchase_kcore_profile": graph.QUERIES["copurchase_kcore_profile"],
 }
 
 
@@ -83,6 +88,35 @@ def build_scaled_events(spark, factor: int, dst_dir: str) -> int:
         df = df.unionByName(p)
     df.write.mode("overwrite").parquet(f"{dst_dir}/events.parquet")
     return spark.read.parquet(f"{dst_dir}/events.parquet").count()
+
+
+def build_scaled_lineitem(spark, factor: int, dst_dir: str) -> int:
+    """lineitem.parquet (the two columns the co-purchase graph reads)
+    replicated ``factor``x with per-replica ORDER and PART key offsets —
+    disjoint baskets AND disjoint part spaces, so each replica
+    contributes its own isomorphic co-purchase graph (k x nodes and
+    edges, per-replica degree structure preserved, no cross-replica
+    edges — the vocabulary-shift convention on the graph domain)."""
+    base = spark.read.parquet(f"{BASE_SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = []
+    for k in range(factor):
+        parts.append(
+            base.select(
+                (F.col("l_orderkey") + F.lit(k * 1_000_000_000)).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(k * 100_000_000)).alias(
+                    "l_partkey"
+                ),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{dst_dir}/lineitem.parquet")
+    return spark.read.parquet(f"{dst_dir}/lineitem.parquet").count()
 
 
 def run_queries(spark, queries, tmp, n_rows, factor, results) -> None:
@@ -117,6 +151,10 @@ def main() -> None:
             run_queries(spark, DOC_QUERIES, tmp, n_docs, factor, results)
             n_ev = build_scaled_events(spark, factor, tmp)
             run_queries(spark, EVENT_QUERIES, tmp, n_ev, factor, results)
+            n_li = build_scaled_lineitem(spark, factor, tmp)
+            run_queries(
+                spark, LINEITEM_QUERIES, tmp, n_li, factor, results
+            )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     base = {r["query"]: r for r in results if r["factor"] == factors[0]}
