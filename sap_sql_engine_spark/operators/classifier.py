@@ -1142,7 +1142,6 @@ def q_classifier_query_frozen_probe(
     local projection regardless of corpus size."""
     from .logreg_weights import FROZEN_W
 
-    m = LOGREG_M
     probes = spark.range(1).selectExpr(
         "CAST(1 AS BIGINT) AS doc_id",
         f"'{CLASSIFIER_QUERY_TEXT}' AS text",

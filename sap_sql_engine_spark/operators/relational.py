@@ -5624,7 +5624,12 @@ def q_order_size_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cast observed/r to DECIMAL(38,0) BEFORE the n-scale multiply (the
     # class-A cast-before-multiply convention): observed*n is n^2-scale,
-    # which overflows BIGINT past ~3e9 orders if multiplied first
+    # which overflows BIGINT past ~3e9 orders if multiplied first.
+    # Residual headroom (r13 ADVICE): diff is n^2-scale, so diff^2*1000
+    # is n^4*1e3-scale — DECIMAL(38,0) holds to worst-case-skew
+    # n ~ 1e9 orders (38 digits / 4 ≈ 9.6 - log10(1000)/4). Past that
+    # the non-ANSI Spark session NULLs silently where DuckDB HUGEINT
+    # (~1e38) errors; the oracle gate's mismatch is the loud failure.
     diff = (
         "(CAST(observed AS DECIMAL(38,0)) * n"
         " - CAST(r AS DECIMAL(38,0)) * c)"

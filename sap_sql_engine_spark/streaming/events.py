@@ -3705,8 +3705,13 @@ FROM it WHERE t = (SELECT max(rn) FROM ranked)
 # most BASIS * T (T = total transitions); the BINDING intermediate is
 # the renormalization's w' * BASIS <= BASIS^2 * T = 1e24 * T, so
 # DECIMAL(38,0)/HUGEINT holds to T ~ 1e14 transitions — still any
-# realistic corpus, and both engines fail loudly (ANSI/DuckDB overflow)
-# rather than silently past it (the r11 unnormalized form overflowed
+# realistic corpus. Past that bound the DuckDB oracle errors loudly
+# (HUGEINT overflow); the Spark side, under the session's pinned
+# spark.sql.ansi.enabled=false (session.py), NULLs the overflowing
+# DECIMAL silently — so the LOUD failure is the oracle gate's
+# hash/row mismatch, not a Spark-side exception (the r13 ADVICE
+# correction; enable ANSI for true fail-loud parity on both engines).
+# (The r11 unnormalized form overflowed
 # the 38-digit grid past T ~ 5e5 at 6 steps; this IS that documented
 # knob, implemented). The truncation loses < |S| parts in 1e12 of mass
 # per step — invisible at the permille output grid. The empirical
