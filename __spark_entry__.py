@@ -111,25 +111,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # and ordinary gate-age ordering resumes (r12 verdict ADVICE: an
 # untagged set would park these queries as never-gated forever,
 # starving genuinely stale queries of window slots).
-_MODIFIED_ROUND = 13
+_MODIFIED_ROUND = 14
 _MODIFIED_QUERIES = {
-    # r13: PPJoin length+positional filters (plan-only — result proven
-    # unchanged by the completeness property test — but the lane's cost
-    # profile is the thing being re-verified)
-    "dedup_prefix_filter_pairs",
-    # r13: gains the re-ingested-asset twin leg so the gate row pins a
-    # real match instead of hashing emptiness (the r12 verdict's last
-    # 0-row gate row)
-    "media_dhash_neardup_pairs",
-    # r13: chi-square cell contribution now casts observed to
-    # DECIMAL(38,0) BEFORE the n-scale multiply (identical values at
-    # gate scale; overflow-safety change re-gated on principle)
-    "order_size_priority_chisq",
-    # r13: the sf0.1 sweep caught the oracle's avg_lnq using plain //
-    # (truncation) against the Spark side's spelled-out floor — forms
-    # agree at sf0.01 (remainder 0) so old rows pinned identical
-    # values, but the oracle text changed; re-gated on principle
-    "kn_bigram_smoothing",
+    # r14 division audit (tools/division_audit.py — the verdict-#1
+    # sweep of all 765 oracle // sites): the one live sibling of the
+    # kn_bigram class. The oracle used plain // (truncate) where the
+    # Spark side uses the spelled-out floor identity; num is provably
+    # >= 0 so values are unchanged, but the oracle now carries the SAME
+    # identity so the site no longer rests on that proof. Re-gated on
+    # principle (the kn_bigram precedent).
+    "source_psi_drift",
 }
 
 

@@ -3724,9 +3724,14 @@ def q_source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
             "n_buckets",
             "n_skipped_buckets",
-            # floor-div identity: num can be negative only transiently
-            # (each PSI term is >= 0 mathematically, but the quantized ln
-            # makes a tiny negative possible), so spell out floor-div
+            # floor-div identity, spelled out on BOTH engines (the r14
+            # division audit). num is in fact provably >= 0 — each term
+            # is d * floor(ln(ratio)*1e6) where d and the floored ln
+            # share a sign (d<0 -> ratio<1 -> floor(ln*1e6) <= -1;
+            # d>0 -> floor >= 0; d=0 -> 0), so the product is never
+            # negative and floor == truncate here — but the identity is
+            # kept IDENTICAL on both sides so the site never depends on
+            # that proof (the kn_bigram_smoothing lesson, commit 74730ca)
             "CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)"
             " AS psi_micro",
         )
@@ -3758,20 +3763,30 @@ terms AS (
                       * 1000000) AS BIGINT)
          END AS lnq
   FROM counts
+),
+agg AS (
+  SELECT source,
+         CAST(max(nr) AS BIGINT) AS n_ref,
+         CAST(max(nc) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN lnq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skipped_buckets,
+         CAST(sum(CASE WHEN lnq IS NOT NULL
+                       THEN (cr * nc - cc * nr) * lnq ELSE 0 END)
+              AS BIGINT) AS num,
+         CAST(nullif(max(nr) * max(nc), 0) AS BIGINT) AS den
+  FROM terms
+  GROUP BY 1
 )
-SELECT source,
-       CAST(max(nr) AS BIGINT) AS n_ref,
-       CAST(max(nc) AS BIGINT) AS n_cur,
-       CAST(count(*) AS BIGINT) AS n_buckets,
-       CAST(sum(CASE WHEN lnq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_skipped_buckets,
-       CAST(CAST(sum(CASE WHEN lnq IS NOT NULL
-                          THEN (cr * nc - cc * nr) * lnq ELSE 0 END)
-                 AS BIGINT)
-            // CAST(nullif(max(nr) * max(nc), 0) AS BIGINT) AS BIGINT)
+SELECT source, n_ref, n_cur, n_buckets, n_skipped_buckets,
+       -- the spelled-out floor identity, matching the Spark side
+       -- EXACTLY (r14 division audit): plain // truncates toward zero
+       -- on BIGINT while Spark's form floors; num is provably >= 0 so
+       -- they agree, but the convention must not rest on that proof
+       -- (the kn_bigram_smoothing lesson, commit 74730ca)
+       CAST((num - ((num % den + den) % den)) // den AS BIGINT)
          AS psi_micro
-FROM terms
-GROUP BY 1
+FROM agg
 ORDER BY 1
 """
 
