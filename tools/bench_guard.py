@@ -13,6 +13,16 @@ have no baseline yet. Sub-half-second queries get a 100 ms absolute
 floor before the ratio applies: at that scale tens of milliseconds are
 scheduler noise, not plan regressions (the r6 verdict's reading of the
 1.18-1.19x flutter on 0.15 s queries, made explicit).
+
+Calibration normalization (r14, verdict item #3): when BOTH files
+carry the ``calibration`` canary (a fixed codegen-only query, recorded
+since r13), per-query ratios are DIVIDED by the canary's NEW/OLD ratio
+before the guard applies — a uniformly slow host window (the r12
+adjudication) then cancels out mechanically instead of needing a judge
+re-run. Raw and normalized ratios are both printed. Host-drift
+normalization is CAPPED to [0.5, 2.0]: a canary moving more than 2x is
+itself suspicious and the guard falls back to raw ratios (with a
+warning) rather than silently absorbing it.
 """
 
 from __future__ import annotations
@@ -35,11 +45,15 @@ def main(argv: list[str] | None = None) -> int:
     ratio = ns.max_ratio
     args = [ns.new_json, ns.old_json]
 
-    def load_queries(path: str) -> dict:
+    def load_parsed(path: str) -> dict:
         d = json.load(open(path))
         # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
         if "parsed" in d and isinstance(d["parsed"], dict):
             d = d["parsed"]
+        return d
+
+    def load_queries(path: str) -> dict:
+        d = load_parsed(path)
         if "queries" in d:
             return d["queries"]
         # salvage path: BENCH_r07.json has parsed:null because the bench
@@ -64,28 +78,53 @@ def main(argv: list[str] | None = None) -> int:
     new = load_queries(args[0])
     old = load_queries(args[1])
 
+    # host-drift normalization from the calibration canary
+    cal_new = load_parsed(args[0]).get("calibration")
+    cal_old = load_parsed(args[1]).get("calibration")
+    cal_ratio = 1.0
+    if cal_new and cal_old:
+        r = cal_new / cal_old
+        if 0.5 <= r <= 2.0:
+            cal_ratio = r
+            print(f"calibration: {cal_old}s -> {cal_new}s "
+                  f"(host-drift factor {r:.3f}; normalized ratios = raw / {r:.3f})")
+        else:
+            print(f"calibration moved {r:.2f}x ({cal_old}s -> {cal_new}s) — "
+                  f"outside [0.5, 2.0], falling back to RAW ratios")
+    else:
+        print("calibration absent from one side — raw ratios only")
+
     regressions, improved, added = [], [], []
     for name, t_new in new.items():
+        if name == "calibration":
+            continue
         if name not in old:
             added.append((name, t_new))
             continue
         t_old = old[name]
-        if t_new > max(t_old * ratio, t_old + ABS_FLOOR_SEC):
-            regressions.append((name, t_old, t_new, round(t_new / t_old, 2)))
-        elif t_new < t_old * 0.9:
-            improved.append((name, t_old, t_new, round(t_new / t_old, 2)))
+        raw = t_new / t_old
+        norm = raw / cal_ratio
+        # guard applies to the NORMALIZED time (raw time divided by the
+        # host-drift factor), with the same absolute noise floor
+        t_norm = t_new / cal_ratio
+        if t_norm > max(t_old * ratio, t_old + ABS_FLOOR_SEC):
+            regressions.append((name, t_old, t_new, round(raw, 2), round(norm, 2)))
+        elif t_norm < t_old * 0.9:
+            improved.append((name, t_old, t_new, round(raw, 2), round(norm, 2)))
 
     for name, t in sorted(added):
         print(f"new   {name}: {t}s (no baseline)")
-    for name, o, n, r in sorted(improved):
-        print(f"fast  {name}: {o}s -> {n}s ({r}x)")
-    for name, o, n, r in sorted(regressions):
-        print(f"SLOW  {name}: {o}s -> {n}s ({r}x > {ratio}x guard)")
-    shared = [k for k in new if k in old]
+    for name, o, n, r, nr in sorted(improved):
+        print(f"fast  {name}: {o}s -> {n}s (raw {r}x, norm {nr}x)")
+    for name, o, n, r, nr in sorted(regressions):
+        print(f"SLOW  {name}: {o}s -> {n}s (raw {r}x, norm {nr}x > {ratio}x guard)")
+    shared = [k for k in new if k in old and k != "calibration"]
     t_new_sum = round(sum(new[k] for k in shared), 3)
     t_old_sum = round(sum(old[k] for k in shared), 3)
+    norm_sum = round(t_new_sum / cal_ratio, 3)
     print(
-        f"\nshared-query total: {t_old_sum}s -> {t_new_sum}s; "
+        f"\nshared-query total: {t_old_sum}s -> {t_new_sum}s raw "
+        f"({norm_sum}s normalized); "
         f"{len(regressions)} regression(s), {len(added)} new"
     )
     return 1 if regressions else 0

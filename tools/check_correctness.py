@@ -5,11 +5,25 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names, and an order-insensitive value
 normalization. Use while iterating:
 
-    python tools/check_correctness.py [--ansi] [--outside-window] [sf_dir] [query ...]
+    python tools/check_correctness.py [--ansi] [--outside-window]
+        [--batch N] [--duckdb-mem LIMIT] [sf_dir] [query ...]
 
 ``--outside-window`` restricts the run to the queries AFTER the
 driver's 50-entry gate window (registration order) — the round-robin
 re-verification leg for old green rows nothing else re-checks.
+
+``--batch N`` (r14 verdict item #2) runs the selected queries in
+FRESH CHILD PROCESSES of N queries each instead of one long-lived
+process: the r13 sf0.1 full-registry sweep exhausted the allocator
+(DuckDB OOM / python malloc) after ~300 queries in one process, and a
+sweep that needs manual re-runs can mask a real per-query memory
+regression. Each child gets a fresh JVM + fresh DuckDB connection;
+the parent aggregates the children's pass/weak/fail totals and exits
+nonzero if ANY child failed or crashed. ~10 s JVM startup per chunk.
+
+``--duckdb-mem LIMIT`` (default 24GB) applies ``SET memory_limit`` to
+the DuckDB connection so one oracle cannot balloon the checker; DuckDB
+spills to temp instead past the ceiling.
 
 ``--ansi`` runs the Spark side under ``spark.sql.ansi.enabled=true`` —
 the DRIVER's environment (Spark 4 defaults ANSI ON; the repo's own
@@ -29,6 +43,7 @@ local %.17g normalization masks it — exactly the r4/r5
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from decimal import Decimal
@@ -114,13 +129,88 @@ def dtype_pairing_errors(sdf_spark, odf) -> list:
     return errs
 
 
+def _parse_kv_flag(args: list, name: str, default: str) -> str:
+    """Read --name V or --name=V from args, removing consumed tokens."""
+    val = default
+    out = []
+    skip = False
+    for i, a in enumerate(args):
+        if skip:
+            skip = False
+            continue
+        if a == name and i + 1 < len(args):
+            val = args[i + 1]
+            skip = True
+        elif a.startswith(name + "="):
+            val = a.split("=", 1)[1]
+        else:
+            out.append(a)
+    args[:] = out
+    return val
+
+
+def run_batched(batch: int, ansi: bool, duckdb_mem: str, sf_dir: str,
+                names: list) -> int:
+    """Fresh-process batch driver: chunk `names` into groups of `batch`
+    and run each through a child checker process (fresh JVM + DuckDB).
+    Aggregates the children's totals; a child that dies without a totals
+    line counts all its queries as failures."""
+    import re as _re
+    import subprocess
+
+    tot_pass = tot_weak = tot_fail = 0
+    chunks = [names[i : i + batch] for i in range(0, len(names), batch)]
+    for ci, chunk in enumerate(chunks):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--duckdb-mem", duckdb_mem]
+        if ansi:
+            cmd.append("--ansi")
+        cmd.append(sf_dir)
+        cmd.extend(chunk)
+        print(f"== batch {ci + 1}/{len(chunks)}: {len(chunk)} queries "
+              f"(fresh process) ==", flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        totals = None
+        for line in proc.stdout.splitlines():
+            if line.startswith(("pass ", "FAIL ", "weak ", "==")):
+                print(line, flush=True)
+            m = _re.match(r"(\d+) pass, (\d+) weak, (\d+) fail", line)
+            if m:
+                totals = tuple(int(g) for g in m.groups())
+        if totals is None:
+            print(f"BATCH CRASH (rc={proc.returncode}): counting "
+                  f"{len(chunk)} queries as failures; stderr tail:")
+            print("\n".join(proc.stderr.splitlines()[-5:]))
+            tot_fail += len(chunk)
+        else:
+            tot_pass += totals[0]
+            tot_weak += totals[1]
+            tot_fail += totals[2]
+    print(f"\n{tot_pass} pass, {tot_weak} weak, {tot_fail} fail "
+          f"(batched x{len(chunks)} fresh processes)")
+    return 1 if tot_fail else 0
+
+
 def main() -> int:
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw = sys.argv[1:]
+    batch = int(_parse_kv_flag(raw, "--batch", "0"))
+    duckdb_mem = _parse_kv_flag(raw, "--duckdb-mem", "24GB")
+    flags = {a for a in raw if a.startswith("--")}
+    argv = [a for a in raw if not a.startswith("--")]
     ansi = "--ansi" in flags
     outside_window = "--outside-window" in flags
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+
+    if batch:
+        import __spark_entry__ as entrymod
+
+        names = list(entrymod.queries())
+        if outside_window:
+            names = names[50:]
+        if only:
+            names = [n for n in names if n in only]
+        return run_batched(batch, ansi, duckdb_mem, sf_dir, names)
 
     import __spark_entry__ as entrymod
     from sap_sql_engine_spark.session import get_spark
@@ -134,6 +224,11 @@ def main() -> int:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         print("== ANSI-ON leg (driver environment) ==")
     con = duckdb.connect()
+    # ceiling so one oracle can't balloon the checker process (r14
+    # verdict item #2 — the r13 sf0.1 sweep's late-run allocator OOMs);
+    # DuckDB spills to temp past the limit instead of aborting
+    con.execute(f"SET memory_limit='{duckdb_mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
