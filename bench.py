@@ -156,6 +156,11 @@ HEADLINE = [
     # to the per-round bench; now its number is machine-recorded here
     # every round (r13 rewrite: PPJoin filters + duplicate-set grouping)
     "dedup_prefix_filter_pairs",
+    # r14 addition (verdict item #7): the bounded-iteration heavy-harness
+    # max (9.45s at sf0.1 facts) gets a machine-compared per-round number
+    # instead of living only in heavy_growth_results.json — the
+    # prefix-filter precedent applied to the k-core peeling lane
+    "copurchase_kcore_profile",
 ]
 
 

@@ -4532,7 +4532,238 @@ LIMIT {GTP_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Variable-length gapped patterns (r14, closing the r13 verdict's item
+# #5): per-k top-j distinct-session support for ordered type k-tuples,
+# k in GPK_KS — the PrefixSpan support surface over lengths 2..4 under
+# the SAME containment reduction as the fixed-k=3 miner above.
+#
+# Reductions per k (all provably support-preserving):
+#   k=2: session contains a..b  iff  min_rn(a) < max_rn(b) — BOTH legs
+#        collapse to one row per (session, type).
+#   k=3: the triple reduction above (first leg min, last leg max, one
+#        raw middle leg, fanout <= session length L).
+#   k=4: first/last legs collapse as always; the middle PAIR collapses
+#        to its CANONICAL witnesses — for each t2-occurrence rn2 and
+#        each type t3, only the NEXT t3-occurrence after rn2 survives
+#        (rn3 = min t3-occ > rn2). Support-preserving: a witness
+#        quadruple rn1'<rn2'<rn3'<rn4' yields the canonical row
+#        (rn2', min t3-occ > rn2') with rn3c <= rn3' < rn4' <=
+#        max_rn(t4), and conversely a canonical row inside the
+#        (min_rn(t1), max_rn(t4)) window IS a witness. This cuts the
+#        relation feeding the 4-way join from L^2 raw pairs to L*T
+#        canonical pairs (T = distinct types in the session).
+
+GPK_KS = (2, 3, 4)
+GPK_TOP = 8
+
+
+def q_events_gapped_patterns_by_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(k, rank, p1..p4, n_sessions): the GPK_TOP ordered type k-tuples
+    by distinct-session support for each k in {2, 3, 4} (gaps allowed
+    between pattern positions; '' pads unused slots so the schema is
+    k-independent). Rank ties break lexicographically on the pattern.
+
+    Scale shape: ONE sessionize exchange, then every join is an
+    equi-join on the (user, session) key with rank inequalities as
+    residuals — co-partitioned, never a cross. The k=2 leg joins two
+    one-row-per-(session,type) relations; k=3's middle-leg fanout is
+    bounded by session length L (gap-bounded); k=4's middle pair is
+    pre-collapsed to canonical next-occurrence witnesses (L*T rows per
+    session, down from L^2) BEFORE it meets the first/last legs. Each
+    k's pattern relation is DISTINCT-ed at (session, pattern) grain
+    before the global support count; per-k top-j is one window over the
+    (small) pattern-support relation."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_sid = ev.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    occ = cache_eager(
+        with_sid.select(
+            "user_id",
+            "session_seq",
+            F.col("event_type").alias("t"),
+            F.row_number().over(ws).alias("rn"),
+        )
+    )
+    keys = ["user_id", "session_seq"]
+    firsts = cache_eager(
+        occ.groupBy(*keys, "t").agg(F.min("rn").alias("rn_first"))
+    )
+    lasts = cache_eager(
+        occ.groupBy(*keys, "t").agg(F.max("rn").alias("rn_last"))
+    )
+    f1 = firsts.select(*keys, F.col("t").alias("p1"), "rn_first")
+    # k=2: both legs collapsed
+    pat2 = (
+        f1.join(
+            lasts.select(*keys, F.col("t").alias("p2"), "rn_last"), keys
+        )
+        .filter(F.col("rn_last") > F.col("rn_first"))
+        .select(*keys, "p1", "p2")
+    )
+    # k=3: one raw middle leg
+    pat3 = (
+        f1.join(
+            occ.select(*keys, F.col("t").alias("p2"), F.col("rn").alias("rn2")),
+            keys,
+        )
+        .filter(F.col("rn2") > F.col("rn_first"))
+        .join(
+            lasts.select(*keys, F.col("t").alias("p3"), "rn_last"), keys
+        )
+        .filter(F.col("rn_last") > F.col("rn2"))
+        .select(*keys, "p1", "p2", "p3")
+        .distinct()
+    )
+    # k=4: canonical next-occurrence middle pairs
+    a = occ.select(*keys, F.col("t").alias("p2"), F.col("rn").alias("rn2"))
+    b = occ.select(*keys, F.col("t").alias("p3"), F.col("rn").alias("rnb"))
+    midpairs = (
+        a.join(b, keys)
+        .filter(F.col("rnb") > F.col("rn2"))
+        .groupBy(*keys, "p2", "rn2", "p3")
+        .agg(F.min("rnb").alias("rn3"))
+    )
+    pat4 = (
+        f1.join(midpairs, keys)
+        .filter(F.col("rn2") > F.col("rn_first"))
+        .join(
+            lasts.select(*keys, F.col("t").alias("p4"), "rn_last"), keys
+        )
+        .filter(F.col("rn_last") > F.col("rn3"))
+        .select(*keys, "p1", "p2", "p3", "p4")
+        .distinct()
+    )
+    empty = F.lit("")
+    legs = [
+        pat2.select(
+            F.lit(2).cast("bigint").alias("k"), "p1", "p2",
+            empty.alias("p3"), empty.alias("p4"), *keys,
+        ),
+        pat3.select(
+            F.lit(3).cast("bigint").alias("k"), "p1", "p2", "p3",
+            empty.alias("p4"), *keys,
+        ),
+        pat4.select(
+            F.lit(4).cast("bigint").alias("k"), "p1", "p2", "p3", "p4",
+            *keys,
+        ),
+    ]
+    allpats = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    support = allpats.groupBy("k", "p1", "p2", "p3", "p4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wk = W.partitionBy("k").orderBy(
+        F.col("n_sessions").desc(), "p1", "p2", "p3", "p4"
+    )
+    return (
+        support.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= GPK_TOP)
+        .select("k", "rank", "p1", "p2", "p3", "p4", "n_sessions")
+        .orderBy("k", "rank")
+    )
+
+
+ORACLE_EVENTS_GAPPED_PATTERNS_BY_K = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SECONDS * 1_000_000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+occ AS MATERIALIZED (
+  SELECT user_id, session_seq, event_type AS t,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sid
+),
+firsts AS MATERIALIZED (
+  SELECT user_id, session_seq, t, min(rn) AS rn_first
+  FROM occ GROUP BY 1, 2, 3
+),
+lasts AS MATERIALIZED (
+  SELECT user_id, session_seq, t, max(rn) AS rn_last
+  FROM occ GROUP BY 1, 2, 3
+),
+pat2 AS (
+  SELECT f.user_id, f.session_seq, f.t AS p1, l.t AS p2
+  FROM firsts f
+  JOIN lasts l ON l.user_id = f.user_id AND l.session_seq = f.session_seq
+             AND l.rn_last > f.rn_first
+),
+pat3 AS (
+  SELECT DISTINCT f.user_id, f.session_seq, f.t AS p1, m.t AS p2, l.t AS p3
+  FROM firsts f
+  JOIN occ m ON m.user_id = f.user_id AND m.session_seq = f.session_seq
+            AND m.rn > f.rn_first
+  JOIN lasts l ON l.user_id = f.user_id AND l.session_seq = f.session_seq
+             AND l.rn_last > m.rn
+),
+midpairs AS (
+  SELECT a.user_id, a.session_seq, a.t AS p2, a.rn AS rn2, b.t AS p3,
+         min(b.rn) AS rn3
+  FROM occ a
+  JOIN occ b ON b.user_id = a.user_id AND b.session_seq = a.session_seq
+            AND b.rn > a.rn
+  GROUP BY 1, 2, 3, 4, 5
+),
+pat4 AS (
+  SELECT DISTINCT f.user_id, f.session_seq,
+                  f.t AS p1, m.p2, m.p3, l.t AS p4
+  FROM firsts f
+  JOIN midpairs m ON m.user_id = f.user_id AND m.session_seq = f.session_seq
+                 AND m.rn2 > f.rn_first
+  JOIN lasts l ON l.user_id = f.user_id AND l.session_seq = f.session_seq
+             AND l.rn_last > m.rn3
+),
+allpats AS (
+  SELECT CAST(2 AS BIGINT) AS k, p1, p2, '' AS p3, '' AS p4,
+         user_id, session_seq FROM pat2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), p1, p2, p3, '', user_id, session_seq FROM pat3
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), p1, p2, p3, p4, user_id, session_seq FROM pat4
+),
+support AS (
+  SELECT k, p1, p2, p3, p4, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM allpats GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT k, p1, p2, p3, p4, n_sessions,
+         CAST(row_number() OVER (PARTITION BY k
+              ORDER BY n_sessions DESC, p1, p2, p3, p4) AS BIGINT) AS rank
+  FROM support
+)
+SELECT k, rank, p1, p2, p3, p4, n_sessions
+FROM ranked
+WHERE rank <= {GPK_TOP}
+ORDER BY k, rank
+"""
+
+
 QUERIES = {
+    "events_gapped_patterns_by_k": q_events_gapped_patterns_by_k,
     "events_gapped_triple_patterns": q_events_gapped_triple_patterns,
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
@@ -4614,6 +4845,7 @@ ORACLES = {
     "events_daily_rollup": ORACLE_EVENTS_DAILY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_gapped_triple_patterns": ORACLE_EVENTS_GAPPED_TRIPLE_PATTERNS,
+    "events_gapped_patterns_by_k": ORACLE_EVENTS_GAPPED_PATTERNS_BY_K,
     "events_json_props": ORACLE_EVENTS_JSON,
     "events_json_props_variant": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
