@@ -4140,6 +4140,68 @@ def streaming_daily_counts(
     )
 
 
+def streaming_order_gaps(spark: SparkSession, drop_dir: str):
+    """Streaming twin of ``q_customer_order_gap_histogram``'s gap
+    extraction (operators/relational.py): orders arrive as a JSONL drop
+    folder and per-customer keyed state carries (last order date, last
+    orderkey); each micro-batch folds its rows in (date, orderkey)
+    order and APPENDS one (o_custkey, gap_weeks) row per consecutive
+    pair — the histogram is then a plain bounded aggregation over the
+    sink, identical to the batch query's form. The twin test asserts
+    stream == batch on the identical dropped rows across multiple
+    micro-batches (state must bridge the batch boundary).
+
+    Scale posture: state is one (int, int) pair per customer key,
+    partitioned by o_custkey across executors by the state store; the
+    pandas fold is Arrow-batched. Like the sessionize twin, replay
+    order within a key must be non-decreasing across micro-batches
+    (the ingestion-stream assumption); within a batch the fold sorts.
+    gap_weeks uses the same ``least(days DIV 7, 52)`` bucketing as the
+    batch side — gaps are >= 0 under ordered replay so DIV == floor."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sap_sql_engine_spark.operators.relational import (
+        GAP_BUCKET_DAYS,
+        GAP_MAX_BUCKET,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderdate date"
+        )
+        .json(drop_dir)
+    )
+    out_schema = "o_custkey long, gap_weeks long"
+    state_schema = "last_days long, last_key long"
+
+    def fold(key, pdfs, state):
+        last_days, last_key = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs)).sort_values(["o_orderdate", "o_orderkey"])
+        gaps = []
+        for d, k in zip(rows["o_orderdate"], rows["o_orderkey"]):
+            days = d.toordinal()
+            if last_days is not None:
+                gaps.append(
+                    min((days - last_days) // GAP_BUCKET_DAYS, GAP_MAX_BUCKET)
+                )
+            last_days, last_key = days, int(k)
+        state.update((last_days, last_key))
+        yield pd.DataFrame(
+            {"o_custkey": [key[0]] * len(gaps), "gap_weeks": gaps}
+        )
+
+    emitted = stream.groupBy("o_custkey").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        emitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("order_gaps_stream")
+        .start()
+    )
+
+
 ORACLE_EVENTS_MANN_KENDALL = """
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

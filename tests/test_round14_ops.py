@@ -71,3 +71,67 @@ def test_gapped_patterns_by_k_rank_and_cap(spark, tmp_path):
         assert sup == sorted(sup, reverse=True)
     # the 10-event session alone has far more than GPK_TOP quads
     assert len([r for r in rows if r.k == 4]) == se.GPK_TOP
+
+
+def test_streaming_order_gaps_matches_batch(spark, tmp_path):
+    """Stream == batch for the order-gap family: the stateful
+    per-customer gap extraction over a 2-drop JSONL orders folder,
+    folded to the histogram, equals q_customer_order_gap_histogram on
+    the identical rows written as an orders.parquet. The date split
+    across drops forces state to bridge the micro-batch boundary."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    drop_dir = str(tmp_path / "orders_drops")
+    rows = [
+        # custkey 1: gaps 7d, 400d (caps at 52), 1d
+        (101, 1, dt.date(2024, 1, 1)),
+        (102, 1, dt.date(2024, 1, 8)),
+        (103, 1, dt.date(2025, 2, 11)),
+        (104, 1, dt.date(2025, 2, 12)),
+        # custkey 2: same-day tie broken by orderkey, then 13d
+        (201, 2, dt.date(2024, 5, 1)),
+        (202, 2, dt.date(2024, 5, 1)),
+        (203, 2, dt.date(2024, 5, 14)),
+        # custkey 3: single order, no gap
+        (301, 3, dt.date(2024, 6, 1)),
+    ]
+    schema = "o_orderkey long, o_custkey long, o_orderdate date"
+    cut = dt.date(2024, 7, 1)
+    d1 = [r for r in rows if r[2] < cut]
+    d2 = [r for r in rows if r[2] >= cut]
+    spark.createDataFrame(d1, schema).write.mode("append").json(drop_dir)
+    q = se.streaming_order_gaps(spark, drop_dir)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2, schema).write.mode("append").json(drop_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_hist = {
+        (r.gap_weeks, r.n_gaps, r.n_customers)
+        for r in spark.table("order_gaps_stream")
+        .groupBy("gap_weeks")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+        .collect()
+    }
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    batch_hist = {
+        (r.gap_weeks, r.n_gaps, r.n_customers)
+        for r in rel.q_customer_order_gap_histogram(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert stream_hist == batch_hist
+    assert (1, 2, 2) in stream_hist  # 7d gap (cust 1) + 13d gap (cust 2)
+    assert (52, 1, 1) in stream_hist  # the 400d gap caps at 52
+    assert (0, 2, 2) in stream_hist  # 1d gap (cust 1) + 0d tie (cust 2)
