@@ -599,8 +599,75 @@ def _oracle_kcore() -> str:
 ORACLE_COPURCHASE_KCORE = _oracle_kcore()
 
 
+# ---------------------------------------------------------------------------
+# Directed reciprocity of the nation trade graph: how much of the trade
+# flow comes back the other way? Classic directed-network statistic —
+# unweighted r = |E ∩ E^T| / |E| and the weighted form
+# sum min(w_ij, w_ji) / sum w_ij, both over non-self-loop edges.
+
+
+def q_nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: edge counts and the unweighted + weighted reciprocity in
+    permille (exact integers; nonneg dividends, matched truncation).
+
+    Scale shape: the trade-edge build is the only corpus-sized work
+    (same plan as pagerank's — one lineitem⋈orders co-shuffle, two
+    broadcast dim hops, a <= |nations|^2 aggregation); reciprocity is
+    then a self-equi-join of the bounded edge relation on the REVERSED
+    key — an equi-join, never a cross — and a 1-row reduce."""
+    edges = cache_eager(
+        _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    joined = edges.join(rev, ["src", "dst"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("w_rev").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+        F.expr(
+            "CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END) * 1000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("reciprocity_permille"),
+        F.expr(
+            "CAST(sum(least(w, coalesce(w_rev, 0))) * 1000"
+            " DIV nullif(sum(w), 0) AS BIGINT)"
+        ).alias("weighted_reciprocity_permille"),
+    )
+
+
+ORACLE_NATION_TRADE_RECIPROCITY = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nsl AS (SELECT * FROM edges WHERE src <> dst)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocated,
+       CAST(sum(e.w) AS BIGINT) AS total_weight,
+       CAST(sum(CASE WHEN r.w IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS reciprocity_permille,
+       CAST(sum(least(e.w, coalesce(r.w, 0))) * 1000
+            // nullif(sum(e.w), 0) AS BIGINT)
+         AS weighted_reciprocity_permille
+FROM nsl e LEFT JOIN nsl r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
 QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
+    "nation_trade_reciprocity": q_nation_trade_reciprocity,
     "copurchase_triangles": q_copurchase_triangles,
     "trade_lpa_communities": q_trade_lpa_communities,
     "copurchase_kcore_profile": q_copurchase_kcore_profile,
@@ -608,6 +675,7 @@ QUERIES = {
 
 ORACLES = {
     "nation_trade_pagerank": ORACLE_NATION_TRADE_PAGERANK,
+    "nation_trade_reciprocity": ORACLE_NATION_TRADE_RECIPROCITY,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,
     "trade_lpa_communities": ORACLE_TRADE_LPA,
     "copurchase_kcore_profile": ORACLE_COPURCHASE_KCORE,

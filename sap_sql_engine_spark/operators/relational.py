@@ -5981,7 +5981,495 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: do high-priority orders have a different price
+# distribution than the rest? The rank-sum test computed EXACTLY from a
+# pre-aggregated value histogram — never from per-row global ranks.
+
+MW_GROUP_A = ("1-URGENT", "2-HIGH")
+
+
+def q_orders_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: group sizes, the DOUBLED U statistic for group A
+    (doubling keeps tie-averaged ranks integral), the rank-biserial
+    AUC in permille, and the tie-corrected z^2 in milli.
+
+    Exactness: prices collapse to an exact cents histogram first; the
+    doubled average rank of a value is 2*cum_before + cnt + 1 (an
+    integer even for tied ranks), so R2A = sum(na * that) and
+    u2_a = R2A - n_a*(n_a+1) are exact integers, as is the tie term
+    sum(t^3 - t). auc_permille = u2_a*500 DIV (n_a*n_b) (dividend
+    nonneg; matched truncation per FLOATS.md rule 6). z^2 alone is
+    class B: one closed-form double chain over those exact integers,
+    identical expression tree on both engines, floored at milli.
+
+    Scale shape: ONE corpus-sized shuffle (the cents histogram), then
+    the global cumulative count runs through with_global_prefix_sum
+    (range exchange + per-partition windows — NO single-task global
+    window even with billions of distinct prices), and the final
+    reduce is a 1-row aggregate."""
+    from .ranks import with_global_prefix_sum
+
+    orders = table(spark, sf_dir, "orders")
+    grp_a = ", ".join(f"'{g}'" for g in MW_GROUP_A)
+    hist = (
+        orders.selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+            f"CASE WHEN o_orderpriority IN ({grp_a}) THEN 1 ELSE 0 END AS in_a",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("na"),
+            F.sum(F.expr("1 - in_a")).cast("bigint").alias("nb"),
+        )
+        .withColumn("cnt", (F.col("na") + F.col("nb")).cast("bigint"))
+    )
+    ranked = with_global_prefix_sum(hist, "cnt", "cents", sum_col="cum")
+    agg = ranked.selectExpr(
+        "na",
+        "nb",
+        # doubled tie-averaged rank sum contribution of this value
+        "CAST(na AS DECIMAL(38,0)) * (2 * (cum - cnt) + cnt + 1) AS r2a_term",
+        "CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt AS tie_term",
+    ).agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum("r2a_term").alias("r2a"),
+        F.sum("tie_term").alias("ties"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2_a",
+        "CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) * 500"
+        " DIV nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) AS BIGINT)"
+        " AS auc_permille",
+        # class-B double chain: n^6-scale intermediates would burst the
+        # 38-digit grid past n ~ 2e6, so z^2 runs in IEEE doubles over
+        # the exact integer aggregates — the SAME expression tree on
+        # both engines (the cos_micro/z_score precedent, FLOATS.md)
+        "CAST(floor(3000.0"
+        " * CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+        "        - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)"
+        " * CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+        "        - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)"
+        " * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        "    * nullif(CAST(CAST(n_a + n_b + 1 AS DECIMAL(38,0))"
+        "             * (n_a + n_b) * (n_a + n_b - 1) - ties AS DOUBLE), 0.0))"
+        ") AS BIGINT) AS z2_milli",
+    )
+
+
+ORACLE_ORDERS_MANNWHITNEY_U = f"""
+WITH hist AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 0 ELSE 1 END)
+              AS BIGINT) AS nb
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT na, nb, na + nb AS cnt,
+         sum(na + nb) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         sum(CAST(na AS HUGEINT) * (2 * (cum - cnt) + cnt + 1)) AS r2a,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST((r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 500
+            // nullif(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT)
+         AS auc_permille,
+       CAST(floor(3000.0
+         * CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+         * CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+         * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            * nullif(CAST(CAST(n_a + n_b + 1 AS HUGEINT)
+                     * (n_a + n_b) * (n_a + n_b - 1) - ties AS DOUBLE), 0.0))
+       ) AS BIGINT) AS z2_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bowley (quartile) skewness of account balances per market segment —
+# a robust asymmetry readout over a SIGNED money column (balances go
+# negative), from exact type-1 quartiles on the cents histogram.
+
+
+def q_customer_acctbal_bowley_skew(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(segment, n_customers, q1/q2/q3 cents, iqr_cents, skew_permille):
+    Bowley skewness (q3 + q1 - 2*q2) * 1000 / (q3 - q1) from exact
+    type-1 lower quartiles (smallest value whose cumulative count
+    reaches the k/4 mark, compared cross-multiplied as cum*4 >= k*n).
+
+    The skew dividend is SIGNED (balances are); both engines use plain
+    truncating division (Spark DIV == DuckDB BIGINT //), the matched
+    convention of FLOATS.md rule 6.
+
+    Scale shape: the per-customer scan collapses to a (segment, cents)
+    HISTOGRAM first; the cumulative window is segment-partitioned over
+    that compact relation (the docs_length_outliers recipe); quartile
+    extraction is three filtered mins regrouped per segment."""
+    cust = table(spark, sf_dir, "customer")
+    hist = (
+        cust.selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        )
+        .groupBy("segment", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_seg = (
+        W.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = hist.groupBy("segment").agg(F.sum("c").cast("bigint").alias("n"))
+    cum = hist.withColumn("cum", F.sum("c").over(w_seg)).join(
+        F.broadcast(n), "segment"
+    )
+    qs = (
+        cum.groupBy("segment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("cents")))
+            .alias("q1_cents"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents")))
+            .alias("q2_cents"),
+            F.min(F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("cents")))
+            .alias("q3_cents"),
+        )
+    )
+    return qs.selectExpr(
+        "segment",
+        "n_customers",
+        "q1_cents",
+        "q2_cents",
+        "q3_cents",
+        "q3_cents - q1_cents AS iqr_cents",
+        "CAST((q3_cents + q1_cents - 2 * q2_cents) * 1000"
+        " DIV nullif(q3_cents - q1_cents, 0) AS BIGINT) AS skew_permille",
+    ).orderBy("segment")
+
+
+ORACLE_CUSTOMER_ACCTBAL_BOWLEY_SKEW = """
+WITH hist AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2
+),
+cum AS (
+  SELECT segment, cents, c,
+         sum(c) OVER (PARTITION BY segment ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY segment) AS n
+  FROM hist
+),
+qs AS (
+  SELECT segment,
+         CAST(max(n) AS BIGINT) AS n_customers,
+         min(CASE WHEN cum * 4 >= n THEN cents END) AS q1_cents,
+         min(CASE WHEN cum * 2 >= n THEN cents END) AS q2_cents,
+         min(CASE WHEN cum * 4 >= 3 * n THEN cents END) AS q3_cents
+  FROM cum GROUP BY 1
+)
+SELECT segment, n_customers, q1_cents, q2_cents, q3_cents,
+       q3_cents - q1_cents AS iqr_cents,
+       CAST((q3_cents + q1_cents - 2 * q2_cents) * 1000
+            // nullif(q3_cents - q1_cents, 0) AS BIGINT) AS skew_permille
+FROM qs
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of supplier revenues, with the between-nation
+# component — "how concentrated is supply, and how much of that is
+# geography?" in one exact readout.
+
+
+def q_supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: supplier/nation counts and Theil T total + between-nation
+    component, both in integer micro-nats.
+
+    T = sum_i (x_i/X) ln(x_i * n / X); between = sum_g (X_g/X) ln((X_g/X)
+    / (n_g/n)). Determinism (FLOATS.md class C): ONE ln per supplier row
+    (and one per nation row) on the exact milli-revenue rational,
+    floor-quantized to micro-nats; weighted sums accumulate in
+    DECIMAL(38,0)/HUGEINT; the final division uses the SPELLED-OUT FLOOR
+    IDENTITY on both engines — T >= 0 by Jensen but per-term
+    quantization can dip the numerator a few micro below zero when the
+    distribution is near-uniform, exactly the signed-dividend case of
+    FLOATS.md rule 6.
+
+    Scale shape: one supplier-keyed aggregation over lineitem (the only
+    corpus-sized shuffle), a broadcast dim hop to nation, a |nations|
+    regroup; the 1-row (n, X) totals attach is a broadcast scalar
+    (BNLJ-allowlisted class)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                "* (CAST(1 AS DECIMAL(18,4)) "
+                "- CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS BIGINT) "
+                "DIV 1000"
+            ).alias("milli")
+        )
+        .filter(F.col("milli") > 0)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_suppkey", "s_nationkey", "milli")
+    )
+    tot = per_sup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("milli").cast("decimal(38,0)").alias("x_total"),
+    )
+    sup_terms = per_sup.crossJoin(F.broadcast(tot)).selectExpr(
+        "n",
+        "x_total",
+        "CAST(milli AS DECIMAL(38,0))"
+        " * CAST(floor(ln(CAST(milli AS DOUBLE) * CAST(n AS DOUBLE)"
+        "               / CAST(x_total AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS w",
+    )
+    total_row = sup_terms.groupBy().agg(
+        F.max("n").alias("n_suppliers"),
+        F.max("x_total").alias("x_total"),
+        F.sum("w").alias("num"),
+    )
+    per_nation = per_sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("milli").cast("decimal(38,0)").alias("x_g"),
+    )
+    nation_terms = per_nation.crossJoin(F.broadcast(tot)).selectExpr(
+        "x_g"
+        " * CAST(floor(ln((CAST(x_g AS DOUBLE) * CAST(n AS DOUBLE))"
+        "               / (CAST(x_total AS DOUBLE) * CAST(n_g AS DOUBLE)))"
+        "         * 1000000) AS BIGINT) AS wb",
+    )
+    between_row = nation_terms.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum("wb").alias("numb"),
+    )
+    return total_row.crossJoin(F.broadcast(between_row)).selectExpr(
+        "n_suppliers",
+        "n_nations",
+        # floor identity on BOTH engines (rule 6): num can dip negative
+        "CAST((num - ((num % x_total + x_total) % x_total)) DIV x_total"
+        " AS BIGINT) AS theil_total_micro",
+        "CAST((numb - ((numb % x_total + x_total) % x_total)) DIV x_total"
+        " AS BIGINT) AS theil_between_micro",
+    )
+
+
+ORACLE_SUPPLIER_REVENUE_THEIL = """
+WITH per_sup AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
+              AS BIGINT) // 1000 AS milli
+  FROM lineitem GROUP BY 1
+),
+pos AS (
+  SELECT p.l_suppkey, s.s_nationkey, p.milli
+  FROM per_sup p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+  WHERE p.milli > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(milli) AS HUGEINT) AS x_total
+  FROM pos
+),
+sup_terms AS (
+  SELECT t.n, t.x_total,
+         CAST(p.milli AS HUGEINT)
+           * CAST(floor(ln(CAST(p.milli AS DOUBLE) * CAST(t.n AS DOUBLE)
+                           / CAST(t.x_total AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w
+  FROM pos p, tot t
+),
+total_row AS (
+  SELECT max(n) AS n_suppliers, max(x_total) AS x_total,
+         CAST(sum(w) AS HUGEINT) AS num
+  FROM sup_terms
+),
+per_nation AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(milli) AS HUGEINT) AS x_g
+  FROM pos GROUP BY 1
+),
+between_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nations,
+         CAST(sum(p.x_g
+           * CAST(floor(ln((CAST(p.x_g AS DOUBLE) * CAST(t.n AS DOUBLE))
+                           / (CAST(t.x_total AS DOUBLE)
+                              * CAST(p.n_g AS DOUBLE))) * 1000000)
+                  AS BIGINT)) AS HUGEINT) AS numb
+  FROM per_nation p, tot t
+)
+SELECT CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(b.n_nations AS BIGINT) AS n_nations,
+       CAST((t.num - ((t.num % t.x_total + t.x_total) % t.x_total))
+            // t.x_total AS BIGINT) AS theil_total_micro,
+       CAST((b.numb - ((b.numb % t.x_total + t.x_total) % t.x_total))
+            // t.x_total AS BIGINT) AS theil_between_micro
+FROM total_row t, between_row b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between part size and retail-price bucket, exactly, from
+# the bounded (size, bucket) contingency grid — the ordinal-association
+# question ("do bigger parts cost more?") that Pearson-style moments
+# answer badly on ordinal scales.
+
+
+def q_part_size_price_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: part/cell counts, exact concordant/discordant pair
+    counts, and Kendall tau-b in milli.
+
+    The contingency cells are GRID-BOUNDED (p_size x $10 price buckets
+    — data-independent cardinality), so the cell-pair inequality join
+    is a metadata-sized nested loop (BNLJ-allowlisted class). C and D
+    are exact DECIMAL(38,0) sums of n1*n2 over strictly-ordered cell
+    pairs; tie terms come from the marginals. tau_b alone is class B:
+    one sqrt over the exact integers, identical tree both engines,
+    floored at milli.
+
+    Scale shape: ONE corpus-sized aggregation (part -> cells), then
+    everything runs on the bounded grid."""
+    from ..cachereg import cache_eager
+
+    part = table(spark, sf_dir, "part")
+    cells = (
+        part.selectExpr(
+            "p_size AS s",
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 1000 AS b",
+        )
+        .groupBy("s", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = cache_eager(cells)
+    a = cells.selectExpr("s AS s1", "b AS b1", "n AS n1")
+    bb = cells.selectExpr("s AS s2", "b AS b2", "n AS n2")
+    pairs = a.join(F.broadcast(bb), F.expr("s1 < s2")).selectExpr(
+        "CASE WHEN b1 < b2 THEN CAST(n1 AS DECIMAL(38,0)) * n2 ELSE 0 END AS c_term",
+        "CASE WHEN b1 > b2 THEN CAST(n1 AS DECIMAL(38,0)) * n2 ELSE 0 END AS d_term",
+    )
+    cd = pairs.groupBy().agg(
+        F.sum("c_term").alias("concordant_d"),
+        F.sum("d_term").alias("discordant_d"),
+    )
+    marg = cells.crossJoin(
+        F.broadcast(
+            cells.groupBy().agg(F.sum("n").cast("decimal(38,0)").alias("n_parts"))
+        )
+    )
+    ties = marg.groupBy().agg(
+        F.max("n_parts").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    tr = (
+        cells.groupBy("s")
+        .agg(F.sum("n").cast("decimal(38,0)").alias("nr"))
+        .selectExpr("nr * (nr - 1) AS t2")
+        .groupBy()
+        .agg(F.sum("t2").alias("tr2"))
+    )
+    tc = (
+        cells.groupBy("b")
+        .agg(F.sum("n").cast("decimal(38,0)").alias("nc"))
+        .selectExpr("nc * (nc - 1) AS t2")
+        .groupBy()
+        .agg(F.sum("t2").alias("tc2"))
+    )
+    return (
+        ties.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+        .selectExpr(
+            "CAST(n_parts AS BIGINT) AS n_parts",
+            "n_cells",
+            "CAST(concordant_d AS BIGINT) AS concordant",
+            "CAST(discordant_d AS BIGINT) AS discordant",
+            # doubled pair counts keep everything integral: N0*2 =
+            # n(n-1), tie terms tr2/tc2 are already doubled
+            "CAST(floor((CAST(concordant_d AS DOUBLE)"
+            " - CAST(discordant_d AS DOUBLE)) * 1000"
+            " / sqrt((CAST(n_parts * (n_parts - 1) - tr2 AS DOUBLE) / 2.0)"
+            "        * (CAST(n_parts * (n_parts - 1) - tc2 AS DOUBLE) / 2.0)))"
+            " AS BIGINT) AS tau_b_milli",
+        )
+    )
+
+
+ORACLE_PART_SIZE_PRICE_KENDALL = """
+WITH cells AS (
+  SELECT p_size AS s,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+           AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+cd AS (
+  SELECT CAST(sum(CASE WHEN a.b < c.b THEN CAST(a.n AS HUGEINT) * c.n
+                       ELSE 0 END) AS HUGEINT) AS concordant_d,
+         CAST(sum(CASE WHEN a.b > c.b THEN CAST(a.n AS HUGEINT) * c.n
+                       ELSE 0 END) AS HUGEINT) AS discordant_d
+  FROM cells a JOIN cells c ON a.s < c.s
+),
+ties AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS n_parts,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells
+),
+tr AS (
+  SELECT CAST(sum(nr * (nr - 1)) AS HUGEINT) AS tr2
+  FROM (SELECT CAST(sum(n) AS HUGEINT) AS nr FROM cells GROUP BY s)
+),
+tc AS (
+  SELECT CAST(sum(nc * (nc - 1)) AS HUGEINT) AS tc2
+  FROM (SELECT CAST(sum(n) AS HUGEINT) AS nc FROM cells GROUP BY b)
+)
+SELECT CAST(t.n_parts AS BIGINT) AS n_parts,
+       t.n_cells,
+       CAST(cd.concordant_d AS BIGINT) AS concordant,
+       CAST(cd.discordant_d AS BIGINT) AS discordant,
+       CAST(floor((CAST(cd.concordant_d AS DOUBLE)
+         - CAST(cd.discordant_d AS DOUBLE)) * 1000
+         / sqrt((CAST(t.n_parts * (t.n_parts - 1) - tr.tr2 AS DOUBLE) / 2.0)
+                * (CAST(t.n_parts * (t.n_parts - 1) - tc.tc2 AS DOUBLE) / 2.0)))
+       AS BIGINT) AS tau_b_milli
+FROM ties t, cd, tr, tc
+"""
+
+
 QUERIES = {
+    "orders_mannwhitney_u": q_orders_mannwhitney_u,
+    "supplier_revenue_theil": q_supplier_revenue_theil,
+    "part_size_price_kendall": q_part_size_price_kendall,
+    "customer_acctbal_bowley_skew": q_customer_acctbal_bowley_skew,
     "lineitem_benford_digits": q_lineitem_benford_digits,
     "part_brand_price_anova": q_part_brand_price_anova,
     "customer_order_gap_histogram": q_customer_order_gap_histogram,
@@ -6084,6 +6572,10 @@ ORACLES = {
     "lineitem_benford_digits": ORACLE_LINEITEM_BENFORD_DIGITS,
     "part_brand_price_anova": ORACLE_PART_BRAND_PRICE_ANOVA,
     "customer_order_gap_histogram": ORACLE_CUSTOMER_ORDER_GAP_HISTOGRAM,
+    "orders_mannwhitney_u": ORACLE_ORDERS_MANNWHITNEY_U,
+    "customer_acctbal_bowley_skew": ORACLE_CUSTOMER_ACCTBAL_BOWLEY_SKEW,
+    "supplier_revenue_theil": ORACLE_SUPPLIER_REVENUE_THEIL,
+    "part_size_price_kendall": ORACLE_PART_SIZE_PRICE_KENDALL,
     "customer_spend_gini": ORACLE_CUSTOMER_SPEND_GINI,
     "ship_latency_qty_ols": ORACLE_SHIP_LATENCY_QTY_OLS,
     "discount_qty_elasticity": ORACLE_DISCOUNT_QTY_ELASTICITY,

@@ -4140,6 +4140,95 @@ def streaming_daily_counts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Weekly cohort retention triangle: users grouped by first-seen week,
+# retention = share still active k weeks later — THE growth-analytics
+# readout, exactly integral.
+
+RET_MAX_OFFSET = 8
+
+
+def q_events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, offset_weeks, cohort_users, retained_users,
+    retained_permille) for offsets 0..RET_MAX_OFFSET — Monday-based
+    ISO weeks on both engines (Spark date_trunc('week') == DuckDB
+    date_trunc('week')).
+
+    Scale shape: one (user, week) distinct aggregation over the corpus
+    scan (THE shuffle), a per-user min regroup for the cohort (same
+    user key — no new exchange under AQE), one user-keyed equi-join of
+    actives to cohorts, then a bounded (weeks x offsets) matrix
+    aggregation; cohort sizes broadcast back onto the matrix. Offset 0
+    is every cohort's own week (retained_permille = 1000), kept as the
+    triangle's anchor row."""
+    ev = _events(spark, sf_dir)
+    uw = cache_eager(
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        ).distinct()
+    )
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    cells = (
+        uw.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("offset_weeks"),
+            "user_id",
+        )
+        .filter(F.col("offset_weeks") <= RET_MAX_OFFSET)
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .selectExpr(
+            "date_format(cohort_week, 'yyyy-MM-dd') AS cohort_week",
+            "offset_weeks",
+            "cohort_users",
+            "retained_users",
+            "CAST(retained_users * 1000 DIV cohort_users AS BIGINT)"
+            " AS retained_permille",
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+ORACLE_EVENTS_WEEKLY_RETENTION = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohorts GROUP BY 1
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, u.week) // 7 AS BIGINT)
+           AS offset_weeks,
+         CAST(count(*) AS BIGINT) AS retained_users
+  FROM uw u JOIN cohorts c ON u.user_id = c.user_id
+  WHERE date_diff('day', c.cohort_week, u.week) // 7 <= {RET_MAX_OFFSET}
+  GROUP BY 1, 2
+)
+SELECT strftime(ce.cohort_week, '%Y-%m-%d') AS cohort_week,
+       ce.offset_weeks, s.cohort_users, ce.retained_users,
+       CAST(ce.retained_users * 1000 // s.cohort_users AS BIGINT)
+         AS retained_permille
+FROM cells ce JOIN sizes s ON ce.cohort_week = s.cohort_week
+ORDER BY 1, 2
+"""
+
+
 def streaming_order_gaps(spark: SparkSession, drop_dir: str):
     """Streaming twin of ``q_customer_order_gap_histogram``'s gap
     extraction (operators/relational.py): orders arrive as a JSONL drop
@@ -4826,6 +4915,7 @@ ORDER BY k, rank
 
 QUERIES = {
     "events_gapped_patterns_by_k": q_events_gapped_patterns_by_k,
+    "events_weekly_retention": q_events_weekly_retention,
     "events_gapped_triple_patterns": q_events_gapped_triple_patterns,
     "events_ab_lift_report": q_events_ab_lift_report,
     "events_holt_forecast": q_events_holt_forecast,
@@ -4908,6 +4998,7 @@ ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_gapped_triple_patterns": ORACLE_EVENTS_GAPPED_TRIPLE_PATTERNS,
     "events_gapped_patterns_by_k": ORACLE_EVENTS_GAPPED_PATTERNS_BY_K,
+    "events_weekly_retention": ORACLE_EVENTS_WEEKLY_RETENTION,
     "events_json_props": ORACLE_EVENTS_JSON,
     "events_json_props_variant": ORACLE_EVENTS_JSON,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
