@@ -6377,9 +6377,14 @@ def q_part_size_price_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN b1 < b2 THEN CAST(n1 AS DECIMAL(38,0)) * n2 ELSE 0 END AS c_term",
         "CASE WHEN b1 > b2 THEN CAST(n1 AS DECIMAL(38,0)) * n2 ELSE 0 END AS d_term",
     )
+    # coalesce: a single-cell grid has NO strictly-ordered pairs, and a
+    # sum over the empty relation is NULL on both engines — the counts
+    # are genuinely zero
     cd = pairs.groupBy().agg(
-        F.sum("c_term").alias("concordant_d"),
-        F.sum("d_term").alias("discordant_d"),
+        F.coalesce(F.sum("c_term"), F.lit(0).cast("decimal(38,0)"))
+        .alias("concordant_d"),
+        F.coalesce(F.sum("d_term"), F.lit(0).cast("decimal(38,0)"))
+        .alias("discordant_d"),
     )
     marg = cells.crossJoin(
         F.broadcast(
@@ -6433,10 +6438,10 @@ WITH cells AS (
   FROM part GROUP BY 1, 2
 ),
 cd AS (
-  SELECT CAST(sum(CASE WHEN a.b < c.b THEN CAST(a.n AS HUGEINT) * c.n
-                       ELSE 0 END) AS HUGEINT) AS concordant_d,
-         CAST(sum(CASE WHEN a.b > c.b THEN CAST(a.n AS HUGEINT) * c.n
-                       ELSE 0 END) AS HUGEINT) AS discordant_d
+  SELECT CAST(coalesce(sum(CASE WHEN a.b < c.b THEN CAST(a.n AS HUGEINT) * c.n
+                       ELSE 0 END), 0) AS HUGEINT) AS concordant_d,
+         CAST(coalesce(sum(CASE WHEN a.b > c.b THEN CAST(a.n AS HUGEINT) * c.n
+                       ELSE 0 END), 0) AS HUGEINT) AS discordant_d
   FROM cells a JOIN cells c ON a.s < c.s
 ),
 ties AS (

@@ -1937,6 +1937,158 @@ ORACLE_EMBEDDING_KNN = _oracle_knn_accuracy()
 
 
 # ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate (Facco et al. 2017): d-hat =
+# n / sum ln(r2/r1) over each point's two nearest neighbors — the
+# manifold-dimension diagnostic a pipeline reads before choosing ANN
+# index parameters (IVF cells, PQ subspaces scale with intrinsic, not
+# ambient, dimension).
+
+TWONN_Q = 1_000_000  # micro-unit grid for the exact integer distances
+
+
+def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_eval, n_degenerate, sum_mu_micro, id_milli): per-label
+    TwoNN intrinsic dimension in milli, from the deterministic
+    ``vec_id % 5 == 0`` eval sample's EXACT two nearest neighbors in
+    the full corpus.
+
+    Exactness: distances are integer squared L2 on the floor(x*1e6)
+    grid (BIGINT-exact; diff^2 * 64 dims ~ 1e15 max), so the
+    (d2, nb_id) neighbor ordering is deterministic. One ln per sampled
+    point (class C): mu_micro = floor(ln(r2sq/r1sq) * 500000) — the
+    0.5 from r = sqrt(d2) folded into the quantizer. Duplicate vectors
+    (r1sq = 0, estimator undefined) are EXCLUDED and counted in
+    n_degenerate. id_milli = n_eval * 1e9 DIV sum_mu_micro — dividend
+    nonneg (r2 >= r1), matched truncation (FLOATS.md rule 6).
+
+    Scale shape: the broadcast eval sample against the corpus is the
+    bounded nested-loop eval class (ann_bruteforce/knn_accuracy
+    precedent, BNLJ-allowlisted); per-point top-2 is a window over the
+    sample's neighbor lists; the reduce is |labels|-sized. At serving
+    scale the exact 2-NN would come from the IVF index's candidate
+    buckets instead — this is its ground-truth twin."""
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    a = F.broadcast(emb.filter(F.col("vec_id") % 5 == 0)).alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"), F.col("embedding").alias("nb_emb")
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with(a.embedding, nb_emb, (x, y) -> "
+        f"(CAST(floor(CAST(x AS DOUBLE) * {TWONN_Q}) AS BIGINT)"
+        f" - CAST(floor(CAST(y AS DOUBLE) * {TWONN_Q}) AS BIGINT))"
+        f" * (CAST(floor(CAST(x AS DOUBLE) * {TWONN_Q}) AS BIGINT)"
+        f" - CAST(floor(CAST(y AS DOUBLE) * {TWONN_Q}) AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("nb_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("nb_id"),
+        d2.alias("d2"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("d2", "nb_id")
+    )
+    two = (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2sq"),
+        )
+    )
+    terms = two.withColumn(
+        "mu_micro",
+        F.when(
+            F.col("r1sq") > 0,
+            F.floor(
+                F.log(
+                    F.col("r2sq").cast("double") / F.col("r1sq").cast("double")
+                )
+                * F.lit(500_000)
+            ).cast("bigint"),
+        ),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.sum(F.col("mu_micro").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_eval"),
+            F.sum(F.col("mu_micro").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_degenerate"),
+            F.sum("mu_micro").cast("bigint").alias("sum_mu_micro"),
+        )
+        .selectExpr(
+            "label",
+            "n_eval",
+            "n_degenerate",
+            "sum_mu_micro",
+            "CAST(n_eval * CAST(1000000000 AS BIGINT)"
+            " DIV nullif(sum_mu_micro, 0) AS BIGINT) AS id_milli",
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_intrinsic_dim() -> str:
+    qd = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        f"(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * {TWONN_Q}) AS BIGINT)"
+        f" - CAST(floor(CAST(b.embedding[i] AS DOUBLE) * {TWONN_Q}) AS BIGINT))"
+        f" * (CAST(floor(CAST(a.embedding[i] AS DOUBLE) * {TWONN_Q}) AS BIGINT)"
+        f" - CAST(floor(CAST(b.embedding[i] AS DOUBLE) * {TWONN_Q}) AS BIGINT))))"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+         CAST({qd} AS BIGINT) AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+ranked AS (
+  SELECT vec_id, label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, nb_id) AS rn
+  FROM pairs
+),
+two AS (
+  SELECT vec_id, label,
+         min(CASE WHEN rn = 1 THEN d2 END) AS r1sq,
+         min(CASE WHEN rn = 2 THEN d2 END) AS r2sq
+  FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+),
+terms AS (
+  SELECT vec_id, label,
+         CASE WHEN r1sq > 0 THEN
+           CAST(floor(ln(CAST(r2sq AS DOUBLE) / CAST(r1sq AS DOUBLE))
+                      * 500000) AS BIGINT)
+         END AS mu_micro
+  FROM two
+)
+SELECT label,
+       CAST(sum(CASE WHEN mu_micro IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eval,
+       CAST(sum(CASE WHEN mu_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       CAST(sum(mu_micro) AS BIGINT) AS sum_mu_micro,
+       CAST(sum(CASE WHEN mu_micro IS NOT NULL THEN 1 ELSE 0 END)
+            * CAST(1000000000 AS BIGINT)
+            // nullif(CAST(sum(mu_micro) AS BIGINT), 0) AS BIGINT)
+         AS id_milli
+FROM terms
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+ORACLE_EMBEDDING_INTRINSIC_DIM = _oracle_intrinsic_dim()
+
+
+# ---------------------------------------------------------------------------
 # On-engine deterministic k-means (Lloyd's) over the embedding corpus
 
 KM_K = 8  # clusters; seeds = vec_id 0..7 (deterministic, every sf has them)
@@ -3790,6 +3942,7 @@ QUERIES = {
     "ivf_cell_balance": q_ivf_cell_balance,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
+    "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
 }
 
 ORACLES = {
@@ -3826,4 +3979,5 @@ ORACLES = {
     "ivf_cell_balance": ORACLE_IVF_CELL_BALANCE,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "embedding_knn_accuracy": ORACLE_EMBEDDING_KNN,
+    "embedding_intrinsic_dim": ORACLE_EMBEDDING_INTRINSIC_DIM,
 }

@@ -1849,6 +1849,104 @@ WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
 """
 
 
+def q_text_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted Heaps exponent per source: OLS slope of ln(cum_vocab) on
+    ln(cum_tokens) over the vocabulary-growth curve points — the
+    one-number companion to ``docs_vocab_growth``'s curve (V ~ k*N^b;
+    natural text sits near b ~ 0.4-0.6, saturated/duplicated corpora
+    flatten toward 0). Also emits ln k in micro (the OLS intercept,
+    computed with multiplied-through integers).
+
+    Determinism: identical discipline to ``q_zipf_slope`` (FLOATS.md
+    class C + A) — one ln pair per curve point quantized to micro-nats,
+    DECIMAL(38,0)/HUGEINT sufficient statistics, integral quotients
+    with nullif'd divisors. Intercept: lnk_micro = (sy*sxx - sx*sxy)
+    div (n*sxx - sx*sx) — exact in the same grid.
+
+    Scale shape: docs_vocab_growth's plan (one token-keyed shuffle, a
+    per-source cumulative window over the doc-grain relation) plus a
+    per-source 5-number reduce."""
+    growth = q_docs_vocab_growth(spark, sf_dir)
+    pts = growth.select(
+        "source",
+        F.floor(F.log(F.col("cum_tokens").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    stats = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return stats.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.expr(
+            "((n * sxy - sx * sy) * 1000000) div nullif(n * sxx - sx * sx, 0)"
+        )
+        .cast("bigint")
+        .alias("heaps_beta_micro"),
+        F.expr(
+            "(sy * sxx - sx * sxy) div nullif(n * sxx - sx * sx, 0)"
+        )
+        .cast("bigint")
+        .alias("heaps_lnk_micro"),
+    ).orderBy("source")
+
+
+ORACLE_TEXT_HEAPS_EXPONENT = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+first_seen AS (
+  SELECT source, first_doc AS doc_id, count(*) AS new_types FROM (
+    SELECT source, token, min(doc_id) AS first_doc FROM toks GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS token_count FROM toks GROUP BY 1, 2
+),
+curve AS (
+  SELECT p.source,
+         CAST(sum(p.token_count) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM per_doc p LEFT JOIN first_seen f USING (source, doc_id)
+  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+               ROWS UNBOUNDED PRECEDING)
+),
+pts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+  FROM curve
+),
+stats AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(((n * sxy - sx * sy) * 1000000) // nullif(n * sxx - sx * sx, 0)
+            AS BIGINT) AS heaps_beta_micro,
+       CAST((sy * sxx - sx * sxy) // nullif(n * sxx - sx * sx, 0)
+            AS BIGINT) AS heaps_lnk_micro
+FROM stats
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # unicode text cleaning (control strip + NFC + whitespace collapse)
 
@@ -5264,6 +5362,7 @@ QUERIES = {
     "text_clean_normalize": q_text_clean_normalize,
     "docs_pack_efficiency": q_docs_pack_efficiency,
     "docs_vocab_growth": q_docs_vocab_growth,
+    "text_heaps_exponent": q_text_heaps_exponent,
     "zipf_slope_fit": q_zipf_slope,
     "token_good_turing": q_token_good_turing,
     "text_simpson_diversity": q_text_simpson_diversity,
@@ -5328,6 +5427,7 @@ ORACLES = {
     "text_clean_normalize": ORACLE_TEXT_CLEAN,
     "docs_pack_efficiency": ORACLE_PACK_EFFICIENCY,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
+    "text_heaps_exponent": ORACLE_TEXT_HEAPS_EXPONENT,
     "zipf_slope_fit": ORACLE_ZIPF_SLOPE,
     "token_good_turing": ORACLE_TOKEN_GOOD_TURING,
     "text_simpson_diversity": ORACLE_TEXT_SIMPSON_DIVERSITY,

@@ -122,6 +122,16 @@ BNLJ_ALLOWED = {
     "classifier_query_text_probe": "the _fit trunk's 1-row weight-vector "
     "broadcasts (Lloyd class) + the same 1-row weights attached to the "
     "2-row probe featurize",
+    # --- round 14 ---
+    "supplier_revenue_theil": "1-row (n, x_total) scalar attaches onto "
+    "the supplier- and nation-grain term relations + the final 1-row x "
+    "1-row combine (total/between)",
+    "part_size_price_kendall": "strictly-ordered cell-pair cross of the "
+    "GRID-BOUNDED (p_size x $10-bucket) contingency relation "
+    "(data-independent cardinality) + 1-row tie/total attaches",
+    "embedding_intrinsic_dim": "deterministic vec_id%5 eval sample "
+    "broadcast against the corpus for exact 2-NN ground truth (the "
+    "ann_bruteforce/knn_accuracy eval class)",
 }
 
 

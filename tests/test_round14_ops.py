@@ -135,3 +135,171 @@ def test_streaming_order_gaps_matches_batch(spark, tmp_path):
     assert (1, 2, 2) in stream_hist  # 7d gap (cust 1) + 13d gap (cust 2)
     assert (52, 1, 1) in stream_hist  # the 400d gap caps at 52
     assert (0, 2, 2) in stream_hist  # 1d gap (cust 1) + 0d tie (cust 2)
+
+
+# ---------------------------------------------------------------------------
+# round-14 statistics queries: planted fixtures with hand-checked values
+
+
+def test_orders_mannwhitney_u_planted(spark, tmp_path):
+    """A = {10.00, 20.00} urgent, B = {10.00, 30.00}: U_A = 1.5 (one
+    win + one half-tie), so the doubled statistic is 3; AUC = 1.5/4;
+    ties term = 2^3 - 2 = 6; z^2 = 1/6 -> 166 milli (hand-derived)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, "1-URGENT", 10.00),
+        (2, "2-HIGH", 20.00),
+        (3, "3-MEDIUM", 10.00),
+        (4, "5-LOW", 30.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_orders_mannwhitney_u(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a) == (2, 2, 3)
+    assert r.auc_permille == 375  # 3*500 // 4
+    assert r.z2_milli == 166  # floor(3000*1*4*3 / (2*2*54))
+
+
+def test_customer_acctbal_bowley_skew_planted(spark, tmp_path):
+    """Quartiles 100/500/601 cents: the skew dividend is negative with a
+    nonzero remainder (-299000 // 501), so this PLANTS the truncation
+    convention — matched Spark DIV gives -596 (floor would be -597)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        ("AUTO", 0.00),
+        ("AUTO", 1.00),
+        ("AUTO", 5.00),
+        ("AUTO", 6.01),
+        ("AUTO", 9.00),
+        ("RAIL", 2.00),
+        ("RAIL", 4.00),
+    ]
+    spark.createDataFrame(
+        rows, "c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.segment: (r.q1_cents, r.q2_cents, r.q3_cents, r.skew_permille)
+        for r in rel.q_customer_acctbal_bowley_skew(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["AUTO"] == (100, 500, 601, -596)
+    # RAIL: q1 = q2 = 200, q3 = 400 -> skew (400+200-400)*1000/200 = 1000
+    assert got["RAIL"] == (200, 200, 400, 1000)
+
+
+def _write_trade_fixture(spark, tmp_path, lines):
+    """lines: (custnation, suppnation) pairs -> one lineitem each.
+    Builds the 4 tables the trade-edge plan needs."""
+    cust_n = sorted({c for c, _ in lines})
+    supp_n = sorted({s for _, s in lines})
+    spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(cust_n)],
+        "c_custkey long, c_nationkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(200 + i, n) for i, n in enumerate(supp_n)],
+        "s_suppkey long, s_nationkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    cust_key = {n: 100 + i for i, n in enumerate(cust_n)}
+    supp_key = {n: 200 + i for i, n in enumerate(supp_n)}
+    orders, items = [], []
+    for oid, (cn, sn) in enumerate(lines):
+        orders.append((oid, cust_key[cn]))
+        items.append((oid, supp_key[sn]))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        items, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_nation_trade_reciprocity_planted(spark, tmp_path):
+    """Edges 0->1 (w=2), 1->0 (w=1), 0->2 (w=1): two of three edges
+    reciprocated (666 permille), weighted min-sum 2/4 (500 permille)."""
+    from sap_sql_engine_spark.operators import graph
+
+    _write_trade_fixture(
+        spark, tmp_path, [(0, 1), (0, 1), (1, 0), (0, 2)]
+    )
+    r = graph.q_nation_trade_reciprocity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_reciprocated, r.total_weight) == (3, 2, 4)
+    assert r.reciprocity_permille == 666
+    assert r.weighted_reciprocity_permille == 500
+
+
+def test_events_weekly_retention_planted(spark, tmp_path):
+    """u1 active weeks 0+1, u2 week 0 only, u3 weeks 1+2: cohort W0 has
+    2 users (1000, then 500 permille at offset 1), cohort W1 has 1
+    (1000 at offsets 0 and 1)."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as se
+
+    w0, w1, w2 = (
+        dt.datetime(2024, 3, 4, 12),
+        dt.datetime(2024, 3, 11, 12),
+        dt.datetime(2024, 3, 18, 12),
+    )
+    rows = [
+        (0, w0, 1, "click", 1.0, "{}"),
+        (1, w1, 1, "click", 1.0, "{}"),
+        (2, w0, 2, "click", 1.0, "{}"),
+        (3, w1, 3, "click", 1.0, "{}"),
+        (4, w2, 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.cohort_week, r.offset_weeks): (
+            r.cohort_users,
+            r.retained_users,
+            r.retained_permille,
+        )
+        for r in se.q_events_weekly_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-03-04", 0): (2, 2, 1000),
+        ("2024-03-04", 1): (2, 1, 500),
+        ("2024-03-11", 0): (1, 1, 1000),
+        ("2024-03-11", 1): (1, 1, 1000),
+    }
+
+
+def test_part_size_price_kendall_planted(spark, tmp_path):
+    """Perfectly monotone size->price grid: tau_b = +1000 milli with
+    zero discordant pairs."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, 1, 900.00), (2, 2, 910.00), (3, 3, 920.00)]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    r = rel.q_part_size_price_kendall(spark, str(tmp_path)).collect()[0]
+    assert (r.n_parts, r.n_cells, r.concordant, r.discordant) == (3, 3, 3, 0)
+    assert r.tau_b_milli == 1000
+
+
+def test_supplier_revenue_theil_planted(spark, tmp_path):
+    """Two suppliers with identical revenue in two nations: perfectly
+    equal distribution -> Theil total and between-nation both 0."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, 100.00, 0.0), (2, 100.00, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_supplier_revenue_theil(spark, str(tmp_path)).collect()[0]
+    assert (r.n_suppliers, r.n_nations) == (2, 2)
+    assert r.theil_total_micro == 0
+    assert r.theil_between_micro == 0

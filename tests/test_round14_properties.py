@@ -71,3 +71,330 @@ def test_gapped_patterns_by_k_match_python_bruteforce(
         for r in se.q_events_gapped_patterns_by_k(spark, str(tmp)).collect()
     ]
     assert got == expected
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style truncation toward zero (Spark DIV / DuckDB int //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # cents grid -> ties common
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mannwhitney_matches_python_bruteforce(spark, tmp_path_factory, prices):
+    """Doubled U, AUC permille, and the tie-corrected z^2 milli all
+    reproduce a brute-force pair sweep + the textbook formulas computed
+    in exact Python arithmetic."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+    from sap_sql_engine_spark.operators.relational import MW_GROUP_A
+
+    if not any(g for _, g in prices) or all(g for _, g in prices):
+        return  # both groups must be non-empty for the statistic
+    rows = [
+        (
+            i,
+            MW_GROUP_A[0] if in_a else "5-LOW",
+            cents / 100.0,
+        )
+        for i, (cents, in_a) in enumerate(prices)
+    ]
+    tmp = tmp_path_factory.mktemp("mw")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    a = sorted(c for c, g in prices if g)
+    b = sorted(c for c, g in prices if not g)
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+    na, nb, n = len(a), len(b), len(prices)
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(c for c, _ in prices).values())
+    auc = _trunc_div(u2 * 500, na * nb)
+    d = u2 - na * nb
+    denom = na * nb * ((n + 1) * n * (n - 1) - tie)
+    z2 = (
+        None
+        if denom == 0
+        else math.floor(3000.0 * d * d * n * (n - 1) / denom)
+    )
+    r = rel.q_orders_mannwhitney_u(spark, str(tmp)).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.auc_permille) == (na, nb, u2, auc)
+    assert r.z2_milli == z2
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # p_size
+            st.sampled_from([905.0, 915.0, 925.0, 935.0]),  # bucket grid
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kendall_matches_python_bruteforce(spark, tmp_path_factory, parts):
+    """Concordant/discordant counts and tau_b milli reproduce the
+    brute-force sweep over all part pairs."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("kt")
+    spark.createDataFrame(
+        [(i, s, p) for i, (s, p) in enumerate(parts)],
+        "p_partkey long, p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp / "part.parquet"))
+
+    pts = [(s, int(p * 100) // 1000) for s, p in parts]
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            if pts[i][0] < pts[j][0]:
+                if pts[i][1] < pts[j][1]:
+                    conc += 1
+                elif pts[i][1] > pts[j][1]:
+                    disc += 1
+    n = len(pts)
+    from collections import Counter
+
+    tr2 = sum(v * (v - 1) for v in Counter(s for s, _ in pts).values())
+    tc2 = sum(v * (v - 1) for v in Counter(b for _, b in pts).values())
+    den = math.sqrt(((n * (n - 1) - tr2) / 2.0) * ((n * (n - 1) - tc2) / 2.0))
+    tau = None if den == 0.0 else math.floor((conc - disc) * 1000 / den)
+    r = rel.q_part_size_price_kendall(spark, str(tmp)).collect()[0]
+    assert (r.n_parts, r.concordant, r.discordant) == (n, conc, disc)
+    assert r.tau_b_milli == tau
+
+
+@given(
+    bals=st.lists(
+        st.integers(min_value=-999, max_value=999),  # cents
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bowley_matches_python_quartiles(spark, tmp_path_factory, bals):
+    """Type-1 quartiles and the truncating skew division reproduce the
+    Python recompute, including negative balances and negative-remainder
+    skew dividends."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("bw")
+    spark.createDataFrame(
+        [("SEG", c / 100.0) for c in bals],
+        "c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+
+    s = sorted(bals)
+    n = len(s)
+
+    def q(k4: int) -> int:  # smallest value whose cum*4 >= k4*n
+        cum = 0
+        for i, v in enumerate(s):
+            cum += 1
+            if cum * 4 >= k4 * n:
+                return v
+        return s[-1]
+
+    q1, q3 = q(1), q(3)
+    cum = 0
+    q2 = None
+    for v in s:
+        cum += 1
+        if cum * 2 >= n:
+            q2 = v
+            break
+    iqr = q3 - q1
+    skew = None if iqr == 0 else _trunc_div((q3 + q1 - 2 * q2) * 1000, iqr)
+    r = rel.q_customer_acctbal_bowley_skew(spark, str(tmp)).collect()[0]
+    assert (r.q1_cents, r.q2_cents, r.q3_cents) == (q1, q2, q3)
+    assert r.skew_permille == skew
+
+
+@given(
+    revs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),  # whole-dollar revenue
+            st.integers(min_value=0, max_value=2),  # nation
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_theil_matches_python_recompute(spark, tmp_path_factory, revs):
+    """Theil total + between-nation micro-nats reproduce the Python
+    recompute with the same ln quantization and floor-identity final
+    division."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("th")
+    spark.createDataFrame(
+        [(i, n) for i, (_, n) in enumerate(revs)],
+        "s_suppkey long, s_nationkey long",
+    ).write.mode("overwrite").parquet(str(tmp / "supplier.parquet"))
+    spark.createDataFrame(
+        [(i, float(r), 0.0) for i, (r, _) in enumerate(revs)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    milli = [r * 1000 for r, _ in revs]  # r dollars -> exact milli
+    n = len(milli)
+    x_total = sum(milli)
+    num = sum(
+        m * math.floor(math.log(m * n / x_total) * 1_000_000) for m in milli
+    )
+    from collections import defaultdict
+
+    g: dict = defaultdict(lambda: [0, 0])
+    for (r_, nat) in revs:
+        g[nat][0] += r_ * 1000
+        g[nat][1] += 1
+    numb = sum(
+        xg * math.floor(math.log((xg * n) / (x_total * ng)) * 1_000_000)
+        for xg, ng in g.values()
+    )
+    r = rel.q_supplier_revenue_theil(spark, str(tmp)).collect()[0]
+    assert r.n_suppliers == n and r.n_nations == len(g)
+    assert r.theil_total_micro == num // x_total  # Python // floors
+    assert r.theil_between_micro == numb // x_total
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=5),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heaps_exponent_matches_python_recompute(
+    spark, tmp_path_factory, docs
+):
+    """The fitted Heaps beta/lnk reproduce a Python recompute of the
+    cumulative curve, the micro-nat quantization, and the truncating
+    integer OLS quotients."""
+    import math
+
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    tmp = tmp_path_factory.mktemp("heaps")
+    spark.createDataFrame(
+        [
+            (i, " ".join(toks), "xx", "s0", len(" ".join(toks)))
+            for i, toks in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    seen: set = set()
+    cumtok = cumvoc = 0
+    xs, ys = [], []
+    for toks in docs:  # doc_id order == list order
+        cumtok += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                cumvoc += 1
+        xs.append(math.floor(math.log(cumtok) * 1_000_000))
+        ys.append(math.floor(math.log(cumvoc) * 1_000_000))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    beta = None if den == 0 else _trunc_div((n * sxy - sx * sy) * 1_000_000, den)
+    lnk = None if den == 0 else _trunc_div(sy * sxx - sx * sxy, den)
+    r = ta.q_text_heaps_exponent(spark, str(tmp)).collect()[0]
+    assert r.source == "s0" and r.n_points == n
+    assert r.heaps_beta_micro == beta
+    assert r.heaps_lnk_micro == lnk
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-8, max_value=8),  # x/8 float32-exact
+                min_size=4,
+                max_size=4,
+            ),
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_intrinsic_dim_matches_python_bruteforce(
+    spark, tmp_path_factory, vecs
+):
+    """Per-label TwoNN aggregates reproduce a Python brute force with
+    the same integer grid distances, top-2 (d2, nb_id) ordering,
+    duplicate exclusion, and truncating final division. Values are
+    eighths, exact in float32, so the quantizer sees identical inputs."""
+    import math
+
+    from sap_sql_engine_spark.operators import similarity as sim
+
+    tmp = tmp_path_factory.mktemp("twonn")
+    rows = [
+        (i, [v / 8.0 for v in emb], lab) for i, (emb, lab) in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    q = [[math.floor(v / 8.0 * 1_000_000) for v in emb] for emb, _ in vecs]
+    per_label: dict = {}
+    for i, (emb, lab) in enumerate(vecs):
+        if i % 5 != 0:
+            continue
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q[i], q[j])), j)
+            for j in range(len(vecs))
+            if j != i
+        )
+        r1, r2 = ds[0][0], ds[1][0]
+        st_ = per_label.setdefault(lab, [0, 0, 0])  # n_eval, n_deg, sum_mu
+        if r1 > 0:
+            st_[0] += 1
+            st_[2] += math.floor(math.log(r2 / r1) * 500_000)
+        else:
+            st_[1] += 1
+    got = {
+        r.label: (r.n_eval, r.n_degenerate, r.sum_mu_micro, r.id_milli)
+        for r in sim.q_embedding_intrinsic_dim(spark, str(tmp)).collect()
+    }
+    expected = {
+        lab: (
+            ne,
+            nd,
+            mu if ne else None,
+            _trunc_div(ne * 1_000_000_000, mu) if mu else None,
+        )
+        for lab, (ne, nd, mu) in per_label.items()
+    }
+    assert got == expected
