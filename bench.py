@@ -121,7 +121,10 @@ HEADLINE = [
     # embedding_sq8_error); 57 names measured 1910 chars worst-case.
     "dedup_query_text_probe",
     "hybrid_query_search",
-    "dedup_band_occupancy",
+    # dedup_band_occupancy dropped r14 (line budget: copurchase_kcore_profile
+    # joined the line): its signature-pass + band-aggregation shape stays
+    # covered by dedup_query_text_probe (same signing trunk) and
+    # media_dhash_report's banded join
     # r11 third wave: the IVM reconcile (three rollup legs + two bounded
     # merge joins) and the filtered serving probe (predicate-pushed
     # prefilter + over-fetched postfilter off one assignment map)
