@@ -124,3 +124,24 @@ def test_spark_div_truncates_on_decimal(spark):
         " -7 DIV 2 AS c, 7 DIV -2 AS d"
     ).collect()[0]
     assert (row.a, row.b, row.c, row.d) == (-3, -3, -3, -3)
+
+
+def test_division_audit_fully_dispositioned():
+    """tools/division_audit.py must exit 0: every oracle `//` site is
+    provably non-negative, auto-cleared as matched truncation, or
+    hand-noted in AUDIT_NOTES. A new oracle that introduces a signed
+    dividend next to a Spark-side floor form (or a DECIMAL-typed
+    operand) fails HERE the round it is written, instead of hiding
+    until some sf produces a negative remainder."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/division_audit.py"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (
+        "undispositioned division sites:\n" + proc.stdout[-2000:]
+    )

@@ -249,6 +249,18 @@ AUDIT_NOTES: dict[str, str] = {
         "truncate on BIGINT/HUGEINT — matched; floor() in source is the "
         "both-engine double ln quantization, not floor-division"
     ),
+    # r14 new query, written under rule 6 from the start: Theil's
+    # numerator is >= 0 by Jensen but per-term ln quantization can dip
+    # it a few micro below zero near uniformity, so BOTH engines carry
+    # the identical spelled-out floor identity (the kn_bigram/psi_drift
+    # convention); the milli-revenue `// 1000` site divides a
+    # nonneg money sum.
+    "supplier_revenue_theil": (
+        "floor identity spelled out on BOTH engines over "
+        "DECIMAL(38,0)/HUGEINT (relational.py q_supplier_revenue_theil "
+        "vs ORACLE_SUPPLIER_REVENUE_THEIL) — matched floor; property "
+        "test re-proves vs Python floor recompute"
+    ),
 }
 
 
