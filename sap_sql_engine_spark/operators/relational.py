@@ -6470,7 +6470,607 @@ FROM ties t, cd, tr, tc
 """
 
 
+# ---------------------------------------------------------------------------
+# Tukey-fence ship-latency outliers per supplier nation: the robust
+# (quartile) counterpart of the moment-based supplier_delivery_variance —
+# "which geographies have fat delay tails?" without a stddev anywhere.
+
+
+def q_supplier_latency_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_lines, q1/q3/iqr days, n_low, n_high,
+    outlier_permille): per supplier nation, exact type-1 quartiles of
+    the order→ship latency and the line counts outside the Tukey
+    fences q1 - 1.5*iqr / q3 + 1.5*iqr. The half-step fences stay
+    integer by comparing DOUBLED days: 2*d < 2*q1 - 3*iqr.
+
+    All-integer (FLOATS.md class A): day diffs, histogram counts,
+    cross-multiplied quartile marks, and one nonneg integral quotient
+    under matched truncation.
+
+    Scale shape: ONE orderkey fact-fact join (the same shuffle
+    orders_ship_survival pays) collapses to a (nation, day) HISTOGRAM
+    (<= 25 nations x a few hundred distinct latencies); the cumulative
+    window is nation-partitioned over that compact relation and the
+    fences re-attach by broadcast, so the corpus pays the join + one
+    bounded-grid aggregation — no global window, no per-row rank."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    hist = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .selectExpr(
+            "s_nationkey",
+            "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT) AS d",
+        )
+        .groupBy("s_nationkey", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from ..cachereg import cache_eager
+
+    hist = cache_eager(hist)
+    w_n = (
+        W.partitionBy("s_nationkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = hist.groupBy("s_nationkey").agg(F.sum("c").cast("bigint").alias("n"))
+    cum = hist.withColumn("cum", F.sum("c").over(w_n)).join(
+        F.broadcast(n), "s_nationkey"
+    )
+    fences = (
+        cum.groupBy("s_nationkey")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("d"))).alias(
+                "q1_days"
+            ),
+            F.min(
+                F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("d"))
+            ).alias("q3_days"),
+        )
+        .selectExpr(
+            "s_nationkey",
+            "n_lines",
+            "q1_days",
+            "q3_days",
+            "q3_days - q1_days AS iqr_days",
+            "2 * q1_days - 3 * (q3_days - q1_days) AS lo2",
+            "2 * q3_days + 3 * (q3_days - q1_days) AS hi2",
+        )
+    )
+    counts = (
+        hist.join(F.broadcast(fences), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.when(2 * F.col("d") < F.col("lo2"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(2 * F.col("d") > F.col("hi2"), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )
+    return (
+        fences.join(counts, "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .selectExpr(
+            "n_name AS nation",
+            "n_lines",
+            "q1_days",
+            "q3_days",
+            "iqr_days",
+            "n_low",
+            "n_high",
+            "CAST((n_low + n_high) * 1000 DIV n_lines AS BIGINT)"
+            " AS outlier_permille",
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_SUPPLIER_LATENCY_TUKEY = """
+WITH hist AS (
+  SELECT s.s_nationkey,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT s_nationkey, d, c,
+         sum(c) OVER (PARTITION BY s_nationkey ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY s_nationkey) AS n
+  FROM hist
+),
+fences AS (
+  SELECT s_nationkey, CAST(max(n) AS BIGINT) AS n_lines,
+         min(CASE WHEN cum * 4 >= n THEN d END) AS q1_days,
+         min(CASE WHEN cum * 4 >= 3 * n THEN d END) AS q3_days
+  FROM cum GROUP BY 1
+),
+f2 AS (
+  SELECT s_nationkey, n_lines, q1_days, q3_days,
+         q3_days - q1_days AS iqr_days,
+         2 * q1_days - 3 * (q3_days - q1_days) AS lo2,
+         2 * q3_days + 3 * (q3_days - q1_days) AS hi2
+  FROM fences
+),
+counts AS (
+  SELECT h.s_nationkey,
+         CAST(sum(CASE WHEN 2 * h.d < f.lo2 THEN h.c ELSE 0 END) AS BIGINT)
+           AS n_low,
+         CAST(sum(CASE WHEN 2 * h.d > f.hi2 THEN h.c ELSE 0 END) AS BIGINT)
+           AS n_high
+  FROM hist h JOIN f2 f USING (s_nationkey)
+  GROUP BY 1
+)
+SELECT n.n_name AS nation, f.n_lines, f.q1_days, f.q3_days, f.iqr_days,
+       c.n_low, c.n_high,
+       CAST((c.n_low + c.n_high) * 1000 // f.n_lines AS BIGINT)
+         AS outlier_permille
+FROM f2 f JOIN counts c USING (s_nationkey)
+JOIN nation n ON f.s_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between quantity and price bucket — the
+# information-theoretic dependence readout next to the Pearson
+# (quantity_price_corr) and Kendall (part_size_price_kendall) lanes.
+
+MI_PRICE_BUCKET_CENTS = 1_000_000  # $10,000 price buckets (~11 buckets)
+
+
+def q_quantity_price_mutual_info(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: n_lines, n_cells, marginal entropies H(qty) / H(price
+    bucket), their mutual information (all integer micro-nats), and the
+    normalized MI in permille of min(H_q, H_p).
+
+    Determinism (FLOATS.md class C): ONE ln per cell/marginal row on an
+    exact-integer-derived double (BIGINT→DOUBLE casts and the * / chain
+    are correctly rounded, so the libm input is bit-identical on both
+    engines), floor-quantized to micro-nats; weighted sums accumulate in
+    DECIMAL(38,0)/HUGEINT. The MI numerator is SIGNED (per-term
+    quantization can dip it below zero near independence), so its
+    divisions use the SPELLED-OUT FLOOR IDENTITY on both engines
+    (FLOATS.md rule 6); the entropy numerators use ln(N/n_x) >= 0 and
+    plain matched truncation. Headroom: |term| <= n_cell * 50e6 <
+    DECIMAL(38,0) for any n_cell < 1e30 — no sf bound.
+
+    Scale shape: the corpus pays ONE bounded-grid aggregation (50
+    quantities x ~11 price buckets = <= 550 cells); marginals, totals,
+    and every ln/divide run on broadcast-sized relations."""
+    from ..cachereg import cache_eager
+
+    li = table(spark, sf_dir, "lineitem")
+    cells = cache_eager(
+        li.selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {MI_PRICE_BUCKET_CENTS} AS b",
+        )
+        .groupBy("q", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_qb"))
+    )
+    mq = cells.groupBy("q").agg(F.sum("n_qb").cast("bigint").alias("n_q"))
+    mb = cells.groupBy("b").agg(F.sum("n_qb").cast("bigint").alias("n_b"))
+    tot = cells.agg(
+        F.sum("n_qb").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    mi_row = (
+        cells.join(F.broadcast(mq), "q")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n",
+            "n_cells",
+            "CAST(n_qb AS DECIMAL(38,0))"
+            " * CAST(floor(ln((CAST(n_qb AS DOUBLE) * CAST(n AS DOUBLE))"
+            "               / (CAST(n_q AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+            "         * 1000000) AS BIGINT) AS w",
+        )
+        .groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_cells").alias("n_cells"),
+            F.sum("w").alias("num"),
+        )
+    )
+    hq = (
+        mq.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(n_q AS DECIMAL(38,0))"
+            " * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(n_q AS DOUBLE))"
+            "         * 1000000) AS BIGINT) AS wq"
+        )
+        .groupBy()
+        .agg(F.sum("wq").alias("numq"))
+    )
+    hb = (
+        mb.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(n_b AS DECIMAL(38,0))"
+            " * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            "         * 1000000) AS BIGINT) AS wb"
+        )
+        .groupBy()
+        .agg(F.sum("wb").alias("numb"))
+    )
+    return (
+        mi_row.crossJoin(F.broadcast(hq))
+        .crossJoin(F.broadcast(hb))
+        .selectExpr(
+            "n AS n_lines",
+            "n_cells",
+            # entropies: nonneg dividends, matched truncation
+            "CAST(numq DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            " AS h_qty_micro",
+            "CAST(numb DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            " AS h_price_micro",
+            # MI: signed dividend -> floor identity on BOTH engines
+            "CAST((num - ((num % CAST(n AS DECIMAL(38,0))"
+            " + CAST(n AS DECIMAL(38,0))) % CAST(n AS DECIMAL(38,0))))"
+            " DIV CAST(n AS DECIMAL(38,0)) AS BIGINT) AS mi_micro",
+        )
+        .selectExpr(
+            "n_lines",
+            "n_cells",
+            "h_qty_micro",
+            "h_price_micro",
+            "mi_micro",
+            # signed dividend (mi_micro can be < 0) -> floor identity
+            "CAST((mi_micro * 1000 - ((mi_micro * 1000"
+            " % nullif(least(h_qty_micro, h_price_micro), 0)"
+            " + nullif(least(h_qty_micro, h_price_micro), 0))"
+            " % nullif(least(h_qty_micro, h_price_micro), 0)))"
+            " DIV nullif(least(h_qty_micro, h_price_micro), 0) AS BIGINT)"
+            " AS nmi_permille",
+        )
+    )
+
+
+ORACLE_QUANTITY_PRICE_MUTUAL_INFO = f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {MI_PRICE_BUCKET_CENTS} AS b,
+         CAST(count(*) AS BIGINT) AS n_qb
+  FROM lineitem GROUP BY 1, 2
+),
+mq AS (SELECT q, CAST(sum(n_qb) AS BIGINT) AS n_q FROM cells GROUP BY 1),
+mb AS (SELECT b, CAST(sum(n_qb) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_qb) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells
+),
+mi_row AS (
+  SELECT max(t.n) AS n, max(t.n_cells) AS n_cells,
+         CAST(sum(CAST(c.n_qb AS HUGEINT)
+           * CAST(floor(ln((CAST(c.n_qb AS DOUBLE) * CAST(t.n AS DOUBLE))
+                           / (CAST(q.n_q AS DOUBLE) * CAST(b.n_b AS DOUBLE)))
+                   * 1000000) AS BIGINT)) AS HUGEINT) AS num
+  FROM cells c JOIN mq q USING (q) JOIN mb b USING (b), tot t
+),
+hq AS (
+  SELECT CAST(sum(CAST(n_q AS HUGEINT)
+           * CAST(floor(ln(CAST(t.n AS DOUBLE) / CAST(n_q AS DOUBLE))
+                   * 1000000) AS BIGINT)) AS HUGEINT) AS numq
+  FROM mq, tot t
+),
+hb AS (
+  SELECT CAST(sum(CAST(n_b AS HUGEINT)
+           * CAST(floor(ln(CAST(t.n AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   * 1000000) AS BIGINT)) AS HUGEINT) AS numb
+  FROM mb, tot t
+),
+base AS (
+  SELECT m.n AS n_lines, m.n_cells,
+         CAST(hq.numq // CAST(m.n AS HUGEINT) AS BIGINT) AS h_qty_micro,
+         CAST(hb.numb // CAST(m.n AS HUGEINT) AS BIGINT) AS h_price_micro,
+         CAST((m.num - ((m.num % CAST(m.n AS HUGEINT)
+           + CAST(m.n AS HUGEINT)) % CAST(m.n AS HUGEINT)))
+           // CAST(m.n AS HUGEINT) AS BIGINT) AS mi_micro
+  FROM mi_row m, hq, hb
+)
+SELECT n_lines, n_cells, h_qty_micro, h_price_micro, mi_micro,
+       CAST((mi_micro * 1000 - ((mi_micro * 1000
+         % nullif(least(h_qty_micro, h_price_micro), 0)
+         + nullif(least(h_qty_micro, h_price_micro), 0))
+         % nullif(least(h_qty_micro, h_price_micro), 0)))
+         // nullif(least(h_qty_micro, h_price_micro), 0) AS BIGINT)
+         AS nmi_permille
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpurchase life table with right-censoring: Kaplan-Meier survival of
+# the "time to next order" process. Distinct from orders_ship_survival
+# (a plain exceedance curve, no censoring) and customer_order_gap_histogram
+# (event gaps only): here every customer's LAST order contributes a
+# censored interval to the dataset end, so the at-risk denominators are
+# the classic life-table ones.
+
+LT_BUCKET_DAYS = 30
+LT_MAX_BUCKET = 24
+
+
+def q_customer_interpurchase_lifetable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(bucket, n_at_risk, n_events, n_censored, hazard_permille,
+    km_ln_micro): discrete life table over 30-day buckets (capped at
+    24). hazard = d_t/n_t per thousand; the Kaplan-Meier survivor
+    S(t) = prod (1 - d_s/n_s) is emitted in LN-DOMAIN integer
+    micro-nats (sum of floor-quantized ln((n_s-d_s)/n_s) terms — the
+    kn_bigram/theil discipline: one ln per bucket row, never exp'd), and
+    goes NULL from the first bucket where survival hits zero.
+
+    Determinism: day diffs and counts are exact; each ln input is a
+    quotient of exact BIGINTs cast once to DOUBLE (correctly rounded,
+    bit-identical), floor-quantized to micro-nats (FLOATS.md class C);
+    hazard is a nonneg integral quotient under matched truncation.
+
+    Scale shape: ONE shuffle by custkey for the lead window (date +
+    orderkey tiebreak, deterministic), a broadcast 1-row max-date
+    attach, then a bounded-bucket hash aggregation; the cumulative
+    at-risk/KM windows run over the <= 25-row life-table relation
+    (bounded by construction — the revenue_mom_delta precedent)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    intervals = (
+        orders.withColumn("next_date", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(maxd))
+        .selectExpr(
+            "CASE WHEN next_date IS NOT NULL THEN 1 ELSE 0 END AS ev",
+            "least(CAST(datediff(coalesce(next_date, max_date), o_orderdate)"
+            f" AS BIGINT) DIV {LT_BUCKET_DAYS}, {LT_MAX_BUCKET}) AS bucket",
+        )
+    )
+    lt = intervals.groupBy("bucket").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum(F.expr("1 - ev")).cast("bigint").alias("n_censored"),
+    )
+    tot = intervals.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prior = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    lt2 = (
+        lt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "alive",
+            F.expr("CASE WHEN n_at_risk > n_events THEN 1 ELSE 0 END"),
+        )
+        .withColumn(
+            "term",
+            F.expr(
+                "CASE WHEN n_at_risk > n_events THEN"
+                " CAST(floor(ln(CAST(n_at_risk - n_events AS DOUBLE)"
+                " / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT) END"
+            ),
+        )
+    )
+    return (
+        lt2.select(
+            "bucket",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.expr(
+                "CAST(n_events * 1000 DIV n_at_risk AS BIGINT)"
+            ).alias("hazard_permille"),
+            F.when(
+                F.min("alive").over(w_cum) == 1,
+                F.sum("term").over(w_cum),
+            )
+            .cast("bigint")
+            .alias("km_ln_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_CUSTOMER_INTERPURCHASE_LIFETABLE = f"""
+WITH maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
+intervals AS (
+  SELECT CASE WHEN next_date IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         least(CAST(date_diff('day', o_orderdate,
+                    coalesce(next_date, max_date)) AS BIGINT)
+               // {LT_BUCKET_DAYS}, {LT_MAX_BUCKET}) AS bucket
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_date
+    FROM orders
+  ), maxd
+),
+lt AS (
+  SELECT bucket, CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM intervals GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM intervals),
+lt2 AS (
+  SELECT bucket, n_events, n_censored,
+         n_total - coalesce(sum(n_events + n_censored) OVER (
+             ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS n_at_risk
+  FROM lt, tot
+),
+lt3 AS (
+  SELECT bucket, n_at_risk, n_events, n_censored,
+         CASE WHEN n_at_risk > n_events THEN 1 ELSE 0 END AS alive,
+         CASE WHEN n_at_risk > n_events THEN
+           CAST(floor(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+         END AS term
+  FROM lt2
+)
+SELECT bucket, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+       n_censored,
+       CAST(n_events * 1000 // n_at_risk AS BIGINT) AS hazard_permille,
+       CAST(CASE WHEN min(alive) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) = 1
+            THEN sum(term) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            END AS BIGINT) AS km_ln_micro
+FROM lt3
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test: does the return rate TREND with quantity?
+# The ordered-categories member of the categorical-association lane
+# (chi-square tests independence; this tests monotone dose-response).
+
+
+def q_returns_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: line/return totals, bucket count, the trend direction,
+    the Cochran-Armitage z^2 in milli, and the return rate (basis
+    points) at the lowest/highest quantity bucket.
+
+    With score s = quantity DIV 5 (buckets 0..10), T = N*sum(s*r) -
+    R*sum(s*n) and Var*N = R*(N-R)*(N*sum(s^2*n) - sum(s*n)^2); z^2 =
+    T^2*N / VarNum. T is exact DECIMAL(38,0)/HUGEINT (|T| <= 10*N^2 —
+    exact past 1e18 lines); z^2 would need ~T^2*N ~ 1e60 digits, so it
+    is a CLOSED-FORM double chain on the exact aggregates (one CAST per
+    factor, identical association order both engines — the
+    part_size_price_kendall tau_b_milli / events_anomaly_hours z_score
+    precedent, FLOATS.md class A), guarded NULL by the INTEGER-exact
+    degenerate conditions (R=0, R=N, or zero score variance).
+
+    Scale shape: one bounded-grid aggregation (11 score buckets,
+    map-side combinable) carries the whole corpus; everything after is
+    arithmetic on a broadcast-sized relation."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.selectExpr(
+            "CAST(l_quantity AS BIGINT) DIV 5 AS s",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret",
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("ret").cast("bigint").alias("r_i"),
+        )
+    )
+    ext = g.crossJoin(
+        F.broadcast(
+            g.agg(F.min("s").alias("s_lo"), F.max("s").alias("s_hi"))
+        )
+    )
+    sums = ext.groupBy().agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_buckets"),
+        F.expr("CAST(sum(n_i) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(r_i) AS BIGINT)").alias("r"),
+        F.expr("CAST(sum(s * n_i) AS BIGINT)").alias("s1"),
+        F.expr("CAST(sum(s * s * n_i) AS BIGINT)").alias("s2"),
+        F.expr("CAST(sum(s * r_i) AS BIGINT)").alias("st"),
+        F.expr(
+            "CAST(sum(CASE WHEN s = s_lo THEN r_i ELSE 0 END) * 10000"
+            " DIV sum(CASE WHEN s = s_lo THEN n_i ELSE 0 END) AS BIGINT)"
+        ).alias("rate_lo_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN s = s_hi THEN r_i ELSE 0 END) * 10000"
+            " DIV sum(CASE WHEN s = s_hi THEN n_i ELSE 0 END) AS BIGINT)"
+        ).alias("rate_hi_bp"),
+    )
+    return sums.selectExpr(
+        "n AS n_lines",
+        "r AS n_returned",
+        "n_buckets",
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * st"
+        " > CAST(r AS DECIMAL(38,0)) * s1 THEN 1"
+        " WHEN CAST(n AS DECIMAL(38,0)) * st"
+        " < CAST(r AS DECIMAL(38,0)) * s1 THEN -1 ELSE 0 END AS trend_sign",
+        "CASE WHEN r > 0 AND r < n"
+        " AND CAST(n AS DECIMAL(38,0)) * s2 <> CAST(s1 AS DECIMAL(38,0)) * s1"
+        " THEN CAST(floor(1000 * (((CAST(CAST(n AS DECIMAL(38,0)) * st"
+        " - CAST(r AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        " * CAST(CAST(n AS DECIMAL(38,0)) * st"
+        " - CAST(r AS DECIMAL(38,0)) * s1 AS DOUBLE)) * CAST(n AS DOUBLE))"
+        " / ((CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)))"
+        " * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))))) AS BIGINT)"
+        " END AS z2_milli",
+        "rate_lo_bp",
+        "rate_hi_bp",
+    )
+
+
+ORACLE_RETURNS_QUANTITY_TREND = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) // 5 AS s,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_i
+  FROM lineitem GROUP BY 1
+),
+ext AS (SELECT g.*, e.s_lo, e.s_hi
+        FROM g, (SELECT min(s) AS s_lo, max(s) AS s_hi FROM g) e),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(sum(r_i) AS BIGINT) AS r,
+         CAST(sum(s * n_i) AS BIGINT) AS s1,
+         CAST(sum(s * s * n_i) AS BIGINT) AS s2,
+         CAST(sum(s * r_i) AS BIGINT) AS st,
+         CAST(sum(CASE WHEN s = s_lo THEN r_i ELSE 0 END) * 10000
+              // sum(CASE WHEN s = s_lo THEN n_i ELSE 0 END) AS BIGINT)
+           AS rate_lo_bp,
+         CAST(sum(CASE WHEN s = s_hi THEN r_i ELSE 0 END) * 10000
+              // sum(CASE WHEN s = s_hi THEN n_i ELSE 0 END) AS BIGINT)
+           AS rate_hi_bp
+  FROM ext
+)
+SELECT n AS n_lines, r AS n_returned, n_buckets,
+       CASE WHEN CAST(n AS HUGEINT) * st > CAST(r AS HUGEINT) * s1 THEN 1
+            WHEN CAST(n AS HUGEINT) * st < CAST(r AS HUGEINT) * s1 THEN -1
+            ELSE 0 END AS trend_sign,
+       CASE WHEN r > 0 AND r < n
+            AND CAST(n AS HUGEINT) * s2 <> CAST(s1 AS HUGEINT) * s1
+       THEN CAST(floor(1000 * (((CAST(CAST(n AS HUGEINT) * st
+         - CAST(r AS HUGEINT) * s1 AS DOUBLE)
+         * CAST(CAST(n AS HUGEINT) * st
+         - CAST(r AS HUGEINT) * s1 AS DOUBLE)) * CAST(n AS DOUBLE))
+         / ((CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)))
+         * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))))) AS BIGINT)
+       END AS z2_milli,
+       rate_lo_bp, rate_hi_bp
+FROM sums
+"""
+
+
 QUERIES = {
+    "supplier_latency_tukey": q_supplier_latency_tukey,
+    "quantity_price_mutual_info": q_quantity_price_mutual_info,
+    "customer_interpurchase_lifetable": q_customer_interpurchase_lifetable,
+    "returns_quantity_trend": q_returns_quantity_trend,
     "orders_mannwhitney_u": q_orders_mannwhitney_u,
     "supplier_revenue_theil": q_supplier_revenue_theil,
     "part_size_price_kendall": q_part_size_price_kendall,
@@ -6574,6 +7174,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_latency_tukey": ORACLE_SUPPLIER_LATENCY_TUKEY,
+    "quantity_price_mutual_info": ORACLE_QUANTITY_PRICE_MUTUAL_INFO,
+    "customer_interpurchase_lifetable": (
+        ORACLE_CUSTOMER_INTERPURCHASE_LIFETABLE
+    ),
+    "returns_quantity_trend": ORACLE_RETURNS_QUANTITY_TREND,
     "lineitem_benford_digits": ORACLE_LINEITEM_BENFORD_DIGITS,
     "part_brand_price_anova": ORACLE_PART_BRAND_PRICE_ANOVA,
     "customer_order_gap_histogram": ORACLE_CUSTOMER_ORDER_GAP_HISTOGRAM,

@@ -303,3 +303,143 @@ def test_supplier_revenue_theil_planted(spark, tmp_path):
     assert (r.n_suppliers, r.n_nations) == (2, 2)
     assert r.theil_total_micro == 0
     assert r.theil_between_micro == 0
+
+
+def test_supplier_latency_tukey_planted(spark, tmp_path):
+    """One nation, latencies {0,10,20,30,100}: q1=10 (cum*4>=5 at the
+    2nd value), q3=30, iqr=20, fences [-20,60] -> only 100 is an
+    outlier (200 permille)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(0, "ALGERIA")], "n_nationkey long, n_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(7, 0)], "s_suppkey long, s_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    base = dt.date(2024, 1, 1)
+    lats = [0, 10, 20, 30, 100]
+    spark.createDataFrame(
+        [(i, base) for i in range(len(lats))],
+        "o_orderkey long, o_orderdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, 7, base + dt.timedelta(days=d)) for i, d in enumerate(lats)],
+        "l_orderkey long, l_suppkey long, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_supplier_latency_tukey(spark, str(tmp_path)).collect()[0]
+    assert (r.nation, r.n_lines) == ("ALGERIA", 5)
+    assert (r.q1_days, r.q3_days, r.iqr_days) == (10, 30, 20)
+    assert (r.n_low, r.n_high, r.outlier_permille) == (0, 1, 200)
+
+
+def test_quantity_price_mutual_info_planted(spark, tmp_path):
+    """Perfect 2x2 dependence (qty determines price bucket): MI equals
+    both marginal entropies (ln 2 = 693147 micro-nats), NMI = 1000."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1.0, 5000.00),
+        (1.0, 5000.00),
+        (2.0, 15000.00),
+        (2.0, 15000.00),
+    ]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_quantity_price_mutual_info(spark, str(tmp_path)).collect()[0]
+    assert (r.n_lines, r.n_cells) == (4, 2)
+    assert r.h_qty_micro == 693147
+    assert r.h_price_micro == 693147
+    assert r.mi_micro == 693147
+    assert r.nmi_permille == 1000
+
+
+def test_customer_interpurchase_lifetable_planted(spark, tmp_path):
+    """cust 1 orders at days 0/10/40, cust 2 at day 0 only; max date =
+    day 40. Intervals: events 10d (b0) + 30d (b1), censored 0d (b0) +
+    40d (b1). Hand-derived life table:
+      b0: at-risk 4, d=1, c=1, hazard 250, km = floor(ln(3/4)*1e6)
+      b1: at-risk 2, d=1, c=1, hazard 500, km += floor(ln(1/2)*1e6)"""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (1, base, 10),
+        (1, base + dt.timedelta(days=10), 11),
+        (1, base + dt.timedelta(days=40), 12),
+        (2, base, 20),
+    ]
+    spark.createDataFrame(
+        [(c, d, k) for c, d, k in rows],
+        "o_custkey long, o_orderdate date, o_orderkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.bucket: (
+            r.n_at_risk,
+            r.n_events,
+            r.n_censored,
+            r.hazard_permille,
+            r.km_ln_micro,
+        )
+        for r in rel.q_customer_interpurchase_lifetable(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        0: (4, 1, 1, 250, -287683),
+        1: (2, 1, 1, 500, -287683 - 693148),
+    }
+
+
+def test_customer_interpurchase_lifetable_death(spark, tmp_path):
+    """When the at-risk set is exhausted by events (n_at_risk ==
+    n_events), survival hits zero: km_ln_micro is NULL from that bucket
+    on. cust A: orders day 0 + day 100 (event b3, censored 0d b0);
+    cust B: single order day 100 (censored 0d b0)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    base = dt.date(2024, 1, 1)
+    rows = [(1, base, 10), (1, base + dt.timedelta(days=100), 11),
+            (2, base + dt.timedelta(days=100), 20)]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_orderkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.bucket: (r.n_at_risk, r.n_events, r.n_censored,
+                   r.hazard_permille, r.km_ln_micro)
+        for r in rel.q_customer_interpurchase_lifetable(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: (3, 0, 2, 0, 0), 3: (1, 1, 0, 1000, None)}
+
+
+def test_returns_quantity_trend_planted(spark, tmp_path):
+    """s=0 bucket: 4 lines 1 return; s=2 bucket: 4 lines 3 returns.
+    T = 8*6 - 4*8 = 16, VarNum = 4*4*(8*16 - 64) = 1024,
+    z^2 = 256*8/1024 = 2.0 exactly -> 2000 milli, rising trend."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1.0, "R")] + [(1.0, "N")] * 3 + [(10.0, "R")] * 3 + [(10.0, "N")]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_returns_quantity_trend(spark, str(tmp_path)).collect()[0]
+    assert (r.n_lines, r.n_returned, r.n_buckets) == (8, 4, 2)
+    assert r.trend_sign == 1
+    assert r.z2_milli == 2000
+    assert (r.rate_lo_bp, r.rate_hi_bp) == (2500, 7500)
+
+
+def test_returns_quantity_trend_degenerate(spark, tmp_path):
+    """A single score bucket has zero score variance: z2_milli is NULL
+    (the integer-exact guard), sign 0."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1.0, "R"), (1.0, "N"), (2.0, "R"), (2.0, "N")]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_returns_quantity_trend(spark, str(tmp_path)).collect()[0]
+    assert (r.n_buckets, r.trend_sign, r.z2_milli) == (1, 0, None)
