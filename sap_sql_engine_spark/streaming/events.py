@@ -4291,6 +4291,75 @@ def streaming_order_gaps(spark: SparkSession, drop_dir: str):
     )
 
 
+def streaming_weekly_retention(spark: SparkSession, drop_dir: str):
+    """Streaming twin of ``q_events_weekly_retention``'s cell
+    extraction: events arrive as a JSONL drop folder and per-user keyed
+    state carries (cohort Monday, bitmask of offsets already emitted);
+    each micro-batch APPENDS one (cohort_week, offset_weeks, user_id)
+    row per FIRST sighting of a (user, week-offset) pair <=
+    RET_MAX_OFFSET — so the retention triangle is then a plain count
+    per (cohort, offset) over the sink, with cohort sizes read off the
+    offset-0 diagonal (every user's first week emits offset 0),
+    identical to the batch query's cells/sizes split.
+
+    Scale posture: state is two BIGINTs per user key (the bitmask caps
+    at RET_MAX_OFFSET+1 bits), partitioned by user_id across executors
+    by the state store; the pandas fold is Arrow-batched. Like the
+    other stateful twins, replay order within a key must be
+    non-decreasing across micro-batches (the ingestion-stream
+    assumption) so the first event seen IS the cohort week; within a
+    batch the fold sorts by ts."""
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .json(drop_dir)
+    )
+    out_schema = "cohort_week string, offset_weeks long, user_id long"
+    state_schema = "cohort_days long, seen_mask long"
+
+    def fold(key, pdfs, state):
+        cohort_days, seen_mask = (
+            state.get if state.exists else (None, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out_cohort, out_off = [], []
+        for ts in rows["ts"]:
+            d = ts.date() if hasattr(ts, "date") else ts
+            monday = d - _dt.timedelta(days=d.weekday())
+            w_days = monday.toordinal()
+            if cohort_days is None:
+                cohort_days = w_days
+            off = (w_days - cohort_days) // 7
+            if off <= RET_MAX_OFFSET and not (seen_mask >> off) & 1:
+                seen_mask |= 1 << off
+                out_cohort.append(
+                    _dt.date.fromordinal(cohort_days).isoformat()
+                )
+                out_off.append(off)
+        state.update((cohort_days, seen_mask))
+        yield pd.DataFrame(
+            {
+                "cohort_week": out_cohort,
+                "offset_weeks": out_off,
+                "user_id": [key[0]] * len(out_off),
+            }
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        emitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("weekly_retention_stream")
+        .start()
+    )
+
+
 ORACLE_EVENTS_MANN_KENDALL = """
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -443,3 +443,85 @@ def test_returns_quantity_trend_degenerate(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     r = rel.q_returns_quantity_trend(spark, str(tmp_path)).collect()[0]
     assert (r.n_buckets, r.trend_sign, r.z2_milli) == (1, 0, None)
+
+
+def test_streaming_weekly_retention_matches_batch(spark, tmp_path):
+    """Stream == batch for the weekly-retention family: per-user keyed
+    state (cohort Monday + offset bitmask) over a 2-drop JSONL events
+    folder, folded to the retention triangle, equals
+    q_events_weekly_retention on the identical rows written as an
+    events.parquet. The drop split lands mid-history so cohort state
+    must bridge the micro-batch boundary, and one user re-appears in an
+    already-emitted week (the bitmask dedupe path)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ts = lambda d, h=12: dt.datetime(2024, 1, d, h, 0, 0)  # noqa: E731
+    rows = [
+        # user 1: cohort wk of Jan 1 (Mon), back in wk+1 and wk+2;
+        # two events in wk+1 -> dedupe
+        (ts(1), 1),
+        (ts(8), 1),
+        (ts(9), 1),
+        (ts(17), 1),
+        # user 2: cohort wk of Jan 1, never returns
+        (ts(3), 2),
+        # user 3: cohort wk of Jan 8, back in wk+1
+        (ts(10), 3),
+        (ts(16), 3),
+    ]
+    schema = "ts timestamp, user_id long"
+    drop_dir = str(tmp_path / "events_drops")
+    cut = ts(9, 0)
+    d1 = [r for r in rows if r[0] < cut]
+    d2 = [r for r in rows if r[0] >= cut]
+    spark.createDataFrame(d1, schema).write.mode("append").json(drop_dir)
+    q = se.streaming_weekly_retention(spark, drop_dir)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2, schema).write.mode("append").json(drop_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cells = (
+        spark.table("weekly_retention_stream")
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained_users"))
+    )
+    # renamed join key: both derivations share the memory sink's fixed
+    # attribute ids, so a same-name join trips self-join resolution
+    sizes = (
+        spark.table("weekly_retention_stream")
+        .filter(F.col("offset_weeks") == 0)
+        .groupBy(F.col("cohort_week").alias("cw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    )
+    stream_tri = {
+        (r.cohort_week, r.offset_weeks, r.cohort_users, r.retained_users,
+         r.retained_permille)
+        for r in cells.join(
+            F.broadcast(sizes), cells["cohort_week"] == sizes["cw"]
+        )
+        .selectExpr(
+            "cohort_week", "offset_weeks", "cohort_users", "retained_users",
+            "CAST(retained_users * 1000 DIV cohort_users AS BIGINT)"
+            " AS retained_permille",
+        )
+        .collect()
+    }
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    batch_tri = {
+        (r.cohort_week, r.offset_weeks, r.cohort_users, r.retained_users,
+         r.retained_permille)
+        for r in se.q_events_weekly_retention(spark, str(tmp_path)).collect()
+    }
+    assert stream_tri == batch_tri
+    # hand-checked: Jan-1 cohort = users {1,2}; user 1 retained wk1+wk2
+    assert ("2024-01-01", 0, 2, 2, 1000) in stream_tri
+    assert ("2024-01-01", 1, 2, 1, 500) in stream_tri
+    assert ("2024-01-01", 2, 2, 1, 500) in stream_tri
+    assert ("2024-01-08", 1, 1, 1, 1000) in stream_tri
