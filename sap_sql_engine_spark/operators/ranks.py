@@ -50,23 +50,47 @@ def with_global_prefix_sum(
 
     ``total_col``: optionally attach the global value total (known
     driver-side from the same metadata collect) as a literal column."""
+    return with_global_prefix_sums(
+        df,
+        {value_col: sum_col},
+        *order_cols,
+        total_cols={value_col: total_col} if total_col is not None else None,
+    )
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    value_cols: dict[str, str],
+    *order_cols: str,
+    total_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Multi-column form of :func:`with_global_prefix_sum`:
+    ``value_cols`` maps each value column to its output prefix-sum
+    column, and ALL of them share the single range exchange + one
+    metadata-sized per-partition collect (one row per partition carrying
+    every column's partition total). A two-sample statistic needing both
+    groups' cumulative counts along one sort order (the KS-test shape)
+    pays the same one exchange the single-column form does.
+
+    ``total_cols``: optional {value_col: literal_total_col} attaches —
+    the global totals are already known driver-side from the same
+    collect."""
     part = cache_eager(
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .select("*", F.spark_partition_id().alias("__pid"))
     )
-    sums = {
-        row["__pid"]: row["s"]
-        for row in part.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+    rows = (
+        part.groupBy("__pid")
+        .agg(
+            *[
+                F.sum(F.col(v).cast("bigint")).alias(v)
+                for v in value_cols
+            ]
+        )
         .collect()
-    }  # one row per partition — metadata, not data
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += int(sums[pid] or 0)
-    offset_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    )  # one row per partition — metadata, not data
+    per_pid = {row["__pid"]: row for row in rows}
     from pyspark.sql import Window
 
     w_local = (
@@ -74,15 +98,31 @@ def with_global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = part.withColumn(
-        sum_col,
-        (
-            offset_map[F.col("__pid")]
-            + F.sum(F.col(value_col).cast("bigint")).over(w_local)
-        ).cast("bigint"),
-    ).drop("__pid")
-    if total_col is not None:
-        out = out.withColumn(total_col, F.lit(acc).cast("bigint"))
+    out = part
+    totals: dict[str, int] = {}
+    for value_col, sum_col in value_cols.items():
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(per_pid):
+            offsets[pid] = acc
+            acc += int(per_pid[pid][value_col] or 0)
+        totals[value_col] = acc
+        offset_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        out = out.withColumn(
+            sum_col,
+            (
+                offset_map[F.col("__pid")]
+                + F.sum(F.col(value_col).cast("bigint")).over(w_local)
+            ).cast("bigint"),
+        )
+    out = out.drop("__pid")
+    if total_cols:
+        for value_col, total_col in total_cols.items():
+            out = out.withColumn(
+                total_col, F.lit(totals[value_col]).cast("bigint")
+            )
     return out
 
 

@@ -7066,7 +7066,564 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov over order prices: the DISTRIBUTION-SHAPE
+# companion of orders_mannwhitney_u (which only sees location) — "do
+# urgent orders follow a different price distribution at all, and where
+# do the CDFs split?"
+
+
+def q_orders_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: group sizes, the exact two-sample KS distance D in
+    basis points, the asymptotic z^2 in milli, and the price (cents) at
+    which the empirical CDFs are furthest apart.
+
+    Exactness: prices collapse to an exact cents histogram with
+    per-group counts; the CDF gap at each value is the exact integer
+    |cum_a*n_b - cum_b*n_a| (DECIMAL(38,0)/HUGEINT — n_a*n_b-scale),
+    so D = max_gap / (n_a*n_b) emits via nonneg matched-truncation
+    division (FLOATS.md rule 6) and z^2 = D^2 * n_a*n_b/(n_a+n_b) is
+    ONE class-B double chain over the exact integers, identical tree
+    both engines, floored at milli. split_cents is the SMALLEST cents
+    achieving the max gap (deterministic under ties).
+
+    Scale shape: ONE corpus-sized shuffle (the cents histogram); both
+    groups' global cumulative counts ride a single range exchange
+    through with_global_prefix_sums (NO single-task global window at
+    any distinct-price cardinality); the argmax re-attach is an
+    equi-join against the 1-row max (BroadcastHashJoin) and the final
+    assembly is a 1-row x 1-row attach."""
+    from .ranks import with_global_prefix_sums
+
+    orders = table(spark, sf_dir, "orders")
+    grp_a = ", ".join(f"'{g}'" for g in MW_GROUP_A)
+    hist = (
+        orders.selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+            f"CASE WHEN o_orderpriority IN ({grp_a}) THEN 1 ELSE 0 END"
+            " AS in_a",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("na"),
+            F.sum(F.expr("1 - in_a")).cast("bigint").alias("nb"),
+        )
+    )
+    ranked = with_global_prefix_sums(
+        hist,
+        {"na": "cum_a", "nb": "cum_b"},
+        "cents",
+        total_cols={"na": "n_a", "nb": "n_b"},
+    )
+    gaps = ranked.selectExpr(
+        "cents",
+        "n_a",
+        "n_b",
+        "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
+        " - CAST(cum_b AS DECIMAL(38,0)) * n_a) AS gap",
+    )
+    agg = gaps.groupBy().agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.coalesce(F.max("gap"), F.lit(0).cast("decimal(38,0)")).alias("m"),
+    )
+    split = (
+        gaps.join(F.broadcast(agg.select("m")), F.expr("gap = m"))
+        .groupBy()
+        .agg(F.min("cents").cast("bigint").alias("split_cents"))
+    )
+    return agg.crossJoin(F.broadcast(split)).selectExpr(
+        "n_a",
+        "n_b",
+        # dividend is an abs() — provably nonneg; matched truncation
+        "CAST(m * 10000 DIV nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)"
+        " AS BIGINT) AS d_bp",
+        # class-B: z^2 = m^2 / (n_a*n_b*(n_a+n_b)) — m^2 is
+        # (n_a*n_b)^2-scale, past DECIMAL(38,0) at n ~ 3e9, so the
+        # chain runs in IEEE doubles over the exact integers (the
+        # mannwhitney z2 precedent), identical tree both engines
+        "CAST(floor(1000.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+        " / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        "          * CAST(n_a + n_b AS DOUBLE), 0.0)) AS BIGINT)"
+        " AS z2_milli",
+        "split_cents",
+    )
+
+
+ORACLE_ORDERS_PRICE_KS_TEST = f"""
+WITH hist AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 0 ELSE 1 END)
+              AS BIGINT) AS nb
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         sum(na) OVER w AS cum_a, sum(nb) OVER w AS cum_b,
+         sum(na) OVER () AS n_a, sum(nb) OVER () AS n_b
+  FROM hist
+  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+),
+gaps AS (
+  SELECT cents, n_a, n_b,
+         abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+           AS gap
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+         coalesce(max(gap), 0) AS m
+  FROM gaps
+),
+split AS (
+  SELECT CAST(min(g.cents) AS BIGINT) AS split_cents
+  FROM gaps g, agg a WHERE g.gap = a.m
+)
+SELECT a.n_a, a.n_b,
+       CAST(a.m * 10000 // nullif(CAST(a.n_a AS HUGEINT) * a.n_b, 0)
+            AS BIGINT) AS d_bp,
+       CAST(floor(1000.0 * CAST(a.m AS DOUBLE) * CAST(a.m AS DOUBLE)
+         / nullif(CAST(a.n_a AS DOUBLE) * CAST(a.n_b AS DOUBLE)
+                  * CAST(a.n_a + a.n_b AS DOUBLE), 0.0)) AS BIGINT)
+         AS z2_milli,
+       s.split_cents
+FROM agg a, split s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V between order priority and order status: the EFFECT-SIZE
+# companion of order_size_priority_chisq (chi2 grows with n even for a
+# fixed association; V is the 0..1 normalization analysts compare
+# across tables).
+
+
+def q_order_priority_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n, level counts, degrees of freedom, the chi-square
+    statistic in micro, and Cramer's V in milli.
+
+    Exactness: the (priority x status) contingency grid is bounded
+    (5 x 3), so margins are constant-key windows on the grid; each
+    cell's chi2 contribution is the exact integer quotient
+    (obs*n - r*c)^2 * 1e6 DIV (n*r*c) (nonneg dividend, matched
+    truncation) and the statistic is the sum of those floored micro
+    cells — identical floor-then-sum on both engines (the chisq
+    precedent). Headroom: diff^2*1e6 is n^4*1e6-scale — DECIMAL(38,0)
+    holds to worst-case-skew n ~ 1e8 orders; past that the non-ANSI
+    session NULLs where DuckDB HUGEINT errors, and the oracle gate is
+    the loud failure. V alone is class B: one sqrt over the exact
+    integers, identical tree, floored at milli.
+
+    Scale shape: one orders aggregation onto the bounded grid; the
+    grid is DENSIFIED by a distinct-level spine cross (r x c <= 15,
+    metadata-sized, BNLJ-allowlisted — an unobserved cell still
+    contributes its expected mass (r*c)^2/(n*r*c), without which a
+    perfectly-associated 2x2 would report V < 1); all statistic math
+    runs on <= 15 rows."""
+    orders = table(spark, sf_dir, "orders")
+    sparse = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    pr = sparse.select("o_orderpriority").distinct()
+    st = sparse.select("o_orderstatus").distinct()
+    cells = (
+        pr.crossJoin(F.broadcast(st))
+        .join(F.broadcast(sparse), ["o_orderpriority", "o_orderstatus"], "left")
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderstatus",
+            "coalesce(obs, CAST(0 AS BIGINT)) AS observed",
+        )
+    )
+    wp = W.partitionBy("o_orderpriority")
+    ws = W.partitionBy("o_orderstatus")
+    wall = W.partitionBy()
+    grid = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.sum("observed").over(wp).cast("bigint").alias("r"),
+        F.sum("observed").over(ws).cast("bigint").alias("c"),
+        F.sum("observed").over(wall).cast("bigint").alias("n"),
+    )
+    diff = (
+        "(CAST(observed AS DECIMAL(38,0)) * n"
+        " - CAST(r AS DECIMAL(38,0)) * c)"
+    )
+    per_cell = grid.selectExpr(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        f"CAST({diff} * {diff} * 1000000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+        " AS chi2_cell_micro",
+    )
+    agg = per_cell.groupBy().agg(
+        F.max("n").alias("n_orders"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("r_levels"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("c_levels"),
+        F.sum("chi2_cell_micro").cast("bigint").alias("chi2_micro"),
+    )
+    return agg.selectExpr(
+        "n_orders",
+        "r_levels",
+        "c_levels",
+        "(r_levels - 1) * (c_levels - 1) AS dof",
+        "chi2_micro",
+        # class-B sqrt over the exact integers (kendall tau_b precedent)
+        "CAST(floor(1000.0 * sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)"
+        " / nullif(CAST(n_orders AS DOUBLE)"
+        "          * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE),"
+        " 0.0))) AS BIGINT) AS v_milli",
+    )
+
+
+ORACLE_ORDER_PRIORITY_CRAMERS_V = """
+WITH sparse AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+cells AS (
+  SELECT p.o_orderpriority, s.o_orderstatus,
+         coalesce(sp.obs, CAST(0 AS BIGINT)) AS observed
+  FROM (SELECT DISTINCT o_orderpriority FROM sparse) p
+  CROSS JOIN (SELECT DISTINCT o_orderstatus FROM sparse) s
+  LEFT JOIN sparse sp
+    ON sp.o_orderpriority = p.o_orderpriority
+   AND sp.o_orderstatus = s.o_orderstatus
+),
+grid AS (
+  SELECT o_orderpriority, o_orderstatus, observed,
+         CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS r,
+         CAST(sum(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+           AS c,
+         CAST(sum(observed) OVER () AS BIGINT) AS n
+  FROM cells
+),
+per_cell AS (
+  SELECT n,
+         o_orderpriority, o_orderstatus,
+         CAST((CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              * (CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              * 1000000
+              // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+           AS chi2_cell_micro
+  FROM grid
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r_levels,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c_levels,
+         CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_micro
+  FROM per_cell
+)
+SELECT n_orders, r_levels, c_levels,
+       (r_levels - 1) * (c_levels - 1) AS dof,
+       chi2_micro,
+       CAST(floor(1000.0 * sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+         / nullif(CAST(n_orders AS DOUBLE)
+                  * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE),
+           0.0))) AS BIGINT) AS v_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend across priority levels:
+# the ORDERED counterpart of part_brand_price_anova — "does line
+# quantity shift monotonically as order priority rises?" — strictly
+# more powerful than chi-square/ANOVA when the alternative is a trend.
+
+
+def q_lineitem_qty_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: line/group/cell counts, the DOUBLED JT statistic and
+    its doubled null mean (doubling keeps the tie convention's half
+    counts integral), the trend sign, and the null z^2 in milli.
+
+    Exactness: the (priority rank x quantity) contingency grid is
+    GRID-BOUNDED (5 x 50 data-independent cells), so the cell-pair
+    inequality join is a metadata-sized nested loop
+    (BNLJ-allowlisted class). JT2 = sum over g1<g2 cell pairs of
+    n1*n2*(2*[q1<q2] + [q1=q2]) and E2 = sum_{j<k} n_j*n_k =
+    (N^2 - sum n_g^2) DIV 2 (always even, nonneg) are exact
+    DECIMAL(38,0)/HUGEINT. z^2 alone is class B: 18*(JT2-E2)^2 /
+    (N^2*(2N+3) - sum n_g^2*(2n_g+3)), the classic no-tie-correction
+    null variance scaled to the doubled statistic — one double chain
+    over exact integers, identical tree, floored at milli; the signed
+    difference is only ever squared. Variance headroom: N^3-scale —
+    DECIMAL(38,0) holds to N ~ 2e12 lines.
+
+    Scale shape: ONE orderkey fact-fact join collapses to the bounded
+    grid; everything after runs on <= 250 rows."""
+    from ..cachereg import cache_eager
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    cells = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .selectExpr(
+            "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g",
+            "CAST(l_quantity AS BIGINT) AS q",
+        )
+        .groupBy("g", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = cache_eager(cells)
+    a = cells.selectExpr("g AS g1", "q AS q1", "n AS n1")
+    b = cells.selectExpr("g AS g2", "q AS q2", "n AS n2")
+    jt = (
+        a.join(F.broadcast(b), F.expr("g1 < g2"))
+        .selectExpr(
+            "CAST(n1 AS DECIMAL(38,0)) * n2"
+            " * (CASE WHEN q1 < q2 THEN 2 WHEN q1 = q2 THEN 1 ELSE 0 END)"
+            " AS jt_term"
+        )
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("jt_term"), F.lit(0).cast("decimal(38,0)"))
+            .alias("jt2")
+        )
+    )
+    marg = cells.groupBy("g").agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_g")
+    )
+    tot = marg.groupBy().agg(
+        F.sum("n_g").alias("nn"),
+        F.sum(F.expr("n_g * n_g")).alias("sum_sq"),
+        F.sum(F.expr("n_g * n_g * (2 * n_g + 3)")).alias("sum_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    ncells = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+    return (
+        jt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ncells))
+        .selectExpr(
+            "CAST(nn AS BIGINT) AS n_lines",
+            "n_groups",
+            "n_cells",
+            "CAST(jt2 AS BIGINT) AS jt2",
+            # N^2 - sum n_g^2 = 2 * sum_{j<k} n_j n_k: even, nonneg
+            "CAST((nn * nn - sum_sq) DIV 2 AS BIGINT) AS e2",
+            "CASE WHEN jt2 > (nn * nn - sum_sq) DIV 2 THEN 1"
+            " WHEN jt2 < (nn * nn - sum_sq) DIV 2 THEN -1 ELSE 0 END"
+            " AS trend_sign",
+            "CAST(floor(18000.0"
+            " * CAST(jt2 - (nn * nn - sum_sq) DIV 2 AS DOUBLE)"
+            " * CAST(jt2 - (nn * nn - sum_sq) DIV 2 AS DOUBLE)"
+            " / nullif(CAST(nn * nn * (2 * nn + 3) - sum_v AS DOUBLE),"
+            " 0.0)) AS BIGINT) AS z2_milli",
+        )
+    )
+
+
+ORACLE_LINEITEM_QTY_JONCKHEERE = """
+WITH cells AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+jt AS (
+  SELECT CAST(coalesce(sum(CAST(a.n AS HUGEINT) * b.n
+           * (CASE WHEN a.q < b.q THEN 2 WHEN a.q = b.q THEN 1 ELSE 0 END)),
+           0) AS HUGEINT) AS jt2
+  FROM cells a JOIN cells b ON a.g < b.g
+),
+marg AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS n_g FROM cells GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS HUGEINT) AS nn,
+         CAST(sum(n_g * n_g) AS HUGEINT) AS sum_sq,
+         CAST(sum(n_g * n_g * (2 * n_g + 3)) AS HUGEINT) AS sum_v,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM marg
+),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells
+)
+SELECT CAST(t.nn AS BIGINT) AS n_lines,
+       t.n_groups,
+       nc.n_cells,
+       CAST(j.jt2 AS BIGINT) AS jt2,
+       CAST((t.nn * t.nn - t.sum_sq) // 2 AS BIGINT) AS e2,
+       CASE WHEN j.jt2 > (t.nn * t.nn - t.sum_sq) // 2 THEN 1
+            WHEN j.jt2 < (t.nn * t.nn - t.sum_sq) // 2 THEN -1
+            ELSE 0 END AS trend_sign,
+       CAST(floor(18000.0
+         * CAST(j.jt2 - (t.nn * t.nn - t.sum_sq) // 2 AS DOUBLE)
+         * CAST(j.jt2 - (t.nn * t.nn - t.sum_sq) // 2 AS DOUBLE)
+         / nullif(CAST(t.nn * t.nn * (2 * t.nn + 3) - t.sum_v AS DOUBLE),
+           0.0)) AS BIGINT) AS z2_milli
+FROM jt j, tot t, nc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) homogeneity-of-variance test
+# across customer segments: the SPREAD counterpart of
+# customer_acctbal_bowley_skew — "do segments differ in balance
+# DISPERSION, not just location?" — the gate statistic one checks
+# before trusting a pooled-variance ANOVA.
+
+
+def q_customer_acctbal_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: customer/group counts, the between/within
+    sums-of-squares of the absolute deviations from group MEDIANS
+    (milli-scaled), and the Brown-Forsythe F in milli.
+
+    Exactness: per-segment type-1 medians come exactly off the
+    (segment, cents) histogram (the bowley_skew recipe); each
+    deviation |cents - med| is an exact nonneg integer, so the group
+    aggregates n_g, S_g = sum dev, Q_g = sum dev^2 are exact
+    DECIMAL(38,0). The SS decomposition keeps one floored-integer
+    quotient per group (S_g^2 * 1000 DIV n_g, nonneg matched
+    truncation — the chisq floor-then-sum precedent) so ssb/ssw are
+    identical integers on both engines; quantization can dip ssb a few
+    milli negative near perfect homogeneity (signed, but only ever a
+    double numerator). F alone is class B: one double chain over the
+    exact integers, floored at milli. Headroom: S_g^2*1000 is
+    (N*dev)^2*1e3-scale — DECIMAL(38,0) holds to N ~ 1e11 customers at
+    the 1e6-cent deviation bound.
+
+    Scale shape: one (segment, cents) histogram aggregation (THE
+    shuffle); medians via segment-partitioned windows on that compact
+    relation; deviations re-aggregate the SAME histogram against the
+    <=5-row broadcast median relation — the corpus is scanned once."""
+    from ..cachereg import cache_eager
+
+    cust = table(spark, sf_dir, "customer")
+    hist = (
+        cust.selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .groupBy("segment", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = cache_eager(hist)
+    w_seg = (
+        W.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = hist.groupBy("segment").agg(F.sum("c").cast("bigint").alias("n"))
+    meds = (
+        hist.withColumn("cum", F.sum("c").over(w_seg))
+        .join(F.broadcast(n), "segment")
+        .groupBy("segment")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents")))
+            .alias("med_cents")
+        )
+    )
+    groups = (
+        hist.join(F.broadcast(meds), "segment")
+        .selectExpr("segment", "c", "abs(cents - med_cents) AS dev")
+        .groupBy("segment")
+        .agg(
+            F.sum("c").cast("decimal(38,0)").alias("n_g"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * dev")).alias("s_g"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * dev * dev"))
+            .alias("q_g"),
+        )
+    )
+    tot = groups.selectExpr(
+        "n_g",
+        "s_g",
+        "q_g",
+        # per-group floored milli quotient (nonneg) — summed identically
+        "s_g * s_g * 1000 DIV n_g AS b_g_milli",
+    ).groupBy().agg(
+        F.sum("n_g").alias("nn"),
+        F.sum("s_g").alias("ss"),
+        F.sum("q_g").alias("qq"),
+        F.sum("b_g_milli").alias("b_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return tot.selectExpr(
+        "CAST(nn AS BIGINT) AS n_customers",
+        "n_groups",
+        "CAST(b_milli - ss * ss * 1000 DIV nn AS BIGINT) AS ssb_milli",
+        "CAST(qq * 1000 - b_milli AS BIGINT) AS ssw_milli",
+        "CAST(floor(1000.0"
+        " * CAST(b_milli - ss * ss * 1000 DIV nn AS DOUBLE)"
+        " * CAST(nn - n_groups AS DOUBLE)"
+        " / nullif(CAST(qq * 1000 - b_milli AS DOUBLE)"
+        "          * CAST(n_groups - 1 AS DOUBLE), 0.0)) AS BIGINT)"
+        " AS f_milli",
+    )
+
+
+ORACLE_CUSTOMER_ACCTBAL_LEVENE = """
+WITH hist AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2
+),
+cum AS (
+  SELECT segment, cents, c,
+         sum(c) OVER (PARTITION BY segment ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY segment) AS n
+  FROM hist
+),
+meds AS (
+  SELECT segment,
+         min(CASE WHEN cum * 2 >= n THEN cents END) AS med_cents
+  FROM cum GROUP BY 1
+),
+groups AS (
+  SELECT h.segment,
+         CAST(sum(h.c) AS HUGEINT) AS n_g,
+         CAST(sum(CAST(h.c AS HUGEINT) * abs(h.cents - m.med_cents))
+              AS HUGEINT) AS s_g,
+         CAST(sum(CAST(h.c AS HUGEINT) * abs(h.cents - m.med_cents)
+                  * abs(h.cents - m.med_cents)) AS HUGEINT) AS q_g
+  FROM hist h JOIN meds m ON h.segment = m.segment
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS HUGEINT) AS nn,
+         CAST(sum(s_g) AS HUGEINT) AS ss,
+         CAST(sum(q_g) AS HUGEINT) AS qq,
+         CAST(sum(s_g * s_g * 1000 // n_g) AS HUGEINT) AS b_milli,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM groups
+)
+SELECT CAST(nn AS BIGINT) AS n_customers,
+       n_groups,
+       CAST(b_milli - ss * ss * 1000 // nn AS BIGINT) AS ssb_milli,
+       CAST(qq * 1000 - b_milli AS BIGINT) AS ssw_milli,
+       CAST(floor(1000.0
+         * CAST(b_milli - ss * ss * 1000 // nn AS DOUBLE)
+         * CAST(nn - n_groups AS DOUBLE)
+         / nullif(CAST(qq * 1000 - b_milli AS DOUBLE)
+                  * CAST(n_groups - 1 AS DOUBLE), 0.0)) AS BIGINT)
+         AS f_milli
+FROM tot
+"""
+
+
 QUERIES = {
+    "orders_price_ks_test": q_orders_price_ks_test,
+    "order_priority_cramers_v": q_order_priority_cramers_v,
+    "lineitem_qty_jonckheere": q_lineitem_qty_jonckheere,
+    "customer_acctbal_levene": q_customer_acctbal_levene,
     "supplier_latency_tukey": q_supplier_latency_tukey,
     "quantity_price_mutual_info": q_quantity_price_mutual_info,
     "customer_interpurchase_lifetable": q_customer_interpurchase_lifetable,
@@ -7174,6 +7731,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_price_ks_test": ORACLE_ORDERS_PRICE_KS_TEST,
+    "order_priority_cramers_v": ORACLE_ORDER_PRIORITY_CRAMERS_V,
+    "lineitem_qty_jonckheere": ORACLE_LINEITEM_QTY_JONCKHEERE,
+    "customer_acctbal_levene": ORACLE_CUSTOMER_ACCTBAL_LEVENE,
     "supplier_latency_tukey": ORACLE_SUPPLIER_LATENCY_TUKEY,
     "quantity_price_mutual_info": ORACLE_QUANTITY_PRICE_MUTUAL_INFO,
     "customer_interpurchase_lifetable": (

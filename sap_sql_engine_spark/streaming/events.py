@@ -4360,6 +4360,145 @@ def streaming_weekly_retention(spark: SparkSession, drop_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Theil-Sen slope of the daily volume series: the ROBUST slope estimator
+# (median of all pairwise slopes — 29% breakdown point) that pairs with
+# the Mann-Kendall direction test above; MK says WHETHER volume trends,
+# Theil-Sen says HOW FAST, immune to the outlier days that wreck an OLS
+# fit.
+
+
+def q_events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: day/pair counts, the positive/negative pair-slope
+    split, and the Theil-Sen slope (median pairwise slope) in
+    milli-events/day.
+
+    Exactness: each pair's slope quantizes FIRST to an integer
+    (c2-c1)*1000 over d2-d1 via the SPELLED-OUT FLOOR IDENTITY on both
+    engines (the dividend is SIGNED — FLOATS.md rule 6), then the
+    median is the exact type-1 order statistic (smallest slope whose
+    cumulative pair count reaches half, cross-multiplied as
+    cum*2 >= n_pairs — the bowley_skew convention) off the slope
+    histogram. No floats anywhere.
+
+    Scale shape: the fact table compacts to the bounded |days| spine
+    in one map-side-combined aggregation (the mann_kendall recipe);
+    the pair cross, the slope histogram, and its cumulative window are
+    all |days|^2-bounded (~266k rows at two years — constant in the
+    corpus), never event-sized."""
+    from ..cachereg import cache_eager
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " DATE '1970-01-01') AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    daily = cache_eager(daily)
+    d1 = daily.selectExpr("d AS da", "c AS ca")
+    d2 = daily.selectExpr("d AS db", "c AS cb")
+    slopes = (
+        d1.join(F.broadcast(d2), F.expr("da < db"))
+        .selectExpr(
+            "CAST((cb - ca) * 1000 AS BIGINT) AS num",
+            "db - da AS den",
+        )
+        # floor identity: slope_milli = floor(num / den), den > 0
+        .selectExpr(
+            "CAST((num - ((num % den + den) % den)) DIV den AS BIGINT)"
+            " AS slope_milli"
+        )
+        .groupBy("slope_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        W.partitionBy()
+        .orderBy("slope_milli")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # constant-key window over the BOUNDED slope histogram (chisq-grid
+    # class: |days|^2 distinct slopes max, independent of corpus size)
+    ranked = slopes.select(
+        "slope_milli",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("bigint").alias("n_pairs"),
+    )
+    agg = ranked.groupBy().agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("slope_milli") > 0, F.col("cnt")))
+        .cast("bigint")
+        .alias("pos_pairs_raw"),
+        F.sum(F.when(F.col("slope_milli") < 0, F.col("cnt")))
+        .cast("bigint")
+        .alias("neg_pairs_raw"),
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("n_pairs"), F.col("slope_milli")
+            )
+        ).alias("sen_slope_milli"),
+    )
+    ndays = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return agg.crossJoin(F.broadcast(ndays)).selectExpr(
+        "n_days",
+        "coalesce(n_pairs, 0) AS n_pairs",
+        "coalesce(pos_pairs_raw, 0) AS pos_pairs",
+        "coalesce(neg_pairs_raw, 0) AS neg_pairs",
+        "sen_slope_milli",
+    )
+
+
+ORACLE_EVENTS_THEIL_SEN = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+           AS slope_milli,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT CAST((b.c - a.c) * 1000 AS BIGINT) AS num,
+           b.d - a.d AS den
+    FROM daily a JOIN daily b ON a.d < b.d
+  )
+  GROUP BY 1
+),
+ranked AS (
+  SELECT slope_milli, cnt,
+         sum(cnt) OVER (ORDER BY slope_milli ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         sum(cnt) OVER () AS n_pairs
+  FROM slopes
+),
+agg AS (
+  SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN slope_milli > 0 THEN cnt END) AS BIGINT)
+           AS pos_pairs_raw,
+         CAST(sum(CASE WHEN slope_milli < 0 THEN cnt END) AS BIGINT)
+           AS neg_pairs_raw,
+         min(CASE WHEN cum * 2 >= n_pairs THEN slope_milli END)
+           AS sen_slope_milli
+  FROM ranked
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT nd.n_days,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.pos_pairs_raw, 0) AS pos_pairs,
+       coalesce(a.neg_pairs_raw, 0) AS neg_pairs,
+       a.sen_slope_milli
+FROM nd, agg a
+"""
+
+
 ORACLE_EVENTS_MANN_KENDALL = """
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -4983,6 +5122,7 @@ ORDER BY k, rank
 
 
 QUERIES = {
+    "events_theil_sen_slope": q_events_theil_sen_slope,
     "events_gapped_patterns_by_k": q_events_gapped_patterns_by_k,
     "events_weekly_retention": q_events_weekly_retention,
     "events_gapped_triple_patterns": q_events_gapped_triple_patterns,
@@ -5034,6 +5174,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_theil_sen_slope": ORACLE_EVENTS_THEIL_SEN,
     "events_ab_lift_report": ORACLE_EVENTS_AB_LIFT,
     "events_holt_forecast": ORACLE_EVENTS_HOLT,
     "events_markov_stationary": ORACLE_MARKOV_STATIONARY,

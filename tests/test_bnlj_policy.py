@@ -132,6 +132,26 @@ BNLJ_ALLOWED = {
     "embedding_intrinsic_dim": "deterministic vec_id%5 eval sample "
     "broadcast against the corpus for exact 2-NN ground truth (the "
     "ann_bruteforce/knn_accuracy eval class)",
+    "quantity_price_mutual_info": "1-row total/entropy attaches onto the "
+    "GRID-BOUNDED (50 qty x price-bucket) contingency relation "
+    "(the kendall class)",
+    "customer_interpurchase_lifetable": "1-row max-date censoring attach "
+    "+ 1-row total attaches onto the bounded bucket relation",
+    "returns_quantity_trend": "1-row total attach onto the bounded "
+    "11-score-bucket relation",
+    "order_priority_cramers_v": "distinct-level spine cross "
+    "(r x c <= 15, metadata-sized — lets unobserved cells contribute "
+    "their expected mass, the source_unigram_tv_matrix spine class)",
+    "orders_price_ks_test": "1-row max-gap and split-point attaches "
+    "(the final assembly is 1-row x 1-row; the argmax probe itself is "
+    "an equi-join)",
+    "lineitem_qty_jonckheere": "cell-pair inequality cross of the "
+    "GRID-BOUNDED (5 priority x 50 qty) contingency relation "
+    "(data-independent cardinality, the kendall class) + 1-row "
+    "marginal/total attaches",
+    "events_theil_sen_slope": "non-equi day-pair self-cross of the "
+    "BOUNDED daily spine (|days|^2, the mann_kendall class) + the "
+    "1-row day-count attach",
 }
 
 

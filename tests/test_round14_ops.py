@@ -525,3 +525,202 @@ def test_streaming_weekly_retention_matches_batch(spark, tmp_path):
     assert ("2024-01-01", 1, 2, 1, 500) in stream_tri
     assert ("2024-01-01", 2, 2, 1, 500) in stream_tri
     assert ("2024-01-08", 1, 1, 1, 1000) in stream_tri
+
+
+def test_orders_price_ks_test_planted(spark, tmp_path):
+    """A = {10.00, 20.00} urgent, B = {10.00, 30.00}: CDF gap peaks at
+    2000 cents where cum_a=2, cum_b=1 -> |2*2 - 1*2| = 2 over
+    n_a*n_b = 4, so D = 0.5 (5000 bp) and z^2 = 4/(2*2*4) = 250 milli."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, "1-URGENT", 10.00),
+        (2, "2-HIGH", 20.00),
+        (3, "3-MEDIUM", 10.00),
+        (4, "5-LOW", 30.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_orders_price_ks_test(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.d_bp == 5000
+    assert r.z2_milli == 250
+    assert r.split_cents == 2000
+
+
+def test_orders_price_ks_test_empty_group(spark, tmp_path):
+    """No urgent orders at all: every gap is 0, D and z^2 are NULL
+    (nullif-guarded zero denominator), split lands on the smallest
+    cents value."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, "5-LOW", 10.00), (2, "5-LOW", 20.00)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_orders_price_ks_test(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (0, 2)
+    assert r.d_bp is None and r.z2_milli is None
+    assert r.split_cents == 1000
+
+
+def test_order_priority_cramers_v_planted(spark, tmp_path):
+    """Perfectly-associated 2x2 (P1 always O, P2 always F): with the
+    DENSIFIED grid the two unobserved cells contribute their expected
+    mass, chi2 = n = 5 exactly and V = 1. Sparse-grid chi2 would be
+    2.6 — this pins the spine-cross densification."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = (
+        [(i, "1-URGENT", "O") for i in range(2)]
+        + [(10 + i, "2-HIGH", "F") for i in range(3)]
+    )
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_order_priority_cramers_v(spark, str(tmp_path)).collect()[0]
+    assert (r.n_orders, r.r_levels, r.c_levels, r.dof) == (5, 2, 2, 1)
+    # cells micro: (P1,O) 36e6//20 + (P1,F) 36e6//30 + (P2,O) 36e6//30
+    # + (P2,F) 36e6//45 = 1.8e6 + 1.2e6 + 1.2e6 + 0.8e6
+    assert r.chi2_micro == 5_000_000
+    assert r.v_milli == 1000
+
+
+def test_order_priority_cramers_v_single_level(spark, tmp_path):
+    """One priority level: min(r-1, c-1) = 0, V is NULL (nullif guard);
+    chi2 of a 1 x c table is 0 (every cell IS its margin product)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, "1-URGENT", "O"), (2, "1-URGENT", "F")]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_order_priority_cramers_v(spark, str(tmp_path)).collect()[0]
+    assert (r.r_levels, r.c_levels, r.chi2_micro) == (1, 2, 0)
+    assert r.v_milli is None
+
+
+def test_lineitem_qty_jonckheere_planted(spark, tmp_path):
+    """g1 quantities {1,2}, g2 {2,3}: 3 wins + 1 tie -> JT = 3.5,
+    JT2 = 7; E2 = (16-8)/2 = 4; varnum = 16*11 - 4*7*2 = 120;
+    z^2 = 72*(3.5-2)^2/120... doubled form: 18000*9/120 = 1350 milli
+    (matches the classic (JT-E)^2/var = 2.25/(120/72) = 1.35)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "2-HIGH")],
+        "o_orderkey long, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 2.0), (2, 3.0)],
+        "l_orderkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_lineitem_qty_jonckheere(spark, str(tmp_path)).collect()[0]
+    assert (r.n_lines, r.n_groups, r.n_cells) == (4, 2, 4)
+    assert (r.jt2, r.e2, r.trend_sign) == (7, 4, 1)
+    assert r.z2_milli == 1350
+
+
+def test_lineitem_qty_jonckheere_single_group(spark, tmp_path):
+    """One priority level: no g1<g2 pairs, JT2 coalesces to 0, E2 = 0,
+    varnum = N^2(2N+3) - N^2(2N+3) = 0 -> z^2 NULL; trend flat."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, "3-MEDIUM")], "o_orderkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 5.0), (1, 7.0)], "l_orderkey long, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = rel.q_lineitem_qty_jonckheere(spark, str(tmp_path)).collect()[0]
+    assert (r.jt2, r.e2, r.trend_sign) == (0, 0, 0)
+    assert r.z2_milli is None
+
+
+def test_customer_acctbal_levene_planted(spark, tmp_path):
+    """A = {0, 200, 1000} cents (median 200, devs {200,0,800}),
+    B = {500, 500} (devs {0,0}): S_A=1000, Q_A=680000;
+    b_milli = 1000^2*1000//3 = 333333333;
+    ssb = 333333333 - 10^9//5 = 133333333 milli;
+    ssw = 680000000 - 333333333 = 346666667 milli;
+    F = (SSB/1)/(SSW/3) = 1.15384.. -> 1153 milli (hand-derived)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, "A", 0.00),
+        (2, "A", 2.00),
+        (3, "A", 10.00),
+        (4, "B", 5.00),
+        (5, "B", 5.00),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = rel.q_customer_acctbal_levene(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.n_groups) == (5, 2)
+    assert r.ssb_milli == 133333333
+    assert r.ssw_milli == 346666667
+    assert r.f_milli == 1153
+
+
+def test_customer_acctbal_levene_homogeneous(spark, tmp_path):
+    """All deviations zero (every group is a point mass): ssb = ssw = 0
+    and F is NULL (nullif-guarded zero denominator)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, "A", 3.00), (2, "A", 3.00), (3, "B", 7.00)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = rel.q_customer_acctbal_levene(spark, str(tmp_path)).collect()[0]
+    assert (r.ssb_milli, r.ssw_milli) == (0, 0)
+    assert r.f_milli is None
+
+
+def test_events_theil_sen_slope_planted(spark, tmp_path):
+    """Days {0,1,3} with counts {10,12,9}: pair slopes milli are
+    {2000, floor(-1000/3) = -334, -1500} — the middle pair PLANTS a
+    negative dividend with nonzero remainder (truncation would give
+    -333), pinning the rule-6 floor identity. Median (type-1, 3 pairs)
+    is the 2nd sorted slope: -334."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as sev
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    counts = {0: 10, 1: 12, 3: 9}
+    rows, eid = [], 0
+    for day, c in counts.items():
+        for i in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=i), 1, "t",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = sev.q_events_theil_sen_slope(spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_pairs) == (3, 3)
+    assert (r.pos_pairs, r.neg_pairs) == (1, 2)
+    assert r.sen_slope_milli == -334
+
+
+def test_events_theil_sen_slope_single_day(spark, tmp_path):
+    """One day: no pairs; counts coalesce to 0 and the median is NULL."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.streaming import events as sev
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(0, base, 1, "t", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = sev.q_events_theil_sen_slope(spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_pairs, r.pos_pairs, r.neg_pairs) == (1, 0, 0, 0)
+    assert r.sen_slope_milli is None

@@ -210,6 +210,13 @@ AUDIT_NOTES: dict[str, str] = {
         "the r13 fix (74730ca): floor identity on both engines; "
         "re-gated green r13 both legs"
     ),
+    "events_theil_sen_slope": (
+        "floor identity spelled out on BOTH engines over BIGINT "
+        "(events.py q_events_theil_sen_slope vs ORACLE_EVENTS_THEIL_SEN) "
+        "— the pair slope (cb-ca)*1000 is genuinely SIGNED, exactly the "
+        "rule-6 case the identity exists for; planted test pins a "
+        "negative-remainder slope"
+    ),
     # floor() here is over a DOUBLE product/quotient of NON-NEGATIVE
     # quantities (jaccard in [0,1], HLL registers > 0, sqrt >= 0), or
     # floor(x*K + 0.5) rounding of a nonneg double — never a signed
