@@ -398,3 +398,224 @@ def test_intrinsic_dim_matches_python_bruteforce(
         for lab, (ne, nd, mu) in per_label.items()
     }
     assert got == expected
+
+
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # cents grid (tie-rich)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(**SETTINGS)
+def test_ks_test_matches_python_bruteforce(spark, tmp_path_factory, prices):
+    """D (bp), z^2 milli, and the split point all reproduce a
+    brute-force CDF sweep over the distinct values in exact Python
+    arithmetic; one-empty-group inputs pin the NULL guards."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+    from sap_sql_engine_spark.operators.relational import MW_GROUP_A
+
+    rows = [
+        (i, MW_GROUP_A[0] if in_a else "5-LOW", cents / 100.0)
+        for i, (cents, in_a) in enumerate(prices)
+    ]
+    tmp = tmp_path_factory.mktemp("ks")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    a = sorted(c for c, g in prices if g)
+    b = sorted(c for c, g in prices if not g)
+    na, nb = len(a), len(b)
+    gaps = {}
+    for v in sorted({c for c, _ in prices}):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        gaps[v] = abs(ca * nb - cb * na)
+    m = max(gaps.values())
+    split = min(v for v, g in gaps.items() if g == m)
+    d_bp = None if na * nb == 0 else _trunc_div(m * 10000, na * nb)
+    z2 = (
+        None
+        if na * nb == 0
+        else math.floor(1000.0 * m * m / (na * nb * (na + nb)))
+    )
+    r = rel.q_orders_price_ks_test(spark, str(tmp)).collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert (r.d_bp, r.z2_milli) == (d_bp, z2)
+    assert r.split_cents == split
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # priority rank
+            st.integers(min_value=1, max_value=4),  # quantity
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**SETTINGS)
+def test_jonckheere_matches_python_bruteforce(
+    spark, tmp_path_factory, lines
+):
+    """Doubled JT, its null mean, and z^2 milli reproduce a brute-force
+    cross-group pair sweep + the textbook null variance in exact
+    Python arithmetic."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    prio = {1: "1-URGENT", 2: "2-HIGH", 3: "3-MEDIUM"}
+    # one order per line so each line gets its own priority
+    tmp = tmp_path_factory.mktemp("jt")
+    spark.createDataFrame(
+        [(i, prio[g]) for i, (g, _) in enumerate(lines)],
+        "o_orderkey long, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, float(q)) for i, (_, q) in enumerate(lines)],
+        "l_orderkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    jt2 = sum(
+        2 if qx < qy else (1 if qx == qy else 0)
+        for gx, qx in lines
+        for gy, qy in lines
+        if gx < gy
+    )
+    n = len(lines)
+    sizes = Counter(g for g, _ in lines)
+    sum_sq = sum(c * c for c in sizes.values())
+    sum_v = sum(c * c * (2 * c + 3) for c in sizes.values())
+    e2 = (n * n - sum_sq) // 2
+    varnum = n * n * (2 * n + 3) - sum_v
+    z2 = (
+        None
+        if varnum == 0
+        else math.floor(18000.0 * (jt2 - e2) * (jt2 - e2) / varnum)
+    )
+    r = rel.q_lineitem_qty_jonckheere(spark, str(tmp)).collect()[0]
+    assert (r.n_lines, r.n_groups) == (n, len(sizes))
+    assert (r.jt2, r.e2) == (jt2, e2)
+    assert r.trend_sign == (jt2 > e2) - (jt2 < e2)
+    assert r.z2_milli == z2
+
+
+@given(
+    bals=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=-5, max_value=5),  # cents
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_levene_matches_python_recompute(spark, tmp_path_factory, bals):
+    """Brown-Forsythe milli SS decomposition and F reproduce exact
+    Python: type-1 medians, integer deviation aggregates, the same
+    per-group floored milli quotients."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("lev")
+    spark.createDataFrame(
+        [(i, seg, c / 100.0) for i, (seg, c) in enumerate(bals)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+
+    groups = {}
+    for seg, c in bals:
+        groups.setdefault(seg, []).append(c)
+    nn = ss = qq = b_milli = 0
+    for vals in groups.values():
+        vals.sort()
+        ng = len(vals)
+        # type-1 median: smallest value with cum*2 >= n
+        cum = 0
+        for v in vals:
+            cum += 1
+            if cum * 2 >= ng:
+                med = v
+                break
+        devs = [abs(v - med) for v in vals]
+        sg, qg = sum(devs), sum(d * d for d in devs)
+        nn += ng
+        ss += sg
+        qq += qg
+        b_milli += (sg * sg * 1000) // ng
+    k = len(groups)
+    ssb = b_milli - (ss * ss * 1000) // nn
+    ssw = qq * 1000 - b_milli
+    f = (
+        None
+        if ssw * (k - 1) == 0
+        else math.floor(1000.0 * ssb * (nn - k) / (ssw * (k - 1)))
+    )
+    r = rel.q_customer_acctbal_levene(spark, str(tmp)).collect()[0]
+    assert (r.n_customers, r.n_groups) == (nn, k)
+    assert (r.ssb_milli, r.ssw_milli) == (ssb, ssw)
+    assert r.f_milli == f
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # day offset
+            st.integers(min_value=1, max_value=5),  # events that day
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_theil_sen_matches_python_recompute(spark, tmp_path_factory, counts):
+    """Pair slopes (floor-quantized milli — Python // IS the floor
+    identity), the type-1 median, and the sign split all reproduce a
+    brute-force pair sweep."""
+    from sap_sql_engine_spark.streaming import events as sev
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for day, c in counts:
+        for i in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=i), 1, "t",
+                 1.0, "{}")
+            )
+            eid += 1
+    tmp = tmp_path_factory.mktemp("ts")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    pts = sorted(counts)
+    slopes = sorted(
+        ((cy - cx) * 1000) // (dy - dx)  # Python // == floor identity
+        for (dx, cx), (dy, cy) in combinations(pts, 2)
+    )
+    np_ = len(slopes)
+    med = None
+    cum = 0
+    for s in slopes:
+        cum += 1
+        if cum * 2 >= np_:
+            med = s
+            break
+    r = sev.q_events_theil_sen_slope(spark, str(tmp)).collect()[0]
+    assert (r.n_days, r.n_pairs) == (len(pts), np_)
+    assert r.pos_pairs == sum(1 for s in slopes if s > 0)
+    assert r.neg_pairs == sum(1 for s in slopes if s < 0)
+    assert r.sen_slope_milli == med
