@@ -665,7 +665,134 @@ FROM nsl e LEFT JOIN nsl r ON r.src = e.dst AND r.dst = e.src
 """
 
 
+# ---------------------------------------------------------------------------
+# Degree assortativity of the bipartite supplier-part sourcing graph:
+# do high-degree suppliers (broad catalogs) serve high-degree parts
+# (widely-sourced commodities), or do specialists pair with niche
+# parts? Negative assortativity = a hub-and-spoke sourcing market.
+
+
+def q_supplier_part_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: edge/node counts, mean degrees in milli, and the
+    Pearson degree-degree correlation across edges in milli.
+
+    Exactness: degrees are exact BIGINT distinct-neighbor counts; the
+    sufficient statistics n, Sx, Sy, Sxy, Sx2, Sy2 accumulate in
+    DECIMAL(38,0)/HUGEINT (deg^2-scale per edge — holds to ~1e12
+    edges at 1e6-degree hubs); mean degrees are nonneg integral milli
+    quotients (matched truncation). The correlation alone is class B:
+    the textbook closed form over the exact integers, ONE double
+    chain, identical tree both engines, floored at milli (signed
+    numerator only ever divided inside the double chain,
+    nullif-guarded zero variances).
+
+    Scale shape: one distinct aggregation builds the edge relation
+    (THE shuffle); the two degree tables are keyed regroups of it;
+    degrees re-attach by equi-joins on the edge keys (co-partitioned
+    with the edge relation under AQE — no broadcast of corpus-sized
+    sides); one 1-row final reduce. No nested loops anywhere."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    edges = li.distinct()
+    edges = cache_eager(edges)
+    deg_s = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_s")
+    )
+    deg_p = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_p")
+    )
+    ed = edges.join(deg_s, "l_suppkey").join(deg_p, "l_partkey")
+    agg = ed.selectExpr(
+        "CAST(deg_s AS DECIMAL(38,0)) AS x",
+        "CAST(deg_p AS DECIMAL(38,0)) AS y",
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sx2"),
+        F.sum(F.expr("y * y")).alias("sy2"),
+    )
+    ns = deg_s.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    )
+    np_ = deg_p.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(np_))
+        .selectExpr(
+            "n_edges",
+            "n_suppliers",
+            "n_parts",
+            "CAST(CAST(n_edges AS DECIMAL(38,0)) * 1000 DIV n_suppliers"
+            " AS BIGINT) AS mean_supplier_degree_milli",
+            "CAST(CAST(n_edges AS DECIMAL(38,0)) * 1000 DIV n_parts"
+            " AS BIGINT) AS mean_part_degree_milli",
+            # class-B: one closed-form double chain over the exact
+            # integer sufficient statistics (the corr/tau precedent)
+            "CAST(floor(1000.0"
+            " * (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / nullif(sqrt((CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            "                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "               * (CAST(n_edges AS DOUBLE)"
+            "                  * CAST(sy2 AS DOUBLE)"
+            "                  - CAST(sy AS DOUBLE)"
+            "                    * CAST(sy AS DOUBLE))), 0.0))"
+            " AS BIGINT) AS assortativity_milli",
+        )
+    )
+
+
+ORACLE_SUPPLIER_PART_ASSORTATIVITY = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+),
+deg_s AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS deg_s
+  FROM edges GROUP BY 1
+),
+deg_p AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg_p
+  FROM edges GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CAST(s.deg_s AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(p.deg_p AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(s.deg_s AS HUGEINT) * p.deg_p) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(s.deg_s AS HUGEINT) * s.deg_s) AS HUGEINT) AS sx2,
+         CAST(sum(CAST(p.deg_p AS HUGEINT) * p.deg_p) AS HUGEINT) AS sy2
+  FROM edges e
+  JOIN deg_s s ON e.l_suppkey = s.l_suppkey
+  JOIN deg_p p ON e.l_partkey = p.l_partkey
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers FROM deg_s),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM deg_p)
+SELECT a.n_edges, ns.n_suppliers, np.n_parts,
+       CAST(CAST(a.n_edges AS HUGEINT) * 1000 // ns.n_suppliers AS BIGINT)
+         AS mean_supplier_degree_milli,
+       CAST(CAST(a.n_edges AS HUGEINT) * 1000 // np.n_parts AS BIGINT)
+         AS mean_part_degree_milli,
+       CAST(floor(1000.0
+         * (CAST(a.n_edges AS DOUBLE) * CAST(a.sxy AS DOUBLE)
+            - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE))
+         / nullif(sqrt((CAST(a.n_edges AS DOUBLE) * CAST(a.sx2 AS DOUBLE)
+                        - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+                       * (CAST(a.n_edges AS DOUBLE)
+                          * CAST(a.sy2 AS DOUBLE)
+                          - CAST(a.sy AS DOUBLE)
+                            * CAST(a.sy AS DOUBLE))), 0.0))
+         AS BIGINT) AS assortativity_milli
+FROM agg a, ns, np
+"""
+
+
 QUERIES = {
+    "supplier_part_assortativity": q_supplier_part_assortativity,
     "nation_trade_pagerank": q_nation_trade_pagerank,
     "nation_trade_reciprocity": q_nation_trade_reciprocity,
     "copurchase_triangles": q_copurchase_triangles,
@@ -674,6 +801,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_part_assortativity": ORACLE_SUPPLIER_PART_ASSORTATIVITY,
     "nation_trade_pagerank": ORACLE_NATION_TRADE_PAGERANK,
     "nation_trade_reciprocity": ORACLE_NATION_TRADE_RECIPROCITY,
     "copurchase_triangles": ORACLE_COPURCHASE_TRIANGLES,

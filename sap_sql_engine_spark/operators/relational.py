@@ -7067,6 +7067,127 @@ FROM sums
 
 
 # ---------------------------------------------------------------------------
+# Mean log deviation (Theil L / GE(0)) of customer spend with the
+# between-segment component: completes the inequality family — gini
+# (customer_spend_gini) ranks, Theil T (supplier_revenue_theil) weights
+# by share, MLD weights every customer equally, and its decomposition
+# says how much spend inequality is BETWEEN market segments.
+
+
+def q_customer_spend_mld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: customer/segment counts and MLD total + between-segment
+    component, both in integer micro-nats.
+
+    MLD = ln(mean) - mean(ln x); between = ln(mean) - sum_g (n_g/n)
+    ln(mean_g). Determinism (FLOATS.md class C, the revenue_theil
+    discipline): ONE ln per customer row on the exact cents value,
+    floor-quantized to micro-nats; sums accumulate in
+    DECIMAL(38,0)/HUGEINT; ln(mean) is one ln on the 1-row aggregate;
+    the per-n divisions have provably NONNEG dividends (cents >= 1 so
+    every ln >= 0) under matched truncation, and the emitted cells are
+    SUBTRACTIONS of those integers (quantization can dip them a hair
+    negative near perfect equality — no signed division anywhere).
+
+    Scale shape: one custkey aggregation over orders (THE shuffle), a
+    custkey equi-join to customer for the segment (co-partitioned
+    under AQE), then a cached compact (segment, cents) relation feeds
+    the 1-row total and the |segments|-row regroup."""
+    from ..cachereg import cache_eager
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("spend"))
+        .selectExpr("o_custkey", "CAST(spend * 100 AS BIGINT) AS cents")
+    )
+    seg = (
+        per.join(cust, per["o_custkey"] == cust["c_custkey"])
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "cents",
+            "CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT)"
+            " AS lnx",
+        )
+    )
+    seg = cache_eager(seg)
+    tot = seg.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("lnx").cast("decimal(38,0)")).alias("sln"),
+    )
+    btw = (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+        )
+        .selectExpr(
+            "CAST(n_g AS DECIMAL(38,0))"
+            " * floor(ln(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
+            "         * 1000000) AS term"
+        )
+        .groupBy()
+        .agg(
+            F.sum("term").alias("bnum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(btw)).selectExpr(
+        "n AS n_customers",
+        "n_segments",
+        "CAST(floor(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)"
+        " - sln DIV n AS BIGINT) AS mld_total_micro",
+        "CAST(floor(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)"
+        " - bnum DIV n AS BIGINT) AS mld_between_micro",
+    )
+
+
+ORACLE_CUSTOMER_SPEND_MLD = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, p.cents,
+         CAST(floor(ln(CAST(p.cents AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lnx
+  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(lnx AS HUGEINT)) AS HUGEINT) AS sln
+  FROM seg
+),
+btw AS (
+  SELECT CAST(sum(CAST(n_g AS HUGEINT)
+           * CAST(floor(ln(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS HUGEINT) AS bnum,
+         CAST(count(*) AS BIGINT) AS n_segments
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s_g
+    FROM seg GROUP BY segment
+  )
+)
+SELECT t.n AS n_customers,
+       b.n_segments,
+       CAST(CAST(floor(ln(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * 1000000) AS BIGINT)
+            - t.sln // t.n AS BIGINT) AS mld_total_micro,
+       CAST(CAST(floor(ln(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * 1000000) AS BIGINT)
+            - b.bnum // t.n AS BIGINT) AS mld_between_micro
+FROM tot t, btw b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov over order prices: the DISTRIBUTION-SHAPE
 # companion of orders_mannwhitney_u (which only sees location) — "do
 # urgent orders follow a different price distribution at all, and where
@@ -7620,6 +7741,7 @@ FROM tot
 
 
 QUERIES = {
+    "customer_spend_mld": q_customer_spend_mld,
     "orders_price_ks_test": q_orders_price_ks_test,
     "order_priority_cramers_v": q_order_priority_cramers_v,
     "lineitem_qty_jonckheere": q_lineitem_qty_jonckheere,
@@ -7731,6 +7853,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_spend_mld": ORACLE_CUSTOMER_SPEND_MLD,
     "orders_price_ks_test": ORACLE_ORDERS_PRICE_KS_TEST,
     "order_priority_cramers_v": ORACLE_ORDER_PRIORITY_CRAMERS_V,
     "lineitem_qty_jonckheere": ORACLE_LINEITEM_QTY_JONCKHEERE,

@@ -5314,7 +5314,179 @@ ORDER BY probe_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source Kolmogorov-Smirnov quality drift: each source's quality
+# distribution tested against the REST of the corpus — the
+# distribution-shape sibling of source_psi_drift (PSI needs binning
+# choices; KS is the binning-free "has this feed's quality shifted?"
+# alarm a corpus pipeline pages on).
+
+
+def q_docs_quality_ks_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_docs, n_rest, d_bp, z2_milli) per source: the exact
+    two-sample KS distance between the source's quality-score
+    distribution and the rest of the corpus, in basis points, with the
+    asymptotic z^2 in milli.
+
+    Exactness: the 4dp-rounded quality score quantizes to an exact
+    basis-point grid (round-to-nearest of a 4dp double — the
+    jaccard_threshold_sweep precedent: identical doubles both
+    engines); every CDF gap is the exact integer
+    |cum_s*(N-n_s) - (cum_all-cum_s)*n_s| in DECIMAL(38,0)/HUGEINT;
+    D emits via nonneg matched-truncation division and z^2 is one
+    class-B double chain (the orders_price_ks_test recipe, per row).
+
+    Scale shape: the corpus pays the quality-scoring map + ONE
+    (source, q) histogram aggregation; the q grid is DATA-INDEPENDENT
+    bounded (0..10000 bp), so the dense source x grid spine, the
+    per-source and global cumulative windows, and the final per-source
+    reduce all run on metadata-sized relations (<= |sources| x 10001
+    rows — the chisq-grid class)."""
+    from ..cachereg import cache_eager
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score_from(docs).select("doc_id", "quality_score")
+    src = docs.select("doc_id", "source")
+    hist = (
+        src.join(scored, "doc_id")
+        .selectExpr(
+            "source",
+            "CAST(round(quality_score * 10000) AS BIGINT) AS q",
+        )
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = cache_eager(hist)
+    spine = (
+        hist.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(hist.select("q").distinct()))
+    )
+    dense = spine.join(hist, ["source", "q"], "left").selectExpr(
+        "source", "q", "coalesce(c, CAST(0 AS BIGINT)) AS c"
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = dense.withColumn(
+        "cum_s", F.sum("c").over(w_src).cast("bigint")
+    )
+    hist_all = hist.groupBy("q").agg(
+        F.sum("c").cast("bigint").alias("c_all")
+    )
+    w_all = (
+        Window.partitionBy()
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_all = hist_all.select(
+        "q",
+        F.sum("c_all").over(w_all).cast("bigint").alias("cum_all"),
+        F.sum("c_all").over(Window.partitionBy()).cast("bigint").alias("nn"),
+    )
+    n_s = hist.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs")
+    )
+    gaps = (
+        cums.join(F.broadcast(cum_all), "q")
+        .join(F.broadcast(n_s), "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "nn - n_docs AS n_rest",
+            "abs(CAST(cum_s AS DECIMAL(38,0)) * (nn - n_docs)"
+            " - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_docs) AS gap",
+        )
+    )
+    return (
+        gaps.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_rest").alias("n_rest"),
+            F.max("gap").alias("m"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_rest",
+            "CAST(m * 10000"
+            " DIV nullif(CAST(n_docs AS DECIMAL(38,0)) * n_rest, 0)"
+            " AS BIGINT) AS d_bp",
+            "CAST(floor(1000.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+            " / nullif(CAST(n_docs AS DOUBLE) * CAST(n_rest AS DOUBLE)"
+            "          * CAST(n_docs + n_rest AS DOUBLE), 0.0))"
+            " AS BIGINT) AS z2_milli",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_QUALITY_KS_BY_SOURCE = rf"""
+WITH scored AS ({ORACLE_QUALITY_SCORE}),
+hist AS (
+  SELECT d.source,
+         CAST(round(s.quality_score * 10000) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT src.source, grid.q
+  FROM (SELECT DISTINCT source FROM hist) src
+  CROSS JOIN (SELECT DISTINCT q FROM hist) grid
+),
+dense AS (
+  SELECT sp.source, sp.q, coalesce(h.c, CAST(0 AS BIGINT)) AS c
+  FROM spine sp LEFT JOIN hist h
+    ON h.source = sp.source AND h.q = sp.q
+),
+cums AS (
+  SELECT source, q, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+  FROM dense
+),
+cum_all_t AS (
+  SELECT q,
+         CAST(sum(c_all) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_all,
+         CAST(sum(c_all) OVER () AS BIGINT) AS nn
+  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS c_all FROM hist GROUP BY 1)
+),
+ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY 1
+),
+gaps AS (
+  SELECT c.source, n.n_docs, a.nn - n.n_docs AS n_rest,
+         abs(CAST(c.cum_s AS HUGEINT) * (a.nn - n.n_docs)
+             - CAST(a.cum_all - c.cum_s AS HUGEINT) * n.n_docs) AS gap
+  FROM cums c
+  JOIN cum_all_t a ON c.q = a.q
+  JOIN ns n ON c.source = n.source
+)
+SELECT source,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(max(n_rest) AS BIGINT) AS n_rest,
+       CAST(max(gap) * 10000
+            // nullif(CAST(max(n_docs) AS HUGEINT) * max(n_rest), 0)
+            AS BIGINT) AS d_bp,
+       CAST(floor(1000.0 * CAST(max(gap) AS DOUBLE)
+                  * CAST(max(gap) AS DOUBLE)
+         / nullif(CAST(max(n_docs) AS DOUBLE) * CAST(max(n_rest) AS DOUBLE)
+                  * CAST(max(n_docs) + max(n_rest) AS DOUBLE), 0.0))
+         AS BIGINT) AS z2_milli
+FROM gaps
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "docs_quality_ks_by_source": q_docs_quality_ks_by_source,
     "docs_charclass_profile": q_docs_charclass_profile,
     "docs_sample_inspection_pack": q_docs_sample_inspection_pack,
     "source_mixture_weights": q_source_mixture_weights,
@@ -5380,6 +5552,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_quality_ks_by_source": ORACLE_DOCS_QUALITY_KS_BY_SOURCE,
     "docs_charclass_profile": ORACLE_CHARCLASS_PROFILE,
     "docs_sample_inspection_pack": ORACLE_INSPECTION_PACK,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE,

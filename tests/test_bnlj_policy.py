@@ -139,6 +139,14 @@ BNLJ_ALLOWED = {
     "+ 1-row total attaches onto the bounded bucket relation",
     "returns_quantity_trend": "1-row total attach onto the bounded "
     "11-score-bucket relation",
+    "supplier_part_assortativity": "1-row node-count attaches onto the "
+    "1-row sufficient-statistics aggregate",
+    "customer_spend_mld": "1-row between-component attach onto the "
+    "1-row total aggregate",
+    "docs_quality_ks_by_source": "source x quality-bp spine cross "
+    "(|sources| x a DATA-INDEPENDENT <=10001-bp grid, metadata-sized — "
+    "dense CDFs so every source's cum is defined at each global grid "
+    "point) + the bounded cum_all/n_s attaches",
     "order_priority_cramers_v": "distinct-level spine cross "
     "(r x c <= 15, metadata-sized — lets unobserved cells contribute "
     "their expected mass, the source_unigram_tv_matrix spine class)",

@@ -724,3 +724,113 @@ def test_events_theil_sen_slope_single_day(spark, tmp_path):
     r = sev.q_events_theil_sen_slope(spark, str(tmp_path)).collect()[0]
     assert (r.n_days, r.n_pairs, r.pos_pairs, r.neg_pairs) == (1, 0, 0, 0)
     assert r.sen_slope_milli is None
+
+
+def test_supplier_part_assortativity_planted(spark, tmp_path):
+    """Edges s1-p10, s1-p11, s2-p10 (with a duplicate lineitem row to
+    pin the DISTINCT): degree pairs (2,2),(2,1),(1,2) give
+    n*Sxy - SxSy = 24 - 25 = -1 over sqrt(2*2) -> -500 milli."""
+    from sap_sql_engine_spark.operators import graph as gr
+
+    rows = [(1, 10), (1, 10), (1, 11), (2, 10)]
+    spark.createDataFrame(
+        rows, "l_suppkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = gr.q_supplier_part_assortativity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_suppliers, r.n_parts) == (3, 2, 2)
+    assert r.mean_supplier_degree_milli == 1500
+    assert r.mean_part_degree_milli == 1500
+    assert r.assortativity_milli == -500
+
+
+def test_supplier_part_assortativity_degenerate(spark, tmp_path):
+    """A single edge has zero degree variance on both sides: the
+    correlation is NULL (nullif-guarded)."""
+    from sap_sql_engine_spark.operators import graph as gr
+
+    spark.createDataFrame(
+        [(1, 10)], "l_suppkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = gr.q_supplier_part_assortativity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_edges, r.n_suppliers, r.n_parts) == (1, 1, 1)
+    assert r.assortativity_milli is None
+
+
+def test_customer_spend_mld_planted(spark, tmp_path):
+    """Equal spends -> MLD exactly 0 (both components); a 100x spread
+    in one segment reproduces the quantized ln recompute, with the
+    between component 0 (one segment = no between-group inequality)."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S1"), (3, "S2")],
+        "c_custkey long, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 1.00), (11, 2, 1.00), (12, 3, 1.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_customer_spend_mld(spark, str(tmp_path)).collect()[0]
+    assert (r.n_customers, r.n_segments) == (3, 2)
+    assert (r.mld_total_micro, r.mld_between_micro) == (0, 0)
+
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S1")], "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 1.00), (11, 2, 100.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_customer_spend_mld(spark, str(tmp_path)).collect()[0]
+    t1 = math.floor(math.log(10100 / 2) * 1_000_000)
+    t2 = (
+        math.floor(math.log(100) * 1_000_000)
+        + math.floor(math.log(10000) * 1_000_000)
+    ) // 2
+    assert r.mld_total_micro == t1 - t2
+    assert r.mld_between_micro == 0
+
+
+def test_docs_quality_ks_by_source_planted(spark, tmp_path):
+    """Identical texts across sources -> every per-source D is 0;
+    two sources with disjoint quality values -> both report the full
+    D = 10000 bp (each source's CDF is disjoint from its rest)."""
+    from sap_sql_engine_spark.operators import textanalysis as ta
+
+    same = "the cat sat on the mat and it is a fine day in town."
+    rows = [
+        (i, same, "en", src, len(same))
+        for i, src in enumerate(["srcA", "srcA", "srcB", "srcB"])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in ta.q_docs_quality_ks_by_source(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["srcA"].d_bp == 0 and out["srcB"].d_bp == 0
+    assert out["srcA"].n_docs == 2 and out["srcA"].n_rest == 2
+
+    lo = "zzzz qqqq 12345 !!!! xxxx"
+    rows = [
+        (0, same, "en", "srcA", len(same)),
+        (1, same, "en", "srcA", len(same)),
+        (2, lo, "xx", "srcB", len(lo)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in ta.q_docs_quality_ks_by_source(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["srcA"].d_bp == 10000
+    assert out["srcB"].d_bp == 10000
+    assert (out["srcB"].n_docs, out["srcB"].n_rest) == (1, 2)
