@@ -619,3 +619,97 @@ def test_theil_sen_matches_python_recompute(spark, tmp_path_factory, counts):
     assert r.pos_pairs == sum(1 for s in slopes if s > 0)
     assert r.neg_pairs == sum(1 for s in slopes if s < 0)
     assert r.sen_slope_milli == med
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # suppkey
+            st.integers(min_value=1, max_value=4),  # partkey
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_assortativity_matches_python_bruteforce(
+    spark, tmp_path_factory, edges
+):
+    """Degree sufficient statistics and the milli correlation reproduce
+    a brute-force recompute over the deduplicated edge set (duplicate
+    lineitem rows must not inflate degrees)."""
+    import math
+
+    from sap_sql_engine_spark.operators import graph as gr
+
+    tmp = tmp_path_factory.mktemp("ast")
+    spark.createDataFrame(
+        edges, "l_suppkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    es = sorted(set(edges))
+    ds = Counter(s for s, _ in es)
+    dp = Counter(p for _, p in es)
+    n = len(es)
+    xs = [ds[s] for s, _ in es]
+    ys = [dp[p] for _, p in es]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2, sy2 = sum(x * x for x in xs), sum(y * y for y in ys)
+    varp = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    corr = (
+        None
+        if varp == 0
+        else math.floor(1000.0 * (n * sxy - sx * sy) / math.sqrt(varp))
+    )
+    r = gr.q_supplier_part_assortativity(spark, str(tmp)).collect()[0]
+    assert (r.n_edges, r.n_suppliers, r.n_parts) == (n, len(ds), len(dp))
+    assert r.mean_supplier_degree_milli == (n * 1000) // len(ds)
+    assert r.mean_part_degree_milli == (n * 1000) // len(dp)
+    assert r.assortativity_milli == corr
+
+
+@given(
+    spends=st.lists(
+        st.tuples(
+            st.sampled_from(["S1", "S2"]),
+            st.integers(min_value=1, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_spend_mld_matches_python_recompute(spark, tmp_path_factory, spends):
+    """Both MLD components reproduce the quantized-ln Python recompute
+    (floor-quantized micro-nats per customer, truncating per-n
+    divisions on nonneg sums, integer subtraction at the end)."""
+    import math
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("mld")
+    spark.createDataFrame(
+        [(i, seg) for i, (seg, _) in enumerate(spends)],
+        "c_custkey long, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+    spark.createDataFrame(
+        [(100 + i, i, c / 100.0) for i, (_, c) in enumerate(spends)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    n = len(spends)
+    s = sum(c for _, c in spends)
+    t1 = math.floor(math.log(s / n) * 1_000_000)
+    sln = sum(math.floor(math.log(c) * 1_000_000) for _, c in spends)
+    groups = {}
+    for seg, c in spends:
+        groups.setdefault(seg, []).append(c)
+    bnum = sum(
+        len(v) * math.floor(math.log(sum(v) / len(v)) * 1_000_000)
+        for v in groups.values()
+    )
+    r = rel.q_customer_spend_mld(spark, str(tmp)).collect()[0]
+    assert (r.n_customers, r.n_segments) == (n, len(groups))
+    assert r.mld_total_micro == t1 - sln // n
+    assert r.mld_between_micro == t1 - bnum // n
