@@ -4368,36 +4368,14 @@ def streaming_weekly_retention(spark: SparkSession, drop_dir: str):
 # fit.
 
 
-def q_events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: day/pair counts, the positive/negative pair-slope
-    split, and the Theil-Sen slope (median pairwise slope) in
-    milli-events/day.
-
-    Exactness: each pair's slope quantizes FIRST to an integer
-    (c2-c1)*1000 over d2-d1 via the SPELLED-OUT FLOOR IDENTITY on both
-    engines (the dividend is SIGNED — FLOATS.md rule 6), then the
-    median is the exact type-1 order statistic (smallest slope whose
-    cumulative pair count reaches half, cross-multiplied as
-    cum*2 >= n_pairs — the bowley_skew convention) off the slope
-    histogram. No floats anywhere.
-
-    Scale shape: the fact table compacts to the bounded |days| spine
-    in one map-side-combined aggregation (the mann_kendall recipe);
-    the pair cross, the slope histogram, and its cumulative window are
-    all |days|^2-bounded (~266k rows at two years — constant in the
-    corpus), never event-sized."""
+def theil_sen_from_days(daily: DataFrame) -> DataFrame:
+    """The Theil-Sen report over ANY (d, c) relation (d = integer day
+    index, c = count) — shared by the batch query (which derives the
+    spine from the fact table) and the streaming twin (which reruns it
+    over the watermarked daily SINK, the trend_from_daily production
+    split)."""
     from ..cachereg import cache_eager
 
-    ev = _events(spark, sf_dir)
-    daily = (
-        ev.groupBy(
-            F.expr(
-                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
-                " DATE '1970-01-01') AS BIGINT)"
-            ).alias("d")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
     daily = cache_eager(daily)
     d1 = daily.selectExpr("d AS da", "c AS ca")
     d2 = daily.selectExpr("d AS db", "c AS cb")
@@ -4452,6 +4430,34 @@ def q_events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coalesce(neg_pairs_raw, 0) AS neg_pairs",
         "sen_slope_milli",
     )
+
+
+def q_events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: day/pair counts, the positive/negative pair-slope
+    split, and the Theil-Sen slope (median pairwise slope) in
+    milli-events/day.
+
+    Exactness: each pair's slope quantizes FIRST to an integer
+    (c2-c1)*1000 over d2-d1 via the SPELLED-OUT FLOOR IDENTITY on both
+    engines (the dividend is SIGNED — FLOATS.md rule 6), then the
+    median is the exact type-1 order statistic (smallest slope whose
+    cumulative pair count reaches half, cross-multiplied as
+    cum*2 >= n_pairs — the bowley_skew convention) off the slope
+    histogram. No floats anywhere.
+
+    Scale shape: the fact table compacts to the bounded |days| spine
+    in one map-side-combined aggregation (the mann_kendall recipe);
+    the pair cross, the slope histogram, and its cumulative window are
+    all |days|^2-bounded (~266k rows at two years — constant in the
+    corpus), never event-sized."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return theil_sen_from_days(daily)
 
 
 ORACLE_EVENTS_THEIL_SEN = """

@@ -834,3 +834,53 @@ def test_docs_quality_ks_by_source_planted(spark, tmp_path):
     assert out["srcA"].d_bp == 10000
     assert out["srcB"].d_bp == 10000
     assert (out["srcB"].n_docs, out["srcB"].n_rest) == (1, 2)
+
+
+def test_theil_sen_over_streaming_daily_sink(spark, tmp_path):
+    """Production split for the Theil-Sen lane: streaming_daily_counts
+    maintains the watermarked daily sink, and theil_sen_from_days over
+    the sink (day string -> integer day index) equals the batch query
+    on the identical rows written as events.parquet. Daily counts
+    1, 3, 2 give pair slopes {2000, 500, -1000} milli -> median 500."""
+    import datetime as dt
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "daily")
+    rows = [(1, 1, 9), (1, 2, 9), (2, 2, 10), (3, 2, 11), (1, 3, 9), (2, 3, 15)]
+    # sentinel: pushes the 2-day watermark past every real day; its own
+    # open window never reaches the sink
+    flush = [(99, 20, 0)]
+    spark.createDataFrame(
+        [
+            (u, "click", dt.datetime(2024, 3, d, h), 1.0)
+            for (u, d, h) in rows + flush
+        ],
+        "user_id long, event_type string, ts timestamp, value double",
+    ).write.mode("append").json(drop_dir)
+    q = se.streaming_daily_counts(spark, drop_dir, out_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink_days = spark.read.parquet(out_dir).selectExpr(
+        "CAST(datediff(CAST(day AS DATE), DATE '1970-01-01') AS BIGINT)"
+        " AS d",
+        "c",
+    )
+    got = [tuple(r) for r in se.theil_sen_from_days(sink_days).collect()]
+
+    spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 3, d, h), u, "click", 1.0, "{}")
+            for i, (u, d, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    want = [
+        tuple(r)
+        for r in se.q_events_theil_sen_slope(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    assert got == [(3, 3, 2, 1, 500)]
