@@ -7346,9 +7346,16 @@ def q_order_priority_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes its expected mass (r*c)^2/(n*r*c), without which a
     perfectly-associated 2x2 would report V < 1); all statistic math
     runs on <= 15 rows."""
+    from ..cachereg import cache_eager
+
     orders = table(spark, sf_dir, "orders")
-    sparse = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("obs")
+    # cached: the spine's two distinct-level relations and the left
+    # join all derive from this <=15-row grid — without the cache
+    # Catalyst expands each branch into its own corpus scan
+    sparse = cache_eager(
+        orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("obs")
+        )
     )
     pr = sparse.select("o_orderpriority").distinct()
     st = sparse.select("o_orderstatus").distinct()

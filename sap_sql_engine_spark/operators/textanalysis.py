@@ -5339,7 +5339,9 @@ def q_docs_quality_ks_by_source(
     class-B double chain (the orders_price_ks_test recipe, per row).
 
     Scale shape: the corpus pays the quality-scoring map + ONE
-    (source, q) histogram aggregation; the q grid is DATA-INDEPENDENT
+    (source, q) histogram aggregation (plus a column-pruned
+    (doc_id, source) scan for the attach join — cheap next to the
+    regex scoring); the q grid is DATA-INDEPENDENT
     bounded (0..10000 bp), so the dense source x grid spine, the
     per-source and global cumulative windows, and the final per-source
     reduce all run on metadata-sized relations (<= |sources| x 10001
