@@ -7067,6 +7067,124 @@ FROM sums
 
 
 # ---------------------------------------------------------------------------
+# Per-month chi-square drift of the order-priority mix against the
+# all-time mix: the categorical-drift monitor (which months' priority
+# composition deviates, and by how much?) — the time-sliced sibling of
+# order_priority_cramers_v's single global association readout.
+
+
+def q_orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, n_orders, dof, chi2_micro) per order month: the
+    chi-square of that month's priority counts against expectations
+    from the GLOBAL priority shares.
+
+    Exactness: the (month x priority) grid is bounded (~84 x 5), spine-
+    DENSIFIED so a priority absent in a month still contributes its
+    expected mass (the cramers_v precedent); each cell's contribution
+    is the exact integer (obs*N - n_m*r_p)^2 * 1e6 DIV (N*n_m*r_p)
+    (nonneg dividend, matched truncation, floor-then-sum — the chisq
+    recipe). Headroom: the squared term is N^4*1e6-scale, DECIMAL(38,0)
+    holds to ~1e8 orders worst-case; past that non-ANSI Spark NULLs
+    where DuckDB HUGEINT errors, the oracle gate being the loud
+    failure.
+
+    Scale shape: one orders aggregation onto the bounded grid; margins
+    are constant-key windows on it; everything after runs on <= 420
+    rows."""
+    from ..cachereg import cache_eager
+
+    orders = table(spark, sf_dir, "orders")
+    sparse = cache_eager(
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    spine = (
+        sparse.select("month")
+        .distinct()
+        .crossJoin(F.broadcast(sparse.select("o_orderpriority").distinct()))
+    )
+    cells = spine.join(
+        F.broadcast(sparse), ["month", "o_orderpriority"], "left"
+    ).selectExpr(
+        "month",
+        "o_orderpriority",
+        "coalesce(obs, CAST(0 AS BIGINT)) AS observed",
+    )
+    wm = W.partitionBy("month")
+    wp = W.partitionBy("o_orderpriority")
+    wall = W.partitionBy()
+    grid = cells.select(
+        "month",
+        "o_orderpriority",
+        "observed",
+        F.sum("observed").over(wm).cast("bigint").alias("n_m"),
+        F.sum("observed").over(wp).cast("bigint").alias("r_p"),
+        F.sum("observed").over(wall).cast("bigint").alias("n"),
+    )
+    diff = (
+        "(CAST(observed AS DECIMAL(38,0)) * n"
+        " - CAST(n_m AS DECIMAL(38,0)) * r_p)"
+    )
+    return (
+        grid.selectExpr(
+            "month",
+            "n_m",
+            "o_orderpriority",
+            f"CAST({diff} * {diff} * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n_m * r_p) AS BIGINT)"
+            " AS contrib_micro",
+        )
+        .groupBy("month")
+        .agg(
+            F.max("n_m").alias("n_orders"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+            F.sum("contrib_micro").cast("bigint").alias("chi2_micro"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_ORDERS_PRIORITY_MIX_DRIFT = """
+WITH sparse AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+cells AS (
+  SELECT m.month, p.o_orderpriority,
+         coalesce(s.obs, CAST(0 AS BIGINT)) AS observed
+  FROM (SELECT DISTINCT month FROM sparse) m
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM sparse) p
+  LEFT JOIN sparse s
+    ON s.month = m.month AND s.o_orderpriority = p.o_orderpriority
+),
+grid AS (
+  SELECT month, o_orderpriority, observed,
+         CAST(sum(observed) OVER (PARTITION BY month) AS BIGINT) AS n_m,
+         CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS r_p,
+         CAST(sum(observed) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT month,
+       CAST(max(n_m) AS BIGINT) AS n_orders,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(sum((CAST(observed AS HUGEINT) * n
+                 - CAST(n_m AS HUGEINT) * r_p)
+                * (CAST(observed AS HUGEINT) * n
+                   - CAST(n_m AS HUGEINT) * r_p)
+                * 1000000
+                // (CAST(n AS HUGEINT) * n_m * r_p)) AS BIGINT)
+         AS chi2_micro
+FROM grid
+GROUP BY month
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mean log deviation (Theil L / GE(0)) of customer spend with the
 # between-segment component: completes the inequality family — gini
 # (customer_spend_gini) ranks, Theil T (supplier_revenue_theil) weights
@@ -7748,6 +7866,7 @@ FROM tot
 
 
 QUERIES = {
+    "orders_priority_mix_drift": q_orders_priority_mix_drift,
     "customer_spend_mld": q_customer_spend_mld,
     "orders_price_ks_test": q_orders_price_ks_test,
     "order_priority_cramers_v": q_order_priority_cramers_v,
@@ -7860,6 +7979,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_priority_mix_drift": ORACLE_ORDERS_PRIORITY_MIX_DRIFT,
     "customer_spend_mld": ORACLE_CUSTOMER_SPEND_MLD,
     "orders_price_ks_test": ORACLE_ORDERS_PRICE_KS_TEST,
     "order_priority_cramers_v": ORACLE_ORDER_PRIORITY_CRAMERS_V,

@@ -147,6 +147,8 @@ BNLJ_ALLOWED = {
     "(|sources| x a DATA-INDEPENDENT <=10001-bp grid, metadata-sized — "
     "dense CDFs so every source's cum is defined at each global grid "
     "point) + the bounded cum_all/n_s attaches",
+    "orders_priority_mix_drift": "month x priority spine cross "
+    "(~84 x 5, metadata-sized — the cramers_v densification class)",
     "order_priority_cramers_v": "distinct-level spine cross "
     "(r x c <= 15, metadata-sized — lets unobserved cells contribute "
     "their expected mass, the source_unigram_tv_matrix spine class)",

@@ -884,3 +884,34 @@ def test_theil_sen_over_streaming_daily_sink(spark, tmp_path):
     ]
     assert got == want
     assert got == [(3, 3, 2, 1, 500)]
+
+
+def test_orders_priority_mix_drift_planted(spark, tmp_path):
+    """Three months against a global P1:P2 = 6:4 mix; month C has NO P2
+    orders, pinning the spine densification (its empty cell contributes
+    the full expected mass 0.8 -> 800000 micro). All contributions
+    hand-derived via (obs*N - n_m*r_p)^2 * 1e6 // (N*n_m*r_p)."""
+    import datetime as dt
+
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = (
+        [(i, "1-URGENT", dt.date(2024, 1, 5)) for i in range(3)]
+        + [(3, "5-LOW", dt.date(2024, 1, 9))]
+        + [(4, "1-URGENT", dt.date(2024, 2, 5))]
+        + [(5 + i, "5-LOW", dt.date(2024, 2, 9)) for i in range(3)]
+        + [(8 + i, "1-URGENT", dt.date(2024, 3, 5)) for i in range(2)]
+    )
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.month: (r.n_orders, r.dof, r.chi2_micro)
+        for r in rel.q_orders_priority_mix_drift(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        "2024-01": (4, 1, 150000 + 225000),
+        "2024-02": (4, 1, 816666 + 1225000),
+        "2024-03": (2, 1, 533333 + 800000),
+    }
