@@ -7436,6 +7436,127 @@ FROM agg a, split s
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling over order prices: the TAIL-SENSITIVE
+# companion of orders_price_ks_test — KS sees only the single largest
+# CDF gap (usually near the median); AD integrates the squared gap
+# with 1/(F(1-F)) weights, so tail-only distribution shifts that KS
+# misses move this statistic.
+
+
+def q_orders_price_anderson_darling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: group sizes and the exact two-sample Anderson-Darling
+    A^2 in micro (Scholz-Stephens k=2 discrete/tie form, no
+    continuity correction).
+
+    Exactness: off the cents histogram, each distinct value's
+    contribution is the exact integer quotient
+    h*(N*M - n_a*B)^2 * 1e6 DIV (n_a*n_b*B*(N-B)) (h = count at the
+    value, M/B = cumulative group-A/total counts, the B=N last value
+    excluded), floor-then-summed identically on both engines (the
+    chisq recipe). Headroom: the squared term is N^4*1e6-scale —
+    DECIMAL(38,0) holds to ~1e8 orders worst-case; past that the
+    non-ANSI session NULLs where DuckDB HUGEINT errors, the oracle
+    gate being the loud failure.
+
+    Scale shape: ONE corpus-sized shuffle (the cents histogram); both
+    cumulative series ride the single with_global_prefix_sums range
+    exchange (NO single-task global window); the final reduce is a
+    1-row aggregate."""
+    from .ranks import with_global_prefix_sums
+
+    orders = table(spark, sf_dir, "orders")
+    grp_a = ", ".join(f"'{g}'" for g in MW_GROUP_A)
+    hist = (
+        orders.selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+            f"CASE WHEN o_orderpriority IN ({grp_a}) THEN 1 ELSE 0 END"
+            " AS in_a",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("na"),
+            F.sum(F.expr("1 - in_a")).cast("bigint").alias("nb"),
+        )
+        .withColumn("h", (F.col("na") + F.col("nb")).cast("bigint"))
+    )
+    ranked = with_global_prefix_sums(
+        hist,
+        {"na": "m_cum", "h": "b_cum"},
+        "cents",
+        total_cols={"na": "n_a", "h": "nn"},
+    ).withColumn("n_b", F.expr("nn - n_a"))
+    # totals from the UNFILTERED relation: a single-distinct-value
+    # histogram filters every row out (its only value is the excluded
+    # B = N point), and the group sizes must still emit
+    tot = ranked.groupBy().agg(
+        F.coalesce(F.max("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    contrib = (
+        ranked.filter(F.col("b_cum") < F.col("n_a") + F.col("n_b"))
+        .selectExpr(
+            "CAST(h AS DECIMAL(38,0))"
+            " * (CAST(m_cum AS DECIMAL(38,0)) * (n_a + n_b)"
+            "    - CAST(n_a AS DECIMAL(38,0)) * b_cum)"
+            " * (CAST(m_cum AS DECIMAL(38,0)) * (n_a + n_b)"
+            "    - CAST(n_a AS DECIMAL(38,0)) * b_cum)"
+            " * 1000000"
+            " DIV nullif(CAST(n_a AS DECIMAL(38,0)) * n_b * b_cum"
+            "            * (n_a + n_b - b_cum), 0) AS contrib_micro",
+        )
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("contrib_micro"), F.lit(0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("a2_micro"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(contrib))
+
+
+ORACLE_ORDERS_PRICE_ANDERSON_DARLING = f"""
+WITH hist AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderpriority IN
+                  ({", ".join(f"'{g}'" for g in MW_GROUP_A)}) THEN 0 ELSE 1 END)
+              AS BIGINT) AS nb
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT na + nb AS h,
+         sum(na) OVER w AS m_cum, sum(na + nb) OVER w AS b_cum,
+         sum(na) OVER () AS n_a, sum(nb) OVER () AS n_b
+  FROM hist
+  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+)
+, tot AS (
+  SELECT CAST(coalesce(max(n_a), 0) AS BIGINT) AS n_a,
+         CAST(coalesce(max(n_b), 0) AS BIGINT) AS n_b
+  FROM ranked
+),
+contrib AS (
+  SELECT CAST(coalesce(sum(CAST(h AS HUGEINT)
+    * (CAST(m_cum AS HUGEINT) * (n_a + n_b)
+       - CAST(n_a AS HUGEINT) * b_cum)
+    * (CAST(m_cum AS HUGEINT) * (n_a + n_b)
+       - CAST(n_a AS HUGEINT) * b_cum)
+    * 1000000
+    // nullif(CAST(n_a AS HUGEINT) * n_b * b_cum
+              * (n_a + n_b - b_cum), 0)), 0) AS BIGINT) AS a2_micro
+  FROM ranked
+  WHERE b_cum < n_a + n_b
+)
+SELECT t.n_a, t.n_b, c.a2_micro FROM tot t, contrib c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cramer's V between order priority and order status: the EFFECT-SIZE
 # companion of order_size_priority_chisq (chi2 grows with n even for a
 # fixed association; V is the 0..1 normalization analysts compare
@@ -7866,6 +7987,7 @@ FROM tot
 
 
 QUERIES = {
+    "orders_price_anderson_darling": q_orders_price_anderson_darling,
     "orders_priority_mix_drift": q_orders_priority_mix_drift,
     "customer_spend_mld": q_customer_spend_mld,
     "orders_price_ks_test": q_orders_price_ks_test,
@@ -7979,6 +8101,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_price_anderson_darling": ORACLE_ORDERS_PRICE_ANDERSON_DARLING,
     "orders_priority_mix_drift": ORACLE_ORDERS_PRIORITY_MIX_DRIFT,
     "customer_spend_mld": ORACLE_CUSTOMER_SPEND_MLD,
     "orders_price_ks_test": ORACLE_ORDERS_PRICE_KS_TEST,

@@ -152,6 +152,8 @@ BNLJ_ALLOWED = {
     "order_priority_cramers_v": "distinct-level spine cross "
     "(r x c <= 15, metadata-sized — lets unobserved cells contribute "
     "their expected mass, the source_unigram_tv_matrix spine class)",
+    "orders_price_anderson_darling": "1-row contribution-sum attach "
+    "onto the 1-row totals (the ks_test assembly class)",
     "orders_price_ks_test": "1-row max-gap and split-point attaches "
     "(the final assembly is 1-row x 1-row; the argmax probe itself is "
     "an equi-join)",

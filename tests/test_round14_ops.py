@@ -915,3 +915,37 @@ def test_orders_priority_mix_drift_planted(spark, tmp_path):
         "2024-02": (4, 1, 816666 + 1225000),
         "2024-03": (2, 1, 533333 + 800000),
     }
+
+
+def test_orders_price_anderson_darling_planted(spark, tmp_path):
+    """Same 4-order dataset as the KS planted test: at 1000 cents the
+    gap term is 0 (M*N - n_a*B = 4 - 4); at 2000 it is 2, contributing
+    4e6 // 12 = 333333 micro; 3000 is the excluded B = N value. Checks
+    A^2 = 1/3 exactly."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, "1-URGENT", 10.00),
+        (2, "2-HIGH", 20.00),
+        (3, "3-MEDIUM", 10.00),
+        (4, "5-LOW", 30.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_orders_price_anderson_darling(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.a2_micro == 333333
+
+
+def test_orders_price_anderson_darling_empty_group(spark, tmp_path):
+    """One empty group: every contribution's denominator nullifs, the
+    sum coalesces to 0."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, "5-LOW", 10.00), (2, "5-LOW", 20.00)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = rel.q_orders_price_anderson_darling(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b, r.a2_micro) == (0, 2, 0)

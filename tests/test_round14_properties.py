@@ -713,3 +713,48 @@ def test_spend_mld_matches_python_recompute(spark, tmp_path_factory, spends):
     assert (r.n_customers, r.n_segments) == (n, len(groups))
     assert r.mld_total_micro == t1 - sln // n
     assert r.mld_between_micro == t1 - bnum // n
+
+
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # cents grid (tie-rich)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(**SETTINGS)
+def test_anderson_darling_matches_python_bruteforce(
+    spark, tmp_path_factory, prices
+):
+    """A^2 micro reproduces the Scholz-Stephens discrete form computed
+    with exact Python integer arithmetic (per-value floored micro
+    contributions summed, B = N value excluded)."""
+    from sap_sql_engine_spark.operators import relational as rel
+    from sap_sql_engine_spark.operators.relational import MW_GROUP_A
+
+    rows = [
+        (i, MW_GROUP_A[0] if in_a else "5-LOW", cents / 100.0)
+        for i, (cents, in_a) in enumerate(prices)
+    ]
+    tmp = tmp_path_factory.mktemp("ad")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    na = sum(1 for _, g in prices if g)
+    nb = len(prices) - na
+    nn = len(prices)
+    a2 = 0
+    m = b = 0
+    for v in sorted({c for c, _ in prices}):
+        h = sum(1 for c, _ in prices if c == v)
+        m += sum(1 for c, g in prices if c == v and g)
+        b += h
+        if b < nn and na * nb > 0:
+            d = m * nn - na * b
+            a2 += (h * d * d * 1_000_000) // (na * nb * b * (nn - b))
+    r = rel.q_orders_price_anderson_darling(spark, str(tmp)).collect()[0]
+    assert (r.n_a, r.n_b, r.a2_micro) == (na, nb, a2)
