@@ -7557,6 +7557,192 @@ SELECT t.n_a, t.n_b, c.a2_micro FROM tot t, contrib c
 
 
 # ---------------------------------------------------------------------------
+# Mood's median test across ALL priority levels: k-sample location —
+# does ANY priority's price distribution sit above/below the global
+# median? The k-sample companion of the two-sample Mann-Whitney, with
+# only a median and a bounded k x 2 chi-square behind it (robust to
+# tails by construction).
+
+
+def q_orders_price_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, n_orders, n_above_median, above_permille,
+    chi2_total_micro): per priority, the count of orders strictly above
+    the GLOBAL type-1 median price, and the k x 2 chi-square of the
+    above/at-or-below split against independence (the statistic
+    repeats on every row — the chisq-grid self-contained convention).
+
+    Exactness: the global median is the exact type-1 order statistic
+    off the cents histogram (cum*2 >= N cross-multiplied, the
+    bowley/theil_sen convention, via with_global_prefix_sum — no
+    global window); the split counts are exact BIGINTs; each k x 2
+    cell's chi-square contribution is the floored integer
+    (obs*N - r*c)^2 * 1e6 DIV (N*r*c) summed identically on both
+    engines; above_permille is a nonneg matched-truncation quotient.
+
+    Scale shape: ONE (priority, cents) histogram aggregation (THE
+    shuffle); the global-median derivation regroups that compact
+    relation; the 1-row median broadcast re-attaches to the SAME
+    cached histogram; everything after runs on <= 2k rows."""
+    from ..cachereg import cache_eager
+    from .ranks import with_global_prefix_sum
+
+    orders = table(spark, sf_dir, "orders")
+    hist = (
+        orders.selectExpr(
+            "o_orderpriority",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = cache_eager(hist)
+    all_h = hist.groupBy("cents").agg(F.sum("c").cast("bigint").alias("ch"))
+    ranked = with_global_prefix_sum(
+        all_h, "ch", "cents", sum_col="cum", total_col="nn"
+    )
+    med = ranked.groupBy().agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("nn"), F.col("cents"))
+        ).alias("med_cents")
+    )
+    cells = (
+        hist.crossJoin(F.broadcast(med))
+        .selectExpr(
+            "o_orderpriority",
+            "CASE WHEN cents > med_cents THEN 1 ELSE 0 END AS above",
+            "c",
+        )
+        .groupBy("o_orderpriority", "above")
+        .agg(F.sum("c").cast("bigint").alias("observed"))
+    )
+    # densify the k x 2 grid (a priority entirely on one side of the
+    # median still contributes expected mass on the other)
+    spine = cells.select("o_orderpriority").distinct().crossJoin(
+        F.broadcast(
+            cells.sparkSession.range(2).selectExpr("CAST(id AS INT) AS above")
+        )
+    )
+    dense = spine.join(cells, ["o_orderpriority", "above"], "left").selectExpr(
+        "o_orderpriority",
+        "above",
+        "coalesce(observed, CAST(0 AS BIGINT)) AS observed",
+    )
+    wp = W.partitionBy("o_orderpriority")
+    wa = W.partitionBy("above")
+    wall = W.partitionBy()
+    grid = dense.select(
+        "o_orderpriority",
+        "above",
+        "observed",
+        F.sum("observed").over(wp).cast("bigint").alias("r"),
+        F.sum("observed").over(wa).cast("bigint").alias("col_t"),
+        F.sum("observed").over(wall).cast("bigint").alias("n"),
+    )
+    diff = (
+        "(CAST(observed AS DECIMAL(38,0)) * n"
+        " - CAST(r AS DECIMAL(38,0)) * col_t)"
+    )
+    contrib = grid.selectExpr(
+        "o_orderpriority",
+        "above",
+        "observed",
+        "r",
+        "n",
+        f"CAST({diff} * {diff} * 1000000"
+        " DIV nullif(CAST(n AS DECIMAL(38,0)) * r * col_t, 0) AS BIGINT)"
+        " AS cell_micro",
+    ).withColumn(
+        "chi2_total_micro",
+        F.sum("cell_micro").over(W.partitionBy()).cast("bigint"),
+    )
+    return (
+        contrib.groupBy("o_orderpriority")
+        .agg(
+            F.max("r").alias("n_orders"),
+            F.sum(F.when(F.col("above") == 1, F.col("observed")))
+            .cast("bigint")
+            .alias("n_above_median"),
+            F.max("chi2_total_micro").alias("chi2_total_micro"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            "n_above_median",
+            "CAST(n_above_median * 1000 DIV nullif(n_orders, 0) AS BIGINT)"
+            " AS above_permille",
+            "chi2_total_micro",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_PRICE_MOOD_MEDIAN = """
+WITH hist AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cents,
+         sum(ch) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(ch) OVER () AS nn
+  FROM (SELECT cents, CAST(sum(c) AS BIGINT) AS ch FROM hist GROUP BY 1)
+),
+med AS (
+  SELECT min(CASE WHEN cum * 2 >= nn THEN cents END) AS med_cents
+  FROM ranked
+),
+cells AS (
+  SELECT h.o_orderpriority,
+         CASE WHEN h.cents > m.med_cents THEN 1 ELSE 0 END AS above,
+         CAST(sum(h.c) AS BIGINT) AS observed
+  FROM hist h, med m
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT p.o_orderpriority, a.above,
+         coalesce(c.observed, CAST(0 AS BIGINT)) AS observed
+  FROM (SELECT DISTINCT o_orderpriority FROM cells) p
+  CROSS JOIN (SELECT 0 AS above UNION ALL SELECT 1) a
+  LEFT JOIN cells c
+    ON c.o_orderpriority = p.o_orderpriority AND c.above = a.above
+),
+grid AS (
+  SELECT o_orderpriority, above, observed,
+         CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS r,
+         CAST(sum(observed) OVER (PARTITION BY above) AS BIGINT) AS col_t,
+         CAST(sum(observed) OVER () AS BIGINT) AS n
+  FROM dense
+),
+contrib AS (
+  SELECT o_orderpriority, above, observed, r,
+         CAST((CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * col_t)
+              * (CAST(observed AS HUGEINT) * n - CAST(r AS HUGEINT) * col_t)
+              * 1000000
+              // nullif(CAST(n AS HUGEINT) * r * col_t, 0) AS BIGINT)
+           AS cell_micro
+  FROM grid
+),
+tot AS (
+  SELECT CAST(sum(cell_micro) AS BIGINT) AS chi2_total_micro FROM contrib
+)
+SELECT c.o_orderpriority,
+       CAST(max(c.r) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CASE WHEN c.above = 1 THEN c.observed END), 0)
+            AS BIGINT) AS n_above_median,
+       CAST(coalesce(sum(CASE WHEN c.above = 1 THEN c.observed END), 0)
+            * 1000 // nullif(max(c.r), 0) AS BIGINT) AS above_permille,
+       CAST(max(t.chi2_total_micro) AS BIGINT) AS chi2_total_micro
+FROM contrib c, tot t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cramer's V between order priority and order status: the EFFECT-SIZE
 # companion of order_size_priority_chisq (chi2 grows with n even for a
 # fixed association; V is the 0..1 normalization analysts compare
@@ -7987,6 +8173,7 @@ FROM tot
 
 
 QUERIES = {
+    "orders_price_mood_median": q_orders_price_mood_median,
     "orders_price_anderson_darling": q_orders_price_anderson_darling,
     "orders_priority_mix_drift": q_orders_priority_mix_drift,
     "customer_spend_mld": q_customer_spend_mld,
@@ -8101,6 +8288,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_price_mood_median": ORACLE_ORDERS_PRICE_MOOD_MEDIAN,
     "orders_price_anderson_darling": ORACLE_ORDERS_PRICE_ANDERSON_DARLING,
     "orders_priority_mix_drift": ORACLE_ORDERS_PRIORITY_MIX_DRIFT,
     "customer_spend_mld": ORACLE_CUSTOMER_SPEND_MLD,

@@ -154,6 +154,8 @@ BNLJ_ALLOWED = {
     "their expected mass, the source_unigram_tv_matrix spine class)",
     "orders_price_anderson_darling": "1-row contribution-sum attach "
     "onto the 1-row totals (the ks_test assembly class)",
+    "orders_price_mood_median": "1-row global-median broadcast onto the "
+    "cached histogram + the k x 2 spine cross (both metadata-sized)",
     "orders_price_ks_test": "1-row max-gap and split-point attaches "
     "(the final assembly is 1-row x 1-row; the argmax probe itself is "
     "an equi-join)",

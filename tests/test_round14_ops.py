@@ -949,3 +949,50 @@ def test_orders_price_anderson_darling_empty_group(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     r = rel.q_orders_price_anderson_darling(spark, str(tmp_path)).collect()[0]
     assert (r.n_a, r.n_b, r.a2_micro) == (0, 2, 0)
+
+
+def test_orders_price_mood_median_planted(spark, tmp_path):
+    """P1 = {100, 300} cents, P2 = {100, 100}: global type-1 median is
+    100, so only P1's 300 sits above; the densified 2x2 grid gives
+    chi2 = 500000+166666+500000+166666 = 1333332 micro (true 4/3)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [
+        (1, "1-URGENT", 1.00),
+        (2, "1-URGENT", 3.00),
+        (3, "5-LOW", 1.00),
+        (4, "5-LOW", 1.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderpriority: (
+            r.n_orders, r.n_above_median, r.above_permille,
+            r.chi2_total_micro,
+        )
+        for r in rel.q_orders_price_mood_median(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        "1-URGENT": (2, 1, 500, 1333332),
+        "5-LOW": (2, 0, 0, 1333332),
+    }
+
+
+def test_orders_price_mood_median_degenerate(spark, tmp_path):
+    """All orders at one price: the median IS the max, nothing is
+    above, the above column total is 0 and its cells nullif out —
+    chi2 is the sum of the surviving zero-diff cells (0)."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    rows = [(1, "1-URGENT", 2.00), (2, "5-LOW", 2.00)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderpriority: (r.n_above_median, r.chi2_total_micro)
+        for r in rel.q_orders_price_mood_median(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {"1-URGENT": (0, 0), "5-LOW": (0, 0)}
