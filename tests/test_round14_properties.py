@@ -758,3 +758,67 @@ def test_anderson_darling_matches_python_bruteforce(
             a2 += (h * d * d * 1_000_000) // (na * nb * b * (nn - b))
     r = rel.q_orders_price_anderson_darling(spark, str(tmp)).collect()[0]
     assert (r.n_a, r.n_b, r.a2_micro) == (na, nb, a2)
+
+
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+            st.integers(min_value=1, max_value=5),  # cents (tie-rich)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_mood_median_matches_python_bruteforce(
+    spark, tmp_path_factory, prices
+):
+    """Global type-1 median, per-priority above-median splits, and the
+    densified k x 2 floor-then-sum chi-square all reproduce exact
+    Python arithmetic."""
+    from sap_sql_engine_spark.operators import relational as rel
+
+    tmp = tmp_path_factory.mktemp("mood")
+    spark.createDataFrame(
+        [(i, p, c / 100.0) for i, (p, c) in enumerate(prices)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+
+    s = sorted(c for _, c in prices)
+    n = len(s)
+    cum = 0
+    for v in s:
+        cum += 1
+        if cum * 2 >= n:
+            med = v
+            break
+    prios = sorted({p for p, _ in prices})
+    obs = {
+        (p, a): sum(
+            1 for q, c in prices if q == p and (1 if c > med else 0) == a
+        )
+        for p in prios
+        for a in (0, 1)
+    }
+    col = {a: sum(obs[(p, a)] for p in prios) for a in (0, 1)}
+    row = {p: obs[(p, 0)] + obs[(p, 1)] for p in prios}
+    chi2 = 0
+    for p in prios:
+        for a in (0, 1):
+            den = n * row[p] * col[a]
+            if den:
+                d = obs[(p, a)] * n - row[p] * col[a]
+                chi2 += (d * d * 1_000_000) // den
+    got = {
+        r.o_orderpriority: (
+            r.n_orders, r.n_above_median, r.above_permille,
+            r.chi2_total_micro,
+        )
+        for r in rel.q_orders_price_mood_median(spark, str(tmp)).collect()
+    }
+    want = {
+        p: (row[p], obs[(p, 1)], obs[(p, 1)] * 1000 // row[p], chi2)
+        for p in prios
+    }
+    assert got == want
