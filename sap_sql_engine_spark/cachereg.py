@@ -50,6 +50,32 @@ def cache_eager(df: DataFrame) -> DataFrame:
     return track(cached)
 
 
+def materialize_cut(df: DataFrame) -> DataFrame:
+    """Materialize *df* NOW and CUT ITS LINEAGE (``localCheckpoint``),
+    registered for :func:`release` like :func:`cache_eager`.
+
+    ``cache_eager`` keeps the full logical plan under the cached relation,
+    and an ITERATING lane whose round r reads round r-1's cached relation
+    several times (k-core's two keep-joins + degree pass, Lloyd's
+    assignment, gradient steps) grows a logical tree that multiplies per
+    round — the k-core report's final plan printed at 13.2M characters,
+    and Catalyst analysis/cache-canonicalization of that tree dominated
+    the query (measured: 22.9s of driver-side build vs 5.0s of executor
+    work at sf0.1). ``localCheckpoint`` truncates the plan to a
+    LogicalRDD, so every round plans against a constant-size tree; the
+    data kept per round is the bounded iteration state (degree tables,
+    centroid/weight relations, shrinking edge sets), never the corpus.
+
+    Release semantics: ``unpersist()`` on a checkpointed DataFrame
+    releases the underlying checkpoint RDD's storage via the tracked
+    handle going out of scope (ContextCleaner reclaims it once the last
+    reference drops); the explicit unpersist in :func:`release` is a
+    best-effort no-op for these, which is why iterating lanes should
+    reserve this helper for bounded, metadata-scale state."""
+    out = df.localCheckpoint(eager=True)
+    return track(out)
+
+
 def scope():
     """Context manager releasing only the caches registered INSIDE the
     block — the per-iteration complement to the surface-level

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager
+from ..cachereg import cache_eager, materialize_cut
 from ..sources.loader import table
 
 PR_SCALE = 1_000_000_000_000  # integer micro-rank units (1e12)
@@ -485,14 +485,20 @@ KCORE_K = 90
 KCORE_ROUNDS = 4
 
 
-def _kcore_round_stats(e: DataFrame, r: int) -> DataFrame:
-    """1-row (round, n_nodes, n_edges) off the exploded endpoint view —
-    a global aggregate, so an empty edge set still yields the honest
-    zero row."""
-    return e.selectExpr("explode(array(p1, p2)) AS node").agg(
+def _kcore_round_stats(deg: DataFrame, r: int) -> DataFrame:
+    """1-row (round, n_nodes, n_edges) off the round's DEGREE relation —
+    n_nodes is the group count, n_edges = sum of degrees halved (every
+    edge contributes two endpoint rows). Reading the degree table the
+    peel computes anyway, instead of re-exploding the edge set, saves a
+    full pass over the edge relation per round (opt r14, guide §2.4).
+    A global aggregate, so an empty degree relation still yields the
+    honest zero row (coalesce: sum over zero rows is NULL)."""
+    return deg.agg(
         F.expr(f"CAST({r} AS BIGINT)").alias("round"),
-        F.countDistinct("node").cast("bigint").alias("n_nodes"),
-        F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr(
+            "CAST(coalesce(sum(d), CAST(0 AS BIGINT)) DIV 2 AS BIGINT)"
+        ).alias("n_edges"),
     )
 
 
@@ -511,19 +517,30 @@ def q_copurchase_kcore_profile(
     semi-join attaches of the kept-node relation, and the report rows
     are 1-row global aggregates. The iteration state is the edge set
     itself, which only shrinks — never grows with rounds."""
-    li = cache_eager(
+    # Pair build (opt r14, guide §2.4): one groupBy-orderkey pass
+    # collecting each basket's distinct sorted parts, pairs expanded
+    # map-side from the array — replaces the distinct + cached self-join
+    # (2 shuffles + an extra materialization job) with 1 shuffle into the
+    # pair distinct. Identical pair set: (a.p < b.p within one order)
+    # over distinct per-order parts either way; basket sizes bound the
+    # fan-out exactly as the self-join did.
+    pairs = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.expr("array_sort(collect_set(l_partkey))").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
     )
-    b2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
-    )
-    cur = cache_eager(
-        li.join(b2, (li.l_orderkey == b2.o2) & (li.l_partkey < b2.pk2))
-        .select(F.col("l_partkey").alias("p1"), F.col("pk2").alias("p2"))
-        .distinct()
-    )
+    cur = materialize_cut(pairs.distinct())
     return kcore_profile(cur, KCORE_K, KCORE_ROUNDS)
 
 
@@ -533,20 +550,30 @@ def kcore_profile(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     with p1 < p2 (distinct, already cached), returns the round
     profile."""
     cur = edges
-    report = _kcore_round_stats(cur, 0)
-    for r in range(1, rounds + 1):
-        deg = (
+    report = None
+    for r in range(rounds + 1):
+        # ONE degree aggregation per round, shared by the stats row and
+        # the next round's keep-filter (opt r14 — the old shape paid a
+        # second explode+aggregate pass over the same edge set for the
+        # stats). materialize_cut (not cache_eager): the peel chain's
+        # logical plan otherwise multiplies 3x per round (two keep-joins
+        # + the degree pass all re-reference the prior round), and
+        # driver-side analysis of the ~3^rounds tree dominated the query
+        # (13.2M-char final plan, 22.9s build vs 5.0s compute at sf0.1).
+        deg = materialize_cut(
             cur.selectExpr("explode(array(p1, p2)) AS node")
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        cur = cache_eager(
-            cur.join(keep.withColumnRenamed("node", "p1"), "p1")
-            .join(keep.withColumnRenamed("node", "p2"), "p2")
-            .select("p1", "p2")
-        )
-        report = report.unionByName(_kcore_round_stats(cur, r))
+        stats = _kcore_round_stats(deg, r)
+        report = stats if report is None else report.unionByName(stats)
+        if r < rounds:
+            keep = deg.filter(F.col("d") >= k).select("node")
+            cur = materialize_cut(
+                cur.join(keep.withColumnRenamed("node", "p1"), "p1")
+                .join(keep.withColumnRenamed("node", "p2"), "p2")
+                .select("p1", "p2")
+            )
     return report.orderBy("round")
 
 
