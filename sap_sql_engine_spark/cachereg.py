@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+# JVM RDD handles of localCheckpoint'd relations (materialize_cut):
+# DataFrame.unpersist() cannot release checkpoint storage, so release()
+# unpersists these directly. Unlike an unpersisted cache, a released
+# checkpoint CANNOT recompute (its lineage is cut) — release() stays a
+# strictly post-consumption call for these, which is the surface
+# contract anyway (bench/checker/executor release after collecting).
+_TRACKED_RDDS: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -66,14 +73,21 @@ def materialize_cut(df: DataFrame) -> DataFrame:
     data kept per round is the bounded iteration state (degree tables,
     centroid/weight relations, shrinking edge sets), never the corpus.
 
-    Release semantics: ``unpersist()`` on a checkpointed DataFrame
-    releases the underlying checkpoint RDD's storage via the tracked
-    handle going out of scope (ContextCleaner reclaims it once the last
-    reference drops); the explicit unpersist in :func:`release` is a
-    best-effort no-op for these, which is why iterating lanes should
-    reserve this helper for bounded, metadata-scale state."""
+    Release semantics: :func:`release` unpersists the checkpoint RDD
+    itself (tracked via the JVM handle — ``DataFrame.unpersist`` cannot
+    reach it; measured: leaked checkpoint storage degraded repeated
+    in-session runs). A released checkpoint cannot recompute, so these
+    must only be released after consumption — the existing surface
+    contract."""
     out = df.localCheckpoint(eager=True)
-    return track(out)
+    try:
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        jrdd = None
+    with _LOCK:
+        if jrdd is not None:
+            _TRACKED_RDDS.append(jrdd)
+    return out
 
 
 def scope():
@@ -93,15 +107,23 @@ def scope():
     def _scope():
         with _LOCK:
             start = len(_TRACKED)
+            rstart = len(_TRACKED_RDDS)
         try:
             yield
         finally:
             with _LOCK:
                 newly = _TRACKED[start:]
                 del _TRACKED[start:]
+                newr = _TRACKED_RDDS[rstart:]
+                del _TRACKED_RDDS[rstart:]
             for df in newly:
                 try:
                     df.unpersist()
+                except Exception:
+                    pass
+            for jrdd in newr:
+                try:
+                    jrdd.unpersist(False)
                 except Exception:
                     pass
 
@@ -109,10 +131,13 @@ def scope():
 
 
 def release() -> int:
-    """Unpersist every tracked DataFrame; returns how many were released."""
+    """Unpersist every tracked DataFrame and checkpoint RDD; returns how
+    many were released."""
     with _LOCK:
         dfs = list(_TRACKED)
         _TRACKED.clear()
+        rdds = list(_TRACKED_RDDS)
+        _TRACKED_RDDS.clear()
     released = 0
     for df in dfs:
         try:
@@ -120,4 +145,10 @@ def release() -> int:
             released += 1
         except Exception:
             pass  # session already stopped / relation already evicted
+    for jrdd in rdds:
+        try:
+            jrdd.unpersist(False)
+            released += 1
+        except Exception:
+            pass
     return released

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager
+from ..cachereg import cache_eager, materialize_cut
 from ..sources.loader import spread, table
 
 LOGREG_M = 1_000_000  # micro-unit quantization (Lloyd/eigen convention)
@@ -138,7 +138,12 @@ def _fit_on(feats: DataFrame, spark: SparkSession, mask=(1, 1, 1, 1)):
             f"least(greatest({m // 2} + ({z_expr}) DIV 4, 0), {m})"
             f" - y * {m} AS err",
         )
-        w = cache_eager(
+        # materialize_cut (opt r14): the per-step weight relation is
+        # 1-row bounded state; cache_eager kept the whole unrolled
+        # gradient chain in every consumer's logical plan (350k-char
+        # final plans, analysis-dominated). Lineage cut per step keeps
+        # plans constant-size; identical integer recurrence.
+        w = materialize_cut(
             scored.groupBy("w0", "w1", "w2", "w3")
             .agg(
                 *[
@@ -451,7 +456,9 @@ def logreg_cv_report(docs: DataFrame) -> DataFrame:
                 f" - y * {m} AS err",
             )
         )
-        w = cache_eager(
+        # materialize_cut (opt r14): CV_FOLDS-row bounded state, same
+        # lineage-cut rationale as _fit_on.
+        w = materialize_cut(
             scored.groupBy("fold_k", "w0", "w1", "w2", "w3")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -887,7 +894,10 @@ def q_adaboost_stump_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stumps: list[tuple[int, int, int, int, int]] = []
     for t in range(1, ADA_ROUNDS + 1):
-        w = cache_eager(w)
+        # lineage cut per round (opt r14, the _fit_on rationale): the
+        # reweighted relation is re-read by the grid aggregation and the
+        # next round's reweight — without the cut the plan chain unrolls.
+        w = materialize_cut(w)
         scored = w.crossJoin(F.broadcast(cand)).selectExpr(
             "feat",
             "thr",

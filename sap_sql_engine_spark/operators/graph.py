@@ -104,6 +104,10 @@ def pagerank_loop(
                 f"+ {PR_DAMP_NUM} * coalesce(incoming, CAST(0 AS BIGINT))) DIV 100"
             ).alias("pr"),
         )
+        # lineage cut per iteration (opt r14): the rank relation is <= |V|
+        # rows of bounded state; without the cut the final consumer plans
+        # against the whole unrolled loop (the k-core lesson).
+        ranks = materialize_cut(ranks)
     return ranks
 
 
@@ -372,6 +376,10 @@ def lpa_loop(nodes: DataFrame, edges_sym: DataFrame, iterations: int) -> DataFra
         labels = labels.join(
             F.broadcast(winner), labels["node"] == F.col(f"__w{it}"), "left"
         ).select("node", F.coalesce("wlab", "lab").alias("lab"))
+        # lineage cut per iteration (opt r14, the pagerank_loop note):
+        # bounded <= |V|-row label state; the uncut chain planned the
+        # community report against a 213k-char tree.
+        labels = materialize_cut(labels)
     return labels
 
 
@@ -386,16 +394,24 @@ def q_trade_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dst, label) aggregation, one bounded per-node pick window. At
     web-scale graphs the label relation shuffles on the join key instead
     of broadcasting (docstring contract shared with pagerank_loop)."""
-    edges = cache_eager(
-        _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    )
-    sym = (
-        edges.select("src", "dst", "w")
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
+    # materialized once (opt r14): every LPA iteration re-read the lazy
+    # symmetrized relation, paying its union+aggregation and its plan
+    # subtree per round; <= |nations|^2 rows, metadata-scale state. The
+    # symmetrization explodes each edge into both directions in ONE pass
+    # (union of two selects read the edge build twice), so the separate
+    # eager edge cache is gone with it.
+    sym = materialize_cut(
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(src, dst, w),"
+                    " struct(dst AS src, src AS dst, w))"
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst", "e.w")
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )

@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager
+from ..cachereg import cache_eager, materialize_cut
 from ..sources.loader import spread, table
 
 DIM = 64
@@ -2173,7 +2173,13 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str):
                 F.count(F.lit(1)).alias("cnt"),
             )
         )
-        cent = cache_eager(
+        # materialize_cut, not cache_eager (opt r14): each round's centroid
+        # relation is re-referenced by the next round's assignment AND by
+        # every downstream serving branch, so the lazily-kept lineage
+        # multiplied per round and consumers (staleness report: 520k-char
+        # plan) paid driver-side analysis for the whole unrolled loop.
+        # The state is KM_K rows — bounded, metadata-scale.
+        cent = materialize_cut(
             comp.groupBy("cid").agg(
                 F.expr(
                     f"transform(array_sort(collect_list(struct(pos, sq, cnt))), "
@@ -2404,7 +2410,12 @@ def _featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving per (index, probe) leg. Pure map over one scan, zero
     shuffles; lifetime owned by the consuming surface via cachereg."""
     emb = spread(table(spark, sf_dir, "embeddings"))
-    return cache_eager(
+    # materialize_cut (opt r14): the featurize expressions inline the
+    # frozen IVF/PQ codebooks as literals; a cached-but-uncut relation
+    # re-fed those multi-thousand-node literal trees into every
+    # consumer's analysis (the recall/staleness/sweep legs each carry
+    # several references). The cut leaves consumers a LogicalRDD.
+    return materialize_cut(
         emb.withColumn("bucket", F.expr(_lsh_sig_expr()))
         .withColumn("d", F.expr(_ivf_dist_expr()))
         .withColumn("list_id", F.expr("array_position(d, array_min(d))"))
@@ -2525,7 +2536,9 @@ def _exact_topk_batch(
         )
     )
     cols = ["query_id", "vec_id"] + (["rank"] if keep_rank else [])
-    return cache_eager(
+    # materialize_cut (opt r14): 3*TOPK bounded rows read by several
+    # report legs - same lineage-cut rationale as _featurize.
+    return materialize_cut(
         feat.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -2560,7 +2573,7 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIONed then folded with one conditional aggregation."""
     feat = _featurize(spark, sf_dir)
     emb, cent, assign = _kmeans_loop(spark, sf_dir)
-    assigned = cache_eager(assign(cent))
+    assigned = materialize_cut(assign(cent))
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     queries = feat.filter(
         F.col("vec_id").isin(list(ANN_RECALL_PROBES))
@@ -3048,6 +3061,10 @@ def q_embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(w * {EIG_Q} DIV nullif(mx, 0) AS DECIMAL(38,0)) AS v",
             )
         )
+    # The fitted iterate feeds FOUR plan branches (vi, vj, den, top);
+    # materialize it once with lineage cut so each branch reads 64 rows
+    # instead of re-planning the unrolled power-iteration chain (opt r14).
+    v = materialize_cut(v)
     vi = v.toDF("pos_i", "vi")
     vj = v.toDF("pos_j", "vj")
     num = (
