@@ -2130,13 +2130,19 @@ def q_kmeans_embedding_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_loop(spark: SparkSession, sf_dir: str):
+def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
     """Shared Lloyd loop: returns (cached corpus, fitted centroid
     relation, assign function) for the fit-stats query and the fitted-IVF
-    serving query."""
-    emb = cache_eager(
-        spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    )
+    serving query. ``emb``: an optional already-materialized relation
+    carrying (vec_id, embedding) — the staleness report passes its
+    ``_featurize`` output so the corpus is materialized ONCE, not twice
+    (opt r14); extra columns are ignored by every consumer."""
+    if emb is None:
+        emb = cache_eager(
+            spread(table(spark, sf_dir, "embeddings")).select(
+                "vec_id", "embedding"
+            )
+        )
     cent = emb.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
@@ -2572,7 +2578,7 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe top-K traversals; leg totals are tagged 1-row aggregates
     UNIONed then folded with one conditional aggregation."""
     feat = _featurize(spark, sf_dir)
-    emb, cent, assign = _kmeans_loop(spark, sf_dir)
+    emb, cent, assign = _kmeans_loop(spark, sf_dir, emb=feat)
     assigned = materialize_cut(assign(cent))
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     queries = feat.filter(
