@@ -586,13 +586,19 @@ def ivf_probe_batch(
     corpus), with the batch path's exact (cosine desc, vec_id) tie
     order."""
     probe_expr = _probe_ids_expr(n_probe)
-    q = (
-        queries.withColumn("d", F.expr(_ivf_dist_expr()))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.expr(probe_expr).alias("probe_ids"),
-        )
+    # reuse an already-computed centroid-distance column when the caller
+    # passes featurized corpus rows as queries (opt r14): the frozen
+    # codebook literal expression is thousands of nodes, and the batched
+    # report lanes (probe sweep: 3 legs) otherwise re-inline it per leg.
+    qsrc = (
+        queries
+        if "d" in queries.columns
+        else queries.withColumn("d", F.expr(_ivf_dist_expr()))
+    )
+    q = qsrc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(probe_expr).alias("probe_ids"),
     )
     cand = (
         assigned_corpus.join(
@@ -2160,25 +2166,46 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
             "cid",
             F.floor(d2 * KM_Q).cast("bigint").alias("d2u"),
         )
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("d2u", "cid")
+        # argmin via a grouped struct-min instead of a row_number window
+        # (opt r14): partial aggregation collapses the K candidate rows
+        # per vector map-side and there is no per-partition sort. The
+        # struct order (d2u, cid, ...) IS the old window's (d2u, cid)
+        # total order — cid is unique, so the embedding field never
+        # participates in the comparison.
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2u", "cid", "embedding")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.embedding").alias("embedding"),
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2u").alias("d2u"),
+            )
         )
-        return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
+    # centroid update as DIM grouped integer sums over the assignment
+    # (opt r14): the old posexplode shape shuffled |corpus| x DIM rows
+    # through a (cid, pos) aggregation plus a second (cid) regroup; the
+    # column form is ONE |corpus|-row aggregation with map-side combine.
+    # Identical integer arithmetic: per-dimension floor-quantized BIGINT
+    # sums are associative, and cnt-per-(cid,pos) equals the cluster size
+    # (fixed-DIM corpus invariant, the same one the DuckDB oracle's
+    # range(0, DIM) unroll states).
+    sum_cols = [
+        F.expr(
+            f"sum(CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_Q})"
+            f" AS BIGINT))"
+        ).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    mean_arr = F.array(
+        *[
+            F.expr(f"CAST(s{i} AS DOUBLE) / (CAST(cnt AS DOUBLE) * {KM_Q})")
+            for i in range(DIM)
+        ]
+    )
     for _ in range(KM_ITERS):
         assigned = assign(cent)
-        comp = (
-            assigned.select(
-                "cid", F.posexplode("embedding").alias("pos", "val")
-            )
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(
-                    F.expr(f"CAST(floor(CAST(val AS DOUBLE) * {KM_Q}) AS BIGINT)")
-                ).alias("sq"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
-        )
         # materialize_cut, not cache_eager (opt r14): each round's centroid
         # relation is re-referenced by the next round's assignment AND by
         # every downstream serving branch, so the lazily-kept lineage
@@ -2186,12 +2213,9 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
         # plan) paid driver-side analysis for the whole unrolled loop.
         # The state is KM_K rows — bounded, metadata-scale.
         cent = materialize_cut(
-            comp.groupBy("cid").agg(
-                F.expr(
-                    f"transform(array_sort(collect_list(struct(pos, sq, cnt))), "
-                    f"s -> CAST(s.sq AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * {KM_Q}))"
-                ).alias("centroid")
-            )
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
+            .select("cid", mean_arr.alias("centroid"))
         )
     return emb, cent, assign
 
@@ -2583,7 +2607,7 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     queries = feat.filter(
         F.col("vec_id").isin(list(ANN_RECALL_PROBES))
-    ).select("vec_id", "embedding")
+    ).select("vec_id", "embedding", "d")  # d: precomputed centroid distances
     stale = ivf_probe_batch(feat, queries).select("query_id", "vec_id")
     refit = _ivf_fitted_serve_batch(emb, cent, assigned, ANN_RECALL_PROBES)
     legs = []
@@ -2685,7 +2709,7 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     queries = feat.filter(
         F.col("vec_id").isin(list(ANN_RECALL_PROBES))
-    ).select("vec_id", "embedding")
+    ).select("vec_id", "embedding", "d")  # d: precomputed centroid distances
     legs = []
     for np_ in IVF_PROBE_SWEEP:
         cand = ivf_probe_batch(feat, queries, n_probe=np_).select(
@@ -2769,7 +2793,7 @@ def q_ann_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES, keep_rank=True)
     queries = feat.filter(
         F.col("vec_id").isin(list(ANN_RECALL_PROBES))
-    ).select("vec_id", "embedding")
+    ).select("vec_id", "embedding", "d")  # d: precomputed centroid distances
     cand = ivf_probe_batch(feat, queries).select(
         "query_id", "vec_id", F.col("rank").alias("crank")
     )
