@@ -81,10 +81,11 @@ BNLJ_ALLOWED = {
     "<=30-row default-list broadcast onto the bounded fused relation",
     "ann_query_vector_topk": "1-row literal out-of-corpus query probe "
     "(array_contains cell-membership join, the ann_ivf class)",
-    "logreg_cv_report": "CV_FOLDS-row all-folds weight relation "
-    "broadcast per gradient step (one aggregation per step grouped by "
-    "fold, r12 — the logreg/Lloyd bounded-probe class) + the scoring "
-    "attach",
+    # logreg_cv_report pruned from the allowlist (opt r14): the per-step
+    # CV_FOLDS-row weight broadcasts still execute, but inside the
+    # materialize_cut checkpoint jobs of the fold-weight state — the
+    # FINAL plan (what this audit sees) reads a LogicalRDD and carries
+    # zero nested loops, so the entry became stale documentation.
     "embedding_separation_report": "per-label centroid cross "
     "(|labels|^2, metadata-sized — the source_overlap_minhash class)",
     "hybrid_query_search": "inherits ann_query_vector_topk's 1-row "
