@@ -2155,29 +2155,35 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        d2 = F.expr(
-            "aggregate(zip_with(embedding, centroid, "
+        # zero-shuffle assignment (opt r14): the K centroids collapse to
+        # ONE row carrying array<struct<cid, centroid>> and the argmin
+        # runs as a per-row expression over that broadcast array. The
+        # previous crossJoin + groupBy(vec_id) struct-min shape still
+        # paid a full-corpus exchange (embedding payload included) per
+        # round just to collapse K candidate rows that were born
+        # co-located in the same scan partition. Distance, floor
+        # quantization, and the (d2u, cid) argmin tie order are
+        # expression-identical: array_min over struct(d2u, cid) is the
+        # same lexicographic total order the grouped min used (cid is
+        # unique, so ties never reach a third field).
+        carr = centroids.agg(
+            F.expr("sort_array(collect_list(struct(cid, centroid)))").alias(
+                "cents"
+            )
+        )
+        best = F.expr(
+            "array_min(transform(cents, s -> struct("
+            "CAST(floor(aggregate(zip_with(embedding, s.centroid, "
             "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-            "0D, (acc, v) -> acc + v)"
+            f"0D, (acc, v) -> acc + v) * {KM_Q}) AS BIGINT) AS d2u, "
+            "s.cid AS cid)))"
         )
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            F.floor(d2 * KM_Q).cast("bigint").alias("d2u"),
-        )
-        # argmin via a grouped struct-min instead of a row_number window
-        # (opt r14): partial aggregation collapses the K candidate rows
-        # per vector map-side and there is no per-partition sort. The
-        # struct order (d2u, cid, ...) IS the old window's (d2u, cid)
-        # total order — cid is unique, so the embedding field never
-        # participates in the comparison.
         return (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2u", "cid", "embedding")).alias("m"))
+            emb.crossJoin(F.broadcast(carr))
+            .withColumn("m", best)
             .select(
                 "vec_id",
-                F.col("m.embedding").alias("embedding"),
+                "embedding",
                 F.col("m.cid").alias("cid"),
                 F.col("m.d2u").alias("d2u"),
             )
