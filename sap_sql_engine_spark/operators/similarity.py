@@ -1497,11 +1497,25 @@ def _pq_codes_expr() -> str:
     )
 
 
+def _pq_lut_expr() -> str:
+    """Query-side ADC lookup table (PQ_M x PQ_K exact subspace distances)
+    over a row carrying ``qe`` — factored so multi-probe consumers (the
+    recall report) can materialize the 21k-char codebook-literal
+    expression ONCE for their probe set instead of re-inlining it per
+    leg (opt r14)."""
+    q_sub_d2 = _PQ_SUB_D2.format(vec="qe", m="m", c="c")
+    return (
+        f"transform({_pq_book_literals()}, (book, m) -> "
+        f"transform(book, c -> {q_sub_d2}))"
+    )
+
+
 def q_ann_pq_adc(
     spark: SparkSession,
     sf_dir: str,
     qid: int = QUERY_VEC_ID,
     feat: DataFrame | None = None,
+    qlut: DataFrame | None = None,
 ) -> DataFrame:
     """PQ top-k: encode every corpus vector to PQ_M subspace codes (argmin
     squared-L2 against the frozen per-subspace codebook), build the query's
@@ -1515,7 +1529,10 @@ def q_ann_pq_adc(
     once on the query row, not per corpus row — the asymmetric trade that
     keeps recall (query side stays exact).
     ``feat``: optional shared featurized relation carrying ``codes`` (see
-    ``q_ann_lsh_bucketed``)."""
+    ``q_ann_lsh_bucketed``). ``qlut``: optional precomputed (vec_id, lut)
+    relation — the recall report materializes the codebook-literal LUT
+    expression once for its whole probe set (opt r14); values are
+    expression-identical to the inline build."""
     emb = (
         feat
         if feat is not None
@@ -1527,16 +1544,14 @@ def q_ann_pq_adc(
         coded = emb.select(
             "vec_id", "label", F.expr(_pq_codes_expr()).alias("codes")
         )
-    q_sub_d2 = _PQ_SUB_D2.format(vec="qe", m="m", c="c")
-    lut_expr = (
-        f"transform({_pq_book_literals()}, (book, m) -> "
-        f"transform(book, c -> {q_sub_d2}))"
-    )
-    q = (
-        emb.filter(F.col("vec_id") == qid)
-        .select(F.col("embedding").alias("qe"))
-        .select(F.expr(lut_expr).alias("lut"))
-    )
+    if qlut is not None:
+        q = qlut.filter(F.col("vec_id") == qid).select("lut")
+    else:
+        q = (
+            emb.filter(F.col("vec_id") == qid)
+            .select(F.col("embedding").alias("qe"))
+            .select(F.expr(_pq_lut_expr()).alias("lut"))
+        )
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (cd, lm) -> element_at(lm, CAST(cd AS INT))), "
         "0D, (acc, v) -> acc + v)"
@@ -2484,6 +2499,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal, not three."""
     feat = _featurize(spark, sf_dir)
     exact_all = _exact_topk_batch(feat, ANN_RECALL_PROBES)
+    # ONE materialized (vec_id, lut) relation for the probe set: the PQ
+    # leg's query-side ADC table inlines the full codebook as a 21k-char
+    # literal expression, and the per-qid loop otherwise re-inlines it
+    # per leg — |probes| literal trees in the final plan (opt r14). The
+    # cut leaves each PQ leg a 3-row LogicalRDD read; LUT values are
+    # expression-identical.
+    qlut = materialize_cut(
+        feat.filter(F.col("vec_id").isin(list(ANN_RECALL_PROBES)))
+        .select("vec_id", F.col("embedding").alias("qe"))
+        .select("vec_id", F.expr(_pq_lut_expr()).alias("lut"))
+    )
     per_index: dict[str, list] = {}
     for qid in ANN_RECALL_PROBES:
         exact = exact_all.filter(F.col("query_id") == qid).select("vec_id")
@@ -2494,7 +2520,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q_ann_lsh_multiprobe(spark, sf_dir, qid=qid, feat=feat),
             ),
             ("ivf", q_ann_ivf(spark, sf_dir, qid=qid, feat=feat)),
-            ("pq_adc", q_ann_pq_adc(spark, sf_dir, qid=qid, feat=feat)),
+            (
+                "pq_adc",
+                q_ann_pq_adc(spark, sf_dir, qid=qid, feat=feat, qlut=qlut),
+            ),
         ):
             hits = exact.join(df.select("vec_id"), "vec_id").agg(
                 F.count(F.lit(1)).alias("h")
