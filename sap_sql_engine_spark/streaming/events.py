@@ -3772,10 +3772,19 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_tot = raw.agg(
             F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("st")
         )
-        v = raw.crossJoin(F.broadcast(step_tot)).selectExpr(
-            "s",
-            f"CAST(w * {MARKOV_RENORM_BASIS} DIV GREATEST(st, 1)"
-            " AS DECIMAL(38,0)) AS w",
+        # materialize_cut per step (opt r14): raw is referenced twice
+        # (the renormalizing sum AND the rescale), so the lazily-kept
+        # lineage DOUBLED per power step — ~2^MARKOV_POWER_STEPS copies
+        # of the whole chain in the final logical plan (the k-core/Lloyd
+        # pathology, missed here because the lane is outside the
+        # headline bench). The state kept per step is the bounded
+        # |types|-row vector.
+        v = materialize_cut(
+            raw.crossJoin(F.broadcast(step_tot)).selectExpr(
+                "s",
+                f"CAST(w * {MARKOV_RENORM_BASIS} DIV GREATEST(st, 1)"
+                " AS DECIMAL(38,0)) AS w",
+            )
         )
     tot = v.agg(F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("t"))
     cols = trans.groupBy(F.col("to_type").alias("s")).agg(
