@@ -90,6 +90,26 @@ def materialize_cut(df: DataFrame) -> DataFrame:
     return out
 
 
+def materialize_local(df: DataFrame) -> DataFrame:
+    """Materialize a METADATA-SCALE bounded relation by collecting its
+    rows to the driver and rebuilding it as a local relation — the
+    lineage cut of :func:`materialize_cut` with none of its liabilities.
+
+    Where ``materialize_cut`` pins deserialized checkpoint blocks to
+    executor storage (unrecoverable after executor loss, accumulating
+    across queries until the surface releases — the r14 suite-wide
+    regression), a collected-and-rebuilt relation keeps no executor
+    state at all: the handful of rows live in the driver exactly like a
+    broadcast variable, downstream plans read a constant-size scan, and
+    there is nothing to release. Use ONLY for relations whose row count
+    is bounded by problem constants (K centroids, fold weights, a
+    |types|-row Markov vector, a probe LUT) — never for corpus-derived
+    data; the collect is the same driver transfer a broadcast join of
+    the relation would pay."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def scope():
     """Context manager releasing only the caches registered INSIDE the
     block — the per-iteration complement to the surface-level
@@ -132,7 +152,15 @@ def scope():
 
 def release() -> int:
     """Unpersist every tracked DataFrame and checkpoint RDD; returns how
-    many were released."""
+    many were released.
+
+    BLOCKING unpersists (r14 verdict item 2): the surface calls this at
+    a pass/sweep boundary precisely so the next unit of work starts on a
+    clean heap, and a non-blocking unpersist let pass N+1 begin while
+    pass N's deserialized checkpoint blocks still occupied storage
+    (measured: pass-over-pass slowdown in tools/bench_passes.json). The
+    boundary is untimed, so the wait costs nothing the measurement
+    cares about."""
     with _LOCK:
         dfs = list(_TRACKED)
         _TRACKED.clear()
@@ -141,13 +169,13 @@ def release() -> int:
     released = 0
     for df in dfs:
         try:
-            df.unpersist()
+            df.unpersist(True)
             released += 1
         except Exception:
             pass  # session already stopped / relation already evicted
     for jrdd in rdds:
         try:
-            jrdd.unpersist(False)
+            jrdd.unpersist(True)
             released += 1
         except Exception:
             pass

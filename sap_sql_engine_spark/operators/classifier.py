@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager, materialize_cut
+from ..cachereg import cache_eager
 from ..sources.loader import spread, table
 
 LOGREG_M = 1_000_000  # micro-unit quantization (Lloyd/eigen convention)
@@ -121,16 +121,19 @@ def _fit_on(feats: DataFrame, spark: SparkSession, mask=(1, 1, 1, 1)):
         )
     train = feats.filter(F.col("held") == 0)
     n_train = train.count()  # driver scalar probe (bm25/tfidf convention)
-    w = spark.range(1).selectExpr(
-        *[f"CAST(0 AS BIGINT) AS w{j}" for j in range(4)]
-    )
     z_expr = _Z_EXPR
+    # Driver-side weight recurrence (r15, the kmeans-centroid pattern):
+    # the per-step state is FOUR integers. Feed them into each gradient
+    # step as LITERALS and collect the 1-row update — one job per step,
+    # no broadcast build of the previous weight relation, no
+    # localCheckpoint job or pinned storage (the r14 shape), and every
+    # consumer plans against a constant-size local relation. The integer
+    # recurrence is expression-identical.
+    wvals = [0, 0, 0, 0]
+    w_schema = ", ".join(f"w{j} BIGINT" for j in range(4))
     for _ in range(LOGREG_ITERS):
-        scored = train.crossJoin(F.broadcast(w)).selectExpr(
-            "w0",
-            "w1",
-            "w2",
-            "w3",
+        scored = train.selectExpr(
+            *[f"CAST({wvals[j]} AS BIGINT) AS w{j}" for j in range(4)],
             "x0",
             "x1",
             "x2",
@@ -138,12 +141,7 @@ def _fit_on(feats: DataFrame, spark: SparkSession, mask=(1, 1, 1, 1)):
             f"least(greatest({m // 2} + ({z_expr}) DIV 4, 0), {m})"
             f" - y * {m} AS err",
         )
-        # materialize_cut (opt r14): the per-step weight relation is
-        # 1-row bounded state; cache_eager kept the whole unrolled
-        # gradient chain in every consumer's logical plan (350k-char
-        # final plans, analysis-dominated). Lineage cut per step keeps
-        # plans constant-size; identical integer recurrence.
-        w = materialize_cut(
+        rows = (
             scored.groupBy("w0", "w1", "w2", "w3")
             .agg(
                 *[
@@ -160,7 +158,12 @@ def _fit_on(feats: DataFrame, spark: SparkSession, mask=(1, 1, 1, 1)):
                     for j in range(4)
                 ]
             )
+            .collect()
         )
+        if not rows:  # empty training split: the old loop's empty relation
+            return feats, spark.createDataFrame([], w_schema)
+        wvals = [int(rows[0][f"w{j}"]) for j in range(4)]
+    w = spark.createDataFrame([tuple(wvals)], w_schema)
     return feats, w
 
 
@@ -434,13 +437,31 @@ def logreg_cv_report(docs: DataFrame) -> DataFrame:
             "x3",
         )
     )
-    w = spark.range(CV_FOLDS).selectExpr(
-        "CAST(id AS INT) AS fold_k",
-        *[f"CAST(0 AS BIGINT) AS w{j}" for j in range(4)],
-    )
+    # Driver-side fold-weight recurrence (r15, the _fit_on pattern): the
+    # per-step state is CV_FOLDS rows of four integers. Each step
+    # explodes a LITERAL array of (fold_k, w0..w3) structs onto the
+    # cached feature relation — the same row multiplication the
+    # crossJoin(broadcast(w)) paid, minus the broadcast-build job — and
+    # collects the CV_FOLDS-row update. Identical integer recurrence,
+    # one job per step, no checkpoint storage.
+    wrows = [(k, 0, 0, 0, 0) for k in range(CV_FOLDS)]
+    w_schema = "fold_k INT, " + ", ".join(f"w{j} BIGINT" for j in range(4))
     for _ in range(LOGREG_ITERS):
+        wlit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r[0])).cast("int").alias("fold_k"),
+                    *[
+                        F.lit(int(r[1 + j])).cast("bigint").alias(f"w{j}")
+                        for j in range(4)
+                    ],
+                )
+                for r in sorted(wrows)
+            ]
+        )
         scored = (
-            base.crossJoin(F.broadcast(w))
+            base.select("*", F.explode(wlit).alias("ws"))
+            .select("fold", "y", "x0", "x1", "x2", "x3", "ws.*")
             .filter("fold != fold_k")
             .selectExpr(
                 "fold_k",
@@ -456,10 +477,12 @@ def logreg_cv_report(docs: DataFrame) -> DataFrame:
                 f" - y * {m} AS err",
             )
         )
-        # materialize_cut (opt r14): CV_FOLDS-row bounded state, same
-        # lineage-cut rationale as _fit_on.
-        w = materialize_cut(
-            scored.groupBy("fold_k", "w0", "w1", "w2", "w3")
+        wrows = [
+            (
+                int(r["fold_k"]),
+                *[int(r[f"w{j}"]) for j in range(4)],
+            )
+            for r in scored.groupBy("fold_k", "w0", "w1", "w2", "w3")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 *[
@@ -477,7 +500,11 @@ def logreg_cv_report(docs: DataFrame) -> DataFrame:
                     for j in range(4)
                 ],
             )
-        )
+            .collect()
+        ]
+        if not wrows:  # no fold trains: the old loop's empty relation
+            break
+    w = spark.createDataFrame(sorted(wrows), w_schema)
     hit = (
         f"CASE WHEN (CASE WHEN ({_Z_EXPR}) > 0 THEN 1 ELSE 0 END) = y"
         " THEN 1 ELSE 0 END"
@@ -894,10 +921,11 @@ def q_adaboost_stump_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stumps: list[tuple[int, int, int, int, int]] = []
     for t in range(1, ADA_ROUNDS + 1):
-        # lineage cut per round (opt r14, the _fit_on rationale): the
-        # reweighted relation is re-read by the grid aggregation and the
-        # next round's reweight — without the cut the plan chain unrolls.
-        w = materialize_cut(w)
+        # cache_eager (r15, reverting the r14 cut): the reweighted
+        # relation is CORPUS-sized — serialized, evictable, recomputable
+        # cache per round (the bounded ADA_ROUNDS chain was fine pre-r14),
+        # not an executor-pinned checkpoint.
+        w = cache_eager(w)
         scored = w.crossJoin(F.broadcast(cand)).selectExpr(
             "feat",
             "thr",

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager, materialize_cut, track
+from ..cachereg import cache_eager, track
 from ..sources.loader import spread, table
 from .ranks import with_global_rank
 from .textanalysis import fingerprint_col
@@ -561,7 +561,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (banded x2, w1, w2), and a lazy cache lets those stages race to rebuild
     # the whole shingle->md5->min pipeline before any of them populates it
     # (measured 4x wall-clock at sf0.1). One eager job = one computation.
-    wide = materialize_cut(_minhash_wide(spark, sf_dir))
+    wide = cache_eager(_minhash_wide(spark, sf_dir))
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -704,7 +704,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << width) - 1
     # the self-join references the signature relation twice; materialize it
     # once (at 100 TB: write the signature table, then band-join against it)
-    sig = materialize_cut(_simhash(spark, sf_dir))
+    sig = cache_eager(_simhash(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(
@@ -832,7 +832,7 @@ def incremental_probe_from_wide(
     against a PRE-BUILT corpus signature relation — the per-batch unit
     of work: only the batch side is signed fresh, its (tiny) band
     relation broadcasts, and the corpus never re-pairs."""
-    wide_b = materialize_cut(_minhash_wide_from(batch_docs))
+    wide_b = cache_eager(_minhash_wide_from(batch_docs))
     candidates = (
         _bands_of(wide_corpus)
         .alias("c")
@@ -881,7 +881,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
-    wide_c = materialize_cut(_minhash_wide_from(corpus))
+    wide_c = cache_eager(_minhash_wide_from(corpus))
     return incremental_probe_from_wide(wide_c, batch)
 
 
@@ -915,7 +915,7 @@ def q_dedup_query_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bit-for-bit — that is the property a persisted band index
     relies on."""
     docs = table(spark, sf_dir, "documents")
-    wide_c = materialize_cut(_minhash_wide_from(docs))
+    wide_c = cache_eager(_minhash_wide_from(docs))
     resub = docs.orderBy("doc_id").limit(1).selectExpr(
         "CAST(1 AS BIGINT) AS doc_id", "text"
     )
@@ -1183,7 +1183,7 @@ def q_dedup_band_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the sweep unions three bounded-width relations of one
     row per (doc, band)."""
     docs = table(spark, sf_dir, "documents")
-    wide = materialize_cut(_minhash_wide_from(docs))
+    wide = cache_eager(_minhash_wide_from(docs))
     per_setting = []
     for rpb in BAND_WIDTH_SWEEP:
         n_bands = N_MINHASH // rpb
@@ -2925,7 +2925,7 @@ def q_dedup_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = HAMMING_THRESHOLD + 1
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
-    sig = materialize_cut(_simhash(spark, sf_dir))
+    sig = cache_eager(_simhash(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(
@@ -3255,10 +3255,11 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wts = Window.partitionBy("ts")
-    # materialize_cut (opt r14): mem feeds reps/members/intra across many
-    # branches; the cut gives them a LogicalRDD instead of re-analyzing
-    # the scan+map+window lineage per branch.
-    mem = materialize_cut(
+    # cache_eager (r15, reverting the r14 cut): mem is corpus-sized — a
+    # localCheckpoint pinned it unrecoverably to executor storage; the
+    # serialized, evictable, recomputable cache is the right tool for a
+    # corpus trunk read by the reps/members/intra branches.
+    mem = cache_eager(
         sets.select(
             "doc_id",
             "m",
@@ -3278,10 +3279,10 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gid", "t", "pos", "m", "sig")
     )
     # prefix length p = m - ceil(tau*m) + 1, all-integer ceil.
-    # Materialized with lineage cut (opt r14): the candidate self-join
-    # otherwise plans the rtoks-join-dfs-window chain TWICE (both join
-    # sides); bounded rep-prefix rows.
-    prefix = materialize_cut(
+    # cache_eager (r15, reverting the r14 cut): the candidate self-join
+    # plans the rtoks-join-dfs-window chain twice (both join sides), but
+    # the prefix relation scales with the corpus — cache, don't pin.
+    prefix = cache_eager(
         ranked.filter(F.expr(f"pos <= m - (({tau} * m + 999) DIV 1000) + 1"))
     )
     # alpha = ceil(tau*(m1+m2)/(1000+tau)): the minimum shared-token

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager, materialize_cut
+from ..cachereg import cache_eager, materialize_cut, materialize_local
 from ..sources.loader import table
 
 PR_SCALE = 1_000_000_000_000  # integer micro-rank units (1e12)
@@ -107,7 +107,9 @@ def pagerank_loop(
         # lineage cut per iteration (opt r14): the rank relation is <= |V|
         # rows of bounded state; without the cut the final consumer plans
         # against the whole unrolled loop (the k-core lesson).
-        ranks = materialize_cut(ranks)
+        # materialize_local (r15): same cut, driver-side rows instead of
+        # an executor-pinned checkpoint — nothing to release, recoverable.
+        ranks = materialize_local(ranks)
     return ranks
 
 
@@ -378,8 +380,9 @@ def lpa_loop(nodes: DataFrame, edges_sym: DataFrame, iterations: int) -> DataFra
         ).select("node", F.coalesce("wlab", "lab").alias("lab"))
         # lineage cut per iteration (opt r14, the pagerank_loop note):
         # bounded <= |V|-row label state; the uncut chain planned the
-        # community report against a 213k-char tree.
-        labels = materialize_cut(labels)
+        # community report against a 213k-char tree. materialize_local
+        # (r15): same cut via driver-side rows, no checkpoint storage.
+        labels = materialize_local(labels)
     return labels
 
 
@@ -400,7 +403,7 @@ def q_trade_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetrization explodes each edge into both directions in ONE pass
     # (union of two selects read the edge build twice), so the separate
     # eager edge cache is gone with it.
-    sym = materialize_cut(
+    sym = materialize_local(
         _trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select(
@@ -556,7 +559,12 @@ def q_copurchase_kcore_profile(
         )
         .select("pr.p1", "pr.p2")
     )
-    cur = materialize_cut(pairs.distinct())
+    # cache_eager for the INITIAL pair set (r15, verdict item 2): it is
+    # the one corpus-sized relation here — serialized, evictable,
+    # recomputable. The per-round cuts inside kcore_profile stay: the
+    # shrinking edge set is the iteration state whose lineage multiplies
+    # 3x per round without them (the 13.2M-char plan).
+    cur = cache_eager(pairs.distinct())
     return kcore_profile(cur, KCORE_K, KCORE_ROUNDS)
 
 

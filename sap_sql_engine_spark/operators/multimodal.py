@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cachereg import cache_eager, materialize_cut
+from ..cachereg import cache_eager
 from ..sources.loader import table
 
 MEDIA_SCHEMA = T.StructType(
@@ -848,11 +848,10 @@ def _banded_hamming_distances(bandsx: DataFrame) -> DataFrame:
     |media| x 4 rows — metadata-sized next to the exploded signal). The
     media count for the cap is a driver scalar probe off the cache (the
     bm25/tfidf convention)."""
-    # materialize_cut (opt r14): the four consuming branches otherwise
-    # each re-analyze the full fingerprint chain (posexplode -> cells ->
-    # bits -> bands) under the cached relation; the cut leaves them a
-    # |media| x 4-row LogicalRDD.
-    bandsx = materialize_cut(bandsx)
+    # cache_eager (r15, reverting the r14 cut): the band relation scales
+    # with |media| — corpus-sized state belongs in the serialized,
+    # evictable, recomputable cache, not an executor-pinned checkpoint.
+    bandsx = cache_eager(bandsx)
     n_media = bandsx.select("media_id").distinct().count()
     cap = max(BAND_CAP_MIN, n_media // BAND_CAP_DIVISOR)
     ok = (

@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager, materialize_cut
+from ..cachereg import cache_eager, materialize_local
 from ..sources.loader import spread, table
 
 DIM = 64
@@ -2164,28 +2164,60 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
                 "vec_id", "embedding"
             )
         )
-    cent = emb.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    # K centroids are DRIVER-SAFE state (r15, verdict item 3): collect
+    # them once per round and feed the next round's assignment as a
+    # LITERAL array. This takes the r14 "zero-shuffle assignment"
+    # insight to its conclusion — the per-round collect_list aggregation
+    # job + eager localCheckpoint job (and its pinned executor storage)
+    # are gone; every round is exactly ONE job (the centroid-update
+    # aggregation, whose result the driver collects: KM_K rows), and
+    # every consumer plans against a constant-size tree. The collected
+    # doubles round-trip exactly (IEEE 64-bit both sides), so the
+    # literal path is value-identical to the checkpointed relation it
+    # replaces.
+    cent_rows = (
+        emb.filter(F.col("vec_id") < KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "centroid"
+            ),
+        )
+        .collect()
     )
+
+    def _cent_df(rows):
+        df = spark.createDataFrame(rows, "cid BIGINT, centroid ARRAY<DOUBLE>")
+        df._km_rows = rows  # lets assign() take the literal path
+        return df
+
+    def _cent_array(rows):
+        # sorted by cid — the order sort_array(collect_list(...)) gave;
+        # array_min's (d2u, cid) total order is order-independent anyway
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).cast("bigint").alias("cid"),
+                    F.array(
+                        *[F.lit(float(x)) for x in r["centroid"]]
+                    ).alias("centroid"),
+                )
+                for r in sorted(rows, key=lambda r: r["cid"])
+            ]
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
         # zero-shuffle assignment (opt r14): the K centroids collapse to
-        # ONE row carrying array<struct<cid, centroid>> and the argmin
-        # runs as a per-row expression over that broadcast array. The
-        # previous crossJoin + groupBy(vec_id) struct-min shape still
-        # paid a full-corpus exchange (embedding payload included) per
-        # round just to collapse K candidate rows that were born
-        # co-located in the same scan partition. Distance, floor
-        # quantization, and the (d2u, cid) argmin tie order are
-        # expression-identical: array_min over struct(d2u, cid) is the
-        # same lexicographic total order the grouped min used (cid is
-        # unique, so ties never reach a third field).
-        carr = centroids.agg(
-            F.expr("sort_array(collect_list(struct(cid, centroid)))").alias(
-                "cents"
-            )
-        )
+        # ONE array<struct<cid, centroid>> and the argmin runs as a
+        # per-row expression over it. Distance, floor quantization, and
+        # the (d2u, cid) argmin tie order are expression-identical to
+        # the old crossJoin + grouped struct-min: array_min over
+        # struct(d2u, cid) is the same lexicographic total order (cid is
+        # unique, so ties never reach a third field). When the centroid
+        # relation carries driver-side rows (the loop's own state), the
+        # array is a LITERAL — no broadcast job at all; a plain
+        # DataFrame falls back to the broadcast collect_list shape.
+        rows = getattr(centroids, "_km_rows", None)
         best = F.expr(
             "array_min(transform(cents, s -> struct("
             "CAST(floor(aggregate(zip_with(embedding, s.centroid, "
@@ -2193,9 +2225,17 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
             f"0D, (acc, v) -> acc + v) * {KM_Q}) AS BIGINT) AS d2u, "
             "s.cid AS cid)))"
         )
+        if rows is not None:
+            src = emb.withColumn("cents", _cent_array(rows))
+        else:
+            carr = centroids.agg(
+                F.expr(
+                    "sort_array(collect_list(struct(cid, centroid)))"
+                ).alias("cents")
+            )
+            src = emb.crossJoin(F.broadcast(carr))
         return (
-            emb.crossJoin(F.broadcast(carr))
-            .withColumn("m", best)
+            src.withColumn("m", best)
             .select(
                 "vec_id",
                 "embedding",
@@ -2225,19 +2265,20 @@ def _kmeans_loop(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None)
             for i in range(DIM)
         ]
     )
+    cent = _cent_df(cent_rows)
     for _ in range(KM_ITERS):
         assigned = assign(cent)
-        # materialize_cut, not cache_eager (opt r14): each round's centroid
-        # relation is re-referenced by the next round's assignment AND by
-        # every downstream serving branch, so the lazily-kept lineage
-        # multiplied per round and consumers (staleness report: 520k-char
-        # plan) paid driver-side analysis for the whole unrolled loop.
-        # The state is KM_K rows — bounded, metadata-scale.
-        cent = materialize_cut(
+        # ONE job per round: the centroid-update aggregation, collected
+        # (KM_K rows). Replaces the r14 eager localCheckpoint per round —
+        # same values, no checkpoint job, no executor-pinned storage,
+        # constant-size plans for every downstream serving branch.
+        cent_rows = (
             assigned.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
             .select("cid", mean_arr.alias("centroid"))
+            .collect()
         )
+        cent = _cent_df(cent_rows)
     return emb, cent, assign
 
 
@@ -2461,12 +2502,15 @@ def _featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving per (index, probe) leg. Pure map over one scan, zero
     shuffles; lifetime owned by the consuming surface via cachereg."""
     emb = spread(table(spark, sf_dir, "embeddings"))
-    # materialize_cut (opt r14): the featurize expressions inline the
-    # frozen IVF/PQ codebooks as literals; a cached-but-uncut relation
-    # re-fed those multi-thousand-node literal trees into every
-    # consumer's analysis (the recall/staleness/sweep legs each carry
-    # several references). The cut leaves consumers a LogicalRDD.
-    return materialize_cut(
+    # cache_eager (r15, reverting the r14 localCheckpoint): the
+    # featurized corpus is corpus-sized — pinning it as deserialized
+    # checkpoint blocks made it unrecoverable after executor loss and
+    # accumulated across the bench pass (the r14 suite-wide regression).
+    # The serialized, evictable, recomputable cache is the right tool;
+    # the literal-codebook plan-size cost this trades back is attacked
+    # at the QUERY side instead (the materialize_local'd probe LUT /
+    # query relations, which are metadata-scale).
+    return cache_eager(
         emb.withColumn("bucket", F.expr(_lsh_sig_expr()))
         .withColumn("d", F.expr(_ivf_dist_expr()))
         .withColumn("list_id", F.expr("array_position(d, array_min(d))"))
@@ -2503,9 +2547,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg's query-side ADC table inlines the full codebook as a 21k-char
     # literal expression, and the per-qid loop otherwise re-inlines it
     # per leg — |probes| literal trees in the final plan (opt r14). The
-    # cut leaves each PQ leg a 3-row LogicalRDD read; LUT values are
-    # expression-identical.
-    qlut = materialize_cut(
+    # cut leaves each PQ leg a 3-row local relation; LUT values are
+    # expression-identical. materialize_local (r15): |probes| rows of
+    # driver-safe state — the lineage cut without checkpoint storage.
+    qlut = materialize_local(
         feat.filter(F.col("vec_id").isin(list(ANN_RECALL_PROBES)))
         .select("vec_id", F.col("embedding").alias("qe"))
         .select("vec_id", F.expr(_pq_lut_expr()).alias("lut"))
@@ -2601,9 +2646,9 @@ def _exact_topk_batch(
         )
     )
     cols = ["query_id", "vec_id"] + (["rank"] if keep_rank else [])
-    # materialize_cut (opt r14): 3*TOPK bounded rows read by several
-    # report legs - same lineage-cut rationale as _featurize.
-    return materialize_cut(
+    # materialize_local (r15): 3*TOPK bounded rows read by several
+    # report legs — lineage cut with zero executor-pinned storage.
+    return materialize_local(
         feat.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -2638,7 +2683,9 @@ def q_ann_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIONed then folded with one conditional aggregation."""
     feat = _featurize(spark, sf_dir)
     emb, cent, assign = _kmeans_loop(spark, sf_dir, emb=feat)
-    assigned = materialize_cut(assign(cent))
+    # cache_eager (r15): the assignment is corpus-sized — cache, don't
+    # pin to executor-local checkpoint storage.
+    assigned = cache_eager(assign(cent))
     exact = _exact_topk_batch(feat, ANN_RECALL_PROBES)
     queries = feat.filter(
         F.col("vec_id").isin(list(ANN_RECALL_PROBES))
@@ -3127,9 +3174,11 @@ def q_embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     # The fitted iterate feeds FOUR plan branches (vi, vj, den, top);
-    # materialize it once with lineage cut so each branch reads 64 rows
-    # instead of re-planning the unrolled power-iteration chain (opt r14).
-    v = materialize_cut(v)
+    # materialize it once so each branch reads 64 rows instead of
+    # re-planning the unrolled power-iteration chain (opt r14).
+    # materialize_local (r15): DIM-row driver-safe state — same lineage
+    # cut, no executor-pinned checkpoint.
+    v = materialize_local(v)
     vi = v.toDF("pos_i", "vi")
     vj = v.toDF("pos_j", "vj")
     num = (

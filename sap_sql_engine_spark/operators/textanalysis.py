@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cachereg import cache_eager, materialize_cut
+from ..cachereg import cache_eager
 from ..sources.loader import spread, table
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language-ID
@@ -3585,7 +3585,7 @@ def q_kn_bigram_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # c2 feeds three consumers (the w1 grain, the continuation grain, and
     # the seen-bigram join) — cache the vocabulary-bounded model relation
     # so the corpus-sized bigram aggregation runs once, not three times
-    c2 = materialize_cut(
+    c2 = cache_eager(
         train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     )
     w_all = Window.partitionBy()

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..cachereg import cache_eager
+from ..cachereg import cache_eager, materialize_local
 from ..sources.loader import table
 
 SESSION_GAP_SECONDS = 1800  # 30 min
@@ -3772,14 +3772,14 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_tot = raw.agg(
             F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("st")
         )
-        # materialize_cut per step (opt r14): raw is referenced twice
-        # (the renormalizing sum AND the rescale), so the lazily-kept
-        # lineage DOUBLED per power step — ~2^MARKOV_POWER_STEPS copies
-        # of the whole chain in the final logical plan (the k-core/Lloyd
-        # pathology, missed here because the lane is outside the
-        # headline bench). The state kept per step is the bounded
-        # |types|-row vector.
-        v = materialize_cut(
+        # materialize_local per step (r15; cut introduced r14): raw is
+        # referenced twice (the renormalizing sum AND the rescale), so
+        # the lazily-kept lineage DOUBLED per power step —
+        # ~2^MARKOV_POWER_STEPS copies of the whole chain in the final
+        # logical plan (the k-core/Lloyd pathology). The state kept per
+        # step is the bounded |types|-row vector — driver-safe rows, so
+        # the cut needs no executor-pinned checkpoint.
+        v = materialize_local(
             raw.crossJoin(F.broadcast(step_tot)).selectExpr(
                 "s",
                 f"CAST(w * {MARKOV_RENORM_BASIS} DIV GREATEST(st, 1)"

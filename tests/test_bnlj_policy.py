@@ -32,7 +32,12 @@ BNLJ_ALLOWED = {
     "source_overlap_minhash": "per-source signature cross (|sources|^2, metadata-sized)",
     "copurchase_triangles": "1-row edge/wedge totals attached to the coefficient",
     "ann_bruteforce_topk": "1-row query-vector broadcast probe",
-    "kmeans_embedding_fit": "K-row centroid broadcast per bounded Lloyd round",
+    # kmeans_embedding_fit pruned from the allowlist (opt r15): the
+    # driver-side centroid recurrence feeds each Lloyd round's assignment
+    # a LITERAL centroid array (no broadcast relation at all), and the
+    # final plan reads the collected K-row local relation — zero nested
+    # loops, so the entry became stale documentation (the logreg_cv_report
+    # precedent).
     "ann_ivf_fitted": "K-row trained-codebook broadcast probes",
     "ann_ivf": "K-row frozen-codebook broadcast probe",
     "ann_pq_adc": "codebook (K x subspaces) broadcast probe",

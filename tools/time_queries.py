@@ -22,13 +22,25 @@ import __spark_entry__ as entry
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Flag parsing (ADVICE r14): the space-separated `--passes N` form used
+    # to leak its value into the positional list; consume the value token.
+    argv = sys.argv[1:]
     passes = 2
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1]) if "=" in a else int(
-                sys.argv[sys.argv.index(a) + 1]
-            )
+            if "=" in a:
+                passes = int(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    raise SystemExit("--passes requires a value")
+                passes = int(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
